@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline declared queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a result-materializing action (collect on
+the final, already-aggregated frame — the driver does the same). A
+warmup pass on sf0.001 triggers JVM/codegen warm paths so steady-state
+throughput is measured, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_pipeline_spark.inventory import BENCH_QUERIES, QUERIES
+from kafka_streams_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kspipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        if os.path.isdir(warm_dir):
+            QUERIES[name](spark, warm_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

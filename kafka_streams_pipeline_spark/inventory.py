@@ -1,0 +1,691 @@
+"""Declared query inventory — the driver-facing contract.
+
+Each entry pairs a Spark DataFrame program (``(spark, sf_dir) →
+DataFrame``) with an ANSI-SQL oracle DuckDB runs over the same
+parquet fixtures; the driver hash-compares the two at sf0.01
+(SURVEY.md §5.1). Names are stable contract keys from SURVEY.md §7.3.
+
+Conventions that keep the value-hash stable (SURVEY.md §4 note,
+FIXTURES.md §3):
+
+- every computed float is ``round(x, 6)`` on BOTH sides;
+- no timestamp-typed output columns — epoch millis BIGINT instead
+  (avoids tz / sub-ms representation drift between engines);
+- aggregates/computed columns carry identical aliases on both sides;
+- any top-k is tie-broken by id so the selected rowset is unique.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_streams_pipeline_spark import geo
+from kafka_streams_pipeline_spark.operators.queries import (
+    history,
+    history_interval,
+    merge_views,
+    snapshot,
+)
+from kafka_streams_pipeline_spark.operators.view import build_view
+from kafka_streams_pipeline_spark.sources.readings import (
+    EVENT_TYPE_GEOHASH,
+    readings_from_events,
+    readings_from_events_sql,
+)
+from kafka_streams_pipeline_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+# Names of queries bench.py treats as the headline set.
+BENCH_QUERIES: list[str] = []
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        if bench:
+            BENCH_QUERIES.append(name)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# SQL CTE for the materialized view over the sensor-shaped readings
+# derived from `events` (FIXTURES.md §2.4) — the oracle twin of
+# build_view(readings_from_events(events)).
+VIEW_CTE = f"""
+WITH readings AS ({readings_from_events_sql()}),
+v AS (
+    SELECT substring(geohash, 1, 6)  AS gh,
+           date_trunc('hour', ts)    AS window_start,
+           count(*)                  AS cnt,
+           sum(tempVal)              AS s
+    FROM readings
+    GROUP BY 1, 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived queries (SURVEY.md §2.1–§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_project",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P2: scan + column projection (pruned parquet read)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q_filter_time_range",
+    oracle="""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type IN ('click', 'purchase')
+    """,
+)
+def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: time-range + key-membership predicates (both pushed to
+    the parquet scan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/X6: JSON field extraction from the `props` payload column —
+    the declarative stand-in for the reference's whole-record Jackson
+    serde (JsonPOJODeserializer.java:43-56)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "q_event_time_valid",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN event_id % 97 = 0
+                        THEN -CAST(epoch_ms(ts) AS BIGINT)
+                        ELSE CAST(epoch_ms(ts) AS BIGINT) END AS timestamp
+            FROM events
+        )
+        SELECT count(*) AS kept,
+               min(timestamp) AS min_ts_ms,
+               max(timestamp) AS max_ts_ms
+        FROM r WHERE timestamp IS NOT NULL AND timestamp >= 0
+    """,
+)
+def q_event_time_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: event-time validity guard (TSExtractor.java:15-17 rejects
+    negative embedded timestamps; engine policy filters instead of
+    crashing). Synthesizes invalid rows (every 97th) then filters."""
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        F.when(F.col("event_id") % 97 == 0, -F.unix_millis("ts"))
+        .otherwise(F.unix_millis("ts"))
+        .alias("timestamp")
+    )
+    kept = r.where(F.col("timestamp").isNotNull() & (F.col("timestamp") >= 0))
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.min("timestamp").alias("min_ts_ms"),
+        F.max("timestamp").alias("max_ts_ms"),
+    )
+
+
+@register(
+    "q_hourly_view",
+    oracle=VIEW_CTE
+    + """
+    SELECT gh,
+           epoch_ms(window_start)  AS ws_ms,
+           cnt                     AS cnt,
+           round(s, 6)             AS sum_val,
+           round(s / cnt, 6)       AS avg_val
+    FROM v
+    """,
+    bench=True,
+)
+def q_hourly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the materialized windowed view itself — per (geohash-6
+    cell, 1-hour epoch-aligned tumbling window) {count, sum, avg}
+    (ingestion/KafkaStreamsAggregator.java:98-105)."""
+    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    return v.select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.col("count").alias("cnt"),
+        F.round("sum", 6).alias("sum_val"),
+        F.round("avg", 6).alias("avg_val"),
+    )
+
+
+_HIST_CELLS = [EVENT_TYPE_GEOHASH["click"][:6], EVENT_TYPE_GEOHASH["purchase"][:6]]
+
+
+@register(
+    "q_history",
+    oracle=VIEW_CTE
+    + f"""
+    SELECT epoch_ms(window_start)        AS "timestamp",
+           round(sum(s) / sum(cnt), 6)   AS avg
+    FROM v
+    WHERE gh IN ('{_HIST_CELLS[0]}', '{_HIST_CELLS[1]}')
+      AND window_start >= TIMESTAMP '2024-01-05 00:00:00'
+      AND window_start <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY window_start
+    """,
+    bench=True,
+)
+def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O1: history roll-up — time-series of `avg` over two cells
+    in a time range (querying/QueryingController.java:45-60)."""
+    import datetime as dt
+
+    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    out = history(
+        v, "avg", _HIST_CELLS, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    )
+    return out.withColumn("avg", F.round("avg", 6))
+
+
+@register(
+    "q_history_interval",
+    oracle=VIEW_CTE
+    + """
+    , mx AS (SELECT max(window_start) AS m FROM v)
+    SELECT epoch_ms(window_start) AS "timestamp",
+           round(sum(s), 6)       AS sum
+    FROM v, mx
+    WHERE gh LIKE 'u155%'
+      AND window_start >= m - INTERVAL 7 DAY
+      AND window_start <= m
+    GROUP BY window_start
+    """,
+)
+def q_history_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: spatio-temporal history, range = [to − 1week, to], `to`
+    defaulting to the max event time (deterministic stand-in for the
+    reference's wall-clock now, QueryingController.java:65)."""
+    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    out = history_interval(v, "sum", ["u155"], "1week")
+    return out.withColumn("sum", F.round("sum", 6))
+
+
+# Snapshot: bbox of the 'u155' precision-4 cell; its adaptive cover is
+# the single prefix 'u155' → startswith predicate.
+_SNAP_BBOX_S, _SNAP_BBOX_W, _SNAP_BBOX_N, _SNAP_BBOX_E = geo.decode_bbox("u155")
+
+
+@register(
+    "q_snapshot",
+    oracle=VIEW_CTE
+    + """
+    SELECT gh                         AS geohash,
+           round(sum(s) / sum(cnt), 6) AS avg
+    FROM v
+    WHERE window_start = TIMESTAMP '2024-01-07 10:00:00'
+      AND gh LIKE 'u155%'
+    GROUP BY gh
+    """,
+    bench=True,
+)
+def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/P5/P6/O2: snapshot — per-cell `avg` at the hour window
+    containing ts, cells covering a lat/lon bbox
+    (querying/QueryingController.java:81-96). ts is mid-hour to
+    exercise the hour truncation (:82)."""
+    import datetime as dt
+
+    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    out = snapshot(
+        v,
+        "avg",
+        dt.datetime(2024, 1, 7, 10, 30),
+        (_SNAP_BBOX_N, _SNAP_BBOX_W, _SNAP_BBOX_S, _SNAP_BBOX_E),
+        precision=6,
+    )
+    return out.withColumn("avg", F.round("avg", 6))
+
+
+@register(
+    "q_reagg_merge",
+    oracle=VIEW_CTE
+    + """
+    SELECT gh,
+           epoch_ms(window_start) AS ws_ms,
+           cnt                    AS cnt,
+           round(s, 6)            AS sum_val,
+           round(s / cnt, 6)      AS avg_val
+    FROM v
+    """,
+)
+def q_reagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A7: algebraic partial-aggregate merge — the view rebuilt by
+    merging two disjoint partial views must equal the direct
+    aggregate (Aggregator.java:17-30; the oracle IS the direct
+    aggregate, so a hash match proves the identity)."""
+    readings = readings_from_events(_t(spark, sf_dir, "events"))
+    p1 = readings.where(F.col("timestamp") % 2 == 0)
+    p2 = readings.where(F.col("timestamp") % 2 == 1)
+    merged = merge_views(build_view(p1), build_view(p2))
+    return merged.select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.col("count").alias("cnt"),
+        F.round("sum", 6).alias("sum_val"),
+        F.round("avg", 6).alias("avg_val"),
+    )
+
+
+@register(
+    "q_date_trunc_funcs",
+    oracle="""
+        SELECT event_id,
+               epoch_ms(ts)                              AS ts_ms,
+               epoch_ms(date_trunc('hour', ts))          AS hour_ms,
+               epoch_ms(date_trunc('day', ts))           AS day_ms,
+               epoch_ms(ts - INTERVAL 1 DAY)             AS minus_1d_ms,
+               epoch_ms(ts - INTERVAL 7 DAY)             AS minus_7d_ms,
+               epoch_ms(ts - INTERVAL 1 MONTH)           AS minus_1mo_ms
+        FROM events
+    """,
+)
+def q_date_trunc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/F5: hour/day truncation (UTC), calendar interval
+    arithmetic (QueryingController.java:220-249), epoch-ms conversion."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+        F.unix_millis(F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d_ms"),
+        F.unix_millis(F.col("ts") - F.expr("INTERVAL 7 DAY")).alias("minus_7d_ms"),
+        F.unix_millis(F.col("ts") - F.expr("INTERVAL 1 MONTH")).alias("minus_1mo_ms"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+        SELECT doc_id,
+               substring(text, 1, 12)                   AS prefix12,
+               upper(lang)                              AS lang_u,
+               lower(source)                            AS source_l,
+               CAST(length(text) AS BIGINT)             AS text_len,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               concat(lang, '/', source)                AS lang_source,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0')    AS id_padded
+        FROM documents
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: substring/lower/upper/split/concat/lpad — the scalar
+    string toolkit (KafkaStreamsAggregator.java:94,
+    QueryingService.java:46,106)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("prefix12"),
+        F.upper("lang").alias("lang_u"),
+        F.lower("source").alias("source_l"),
+        F.length("text").cast("long").alias("text_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.concat_ws("/", "lang", "source").alias("lang_source"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_quantity), 6)            AS qty_sqrt,
+               round(ln(l_extendedprice), 6)         AS price_ln,
+               round(abs(l_discount - 0.05), 6)      AS disc_dev,
+               CAST(ceil(l_tax * 100) AS BIGINT)     AS tax_pct_ceil,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+               round(power(1.0 + l_discount, 2), 6)  AS disc_sq
+        FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 + capability rounding: arithmetic/math scalar functions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("qty_div7"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capability-rounding queries on the TPC-H-ish star schema (§2.4–§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 6) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    bench=True,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer, aggregated per segment. The
+    customer side is broadcast (dimension ≪ fact) so the fact table
+    never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+        SELECT r_name, n_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join of two dimensions (explicit broadcast hint)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c_custkey,
+               count(o_orderkey)                      AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 6) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 250000
+        )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 250k (filter
+    pushed below the join so the build side shrinks first)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_group_distinct",
+    oracle="""
+        SELECT event_type,
+               count(*)               AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference; free in Spark —
+    SURVEY.md §2.3 note)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*)                      AS n_items,
+               round(sum(l_quantity), 6)     AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SQL kind — §2.3 note)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS INT) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
+    """,
+    bench=True,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function: top-3 orders per market segment
+    (§2.5 — absent in reference, certified here). Tie-broken by
+    o_orderkey for a unique rowset."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_union",
+    oracle="""
+        SELECT user_id, 'clicker' AS cohort FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+        UNION ALL
+        SELECT user_id, 'buyer' AS cohort FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: unionByName of two derived cohorts (§2.6)."""
+    e = _t(spark, sf_dir, "events")
+    clickers = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.lit("clicker"))
+    )
+    buyers = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.lit("buyer"))
+    )
+    return clickers.unionByName(buyers)
+
+
+@register(
+    "q_topk_limit",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+)
+def q_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (Spark plans TakeOrderedAndProject — no
+    global sort). Tie-broken by (orderkey, linenumber)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_pricing",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6)        AS sum_qty,
+               round(sum(l_extendedprice), 6)   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                                                AS sum_charge,
+               round(avg(l_quantity), 6)        AS avg_qty,
+               round(avg(l_extendedprice), 6)   AS avg_price,
+               round(avg(l_discount), 6)        AS avg_disc,
+               count(*)                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship wide
+    aggregation (single scan, map-side partial agg, tiny shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every declared query on Spark and its oracle on DuckDB over the
+same fixtures, compares row count, column names/order, and an
+order-insensitive value hash (floats canonicalized via repr of
+round-trip float; NaN/None normalized). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from kafka_streams_pipeline_spark.schema import FIXTURE_TABLES
+from kafka_streams_pipeline_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+
+def canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            v = 0.0  # -0.0 → 0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows) -> str:
+    digests = sorted(
+        hashlib.md5("|".join(canon(v) for v in row).encode()).hexdigest()
+        for row in rows
+    )
+    return hashlib.md5("\n".join(digests).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    import os
+
+    for t in FIXTURE_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    spark = get_spark(app_name="oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            problems.append(f"columns spark={scols} oracle={ocols}")
+        # driver sorts columns by name before hashing; emulate
+        sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+        oidx = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+        sh = value_hash([[r[i] for i in sidx] for r in srows])
+        oh = value_hash([[r[i] for i in oidx] for r in orows])
+        if sh != oh:
+            problems.append("value-hash mismatch")
+            sset = {tuple(canon(r[i]) for i in sidx) for r in srows}
+            oset = {tuple(canon(r[i]) for i in oidx) for r in orows}
+            diff_s = list(sset - oset)[:3]
+            diff_o = list(oset - sset)[:3]
+            if diff_s:
+                problems.append(f"  spark-only: {diff_s}")
+            if diff_o:
+                problems.append(f"  oracle-only: {diff_o}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
