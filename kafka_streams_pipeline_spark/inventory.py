@@ -689,3 +689,143 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (SURVEY.md §2.9): dedup / similarity / text /
+# multimodal — the LLM-data-pipeline family.
+# ---------------------------------------------------------------------------
+
+from kafka_streams_pipeline_spark.operators import dedup as _dedup  # noqa: E402
+from kafka_streams_pipeline_spark.operators import multimodal as _mm  # noqa: E402
+from kafka_streams_pipeline_spark.operators import similarity as _sim  # noqa: E402
+from kafka_streams_pipeline_spark.operators import text as _text  # noqa: E402
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup (hash-groupBy, keeper = lowest id)."""
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_normalized",
+    oracle=f"""
+        SELECT md5({_dedup.DUCK_NORMALIZE.format(c='text')}) AS norm_md5,
+               min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: normalized-text dedup (lower/strip-punct/collapse-ws)."""
+    return _dedup.normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_minhash", oracle=_dedup.minhash_pairs_oracle(0.8), bench=True)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket
+    join→exact-Jaccard verify, threshold 0.8)."""
+    return _dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("q_dedup_ngram", oracle=_dedup.ngram_pairs_oracle(0.8))
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact n-gram Jaccard pairs via inverted shingle index —
+    the exact baseline certifying the MinHash path."""
+    return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("q_dedup_simhash", oracle=_dedup.simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 32-bit SimHash signatures (bitwise majority of token
+    hashes); near-dups land within small Hamming distance."""
+    return _dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_embed", oracle=_sim.nearest_pairs_oracle(20))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: embedding-cosine near-dup — top-20 closest vector pairs."""
+    return _sim.nearest_pairs(_t(spark, sf_dir, "embeddings"), top_n=20)
+
+
+@register("q_sim_topk", oracle=_sim.topk_cosine_oracle(0, 10), bench=True)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-10 for a stored query vector."""
+    return _sim.topk_cosine(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("q_sim_ann_lsh", oracle=_sim.topk_cosine_lsh_oracle(0, 10))
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hyperplane-LSH ANN top-10 (bucket-restricted; approximate
+    by construction, deterministic planes → exact oracle)."""
+    return _sim.topk_cosine_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("q_array_stats", oracle=_sim.array_stats_oracle())
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-vector array stats (dim, L2 norm, min/max/mean)."""
+    return _sim.array_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_text_tokens", oracle=_text.token_stats_oracle())
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-document token statistics."""
+    return _text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_text_wordcount", oracle=_text.wordpiece_counts_oracle(), bench=True)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: BPE-ish regex tokenization → global term frequencies."""
+    return _text.wordpiece_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("q_lang_id", oracle=_text.lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: stopword-vote language-ID heuristic."""
+    return _text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register("q_lang_stats", oracle=_text.lang_table_stats_oracle())
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-language corpus statistics."""
+    return _text.lang_table_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_quality_score", oracle=_text.quality_score_oracle())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: heuristic document quality score (length/diversity/shape)."""
+    return _text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register("q_fingerprint", oracle=_text.fingerprints_oracle())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: document fingerprints (md5 prefix + order-sensitive
+    polynomial rolling hash)."""
+    return _text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata;
+    JVM-side byte-length/md5 (decode itself is the stubbed
+    mapInPandas path, exercised in tests)."""
+    media = _mm.media_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.binary_meta(media)

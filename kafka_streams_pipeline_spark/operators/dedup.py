@@ -1,0 +1,351 @@
+"""Deduplication operators (SURVEY.md §2.9 X1/X2 + north-star).
+
+Five levels, all over the ``documents`` fixture:
+
+- exact:        hash-groupBy on the raw text
+- normalized:   canonicalize (lower, strip non-alnum, collapse ws) → exact
+- MinHash+LSH:  shingle → minhash signature → banded buckets →
+                candidate pairs → exact-Jaccard verification
+- SimHash:      per-token 32-bit hashes → bitwise majority → signature
+- n-gram Jaccard: exact pairwise Jaccard via inverted shingle index
+
+Engine-portability: every hash is md5-derived (functions/hashing.py)
+so each operator has an EXACT DuckDB oracle; the Spark and SQL
+builders are colocated here to keep the parity auditable.
+
+Scale notes (100 TB posture):
+
+- Signature computation (shingles, minhash, simhash) is per-row
+  array arithmetic — no shuffle, embarrassingly parallel, whole-stage
+  codegen (no Python in the loop).
+- The only shuffles are (a) the band-bucket self-join, whose key
+  cardinality ≈ docs × bands and whose per-key group size is the LSH
+  bucket size (bounded by design), and (b) the exact-verify join,
+  which touches only candidate pairs. This is the standard
+  shingle→minhash→band→bucket-join plan; never all-pairs.
+- The n-gram inverted-index join IS quadratic in bucket size per
+  shingle: it exists as the small-scale exact baseline / test oracle
+  for MinHash, not the 100 TB path. Frequent-shingle skew is the
+  known hazard; the MinHash pipeline is the answer at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.functions.hashing import (
+    HEX_WIDTH,
+    md5_long_sql,
+)
+
+# LSH geometry: 8 minhashes in 4 bands of 2.
+# P(candidate | jaccard j) = 1 - (1 - j^2)^4 → 0.999 at j=0.9, 0.02 at j=0.07
+# (matches the fixture's bimodal pair structure).
+NUM_HASHES = 8
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_N = 3
+
+
+# --- expression builders (Spark SQL string + DuckDB SQL string) -----------
+
+
+def _spark_hash(expr: str, seed: int | None = None) -> str:
+    inner = f"concat('{seed}:', {expr})" if seed is not None else expr
+    return f"cast(conv(substring(md5({inner}), 1, {HEX_WIDTH}), 16, 10) as bigint)"
+
+
+def _duck_hash(expr: str, seed: int | None = None) -> str:
+    inner = f"'{seed}:' || {expr}" if seed is not None else expr
+    return md5_long_sql(inner)
+
+
+def spark_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
+    """Distinct n-token shingles from a token array column."""
+    parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
+    return (
+        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def duck_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct([array_to_string({tokens}[i:i + {n - 1}], ' ') "
+        f"FOR i IN range(1, len({tokens}) - {n - 2})])"
+    )
+
+
+def spark_minhash_exprs(shingles: str = "sh") -> list[str]:
+    return [
+        f"array_min(transform({shingles}, x -> {_spark_hash('x', seed)}))"
+        for seed in range(NUM_HASHES)
+    ]
+
+
+def duck_minhash_exprs(shingles: str = "sh") -> list[str]:
+    return [
+        f"list_min([{_duck_hash('x', seed)} FOR x IN {shingles}])"
+        for seed in range(NUM_HASHES)
+    ]
+
+
+def spark_band_keys_expr(mhs: str = "mhs") -> str:
+    """Band keys 'b|h1:h2' — band id embedded so one explode+join
+    handles all bands."""
+    keys = ", ".join(
+        "concat('%d|', %s)"
+        % (
+            b,
+            ", ':', ".join(f"{mhs}[{b * ROWS_PER_BAND + r}]" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"array({keys})"
+
+
+def duck_band_keys_expr(mhs: str = "mhs") -> str:
+    keys = ", ".join(
+        "concat('%d|', %s)"
+        % (
+            b,
+            ", ':', ".join(
+                f"{mhs}[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"[{keys}]"
+
+
+SPARK_NORMALIZE = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+DUCK_NORMALIZE = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+# SimHash width (bits). 32 keeps every intermediate inside BIGINT on
+# both engines.
+SIMHASH_BITS = 32
+
+
+def spark_simhash_expr(token_hashes: str = "th") -> str:
+    """Bitwise-majority signature over per-token hashes."""
+    bit = (
+        f"case when aggregate({token_hashes}, 0L, "
+        f"(acc, h) -> acc + (case when (h >> i) & 1 = 1 then 1 else -1 end)) > 0 "
+        f"then shiftleft(1L, i) else 0L end"
+    )
+    return (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), i -> {bit}), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def duck_simhash_expr(token_hashes: str = "th") -> str:
+    bit = (
+        f"CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END "
+        f"FOR h IN {token_hashes}]) > 0 THEN (1::BIGINT << i) ELSE 0 END"
+    )
+    return f"CAST(list_sum([{bit} FOR i IN range(0, {SIMHASH_BITS})]) AS BIGINT)"
+
+
+# --- Spark operators -------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: one keeper row per distinct text value (lowest id wins).
+
+    Plain hash-groupBy — Spark plans partial+final aggregation, so at
+    scale each input partition first collapses locally. Output keys by
+    md5(text) so wide text never travels in the result."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X2 (normalized-exact): canonicalize then exact-dedup."""
+    norm = F.expr(SPARK_NORMALIZE.format(c=text_col))
+    return (
+        df.withColumn("_norm", norm)
+        .groupBy(F.md5(F.col("_norm")).alias("norm_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, sh (distinct shingles), mhs (minhash signature array).
+
+    Per-row, shuffle-free; md5-based hashes for oracle parity (a
+    production tuning would swap xxhash64 — one line here)."""
+    mh_array = "array(" + ", ".join(spark_minhash_exprs("sh")) + ")"
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .where(F.expr("size(toks)") >= SHINGLE_N)
+        .withColumn("sh", F.expr(spark_shingles_expr("toks")))
+        .withColumn("mhs", F.expr(mh_array))
+        .select("doc_id", "sh", "mhs")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """X2 (MinHash+LSH): candidate pairs from banded minhash buckets,
+    verified with exact Jaccard over the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    threshold, rounded to 6. The band join shuffles only
+    (docs × NUM_BANDS) short keys; exact verification touches only
+    candidates."""
+    sig = minhash_signatures(df, text_col)
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "round(size(array_intersect(sh_a, sh_b)) / "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 6)"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X2 (SimHash): (doc_id, simhash) 32-bit bitwise-majority
+    signature over distinct-token hashes. Per-row, shuffle-free."""
+    return (
+        df.withColumn("toks", F.expr(f"array_distinct(split({text_col}, ' '))"))
+        .withColumn("th", F.expr(f"transform(toks, x -> {_spark_hash('x')})"))
+        .select("doc_id", F.expr(spark_simhash_expr("th")).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """X2 (exact n-gram Jaccard): all pairs ≥ threshold via an
+    inverted shingle index — the exact baseline that certifies the
+    MinHash pipeline (candidate superset) at test scale."""
+    sig = minhash_signatures(df, text_col).select("doc_id", "sh")
+    inv = sig.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", F.expr("size(sh)").alias("n_sh"))
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.expr("round(n_common / (n_a + n_b - n_common), 6)"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- DuckDB oracle builders ------------------------------------------------
+
+
+def minhash_pairs_oracle(threshold: float = 0.8) -> str:
+    mh_list = "[" + ", ".join(duck_minhash_exprs("sh")) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, sh, {mh_list} AS mhs FROM (
+                SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+                FROM toks WHERE len(toks) >= {SHINGLE_N}
+            )
+        ),
+        bands AS (
+            SELECT doc_id, unnest({duck_band_keys_expr('mhs')}) AS bk FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+                   AS jaccard
+        FROM cand
+        JOIN sig sa ON cand.id_a = sa.doc_id
+        JOIN sig sb ON cand.id_b = sb.doc_id
+        WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+              >= {threshold}
+    """
+
+
+def ngram_pairs_oracle(threshold: float = 0.8) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+            FROM toks WHERE len(toks) >= {SHINGLE_N}
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sig),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_common * 1.0 / (len(sa.sh) + len(sb.sh) - n_common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE round(n_common * 1.0 / (len(sa.sh) + len(sb.sh) - n_common), 6)
+              >= {threshold}
+    """
+
+
+def simhash_oracle() -> str:
+    return f"""
+        WITH th AS (
+            SELECT doc_id,
+                   [{_duck_hash('x')} FOR x IN list_distinct(string_split(text, ' '))]
+                       AS th
+            FROM documents
+        )
+        SELECT doc_id, {duck_simhash_expr('th')} AS simhash FROM th
+    """

@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X3/X4).
+
+- Brute-force cosine top-k: the exact baseline. One broadcast of the
+  query vector, one scan, TakeOrderedAndProject — no shuffle of the
+  corpus. At 100 TB this is the per-partition map + global top-k
+  merge pattern (Spark's ORDER BY+LIMIT already plans exactly that).
+- Hyperplane-LSH ANN: deterministic ±1 hyperplanes (md5-derived, so
+  the DuckDB oracle reproduces them bit-for-bit) → signature →
+  bucket-restricted top-k. The scale path: candidates shrink by
+  2^NUM_PLANES, signatures are per-row expressions.
+- Pairwise near-dup (top-N closest pairs): exact all-pairs at test
+  scale; the LSH bucket join is the documented scale path.
+
+All dot products run as JVM higher-order functions on array<float>
+cast to double — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_PLANES = 4  # 2^4 = 16 buckets
+
+
+def _plane(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane p over `dim` dims (md5 parity bit)."""
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+        for d in range(dim)
+    ]
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _spark_norm(a: str) -> str:
+    return f"sqrt({_spark_dot(a, a)})"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+def _spark_plane_lit(p: int, dim: int) -> str:
+    return "array(" + ", ".join(f"{v}D" for v in _plane(p, dim)) + ")"
+
+
+def _duck_plane_lit(p: int, dim: int) -> str:
+    return "[" + ", ".join(str(v) for v in _plane(p, dim)) + "]::DOUBLE[]"
+
+
+def _spark_signature(vec: str, dim: int) -> str:
+    bits = " + ".join(
+        f"(case when {_spark_dot(vec, _spark_plane_lit(p, dim))} > 0 "
+        f"then shiftleft(1L, {p}) else 0L end)"
+        for p in range(NUM_PLANES)
+    )
+    return f"({bits})"
+
+
+def _duck_signature(vec: str, dim: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_dot(vec, _duck_plane_lit(p, dim))} > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(NUM_PLANES)
+    )
+    return f"({bits})"
+
+
+def array_stats(df: DataFrame) -> DataFrame:
+    """X4: per-vector array statistics (dim, L2, min/max/mean)."""
+    return df.select(
+        "vec_id",
+        F.expr("size(embedding)").cast("long").alias("dim"),
+        F.expr(f"round({_spark_norm('embedding')}, 6)").alias("l2_norm"),
+        F.expr("round(cast(array_min(embedding) as double), 6)").alias("v_min"),
+        F.expr("round(cast(array_max(embedding) as double), 6)").alias("v_max"),
+        F.expr(
+            "round(aggregate(embedding, cast(0 as double), "
+            "(a, x) -> a + cast(x as double)) / size(embedding), 6)"
+        ).alias("v_mean"),
+    )
+
+
+def array_stats_oracle() -> str:
+    return f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT)                    AS dim,
+               round({_duck_norm('embedding')}, 6)               AS l2_norm,
+               round(list_min(embedding)::DOUBLE, 6)             AS v_min,
+               round(list_max(embedding)::DOUBLE, 6)             AS v_max,
+               round(list_sum([x::DOUBLE FOR x IN embedding]) / len(embedding), 6)
+                                                                 AS v_mean
+        FROM embeddings
+    """
+
+
+def topk_cosine(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """X3 baseline: exact top-k cosine neighbors of one stored vector.
+
+    The 1-row query side is broadcast; ordering is on the ROUNDED
+    similarity with vec_id tiebreak so the selected rowset is unique
+    across engines."""
+    q = (
+        df.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.expr(_spark_norm("embedding")).alias("q_norm"),
+        )
+    )
+    return (
+        df.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def topk_cosine_oracle(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+        WITH q AS (
+            SELECT embedding AS q_emb, {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id = {query_vec_id}
+        )
+        SELECT vec_id,
+               round({_duck_dot('embedding', 'q_emb')} /
+                     ({_duck_norm('embedding')} * q_norm), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id != {query_vec_id}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {k}
+    """
+
+
+def topk_cosine_lsh(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """X3 scale path: ANN — restrict candidates to the query's
+    hyperplane-LSH bucket, then exact cosine top-k inside it.
+    Approximate by construction (may return < k or miss true
+    neighbors); deterministic, so exactly oracle-checkable."""
+    sig = df.withColumn("sig", F.expr(_spark_signature("embedding", dim)))
+    q = (
+        sig.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.expr(_spark_norm("embedding")).alias("q_norm"),
+            F.col("sig").alias("q_sig"),
+        )
+    )
+    return (
+        sig.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("sig") == F.col("q_sig"))
+        .select(
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def topk_cosine_lsh_oracle(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_duck_signature('embedding', dim)} AS sig
+            FROM embeddings
+        ),
+        q AS (
+            SELECT embedding AS q_emb, {_duck_norm('embedding')} AS q_norm,
+                   sig AS q_sig
+            FROM sig WHERE vec_id = {query_vec_id}
+        )
+        SELECT vec_id,
+               round({_duck_dot('embedding', 'q_emb')} /
+                     ({_duck_norm('embedding')} * q_norm), 6) AS cos_sim
+        FROM sig, q
+        WHERE vec_id != {query_vec_id} AND sig = q_sig
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {k}
+    """
+
+
+def nearest_pairs(df: DataFrame, top_n: int = 20) -> DataFrame:
+    """X2 (embedding near-dup): the top-N closest vector pairs by
+    cosine. Exact all-pairs — correct at test scale; at 100 TB the
+    LSH bucket join (same signatures as topk_cosine_lsh) prunes the
+    pair space first."""
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.expr(_spark_norm("embedding")).alias("norm_a"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.expr(_spark_norm("embedding")).alias("norm_b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"round({_spark_dot('emb_a', 'emb_b')} / (norm_a * norm_b), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(top_n)
+    )
+
+
+def nearest_pairs_oracle(top_n: int = 20) -> str:
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_duck_dot('a.embedding', 'b.embedding')} /
+                     ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)
+                   AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, id_a, id_b
+        LIMIT {top_n}
+    """

@@ -1,0 +1,230 @@
+"""Text-analysis operators (SURVEY.md §2.9 X5 + north-star):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.
+
+All built from JVM-side expressions (split/filter/aggregate/regexp) —
+no Python UDFs — so they whole-stage-codegen and have exact DuckDB
+oracles. Per-row only: zero shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.functions.hashing import (
+    ROLL_BASE,
+    ROLL_MOD,
+    md5_long_sql,
+)
+
+# Stopword tables for the n-gram/stopword language heuristic. Tiny by
+# design: the operator is a scoring harness; swapping real per-language
+# tables is data, not code. Tie-break order is the dict order below.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "les", "de", "et", "un", "est", "dans", "pour"),
+}
+
+# BPE-ish word-piece pattern: letter runs, digit runs, or single
+# non-space symbols — the classic pre-tokenizer split. The space is
+# written literally (not \s): Spark SQL string literals consume
+# backslash escapes, so '\s' would reach the regex engine as 's'.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _lang_score(toks: str, lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({toks}, x -> array_contains(array({lits}), x)))"
+
+
+def _lang_score_duck(toks: str, lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, x -> list_contains([{lits}], x)))"
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: stopword-vote language ID heuristic.
+
+    Score per language = count of tokens in that language's stopword
+    table; prediction = argmax with dict-order tiebreak, 'unknown' at
+    zero. (A CJK-codepoint short-circuit for 'zh' belongs here for
+    real corpora; this fixture is ASCII-only and the declared oracle
+    keeps expressions regex-escape-portable, so the hook lives in
+    tests/fixture code rather than the operator.)
+    Returns (doc_id, lang_pred, lang_score)."""
+    toks = f"split(lower({text_col}), ' ')"
+    scores = {lang: _lang_score(toks, lang) for lang in STOPWORDS}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = " ".join(
+        f"when {expr} = _m then '{lang}'" for lang, expr in scores.items()
+    )
+    return (
+        df.withColumn("_m", F.expr(greatest))
+        .select(
+            "doc_id",
+            F.expr(f"case when _m = 0 then 'unknown' {chain} end").alias(
+                "lang_pred"
+            ),
+            F.col("_m").cast("long").alias("lang_score"),
+        )
+    )
+
+
+def lang_id_oracle() -> str:
+    toks = "string_split(lower(text), ' ')"
+    scores = {lang: _lang_score_duck(toks, lang) for lang in STOPWORDS}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = " ".join(
+        f"WHEN {expr} = _m THEN '{lang}'" for lang, expr in scores.items()
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN _m = 0 THEN 'unknown' {chain} END AS lang_pred,
+               CAST(_m AS BIGINT) AS lang_score
+        FROM (SELECT doc_id, text, {greatest} AS _m FROM documents)
+    """
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: per-document token statistics (whitespace tokenization)."""
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr("size(array_distinct(toks))").cast("long").alias("n_distinct"),
+            F.expr(
+                "round(aggregate(toks, 0L, (a, x) -> a + length(x)) / size(toks), 6)"
+            ).alias("avg_token_len"),
+            F.expr(
+                "round(size(array_distinct(toks)) / size(toks), 6)"
+            ).alias("ttr"),
+        )
+    )
+
+
+def token_stats_oracle() -> str:
+    return """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT)                 AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct,
+               round(list_sum([length(x) FOR x IN toks]) * 1.0 / len(toks), 6)
+                                                         AS avg_token_len,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """
+
+
+def wordpiece_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: BPE-ish regex token counting — global term frequencies
+    (explode → groupBy). The one text op with a shuffle; cardinality
+    is vocabulary size, with map-side partial counts first."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def wordpiece_counts_oracle() -> str:
+    return f"""
+        SELECT token, count(*) AS freq
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+            FROM documents
+        )
+        GROUP BY token
+    """
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: heuristic document quality in [0,1]:
+    0.5·min(n_tokens,100)/100 + 0.3·type-token-ratio +
+    0.2·min(avg_token_len,10)/10 — length, diversity, and word-shape
+    factors (the standard pretraining-quality trio)."""
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                round(
+                  0.5 * least(size(toks), 100) / 100.0
+                + 0.3 * (size(array_distinct(toks)) / size(toks))
+                + 0.2 * least(aggregate(toks, 0L, (a, x) -> a + length(x))
+                              / size(toks), 10.0) / 10.0
+                , 6)
+                """
+            ).alias("quality"),
+        )
+    )
+
+
+def quality_score_oracle() -> str:
+    return """
+        SELECT doc_id,
+               round(
+                 0.5 * least(len(toks), 100) / 100.0
+               + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+               + 0.2 * least(list_sum([length(x) FOR x IN toks]) * 1.0
+                             / len(toks), 10.0) / 10.0
+               , 6) AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: two document fingerprints —
+    content_md5 (16-hex prefix of md5 of normalized text) and
+    roll_hash (left-fold polynomial rolling hash over token hashes,
+    base 131 mod 1e9+7 — order-sensitive, so reordered words change
+    it, unlike bag-of-words hashes)."""
+    tok_hash = (
+        "transform(split({c}, ' '), "
+        "x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
+    ).format(c=text_col)
+    return df.select(
+        "doc_id",
+        F.expr(f"substring(md5({text_col}), 1, 16)").alias("content_md5"),
+        F.expr(
+            f"aggregate({tok_hash}, 0L, (acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD})"
+        ).alias("roll_hash"),
+    )
+
+
+def fingerprints_oracle() -> str:
+    tok_hash = f"[{md5_long_sql('x')} FOR x IN string_split(text, ' ')]"
+    return f"""
+        SELECT doc_id,
+               substring(md5(text), 1, 16) AS content_md5,
+               list_reduce(list_prepend(0::BIGINT, {tok_hash}),
+                           (acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD})
+                   AS roll_hash
+        FROM documents
+    """
+
+
+def lang_table_stats(df: DataFrame) -> DataFrame:
+    """Per-language corpus stats over the labeled lang column."""
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(F.expr("size(split(text, ' '))")).cast("long").alias("total_tokens"),
+    )
+
+
+def lang_table_stats_oracle() -> str:
+    return """
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang
+    """

@@ -1,0 +1,162 @@
+"""Extension-operator semantics: dedup family, similarity, text
+analysis, multimodal plumbing (SURVEY.md §2.9).
+
+Oracle hash-equality is covered by tools/check_oracle.py + the driver;
+these tests assert the SEMANTIC properties the hashes can't express
+(LSH recall vs exact baseline, hamming locality, stub behavior).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.operators import dedup, multimodal, similarity, text
+from kafka_streams_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_counts(docs):
+    out = dedup.exact_dedup(docs).collect()
+    assert sum(r["n_copies"] for r in out) == docs.count()
+    # keeper is a real doc_id
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(r["keeper"] in ids for r in out)
+
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello,   World!"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="different text"),
+        ]
+    )
+    out = {r["keeper"]: r["n_copies"] for r in dedup.normalized_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_pairs_subset_of_exact_ngram(docs):
+    """LSH candidates that survive exact verification must be a subset
+    of the exact all-pairs result at the same threshold; on this
+    fixture (jaccard gap 0.07 → 0.9) recall is total."""
+    mh = {(r.id_a, r.id_b) for r in dedup.minhash_near_dup_pairs(docs, threshold=0.8).collect()}
+    ng = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert mh <= ng
+    assert mh == ng  # full recall on the planted pairs
+    assert len(ng) > 0
+
+
+def test_simhash_hamming_locality(docs):
+    """Near-dup pairs (jaccard ≥ 0.8) differ in few simhash bits;
+    random pairs differ in many."""
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    dups = [(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()]
+
+    def ham(a, b):
+        return bin(sig[a] ^ sig[b]).count("1")
+
+    assert dups
+    dup_d = [ham(a, b) for a, b in dups]
+    ids = sorted(sig)[:40]
+    rand_d = [ham(a, b) for a in ids for b in ids if a < b and (a, b) not in set(dups)]
+    # This corpus has a 31-word vocabulary, so even unrelated docs
+    # share most tokens and absolute distances compress; the locality
+    # PROPERTY is that dup pairs sit well below the random mean.
+    assert max(dup_d) <= 12
+    assert sum(dup_d) / len(dup_d) < sum(rand_d) / len(rand_d)
+
+
+def test_topk_cosine_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = V[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in V.items()
+        if i != 0
+    }
+    expected = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:10]
+    got = [r.vec_id for r in similarity.topk_cosine(emb, 0, 10).collect()]
+    assert got == expected
+
+
+def test_ann_lsh_subset_of_bucket(emb):
+    """ANN results all share the query's signature bucket and cosine
+    values equal the exact ones for those ids."""
+    ann = similarity.topk_cosine_lsh(emb, 0, 10).collect()
+    assert len(ann) > 0
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in similarity.topk_cosine(emb, 0, emb.count()).collect()
+    }
+    for r in ann:
+        assert r.cos_sim == pytest.approx(exact[r.vec_id], abs=1e-6)
+
+
+def test_lang_id_on_handmade_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and it is a cat"),
+            Row(doc_id=2, text="el gato es un gato que vive en la casa"),
+            Row(doc_id=3, text="der hund ist ein hund und das ist gut"),
+            Row(doc_id=4, text="xyzzy plugh quux"),
+        ]
+    )
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "unknown"}
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="word " * 99 + "word"),  # long, repetitive
+            Row(doc_id=2, text="a b"),  # very short
+        ]
+    )
+    out = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    assert out[1] > out[2]  # length factor dominates here
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="gamma beta alpha"),
+        ]
+    )
+    out = {r.doc_id: r.roll_hash for r in text.fingerprints(df).collect()}
+    assert out[1] != out[2]  # rolling hash is order-sensitive
+
+
+def test_multimodal_feature_extraction(docs):
+    media = multimodal.media_from_documents(docs.limit(50))
+    feats = multimodal.extract_features(media, decode_stub="fake").collect()
+    assert len(feats) == 50
+    meta = {r.asset_id: r for r in multimodal.binary_meta(media).collect()}
+    for r in feats:
+        assert r.feat_dim == 8
+        assert 0.0 <= r.feat_mean <= 1.0
+        # mapInPandas md5 equals the JVM-side md5 (same bytes seen)
+        assert r.payload_md5 == meta[r.asset_id].payload_md5
+        assert r.n_bytes == meta[r.asset_id].n_bytes
+
+
+def test_multimodal_raise_stub(docs):
+    media = multimodal.media_from_documents(docs.limit(5))
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, decode_stub="raise").collect()
+    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
