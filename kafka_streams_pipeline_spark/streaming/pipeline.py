@@ -1,0 +1,166 @@
+"""Structured Streaming ingest: the reference's continuous topology
+re-expressed (SURVEY.md §3.1).
+
+Reference shape (ingestion/KafkaStreamsAggregator.java:53-110):
+consume → deserialize → event-time extract → re-key to geohash cell →
+1-hour windowed count/sum/avg into a queryable WindowStore, with a
+10 s commit cadence and ~24 h late-data retention.
+
+Spark shape: ``readStream`` (kafka or files) → ``from_json``/typed
+readings → ``withWatermark('ts', grace)`` →
+``groupBy(window('ts','1 hour'), gh).agg(...)`` in **update** mode →
+``foreachBatch`` upsert into an external parquet view table
+partitioned by window date.
+
+Semantics mapping (SURVEY.md §2.8):
+- T3 late data: watermark 24 h ≈ Kafka Streams 2.3's default window
+  retention. Difference documented: the watermark DROPS rows later
+  than 24 h, where KS silently stops retaining the window.
+- T4 cadence: trigger(processingTime='10 seconds') mirrors the commit
+  interval; tests use availableNow for determinism.
+- T5 queryability: Spark state is not interactively queryable, so the
+  queryable copy is this external view table — written per
+  micro-batch, readable by the batch query family (operators/queries).
+
+Scale: the upsert rewrites only the window-date partitions touched by
+the micro-batch (late data bounded by the watermark bounds how many),
+merging surviving rows with updated keys — at 1000 executors the
+rewrite cost tracks update volume, not view size. Delta/Iceberg MERGE
+is the drop-in upgrade when available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_streams_pipeline_spark.operators.view import DEFAULT_PRECISION, DEFAULT_WINDOW
+from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+DEFAULT_GRACE = "24 hours"  # Kafka Streams 2.3 default retention (T3)
+
+
+def streaming_view_aggregate(
+    readings: DataFrame,
+    precision: int = DEFAULT_PRECISION,
+    window: str = DEFAULT_WINDOW,
+    grace: str = DEFAULT_GRACE,
+) -> DataFrame:
+    """The standing windowed aggregate over a *streaming* readings
+    frame: identical expression to operators/view.build_view plus the
+    watermark (same plan shape → streaming/batch parity by
+    construction)."""
+    agg = (
+        readings.withWatermark("ts", grace)
+        .withColumn("gh", F.substring(F.col("geohash"), 1, precision))
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("gh"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(F.col("tempVal")).alias("sum"),
+        )
+    )
+    return agg.select(
+        F.col("gh"),
+        F.col("w.start").alias("window_start"),
+        F.col("count"),
+        F.col("sum"),
+        (F.col("sum") / F.col("count")).alias("avg"),
+    )
+
+
+def upsert_view_batch(view_dir: str):
+    """foreachBatch upsert: merge a micro-batch of updated
+    (gh, window_start) aggregates into the parquet view table.
+
+    Update-mode batches carry the COMPLETE re-aggregated value for
+    every changed key (the streaming state holds the running
+    aggregate), so the merge is delete-matching-keys ∪ insert-batch —
+    confined to the window-date partitions present in the batch.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.withColumn(
+            "ws_date", F.to_date("window_start")
+        ).cache()
+        dates = [r["ws_date"] for r in batch_df.select("ws_date").distinct().collect()]
+        if not dates:
+            batch_df.unpersist()
+            return
+        merged = batch_df
+        if os.path.exists(view_dir) and any(
+            e.startswith("ws_date=") for e in os.listdir(view_dir)
+        ):
+            existing = (
+                spark.read.option("basePath", view_dir)
+                .parquet(*[f"{view_dir}/ws_date={d}" for d in dates
+                           if os.path.exists(f"{view_dir}/ws_date={d}")])
+                if any(os.path.exists(f"{view_dir}/ws_date={d}") for d in dates)
+                else None
+            )
+            if existing is not None:
+                survivors = existing.join(
+                    batch_df.select("gh", "window_start"),
+                    ["gh", "window_start"],
+                    "left_anti",
+                ).select(*batch_df.columns)
+                merged = batch_df.unionByName(survivors)
+        (
+            merged.repartition("ws_date")
+            .write.mode("overwrite")
+            .partitionBy("ws_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(view_dir)
+        )
+        batch_df.unpersist()
+
+    return apply
+
+
+def start_file_stream_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    checkpoint_dir: str,
+    precision: int = DEFAULT_PRECISION,
+    grace: str = DEFAULT_GRACE,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """File-source replay of the ingest topology (json files of
+    reading records). Kafka deployments swap the source for
+    sources/readings.kafka_reading_stream — every later stage is
+    identical."""
+    reader = spark.readStream.schema(READING_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_dir)
+    readings = (
+        raw.withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+        .filter(
+            F.col("ts").isNotNull()
+            & (F.col("timestamp").isNull() | (F.col("timestamp") >= 0))
+        )
+    )
+    agg = streaming_view_aggregate(readings, precision=precision, grace=grace)
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert_view_batch(view_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The queryable view table (drop the physical partition column)."""
+    return spark.read.parquet(view_dir).select(
+        "gh", "window_start", "count", "sum", "avg"
+    )

@@ -1,0 +1,94 @@
+"""Streaming parity (SURVEY.md §5.4): the file-stream pipeline with
+out-of-order input across multiple micro-batches must converge to the
+same view table the batch builder produces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.operators import build_view
+from kafka_streams_pipeline_spark.sources.readings import readings_from_events
+from kafka_streams_pipeline_spark.sources.tables import load_table
+from kafka_streams_pipeline_spark.streaming.pipeline import (
+    read_view,
+    start_file_stream_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def readings_rows(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return readings_from_events(events).collect()
+
+
+def _write_chunks(rows, src_dir, n_chunks=3, disorder_block=50):
+    """Write a realistic replay: files in time order (so the watermark
+    advances like a live stream) but with LOCAL disorder — rows
+    shuffled within blocks far smaller than the 24 h grace, so every
+    micro-batch still carries late rows that update existing windows
+    without crossing the watermark."""
+    os.makedirs(src_dir, exist_ok=True)
+    ordered = sorted(rows, key=lambda r: r["timestamp"])
+    jumbled = []
+    for i in range(0, len(ordered), disorder_block):
+        jumbled.extend(reversed(ordered[i : i + disorder_block]))
+    per = (len(jumbled) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        with open(os.path.join(src_dir, f"chunk{c}.json"), "w") as f:
+            for r in jumbled[c * per : (c + 1) * per]:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+
+def test_stream_matches_batch_view(spark, sf_dir, readings_rows, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src, view, ckpt = str(base / "src"), str(base / "view"), str(base / "ckpt")
+    _write_chunks(readings_rows, src, n_chunks=3)
+
+    q = start_file_stream_pipeline(
+        spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["gh"], r["window_start"]): (r["count"], r["sum"], r["avg"])
+        for r in read_view(spark, view).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exp = {
+        (r["gh"], r["window_start"]): (r["count"], r["sum"], r["avg"])
+        for r in build_view(readings_from_events(events)).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], rel=1e-9)
+        assert got[k][2] == pytest.approx(exp[k][2], rel=1e-9)
+
+
+def test_stream_restart_resumes_from_checkpoint(
+    spark, sf_dir, readings_rows, tmp_path_factory
+):
+    """New files after a restart update the same view through the same
+    checkpoint — the reference's changelog-restore equivalent (T6)."""
+    base = tmp_path_factory.mktemp("stream-restart")
+    src, view, ckpt = str(base / "src"), str(base / "view"), str(base / "ckpt")
+    half = len(readings_rows) // 2
+    _write_chunks(readings_rows[:half], src, n_chunks=1)
+    q = start_file_stream_pipeline(spark, src, view, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = read_view(spark, view).agg(F.sum("count")).collect()[0][0]
+    assert n1 == half
+
+    # "restart": a second availableNow run over the same checkpoint
+    # picks up only the new file
+    _write_chunks(readings_rows[half:], src + "/more", n_chunks=1)
+    os.rename(src + "/more/chunk0.json", src + "/chunk_late.json")
+    q2 = start_file_stream_pipeline(spark, src, view, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    n2 = read_view(spark, view).agg(F.sum("count")).collect()[0][0]
+    assert n2 == len(readings_rows)
