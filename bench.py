@@ -37,9 +37,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: sub-second queries are noise-dominated on a
+        # shared box; min approximates steady-state cost
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -191,6 +191,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     Per-row, shuffle-free; md5-based hashes for oracle parity (a
     production tuning would swap xxhash64 — one line here)."""
     mh_array = "array(" + ", ".join(spark_minhash_exprs("sh")) + ")"
+    # Signature hashing is CPU-bound per row; a small single-file
+    # parquet arrives as ONE partition, which would serialize the md5
+    # work on one core. Spread it before the heavy map (no-op when
+    # the source already has enough splits).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .where(F.expr("size(toks)") >= SHINGLE_N)
@@ -210,7 +217,11 @@ def minhash_near_dup_pairs(
     threshold, rounded to 6. The band join shuffles only
     (docs × NUM_BANDS) short keys; exact verification touches only
     candidates."""
-    sig = minhash_signatures(df, text_col)
+    # The signature subplan feeds three consumers (band explode + both
+    # sides of the verify join); without persist Spark recomputes the
+    # md5 minhash work 3×. At cluster scale this intermediate is the
+    # thing you'd checkpoint to a table.
+    sig = minhash_signatures(df, text_col).persist()
     bands = sig.select(
         "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
     )
@@ -240,6 +251,9 @@ def minhash_near_dup_pairs(
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """X2 (SimHash): (doc_id, simhash) 32-bit bitwise-majority
     signature over distinct-token hashes. Per-row, shuffle-free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return (
         df.withColumn("toks", F.expr(f"array_distinct(split({text_col}, ' '))"))
         .withColumn("th", F.expr(f"transform(toks, x -> {_spark_hash('x')})"))
