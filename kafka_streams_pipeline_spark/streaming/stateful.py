@@ -1,0 +1,107 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's only stateful operator is the windowed aggregate
+store (SURVEY.md §2.8 T5) — expressible declaratively. This module is
+the extension point for stateful logic Spark's built-ins CANNOT
+express: per-key running state with arbitrary transition functions
+(alert latching, monotonic counters, custom sketches).
+
+Pattern notes:
+- state is per GROUP KEY, held in the streaming state store
+  (RocksDB-backed per session.py) and restored from the checkpoint on
+  restart;
+- the user function sees Arrow-batched pandas frames per key — Python
+  cost is amortized per batch, not per row;
+- output mode "update": one row per touched key per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = "sensorId string, count bigint, sum double, avg double"
+RUNNING_TOTALS_STATE = "count bigint, sum double"
+
+ALERT_OUTPUT = (
+    "sensorId string, n_alerts bigint, last_value double, latched boolean"
+)
+ALERT_STATE = "n_alerts bigint, latched boolean"
+
+
+def running_sensor_totals(readings: DataFrame) -> DataFrame:
+    """Per-sensor running {count, sum, avg} over the whole stream —
+    the unwindowed cousin of the reference's aggregate
+    (ingestion/KafkaStreamsAggregator.java:42-51), as a custom
+    stateful op. Emits the updated aggregate for each sensor touched
+    by a micro-batch."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf["tempVal"].dropna()
+            cnt += len(vals)
+            total += float(vals.sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {
+                "sensorId": [key[0]],
+                "count": [cnt],
+                "sum": [total],
+                "avg": [total / cnt if cnt else None],
+            }
+        )
+
+    return readings.groupBy("sensorId").applyInPandasWithState(
+        fn,
+        RUNNING_TOTALS_OUTPUT,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def threshold_alert_latch(readings: DataFrame, threshold: float) -> DataFrame:
+    """Latching alert detector: counts threshold crossings per sensor
+    and latches once any reading exceeds the threshold — state logic
+    with no declarative equivalent (the latch is order-dependent
+    history, not an algebraic aggregate)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n_alerts, latched = state.get if state.exists else (0, False)
+        last = None
+        for pdf in pdfs:
+            vals = pdf["tempVal"].dropna()
+            if len(vals):
+                n_alerts += int((vals > threshold).sum())
+                latched = bool(latched or (vals > threshold).any())
+                last = float(vals.iloc[-1])
+        state.update((n_alerts, latched))
+        yield pd.DataFrame(
+            {
+                "sensorId": [key[0]],
+                "n_alerts": [n_alerts],
+                "last_value": [last],
+                "latched": [latched],
+            }
+        )
+
+    return readings.groupBy("sensorId").applyInPandasWithState(
+        fn,
+        ALERT_OUTPUT,
+        ALERT_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

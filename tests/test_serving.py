@@ -1,0 +1,92 @@
+"""REST facade: envelope shape, param validation, reference-URL
+compatibility (README.md:73-117 curl examples' query-string shape).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from kafka_streams_pipeline_spark.operators import build_view
+from kafka_streams_pipeline_spark.serving import serve
+from kafka_streams_pipeline_spark.sources.readings import readings_from_events
+from kafka_streams_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    view = build_view(readings_from_events(events)).cache()
+    view.count()
+    server = serve(view, host="127.0.0.1", port=17070)
+    yield "http://127.0.0.1:17070"
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_history_endpoint(api):
+    code, msg = _get(
+        f"{api}/api/temperature/aggregate/avg/history?geohashes=u155mz,u155qx"
+        "&from=1704412800000&to=1705708800000"
+    )
+    assert code == 200
+    assert msg["columns"] == ["timestamp", "avg"]
+    assert msg["metadata"] == {"metric": "temperature"}
+    assert len(msg["data"]) > 0
+    ts = [row[0] for row in msg["data"]]
+    assert ts == sorted(ts)
+
+
+def test_history_interval_endpoint(api):
+    code, msg = _get(
+        f"{api}/api/temperature/aggregate/sum/history?geohashes=u155&interval=1week"
+    )
+    assert code == 200
+    assert msg["columns"] == ["timestamp", "sum"]
+    assert len(msg["data"]) > 0
+
+
+def test_snapshot_endpoint(api):
+    # bbox = the u155 cell bounds (N,W,S,E); ts mid-hour on Jan 7
+    # 10:30 UTC → must resolve to the 10:00 window
+    code, msg = _get(
+        f"{api}/api/temperature/aggregate/count/snapshot"
+        "?ts=1704623400000&bbox=51.328125,4.21875,51.15234375,4.5703125"
+    )
+    assert code == 200
+    assert msg["columns"] == ["geohash", "count"]
+    assert len(msg["data"]) > 0
+    ghs = [row[0] for row in msg["data"]]
+    assert ghs == sorted(ghs)
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "/api/temperature/aggregate/median/history?geohashes=u155",  # bad op
+        "/api/temperature/aggregate/avg/history?geohashes=",  # empty cells
+        "/api/temperature/aggregate/avg/history?geohashes=u155&interval=2weeks",
+        "/api/temperature/aggregate/avg/snapshot?bbox=1,2,3,4",  # missing ts
+        "/api/temperature/aggregate/avg/snapshot?ts=1704622200000",  # missing bbox
+        "/api/temperature/aggregate/avg/snapshot?ts=1704622200000&bbox=91,0,92,1",
+    ],
+)
+def test_validation_400s(api, path):
+    code, msg = _get(api + path)
+    assert code == 400
+    assert msg["errorCode"] == 400
+    assert msg["errorMessage"]
+
+
+def test_unknown_route_404(api):
+    code, msg = _get(api + "/api/nope")
+    assert code == 404

@@ -1,0 +1,124 @@
+"""Custom stateful streaming ops (applyInPandasWithState): running
+totals across micro-batches must equal the batch aggregate; the alert
+latch must persist across batches via state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+from kafka_streams_pipeline_spark.sources.readings import readings_from_events
+from kafka_streams_pipeline_spark.sources.tables import load_table
+from kafka_streams_pipeline_spark.streaming.stateful import (
+    running_sensor_totals,
+    threshold_alert_latch,
+)
+
+
+@pytest.fixture(scope="module")
+def reading_stream_dir(spark, sf_dir, tmp_path_factory):
+    rows = sorted(
+        readings_from_events(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r["timestamp"],
+    )
+    src = str(tmp_path_factory.mktemp("stateful") / "src")
+    os.makedirs(src)
+    for c in range(3):
+        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
+            for r in rows[c * 334 : (c + 1) * 334]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return src
+
+
+def _latest_per_key(batches, key):
+    """update-mode emits one row per touched key per batch — the last
+    emission per key is the final state."""
+    out = {}
+    for batch in batches:
+        for r in batch:
+            out[r[key]] = r
+    return out
+
+
+def _run_stream(spark, src, op, ckpt):
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.collect())
+
+    q = (
+        op(
+            spark.readStream.schema(READING_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(batches) >= 3  # one per file → state crossed batches
+    return batches
+
+
+def test_running_totals_match_batch(spark, sf_dir, reading_stream_dir, tmp_path):
+    batches = _run_stream(
+        spark, reading_stream_dir, running_sensor_totals, str(tmp_path / "ckpt")
+    )
+    final = _latest_per_key(batches, "sensorId")
+    expected = {
+        r["sensorId"]: r
+        for r in readings_from_events(load_table(spark, sf_dir, "events"))
+        .groupBy("sensorId")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("tempVal").alias("sum"),
+            F.avg("tempVal").alias("avg"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        assert final[k]["count"] == e["count"]
+        assert final[k]["sum"] == pytest.approx(e["sum"], rel=1e-9)
+        assert final[k]["avg"] == pytest.approx(e["avg"], rel=1e-9)
+
+
+def test_alert_latch_persists(spark, sf_dir, reading_stream_dir, tmp_path):
+    batches = _run_stream(
+        spark,
+        reading_stream_dir,
+        lambda df: threshold_alert_latch(df, threshold=150.0),
+        str(tmp_path / "ckpt"),
+    )
+    final = _latest_per_key(batches, "sensorId")
+    expected = {
+        r["sensorId"]: r
+        for r in readings_from_events(load_table(spark, sf_dir, "events"))
+        .groupBy("sensorId")
+        .agg(
+            F.sum((F.col("tempVal") > 150.0).cast("long")).alias("n_alerts"),
+            F.max(F.col("tempVal") > 150.0).alias("latched"),
+        )
+        .collect()
+    }
+    for k, e in expected.items():
+        assert final[k]["n_alerts"] == e["n_alerts"]
+        assert final[k]["latched"] == e["latched"]
+    # the latch, once set in an early batch, stays set in later emissions
+    for key, rows in {
+        k: [r for b in batches for r in b if r["sensorId"] == k] for k in final
+    }.items():
+        seen = False
+        for r in rows:
+            seen = seen or r["latched"]
+            if seen:
+                assert r["latched"], f"latch reset for {key}"
