@@ -35,9 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # driver-owned sessions may lack our session defaults
+            # driver-owned sessions may lack our session defaults;
+            # these are all runtime-settable (session.py holds the
+            # JVM-start-only ones)
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
             return fn(spark, sf_dir)
 
         return run

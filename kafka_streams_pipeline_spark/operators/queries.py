@@ -69,6 +69,25 @@ def _utc_lit(t: dt.datetime) -> Column:
     return F.timestamp_millis(F.lit(ms))
 
 
+def _with_partition_bounds(
+    view: DataFrame,
+    from_ts: dt.datetime | None,
+    to_ts: dt.datetime | None,
+) -> DataFrame:
+    """Materialized views carry a ws_date partition column
+    (sources/sinks.write_view). Spark cannot infer ws_date bounds from
+    window_start predicates, so derive them here — this is what turns
+    a time-range query into a partition-pruned scan. No-op for
+    in-memory views."""
+    if "ws_date" not in view.columns:
+        return view
+    if from_ts is not None:
+        view = view.where(F.col("ws_date") >= F.lit(from_ts.date().isoformat()))
+    if to_ts is not None:
+        view = view.where(F.col("ws_date") <= F.lit(to_ts.date().isoformat()))
+    return view
+
+
 def _merged_aggs() -> list[Column]:
     """Algebraic merge of partial aggregates (Aggregator.java:17-30)."""
     return [
@@ -112,7 +131,7 @@ def history(
     cond = F.col("gh").isin(exact) if exact else F.lit(False)
     for p in prefixes:
         cond = cond | F.col("gh").startswith(p)
-    filtered = view.where(cond)
+    filtered = _with_partition_bounds(view, from_ts, to_ts).where(cond)
     if from_ts is not None:
         filtered = filtered.where(F.col("window_start") >= _utc_lit(from_ts))
     if to_ts is not None:
@@ -147,7 +166,18 @@ def history_interval(
         to_ts = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms)
     to_col = _utc_lit(to_ts)
     from_col = to_col - F.expr(_INTERVAL_EXPR[interval])
-    filtered = view.where(
+    # partition lower bound: a safe over-approximation of to-interval
+    _lower = {
+        "1day": dt.timedelta(days=1),
+        "1week": dt.timedelta(days=7),
+        "1month": dt.timedelta(days=31),
+        "all": dt.timedelta(days=30 * 366),
+    }[interval]
+    try:
+        lower_ts = to_ts - _lower
+    except OverflowError:  # "all" near the epoch — clamp, don't crash
+        lower_ts = dt.datetime(1, 1, 1)
+    filtered = _with_partition_bounds(view, lower_ts, to_ts).where(
         (F.col("window_start") >= from_col) & (F.col("window_start") <= to_col)
     )
     cells = validate_geohashes(geohashes)
@@ -194,7 +224,8 @@ def snapshot(
     for p in (p for p in prefixes if len(p) < precision):
         cond = cond | F.col("gh").startswith(p)
     merged = (
-        view.where((F.col("window_start") == _utc_lit(hour)) & cond)
+        _with_partition_bounds(view, hour, hour)
+        .where((F.col("window_start") == _utc_lit(hour)) & cond)
         .groupBy("gh")
         .agg(*_merged_aggs())
     )
