@@ -17,6 +17,8 @@ FIXTURES.md §3):
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +38,7 @@ from kafka_streams_pipeline_spark.sources.readings import (
     readings_from_events,
     readings_from_events_sql,
 )
+from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
 from kafka_streams_pipeline_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -60,6 +63,31 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# The standing materialized view — the reference serves every
+# history/snapshot query from a continuously-maintained WindowStore
+# (ingestion/KafkaStreamsAggregator.java:103-105), never from raw
+# records. Mirror that: build + persist the view once per (process,
+# fixture dir), then all serving queries read the ws_date-partitioned
+# parquet store (partition-pruned time predicates, min/max skipping on
+# gh). At 100 TB this is THE load-bearing design choice: query cost is
+# O(cells × hours in range), independent of raw-event volume.
+_VIEW_STORE: dict[str, str] = {}
+
+
+def _served_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = os.path.abspath(sf_dir)
+    path = _VIEW_STORE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="kspipeline-view-"), "view"
+        )
+        write_view(
+            build_view(readings_from_events(_t(spark, sf_dir, "events"))), path
+        )
+        _VIEW_STORE[key] = path
+    return read_view(spark, path)
 
 
 # SQL CTE for the materialized view over the sensor-shaped readings
@@ -220,10 +248,12 @@ _HIST_CELLS = [EVENT_TYPE_GEOHASH["click"][:6], EVENT_TYPE_GEOHASH["purchase"][:
 )
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/O1: history roll-up — time-series of `avg` over two cells
-    in a time range (querying/QueryingController.java:45-60)."""
+    in a time range (querying/QueryingController.java:45-60), served
+    from the standing materialized store like the reference's
+    interactive queries."""
     import datetime as dt
 
-    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    v = _served_view(spark, sf_dir)
     out = history(
         v, "avg", _HIST_CELLS, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
     )
@@ -248,7 +278,7 @@ def q_history_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: spatio-temporal history, range = [to − 1week, to], `to`
     defaulting to the max event time (deterministic stand-in for the
     reference's wall-clock now, QueryingController.java:65)."""
-    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    v = _served_view(spark, sf_dir)
     out = history_interval(v, "sum", ["u155"], "1week")
     return out.withColumn("sum", F.round("sum", 6))
 
@@ -275,10 +305,11 @@ def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/P5/P6/O2: snapshot — per-cell `avg` at the hour window
     containing ts, cells covering a lat/lon bbox
     (querying/QueryingController.java:81-96). ts is mid-hour to
-    exercise the hour truncation (:82)."""
+    exercise the hour truncation (:82), served from the standing
+    materialized store."""
     import datetime as dt
 
-    v = build_view(readings_from_events(_t(spark, sf_dir, "events")))
+    v = _served_view(spark, sf_dir)
     out = snapshot(
         v,
         "avg",
