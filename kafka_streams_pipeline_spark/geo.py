@@ -127,8 +127,19 @@ def cover_bbox(
         )
     height, width = cell_dims(precision)
     # Snap the walk origin to the grid cell containing the SW corner.
-    lat0 = math.floor((south + 90.0) / height) * height - 90.0
-    lon0 = math.floor((west + 180.0) / width) * width - 180.0
+    # Derived via encode/decode rather than floor((south+90)/height):
+    # the additive form loses the corner to float cancellation when
+    # |south| is tiny (south+90.0 == 90.0 exactly), walking off by one
+    # cell. Binary refinement keeps cell bounds exact (dyadic), so the
+    # stepped sums below stay exact as well.
+    cell0 = decode_bbox(
+        encode(
+            max(south, -90.0 + 1e-12),
+            min(max(west, -180.0 + 1e-12), 180.0 - 1e-12),
+            precision,
+        )
+    )
+    lat0, lon0 = cell0[0], cell0[1]
     n_lat = int(math.floor((min(north, 90.0 - 1e-12) - lat0) / height)) + 1
     n_lon = int(math.floor((min(east, 180.0 - 1e-12) - lon0) / width)) + 1
     if n_lat * n_lon > max_cells:

@@ -799,6 +799,14 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_cosine_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+@register("q_sim_ann_ivf", oracle=_sim.topk_cosine_ivf_oracle(0, 10))
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF-style ANN top-10 — deterministic coarse quantizer,
+    nprobe=2 cell probing, exact re-rank inside probed cells (the
+    second scale path beside hyperplane LSH)."""
+    return _sim.topk_cosine_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 @register("q_array_stats", oracle=_sim.array_stats_oracle())
 def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: per-vector array stats (dim, L2 norm, min/max/mean)."""

@@ -206,6 +206,129 @@ def topk_cosine_lsh_oracle(query_vec_id: int = 0, k: int = 10, dim: int = 64) ->
     """
 
 
+N_CLUSTERS = 8  # IVF coarse-quantizer cells
+NPROBE = 2  # cells probed per query
+
+
+def _centroid_filter(id_col: str = "vec_id") -> str:
+    return f"{id_col} < {N_CLUSTERS}"
+
+
+def topk_cosine_ivf(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10, nprobe: int = NPROBE
+) -> DataFrame:
+    """X3 scale path #2: IVF-style ANN.
+
+    Coarse quantizer: the vectors with vec_id < N_CLUSTERS serve as
+    deterministic centroids (at scale: an offline
+    ``ml.clustering.KMeans`` fit, broadcast the same way). Every
+    vector is assigned to its best centroid by a broadcast join +
+    map-side argmax aggregation (partial/final — no window shuffle);
+    the query probes its ``nprobe`` nearest cells and exact cosine
+    re-ranks only those candidates. Candidate set shrinks ~
+    nprobe/N_CLUSTERS; assignment cost is one broadcast pass.
+
+    Assignment scores are rounded to 6 dp with centroid-id tiebreak so
+    the cell boundaries are bit-identical across engines (oracle
+    exactness).
+    """
+    cent = df.where(F.expr(_centroid_filter())).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(_spark_norm("embedding")).alias("c_norm"),
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            f"round({_spark_dot('embedding', 'c_emb')} / "
+            f"({_spark_norm('embedding')} * c_norm), 6)"
+        ).alias("score"),
+    )
+    # argmax(score, tie -> smallest cent_id) as an aggregate, not a
+    # window: max of (score, -cent_id) struct keeps it partial/final.
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("cent_id")).alias("negc")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negc")).alias("cell"))
+    )
+    q_cells = (
+        scored.where(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("score").desc(), "cent_id")
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        df.join(assign, "vec_id")
+        .join(F.broadcast(q_cells), "cell", "left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+    )
+    q = df.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def topk_cosine_ivf_oracle(
+    query_vec_id: int = 0, k: int = 10, nprobe: int = NPROBE
+) -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb,
+                   {_duck_norm('embedding')} AS c_norm
+            FROM embeddings WHERE {_centroid_filter()}
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round({_duck_dot('e.embedding', 'c.c_emb')} /
+                         ({_duck_norm('e.embedding')} * c.c_norm), 6) AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cent_id AS cell FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) = 1
+        ),
+        q_cells AS (
+            SELECT cent_id AS cell FROM scored
+            WHERE vec_id = {query_vec_id}
+            ORDER BY score DESC, cent_id LIMIT {nprobe}
+        ),
+        q AS (
+            SELECT embedding AS q_emb, {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id = {query_vec_id}
+        )
+        SELECT e.vec_id,
+               round({_duck_dot('e.embedding', 'q_emb')} /
+                     ({_duck_norm('e.embedding')} * q_norm), 6) AS cos_sim
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN q_cells qc ON a.cell = qc.cell
+        CROSS JOIN q
+        WHERE e.vec_id != {query_vec_id}
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
 def nearest_pairs(df: DataFrame, top_n: int = 20) -> DataFrame:
     """X2 (embedding near-dup): the top-N closest vector pairs by
     cosine. Exact all-pairs — correct at test scale; at 100 TB the

@@ -1,0 +1,150 @@
+"""Property-based tests (SURVEY.md §5 item 5, hypothesis).
+
+Pure-Python properties (geohash toolkit, algebraic merge) run at full
+example counts; Spark-involving properties use a handful of examples
+because each costs a job round-trip.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_pipeline_spark import geo
+
+# Stay strictly inside the poles/antimeridian so cell-boundary
+# float-snap at the domain edge doesn't dominate the search space.
+lat_s = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+lon_s = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@given(lat=lat_s, lon=lon_s, precision=st.integers(min_value=1, max_value=12))
+def test_encode_decode_roundtrip(lat, lon, precision):
+    gh = geo.encode(lat, lon, precision)
+    assert len(gh) == precision and all(c in geo.BASE32 for c in gh)
+    s, w, n, e = geo.decode_bbox(gh)
+    assert s <= lat <= n and w <= lon <= e
+    h, wd = geo.cell_dims(precision)
+    assert math.isclose(n - s, h, rel_tol=1e-9)
+    assert math.isclose(e - w, wd, rel_tol=1e-9)
+    # the center re-encodes to the same cell
+    assert geo.encode(*geo.decode(gh), precision) == gh
+
+
+@given(
+    lat=lat_s,
+    lon=lon_s,
+    dlat=st.floats(min_value=1e-3, max_value=5.0),
+    dlon=st.floats(min_value=1e-3, max_value=5.0),
+    precision=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow])
+def test_cover_bbox_contains_inner_points(lat, lon, dlat, dlon, precision, data):
+    """Any point inside the bbox hashes to a cell in the cover
+    (the property the snapshot query's prefix predicate relies on)."""
+    south, north = lat, min(lat + dlat, 89.9)
+    west, east = lon, min(lon + dlon, 179.9)
+    try:
+        cover = geo.cover_bbox(north, west, south, east, precision)
+    except ValueError:
+        return  # box too large for the precision's max_cells guard
+    p_lat = data.draw(st.floats(min_value=south, max_value=north))
+    p_lon = data.draw(st.floats(min_value=west, max_value=east))
+    assert geo.encode(p_lat, p_lon, precision) in cover
+
+
+@given(
+    lat=lat_s,
+    lon=lon_s,
+    dlat=st.floats(min_value=1e-3, max_value=2.0),
+    dlon=st.floats(min_value=1e-3, max_value=2.0),
+)
+@settings(max_examples=40, suppress_health_check=[HealthCheck.too_slow])
+def test_cover_adaptive_is_prefix_cover(lat, lon, dlat, dlon):
+    """Adaptive cover: every fine cell in the box has some adaptive
+    prefix (what makes `startswith` equivalent to the reference's
+    32^(p-len) completion enumeration)."""
+    south, north = lat, min(lat + dlat, 89.9)
+    west, east = lon, min(lon + dlon, 179.9)
+    prefixes = geo.cover_bbox_adaptive(north, west, south, east, max_precision=5)
+    assert 0 < len(prefixes) <= 64
+    fine = geo.cover_bbox(north, west, south, east, min(5, max(len(p) for p in prefixes)))
+    for cell in fine:
+        assert any(cell.startswith(p) for p in prefixes)
+
+
+readings_s = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14 * 24 * 3600 * 1000),  # epoch ms
+        st.sampled_from(["u155mz82dv33", "u155qxjf00zz", "u2fu1rd5kfzs"]),
+        st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@given(rows=readings_s, split=st.integers(min_value=2, max_value=5))
+@settings(max_examples=100)
+def test_merge_property_pandas(rows, split):
+    """A3 algebraic identity (Aggregator.java:17-30):
+    merge(agg(P1), ..., agg(Pk)) == agg(P1 ∪ ... ∪ Pk) for any
+    partitioning — count/sum add, avg recomputed from merged sums."""
+    df = pd.DataFrame(rows, columns=["ts_ms", "geohash", "val"])
+    df["gh"] = df["geohash"].str[:6]
+    df["hour"] = df["ts_ms"] // 3_600_000
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["gh", "hour"]).agg(
+            count=("val", "size"), sum=("val", "sum")
+        )
+
+    direct = agg(df)
+    partials = [agg(df[df.index % split == i]) for i in range(split)]
+    merged = (
+        pd.concat(partials).groupby(level=["gh", "hour"]).sum()
+    )  # count=Σcount, sum=Σsum
+    joined = direct.join(merged, how="outer", lsuffix="_d", rsuffix="_m")
+    assert (joined["count_d"] == joined["count_m"]).all()
+    assert ((joined["sum_d"] - joined["sum_m"]).abs() < 1e-6).all()
+    # avg from merged sums == avg from direct sums (never avg-of-avgs)
+    assert (
+        (joined["sum_d"] / joined["count_d"] - joined["sum_m"] / joined["count_m"])
+        .abs()
+        .fillna(0.0)
+        < 1e-9
+    ).all()
+
+
+@given(rows=readings_s)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_view_matches_pandas_groupby(spark, rows):
+    """build_view == brute-force pandas groupby on (gh6, utc hour)."""
+    from kafka_streams_pipeline_spark.operators.view import build_view
+
+    pdf = pd.DataFrame(rows, columns=["timestamp", "geohash", "tempVal"])
+    pdf["tempVal"] = pdf["tempVal"].astype(float)
+    sdf = spark.createDataFrame(
+        pdf, schema="timestamp long, geohash string, tempVal double"
+    )
+    got = {
+        (r["gh"], r["window_start"]): (r["count"], r["sum"])
+        for r in build_view(sdf).collect()
+    }
+    pdf["gh"] = pdf["geohash"].str[:6]
+    pdf["hour_ms"] = pdf["timestamp"] // 3_600_000 * 3_600_000
+    want_df = pdf.groupby(["gh", "hour_ms"]).agg(
+        count=("tempVal", "size"), sum=("tempVal", "sum")
+    )
+    assert len(got) == len(want_df)
+    for (gh, hour_ms), row in want_df.iterrows():
+        ws = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=int(hour_ms))
+        assert (gh, ws) in got
+        cnt, s = got[(gh, ws)]
+        assert cnt == row["count"]
+        assert abs(s - row["sum"]) < 1e-6
