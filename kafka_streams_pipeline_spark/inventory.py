@@ -596,6 +596,110 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*)                      AS n_items,
+               round(sum(l_quantity), 6)     AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2^k key subsets in one pass (§2.3
+    note: absent in the reference, free in Spark)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+        SELECT event_type,
+               count(*)                         AS count,
+               round(sum(value), 6)             AS sum,
+               round(sum(value) / count(*), 6)  AS avg
+        FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted two-phase aggregation; the oracle is the
+    DIRECT single-phase aggregate, so the hash match certifies the A3
+    algebraic identity the salting relies on (operators/skew.py)."""
+    from kafka_streams_pipeline_spark.operators.skew import salted_aggregate
+
+    out = salted_aggregate(
+        _t(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+    return out.select(
+        "event_type",
+        "count",
+        F.round("sum", 6).alias("sum"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+@register(
+    "q_asof_attribution",
+    oracle="""
+        SELECT event_id, user_id, ts_ms, last_click_ms,
+               ts_ms - last_click_ms AS lag_ms
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN CAST(epoch_ms(ts) AS BIGINT) END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_click_ms
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (attribution) join: for every purchase, the most recent
+    strictly-preceding click by the same user. Expressed as a
+    partition-local window (last over rows-preceding frame) — the
+    scalable formulation when both sides share the partition key: one
+    shuffle on user_id, no non-equi join explosion (SURVEY.md §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.unix_millis("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            last_click.alias("last_click_ms"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            "last_click_ms",
+            (F.col("ts_ms") - F.col("last_click_ms")).alias("lag_ms"),
+        )
+    )
+
+
+@register(
     "q_window_rank",
     oracle="""
         SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (

@@ -1,0 +1,49 @@
+"""Salted two-phase aggregation equals the direct aggregate on
+deliberately skewed data (operators/skew.py, A3 identity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.operators.skew import salted_aggregate
+
+
+def test_salted_equals_direct_on_skew(spark):
+    # 10_000 rows on one hot key, 10 on each of 50 cold keys
+    hot = spark.range(10_000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50)).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    df = hot.unionByName(cold)
+    got = {
+        r["k"]: (r["count"], r["sum"], r["avg"])
+        for r in salted_aggregate(df, ["k"], "v", salt=8).collect()
+    }
+    want = {
+        r["k"]: (r["count"], r["sum"], r["avg"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("v").alias("sum"),
+            F.avg("v").alias("avg"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert abs(got[k][2] - want[k][2]) < 1e-9
+
+
+def test_salted_plan_has_two_exchanges(spark):
+    """The salted plan must actually fan the hot key out: two hash
+    exchanges — (k, _salt) then (k)."""
+    df = spark.range(100).select(
+        F.lit("hot").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    plan = salted_aggregate(df, ["k"], "v", salt=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
