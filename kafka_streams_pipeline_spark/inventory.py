@@ -21,7 +21,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -63,6 +63,16 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _cents_sum(expr: Column, alias: str) -> Column:
+    """Order-independent money sum: round each term to cents, sum as
+    exact integers, divide once. Double summation is non-associative
+    and Spark's partial-agg order is nondeterministic, so raw
+    sum(double) can drift past round(·, 6) between engines (and
+    between runs) on large groups; integer summation cannot. The
+    DuckDB twin is sum(CAST(round(expr * 100) AS BIGINT)) / 100.0."""
+    return (F.sum(F.round(expr * 100).cast("long")) / F.lit(100.0)).alias(alias)
 
 
 # The standing materialized view — the reference serves every
@@ -447,7 +457,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                count(*)                    AS n_orders,
-               round(sum(o_totalprice), 6) AS revenue
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -456,7 +466,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join orders⋈customer, aggregated per segment. The
     customer side is broadcast (dimension ≪ fact) so the fact table
-    never shuffles."""
+    never shuffles. Revenue uses cents-integer summation (_cents_sum)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
@@ -464,7 +474,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            _cents_sum(F.col("o_totalprice"), "revenue"),
         )
     )
 
@@ -490,13 +500,15 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                count(o_orderkey)                      AS n_orders,
-               round(coalesce(sum(o_totalprice), 0), 6) AS total_spent
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                   / 100.0                            AS total_spent
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving order-less customers."""
+    """Left outer join preserving order-less customers; cents-integer
+    money summation (_cents_sum)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
@@ -504,9 +516,13 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias(
-                "total_spent"
-            ),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0),
+                )
+                / F.lit(100.0)
+            ).alias("total_spent"),
         )
     )
 
@@ -788,14 +804,20 @@ def q_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_pricing",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 6)        AS sum_qty,
-               round(sum(l_extendedprice), 6)   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-                                                AS sum_charge,
-               round(avg(l_quantity), 6)        AS avg_qty,
-               round(avg(l_extendedprice), 6)   AS avg_price,
-               round(avg(l_discount), 6)        AS avg_disc,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                   AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS sum_base_price,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   / 100.0 AS sum_disc_price,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                        AS BIGINT)) / 100.0 AS sum_charge,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                     / count(*), 6) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                     / count(*), 6) AS avg_price,
+               round(sum(CAST(round(l_discount * 1000000) AS BIGINT)) / 1000000.0
+                     / count(*), 6) AS avg_disc,
                count(*)                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -805,23 +827,110 @@ def q_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the flagship wide
-    aggregation (single scan, map-side partial agg, tiny shuffle)."""
+    aggregation (single scan, map-side partial agg, tiny shuffle).
+    All money/quantity sums are fixed-point integer sums
+    (order-independent — see _cents_sum); averages derive from those
+    exact sums, never avg() over raw doubles."""
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_c = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    price_c = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    disc_u = F.sum(F.round(F.col("l_discount") * 1000000).cast("long"))
+    cnt = F.count(F.lit(1))
     return (
         li.where(
             F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (qty_c / 100.0).alias("sum_qty"),
+            (price_c / 100.0).alias("sum_base_price"),
+            _cents_sum(disc, "sum_disc_price"),
+            _cents_sum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            F.round(qty_c / 100.0 / cnt, 6).alias("avg_qty"),
+            F.round(price_c / 100.0 / cnt, 6).alias("avg_price"),
+            F.round(disc_u / 1000000.0 / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_promo_share",
+    oracle="""
+        SELECT round(100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT) ELSE 0 END) / 100.0)
+                     / (sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) / 100.0), 6)
+                   AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-09-01 00:00:00'
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: fact⋈dimension with a
+    broadcast part side and the ship-date filter pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * (
+                    F.sum(
+                        F.when(
+                            F.col("p_type") == "PROMO",
+                            F.round(rev * 100).cast("long"),
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.lit(100.0)
+                )
+                / (F.sum(F.round(rev * 100).cast("long")) / F.lit(100.0)),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               count(DISTINCT s_suppkey)                         AS n_suppliers,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   / 100.0                                       AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier volume: star join with both dimension sides
+    broadcast — the fact table never shuffles for the join, only for
+    the final small groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"
+            ),
         )
     )
 
