@@ -639,25 +639,31 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*)                         AS count,
-               round(sum(value), 6)             AS sum,
-               round(sum(value) / count(*), 6)  AS avg
+               sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum,
+               round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                     / count(*), 6)             AS avg
         FROM events GROUP BY event_type
     """,
 )
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted two-phase aggregation; the oracle is the
     DIRECT single-phase aggregate, so the hash match certifies the A3
-    algebraic identity the salting relies on (operators/skew.py)."""
+    algebraic identity the salting relies on (operators/skew.py).
+    Values are micros-integers so both phases sum exactly
+    (order-independent — see _cents_sum)."""
     from kafka_streams_pipeline_spark.operators.skew import salted_aggregate
 
-    out = salted_aggregate(
-        _t(spark, sf_dir, "events"), ["event_type"], "value"
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_u"),
+        "value",
     )
+    out = salted_aggregate(e, ["event_type"], "v_u", spread_col="value")
     return out.select(
         "event_type",
         "count",
-        F.round("sum", 6).alias("sum"),
-        F.round("avg", 6).alias("avg"),
+        (F.col("sum") / F.lit(1000000.0)).alias("sum"),
+        F.round(F.col("sum") / F.lit(1000000.0) / F.col("count"), 6).alias("avg"),
     )
 
 
