@@ -70,6 +70,52 @@ def test_stream_matches_batch_view(spark, sf_dir, readings_rows, tmp_path_factor
         assert got[k][2] == pytest.approx(exp[k][2], rel=1e-9)
 
 
+def test_late_beyond_watermark_dropped(spark, tmp_path_factory):
+    """T3 semantics (SURVEY.md §2.8): a row arriving later than the
+    24 h grace does NOT update its window — the documented deviation
+    from Kafka Streams (which silently stops *retaining* the window
+    instead). Watermark advances at batch boundaries, so the late row
+    arrives in a second micro-batch after fresher data has moved the
+    watermark past its window."""
+
+    def reading(hour, val, i):
+        return {
+            "timestamp": hour * 3_600_000 + i,
+            "sensorId": f"s{i:06d}",
+            "geohash": "u155mz82dv33",
+            "tempVal": float(val),
+            "tempUnit": "c",
+        }
+
+    base = tmp_path_factory.mktemp("stream-late")
+    src, view, ckpt = str(base / "src"), str(base / "view"), str(base / "ckpt")
+    os.makedirs(src)
+    # batch 1: 10 rows in hour 0, then 10 rows at hour 60 → watermark
+    # advances to 60h − 24h = 36h after the batch
+    with open(os.path.join(src, "a_fresh.json"), "w") as f:
+        for i in range(10):
+            f.write(json.dumps(reading(0, 20.0, i)) + "\n")
+        for i in range(10):
+            f.write(json.dumps(reading(60, 25.0, i)) + "\n")
+    q = start_file_stream_pipeline(
+        spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    # batch 2: 5 more rows for hour 0 — its window end (1 h) is far
+    # below the 36 h watermark → dropped
+    with open(os.path.join(src, "b_late.json"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps(reading(0, 99.0, 100 + i)) + "\n")
+    q2 = start_file_stream_pipeline(
+        spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q2.awaitTermination(300)
+
+    rows = {r["window_start"].hour: r for r in read_view(spark, view).collect()}
+    assert rows[0]["count"] == 10  # late rows did NOT land
+    assert rows[0]["avg"] == pytest.approx(20.0)
+
+
 def test_stream_restart_resumes_from_checkpoint(
     spark, sf_dir, readings_rows, tmp_path_factory
 ):
