@@ -361,6 +361,44 @@ def q_reagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_daily_rollup",
+    oracle=VIEW_CTE
+    + """
+    SELECT gh,
+           epoch_ms(date_trunc('day', window_start)) AS day_ms,
+           sum(cnt)                                  AS cnt,
+           round(sum(s), 6)                          AS sum_val,
+           round(sum(s) / sum(cnt), 6)               AS avg_val
+    FROM v
+    GROUP BY gh, date_trunc('day', window_start)
+    """,
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup cascade: the daily view derived from the HOURLY
+    materialized view by the A3 algebraic merge (sum counts, sum
+    sums, recompute avg) — never from raw readings. At 100 TB the
+    input is cells × hours rows (~1/10^6 of raw), the classic TSDB
+    continuous-aggregate downsample; the oracle aggregates the hourly
+    CTE the same way, so the hash match certifies the cascade."""
+    v = _served_view(spark, sf_dir)
+    return (
+        v.groupBy("gh", F.date_trunc("day", "window_start").alias("day"))
+        .agg(
+            F.sum("count").alias("cnt"),
+            F.round(F.sum("sum"), 6).alias("sum_val"),
+            F.round(F.sum("sum") / F.sum("count"), 6).alias("avg_val"),
+        )
+        .select(
+            "gh",
+            F.unix_millis("day").alias("day_ms"),
+            "cnt",
+            "sum_val",
+            "avg_val",
+        )
+    )
+
+
+@register(
     "q_date_trunc_funcs",
     oracle="""
         SELECT event_id,
@@ -669,6 +707,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_asof_attribution",
+    bench=True,
     oracle="""
         SELECT event_id, user_id, ts_ms, last_click_ms,
                ts_ms - last_click_ms AS lag_ms
@@ -910,6 +949,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_supplier_volume",
+    bench=True,
     oracle="""
         SELECT n_name,
                count(DISTINCT s_suppkey)                         AS n_suppliers,
