@@ -878,25 +878,30 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums, never avg() over raw doubles."""
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    qty_c = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
-    price_c = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-    disc_u = F.sum(F.round(F.col("l_discount") * 1000000).cast("long"))
+    # pre-project the fixed-point terms so codegen evaluates each
+    # rounding once per row, shared by the sum and the derived avg
+    fixed = li.where(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(disc * 100).cast("long").alias("disc_price_c"),
+        F.round(disc * (1 + F.col("l_tax")) * 100).cast("long").alias("charge_c"),
+        F.round(F.col("l_discount") * 1000000).cast("long").alias("disc_u"),
+    )
+    qty_c, price_c = F.sum("qty_c"), F.sum("price_c")
     cnt = F.count(F.lit(1))
-    return (
-        li.where(
-            F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            (qty_c / 100.0).alias("sum_qty"),
-            (price_c / 100.0).alias("sum_base_price"),
-            _cents_sum(disc, "sum_disc_price"),
-            _cents_sum(disc * (1 + F.col("l_tax")), "sum_charge"),
-            F.round(qty_c / 100.0 / cnt, 6).alias("avg_qty"),
-            F.round(price_c / 100.0 / cnt, 6).alias("avg_price"),
-            F.round(disc_u / 1000000.0 / cnt, 6).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
+    return fixed.groupBy("l_returnflag", "l_linestatus").agg(
+        (qty_c / 100.0).alias("sum_qty"),
+        (price_c / 100.0).alias("sum_base_price"),
+        (F.sum("disc_price_c") / 100.0).alias("sum_disc_price"),
+        (F.sum("charge_c") / 100.0).alias("sum_charge"),
+        F.round(qty_c / 100.0 / cnt, 6).alias("avg_qty"),
+        F.round(price_c / 100.0 / cnt, 6).alias("avg_price"),
+        F.round(F.sum("disc_u") / 1000000.0 / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -103,6 +104,103 @@ def extract_features(
             )
 
     return df.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    payload_col: str = "payload",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """mapInPandas image resize (1 row → 1 row, payload-sized output).
+
+    Real deployments: PIL decode → resize → re-encode. The stub emits
+    a deterministic width×height byte grid derived from the payload
+    md5, so schema, batch shape and partition behavior are the real
+    thing. Payloads stay partition-local — no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "image resize requires PIL — not in this container; "
+                    "pass decode_stub='fake' for the test path"
+                )
+            n = width * height
+
+            def fake_resize(b: bytes) -> bytes:
+                h = hashlib.md5(bytes(b)).digest()
+                return (h * (n // len(h) + 1))[:n]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf[payload_col].map(fake_resize),
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 3,
+    frame_interval_ms: int = 1000,
+    payload_col: str = "payload",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """mapInPandas frame sampling (1 video row → N frame rows).
+
+    Real deployments: ffmpeg keyframe extraction. The stub emits
+    ``n_frames`` deterministic md5-derived frames per asset,
+    exercising the row-expanding Arrow batch shape (the part that
+    actually bites at scale: output rows ≫ input rows, so
+    maxRecordsPerBatch must bound the INPUT side)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg — not in this container; "
+                    "pass decode_stub='fake' for the test path"
+                )
+            out = {"asset_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                for i in range(n_frames):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * frame_interval_ms)
+                    out["frame"].append(
+                        hashlib.md5(bytes(payload) + bytes([i])).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

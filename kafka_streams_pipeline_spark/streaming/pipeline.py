@@ -159,6 +159,19 @@ def start_file_stream_pipeline(
     return writer.start()
 
 
+def streaming_dedup(
+    readings: DataFrame,
+    keys: tuple[str, ...] = ("sensorId", "timestamp"),
+    grace: str = DEFAULT_GRACE,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with
+    dedup state bounded by the watermark (keys older than ``grace``
+    are forgotten — the price of bounded state at 100 TB/day; exact
+    dedup of an unbounded stream needs unbounded memory). Emits each
+    surviving row exactly once in append mode."""
+    return readings.withWatermark("ts", grace).dropDuplicates([*keys, "ts"])
+
+
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
     """The queryable view table (drop the physical partition column)."""
     return spark.read.parquet(view_dir).select(

@@ -155,6 +155,37 @@ def test_multimodal_feature_extraction(docs):
         assert r.n_bytes == meta[r.asset_id].n_bytes
 
 
+def test_multimodal_resize_and_frames(docs):
+    from kafka_streams_pipeline_spark.operators import multimodal as mm
+
+    media = mm.media_from_documents(docs).limit(6)
+    resized = mm.resize_images(media, width=4, height=4).collect()
+    assert len(resized) == 6
+    for r in resized:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(bytes(r["resized"])) == 16
+    # deterministic: same payload → same resized bytes
+    again = {r["asset_id"]: bytes(r["resized"])
+             for r in mm.resize_images(media, width=4, height=4).collect()}
+    for r in resized:
+        assert bytes(r["resized"]) == again[r["asset_id"]]
+
+    frames = mm.sample_frames(media, n_frames=3, frame_interval_ms=500).collect()
+    assert len(frames) == 18  # 1 → N row expansion
+    by_asset = {}
+    for fr in frames:
+        by_asset.setdefault(fr["asset_id"], []).append(fr)
+    for aid, frs in by_asset.items():
+        assert sorted(f["frame_idx"] for f in frs) == [0, 1, 2]
+        assert sorted(f["frame_ts_ms"] for f in frs) == [0, 500, 1000]
+        assert len({bytes(f["frame"]) for f in frs}) == 3  # distinct frames
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PIL"):
+        mm.resize_images(media, decode_stub="raise").collect()
+
+
 def test_multimodal_raise_stub(docs):
     media = multimodal.media_from_documents(docs.limit(5))
     with pytest.raises(Exception) as ei:

@@ -116,6 +116,52 @@ def test_late_beyond_watermark_dropped(spark, tmp_path_factory):
     assert rows[0]["avg"] == pytest.approx(20.0)
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path_factory):
+    """streaming_dedup keeps first arrival per (sensorId, timestamp)
+    even when the duplicate arrives in a LATER micro-batch (state
+    carries across batches, bounded by the watermark)."""
+    from pyspark.sql import functions as SF
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+    from kafka_streams_pipeline_spark.streaming.pipeline import streaming_dedup
+
+    def reading(i, val):
+        return {
+            "timestamp": 1_700_000_000_000 + i * 1000,
+            "sensorId": f"s{i:06d}",
+            "geohash": "u155mz82dv33",
+            "tempVal": float(val),
+            "tempUnit": "c",
+        }
+
+    base = tmp_path_factory.mktemp("stream-dedup")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in [0, 1, 0]:  # duplicate within the batch
+            f.write(json.dumps(reading(i, 20.0)) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for i in [1, 2]:  # duplicate across batches + one new
+            f.write(json.dumps(reading(i, 20.0)) + "\n")
+
+    raw = spark.readStream.schema(READING_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    readings = raw.withColumn("ts", SF.timestamp_millis("timestamp"))
+    q = (
+        streaming_dedup(readings)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out).select("sensorId").collect()
+    assert sorted(r["sensorId"] for r in rows) == ["s000000", "s000001", "s000002"]
+
+
 def test_stream_restart_resumes_from_checkpoint(
     spark, sf_dir, readings_rows, tmp_path_factory
 ):
