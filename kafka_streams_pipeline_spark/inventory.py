@@ -1037,6 +1037,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register("q_dedup_components", oracle=_dedup.components_oracle(0.8))
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: duplicate-group clustering — connected components over the
+    MinHash pair graph by iterative min-label propagation; the oracle
+    is a recursive-CTE transitive closure, certifying the fixpoint."""
+    return _dedup.dedup_components(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 @register("q_dedup_simhash", oracle=_dedup.simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: 32-bit SimHash signatures (bitwise majority of token

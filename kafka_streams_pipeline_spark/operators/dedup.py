@@ -248,6 +248,108 @@ def minhash_near_dup_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def dedup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """X2 (duplicate-group clustering): connected components over the
+    MinHash near-dup pair graph — every document labeled with the
+    smallest doc_id in its near-dup cluster (isolated docs label
+    themselves). The stage after pair generation in a real dedup
+    pipeline: keep one representative per component.
+
+    Iterative min-label propagation (converges within the graph
+    diameter; near-dup clusters are tiny, so a handful of rounds).
+    Each round is one join + aggregate over the EDGE set only — at
+    100 TB that's proportional to candidate pairs, not the corpus.
+    The classic large-star/small-star optimization drops in here if
+    components ever get deep. Genuinely iterative — not expressible
+    as one SQL query without recursion; the DuckDB oracle uses a
+    recursive CTE (components_oracle) to certify the fixpoint."""
+    pairs = minhash_near_dup_pairs(df, text_col, threshold).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    # Iterate ONLY over nodes that appear in an edge — isolated docs
+    # can never change label and join back at the end. Per-round work
+    # therefore tracks the candidate-pair graph, not the corpus.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    n_edges = edges.count()  # materialize once; reused every round
+    # Label/neighbor frames are bounded by the candidate-pair graph —
+    # orders smaller than the corpus by LSH construction. Under a few
+    # million edges, broadcast them so each round is map-side (join
+    # stats on cached/iterated frames are too poor for auto-broadcast);
+    # past that, fall back to shuffle joins.
+    hint = F.broadcast if n_edges < 5_000_000 else (lambda d: d)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(hint(labels), edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = (
+            labels.withColumnRenamed("comp", "old_comp")
+            .join(hint(neighbor_min), "node", "left")
+            .select(
+                "node",
+                "old_comp",
+                F.least(
+                    F.col("old_comp"), F.coalesce(F.col("nmin"), F.col("old_comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            stepped.where(F.col("comp") != F.col("old_comp")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    connected = labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("component")
+    )
+    return df.select(id_col).join(connected, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
+def components_oracle(threshold: float = 0.8) -> str:
+    """Transitive-closure twin of dedup_components: min reachable id
+    per node via a recursive CTE (exact because near-dup graphs are
+    tiny at oracle scale)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({minhash_pairs_oracle(threshold)}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+                   AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+    """
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """X2 (SimHash): (doc_id, simhash) 32-bit bitwise-majority
     signature over distinct-token hashes. Per-row, shuffle-free."""

@@ -57,6 +57,34 @@ def test_minhash_pairs_subset_of_exact_ngram(docs):
     assert len(ng) > 0
 
 
+def test_dedup_components_consistent_with_pairs(docs):
+    """Both endpoints of every near-dup pair share a component; each
+    component is labeled by its minimum member; non-paired docs label
+    themselves."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        dedup_components,
+        minhash_near_dup_pairs,
+    )
+
+    comp = {
+        r["doc_id"]: r["component"] for r in dedup_components(docs).collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in minhash_near_dup_pairs(docs).collect()
+    ]
+    paired = {i for p in pairs for i in p}
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    for d in comp:
+        if d not in paired:
+            assert comp[d] == d
+
+
 def test_simhash_hamming_locality(docs):
     """Near-dup pairs (jaccard ≥ 0.8) differ in few simhash bits;
     random pairs differ in many."""
