@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_streams_pipeline_spark import geo
+from kafka_streams_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from kafka_streams_pipeline_spark.operators.queries import (
     history,
     history_interval,
@@ -367,8 +368,10 @@ def q_reagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT gh,
            epoch_ms(date_trunc('day', window_start)) AS day_ms,
            sum(cnt)                                  AS cnt,
-           round(sum(s), 6)                          AS sum_val,
-           round(sum(s) / sum(cnt), 6)               AS avg_val
+           sum(CAST(round(round(s, 6) * 1000000) AS BIGINT)) / 1000000.0
+                                                     AS sum_val,
+           round(sum(CAST(round(round(s, 6) * 1000000) AS BIGINT)) / 1000000.0
+                 / sum(cnt), 6)                      AS avg_val
     FROM v
     GROUP BY gh, date_trunc('day', window_start)
     """,
@@ -381,12 +384,16 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate downsample; the oracle aggregates the hourly
     CTE the same way, so the hash match certifies the cascade."""
     v = _served_view(spark, sf_dir)
+    # hourly sums enter the cascade rounded to 6 dp (the value
+    # q_hourly_view certifies as engine-identical) and accumulate as
+    # micros-integers — order-independent like _cents_sum
+    sum_u = F.sum(F.round(F.round(F.col("sum"), 6) * 1000000).cast("long"))
     return (
         v.groupBy("gh", F.date_trunc("day", "window_start").alias("day"))
         .agg(
             F.sum("count").alias("cnt"),
-            F.round(F.sum("sum"), 6).alias("sum_val"),
-            F.round(F.sum("sum") / F.sum("count"), 6).alias("avg_val"),
+            (sum_u / 1000000.0).alias("sum_val"),
+            F.round(sum_u / 1000000.0 / F.sum("count"), 6).alias("avg_val"),
         )
         .select(
             "gh",
@@ -982,6 +989,90 @@ def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"
             ),
+        )
+    )
+
+
+@register(
+    "q_quantiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               round(quantile_cont(l_quantity, 0.5), 6)      AS qty_p50
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same continuous-quantile definition: sort + linear interpolation —
+    deterministic, unlike approx sketches). percentile_approx remains
+    the documented 100 TB path; this certifies the exact semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT dow,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'view')     AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'error')    AS error
+        FROM (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type
+              FROM events)
+        GROUP BY dow
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per day-of-week × event type. Explicit
+    pivot values keep the plan single-pass (no distinct-values
+    pre-query); the oracle is the conditional-aggregation rewrite.
+    DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday, so the
+    Spark side aligns with -1."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
+        )
+        .groupBy("dow")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_sampled,
+               min(doc_id) AS first_id
+        FROM documents
+        WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0
+        GROUP BY lang
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~5%): the reproducible way to
+    sample training data at 100 TB — membership depends only on the
+    id, so re-runs, retries and different partitionings select the
+    SAME sample (unlike rand()-based TABLESAMPLE). Per-language counts
+    certify the stratification is stable."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(md5_long(F.col("doc_id").cast("string")) % 20 == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_id"),
         )
     )
 
