@@ -40,7 +40,7 @@ from kafka_streams_pipeline_spark.sources.readings import (
     readings_from_events_sql,
 )
 from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
-from kafka_streams_pipeline_spark.sources.tables import load_table
+from kafka_streams_pipeline_spark.sources.tables import load_table, pushed_ts_range
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -144,15 +144,17 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/P4: time-range + key-membership predicates (both pushed to
-    the parquet scan)."""
+    """P3/P4: time-range + key-membership predicates, both reaching
+    the parquet scan. The time range goes through pushed_ts_range:
+    the fixture's nanos-as-long storage means a predicate on the
+    derived timestamp column cannot push through the conversion, so
+    the equivalent raw-nanos range is what hits row-group stats."""
+    import datetime as dt
+
     e = _t(spark, sf_dir, "events")
     return (
-        e.where(
-            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
-            & F.col("event_type").isin("click", "purchase")
-        )
+        pushed_ts_range(e, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 12))
+        .where(F.col("event_type").isin("click", "purchase"))
         .select(
             "event_id",
             F.unix_millis("ts").alias("ts_ms"),

@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import calendar
+import datetime as dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -15,7 +17,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Fixture columns stored as parquet TIMESTAMP(NANOS): Spark 4 reads
 # them only as raw long (spark.sql.legacy.parquet.nanosAsLong); we
 # convert to TimestampType at µs precision — the same ns→µs
-# truncation DuckDB applies, so oracle comparisons agree.
+# truncation DuckDB applies, so oracle comparisons agree. The raw
+# nanos column is KEPT (as _<col>_ns): predicates on the derived
+# timestamp cannot push through the conversion expression, so
+# time-range queries add the equivalent long-range predicate via
+# pushed_ts_range — that is what reaches the parquet row-group stats.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
@@ -24,7 +30,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            df = df.withColumnRenamed(col, f"_{col}_ns").withColumn(
+                col, F.timestamp_micros(F.expr(f"_{col}_ns div 1000"))
+            )
+    return df
+
+
+def _utc_ns(t: dt.datetime) -> int:
+    """Naive datetime interpreted as UTC → epoch nanos."""
+    return (calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond) * 1000
+
+
+def pushed_ts_range(
+    df: DataFrame,
+    lo: dt.datetime | None = None,
+    hi: dt.datetime | None = None,
+    ts_col: str = "ts",
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> DataFrame:
+    """Time-range filter that actually reaches the parquet scan.
+
+    Applies the predicate on the raw nanos column when present (that
+    one pushes down → row-group min/max skipping), alongside the
+    timestamp-typed condition for frames without a raw twin. Bounds
+    are naive datetimes interpreted as UTC."""
+    raw = f"_{ts_col}_ns"
+    conds: list[Column] = []
+    if lo is not None:
+        ts_lit = F.lit(lo.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+        conds.append(F.col(ts_col) >= ts_lit if lo_inclusive else F.col(ts_col) > ts_lit)
+        if raw in df.columns:
+            conds.append(
+                F.col(raw) >= _utc_ns(lo) if lo_inclusive else F.col(raw) > _utc_ns(lo)
+            )
+    if hi is not None:
+        ts_lit = F.lit(hi.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+        conds.append(F.col(ts_col) <= ts_lit if hi_inclusive else F.col(ts_col) < ts_lit)
+        if raw in df.columns:
+            conds.append(
+                F.col(raw) <= _utc_ns(hi) if hi_inclusive else F.col(raw) < _utc_ns(hi)
+            )
+    for c in conds:
+        df = df.where(c)
     return df
 
 

