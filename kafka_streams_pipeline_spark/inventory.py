@@ -805,6 +805,72 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_lag",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+               CAST(epoch_ms(ts) AS BIGINT)
+                 - lag(CAST(epoch_ms(ts) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_ms,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+               sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 1000000.0 AS running_value
+        FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: lag/lead + running sum over per-user event sequences —
+    one shuffle on user_id serves all three analytics (same window
+    spec). Running sum accumulates micros-integers (deterministic
+    prefix sums — frame order is total via the event_id tiebreak)."""
+    e = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    ts_ms = F.unix_millis("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        (ts_ms - F.lag(ts_ms).over(order)).alias("gap_ms"),
+        F.lead("event_type").over(order).alias("next_type"),
+        (
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).over(running)
+            / 1000000.0
+        ).alias("running_value"),
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+        SELECT user_id, 'both' AS tag FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT user_id, 'click_only' AS tag FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: INTERSECT + EXCEPT (set semantics) — buyers∩clickers and
+    clickers∖buyers, tagged and unioned."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.where(F.col("event_type") == "click").select("user_id")
+    buyers = e.where(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("tag", F.lit("both"))
+    only = clickers.subtract(buyers).withColumn("tag", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+@register(
     "q_union",
     oracle="""
         SELECT user_id, 'clicker' AS cohort FROM events
