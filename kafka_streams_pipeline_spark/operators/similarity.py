@@ -334,6 +334,12 @@ def nearest_pairs(df: DataFrame, top_n: int = 20) -> DataFrame:
     cosine. Exact all-pairs — correct at test scale; at 100 TB the
     LSH bucket join (same signatures as topk_cosine_lsh) prunes the
     pair space first."""
+    # A small single-file source arrives as one partition; the
+    # pair-join work is quadratic, so fan the probe side out first or
+    # the whole O(n²/2) compute lands on one core.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     a = df.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
