@@ -1,0 +1,103 @@
+"""Source-path semantics: PERMISSIVE JSON decode (S2), event-time
+validity guard (P8), and stream-static dimension join enrichment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.sources.readings import (
+    decode_json_readings,
+    with_event_time,
+)
+
+
+def test_permissive_json_decode(spark):
+    """Malformed JSON → all-null struct; unknown fields ignored;
+    missing fields null — the reference's lenient Jackson config
+    (model/TemperatureReading.java:5)."""
+    rows = [
+        (json.dumps({"timestamp": 1000, "sensorId": "s1", "geohash": "u155mz82dv33",
+                     "tempVal": 20.5, "tempUnit": "c", "EXTRA": "ignored"}),),
+        (json.dumps({"timestamp": 2000, "sensorId": "s2"}),),  # missing fields
+        ("{not valid json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = decode_json_readings(df).collect()
+    assert out[0]["tempVal"] == 20.5 and out[0]["sensorId"] == "s1"
+    assert out[1]["sensorId"] == "s2" and out[1]["tempVal"] is None
+    assert out[2]["timestamp"] is None  # malformed → nulls, no crash
+    assert out[3]["timestamp"] is None
+
+
+def test_event_time_guard_filters_invalid(spark):
+    """Negative payload timestamps are filtered (engine policy for
+    TSExtractor.java:15-17); null timestamp falls back when a
+    transport column is given, else filtered."""
+    df = spark.createDataFrame(
+        [(1000, "a"), (-5, "b"), (None, "c")],
+        "timestamp long, sensorId string",
+    )
+    kept = with_event_time(df).collect()
+    assert [r["sensorId"] for r in kept] == ["a"]
+
+    with_fallback = df.withColumn(
+        "kafka_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    kept2 = with_event_time(with_fallback, fallback_col="kafka_ts").collect()
+    assert sorted(r["sensorId"] for r in kept2) == ["a", "c"]
+    by_id = {r["sensorId"]: r for r in kept2}
+    assert by_id["c"]["ts"] is not None  # fallback applied
+
+
+def test_stream_static_dimension_join(spark, tmp_path_factory):
+    """Streaming readings enriched with a static dimension (sensor →
+    region) then aggregated per region — the stream-static join is
+    broadcast per micro-batch, no stream state needed."""
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+    base = tmp_path_factory.mktemp("stream-static")
+    src = str(base / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i, (sensor, val) in enumerate(
+            [("s1", 10.0), ("s1", 20.0), ("s2", 30.0), ("s3", 40.0)]
+        ):
+            f.write(
+                json.dumps(
+                    {
+                        "timestamp": 1_700_000_000_000 + i,
+                        "sensorId": sensor,
+                        "geohash": "u155mz82dv33",
+                        "tempVal": val,
+                        "tempUnit": "c",
+                    }
+                )
+                + "\n"
+            )
+    dim = spark.createDataFrame(
+        [("s1", "north"), ("s2", "south"), ("s3", "south")],
+        "sensorId string, region string",
+    )
+    raw = spark.readStream.schema(READING_SCHEMA).json(src)
+    readings = raw.withColumn("ts", F.timestamp_millis("timestamp"))
+    enriched = readings.join(F.broadcast(dim), "sensorId").groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("tempVal").alias("total")
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("region_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["region"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM region_agg").collect()
+    }
+    assert got == {"north": (2, 30.0), "south": (2, 70.0)}
