@@ -1268,6 +1268,19 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.lang_table_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("q_pii_scrub", oracle=_text.pii_scrub_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / hygiene: PII redaction (emails, URLs, phones, long digit
+    runs) — per-doc counts by type + scrubbed-text md5."""
+    return _text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register("q_doc_length_hist", oracle=_text.doc_length_hist_oracle())
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / profiling: document-length histogram (100-char buckets)."""
+    return _text.doc_length_hist(_t(spark, sf_dir, "documents"))
+
+
 @register("q_quality_score", oracle=_text.quality_score_oracle())
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: heuristic document quality score (length/diversity/shape)."""

@@ -228,3 +228,81 @@ def lang_table_stats_oracle() -> str:
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang
     """
+
+
+# PII patterns — portable subset of Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs. Order matters: emails before
+# bare number runs so the local-part digits aren't double-redacted.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("number", r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 / training-data hygiene: redact emails/URLs/phones/long
+    numbers; per-doc redaction counts by type plus the scrubbed text's
+    md5 (the full scrubbed text stays available by dropping the final
+    select — hashed here so wide text never leaves the scan in the
+    declared query). Per-row regexp work, zero inherent shuffles —
+    but regex CPU on a single-file source would serialize on one
+    core, so spread partitions first (no-op on well-split sources)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select("doc_id", *counts, F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+def pii_scrub_oracle() -> str:
+    counts, scrubbed = [], "text"
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    cols = ",\n               ".join(counts)
+    return f"""
+        SELECT doc_id,
+               {cols},
+               md5({scrubbed}) AS scrubbed_md5
+        FROM documents
+    """
+
+
+def doc_length_hist(df: DataFrame, text_col: str = "text", bucket: int = 100) -> DataFrame:
+    """X5 / corpus profiling: document-length histogram — docs and
+    token mass per `bucket`-char bucket. One partial+final aggregate;
+    bucket count is bounded, so the shuffle is tiny at any scale."""
+    return (
+        df.groupBy(
+            (F.floor(F.length(text_col) / bucket) * bucket)
+            .cast("long")
+            .alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size(split({text_col}, ' '))")).cast("long").alias(
+                "total_tokens"
+            ),
+        )
+    )
+
+
+def doc_length_hist_oracle(bucket: int = 100) -> str:
+    return f"""
+        SELECT CAST(floor(length(text) / {bucket}) * {bucket} AS BIGINT)
+                   AS len_bucket,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY 1
+    """
