@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from kafka_streams_pipeline_spark.schema import FIXTURE_TABLES
 
@@ -29,10 +29,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             df = df.withColumnRenamed(col, f"_{col}_ns").withColumn(
                 col, F.timestamp_micros(F.expr(f"_{col}_ns div 1000"))
             )
+        elif isinstance(dtype, TimestampNTZType):
+            # µs-precision writers (e.g. DuckDB COPY) come back as NTZ;
+            # session tz is UTC, so the naive values ARE UTC instants
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
