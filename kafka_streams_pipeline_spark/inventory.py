@@ -408,6 +408,52 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gapfill",
+    oracle=VIEW_CTE
+    + """
+    , spine AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-05 00:00:00',
+            TIMESTAMP '2024-01-07 23:00:00',
+            INTERVAL 1 HOUR)) AS hour_ts
+    )
+    SELECT epoch_ms(spine.hour_ts)        AS ts_ms,
+           coalesce(v.cnt, 0)             AS cnt,
+           round(coalesce(v.s, 0.0), 6)   AS sum_val
+    FROM spine
+    LEFT JOIN (SELECT * FROM v WHERE gh = 'u155mz') v
+           ON v.window_start = spine.hour_ts
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense hourly spine (sequence+explode,
+    generated — no data scan) left-joined to the sparse view, missing
+    hours as zero rows. The reference returns sparse TreeMaps
+    (querying/QueryingController.java:45-60); densification is the
+    standard TSDB resample step layered on top. The spine is tiny and
+    broadcast; the view side is partition-pruned as usual."""
+    v = _served_view(spark, sf_dir).where(F.col("gh") == "u155mz")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-07 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts")
+    )
+    return (
+        F.broadcast(spine)
+        .join(v, v.window_start == spine.hour_ts, "left")
+        .select(
+            F.unix_millis("hour_ts").alias("ts_ms"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("cnt"),
+            F.round(F.coalesce(F.col("sum"), F.lit(0.0)), 6).alias("sum_val"),
+        )
+    )
+
+
+@register(
     "q_date_trunc_funcs",
     oracle="""
         SELECT event_id,
