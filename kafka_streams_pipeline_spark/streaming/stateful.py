@@ -22,6 +22,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_OUTPUT = "sensorId string, count bigint, sum double, avg double"
@@ -64,6 +65,69 @@ def running_sensor_totals(readings: DataFrame) -> DataFrame:
         fn,
         RUNNING_TOTALS_OUTPUT,
         RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+CMS_OUTPUT = "gh string, sensorId string, est_count bigint"
+CMS_STATE = "cells array<bigint>"
+
+
+def _cms_rows(item: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{d}:{item}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+        for d in range(CMS_DEPTH)
+    ]
+
+
+def cms_sensor_counts(readings: DataFrame, gh_col: str = "geohash") -> DataFrame:
+    """Count-Min Sketch per geohash cell: approximate per-sensor
+    reading counts in O(depth × width) memory per cell, regardless of
+    sensor cardinality — the custom-sketch case Spark's built-ins
+    can't express (state is a matrix updated row-wise, queried
+    point-wise; CMS estimates only ever overestimate).
+
+    Emits (gh, sensorId, est_count) for each sensor touched by the
+    micro-batch. At 100 TB: state per key is constant-size, so total
+    state is cells × (depth×width×8 B) — ~4 KB/cell here — while
+    exact per-sensor counting would grow with sensor count."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (cells,) = state.get if state.exists else ([0] * (CMS_DEPTH * CMS_WIDTH),)
+        cells = list(cells)
+        touched: set[str] = set()
+        for pdf in pdfs:
+            for sensor in pdf["sensorId"].dropna():
+                touched.add(sensor)
+                for d, r in enumerate(_cms_rows(sensor)):
+                    cells[d * CMS_WIDTH + r] += 1
+        state.update((cells,))
+        est = [
+            min(cells[d * CMS_WIDTH + r] for d, r in enumerate(_cms_rows(s)))
+            for s in sorted(touched)
+        ]
+        yield pd.DataFrame(
+            {
+                "gh": [key[0]] * len(touched),
+                "sensorId": sorted(touched),
+                "est_count": est,
+            }
+        )
+
+    keyed = readings.withColumn("gh6", F.substring(F.col(gh_col), 1, 6))
+    return keyed.groupBy("gh6").applyInPandasWithState(
+        fn,
+        CMS_OUTPUT,
+        CMS_STATE,
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -122,3 +122,34 @@ def test_alert_latch_persists(spark, sf_dir, reading_stream_dir, tmp_path):
             seen = seen or r["latched"]
             if seen:
                 assert r["latched"], f"latch reset for {key}"
+
+
+def test_cms_sketch_counts(spark, sf_dir, reading_stream_dir, tmp_path):
+    """CMS estimates carry across micro-batches; every estimate
+    dominates the true count (CMS never underestimates) and equals it
+    when the sketch is collision-free at fixture cardinality."""
+    from kafka_streams_pipeline_spark.streaming.stateful import cms_sensor_counts
+
+    batches = _run_stream(
+        spark, reading_stream_dir, cms_sensor_counts, str(tmp_path / "ckpt")
+    )
+    final = {}
+    for batch in batches:
+        for r in batch:
+            final[(r["gh"], r["sensorId"])] = r["est_count"]
+    truth = {
+        (r["gh"], r["sensorId"]): r["n"]
+        for r in readings_from_events(load_table(spark, sf_dir, "events"))
+        .withColumn("gh", F.substring("geohash", 1, 6))
+        .groupBy("gh", "sensorId")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    exact = 0
+    for k, true_n in truth.items():
+        assert final[k] >= true_n  # CMS overestimates only
+        if final[k] == true_n:
+            exact += 1
+    # most estimates exact at this cardinality (width 128, depth 4)
+    assert exact / len(truth) > 0.5
