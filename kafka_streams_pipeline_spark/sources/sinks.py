@@ -7,6 +7,8 @@ materialized WindowStore (ingestion/KafkaStreamsAggregator.java:103-105).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +44,48 @@ def write_view(view: DataFrame, view_dir: str, mode: str = "overwrite") -> None:
         .partitionBy("ws_date")
         .parquet(view_dir)
     )
+
+
+def compact_view(spark: SparkSession, view_dir: str) -> int:
+    """Rewrite the view store with one sorted file per ws_date
+    partition and return the file count removed.
+
+    Streaming upserts (streaming/pipeline.upsert_view_batch) leave one
+    file set per touched micro-batch — the classic small-files problem:
+    at a 10 s trigger that's ~8.6k file sets/day/partition, and scan
+    cost becomes file-open bound. Periodic compaction (this, or
+    OPTIMIZE on Delta/Iceberg) restores the one-sorted-file layout
+    that gives parquet min/max skipping on gh its power. Writes to a
+    sibling directory then swaps, so a crash never leaves a partial
+    store."""
+    import shutil
+
+    view = spark.read.parquet(view_dir)
+    before = sum(
+        1
+        for root, _, files in os.walk(view_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    tmp_dir = view_dir.rstrip("/") + ".compacting"
+    (
+        view.repartition("ws_date")
+        .sortWithinPartitions("gh", "window_start")
+        .write.mode("overwrite")
+        .partitionBy("ws_date")
+        .parquet(tmp_dir)
+    )
+    old_dir = view_dir.rstrip("/") + ".old"
+    os.rename(view_dir, old_dir)
+    os.rename(tmp_dir, view_dir)
+    shutil.rmtree(old_dir)
+    after = sum(
+        1
+        for root, _, files in os.walk(view_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return before - after
 
 
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:

@@ -219,3 +219,17 @@ def test_multimodal_raise_stub(docs):
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(media, decode_stub="raise").collect()
     assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB path for distinct
+    counts (no exact-oracle query: sketch values are engine-specific;
+    capability certified here against the exact count instead)."""
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])

@@ -184,3 +184,39 @@ def test_stream_restart_resumes_from_checkpoint(
     q2.awaitTermination(300)
     n2 = read_view(spark, view).agg(F.sum("count")).collect()[0][0]
     assert n2 == len(readings_rows)
+
+
+def test_compact_view_reduces_files_preserves_data(
+    spark, sf_dir, readings_rows, tmp_path_factory
+):
+    """A fragmented store (append-mode writers, high-parallelism
+    upserts) compacts to one sorted file per ws_date partition with
+    identical contents. (The foreachBatch upsert itself already
+    rewrites whole partitions, so fragmentation comes from appends.)"""
+    from kafka_streams_pipeline_spark.operators import build_view
+    from kafka_streams_pipeline_spark.sources.readings import readings_from_events
+    from kafka_streams_pipeline_spark.sources.sinks import compact_view, write_view
+
+    base = tmp_path_factory.mktemp("compact")
+    view = str(base / "view")
+    events = load_table(spark, sf_dir, "events")
+    v1 = build_view(readings_from_events(events.where(F.col("event_id") % 2 == 0)))
+    v2 = build_view(readings_from_events(events.where(F.col("event_id") % 2 == 1)))
+    write_view(v1, view, mode="overwrite")
+    write_view(v2, view, mode="append")  # fragments every partition
+
+    def n_files(d):
+        return sum(
+            1 for root, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    before_rows = sorted(
+        tuple(r) for r in read_view(spark, view).collect()
+    )
+    n_before = n_files(view)
+    removed = compact_view(spark, view)
+    assert removed > 0 and n_files(view) == n_before - removed
+    n_parts = len([d for d in os.listdir(view) if d.startswith("ws_date=")])
+    assert n_files(view) == n_parts  # one file per partition
+    after_rows = sorted(tuple(r) for r in read_view(spark, view).collect())
+    assert after_rows == before_rows
