@@ -220,3 +220,50 @@ def test_compact_view_reduces_files_preserves_data(
     assert n_files(view) == n_parts  # one file per partition
     after_rows = sorted(tuple(r) for r in read_view(spark, view).collect())
     assert after_rows == before_rows
+
+
+def test_streaming_session_window(spark, sf_dir, readings_rows, tmp_path_factory):
+    """session_window works under Structured Streaming with a
+    watermark: per-sensor 30-min-gap sessions from the stream equal
+    the batch session aggregation over the same data."""
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+    base = tmp_path_factory.mktemp("stream-session")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    _write_chunks(readings_rows[:2000], src, n_chunks=1)
+
+    raw = spark.readStream.schema(READING_SCHEMA).json(src)
+    readings = raw.withColumn("ts", F.timestamp_millis("timestamp"))
+    agg = (
+        readings.withWatermark("ts", "24 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("sensorId")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("sensorId", F.col("w.start").alias("start"), "n")
+    )
+    batches = []
+    # session aggregation streams in append/complete mode only (update
+    # is rejected: merged sessions would retract earlier emissions);
+    # complete gives the full session table at the final batch
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, eid: batches.append(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["sensorId"], r["start"]): r["n"] for r in batches[-1]}
+
+    batch_df = (
+        spark.createDataFrame(readings_rows[:2000], schema=READING_SCHEMA)
+        .withColumn("ts", F.timestamp_millis("timestamp"))
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("sensorId")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("sensorId", F.col("w.start").alias("start"), "n")
+    )
+    want = {(r["sensorId"], r["start"]): r["n"] for r in batch_df.collect()}
+    assert got == want
