@@ -1448,3 +1448,84 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-out additions: n-gram generation, TF-DF term scoring,
+# incremental corpus dedup, non-equi range/band join.
+# ---------------------------------------------------------------------------
+
+
+@register("q_text_bigrams", oracle=_text.word_bigrams_oracle(100))
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / n-gram generation: top-100 word bigrams corpus-wide
+    (higher-order array build, map-side partial counts, TakeOrdered
+    top-N — no global sort)."""
+    return _text.word_bigrams(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@register("q_term_stats", oracle=_text.term_stats_oracle())
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / TF-IDF core: per-term total frequency, document frequency,
+    fixed-point tf/df score (integer div keeps the hash engine-stable)."""
+    return _text.term_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 / ingest loop: anti-join a new batch (source src0) against
+    the admitted corpus's normalized fingerprints, then dedup within
+    the batch. Fingerprints (not text) cross the join; small sets
+    broadcast, large ones fall back to a hash anti-join via AQE."""
+    return _dedup.incremental_dedup(_t(spark, sf_dir, "documents"), batch_source="src0")
+
+
+#: Price bands for the non-equi range join — a dimension of
+#: [lo, hi) intervals; any row set works, bands just bucket it.
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("b0_low", 0.0, 925.0),
+    ("b1_mid", 925.0, 950.0),
+    ("b2_high", 950.0, 975.0),
+    ("b3_top", 975.0, 100000.0),
+]
+
+
+@register(
+    "q_range_band_join",
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES {", ".join(
+            f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+        SELECT band,
+               count(*) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
+               min(p_partkey) AS first_part
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range (band) join: bucket parts into [lo, hi) price
+    intervals from an inline dimension. The tiny band table is
+    broadcast, so the non-equi condition runs as a
+    BroadcastNestedLoopJoin — the right physical plan for an
+    interval dimension at any fact-side scale. Money summed in
+    integer cents (order-independent)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.min("p_partkey").alias("first_part"),
+        )
+    )

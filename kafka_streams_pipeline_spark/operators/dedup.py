@@ -465,3 +465,55 @@ def simhash_oracle() -> str:
         )
         SELECT doc_id, {duck_simhash_expr('th')} AS simhash FROM th
     """
+
+
+def incremental_dedup(
+    df: DataFrame,
+    batch_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 / incremental corpus dedup: admit only new-batch documents
+    whose normalized text is absent from the existing corpus, then
+    dedup within the batch (keeper = lowest id). This is the standing
+    shape of a training-data ingest loop — anti-join each incoming
+    batch against the fingerprint set of everything already admitted.
+
+    The corpus side is reduced to distinct 32-char md5 fingerprints
+    before the join, so at 100 TB the anti-join ships hashes, never
+    text; with a bounded fingerprint set Spark broadcasts it, else AQE
+    picks a shuffled hash anti-join on the same key."""
+    norm = F.expr(SPARK_NORMALIZE.format(c=text_col))
+    hashed = df.withColumn("norm_md5", F.md5(norm))
+    corpus = (
+        hashed.where(F.col("source") != batch_source)
+        .select("norm_md5")
+        .distinct()
+    )
+    batch = hashed.where(F.col("source") == batch_source)
+    return (
+        batch.join(corpus, on="norm_md5", how="left_anti")
+        .groupBy("norm_md5")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def incremental_dedup_oracle(batch_source: str) -> str:
+    norm = DUCK_NORMALIZE.format(c="text")
+    return f"""
+        WITH h AS (
+            SELECT doc_id, source, md5({norm}) AS norm_md5 FROM documents
+        )
+        SELECT norm_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM h b
+        WHERE b.source = '{batch_source}'
+          AND NOT EXISTS (
+              SELECT 1 FROM h c
+              WHERE c.source <> '{batch_source}'
+                AND c.norm_md5 = b.norm_md5
+          )
+        GROUP BY norm_md5
+    """

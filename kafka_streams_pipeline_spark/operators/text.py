@@ -306,3 +306,79 @@ def doc_length_hist_oracle(bucket: int = 100) -> str:
         FROM documents
         GROUP BY 1
     """
+
+
+def word_bigrams(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """X5 / n-gram generation: corpus-wide word-bigram frequencies,
+    top `top_n` tie-broken by bigram text so the selected rowset is
+    unique. The bigram list is built per-row with higher-order array
+    functions (no UDF, no extra shuffle beyond the count aggregate);
+    at scale the groupBy gets map-side partial counts and the top-N is
+    a TakeOrdered — no global sort materialization."""
+    return (
+        df.withColumn("ws", F.split(F.lower(F.col(text_col)), " "))
+        .where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(top_n)
+    )
+
+
+def word_bigrams_oracle(top_n: int = 100) -> str:
+    return f"""
+        SELECT bigram, count(*) AS freq
+        FROM (
+            SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                           FOR i IN range(1, len(ws))]) AS bigram
+            FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+            WHERE len(ws) >= 2
+        )
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram ASC
+        LIMIT {top_n}
+    """
+
+
+def term_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 / TF-DF term statistics (the exact core of TF-IDF scoring):
+    per-term total frequency, document frequency, and a fixed-point
+    tf/df ratio. Integer `div` keeps the score hash-stable across
+    engines (no float log). One explode → one aggregate; vocabulary-
+    sized shuffle with map-side partials."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df_docs"),
+        )
+        .withColumn("tf_df_fp", F.expr("tf_total * 1000000L div df_docs"))
+    )
+
+
+def term_stats_oracle() -> str:
+    return """
+        SELECT term, tf_total, df_docs,
+               (tf_total * 1000000) // df_docs AS tf_df_fp
+        FROM (
+            SELECT term, count(*) AS tf_total,
+                   count(DISTINCT doc_id) AS df_docs
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            )
+            GROUP BY term
+        )
+    """

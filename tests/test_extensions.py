@@ -233,3 +233,43 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])
+
+
+def test_word_bigrams_handmade(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b c"), Row(doc_id=2, text="a b"), Row(doc_id=3, text="x")]
+    )
+    out = {r["bigram"]: r["freq"] for r in text.word_bigrams(df, top_n=10).collect()}
+    # doc1: "a b","b a","a b","b c"; doc2: "a b"; doc3 has no bigram
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_word_bigrams_topn_tiebreak(docs):
+    rows = text.word_bigrams(docs, top_n=5).collect()
+    assert len(rows) == 5
+    # sorted by freq desc then bigram asc
+    keys = [(-r["freq"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_term_stats_fixed_point(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="w w v"), Row(doc_id=2, text="w")]
+    )
+    out = {r["term"]: r for r in text.term_stats(df).collect()}
+    assert out["w"]["tf_total"] == 3 and out["w"]["df_docs"] == 2
+    assert out["w"]["tf_df_fp"] == 1_500_000  # 3 * 1e6 div 2
+    assert out["v"]["tf_df_fp"] == 1_000_000
+
+
+def test_incremental_dedup_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="old", text="Same text!"),
+            Row(doc_id=2, source="new", text="same text"),   # dup of corpus → dropped
+            Row(doc_id=3, source="new", text="fresh doc"),
+            Row(doc_id=4, source="new", text="FRESH doc"),   # in-batch dup of 3
+        ]
+    )
+    out = dedup.incremental_dedup(df, batch_source="new").collect()
+    assert {(r["keeper"], r["n_copies"]) for r in out} == {(3, 2)}
