@@ -1529,3 +1529,72 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").alias("first_part"),
         )
     )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_ms(p.ts) AS p_ts_ms,
+               count(c.ts)    AS n_clicks_10m
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+        GROUP BY 1, 2, 3
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (the batch shape of a stream-stream time-bounded
+    join): for each purchase, clicks by the same user in the
+    preceding 10 minutes. The user_id equi-key carries the shuffle
+    (hash join); the time bounds are post-join range predicates, so
+    the plan stays a key-partitioned join — the same layout a
+    watermarked stream-stream join uses — not a cross product."""
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "left",
+        )
+        .groupBy("p_id", "user_id", F.unix_millis("p_ts").alias("p_ts_ms"))
+        .agg(F.count("c_ts").alias("n_clicks_10m"))
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+        SELECT user_id, spend_cents,
+               ntile(4) OVER (ORDER BY spend_cents DESC, user_id) AS quartile
+        FROM (
+            SELECT user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+            FROM events GROUP BY user_id
+        )
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ntile: users bucketed into spend quartiles. Sums in
+    integer cents (order-independent); the ORDER BY carries a user_id
+    tiebreak so bucket assignment is unique. Single-partition window
+    by construction — fine here because the frame is one row per
+    user after aggregation, bounded, not raw-event-sized."""
+    e = _t(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("user_id"))
+    return spend.select(
+        "user_id", "spend_cents", F.ntile(4).over(w).alias("quartile")
+    )

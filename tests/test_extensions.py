@@ -273,3 +273,33 @@ def test_incremental_dedup_semantics(spark):
     )
     out = dedup.incremental_dedup(df, batch_source="new").collect()
     assert {(r["keeper"], r["n_copies"]) for r in out} == {(3, 2)}
+
+
+def test_interval_join_boundaries(spark, sf_dir):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, ts=base, user_id=7, event_type="purchase", value=1.0, props="{}"),
+        # exactly 10 min before: included (>= lower bound)
+        Row(event_id=2, ts=base - dt.timedelta(minutes=10), user_id=7,
+            event_type="click", value=1.0, props="{}"),
+        # same instant as purchase: excluded (strict <)
+        Row(event_id=3, ts=base, user_id=7, event_type="click", value=1.0, props="{}"),
+        # other user: excluded
+        Row(event_id=4, ts=base - dt.timedelta(minutes=1), user_id=8,
+            event_type="click", value=1.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows)
+    import kafka_streams_pipeline_spark.inventory as inv
+    p = df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    c = df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    out = (
+        p.join(c, (F.col("c_user") == F.col("user_id"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+               & (F.col("c_ts") < F.col("p_ts")), "left")
+        .groupBy("p_id").agg(F.count("c_ts").alias("n"))
+    ).collect()
+    assert [(r["p_id"], r["n"]) for r in out] == [(1, 1)]
