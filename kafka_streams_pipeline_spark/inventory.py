@@ -430,8 +430,10 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated — no data scan) left-joined to the sparse view, missing
     hours as zero rows. The reference returns sparse TreeMaps
     (querying/QueryingController.java:45-60); densification is the
-    standard TSDB resample step layered on top. The spine is tiny and
-    broadcast; the view side is partition-pruned as usual."""
+    standard TSDB resample step layered on top. The spine (preserved
+    side) streams; the single-cell view slice — bounded by hour count
+    at any scale — is the build side and is broadcast (a left join
+    can only build right, so hinting the spine would be ignored)."""
     v = _served_view(spark, sf_dir).where(F.col("gh") == "u155mz")
     spine = spark.range(1).select(
         F.explode(
@@ -443,8 +445,8 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour_ts")
     )
     return (
-        F.broadcast(spine)
-        .join(v, v.window_start == spine.hour_ts, "left")
+        spine
+        .join(F.broadcast(v), v.window_start == spine.hour_ts, "left")
         .select(
             F.unix_millis("hour_ts").alias("ts_ms"),
             F.coalesce(F.col("count"), F.lit(0)).alias("cnt"),
