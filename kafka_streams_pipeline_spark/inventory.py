@@ -110,7 +110,8 @@ v AS (
     SELECT substring(geohash, 1, 6)  AS gh,
            date_trunc('hour', ts)    AS window_start,
            count(*)                  AS cnt,
-           sum(tempVal)              AS s
+           sum(CAST(round(tempVal * 1000000) AS BIGINT)) / 1000000.0
+                                     AS s
     FROM readings
     GROUP BY 1, 2
 )
@@ -250,7 +251,8 @@ _HIST_CELLS = [EVENT_TYPE_GEOHASH["click"][:6], EVENT_TYPE_GEOHASH["purchase"][:
     oracle=VIEW_CTE
     + f"""
     SELECT epoch_ms(window_start)        AS "timestamp",
-           round(sum(s) / sum(cnt), 6)   AS avg
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
+                 / sum(cnt), 6)          AS avg
     FROM v
     WHERE gh IN ('{_HIST_CELLS[0]}', '{_HIST_CELLS[1]}')
       AND window_start >= TIMESTAMP '2024-01-05 00:00:00'
@@ -279,7 +281,8 @@ def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , mx AS (SELECT max(window_start) AS m FROM v)
     SELECT epoch_ms(window_start) AS "timestamp",
-           round(sum(s), 6)       AS sum
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0, 6)
+                                  AS sum
     FROM v, mx
     WHERE gh LIKE 'u155%'
       AND window_start >= m - INTERVAL 7 DAY
@@ -306,7 +309,8 @@ _SNAP_BBOX_S, _SNAP_BBOX_W, _SNAP_BBOX_N, _SNAP_BBOX_E = geo.decode_bbox("u155")
     oracle=VIEW_CTE
     + """
     SELECT gh                         AS geohash,
-           round(sum(s) / sum(cnt), 6) AS avg
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
+                 / sum(cnt), 6)       AS avg
     FROM v
     WHERE window_start = TIMESTAMP '2024-01-07 10:00:00'
       AND gh LIKE 'u155%'
@@ -370,9 +374,9 @@ def q_reagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT gh,
            epoch_ms(date_trunc('day', window_start)) AS day_ms,
            sum(cnt)                                  AS cnt,
-           sum(CAST(round(round(s, 6) * 1000000) AS BIGINT)) / 1000000.0
+           sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
                                                      AS sum_val,
-           round(sum(CAST(round(round(s, 6) * 1000000) AS BIGINT)) / 1000000.0
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
                  / sum(cnt), 6)                      AS avg_val
     FROM v
     GROUP BY gh, date_trunc('day', window_start)
@@ -386,10 +390,10 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate downsample; the oracle aggregates the hourly
     CTE the same way, so the hash match certifies the cascade."""
     v = _served_view(spark, sf_dir)
-    # hourly sums enter the cascade rounded to 6 dp (the value
-    # q_hourly_view certifies as engine-identical) and accumulate as
-    # micros-integers — order-independent like _cents_sum
-    sum_u = F.sum(F.round(F.round(F.col("sum"), 6) * 1000000).cast("long"))
+    # hourly sums are exact micros multiples (build_view accumulates
+    # micros-integers), so recovering the integer and re-summing as
+    # longs keeps the cascade order-independent end-to-end
+    sum_u = F.sum(F.round(F.col("sum") * 1000000).cast("long"))
     return (
         v.groupBy("gh", F.date_trunc("day", "window_start").alias("day"))
         .agg(

@@ -89,11 +89,17 @@ def _with_partition_bounds(
 
 
 def _merged_aggs() -> list[Column]:
-    """Algebraic merge of partial aggregates (Aggregator.java:17-30)."""
+    """Algebraic merge of partial aggregates (Aggregator.java:17-30).
+
+    View sums are exact micros multiples (operators/view.build_view),
+    so the merge recovers each group's micros-integer and re-sums as
+    exact longs — order-independent like the view build itself; the
+    divide back to double happens once, after the merge."""
+    su = F.sum(F.round(F.col("sum") * 1000000).cast("long"))
     return [
         F.sum("count").alias("count"),
-        F.sum("sum").alias("sum"),
-        (F.sum("sum") / F.sum("count")).alias("avg"),
+        (su / F.lit(1000000.0)).alias("sum"),
+        (su / F.lit(1000000.0) / F.sum("count")).alias("avg"),
     ]
 
 

@@ -46,6 +46,15 @@ def build_view(
     avg is computed as sum/count at the END of aggregation — the
     algebraic form that stays correct under any partial/final merge
     (querying/util/Aggregator.java:17-30).
+
+    The sum accumulates as a micros-scaled BIGINT (each value rounded
+    to 6 dp once, then summed as exact integers) and is divided back
+    to double only at the end. Double summation is non-associative and
+    Spark's partial/final merge order is nondeterministic, so a raw
+    sum(double) can drift past round(·, 6) between runs (and vs the
+    DuckDB oracle) on large groups; integer summation cannot. Headroom:
+    a long holds ±9.2e18 micros ≈ ±9.2e12 in value units per
+    (cell, hour) group — far above any physical sensor sum.
     """
     if ts_col not in readings.columns:
         readings = with_event_time(readings)
@@ -55,15 +64,15 @@ def build_view(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("gh"))
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.sum(F.col(val_col)).alias("sum"),
+            F.sum(F.round(F.col(val_col) * 1000000).cast("long")).alias("sum_u"),
         )
     )
     return agg.select(
         F.col("gh"),
         F.col("w.start").alias("window_start"),
         F.col("count"),
-        F.col("sum"),
-        (F.col("sum") / F.col("count")).alias("avg"),
+        (F.col("sum_u") / F.lit(1000000.0)).alias("sum"),
+        (F.col("sum_u") / F.lit(1000000.0) / F.col("count")).alias("avg"),
     )
 
 
@@ -75,8 +84,10 @@ def view_oracle_sql(readings_sql: str, precision: int = DEFAULT_PRECISION) -> st
             substring(geohash, 1, {precision})      AS gh,
             date_trunc('hour', ts)                  AS window_start,
             count(*)                                AS count,
-            sum(tempVal)                            AS sum,
-            sum(tempVal) / count(*)                 AS avg
+            sum(CAST(round(tempVal * 1000000) AS BIGINT)) / 1000000.0
+                                                    AS sum,
+            sum(CAST(round(tempVal * 1000000) AS BIGINT)) / 1000000.0
+                / count(*)                          AS avg
         FROM ({readings_sql})
         GROUP BY 1, 2
     """

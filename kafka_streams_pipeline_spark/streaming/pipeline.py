@@ -59,15 +59,15 @@ def streaming_view_aggregate(
         .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("gh"))
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.sum(F.col("tempVal")).alias("sum"),
+            F.sum(F.round(F.col("tempVal") * 1000000).cast("long")).alias("sum_u"),
         )
     )
     return agg.select(
         F.col("gh"),
         F.col("w.start").alias("window_start"),
         F.col("count"),
-        F.col("sum"),
-        (F.col("sum") / F.col("count")).alias("avg"),
+        (F.col("sum_u") / F.lit(1000000.0)).alias("sum"),
+        (F.col("sum_u") / F.lit(1000000.0) / F.col("count")).alias("avg"),
     )
 
 
