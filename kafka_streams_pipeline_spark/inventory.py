@@ -31,6 +31,7 @@ from kafka_streams_pipeline_spark.operators.queries import (
     history,
     history_interval,
     merge_views,
+    reaggregate_precision,
     snapshot,
 )
 from kafka_streams_pipeline_spark.operators.view import build_view
@@ -456,6 +457,38 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("count"), F.lit(0)).alias("cnt"),
             F.round(F.coalesce(F.col("sum"), F.lit(0.0)), 6).alias("sum_val"),
         )
+    )
+
+
+@register(
+    "q_precision_reagg",
+    oracle=VIEW_CTE
+    + """
+    SELECT substring(gh, 1, 4)    AS gh,
+           epoch_ms(window_start) AS ws_ms,
+           sum(cnt)               AS cnt,
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0, 6)
+                                  AS sum_val,
+           round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
+                 / sum(cnt), 6)   AS avg_val
+    FROM v
+    GROUP BY 1, 2
+    """,
+)
+def q_precision_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time gh_precision re-aggregation: the precision-6 store
+    re-keyed to the precision-4 grid via prefix truncation + A3 merge
+    (querying/QueryingService.java:58-60 exposes gh_precision; the
+    reference keeps one store per precision at
+    ingestion/KafkaStreamsAggregator.java:39 — prefix nesting lets one
+    fine store serve every coarser grid instead)."""
+    v = reaggregate_precision(_served_view(spark, sf_dir), 4)
+    return v.select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.col("count").alias("cnt"),
+        F.round("sum", 6).alias("sum_val"),
+        F.round("avg", 6).alias("avg_val"),
     )
 
 

@@ -240,6 +240,31 @@ def snapshot(
     )
 
 
+def reaggregate_precision(view: DataFrame, precision: int) -> DataFrame:
+    """Query-time precision re-aggregation: the precision-6 view
+    re-keyed to a coarser geohash grid by prefix truncation + the A3
+    algebraic merge.
+
+    The reference materializes one store per configured precision and
+    lets the caller pick via ``gh_precision``
+    (ingestion/KafkaStreamsAggregator.java:39 store-per-precision,
+    querying/QueryingService.java:58-60). Here one precision-6 store
+    serves every coarser grid: geohash prefixes nest, so
+    substring(gh, 1, p) + merge IS the coarser store — computed on
+    ~cells × hours rows, never raw events. At 100 TB the input is the
+    view (already ~10^6× smaller than raw), and the shuffle is keyed
+    by the coarser (gh, window) with map-side partial merge.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    return (
+        view.withColumn("gh", F.substring(F.col("gh"), 1, precision))
+        .groupBy("gh", "window_start")
+        .agg(*_merged_aggs())
+        .select("gh", "window_start", "count", "sum", "avg")
+    )
+
+
 def merge_views(*views: DataFrame) -> DataFrame:
     """Union per-partition/per-host partial views and re-merge (A3/A7):
     the distributed-aggregation identity

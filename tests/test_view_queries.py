@@ -17,6 +17,7 @@ from kafka_streams_pipeline_spark.operators import (
     history,
     history_interval,
     merge_views,
+    reaggregate_precision,
     snapshot,
 )
 from kafka_streams_pipeline_spark.plans import QueryValidationError, to_message
@@ -85,6 +86,20 @@ def test_merge_property(spark, sf_dir):
         assert a[k][0] == b[k][0]
         assert a[k][1] == pytest.approx(b[k][1], rel=1e-9)
         assert a[k][2] == pytest.approx(b[k][2], rel=1e-9)
+
+
+def test_precision_reagg_nesting(spark, sf_dir, view):
+    """Prefix nesting: re-aggregating the p6 view to p4 equals the
+    view built directly at p4 (the store-per-precision identity that
+    lets one fine store serve every coarser gh_precision)."""
+    events = load_table(spark, sf_dir, "events")
+    direct = build_view(readings_from_events(events), precision=4)
+    reagg = reaggregate_precision(view, 4)
+    a = {(r["gh"], r["window_start"]): (r["count"], r["sum"]) for r in reagg.collect()}
+    b = {(r["gh"], r["window_start"]): (r["count"], r["sum"]) for r in direct.collect()}
+    assert a == b  # exact: both sides are micros-integer sums
+    with pytest.raises(ValueError):
+        reaggregate_precision(view, 0)
 
 
 def test_history_rollup(view, duck):
