@@ -1399,6 +1399,54 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.binary_meta(media)
 
 
+@register(
+    "q_media_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, n,
+                   (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+            FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id                          AS asset_id,
+               CAST(1 AS BIGINT)               AS n_channels,
+               CAST(8000 AS BIGINT)            AS sample_rate,
+               CAST(16 AS BIGINT)              AS bits_per_sample,
+               n                               AS n_samples,
+               n * 1000 // 8000                AS duration_ms,
+               max(abs(s))                     AS peak_abs,
+               CAST(sum(s) AS BIGINT)          AS sum_samples,
+               round(CAST(sum(s) AS BIGINT) / n, 6) AS mean_val
+        FROM samples
+        GROUP BY doc_id, n
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real decode kernel: genuine PCM16 RIFF/WAVE payloads
+    synthesized per document, decoded by the stdlib chunk-walking WAV
+    parser (operators/multimodal.parse_wav) inside mapInPandas —
+    header fields + exact integer PCM stats. The oracle recomputes the
+    decoded stats from the sample recurrence in pure SQL, so the hash
+    match certifies the decode end-to-end. Payloads are built and
+    decoded partition-locally: nothing but small typed columns ever
+    shuffles."""
+    wav = _mm.wav_from_documents(_t(spark, sf_dir, "documents"))
+    dec = _mm.decode_wav(wav)
+    return dec.select(
+        "asset_id",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "sum_samples",
+        F.round(F.col("sum_samples") / F.col("n_samples"), 6).alias("mean_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window-kind capabilities beyond the reference's tumbling-only T2
 # (SURVEY.md §2.8: "Spark also has sliding + session_window for free")

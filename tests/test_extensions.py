@@ -8,6 +8,7 @@ these tests assert the SEMANTIC properties the hashes can't express
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -212,6 +213,54 @@ def test_multimodal_resize_and_frames(docs):
 
     with _pytest.raises(Exception, match="PIL"):
         mm.resize_images(media, decode_stub="raise").collect()
+
+
+def test_wav_parser_reads_stdlib_wave_files(tmp_path):
+    """parse_wav decodes files written by Python's own `wave` module —
+    a genuinely independent RIFF writer — byte-exact."""
+    import wave
+
+    samples = np.array([0, 100, -32768, 32767, -1, 7], dtype=np.int16)
+    p = tmp_path / "t.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(samples.astype("<i2").tobytes())
+    channels, rate, bits, decoded = multimodal.parse_wav(p.read_bytes())
+    assert (channels, rate, bits) == (1, 44100, 16)
+    assert np.array_equal(decoded, samples)
+
+
+def test_wav_parser_walks_chunks_and_rejects_garbage():
+    s = np.array([5, -5, 12000], dtype=np.int16)
+    with_list = multimodal._wav_bytes(s, 8000, with_list_chunk=True)
+    without = multimodal._wav_bytes(s, 8000, with_list_chunk=False)
+    for payload in (with_list, without):
+        channels, rate, bits, decoded = multimodal.parse_wav(payload)
+        assert (channels, rate, bits) == (1, 8000, 16)
+        assert np.array_equal(decoded, s)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.parse_wav(b"not a wav at all")
+    with pytest.raises(ValueError, match="fmt/data"):
+        multimodal.parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_wav_decode_pipeline(docs):
+    """wav_from_documents → decode_wav round-trip: header fields and
+    exact integer PCM stats match the generation recurrence."""
+    wav = multimodal.wav_from_documents(docs.limit(40))
+    rows = {r.asset_id: r for r in multimodal.decode_wav(wav).collect()}
+    assert len(rows) == 40
+    for did, r in rows.items():
+        n = did % 50 + 10
+        i = np.arange(n, dtype=np.int64)
+        s = (did * 31 + i * 7) % 65536 - 32768
+        assert (r.n_channels, r.sample_rate, r.bits_per_sample) == (1, 8000, 16)
+        assert r.n_samples == n
+        assert r.duration_ms == n * 1000 // 8000
+        assert r.peak_abs == int(np.abs(s).max())
+        assert r.sum_samples == int(s.sum())
 
 
 def test_multimodal_raise_stub(docs):
