@@ -1639,11 +1639,17 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash join); the time bounds are post-join range predicates, so
     the plan stays a key-partitioned join — the same layout a
     watermarked stream-stream join uses — not a cross product."""
-    e = _t(spark, sf_dir, "events")
-    p = e.where(F.col("event_type") == "purchase").select(
+    return interval_click_attribution(_t(spark, sf_dir, "events"))
+
+
+def interval_click_attribution(events: DataFrame) -> DataFrame:
+    """The q_interval_join body over any events-shaped frame — shared
+    with the boundary test so the REGISTERED bounds (inclusive lower,
+    strict upper) are what gets asserted."""
+    p = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
     )
-    c = e.where(F.col("event_type") == "click").select(
+    c = events.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
     return (

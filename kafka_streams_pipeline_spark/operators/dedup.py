@@ -207,8 +207,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+DEFAULT_BUCKET_CAP = 64
+
+
 def minhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.8
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """X2 (MinHash+LSH): candidate pairs from banded minhash buckets,
     verified with exact Jaccard over the shingle sets.
@@ -216,7 +222,19 @@ def minhash_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     threshold, rounded to 6. The band join shuffles only
     (docs × NUM_BANDS) short keys; exact verification touches only
-    candidates."""
+    candidates.
+
+    ``bucket_cap`` is the band-skew safety valve: a band key shared by
+    m documents yields m·(m−1)/2 candidate pairs, so one frequent
+    near-boilerplate band (the skew hazard noted in the module
+    docstring) can dominate the whole job at corpus scale. Buckets
+    larger than the cap are DROPPED before the self-join, bounding
+    per-key work at cap²/2. Recall trade-off: a true near-dup pair is
+    lost only if EVERY band that contains it overflows — with 4
+    bands, pairs inside hot boilerplate clusters may be missed; those
+    clusters are better served by exact/normalized dedup upstream.
+    The DuckDB oracle applies the identical cap, so parity holds at
+    any setting; pass ``bucket_cap=None`` to disable."""
     # The signature subplan feeds three consumers (band explode + both
     # sides of the verify join); without persist Spark recomputes the
     # md5 minhash work 3×. At cluster scale this intermediate is the
@@ -225,6 +243,18 @@ def minhash_near_dup_pairs(
     bands = sig.select(
         "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
     )
+    if bucket_cap is not None:
+        # Partial+final count per band key, then inner-join back: both
+        # stages shuffle on bk — the same key the self-join needs, so
+        # AQE reuses the exchange; the skewed key never reaches the
+        # quadratic join.
+        ok = (
+            bands.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= bucket_cap)
+            .select("bk")
+        )
+        bands = bands.join(ok, "bk")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -291,6 +321,7 @@ def dedup_components(
     # stats on cached/iterated frames are too poor for auto-broadcast);
     # past that, fall back to shuffle joins.
     hint = F.broadcast if n_edges < 5_000_000 else (lambda d: d)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(hint(labels), edges.dst == labels.node)
@@ -316,6 +347,14 @@ def dedup_components(
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # An unconverged labeling is WRONG (components would disagree
+        # with the transitive closure) — fail loudly, never return it.
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (label propagation needs at most the "
+            "graph diameter, so deep near-dup chains are the cause)"
+        )
     edges.unpersist()
     connected = labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("component")
@@ -396,8 +435,19 @@ def ngram_jaccard_pairs(
 # --- DuckDB oracle builders ------------------------------------------------
 
 
-def minhash_pairs_oracle(threshold: float = 0.8) -> str:
+def minhash_pairs_oracle(
+    threshold: float = 0.8, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> str:
     mh_list = "[" + ", ".join(duck_minhash_exprs("sh")) + "]"
+    cap_filter = (
+        f"""bands_ok AS (
+            SELECT bands.* FROM bands
+            JOIN (SELECT bk FROM bands GROUP BY bk
+                  HAVING count(*) <= {bucket_cap}) ok USING (bk)
+        ),"""
+        if bucket_cap is not None
+        else "bands_ok AS (SELECT * FROM bands),"
+    )
     return f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -411,9 +461,10 @@ def minhash_pairs_oracle(threshold: float = 0.8) -> str:
         bands AS (
             SELECT doc_id, unnest({duck_band_keys_expr('mhs')}) AS bk FROM sig
         ),
+        {cap_filter}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            FROM bands_ok a JOIN bands_ok b ON a.bk = b.bk AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
                round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /

@@ -58,6 +58,23 @@ def test_minhash_pairs_subset_of_exact_ngram(docs):
     assert len(ng) > 0
 
 
+def test_minhash_bucket_cap(docs):
+    """Band-skew cap: capped output ⊆ uncapped; the default cap (64,
+    far above this fixture's max bucket of 3) changes nothing; an
+    absurdly tight cap of 1 drops every pair (every candidate needs a
+    bucket of ≥2)."""
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dup_pairs(docs, bucket_cap=None).collect()
+    }
+    default = {
+        (r.id_a, r.id_b) for r in dedup.minhash_near_dup_pairs(docs).collect()
+    }
+    assert default == uncapped
+    capped1 = dedup.minhash_near_dup_pairs(docs, bucket_cap=1).collect()
+    assert capped1 == []
+
+
 def test_dedup_components_consistent_with_pairs(docs):
     """Both endpoints of every near-dup pair share a component; each
     component is labeled by its minimum member; non-paired docs label
@@ -325,7 +342,12 @@ def test_incremental_dedup_semantics(spark):
 
 
 def test_interval_join_boundaries(spark, sf_dir):
+    """Exercises the REGISTERED q_interval_join implementation (via
+    its shared body) on crafted boundary rows: inclusive lower bound,
+    strict upper bound, per-user keying."""
     import datetime as dt
+
+    from kafka_streams_pipeline_spark.inventory import interval_click_attribution
 
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [
@@ -339,16 +361,5 @@ def test_interval_join_boundaries(spark, sf_dir):
         Row(event_id=4, ts=base - dt.timedelta(minutes=1), user_id=8,
             event_type="click", value=1.0, props="{}"),
     ]
-    df = spark.createDataFrame(rows)
-    import kafka_streams_pipeline_spark.inventory as inv
-    p = df.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
-    c = df.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-    out = (
-        p.join(c, (F.col("c_user") == F.col("user_id"))
-               & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
-               & (F.col("c_ts") < F.col("p_ts")), "left")
-        .groupBy("p_id").agg(F.count("c_ts").alias("n"))
-    ).collect()
-    assert [(r["p_id"], r["n"]) for r in out] == [(1, 1)]
+    out = interval_click_attribution(spark.createDataFrame(rows)).collect()
+    assert [(r["p_id"], r["n_clicks_10m"]) for r in out] == [(1, 1)]
