@@ -31,8 +31,6 @@ is the drop-in upgrade when available.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -71,6 +69,27 @@ def streaming_view_aggregate(
     )
 
 
+def _existing_partition_paths(
+    spark: SparkSession, view_dir: str, dates: list
+) -> list[str]:
+    """Which ws_date=<d> partition directories already exist, probed
+    through the Hadoop FileSystem API — works on any Spark-supported
+    store (local FS, HDFS, s3a://, gs://, abfss://), unlike driver-
+    local os.listdir which only sees the driver's disk."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(view_dir)
+    fs = base.getFileSystem(hconf)
+    if not fs.exists(base):
+        return []
+    out = []
+    for d in dates:
+        part = f"{view_dir}/ws_date={d}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(part)):
+            out.append(part)
+    return out
+
+
 def upsert_view_batch(view_dir: str):
     """foreachBatch upsert: merge a micro-batch of updated
     (gh, window_start) aggregates into the parquet view table.
@@ -91,23 +110,17 @@ def upsert_view_batch(view_dir: str):
             batch_df.unpersist()
             return
         merged = batch_df
-        if os.path.exists(view_dir) and any(
-            e.startswith("ws_date=") for e in os.listdir(view_dir)
-        ):
-            existing = (
-                spark.read.option("basePath", view_dir)
-                .parquet(*[f"{view_dir}/ws_date={d}" for d in dates
-                           if os.path.exists(f"{view_dir}/ws_date={d}")])
-                if any(os.path.exists(f"{view_dir}/ws_date={d}") for d in dates)
-                else None
+        existing_parts = _existing_partition_paths(spark, view_dir, dates)
+        if existing_parts:
+            existing = spark.read.option("basePath", view_dir).parquet(
+                *existing_parts
             )
-            if existing is not None:
-                survivors = existing.join(
-                    batch_df.select("gh", "window_start"),
-                    ["gh", "window_start"],
-                    "left_anti",
-                ).select(*batch_df.columns)
-                merged = batch_df.unionByName(survivors)
+            survivors = existing.join(
+                batch_df.select("gh", "window_start"),
+                ["gh", "window_start"],
+                "left_anti",
+            ).select(*batch_df.columns)
+            merged = batch_df.unionByName(survivors)
         (
             merged.repartition("ws_date")
             .write.mode("overwrite")

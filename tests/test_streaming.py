@@ -186,6 +186,45 @@ def test_stream_restart_resumes_from_checkpoint(
     assert n2 == len(readings_rows)
 
 
+def test_processing_time_trigger(spark, readings_rows, tmp_path_factory):
+    """T4: the continuous processingTime cadence path (reference
+    commits every 10 s; shortened to 1 s here). The query must keep
+    ticking: a file landing AFTER the stream starts is picked up by a
+    later micro-batch, then the query stops cleanly."""
+    import time
+
+    base = tmp_path_factory.mktemp("stream-proc")
+    src, view, ckpt = str(base / "src"), str(base / "view"), str(base / "ckpt")
+    half = len(readings_rows) // 2
+    _write_chunks(readings_rows[:half], src, n_chunks=1)
+
+    q = start_file_stream_pipeline(
+        spark, src, view, ckpt, available_now=False, processing_time="1 second"
+    )
+
+    def total():
+        try:
+            return read_view(spark, view).agg(F.sum("count")).collect()[0][0] or 0
+        except Exception:  # view dir not written yet
+            return 0
+
+    try:
+        deadline = time.time() + 120
+        while total() < half and time.time() < deadline:
+            time.sleep(1)
+        assert total() == half
+        # a second file lands mid-stream (atomic rename, like a real
+        # ingest drop) → a later tick must pick it up
+        _write_chunks(readings_rows[half:], src + "/more", n_chunks=1)
+        os.rename(src + "/more/chunk0.json", src + "/late.json")
+        while total() < len(readings_rows) and time.time() < deadline:
+            time.sleep(1)
+        assert total() == len(readings_rows)
+        assert len(q.recentProgress) >= 2  # genuinely multiple ticks
+    finally:
+        q.stop()
+
+
 def test_compact_view_reduces_files_preserves_data(
     spark, sf_dir, readings_rows, tmp_path_factory
 ):
