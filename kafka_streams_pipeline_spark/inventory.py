@@ -1281,7 +1281,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@register("q_dedup_components", oracle=_dedup.components_oracle(0.8))
+@register("q_dedup_components", oracle=_dedup.components_oracle(0.8), bench=True)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: duplicate-group clustering — connected components over the
     MinHash pair graph by iterative min-label propagation; the oracle
@@ -1488,6 +1488,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_session_window",
+    bench=True,
     oracle="""
         WITH o AS (
             SELECT user_id, ts, value,
@@ -1579,6 +1580,7 @@ PRICE_BANDS: list[tuple[str, float, float]] = [
 
 @register(
     "q_range_band_join",
+    bench=True,
     oracle=f"""
         WITH bands(band, lo, hi) AS (VALUES {", ".join(
             f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})

@@ -228,7 +228,7 @@ def minhash_near_dup_pairs(
     m documents yields m·(m−1)/2 candidate pairs, so one frequent
     near-boilerplate band (the skew hazard noted in the module
     docstring) can dominate the whole job at corpus scale. Buckets
-    larger than the cap are DROPPED before the self-join, bounding
+    larger than the cap are DROPPED before pair generation, bounding
     per-key work at cap²/2. Recall trade-off: a true near-dup pair is
     lost only if EVERY band that contains it overflows — with 4
     bands, pairs inside hot boilerplate clusters may be missed; those
@@ -243,22 +243,30 @@ def minhash_near_dup_pairs(
     bands = sig.select(
         "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
     )
+    # ONE shuffle on bk: gather each bucket's doc ids, apply the cap
+    # as a post-aggregate filter (free — same aggregate), and emit the
+    # ordered pairs in-group with higher-order functions. This
+    # replaces the bands⋈bands self-join (which shuffles the band
+    # table twice) and the separate count-agg the cap would otherwise
+    # need. Bucket arrays are ≤ cap elements, so collect_list state
+    # stays bounded per key.
+    grouped = bands.groupBy("bk").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     if bucket_cap is not None:
-        # Partial+final count per band key, then inner-join back: both
-        # stages shuffle on bk — the same key the self-join needs, so
-        # AQE reuses the exchange; the skewed key never reaches the
-        # quadratic join.
-        ok = (
-            bands.groupBy("bk")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= bucket_cap)
-            .select("bk")
-        )
-        bands = bands.join(ok, "bk")
-    a, b = bands.alias("a"), bands.alias("b")
+        grouped = grouped.where(F.size("ids") <= bucket_cap)
     cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grouped.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
