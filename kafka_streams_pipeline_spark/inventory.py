@@ -1447,6 +1447,98 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_media_image_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+            FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, w, h, k,
+                   (doc_id * 17 + k * 29) % 256 AS v
+            FROM base, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id                 AS asset_id,
+               w                      AS width,
+               h                      AS height,
+               CAST(24 AS BIGINT)     AS bits_per_pixel,
+               CAST(w * h AS BIGINT)  AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                 AS peak
+        FROM comps
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real image decode kernel: genuine 24-bit Windows BMP
+    payloads (bottom-up rows, 4-byte padding) synthesized per
+    document, decoded by the stdlib BMP parser
+    (operators/multimodal.parse_bmp) inside mapInPandas — header
+    fields + exact integer pixel stats. ``weighted_sum`` weights each
+    component by its logical linear index, so a parser that
+    mishandles the row flip or padding cannot hash-match. The oracle
+    recomputes everything from the pixel recurrence in pure SQL."""
+    bmp = _mm.bmp_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_bmp(bmp)
+
+
+@register(
+    "q_media_image_resize",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id,
+                   (Y * 3 + X) * 3 + c AS k,
+                   (doc_id * 17 +
+                    ((Y * h // 3 * w + X * w // 3) * 3 + c) * 29) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, 2)) AS tx(X),
+                 unnest(generate_series(0, 2)) AS ty(Y),
+                 unnest(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id                AS asset_id,
+               CAST(3 AS BIGINT)     AS width,
+               CAST(3 AS BIGINT)     AS height,
+               CAST(9 AS BIGINT)     AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                AS peak
+        FROM grid
+        GROUP BY doc_id
+    """,
+)
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real image resize: BMP decode → nearest-neighbor 3×3
+    downsample (out (X, Y) ← in (X*w // 3, Y*h // 3)) → BMP re-encode
+    → decode again for stats. Certifies the full decode/transform/
+    re-encode loop: the oracle replicates the floor-index sampling
+    over the pixel recurrence, so a hash match proves both parse and
+    encode are byte-correct. Two chained mapInPandas stages, zero
+    shuffles — payloads never leave their partition."""
+    bmp = _mm.bmp_from_documents(_t(spark, sf_dir, "documents"))
+    small = _mm.resize_bmp(bmp, width=3, height=3)
+    return _mm.decode_bmp(small, payload_col="resized").select(
+        "asset_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "weighted_sum",
+        "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window-kind capabilities beyond the reference's tumbling-only T2
 # (SURVEY.md §2.8: "Spark also has sliding + session_window for free")

@@ -8,10 +8,15 @@ tested. Decode status:
 - **audio: REAL** — ``decode_wav`` is a stdlib-only RIFF/WAVE chunk
   walker + PCM16 sample decoder (struct + numpy, no codec libs), fed
   by genuine WAV payloads from ``wav_from_documents``.
-- image resize / video frame-sample: STUBBED (PIL/ffmpeg are not in
-  this container): ``decode_stub="fake"`` → deterministic fake
-  output (tests); ``decode_stub="raise"`` → NotImplementedError
-  naming the needed lib.
+- **image: REAL** — ``decode_bmp`` is a stdlib-only Windows BMP
+  (BITMAPINFOHEADER, 24-bit) parser that honors bottom-up row order
+  and 4-byte row padding, fed by genuine BMP payloads from
+  ``bmp_from_documents``; ``resize_bmp`` is a real nearest-neighbor
+  resize over the decoded pixel grid (numpy), re-encoded as BMP.
+- compressed formats (JPEG/PNG/MP4) / video frame-sample: STUBBED
+  (PIL/ffmpeg are not in this container): ``decode_stub="fake"`` →
+  deterministic fake output (tests); ``decode_stub="raise"`` →
+  NotImplementedError naming the needed lib.
 
 Design for 100 TB: payloads never shuffle — metadata extraction is a
 narrow mapInPandas; anything aggregate-shaped first projects payload
@@ -346,4 +351,162 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .alias("media_type"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+# --- Real image decode: stdlib Windows BMP (24-bit) parser ------------------
+
+
+def _bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a standard bottom-up
+    24-bit Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER). Rows
+    are padded to 4-byte boundaries exactly as the format requires,
+    so parsers must handle both the padding and the row flip."""
+    h, w, _ = pixels.shape
+    row_stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - w * 3)
+    body = b"".join(pixels[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return file_header + info + body
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse one 24-bit BMP payload → (width, height, bpp, pixels).
+
+    A real (if minimal) BMP reader: validates the 'BM' magic, reads
+    both headers, honors the pixel-array offset, strips per-row
+    padding, and un-flips bottom-up storage (positive biHeight) so
+    the returned (h, w, 3) array is in logical top-down order with
+    components in stored (B, G, R) order. stdlib+numpy only — this is
+    the decode kernel itself, not a stub."""
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    header_size, w, h_raw = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if header_size < 40 or planes != 1 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}-bit")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    row_stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_stride, offset=data_offset
+    ).reshape(h, row_stride)[:, : w * 3]
+    pixels = raw.reshape(h, w, 3)
+    if bottom_up:
+        pixels = pixels[::-1]
+    return w, h, bpp, np.ascontiguousarray(pixels)
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bits_per_pixel", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+        StructField("weighted_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas image decode: BMP header fields + exact integer
+    pixel stats per asset. ``weighted_sum`` weights each component by
+    its logical top-down linear index k = (y*w + x)*3 + c, so a
+    parser that mishandles row order or padding produces a different
+    number even when the plain channel sums collide. All stats stay
+    integral — order-independent and oracle-exact; payloads never
+    leave their partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in BMP_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                w, h, bpp, px = parse_bmp(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bits_per_pixel"].append(bpp)
+                rows["n_pixels"].append(w * h)
+                for c in range(3):
+                    rows[f"sum_c{c}"].append(int(flat[c::3].sum()))
+                rows["weighted_sum"].append(
+                    int((flat * np.arange(len(flat), dtype=np.int64)).sum())
+                )
+                rows["peak"].append(int(flat.max()) if len(flat) else 0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def resize_bmp(
+    df: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize: parse the BMP, nearest-neighbor sample the
+    pixel grid (out pixel (X, Y) ← in pixel (X*w // W, Y*h // H) —
+    the floor-index convention an oracle can replicate exactly),
+    re-encode as BMP. Pure stdlib+numpy; 1 row → 1 row; payloads stay
+    partition-local."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "width": [], "height": [], "resized": []}
+            for aid, mtype, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf[payload_col]
+            ):
+                w, h, _, px = parse_bmp(bytes(payload))
+                xs = (np.arange(width) * w) // width
+                ys = (np.arange(height) * h) // height
+                out["asset_id"].append(aid)
+                out["media_type"].append(mtype)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized"].append(_bmp_bytes(px[np.ix_(ys, xs)]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def bmp_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine 24-bit BMP payloads from the documents
+    fixture: per doc, a (doc_id % 7 + 2) × (doc_id % 5 + 2) image
+    whose component at logical linear index k is
+    (doc_id*17 + k*29) mod 256. Standard BMP encoding (bottom-up,
+    padded rows) makes the parser walk real structure; the recurrence
+    makes every decoded stat recomputable exactly in the DuckDB
+    oracle via generate_series."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 5 + 2, did % 7 + 2
+                k = np.arange(h * w * 3, dtype=np.int64)
+                px = ((did * 17 + k * 29) % 256).astype(np.uint8).reshape(h, w, 3)
+                out["asset_id"].append(did)
+                out["media_type"].append("image")
+                out["payload"].append(_bmp_bytes(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("media_type", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
     )

@@ -8,6 +8,8 @@ these tests assert the SEMANTIC properties the hashes can't express
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import Row
@@ -363,3 +365,62 @@ def test_interval_join_boundaries(spark, sf_dir):
     ]
     out = interval_click_attribution(spark.createDataFrame(rows)).collect()
     assert [(r["p_id"], r["n_clicks_10m"]) for r in out] == [(1, 1)]
+
+
+def test_bmp_round_trip_and_rejects_garbage():
+    """_bmp_bytes → parse_bmp is pixel-exact across widths that need
+    0/1/2/3 bytes of row padding; malformed payloads raise."""
+    for w, h in [(2, 3), (3, 2), (4, 1), (5, 4), (6, 7), (1, 1)]:
+        k = np.arange(h * w * 3, dtype=np.int64)
+        px = ((k * 29 + 5) % 256).astype(np.uint8).reshape(h, w, 3)
+        w2, h2, bpp, px2 = multimodal.parse_bmp(multimodal._bmp_bytes(px))
+        assert (w2, h2, bpp) == (w, h, 24)
+        assert np.array_equal(px2, px)
+    with pytest.raises(ValueError, match="BMP"):
+        multimodal.parse_bmp(b"PNG????not a bmp" + b"\x00" * 60)
+
+
+def test_bmp_parser_unflips_bottom_up_rows():
+    """A parser that forgets the bottom-up row flip returns the rows
+    reversed — this fixture makes row order observable."""
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, :, :] = 10  # logical top row
+    px[1, :, :] = 200  # logical bottom row
+    _, _, _, decoded = multimodal.parse_bmp(multimodal._bmp_bytes(px))
+    assert decoded[0, 0, 0] == 10 and decoded[1, 0, 0] == 200
+    # the stored byte order is the flip: bottom row first on disk
+    payload = multimodal._bmp_bytes(px)
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    assert payload[data_offset] == 200
+
+
+def test_bmp_decode_pipeline(docs):
+    """bmp_from_documents → decode_bmp: stats match the pixel
+    recurrence exactly (including the index-weighted checksum)."""
+    bmp = multimodal.bmp_from_documents(docs.limit(40))
+    rows = {r.asset_id: r for r in multimodal.decode_bmp(bmp).collect()}
+    assert len(rows) == 40
+    for did, r in rows.items():
+        w, h = did % 5 + 2, did % 7 + 2
+        k = np.arange(h * w * 3, dtype=np.int64)
+        v = (did * 17 + k * 29) % 256
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert [r.sum_c0, r.sum_c1, r.sum_c2] == [
+            int(v[c::3].sum()) for c in range(3)
+        ]
+        assert r.weighted_sum == int((k * v).sum())
+        assert r.peak == int(v.max())
+
+
+def test_bmp_resize_matches_numpy_sampling(docs):
+    """resize_bmp output equals direct numpy nearest-neighbor
+    sampling of the source grid, after a full BMP re-encode/decode."""
+    bmp = multimodal.bmp_from_documents(docs.limit(12))
+    out = {r.asset_id: r for r in multimodal.resize_bmp(bmp, width=3, height=3).collect()}
+    src = {r.asset_id: bytes(r.payload) for r in bmp.collect()}
+    for aid, r in out.items():
+        w, h, _, px = multimodal.parse_bmp(src[aid])
+        xs = (np.arange(3) * w) // 3
+        ys = (np.arange(3) * h) // 3
+        _, _, _, got = multimodal.parse_bmp(bytes(r.resized))
+        assert np.array_equal(got, px[np.ix_(ys, xs)])
