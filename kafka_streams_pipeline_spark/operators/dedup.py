@@ -356,13 +356,14 @@ def dedup_components(
         if changed == 0:
             break
     if changed != 0:
-        # An unconverged labeling is WRONG (components would disagree
-        # with the transitive closure) — fail loudly, never return it.
-        raise RuntimeError(
-            f"dedup_components did not converge within max_iter={max_iter} "
-            "rounds; raise max_iter (label propagation needs at most the "
-            "graph diameter, so deep near-dup chains are the cause)"
-        )
+        # Label propagation needs diameter-many rounds, so a deep
+        # near-dup chain can exhaust max_iter. An unconverged labeling
+        # is WRONG (it would disagree with the transitive closure) —
+        # fail over to the alternating large-star/small-star
+        # algorithm, whose round count is O(log n) regardless of
+        # diameter. Same fixpoint, so the answer is unchanged.
+        labels.unpersist()
+        labels = connected_components_alternating(pairs)
     edges.unpersist()
     connected = labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("component")
@@ -371,6 +372,103 @@ def dedup_components(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+
+
+def connected_components_alternating(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components via the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public literature): each round
+    rewires every node toward the minimum of its neighborhood, and
+    the edge set provably converges to per-component stars in
+    O(log n) rounds — independent of graph diameter, unlike plain
+    label propagation. This is the 100 TB path for pathological
+    near-dup chains.
+
+    Input: (id_a, id_b) undirected pairs. Output: (node, comp) for
+    every node incident to an edge, comp = component minimum.
+
+    Per round: two groupBy-aggregate passes over the current edge
+    set. Neighborhoods are gathered with collect_set; degrees shrink
+    geometrically as stars form, and in the dedup pipeline input
+    degree is already bounded by the LSH bucket cap, so aggregate
+    state stays small. Convergence is detected with an
+    order-independent edge-set checksum (count + xxhash64 bit_xor;
+    edges are distinct, so XOR cancellation cannot occur) —
+    no extra join, just one tiny aggregate per round."""
+    # localCheckpoint (not persist): each round's output becomes the
+    # next round's input, so the logical plan would otherwise grow
+    # linearly with rounds and Catalyst re-analysis would come to
+    # dominate wall-clock. Checkpointing truncates lineage per round
+    # (on a cluster with an HDFS checkpoint dir, df.checkpoint() is
+    # the durable equivalent).
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        # Large-star: group the SYMMETRIC neighborhood of each node u;
+        # attach every larger neighbor to m = min(N(u) ∪ {u}).
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr = both.groupBy("u").agg(F.array_sort(F.collect_set("v")).alias("nb"))
+        large = (
+            nbr.select(
+                F.col("u"),
+                F.least(F.col("u"), F.element_at("nb", 1)).alias("m"),
+                F.explode(F.expr("filter(nb, x -> x > u)")).alias("w"),
+            )
+            .where(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # Small-star: orient edges larger→smaller, group by the large
+        # end; attach u and all its smaller neighbors to the minimum.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nbr2 = oriented.groupBy("u").agg(
+            F.array_sort(F.collect_set("v")).alias("nb")
+        )
+        small = (
+            nbr2.select(
+                F.element_at("nb", 1).alias("m"),
+                F.explode(F.expr("array_append(nb, u)")).alias("w"),
+            )
+            .where(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(small)
+        e = small
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_alternating did not converge within "
+            f"max_iter={max_iter} rounds (needs O(log n); this indicates "
+            "a bug or an extraordinarily large component count)"
+        )
+    # Fixpoint edges are stars (node → component min). Roots appear
+    # only on the v side; they label themselves.
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    return nodes.union(roots).groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 def components_oracle(threshold: float = 0.8) -> str:

@@ -424,3 +424,36 @@ def test_bmp_resize_matches_numpy_sampling(docs):
         ys = (np.arange(3) * h) // 3
         _, _, _, got = multimodal.parse_bmp(bytes(r.resized))
         assert np.array_equal(got, px[np.ix_(ys, xs)])
+
+
+def test_alternating_components_deep_chain(spark):
+    """Large-star/small-star converges on a diameter-60 path in
+    O(log n) rounds — the case where plain label propagation needs
+    60 rounds."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    res = {r.node: r.comp for r in dedup.connected_components_alternating(chain).collect()}
+    assert len(res) == 61
+    assert set(res.values()) == {0}
+
+
+def test_alternating_components_mixed_graph(spark):
+    """Stars, triangles, reversed/duplicate/self edges all resolve to
+    the component minimum."""
+    edges = [(10, 11), (11, 12), (12, 13), (50, 51), (51, 52), (50, 52),
+             (7, 99), (99, 7), (4, 4), (5, 3), (3, 5)]
+    res = {r.node: r.comp for r in dedup.connected_components_alternating(
+        spark.createDataFrame(edges, ["id_a", "id_b"])).collect()}
+    assert res == {10: 10, 11: 10, 12: 10, 13: 10,
+                   50: 50, 51: 50, 52: 50, 7: 7, 99: 7, 3: 3, 5: 3}
+
+
+def test_dedup_components_fails_over_to_alternating(docs):
+    """With max_iter too small for label propagation to converge, the
+    operator must fail over to the alternating algorithm and still
+    return the exact transitive-closure labels."""
+    sample = docs.limit(120)
+    want = {r.doc_id: r.component
+            for r in dedup.dedup_components(sample, max_iter=25).collect()}
+    got = {r.doc_id: r.component
+           for r in dedup.dedup_components(sample, max_iter=1).collect()}
+    assert got == want
