@@ -1487,6 +1487,52 @@ def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_video_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 4 + 2 AS nf,
+                   doc_id % 3 + 2 AS w,
+                   doc_id % 5 + 2 AS h
+            FROM documents
+        ),
+        sampled AS (
+            SELECT doc_id, nf, w, h, f
+            FROM base, unnest(generate_series(0, nf - 1)) AS tf(f)
+            WHERE f % 2 = 0
+        ),
+        comps AS (
+            SELECT doc_id, w, h, f, k,
+                   (doc_id * 23 + f * 101 + k * 29) % 256 AS v
+            FROM sampled, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id            AS asset_id,
+               f                 AS frame_idx,
+               f * 40            AS frame_ts_ms,
+               w                 AS width,
+               h                 AS height,
+               CAST(sum(v) AS BIGINT)     AS sum_px,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)            AS peak
+        FROM comps
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real video frame-sampling kernel: genuine uncompressed AVI
+    containers (RIFF nested-LIST structure, '00db' DIB frames)
+    synthesized per document, parsed by the stdlib AVI reader
+    (operators/multimodal.parse_avi) inside mapInPandas; every 2nd
+    frame sampled with exact integer pixel stats. frame_ts_ms derives
+    from the container's own dwMicroSecPerFrame (25 fps → 40 ms/
+    frame), so the oracle's f*40 certifies the header was actually
+    read. 1 video row → ceil(nf/2) frame rows — the row-expanding
+    Arrow batch shape."""
+    avi = _mm.avi_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.sample_avi_frames(avi, stride=2)
+
+
+@register(
     "q_media_image_resize",
     oracle="""
         WITH base AS (

@@ -13,10 +13,15 @@ tested. Decode status:
   and 4-byte row padding, fed by genuine BMP payloads from
   ``bmp_from_documents``; ``resize_bmp`` is a real nearest-neighbor
   resize over the decoded pixel grid (numpy), re-encoded as BMP.
-- compressed formats (JPEG/PNG/MP4) / video frame-sample: STUBBED
-  (PIL/ffmpeg are not in this container): ``decode_stub="fake"`` →
-  deterministic fake output (tests); ``decode_stub="raise"`` →
-  NotImplementedError naming the needed lib.
+- **video: REAL** — ``parse_avi`` is a stdlib-only uncompressed-AVI
+  reader (recursive RIFF LIST walk, 24-bit DIB frame decode) fed by
+  genuine AVI payloads from ``avi_from_documents``;
+  ``sample_avi_frames`` does stride frame-sampling with timestamps
+  from the container's own dwMicroSecPerFrame.
+- compressed formats (JPEG/PNG/MP4/H.264): STUBBED (PIL/ffmpeg are
+  not in this container): ``decode_stub="fake"`` → deterministic
+  fake output (tests); ``decode_stub="raise"`` → NotImplementedError
+  naming the needed lib.
 
 Design for 100 TB: payloads never shuffle — metadata extraction is a
 narrow mapInPandas; anything aggregate-shaped first projects payload
@@ -498,6 +503,187 @@ def bmp_from_documents(docs: DataFrame) -> DataFrame:
                 out["asset_id"].append(did)
                 out["media_type"].append("image")
                 out["payload"].append(_bmp_bytes(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("media_type", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+# --- Real video frame-sampling: stdlib uncompressed AVI (RIFF) parser -------
+
+AVI_US_PER_FRAME = 40_000  # 25 fps
+
+
+def _avi_bytes(frames: np.ndarray, us_per_frame: int = AVI_US_PER_FRAME) -> bytes:
+    """Serialize an (nf, h, w, 3) uint8 array as a standard
+    uncompressed AVI: RIFF 'AVI ' → LIST hdrl (avih + LIST strl with
+    'vids'/'DIB ' headers) → LIST movi with one '00db' DIB chunk per
+    frame (bottom-up rows, 4-byte padded — the same layout as BMP
+    pixel arrays). A real container: parsers must recurse into LIST
+    chunks and honor sizes/alignment to find the frames."""
+    nf, h, w, _ = frames.shape
+    row_stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - w * 3)
+    dibs = [
+        b"".join(f[y].tobytes() + pad for y in range(h - 1, -1, -1)) for f in frames
+    ]
+    frame_size = h * row_stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, frame_size * 1_000_000 // us_per_frame, 0, 0,
+        nf, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, us_per_frame, 1_000_000, 0, nf,
+        frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    return struct.pack("<4sI", b"RIFF", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """Parse one uncompressed AVI payload → (width, height,
+    us_per_frame, frames), each frame an (h, w, 3) top-down array.
+
+    A real (if minimal) AVI reader: validates RIFF/'AVI ' magic,
+    recursively walks LIST chunks honoring sizes + word alignment,
+    reads geometry from 'avih', requires 24-bit uncompressed 'strf',
+    and un-flips each bottom-up padded '00db' DIB frame. stdlib+numpy
+    only — this is the decode kernel itself, not a stub."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    geo: dict = {}
+    dibs: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type
+            elif cid == b"avih":
+                us, _, _, _, nf, _, _, _, w, h = struct.unpack(
+                    "<10I", payload[body_start : body_start + 40]
+                )
+                geo.update(us_per_frame=us, n_frames=nf, w=w, h=h)
+            elif cid == b"strf":
+                bpp = struct.unpack("<H", payload[body_start + 14 : body_start + 16])[0]
+                compression = struct.unpack(
+                    "<I", payload[body_start + 16 : body_start + 20]
+                )[0]
+                if bpp != 24 or compression != 0:
+                    raise ValueError("only uncompressed 24-bit AVI supported")
+            elif cid == b"00db":
+                dibs.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if not geo or not dibs:
+        raise ValueError("missing avih/movi content")
+    w, h = geo["w"], geo["h"]
+    row_stride = (w * 3 + 3) & ~3
+    frames = [
+        np.ascontiguousarray(
+            np.frombuffer(d, dtype=np.uint8, count=h * row_stride)
+            .reshape(h, row_stride)[:, : w * 3]
+            .reshape(h, w, 3)[::-1]
+        )
+        for d in dibs
+    ]
+    return w, h, geo["us_per_frame"], frames
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("weighted_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def sample_avi_frames(
+    df: DataFrame, stride: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, keep every
+    ``stride``-th frame, emit exact integer pixel stats per sampled
+    frame (1 video row → ceil(nf/stride) frame rows). frame_ts_ms
+    comes from the container's dwMicroSecPerFrame — real timing
+    metadata, not an assumed constant. The index-weighted checksum
+    makes frame-order or row-flip mistakes observable. Payloads stay
+    partition-local; only small typed rows leave the operator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_FRAME_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                w, h, us, frames = parse_avi(bytes(payload))
+                for idx in range(0, len(frames), stride):
+                    flat = frames[idx].reshape(-1).astype(np.int64)
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(idx * us // 1000)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_px"].append(int(flat.sum()))
+                    rows["weighted_sum"].append(
+                        int((flat * np.arange(len(flat), dtype=np.int64)).sum())
+                    )
+                    rows["peak"].append(int(flat.max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
+def avi_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine uncompressed AVI payloads from the documents
+    fixture: per doc, nf = doc_id % 4 + 2 frames of (doc_id % 5 + 2) ×
+    (doc_id % 3 + 2) pixels whose component at logical linear index k
+    in frame f is (doc_id*23 + f*101 + k*29) mod 256. Standard AVI
+    encoding makes the parser walk real nested-LIST structure; the
+    recurrence makes every sampled-frame stat recomputable exactly in
+    the DuckDB oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = did % 4 + 2, did % 3 + 2, did % 5 + 2
+                k = np.arange(h * w * 3, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        ((did * 23 + f * 101 + k * 29) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w, 3)
+                        for f in range(nf)
+                    ]
+                )
+                out["asset_id"].append(did)
+                out["media_type"].append("video")
+                out["payload"].append(_avi_bytes(frames))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(

@@ -457,3 +457,41 @@ def test_dedup_components_fails_over_to_alternating(docs):
     got = {r.doc_id: r.component
            for r in dedup.dedup_components(sample, max_iter=1).collect()}
     assert got == want
+
+
+def test_avi_round_trip_and_rejects_garbage():
+    """_avi_bytes → parse_avi is frame-exact (nested LIST walking,
+    DIB un-flip, word alignment); malformed payloads raise."""
+    k = np.arange(3 * 4 * 3, dtype=np.int64)
+    frames = np.stack(
+        [((f * 101 + k * 29) % 256).astype(np.uint8).reshape(3, 4, 3) for f in range(5)]
+    )
+    w, h, us, got = multimodal.parse_avi(multimodal._avi_bytes(frames))
+    assert (w, h, us, len(got)) == (4, 3, 40000, 5)
+    for f in range(5):
+        assert np.array_equal(got[f], frames[f])
+    with pytest.raises(ValueError, match="AVI"):
+        multimodal.parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_frame_sampling_pipeline(docs):
+    """avi_from_documents → sample_avi_frames(stride=2): sampled
+    indices, container-derived timestamps, and exact stats match the
+    generation recurrence."""
+    avi = multimodal.avi_from_documents(docs.limit(20))
+    rows = [r.asDict() for r in multimodal.sample_avi_frames(avi, stride=2).collect()]
+    by_doc: dict[int, list[dict]] = {}
+    for r in rows:
+        by_doc.setdefault(r["asset_id"], []).append(r)
+    assert len(by_doc) == 20
+    for did, fr in by_doc.items():
+        nf, w, h = did % 4 + 2, did % 3 + 2, did % 5 + 2
+        assert sorted(r["frame_idx"] for r in fr) == list(range(0, nf, 2))
+        for r in fr:
+            k = np.arange(h * w * 3, dtype=np.int64)
+            v = (did * 23 + r["frame_idx"] * 101 + k * 29) % 256
+            assert r["frame_ts_ms"] == r["frame_idx"] * 40
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_px"] == int(v.sum())
+            assert r["weighted_sum"] == int((k * v).sum())
+            assert r["peak"] == int(v.max())
