@@ -1697,6 +1697,79 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.term_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("q_repetition_stats", oracle=_text.repetition_stats_oracle())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (Gopher-style repetition signals): top-token mass fraction
+    + duplicated-bigram fraction per document — the public
+    MassiveText boilerplate indicators, as per-row JVM higher-order
+    expressions (no shuffle, no Python)."""
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_heuristic_filter", oracle=_text.heuristic_filter_oracle())
+def q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (C4/Gopher-style quality gate): word-count bounds, mean
+    token length bounds, symbol ratio → keep flag + first failed rule.
+    The debuggable corpus-filter form: one per-row pass, no shuffle."""
+    return _text.heuristic_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*)    AS n_docs,
+               min(doc_id) AS first_id,
+               max(doc_id) AS last_id
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted id
+    hash — the reproducible way to partition a 100 TB corpus:
+    membership depends only on the id, so re-runs, retries, and
+    different partitionings assign every document identically, and
+    adding documents never reshuffles existing assignments (unlike
+    rand() or row_number splits). Per-(split, lang) counts certify
+    the stratification."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )
+
+
+@register("q_embed_quantize", oracle=_sim.quantize_embeddings_oracle())
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4: symmetric int8 scalar quantization of the embedding
+    column (scale = 127/max|v|, floor(x·scale + 0.5)) with
+    integer-only summary stats so the oracle match is exact. The
+    compression step before any large-scale ANN index build."""
+    return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 @register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 / ingest loop: anti-join a new batch (source src0) against

@@ -374,3 +374,66 @@ def nearest_pairs_oracle(top_n: int = 20) -> str:
         ORDER BY cos_sim DESC, id_a, id_b
         LIMIT {top_n}
     """
+
+
+def quantize_embeddings(df: DataFrame) -> DataFrame:
+    """X3/X4 (embedding compression): symmetric int8 scalar
+    quantization — the standard first step before shipping vectors to
+    an ANN index at corpus scale (4× smaller than float32, 8× smaller
+    than float64). Per vector: scale = 127 / max|v|, q_i =
+    floor(v_i·scale + 0.5). All summary stats are integers so the
+    oracle match is exact (float32→double widening is exact, and
+    every arithmetic step is per-element — no reassociation). Pure
+    per-row JVM expressions; zero shuffles."""
+    return (
+        df.withColumn(
+            "mx", F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+        )
+        .withColumn("scale", F.expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END"))
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(floor(cast(x as double) * scale + 0.5) as bigint))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr("size(q)").cast("long").alias("dim"),
+            F.round("scale", 6).alias("scale6"),
+            F.expr("array_min(q)").alias("q_min"),
+            F.expr("array_max(q)").alias("q_max"),
+            F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+            F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        )
+    )
+
+
+def quantize_embeddings_oracle() -> str:
+    return """
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END AS scale,
+                   embedding
+            FROM m
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT)       AS dim,
+               round(scale, 6)               AS scale6,
+               list_min(qv)                  AS q_min,
+               list_max(qv)                  AS q_max,
+               CAST(list_sum([abs(x) FOR x IN qv]) AS BIGINT) AS q_l1,
+               CAST(list_sum(qv) AS BIGINT)  AS q_sum
+        FROM q
+    """

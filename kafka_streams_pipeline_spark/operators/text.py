@@ -382,3 +382,145 @@ def term_stats_oracle() -> str:
             GROUP BY term
         )
     """
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 (Gopher-style repetition signals): per-doc fraction of mass
+    in the most frequent token and fraction of duplicated bigrams —
+    the two classic boilerplate/low-quality indicators from the
+    public Gopher/MassiveText filtering recipe. Pure per-row JVM
+    higher-order functions: no shuffle, no Python. The per-row
+    top-token scan is O(distinct·n) on a bounded document — CPU-bound
+    map work that scales embarrassingly."""
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn(
+            "bg",
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i + 1]))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                """
+                round(array_max(transform(array_distinct(toks),
+                      d -> size(filter(toks, x -> x = d))))
+                      / size(toks), 6)
+                """
+            ).alias("top_token_frac"),
+            F.expr(
+                """
+                round(CASE WHEN size(bg) > 0
+                      THEN 1.0 - size(array_distinct(bg)) / size(bg)
+                      ELSE 0.0 END, 6)
+                """
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle() -> str:
+    return """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        b AS (
+            SELECT doc_id, toks,
+                   [toks[i] || ' ' || toks[i + 1]
+                    FOR i IN range(1, len(toks))] AS bg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(list_max([len(list_filter(toks, x -> x = d))
+                               FOR d IN list_distinct(toks)])
+                     * 1.0 / len(toks), 6) AS top_token_frac,
+               round(CASE WHEN len(bg) > 0
+                     THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                     ELSE 0.0 END, 6) AS dup_bigram_frac
+        FROM b
+    """
+
+
+# C4/Gopher-style heuristic gate thresholds (public recipe shapes;
+# tuned to be discriminative on the synthetic corpus).
+FILTER_MIN_TOKENS = 5
+FILTER_MAX_TOKENS = 1_000
+FILTER_MIN_MEAN_LEN = 2.0
+FILTER_MAX_MEAN_LEN = 12.0
+FILTER_MAX_SYMBOL_RATIO = 0.1
+
+
+def heuristic_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 (C4/Gopher-style quality gate): word-count bounds, mean
+    token length bounds, and symbol-to-char ratio, combined into a
+    keep flag plus the first failed rule (the debuggable form every
+    corpus pipeline wants). One pass of per-row JVM expressions."""
+    t = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("wc", F.expr("size(toks)"))
+        .withColumn(
+            "mean_len",
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x)) / size(toks)"),
+        )
+        .withColumn(
+            "sym_ratio",
+            F.expr(
+                f"length(regexp_replace(lower({text_col}), '[a-z0-9 ]', ''))"
+                f" / length({text_col})"
+            ),
+        )
+    )
+    reason = F.expr(
+        f"""
+        CASE WHEN wc < {FILTER_MIN_TOKENS} THEN 'too_short'
+             WHEN wc > {FILTER_MAX_TOKENS} THEN 'too_long'
+             WHEN mean_len < {FILTER_MIN_MEAN_LEN} THEN 'short_words'
+             WHEN mean_len > {FILTER_MAX_MEAN_LEN} THEN 'long_words'
+             WHEN sym_ratio > {FILTER_MAX_SYMBOL_RATIO} THEN 'symbol_heavy'
+             ELSE NULL END
+        """
+    )
+    return t.select(
+        "doc_id",
+        F.col("wc").cast("long").alias("n_tokens"),
+        F.round("mean_len", 6).alias("mean_token_len"),
+        F.round("sym_ratio", 6).alias("symbol_ratio"),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def heuristic_filter_oracle() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS wc,
+                   list_sum([length(x) FOR x IN string_split(text, ' ')])
+                       * 1.0 / len(string_split(text, ' ')) AS mean_len,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       * 1.0 / length(text) AS sym_ratio
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, wc, mean_len, sym_ratio,
+                   CASE WHEN wc < {FILTER_MIN_TOKENS} THEN 'too_short'
+                        WHEN wc > {FILTER_MAX_TOKENS} THEN 'too_long'
+                        WHEN mean_len < {FILTER_MIN_MEAN_LEN} THEN 'short_words'
+                        WHEN mean_len > {FILTER_MAX_MEAN_LEN} THEN 'long_words'
+                        WHEN sym_ratio > {FILTER_MAX_SYMBOL_RATIO} THEN 'symbol_heavy'
+                        ELSE NULL END AS drop_reason
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(wc AS BIGINT)    AS n_tokens,
+               round(mean_len, 6)    AS mean_token_len,
+               round(sym_ratio, 6)   AS symbol_ratio,
+               drop_reason,
+               drop_reason IS NULL   AS keep
+        FROM r
+    """

@@ -495,3 +495,55 @@ def test_avi_frame_sampling_pipeline(docs):
             assert r["sum_px"] == int(v.sum())
             assert r["weighted_sum"] == int((k * v).sum())
             assert r["peak"] == int(v.max())
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),
+            Row(doc_id=2, text="six completely different words here now"),
+        ]
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_bigram_frac > 0.7
+    assert out[2].top_token_frac < 0.2
+    assert out[2].dup_bigram_frac == 0.0
+
+
+def test_heuristic_filter_rules_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="ok ok ok ok ok this one is fine here"),
+            Row(doc_id=2, text="too few"),
+            Row(doc_id=3, text="a b c d e f g h i j"),  # 1-char words
+            Row(doc_id=4, text="%$#@! %$#@! &*()+ %$#@! ^^^^ !!!"),
+        ]
+    )
+    out = {r.doc_id: (r.keep, r.drop_reason) for r in text.heuristic_filter(df).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "too_short")
+    assert out[3] == (False, "short_words")
+    assert out[4][0] is False  # symbol-heavy (or short words first, per rule order)
+
+
+def test_hash_split_deterministic_and_total(docs):
+    from kafka_streams_pipeline_spark.inventory import QUERIES
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    a = {(r.split, r.lang): r.n_docs for r in QUERIES["q_hash_split"](docs.sparkSession, sf).collect()}
+    b = {(r.split, r.lang): r.n_docs for r in QUERIES["q_hash_split"](docs.sparkSession, sf).collect()}
+    assert a == b  # rerun-stable
+    total = sum(a.values())
+    assert total == docs.count()
+    train = sum(v for (s, _), v in a.items() if s == "train")
+    assert 0.7 < train / total < 0.9  # ~80%
+
+
+def test_quantize_embeddings_bounds(emb):
+    out = similarity.quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert max(abs(r.q_min), abs(r.q_max)) == 127 or r.scale6 == 1.0
+        assert r.q_l1 >= abs(r.q_sum)
