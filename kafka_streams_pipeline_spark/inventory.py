@@ -1066,6 +1066,118 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue,
+               epoch_ms(o_orderdate) AS o_orderdate_ms,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        HAVING sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) > 2000000
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-table join with both date
+    predicates pushed to their scans, the filtered customer dimension
+    broadcast, and a fixed-point revenue HAVING instead of a LIMIT
+    (LIMIT over revenue ties is engine-nondeterministic; a threshold
+    is exact). At scale: lineitem⋈orders shuffles on orderkey once,
+    customers never shuffle."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2000-03-15 00:00:00").cast("timestamp")
+    )
+    rev_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+    )
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_c.alias("rev_cents"))
+        .where(F.col("rev_cents") > 2_000_000)
+        .select(
+            "l_orderkey",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            # o_orderdate is midnight-valued TIMESTAMP_NTZ; unix_date on
+            # the DATE cast is timezone-free (unix_millis needs LTZ)
+            (F.unix_date(F.to_date("o_orderdate")).cast("long") * 86_400_000)
+            .alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: the 6-table join with
+    the c_nationkey = s_nationkey 'local' condition. Declarative form
+    lets Catalyst order the joins; supplier/nation/region (tiny) are
+    broadcast, so the only shuffles are the two fact-side equi-joins
+    (orders⋈customer on custkey, lineitem⋈orders on orderkey). The
+    local condition rides the supplier broadcast join as an extra
+    predicate — no additional shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q_promo_share",
     oracle="""
         SELECT round(100.0 * (sum(CASE WHEN p_type = 'PROMO'
