@@ -1809,6 +1809,18 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.term_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("q_dedup_components_alt", oracle=_dedup.components_oracle(0.8))
+def q_dedup_components_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the same duplicate-group clustering as q_dedup_components,
+    computed by the alternating large-star/small-star algorithm
+    (O(log n) rounds, diameter-independent — the 100 TB path for deep
+    near-dup chains). Certified by the identical recursive-CTE
+    oracle, so the driver proves both component strategies agree."""
+    return _dedup.dedup_components(
+        _t(spark, sf_dir, "documents"), algorithm="alternating"
+    )
+
+
 @register("q_repetition_stats", oracle=_text.repetition_stats_oracle())
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 (Gopher-style repetition signals): top-token mass fraction

@@ -292,6 +292,7 @@ def dedup_components(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """X2 (duplicate-group clustering): connected components over the
     MinHash near-dup pair graph — every document labeled with the
@@ -308,6 +309,19 @@ def dedup_components(
     as one SQL query without recursion; the DuckDB oracle uses a
     recursive CTE (components_oracle) to certify the fixpoint."""
     pairs = minhash_near_dup_pairs(df, text_col, threshold).select("id_a", "id_b")
+    if algorithm == "alternating":
+        # Diameter-independent path: go straight to large-star/
+        # small-star (O(log n) rounds). Same fixpoint as label
+        # propagation — both are certified by the same recursive-CTE
+        # oracle.
+        labels = connected_components_alternating(pairs, max_iter)
+        connected = labels.select(
+            F.col("node").alias(id_col), F.col("comp").alias("component")
+        )
+        return df.select(id_col).join(connected, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")

@@ -82,3 +82,30 @@ def test_snapshot_prefix_becomes_native_filter(spark, sf):
     # evaluated natively (pushed or in a codegen Filter) — no UDF
     assert "StartsWith" in plan or "startswith" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q5_filters_pushed_and_dims_broadcast(spark, sf):
+    plan = plan_of(QUERIES["q_local_supplier_volume"](spark, sf))
+    # all three selective predicates reach the parquet scans
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    # dimension sides broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at this SF everything hashes
+
+
+def test_per_row_extension_ops_have_no_exchange(spark, sf):
+    """Pure per-row operators must not shuffle: the whole point of
+    their 100 TB posture is that they are map-only."""
+    for name in ("q_embed_quantize", "q_repetition_stats", "q_heuristic_filter"):
+        plan = plan_of(QUERIES[name](spark, sf))
+        assert "Exchange" not in plan, name
+
+
+def test_hash_split_single_shuffle(spark, sf):
+    """Deterministic split: one exchange for the (split, lang)
+    aggregate, with map-side partial aggregation before it."""
+    plan = plan_of(QUERIES["q_hash_split"](spark, sf))
+    assert plan.count("- Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan
