@@ -334,7 +334,7 @@ def dedup_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     n_edges = edges.count()  # materialize once; reused every round
     # Label/neighbor frames are bounded by the candidate-pair graph —
@@ -350,6 +350,10 @@ def dedup_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("comp").alias("nmin"))
         )
+        # localCheckpoint: truncates the per-round lineage (plans
+        # otherwise grow linearly and Catalyst re-analysis dominates)
+        # and releases the previous round's blocks instead of
+        # accumulating cached copies across rounds.
         stepped = (
             labels.withColumnRenamed("comp", "old_comp")
             .join(hint(neighbor_min), "node", "left")
@@ -360,12 +364,11 @@ def dedup_components(
                     F.col("old_comp"), F.coalesce(F.col("nmin"), F.col("old_comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             stepped.where(F.col("comp") != F.col("old_comp")).limit(1).count()
         )
-        labels.unpersist()
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
@@ -376,7 +379,6 @@ def dedup_components(
         # fail over to the alternating large-star/small-star
         # algorithm, whose round count is O(log n) regardless of
         # diameter. Same fixpoint, so the answer is unchanged.
-        labels.unpersist()
         labels = connected_components_alternating(pairs)
     edges.unpersist()
     connected = labels.select(
