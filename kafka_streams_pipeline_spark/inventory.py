@@ -1894,6 +1894,27 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@register("q_pack_sequences", oracle=_text.pack_sequences_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: GPT-style concat-then-chunk sequence packing —
+    documents assigned to fixed-token-budget bins by prefix-sum
+    offset, windowed PER LANGUAGE so packing parallelizes across
+    streams instead of funneling through one global sort. Per-bin
+    doc counts and token mass are the packing-efficiency stats a
+    training-data pipeline reports."""
+    return _text.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register("q_mixture_sample", oracle=_text.mixture_sample_oracle())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: deterministic mixture weighting — per-source
+    salted-hash admission at two rates (80%/30%). Membership is a
+    pure function of the id, so the sample is identical under
+    re-runs, retries, and any partitioning; counts + kept-token mass
+    certify the realized rates."""
+    return _text.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
 @register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 / ingest loop: anti-join a new batch (source src0) against

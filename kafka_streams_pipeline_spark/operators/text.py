@@ -524,3 +524,115 @@ def heuristic_filter_oracle() -> str:
                drop_reason IS NULL   AS keep
         FROM r
     """
+
+
+PACK_CAPACITY = 256  # tokens per packed sequence
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str = "text", capacity: int = PACK_CAPACITY
+) -> DataFrame:
+    """North-star (sequence packing): concat-then-chunk assignment of
+    documents to fixed-token-budget training sequences — the
+    GPT-style packing rule. Documents are laid out in doc_id order
+    within each language stream; a document starts the bin its
+    cumulative token offset falls into: bin = floor((cumsum −
+    n_tokens) / capacity). Deterministic and engine-portable (no
+    greedy sequential state), and the window partitions by lang, so
+    at 100 TB each language stream packs in parallel — no global
+    sort, no single-partition window. Returns per-bin stats."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = F.expr(f"size(split({text_col}, ' '))").cast("long")
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin", ((F.col("cum") - F.col("n_tokens")) / capacity).cast("long")
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def pack_sequences_oracle(capacity: int = PACK_CAPACITY) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT lang,
+               CAST(floor((cum - n_tokens) / {capacity}) AS BIGINT) AS bin,
+               count(*)            AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               min(doc_id)         AS first_doc,
+               max(doc_id)         AS last_doc
+        FROM c
+        GROUP BY 1, 2
+    """
+
+
+# Per-source sampling rates (per-mille) for the mixture demo: even
+# sources kept at 80%, odd at 30% — a two-tier quality mixture.
+def _mixture_rate_sql(src: str) -> str:
+    return f"CASE WHEN CAST(substring({src}, 4) AS INT) % 2 = 0 THEN 800 ELSE 300 END"
+
+
+def mixture_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """North-star (mixture weighting): deterministic per-source
+    downsampling — accept a document iff salted_hash(id) mod 1000 <
+    rate(source). The reproducible way to hit target mixture
+    proportions across a 100 TB corpus: membership is a pure function
+    of (id, source tier), so re-runs and retries keep identical
+    samples and rates compose with any partitioning. Per-source
+    admitted counts + kept-token mass certify the rates."""
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+
+    rate = F.expr(_mixture_rate_sql("source"))
+    bucket = md5_long(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))) % 1000
+    return (
+        df.withColumn("admit", bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("admit").cast("long")).alias("n_admitted"),
+            F.sum(
+                F.when(F.col("admit"), F.expr("size(split(text, ' '))")).otherwise(0)
+            ).cast("long").alias("admitted_tokens"),
+        )
+    )
+
+
+def mixture_sample_oracle() -> str:
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long_sql
+
+    bucket = md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   ({bucket}) % 1000 < ({_mixture_rate_sql("source")}) AS admit
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_admitted,
+               CAST(sum(CASE WHEN admit THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS admitted_tokens
+        FROM t
+        GROUP BY source
+    """

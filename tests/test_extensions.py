@@ -547,3 +547,34 @@ def test_quantize_embeddings_bounds(emb):
         assert -127 <= r.q_min <= r.q_max <= 127
         assert max(abs(r.q_min), abs(r.q_max)) == 127 or r.scale6 == 1.0
         assert r.q_l1 >= abs(r.q_sum)
+
+
+def test_pack_sequences_bins_respect_offsets(docs):
+    """Each lang's bins tile the cumulative token stream: bin token
+    totals sum to the stream total, first bins are (near-)full, and
+    bin ids are the prefix-sum offsets divided by capacity."""
+    out = text.pack_sequences(docs, capacity=256).collect()
+    toks = {
+        r.lang: r.total
+        for r in docs.selectExpr("lang", "size(split(text, ' ')) AS n")
+        .groupBy("lang").agg(F.sum("n").alias("total")).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(toks)
+    for lang, bins in by_lang.items():
+        assert sum(r.bin_tokens for r in bins) == toks[lang]
+        ids = sorted(r.bin for r in bins)
+        assert ids[0] == 0 and ids == list(range(len(ids)))  # contiguous
+
+
+def test_mixture_sample_tiers(docs):
+    out = {r.source: r for r in text.mixture_sample(docs).collect()}
+    even = [r.n_admitted / r.n_total for s, r in out.items()
+            if int(s[3:]) % 2 == 0]
+    odd = [r.n_admitted / r.n_total for s, r in out.items()
+           if int(s[3:]) % 2 == 1]
+    # realized rates track the 80% / 30% tiers
+    assert min(even) > max(odd)
+    assert all(r.n_admitted <= r.n_total for r in out.values())
