@@ -306,3 +306,59 @@ def test_streaming_session_window(spark, sf_dir, readings_rows, tmp_path_factory
     )
     want = {(r["sensorId"], r["start"]): r["n"] for r in batch_df.collect()}
     assert got == want
+
+
+def test_corpus_filters_run_under_streaming(spark, sf_dir, tmp_path_factory):
+    """Batch/stream unification for the per-row corpus operators:
+    heuristic_filter and repetition_stats are stateless projections,
+    so the same builder runs unchanged on a readStream frame and
+    yields byte-identical results to the batch path."""
+    from kafka_streams_pipeline_spark.operators.text import (
+        heuristic_filter,
+        repetition_stats,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    src = str(tmp_path_factory.mktemp("docs_src"))
+    out = str(tmp_path_factory.mktemp("docs_out"))
+    ck = str(tmp_path_factory.mktemp("docs_ck"))
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    (
+        heuristic_filter(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in heuristic_filter(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+
+    # repetition_stats streams too (separate sink, same pattern)
+    out2 = str(tmp_path_factory.mktemp("rep_out"))
+    ck2 = str(tmp_path_factory.mktemp("rep_ck"))
+    (
+        repetition_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got2 = {r.doc_id: r.top_token_frac for r in spark.read.parquet(out2).collect()}
+    want2 = {
+        r.doc_id: r.top_token_frac
+        for r in repetition_stats(spark.read.parquet(src)).collect()
+    }
+    assert got2 == want2
