@@ -437,3 +437,126 @@ def quantize_embeddings_oracle() -> str:
                CAST(list_sum(qv) AS BIGINT)  AS q_sum
         FROM q
     """
+
+
+# Banded hyperplane-LSH for the PAIR path: OR-amplification across
+# PAIR_TABLES tables of PAIR_PLANES planes each (plane p of table t is
+# deterministic md5 plane t*PAIR_PLANES+p, so both engines agree).
+# For near-dup angles (~8°) candidate recall is 1-(1-0.955^8)^4 ≈ .99.
+PAIR_TABLES = 4
+PAIR_PLANES = 8
+
+
+def _spark_table_sig(vec: str, table: int, dim: int) -> str:
+    bits = " + ".join(
+        f"(case when {_spark_dot(vec, _spark_plane_lit(table * PAIR_PLANES + p, dim))} > 0 "
+        f"then shiftleft(1L, {p}) else 0L end)"
+        for p in range(PAIR_PLANES)
+    )
+    return f"({bits})"
+
+
+def _duck_table_sig(vec: str, table: int, dim: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_dot(vec, _duck_plane_lit(table * PAIR_PLANES + p, dim))} > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(PAIR_PLANES)
+    )
+    return f"({bits})"
+
+
+def nearest_pairs_lsh(
+    df: DataFrame, top_n: int = 20, dim: int = 64, bucket_cap: int = 1024
+) -> DataFrame:
+    """X2 scale path (embedding near-dup): top-N closest pairs with
+    the pair space pruned by banded hyperplane-LSH instead of the
+    all-pairs join — the same single-shuffle groupBy(bucket) +
+    in-group pair-generation plan as the MinHash pipeline, over
+    (table, signature) keys. Exact cosine verifies candidates only.
+    Approximate by construction (a pair is missed iff it collides in
+    NO table) but fully deterministic, so the DuckDB twin matches
+    exactly. bucket_cap drops degenerate hot buckets (cap²/2 bound),
+    same trade-off as the MinHash band cap."""
+    keys = ", ".join(
+        f"concat('{t}:', {_spark_table_sig('embedding', t, dim)})"
+        for t in range(PAIR_TABLES)
+    )
+    sig = df.select(
+        "vec_id",
+        "embedding",
+        F.expr(_spark_norm("embedding")).alias("norm"),
+        F.expr(f"array({keys})").alias("bks"),
+    ).persist()
+    grouped = (
+        sig.select("vec_id", F.explode("bks").alias("bk"))
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids").between(2, bucket_cap))
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"round({_spark_dot('emb_a', 'emb_b')} / (norm_a * norm_b), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(top_n)
+    )
+
+
+def nearest_pairs_lsh_oracle(
+    top_n: int = 20, dim: int = 64, bucket_cap: int = 1024
+) -> str:
+    key_rows = " UNION ALL ".join(
+        f"SELECT vec_id, '{t}:' || CAST({_duck_table_sig('embedding', t, dim)} AS VARCHAR) AS bk "
+        f"FROM embeddings"
+        for t in range(PAIR_TABLES)
+    )
+    return f"""
+        WITH keys AS ({key_rows}),
+        ok AS (
+            SELECT bk FROM keys GROUP BY bk
+            HAVING count(*) BETWEEN 2 AND {bucket_cap}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            WHERE a.bk IN (SELECT bk FROM ok)
+        )
+        SELECT id_a, id_b,
+               round({_duck_dot('ea.embedding', 'eb.embedding')} /
+                     ({_duck_norm('ea.embedding')} * {_duck_norm('eb.embedding')}),
+                     6) AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        ORDER BY cos_sim DESC, id_a, id_b
+        LIMIT {top_n}
+    """
