@@ -1896,6 +1896,18 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ivf_train", oracle=_sim.ivf_train_oracle(2))
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (index training): two k-means Lloyd iterations for the IVF
+    coarse quantizer in exact micro-unit integer arithmetic —
+    assignment minimizes the integer surrogate |c|²−2x·c, centroid
+    updates are one deterministic division on exact integer sums, so
+    the iterative 'ML' workload is still hash-certifiable against a
+    fully-unrolled SQL twin. Broadcast argmin + (cell,dim) mean
+    aggregate per iteration: the canonical distributed Lloyd step."""
+    return _sim.ivf_train(_t(spark, sf_dir, "embeddings"), iters=2)
+
+
 @register("q_embed_quantize", oracle=_sim.quantize_embeddings_oracle())
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4: symmetric int8 scalar quantization of the embedding

@@ -560,3 +560,149 @@ def nearest_pairs_lsh_oracle(
         ORDER BY cos_sim DESC, id_a, id_b
         LIMIT {top_n}
     """
+
+
+# Fixed-point scale for exact k-means arithmetic: micro-units.
+KM_FP = 1_000_000
+
+
+def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
+    """X3 (index training): k-means Lloyd iterations for the IVF
+    coarse quantizer, in EXACT integer arithmetic so the result is
+    engine-portable: components quantize to micro-units (per-element
+    round — order-free), assignment minimizes the integer surrogate
+    |c|²_fp − 2·x_fp·c_fp (argmin of true euclidean distance, |x|²
+    dropped as constant per vector), and centroid updates are
+    round(sum_fp / n) — one deterministic division on exact integer
+    sums. Shuffle profile per iteration: one broadcast-join argmin
+    aggregate (partial/final) + one (cell, dim) mean aggregate — the
+    canonical distributed Lloyd step; centroids stay driver-small
+    and broadcast.
+
+    Returns per-cell stats of the FINAL assignment: member count,
+    fixed-point centroid L1 fingerprint, min/max member id."""
+    fp = df.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {KM_FP}) as bigint))"
+        ).alias("xf"),
+    ).persist()
+    cents = fp.where(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cent_id"), F.col("xf").alias("cf")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        c = c.withColumn(
+            "cn", F.expr("aggregate(transform(cf, v -> v * v), 0L, (a, v) -> a + v)")
+        )
+        scored = fp.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            "cent_id",
+            (
+                F.col("cn")
+                - 2
+                * F.expr("aggregate(zip_with(xf, cf, (a, b) -> a * b), 0L, (a, v) -> a + v)")
+            ).alias("m"),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("m", "cent_id")).alias("best"))
+            .select("vec_id", F.col("best.cent_id").alias("cell"))
+        )
+
+    for _ in range(max(0, iters - 1)):
+        members = fp.join(assign(cents), "vec_id")
+        cents = (
+            members.select("cell", F.posexplode("xf").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+                ).alias("cf")
+            )
+            .select(F.col("cell").alias("cent_id"), "cf")
+        )
+    final = assign(cents)
+    l1 = cents.select(
+        F.col("cent_id").alias("cell"),
+        F.expr("aggregate(transform(cf, v -> abs(v)), 0L, (a, v) -> a + v)").alias(
+            "centroid_l1"
+        ),
+    )
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("first_member"),
+            F.max("vec_id").alias("last_member"),
+        )
+        .join(l1, "cell")
+        .select("cell", "n_members", "first_member", "last_member", "centroid_l1")
+    )
+
+
+def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
+    assert iters == 2, "oracle unrolls exactly 2 Lloyd iterations"
+    return f"""
+        WITH xf AS (
+            SELECT vec_id, d,
+                   CAST(round(CAST(embedding[d] AS DOUBLE) * {KM_FP}) AS BIGINT)
+                       AS x
+            FROM embeddings,
+                 generate_series(1, {dim}) AS t(d)
+        ),
+        c1 AS (
+            SELECT vec_id AS cent_id, d, x AS c FROM xf
+            WHERE vec_id < {N_CLUSTERS}
+        ),
+        cn1 AS (SELECT cent_id, sum(c * c) AS cn FROM c1 GROUP BY cent_id),
+        s1 AS (
+            SELECT xf.vec_id, c1.cent_id,
+                   max(cn1.cn) - 2 * sum(xf.x * c1.c) AS m
+            FROM xf JOIN c1 ON xf.d = c1.d
+                    JOIN cn1 ON c1.cent_id = cn1.cent_id
+            GROUP BY xf.vec_id, c1.cent_id
+        ),
+        a1 AS (
+            SELECT vec_id, cent_id AS cell FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY m, cent_id) AS rn
+                FROM s1
+            ) WHERE rn = 1
+        ),
+        c2 AS (
+            SELECT a1.cell AS cent_id, xf.d,
+                   CAST(round(sum(xf.x) * 1.0 / count(*)) AS BIGINT) AS c
+            FROM xf JOIN a1 ON xf.vec_id = a1.vec_id
+            GROUP BY a1.cell, xf.d
+        ),
+        cn2 AS (SELECT cent_id, sum(c * c) AS cn FROM c2 GROUP BY cent_id),
+        s2 AS (
+            SELECT xf.vec_id, c2.cent_id,
+                   max(cn2.cn) - 2 * sum(xf.x * c2.c) AS m
+            FROM xf JOIN c2 ON xf.d = c2.d
+                    JOIN cn2 ON c2.cent_id = cn2.cent_id
+            GROUP BY xf.vec_id, c2.cent_id
+        ),
+        a2 AS (
+            SELECT vec_id, cent_id AS cell FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY m, cent_id) AS rn
+                FROM s2
+            ) WHERE rn = 1
+        ),
+        l1 AS (SELECT cent_id AS cell, sum(abs(c)) AS centroid_l1
+               FROM c2 GROUP BY cent_id)
+        SELECT a2.cell,
+               count(*)         AS n_members,
+               min(a2.vec_id)   AS first_member,
+               max(a2.vec_id)   AS last_member,
+               CAST(max(l1.centroid_l1) AS BIGINT) AS centroid_l1
+        FROM a2 JOIN l1 ON a2.cell = l1.cell
+        GROUP BY a2.cell
+    """

@@ -607,3 +607,35 @@ def test_nearest_pairs_lsh_finds_planted_near_dups(emb, spark):
     for r in got:
         if (r.id_a, r.id_b) in planted:
             assert r.cos_sim > 0.999
+
+
+def test_ivf_train_partitions_corpus_and_improves_objective(emb):
+    """Final assignment partitions every vector into a live cell, and
+    the trained (2-iteration) quantization objective is no worse than
+    the seed assignment's (Lloyd monotonicity)."""
+    import numpy as np
+
+    out = similarity.ivf_train(emb, iters=2).collect()
+    assert sum(r.n_members for r in out) == emb.count()
+    assert all(0 <= r.cell < similarity.N_CLUSTERS for r in out)
+
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+         for r in emb.collect()}
+    Q = {i: np.round(v * similarity.KM_FP) for i, v in V.items()}
+
+    def objective(cents):
+        tot = 0.0
+        for x in Q.values():
+            tot += min(float(((x - c) ** 2).sum()) for c in cents.values())
+        return tot
+
+    seed = {i: Q[i] for i in range(similarity.N_CLUSTERS)}
+    # reconstruct trained centroids: assign to seed, then mean
+    assign = {i: min(seed, key=lambda c: (((Q[i] - seed[c]) ** 2).sum(), c))
+              for i in Q}
+    trained = {}
+    for c in seed:
+        members = [Q[i] for i in Q if assign[i] == c]
+        if members:
+            trained[c] = np.round(np.mean(members, axis=0))
+    assert objective(trained) <= objective(seed) + 1e-6
