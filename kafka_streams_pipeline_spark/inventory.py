@@ -1414,7 +1414,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.nearest_pairs(_t(spark, sf_dir, "embeddings"), top_n=20)
 
 
-@register("q_dedup_embed_lsh", oracle=_sim.nearest_pairs_lsh_oracle(20))
+@register("q_dedup_embed_lsh", oracle=_sim.nearest_pairs_lsh_oracle(20), bench=True)
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: the same top-20 closest-pair query as
     q_dedup_embed, with the pair space pruned by banded hyperplane
@@ -1896,7 +1896,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ivf_train", oracle=_sim.ivf_train_oracle(2))
+@register("q_ivf_train", oracle=_sim.ivf_train_oracle(2), bench=True)
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 (index training): two k-means Lloyd iterations for the IVF
     coarse quantizer in exact micro-unit integer arithmetic —
