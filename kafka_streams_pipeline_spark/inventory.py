@@ -929,6 +929,107 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_latest_by_key",
+    oracle="""
+        SELECT user_id,
+               event_id AS last_event,
+               CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms,
+               event_type AS last_type,
+               round(value, 6) AS last_value
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert primitive: latest event per key (row_number over a
+    DESC event-time order, event_id tiebreak for totality) — the
+    batch form of the changelog-compaction every materialized view
+    relies on. One shuffle on the key; at scale this is the
+    dropDuplicates-by-ordering pattern Spark plans as a single
+    partial/final window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event"),
+            F.unix_millis("ts").alias("last_ts_ms"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+# Rolling z-score: milli-unit quantization keeps every windowed sum
+# exact; n*Σx² stays far inside BIGINT at any frame length.
+ZSCORE_FP = 1_000
+ZSCORE_FRAME = 10  # trailing window length (rows)
+
+
+@register(
+    "q_rolling_zscore",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(round(value * {ZSCORE_FP}) AS BIGINT) AS xf
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, ts, xf,
+                   count(*) OVER fr AS n,
+                   sum(xf)  OVER fr AS s,
+                   sum(xf * xf) OVER fr AS ss
+            FROM q
+            WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {ZSCORE_FRAME} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+               CASE WHEN n >= 5 AND n * ss - s * s > 0
+                    THEN round((n * xf - s) / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)
+                    ELSE NULL END AS zscore
+        FROM w
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly score: z-score of each event's value
+    against its trailing {frame}-row window per user — the standard
+    streaming-monitoring analytic, here in its batch window-function
+    form. Fixed-point milli-unit sums keep n, Σx, Σx² exact integers,
+    so z = (n·x − Σx)/√(n·Σx² − (Σx)²) is one deterministic double
+    expression — engine-portable despite being 'floating point'.
+    One shuffle on user_id; the frame is evaluated streamingly within
+    each partition (no per-row rescan)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "xf", F.round(F.col("value") * ZSCORE_FP).cast("long")
+    )
+    fr = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -ZSCORE_FRAME, -1
+    )
+    n = F.count(F.lit(1)).over(fr)
+    s = F.sum("xf").over(fr)
+    ss = F.sum(F.col("xf") * F.col("xf")).over(fr)
+    b = n * ss - s * s
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(
+            (n >= 5) & (b > 0),
+            F.round((n * F.col("xf") - s) / F.sqrt(b.cast("double")), 6),
+        ).alias("zscore"),
+    )
+
+
+@register(
     "q_set_ops",
     oracle="""
         SELECT user_id, 'both' AS tag FROM (
