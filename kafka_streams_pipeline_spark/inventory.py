@@ -968,6 +968,40 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scd2_intervals",
+    oracle="""
+        SELECT user_id, event_id,
+               round(value, 6) AS value,
+               CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+               CAST(epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS BIGINT)
+                   AS valid_to_ms,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) snapshot: turn each key's
+    event log into [valid_from, valid_to) validity intervals via
+    lead() — the standard event-sourcing → dimension-table transform.
+    NULL valid_to marks the current row. One shuffle on the key; the
+    event-type filter reaches the scan."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # Rolling z-score: milli-unit quantization keeps every windowed sum
 # exact; n*Σx² stays far inside BIGINT at any frame length.
 ZSCORE_FP = 1_000
