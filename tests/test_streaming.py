@@ -362,3 +362,72 @@ def test_corpus_filters_run_under_streaming(spark, sf_dir, tmp_path_factory):
         for r in repetition_stats(spark.read.parquet(src)).collect()
     }
     assert got2 == want2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The real stream-stream shape of q_interval_join: purchases and
+    clicks as two watermarked file streams joined on user_id with the
+    [-10 min, 0) time bound. Structured Streaming requires the
+    watermark + time-range condition to bound the join state; with
+    availableNow over the full fixture the result must equal the
+    registered batch query exactly."""
+    from kafka_streams_pipeline_spark.inventory import QUERIES
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path_factory.mktemp("ev_src"))
+    out = str(tmp_path_factory.mktemp("ev_out"))
+    ck = str(tmp_path_factory.mktemp("ev_ck"))
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("p_id", "user_id", "p_ts", "c_ts")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    # aggregate the streamed join results to the registered query's
+    # grain; left-join semantics (purchases with zero clicks) come
+    # from re-adding the zero rows
+    streamed = spark.read.parquet(out)
+    got_counts = {
+        (r.p_id, r.user_id): r.n
+        for r in streamed.groupBy("p_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = QUERIES["q_interval_join"](spark, sf_dir).collect()
+    want_counts = {
+        (r.p_id, r.user_id): r.n_clicks_10m for r in batch if r.n_clicks_10m > 0
+    }
+    assert got_counts == want_counts
