@@ -2073,6 +2073,78 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.mixture_sample(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_corpus_pipeline",
+    bench=True,
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text, lang,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, lang, len(toks) AS n_tokens
+            FROM f
+            WHERE len(toks) BETWEEN {_text.FILTER_MIN_TOKENS}
+                                AND {_text.FILTER_MAX_TOKENS}
+              AND list_sum([length(x) FOR x IN toks]) * 1.0 / len(toks)
+                    BETWEEN {_text.FILTER_MIN_MEAN_LEN}
+                        AND {_text.FILTER_MAX_MEAN_LEN}
+              AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                    * 1.0 / length(text) <= {_text.FILTER_MAX_SYMBOL_RATIO}
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ),
+        train AS (
+            SELECT k.doc_id, k.lang, k.n_tokens
+            FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+            WHERE {md5_long_sql("'split:' || CAST(k.doc_id AS VARCHAR)")}
+                    % 100 < 80
+        ),
+        packed AS (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM train
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(DISTINCT CAST(floor((cum - n_tokens)
+                                         / {_text.PACK_CAPACITY}) AS BIGINT))
+                   AS n_bins
+        FROM packed
+        GROUP BY lang
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flagship: the full training-corpus pipeline as ONE
+    declarative plan — heuristic quality gate → exact dedup (keep
+    lowest id per text hash) → deterministic 80% train split →
+    per-language sequence packing — reported as per-language doc/
+    token/bin counts. Catalyst fuses the per-row stages into the
+    scan-side map; the only shuffles are the dedup groupBy, the pack
+    window, and the final aggregate. Every stage is the registered
+    operator's own builder, so this certifies the COMPOSITION, not a
+    re-implementation."""
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = (
+        _text.heuristic_filter(docs).where(F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    keepers = _dedup.exact_dedup(kept).select(F.col("keeper").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id")
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    train = survivors.where(bucket < 80)
+    packed = _text.pack_sequences(train)
+    return packed.groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
 @register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 / ingest loop: anti-join a new batch (source src0) against
