@@ -148,3 +148,52 @@ def test_view_matches_pandas_groupby(spark, rows):
         cnt, s = got[(gh, ws)]
         assert cnt == row["count"]
         assert abs(s - row["sum"]) < 1e-6
+
+
+# --- media codec round-trips (pure Python/numpy — full example counts) ---
+
+import numpy as np
+
+from kafka_streams_pipeline_spark.operators import multimodal as mm
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    with_list=st.booleans(),
+)
+def test_wav_roundtrip_property(samples, rate, with_list):
+    arr = np.array(samples, dtype=np.int16)
+    ch, r, bits, decoded = mm.parse_wav(mm._wav_bytes(arr, rate, with_list))
+    assert (ch, r, bits) == (1, rate, 16)
+    assert np.array_equal(decoded, arr)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, bpp, px2 = mm.parse_bmp(mm._bmp_bytes(px))
+    assert (w2, h2, bpp) == (w, h, 24)
+    assert np.array_equal(px2, px)
+
+
+@given(
+    nf=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=7),
+    h=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_property(nf, w, h, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    w2, h2, us, got = mm.parse_avi(mm._avi_bytes(frames))
+    assert (w2, h2, us, len(got)) == (w, h, mm.AVI_US_PER_FRAME, nf)
+    for f in range(nf):
+        assert np.array_equal(got[f], frames[f])
