@@ -1450,6 +1450,44 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot",
+    oracle="""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))      AS qty_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+                   count(*)                                          AS n
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty_c'   AS metric, qty_c   AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'price_c' AS metric, price_c AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'n'       AS metric, n       AS value FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (pivot's inverse): wide per-flag aggregates →
+    long (flag, metric, value) rows via DataFrame.unpivot — the
+    Expand operator, one pass, no join. Values are fixed-point cents
+    so the long format stays hash-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_c"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_c", "price_c", "n"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "q_hash_sample",
     oracle=f"""
         SELECT lang,
