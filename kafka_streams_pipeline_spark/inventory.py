@@ -1993,6 +1993,15 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.term_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("q_dedup_edit", oracle=_dedup.edit_distance_pairs_oracle(20))
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: edit-distance near-dup — MinHash band candidates verified
+    with levenshtein (≤20% of the longer text, integer predicate).
+    The character-level complement to jaccard verification; only
+    candidate-pair texts ever cross the verify join."""
+    return _dedup.edit_distance_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register("q_dedup_components_alt", oracle=_dedup.components_oracle(0.8))
 def q_dedup_components_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: the same duplicate-group clustering as q_dedup_components,

@@ -210,6 +210,35 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 DEFAULT_BUCKET_CAP = 64
 
 
+def band_candidates(
+    bands: DataFrame, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, bk) band rows → distinct candidate pairs (id_a < id_b)
+    via ONE shuffle: groupBy(bk) gathers each bucket, the cap filter
+    is a free post-aggregate predicate, and ordered pairs are emitted
+    in-group with higher-order functions. Shared by every verify
+    strategy (jaccard, edit-distance)."""
+    grouped = bands.groupBy("bk").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    if bucket_cap is not None:
+        grouped = grouped.where(F.size("ids") <= bucket_cap)
+    return (
+        grouped.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,25 +279,7 @@ def minhash_near_dup_pairs(
     # table twice) and the separate count-agg the cap would otherwise
     # need. Bucket arrays are ≤ cap elements, so collect_list state
     # stays bounded per key.
-    grouped = bands.groupBy("bk").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    if bucket_cap is not None:
-        grouped = grouped.where(F.size("ids") <= bucket_cap)
-    cand = (
-        grouped.where(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = band_candidates(bands, bucket_cap)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -689,4 +700,88 @@ def incremental_dedup_oracle(batch_source: str) -> str:
                 AND c.norm_md5 = b.norm_md5
           )
         GROUP BY norm_md5
+    """
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rel_pct: int = 20,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """X2 (edit-distance near-dup): the MinHash band candidates
+    verified with levenshtein instead of jaccard — the character-level
+    notion of "almost the same document" (catches small in-place
+    edits that shingle Jaccard underweights). Keeps a pair when
+    edit_dist · 100 ≤ max_rel_pct · max(len_a, len_b) — pure integer
+    predicate, no float threshold.
+
+    Parity note: Spark's levenshtein counts characters and DuckDB's
+    counts bytes; identical on this ASCII corpus (asserted by the
+    oracle hash), byte-normalize first for non-ASCII data.
+
+    Scale: candidates come from the single-shuffle band plan; the
+    verify join ships only candidate-pair texts."""
+    sig = minhash_signatures(df, text_col)
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
+    )
+    cand = band_candidates(bands, bucket_cap)
+    ta = df.select(F.col("doc_id").alias("id_a"), F.col(text_col).alias("t_a"))
+    tb = df.select(F.col("doc_id").alias("id_b"), F.col(text_col).alias("t_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").cast("long").alias("edit_dist"),
+            F.greatest(F.length("t_a"), F.length("t_b"))
+            .cast("long")
+            .alias("max_len"),
+        )
+        .where(F.col("edit_dist") * 100 <= max_rel_pct * F.col("max_len"))
+    )
+
+
+def edit_distance_pairs_oracle(
+    max_rel_pct: int = 20, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> str:
+    mh_list = "[" + ", ".join(duck_minhash_exprs("sh")) + "]"
+    cap_filter = (
+        f"""bands_ok AS (
+            SELECT bands.* FROM bands
+            JOIN (SELECT bk FROM bands GROUP BY bk
+                  HAVING count(*) <= {bucket_cap}) ok USING (bk)
+        ),"""
+        if bucket_cap is not None
+        else "bands_ok AS (SELECT * FROM bands),"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, {mh_list} AS mhs FROM (
+                SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+                FROM toks WHERE len(toks) >= {SHINGLE_N}
+            )
+        ),
+        bands AS (
+            SELECT doc_id, unnest({duck_band_keys_expr('mhs')}) AS bk FROM sig
+        ),
+        {cap_filter}
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands_ok a JOIN bands_ok b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+                   AS max_len
+        FROM cand
+        JOIN documents da ON cand.id_a = da.doc_id
+        JOIN documents db ON cand.id_b = db.doc_id
+        WHERE levenshtein(da.text, db.text) * 100
+              <= {max_rel_pct} * greatest(length(da.text), length(db.text))
     """
