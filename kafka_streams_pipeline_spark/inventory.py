@@ -1744,6 +1744,36 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_audio_energy",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, i // {_mm.ENERGY_FRAME} AS frame_idx,
+                   (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+            FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id            AS asset_id,
+               frame_idx,
+               count(*)          AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS energy,
+               max(abs(s))       AS peak_abs
+        FROM samples
+        GROUP BY doc_id, frame_idx
+    """,
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 windowed audio analysis: WAV decode → fixed 20-sample
+    framing → exact integer energy (Σs²) and peak per frame — the
+    decode/window/feature chain before VAD or audio embedding,
+    expanding 1 asset row → ceil(n/20) frame rows in the same Arrow
+    pass as the decode."""
+    wav = _mm.wav_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.audio_frame_energy(wav)
+
+
+@register(
     "q_media_image_decode",
     oracle="""
         WITH base AS (
@@ -2097,6 +2127,70 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-only summary stats so the oracle match is exact. The
     compression step before any large-scale ANN index build."""
     return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_corpus_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS wc,
+                   list_sum([length(x) FOR x IN string_split(text, ' ')])
+                       * 1.0 / len(string_split(text, ' ')) AS mean_len,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       * 1.0 / length(text) AS sym_ratio
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, wc,
+                   wc BETWEEN {_text.FILTER_MIN_TOKENS}
+                          AND {_text.FILTER_MAX_TOKENS}
+                   AND mean_len BETWEEN {_text.FILTER_MIN_MEAN_LEN}
+                                    AND {_text.FILTER_MAX_MEAN_LEN}
+                   AND sym_ratio <= {_text.FILTER_MAX_SYMBOL_RATIO} AS keep,
+                   CAST(round((0.5 * least(wc, 100) / 100.0
+                     + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                     + 0.2 * least(list_sum([length(x) FOR x IN toks]) * 1.0
+                                   / len(toks), 10.0) / 10.0) * 1000000)
+                        AS BIGINT) AS q_micro
+            FROM t
+        )
+        SELECT lang,
+               count(*)                        AS n_docs,
+               CAST(sum(wc) AS BIGINT)         AS total_tokens,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(sum(q_micro) / 1000000.0 / count(*), 6)
+                   AS mean_quality
+        FROM g GROUP BY lang
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report per language: doc/token counts, heuristic
+    keep counts, mean quality. The mean aggregates micro-integer
+    quality scores (each per-row score quantized before summation) so
+    the language-level average is order-independent — the fixed-point
+    discipline applied to a derived metric, not just money."""
+    docs = _t(spark, sf_dir, "documents")
+    hf = _text.heuristic_filter(docs).select("doc_id", "n_tokens", "keep")
+    q = _text.quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * 1_000_000).cast("long").alias("q_micro")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(hf, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.sum("q_micro") / 1_000_000.0 / F.count(F.lit(1)), 6).alias(
+                "mean_quality"
+            ),
+        )
+    )
 
 
 @register("q_pack_sequences", oracle=_text.pack_sequences_oracle())

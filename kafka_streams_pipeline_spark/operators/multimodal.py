@@ -696,3 +696,40 @@ def avi_from_documents(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+ENERGY_FRAME = 20  # samples per energy frame
+
+
+def audio_frame_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Windowed audio analysis: decode the WAV, split PCM into fixed
+    ENERGY_FRAME-sample frames, emit per-frame exact integer energy
+    (Σ s²) and peak — the decode→window→feature chain a speech
+    pipeline runs before VAD/embedding. 1 row → ceil(n/frame) rows;
+    stats are integers so the oracle is exact; payloads stay
+    partition-local."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("energy", LongType()),
+            StructField("peak_abs", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                _, _, _, samples = parse_wav(bytes(payload))
+                s64 = samples.astype(np.int64)
+                for f in range(0, len(s64), ENERGY_FRAME):
+                    chunk = s64[f : f + ENERGY_FRAME]
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(f // ENERGY_FRAME)
+                    rows["n_samples"].append(len(chunk))
+                    rows["energy"].append(int((chunk * chunk).sum()))
+                    rows["peak_abs"].append(int(np.abs(chunk).max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)
