@@ -636,3 +636,33 @@ def mixture_sample_oracle() -> str:
         FROM t
         GROUP BY source
     """
+
+
+def write_split_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training corpus as the partitioned store a
+    downstream trainer reads: hash-split assignment (same salted
+    bucket as q_hash_split) → parquet partitioned by (split, lang),
+    sorted by doc_id within files so range reads are sequential.
+    Partition directories give the trainer free pruning (read
+    split=train only touches train files); per-partition sort gives
+    parquet min/max stats on the id. Writer-side: one shuffle on the
+    partition keys via repartition so each (split, lang) writes one
+    file per task instead of a small-files explosion."""
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+
+    bucket = md5_long(F.concat(F.lit("split:"), F.col(id_col).cast("string"))) % 100
+    out = df.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    (
+        out.repartition("split", "lang")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(path)
+    )

@@ -639,3 +639,32 @@ def test_ivf_train_partitions_corpus_and_improves_objective(emb):
         if members:
             trained[c] = np.round(np.mean(members, axis=0))
     assert objective(trained) <= objective(seed) + 1e-6
+
+
+def test_write_split_corpus_layout_and_pruning(docs, tmp_path_factory):
+    """The materialized corpus store: (split, lang) directory layout,
+    assignments identical to q_hash_split, and a split=train read
+    that prunes to the train partitions only."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("corpus_store"))
+    text.write_split_corpus(docs, out)
+    splits = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert splits == {"train", "val", "test"}
+
+    spark = docs.sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    train = back.where(F.col("split") == "train")
+    # partition pruning: the train scan reads only train directories
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan
+    # assignment parity with the registered split query
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    want_train = {
+        r.doc_id for r in docs.withColumn("b", bucket).where(F.col("b") < 80)
+        .select("doc_id").collect()
+    }
+    got_train = {r.doc_id for r in train.select("doc_id").collect()}
+    assert got_train == want_train
