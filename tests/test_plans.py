@@ -109,3 +109,14 @@ def test_hash_split_single_shuffle(spark, sf):
     plan = plan_of(QUERIES["q_hash_split"](spark, sf))
     assert plan.count("- Exchange") == 1
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_bench_set_is_registered_and_runnable(spark):
+    """Guard bench.py against name drift: every headline query is a
+    registered query with an oracle twin, and runs at sf0.001."""
+    from kafka_streams_pipeline_spark.inventory import BENCH_QUERIES, ORACLES
+
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES)) >= 14
+    for name in BENCH_QUERIES:
+        assert name in QUERIES and name in ORACLES, name
+        QUERIES[name](spark, "/root/testdata/sf0.001").limit(1).collect()
