@@ -929,6 +929,72 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 30 MINUTE
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 30 MINUTE
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_30m,
+               (SELECT count(*) FROM p) AS n_purchased_30m
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics funnel: users whose first view is followed by
+    a click within 30 min, then a purchase within 30 min of that
+    click. Each stage is a keyed min-aggregate joined to the previous
+    stage on user_id — the same key throughout, so at scale every
+    stage reuses one hash partitioning (no re-shuffle between stages
+    under AQE exchange reuse)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_30m")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_30m")))
+    )
+
+
+@register(
     "q_latest_by_key",
     oracle="""
         SELECT user_id,
