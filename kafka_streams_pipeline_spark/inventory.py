@@ -929,6 +929,53 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        )
+        SELECT CAST(epoch_ms(f.cohort) AS BIGINT) AS cohort_ms,
+               CAST((epoch_ms(a.wk) - epoch_ms(f.cohort)) // 604800000
+                    AS BIGINT)                    AS week_offset,
+               count(*)                           AS n_active
+        FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week; for
+    each (cohort, week offset), how many are active. Two keyed
+    aggregates and one user_id join — the cohort table is small
+    (one row per user) so at scale it broadcasts; week arithmetic is
+    exact epoch-ms integer division."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            F.unix_millis("cohort").alias("cohort_ms"),
+            (
+                (F.unix_millis("wk") - F.unix_millis("cohort"))
+                / F.lit(604_800_000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_ms", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
     "q_funnel",
     oracle="""
         WITH v AS (
