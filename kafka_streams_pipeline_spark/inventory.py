@@ -1563,6 +1563,111 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corr_stats",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT)      AS x,
+                   CAST(round(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM q GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                     (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                      sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                     6) AS pearson_r
+        FROM m
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate with the fixed-point discipline: Pearson
+    correlation of quantity vs price per return flag. All five
+    moments are exact integer sums over whole-unit-quantized values
+    (one partial+final agg, order-independent — whole units keep
+    sum(y^2) inside int64 through sf100); r is a single deterministic
+    double expression over double-cast moments at the end —
+    engine-portable where a naive corr() would flake on summation
+    order. (Beyond that scale the moments move to DECIMAL(38); same
+    plan shape.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - sxd * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - syd * F.col("sy")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_group_mode",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT l_returnflag, qty, cnt,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cnt DESC, qty) AS rn
+            FROM c
+        )
+        SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+        FROM r WHERE rn = 1
+    """,
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tiebreak (highest count,
+    then smallest value) as an AGGREGATE, not a window: max of a
+    (cnt, -qty) struct after the count groupBy — two partial/final
+    aggregations, no single-partition window sort at any group
+    cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("qty")).alias("nq"))).alias("m")
+        )
+        .select(
+            "l_returnflag",
+            (-F.col("m.nq")).alias("mode_qty"),
+            F.col("m.cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
     "q_unpivot",
     oracle="""
         WITH agg AS (
