@@ -2638,3 +2638,211 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "user_id", "spend_cents", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus)   AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS
+            ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general Expand-operator form that
+    rollup/cube (q_rollup/q_cube) specialize. Spark's Expand node
+    replicates each input row once per grouping set ahead of a single
+    hash aggregate, so the table is scanned once no matter how many
+    sets are requested; partial aggregation still applies per set.
+    grouping() markers disambiguate aggregation NULLs from data NULLs
+    (statuses are non-null here, but the contract must not rely on
+    that). Money summed in integer cents (order-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        _cents_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, cents * 1000000000 + o_orderkey)
+                   AS top_orderkey,
+               max(cents) / 100.0 AS top_price,
+               arg_min(o_orderkey, cents * 1000000000 + o_orderkey)
+                   AS bottom_orderkey,
+               min(cents) / 100.0 AS bottom_price
+        FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        GROUP BY o_orderstatus
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates (max_by/min_by): the priciest and
+    cheapest order per status in ONE aggregation pass — no self-join,
+    no window sort; partial max_by states merge associatively like any
+    algebraic aggregate. Prices tie across orders, so the ordering key
+    is a composite BIGINT (cents * 1e9 + orderkey) that is unique and
+    overflow-safe while cents < 9.2e9 (a $92M order) and orderkey <
+    1e9 — both hold at every TPC-H scale factor in range."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    key = F.col("cents") * F.lit(1_000_000_000) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        (F.max("cents") / F.lit(100.0)).alias("top_price"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        (F.min("cents") / F.lit(100.0)).alias("bottom_price"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+            SELECT user_id, ts_ms,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM ordered
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+               max(ts_ms) - min(ts_ms) AS duration_ms
+        FROM marked
+        GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a session breaks after a
+    30-min silence. The streaming twin is q_session_window
+    (session_window(ts, '30 minutes')); this is the batch idiom —
+    lag() marks session starts, a running sum numbers them, one
+    groupBy collapses them. All three windows partition by user_id, so
+    the whole plan rides a single hash partitioning of 150..N-million
+    users with no global sort; exact epoch-ms integer arithmetic and
+    an event_id tiebreak keep the numbering engine-identical."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1_800_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS rendered as a
+    LEFT SEMI join with a non-equi residual (l_shipdate > o_orderdate
+    — the fixture has no commit/receipt dates, so late shipment stands
+    in). Semi join means lineitem matches short-circuit per order and
+    the probe side never duplicates rows; the quarter predicate on
+    orders is pushed to its scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q_priority_shipmode",
+    oracle="""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+)
+def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation over a fact join): the
+    year predicate prunes lineitem at the scan, the join shuffles both
+    sides on orderkey once, and the CASE pivot happens inside the
+    partial aggregate — 3 output rows, so the final shuffle is
+    trivial. The fixture lacks l_shipmode; l_returnflag plays the
+    grouping role with identical plan shape."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
