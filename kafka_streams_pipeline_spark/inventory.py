@@ -2846,3 +2846,32 @@ def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+from kafka_streams_pipeline_spark.operators import corpus as _corpus  # noqa: E402
+
+
+@register("q_chunk_dedup", oracle=_corpus.chunk_dedup_oracle())
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/corpus-hygiene: CCNet-style boilerplate removal by
+    corpus-wide chunk-hash dedup — per-document total/boilerplate
+    chunk counts and surviving word count. Text never shuffles; both
+    exchanges carry (doc_id, md5) pairs. See operators/corpus.py."""
+    return _corpus.chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_contamination", oracle=_corpus.contamination_oracle())
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene: train/eval 12-gram contamination check over
+    q_hash_split's deterministic splits — per held-out doc, distinct
+    shingles, shingles also present anywhere in train, and the ratio.
+    Both sides reduce to hash sets before the only join."""
+    return _corpus.contamination(_t(spark, sf_dir, "documents"))
+
+
+@register("q_stratified_sample", oracle=_corpus.stratified_sample_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene: reproducible per-language top-20 sample keyed
+    by salted doc_id md5 — identical membership across runs, engines,
+    and partitionings (rand()/TABLESAMPLE cannot promise this)."""
+    return _corpus.stratified_sample(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,255 @@
+"""Corpus-hygiene operators for LLM training-data pipelines.
+
+Extension surface beyond the reference (SURVEY.md §2.9): the cleanup
+passes a large-scale pretraining pipeline runs between raw ingest and
+tokenization — boilerplate removal, split-contamination detection,
+and reproducible stratified sampling. All three follow the repo's
+oracle conventions: md5-based portable hashing (identical in Spark
+and DuckDB), integer counting, and at most one deterministic float
+division per output row.
+
+Scale posture: every shuffle below carries (doc_id, 32-char md5)
+pairs or per-group counters — never document text — so the wire cost
+at 100 TB is a few percent of the corpus, and all joins key on
+uniformly-distributed hashes (no skew by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_streams_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+
+# Words per boilerplate chunk (CCNet uses paragraphs; the fixture's
+# documents are flat word streams, so segmentation is fixed-width).
+CHUNK_W = 8
+# Words per contamination shingle (WMT/GPT-style 8-13-gram overlap).
+SHINGLE_W = 12
+# Docs per language kept by the stratified sampler.
+STRATUM_N = 20
+
+
+def chunk_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate removal by corpus-wide chunk dedup (CCNet-style:
+    Wenzek et al. 2020 dedup paragraphs by hash; here the unit is a
+    fixed 8-word chunk because the fixture has no newlines).
+
+    Every document is segmented into consecutive 8-word chunks; a
+    chunk whose md5 appears in ≥2 DISTINCT documents is boilerplate.
+    Returns per-document counts: total chunks, boilerplate chunks,
+    and words surviving the filter — the numbers a pipeline needs to
+    decide whether a document is worth keeping at all.
+
+    Plan shape: one scan → explode to (doc_id, chunk_hash, n_words)
+    → hash-partitioned frequency count → hash join back → per-doc
+    re-aggregate. Text is dropped before the first shuffle; both
+    shuffles move 8-byte ids + 32-char hashes. The chunk-frequency
+    side is a classic heavy-hitter aggregate: partial (map-side)
+    count_distinct collapses repeated chunks inside each partition
+    before the exchange."""
+    d = df.select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+    chunked = d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            explode(transform(
+                sequence(0, cast(floor((size(ws) - 1) / {CHUNK_W}) as int)),
+                i -> struct(
+                    md5(array_join(slice(ws, i * {CHUNK_W} + 1, {CHUNK_W}), ' '))
+                        as chash,
+                    size(slice(ws, i * {CHUNK_W} + 1, {CHUNK_W})) as n_words)))
+            """
+        ).alias("c"),
+    ).select("doc_id", "c.chash", "c.n_words")
+    freq = chunked.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunked.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_boiler"
+            ),
+            F.sum(
+                F.when(F.col("ndocs") < 2, F.col("n_words")).otherwise(0)
+            ).alias("kept_words"),
+        )
+    )
+
+
+def chunk_dedup_oracle() -> str:
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       w[(i * {CHUNK_W} + 1):(i * {CHUNK_W} + {CHUNK_W})],
+                       ' ')) AS chash,
+                   len(w[(i * {CHUNK_W} + 1):(i * {CHUNK_W} + {CHUNK_W})])
+                       AS n_words
+            FROM ws,
+                 LATERAL unnest([ii FOR ii IN
+                                 range(0, ((len(w) - 1) // {CHUNK_W}) + 1)])
+                     AS t(i)
+        ),
+        freq AS (
+            SELECT chash, count(DISTINCT doc_id) AS ndocs
+            FROM chunks GROUP BY chash
+        )
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_boiler,
+               sum(CASE WHEN ndocs < 2 THEN n_words ELSE 0 END)
+                   AS kept_words
+        FROM chunks JOIN freq USING (chash)
+        GROUP BY doc_id
+    """
+
+
+def _split_bucket_spark() -> F.Column:
+    """Same salted split as q_hash_split — membership is a pure
+    function of doc_id, so 'train' here is exactly q_hash_split's
+    train at any scale."""
+    return (
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+
+
+def _split_bucket_sql() -> str:
+    inner = md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"{inner} % 100"
+
+
+def contamination(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train/eval contamination check: which held-out documents share
+    a 12-word shingle with the training split (the overlap test run
+    before trusting any benchmark number — e.g. GPT-3 appendix C /
+    Dodge et al. 2021, n-gram collision between train and eval).
+
+    Splits reuse q_hash_split's salted-md5 assignment (train =
+    bucket < 80, eval = bucket ≥ 90). Each document contributes its
+    DISTINCT shingle hashes; an eval shingle is contaminated when the
+    same hash occurs anywhere in train. Output: per eval doc, total
+    distinct shingles, contaminated count, and their ratio.
+
+    Plan shape: both sides reduce to (hash) / (doc_id, hash) sets
+    before a left-semi-style hash join — text never shuffles, the
+    train side collapses to DISTINCT hashes (map-side partial
+    distinct), and the join keys are uniform md5 values. The
+    contaminated count is an integer; the single float division per
+    row is deterministic."""
+    # sequence(0, greatest(size-W, 0)) emits one shingle even for
+    # docs shorter than W words — consistent on both engines.
+    shingles = df.select(
+        "doc_id",
+        _split_bucket_spark().alias("bucket"),
+        F.explode(
+            F.expr(
+                f"""
+                array_distinct(transform(
+                    sequence(0, greatest(size(split({text_col}, ' '))
+                                         - {SHINGLE_W}, 0)),
+                    i -> md5(array_join(
+                        slice(split({text_col}, ' '), i + 1, {SHINGLE_W}),
+                        ' '))))
+                """
+            )
+        ).alias("shash"),
+    )
+    train = (
+        shingles.where(F.col("bucket") < 80).select("shash").distinct()
+    )
+    ev = shingles.where(F.col("bucket") >= 90).select("doc_id", "shash")
+    hits = ev.join(train.withColumn("hit", F.lit(1)), "shash", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("contam_frac"),
+    )
+
+
+def contamination_oracle() -> str:
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   {_split_bucket_sql()} AS bucket,
+                   unnest(list_distinct(
+                       [md5(array_to_string(w[(i + 1):(i + {SHINGLE_W})], ' '))
+                        FOR i IN range(0, greatest(len(w) - {SHINGLE_W}, 0) + 1)]
+                   )) AS shash
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+        ),
+        train AS (
+            SELECT DISTINCT shash FROM sh WHERE bucket < 80
+        ),
+        ev AS (
+            SELECT doc_id, shash FROM sh WHERE bucket >= 90
+        )
+        SELECT ev.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN train.shash IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_contaminated,
+               round(sum(CASE WHEN train.shash IS NOT NULL
+                              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                   AS contam_frac
+        FROM ev LEFT JOIN train ON ev.shash = train.shash
+        GROUP BY ev.doc_id
+    """
+
+
+def stratified_sample(df: DataFrame) -> DataFrame:
+    """Reproducible stratified sampling: the top-N documents per
+    language by salted doc_id hash. Because the rank key is a pure
+    function of doc_id, the sample is identical across runs, engines,
+    and partitionings — the property a data-mixture needs so that
+    re-building the corpus does not silently change training data
+    (rand()-based sampling has none of these guarantees).
+
+    The per-stratum rank is a window over lang (5 strata here). At
+    real corpus scale a global sort per language would funnel each
+    language through one task; the scalable refinement — documented,
+    not needed at fixture scale — is a two-pass threshold: sample the
+    hash distribution, broadcast an approximate per-language cutoff
+    that keeps ~1.2N rows, THEN rank only the survivors. The rank
+    math and the output are unchanged, which is why the window form
+    is the declared semantic."""
+    h = md5_long(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("samp_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select("doc_id", "lang", h.alias("samp_key"))
+        .withColumn("samp_rank", F.row_number().over(w))
+        .where(F.col("samp_rank") <= STRATUM_N)
+        .select("doc_id", "lang", "samp_rank")
+    )
+
+
+def stratified_sample_oracle() -> str:
+    key = md5_long_sql("'samp:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang, samp_rank
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {key} ASC, doc_id ASC) AS samp_rank
+            FROM documents
+        )
+        WHERE samp_rank <= {STRATUM_N}
+    """
