@@ -47,9 +47,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in inventory.QUERIES.items()}
+    # Dict order is the driver's check order and its correctness
+    # window covers a prefix; rotate so never-yet-checked queries
+    # come first (see inventory.driver_order).
+    return {name: wrap(inventory.QUERIES[name]) for name in inventory.driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (identical column aliases)."""
-    return dict(inventory.ORACLES)
+    return {
+        name: inventory.ORACLES[name]
+        for name in inventory.driver_order()
+        if name in inventory.ORACLES
+    }

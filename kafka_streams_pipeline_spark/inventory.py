@@ -50,6 +50,43 @@ ORACLES: dict[str, str] = {}
 # Names of queries bench.py treats as the headline set.
 BENCH_QUERIES: list[str] = []
 
+# Queries with a GREEN driver correctness row from rounds 1-2
+# (CORRECTNESS_r01/r02.json). The driver's per-round gate only covers
+# the first 50 entries of ``__spark_entry__.queries()``, so rotation
+# is required for every operator to accumulate a driver row: already
+# certified names go to the back of the returned dict, never-checked
+# names to the front (VERDICT r2 "Next round" item 3). The three
+# round-2 red rows (q_daily_rollup / q_precision_reagg / q_unpivot —
+# single shared cause: un-cast DuckDB HUGEINT sum outputs, fixed this
+# round) are deliberately NOT listed so they re-enter the window
+# right after the never-checked block and certify the fix.
+DRIVER_CERTIFIED: list[str] = [
+    "q_scan_project", "q_filter_time_range", "q_json_extract",
+    "q_event_time_valid", "q_hourly_view", "q_history",
+    "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
+    "q_date_trunc_funcs", "q_string_funcs", "q_math_funcs",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_group_distinct", "q_rollup", "q_cube",
+    "q_salted_agg", "q_asof_attribution", "q_window_rank",
+    "q_window_lag", "q_retention", "q_funnel", "q_latest_by_key",
+    "q_scd2_intervals", "q_rolling_zscore", "q_set_ops", "q_union",
+    "q_topk_limit", "q_tpch_pricing", "q_shipping_priority",
+    "q_local_supplier_volume", "q_promo_share", "q_supplier_volume",
+    "q_quantiles", "q_pivot", "q_corr_stats", "q_group_mode",
+    "q_hash_sample", "q_dedup_exact", "q_dedup_normalized",
+    "q_dedup_minhash", "q_dedup_ngram",
+]
+_ROUND2_RED = ["q_daily_rollup", "q_precision_reagg", "q_unpivot"]
+
+
+def driver_order() -> list[str]:
+    """Registration names reordered for the driver's 50-query
+    correctness window: never-driver-checked first (registration
+    order), then the round-2 red trio, then the certified backlog."""
+    back = set(DRIVER_CERTIFIED) | set(_ROUND2_RED)
+    head = [n for n in QUERIES if n not in back]
+    return head + _ROUND2_RED + DRIVER_CERTIFIED
+
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
@@ -374,7 +411,7 @@ def q_reagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT gh,
            epoch_ms(date_trunc('day', window_start)) AS day_ms,
-           sum(cnt)                                  AS cnt,
+           CAST(sum(cnt) AS BIGINT)                  AS cnt,
            sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
                                                      AS sum_val,
            round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
@@ -466,7 +503,7 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT substring(gh, 1, 4)    AS gh,
            epoch_ms(window_start) AS ws_ms,
-           sum(cnt)               AS cnt,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
            round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0, 6)
                                   AS sum_val,
            round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
@@ -1672,8 +1709,10 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH agg AS (
             SELECT l_returnflag,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT))      AS qty_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT)                                   AS qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT)                                   AS price_c,
                    count(*)                                          AS n
             FROM lineitem GROUP BY l_returnflag
         )
@@ -2619,7 +2658,8 @@ def interval_click_attribution(events: DataFrame) -> DataFrame:
                ntile(4) OVER (ORDER BY spend_cents DESC, user_id) AS quartile
         FROM (
             SELECT user_id,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_cents
             FROM events GROUP BY user_id
         )
     """,

@@ -26,6 +26,8 @@ import __spark_entry__ as entrymod
 
 
 def canon(v) -> str:
+    if hasattr(v, "item"):  # numpy scalar from the pandas fetch path
+        v = v.item()
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -82,9 +84,17 @@ def main() -> int:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            # Fetch via pandas (.df()), NOT fetchall(): the driver's
+            # compare goes through pandas, where DuckDB HUGEINT (the
+            # type of sum(BIGINT)) degrades to float64. fetchall()
+            # returns Python ints and silently masks that mismatch —
+            # the exact failure mode of rounds 1-2 (VERDICT r2 §wrong).
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = res.df()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(row) for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle error: {e}")
