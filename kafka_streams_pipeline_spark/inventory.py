@@ -77,15 +77,20 @@ DRIVER_CERTIFIED: list[str] = [
     "q_dedup_minhash", "q_dedup_ngram",
 ]
 _ROUND2_RED = ["q_daily_rollup", "q_precision_reagg", "q_unpivot"]
+# Queries added in round 3+: they queue behind the round-2 backlog so
+# they don't displace the 49 never-checked round-2 queries (+ 1 red
+# fix proof) from this round's 50-slot window; they rotate in next.
+_ON_DECK: list[str] = ["q_history_ordered"]
 
 
 def driver_order() -> list[str]:
     """Registration names reordered for the driver's 50-query
-    correctness window: never-driver-checked first (registration
-    order), then the round-2 red trio, then the certified backlog."""
-    back = set(DRIVER_CERTIFIED) | set(_ROUND2_RED)
+    correctness window: never-driver-checked round-2 queries first
+    (registration order), then the round-2 red trio, then the
+    newly-added on-deck queries, then the certified backlog."""
+    back = set(DRIVER_CERTIFIED) | set(_ROUND2_RED) | set(_ON_DECK)
     head = [n for n in QUERIES if n not in back]
-    return head + _ROUND2_RED + DRIVER_CERTIFIED
+    return head + _ROUND2_RED + _ON_DECK + DRIVER_CERTIFIED
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
@@ -311,6 +316,51 @@ def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, "avg", _HIST_CELLS, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
     )
     return out.withColumn("avg", F.round("avg", 6))
+
+
+@register(
+    "q_history_ordered",
+    oracle=VIEW_CTE
+    + f"""
+    , h AS (
+        SELECT epoch_ms(window_start)        AS "timestamp",
+               round(sum(CAST(round(s * 1000000) AS BIGINT)) / 1000000.0
+                     / sum(cnt), 6)          AS avg
+        FROM v
+        WHERE gh IN ('{_HIST_CELLS[0]}', '{_HIST_CELLS[1]}')
+          AND window_start >= TIMESTAMP '2024-01-05 00:00:00'
+          AND window_start <= TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY window_start
+    )
+    SELECT CAST(row_number() OVER (ORDER BY "timestamp") AS BIGINT) AS seq,
+           "timestamp", avg
+    FROM h
+    """,
+)
+def q_history_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 ordering certification: q_history plus an explicit
+    ``seq`` column — row_number over the same window_start ordering
+    the reference guarantees via its TreeMap result
+    (querying/util/Aggregator.java:10,
+    querying/QueryingController.java:45-60). The driver's value hash
+    is order-insensitive, so a bare ORDER BY is invisible to it;
+    binding each row to its rank makes any ordering error flip the
+    hash. The rank rides the single already-sorted time axis (one
+    tiny window over the serving result, not the raw data)."""
+    import datetime as dt
+
+    v = _served_view(spark, sf_dir)
+    out = history(
+        v, "avg", _HIST_CELLS, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    ).withColumn("avg", F.round("avg", 6))
+    return out.select(
+        F.row_number()
+        .over(Window.orderBy("timestamp"))
+        .cast("long")
+        .alias("seq"),
+        "timestamp",
+        "avg",
+    )
 
 
 @register(
@@ -2769,9 +2819,9 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         marked AS (
             SELECT user_id, ts_ms,
-                   sum(is_start) OVER (
+                   CAST(sum(is_start) OVER (
                        PARTITION BY user_id ORDER BY ts_ms, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM ordered
         )
         SELECT user_id, session_idx, count(*) AS n_events,
@@ -2855,10 +2905,10 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_priority_shipmode",
     oracle="""
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'

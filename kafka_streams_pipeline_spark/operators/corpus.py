@@ -107,9 +107,10 @@ def chunk_dedup_oracle() -> str:
         )
         SELECT doc_id,
                count(*) AS n_chunks,
-               sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_boiler,
-               sum(CASE WHEN ndocs < 2 THEN n_words ELSE 0 END)
-                   AS kept_words
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               CAST(sum(CASE WHEN ndocs < 2 THEN n_words ELSE 0 END)
+                    AS BIGINT) AS kept_words
         FROM chunks JOIN freq USING (chash)
         GROUP BY doc_id
     """
@@ -202,8 +203,8 @@ def contamination_oracle() -> str:
         )
         SELECT ev.doc_id,
                count(*) AS n_shingles,
-               sum(CASE WHEN train.shash IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_contaminated,
+               CAST(sum(CASE WHEN train.shash IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
                round(sum(CASE WHEN train.shash IS NOT NULL
                               THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
                    AS contam_frac

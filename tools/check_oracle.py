@@ -74,8 +74,19 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            # Fetch the Spark side via pandas as well: round-2 driver
+            # evidence (q_asof_attribution et al. GREEN with nullable
+            # BIGINT columns) shows the driver degrades BOTH sides the
+            # same way — an int column containing nulls becomes
+            # float64 on both, so only asymmetric degradations (DuckDB
+            # HUGEINT) can mismatch. collect() would make the Spark
+            # side int where the oracle side is float and flag passes
+            # as failures.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [
+                tuple(row) for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
