@@ -77,8 +77,12 @@ def kafka_reading_stream(
     config: subscribe + earliest reset
     (ingestion/KafkaStreamsAggregator.java:121,158-162).
 
-    Requires the spark-sql-kafka package on the classpath; not used in
-    tests (file sources replay the same path — streaming/pipeline.py).
+    Requires the spark-sql-kafka package on the classpath and a
+    broker; neither exists in this sandbox, so CI covers this path via
+    :func:`decode_kafka_records` over a batch frame with the exact
+    Kafka source schema (tests/test_sources.py) and the file-stream
+    replay of the same transforms (streaming/pipeline.py). The only
+    uncovered line is the ``format("kafka")`` connection itself.
     """
     raw = (
         spark.readStream.format("kafka")
@@ -87,7 +91,52 @@ def kafka_reading_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return with_event_time(decode_json_readings(raw), fallback_col="timestamp")
+    return decode_kafka_records(raw)
+
+
+def decode_kafka_records(raw: DataFrame) -> DataFrame:
+    """Kafka-source rows (key/value binary + record ``timestamp``) →
+    validated readings with event time.
+
+    The transport timestamp must survive the JSON decode so a null
+    payload timestamp can fall back to it
+    (querying/util/TSExtractor.java:20 — the Kafka record timestamp).
+    The payload field is ALSO named ``timestamp``, so the record
+    column is staged under a reserved name around the decode."""
+    staged = raw.select(
+        F.col("timestamp").alias("_transport_ts"), F.col("value")
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # PERMISSIVE from_json maps malformed JSON to an ALL-NULL struct
+    # (not a null struct), indistinguishable from a legitimately
+    # empty payload — so capture parse failures in a corrupt-record
+    # column and drop them BEFORE the transport-ts fallback, else an
+    # unparseable record would survive as an all-null reading with a
+    # borrowed event time (the reference deserializer nulls such
+    # records out of the stream,
+    # ingestion/util/serdes/JsonPOJODeserializer.java:50-55).
+    # NOT READING_SCHEMA.add(...): StructType.add mutates the receiver
+    # in place, which would grow the shared schema on every call.
+    parse_schema = StructType(
+        list(READING_SCHEMA.fields) + [StructField("_corrupt", StringType())]
+    )
+    decoded = (
+        staged.select(
+            "_transport_ts",
+            F.from_json(
+                F.col("value").cast("string"),
+                parse_schema,
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("r"),
+        )
+        .where(F.col("r").isNotNull() & F.col("r._corrupt").isNull())
+        .select("_transport_ts", "r.*")
+        .drop("_corrupt")
+    )
+    return with_event_time(decoded, fallback_col="_transport_ts").drop(
+        "_transport_ts"
+    )
 
 
 def readings_from_events(events: DataFrame) -> DataFrame:

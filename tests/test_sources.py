@@ -54,6 +54,55 @@ def test_event_time_guard_filters_invalid(spark):
     assert by_id["c"]["ts"] is not None  # fallback applied
 
 
+def test_decode_kafka_records_transport_fallback(spark):
+    """The Kafka ingest transform chain (decode_kafka_records) over a
+    batch frame with the exact Kafka source schema — key/value binary,
+    record timestamp, partition/offset metadata. Certifies everything
+    in kafka_reading_stream except the broker connection itself (no
+    broker exists in CI; documented in the function docstring):
+    payload decode, transport-timestamp fallback for null payload
+    timestamps (querying/util/TSExtractor.java:20), negative-ts guard
+    (:15-17), and that the payload field named `timestamp` does not
+    shadow the record timestamp."""
+    import datetime as dt
+
+    from kafka_streams_pipeline_spark.sources.readings import (
+        decode_kafka_records,
+    )
+
+    transport = dt.datetime(2024, 1, 2, 3, 4, 5)
+
+    def rec(payload: dict | str, offset: int):
+        value = payload if isinstance(payload, str) else json.dumps(payload)
+        return (
+            None,
+            value.encode(),
+            "temperature-readings",
+            0,
+            offset,
+            transport,
+            0,
+        )
+
+    rows = [
+        rec({"timestamp": 1_700_000_000_000, "sensorId": "s1",
+             "geohash": "u155mz82dv33", "tempVal": 20.5, "tempUnit": "c"}, 0),
+        rec({"sensorId": "s2", "tempVal": 1.0}, 1),      # null payload ts
+        rec({"timestamp": -4, "sensorId": "s3"}, 2),     # invalid
+        rec("{not json", 3),                             # malformed
+    ]
+    kafka_shaped = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    out = {r["sensorId"]: r for r in decode_kafka_records(kafka_shaped).collect()}
+    assert set(out) == {"s1", "s2"}
+    assert out["s1"]["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert out["s2"]["ts"] == transport  # transport fallback, not payload
+    assert "_transport_ts" not in decode_kafka_records(kafka_shaped).columns
+
+
 def test_stream_static_dimension_join(spark, tmp_path_factory):
     """Streaming readings enriched with a static dimension (sensor →
     region) then aggregated per region — the stream-static join is
