@@ -80,7 +80,7 @@ _ROUND2_RED = ["q_daily_rollup", "q_precision_reagg", "q_unpivot"]
 # Queries added in round 3+: they queue behind the round-2 backlog so
 # they don't displace the 49 never-checked round-2 queries (+ 1 red
 # fix proof) from this round's 50-slot window; they rotate in next.
-_ON_DECK: list[str] = ["q_history_ordered"]
+_ON_DECK: list[str] = ["q_history_ordered", "q_media_jpeg_decode"]
 
 
 def driver_order() -> list[str]:
@@ -2216,6 +2216,61 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weighted_sum",
         "peak",
     )
+
+
+@register(
+    "q_media_jpeg_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   8 * (doc_id % 3 + 1) AS w,
+                   8 * (doc_id % 2 + 1) AS h
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, w, h,
+                   w // 8                  AS nbx,
+                   (w // 8) * (h // 8)     AS nb
+            FROM base
+        ),
+        blocks AS (
+            SELECT doc_id, w, h, nb, c, b,
+                   (doc_id * 31 + (c * nb + b) * 17) % 256 AS v,
+                   b // nbx AS brow, b % nbx AS bcol
+            FROM dims,
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                AS asset_id,
+               w                     AS width,
+               h                     AS height,
+               CAST(3 AS BIGINT)     AS n_components,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(sum(CASE WHEN c = 0 THEN 64 * v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN c = 1 THEN 64 * v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN c = 2 THEN 64 * v END) AS BIGINT) AS sum_c2,
+               CAST(sum(v * (c * w * h * 64 + 512 * w * brow + 224 * w
+                             + 512 * bcol + 224)) AS BIGINT) AS spatial_sum,
+               max(v)                AS peak
+        FROM blocks
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real COMPRESSED-image decode: genuine baseline sequential
+    JPEG payloads (T.81 entropy coding — canonical Huffman, DC
+    prediction, zigzag, quantization, DCT) synthesized per document
+    and decoded by the stdlib codec (operators/multimodal.parse_jpeg)
+    inside mapInPandas. The fixture's blocks are constant-valued, for
+    which the flat q=8 table makes the lossy codec bit-exact (DC-only
+    blocks; see the codec section header), so the oracle recomputes
+    the DECODED pixel stats from the generating recurrence in pure
+    SQL. ``spatial_sum`` weights every pixel by (c·h·w + y·w + x):
+    a decoder that misplaces blocks, swaps planes, or mis-walks the
+    zigzag cannot hash-match. A constant-block sum over an 8×8 tile
+    collapses to v·(64·c·h·w + 512·w·brow + 224·w + 512·bcol + 224)."""
+    jpg = _mm.jpeg_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_jpeg(jpg)
 
 
 # ---------------------------------------------------------------------------

@@ -18,10 +18,15 @@ tested. Decode status:
   genuine AVI payloads from ``avi_from_documents``;
   ``sample_avi_frames`` does stride frame-sampling with timestamps
   from the container's own dwMicroSecPerFrame.
-- compressed formats (JPEG/PNG/MP4/H.264): STUBBED (PIL/ffmpeg are
-  not in this container): ``decode_stub="fake"`` → deterministic
-  fake output (tests); ``decode_stub="raise"`` → NotImplementedError
-  naming the needed lib.
+- **compressed image: REAL** — ``parse_jpeg``/``_jpeg_bytes`` are a
+  stdlib+numpy baseline sequential JPEG codec (ITU-T T.81: canonical
+  Huffman entropy coding, DC prediction, zigzag, flat-table
+  quantization, DCT/IDCT, byte stuffing); see the codec section
+  header for the oracle-exactness construction.
+- compressed video / other image formats (PNG/MP4/H.264): STUBBED
+  (PIL/ffmpeg are not in this container): ``decode_stub="fake"`` →
+  deterministic fake output (tests); ``decode_stub="raise"`` →
+  NotImplementedError naming the needed lib.
 
 Design for 100 TB: payloads never shuffle — metadata extraction is a
 narrow mapInPandas; anything aggregate-shaped first projects payload
@@ -733,3 +738,463 @@ def audio_frame_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema)
+
+
+# --- Real compressed-image decode: stdlib baseline JPEG codec ---------------
+#
+# Baseline sequential DCT JPEG (ITU-T T.81): 8-bit samples, 4:4:4 (all
+# sampling factors 1×1), the spec's Annex-K luminance Huffman tables
+# for every component, one flat quantization table. Both directions
+# are general-purpose — arbitrary pixel content, DC differencing,
+# AC run-length with ZRL/EOB, byte stuffing, edge-padded partial
+# blocks — in stdlib + numpy only (no PIL/libjpeg). Components are
+# coded and returned as-is (planes), with no YCbCr↔RGB transform:
+# the decode surface is "coded planes", the transform being a
+# separate per-pixel map a pipeline can apply downstream.
+#
+# Exactness note for the oracle fixture: with a flat quantization
+# table of 8 and block-CONSTANT input (every 8×8 block one value v),
+# the only nonzero coefficient is DC = 8·(v−128), which quantizes to
+# the integer v−128 with zero rounding loss — so encode→decode is
+# bit-exact and the DuckDB oracle can recompute decoded-pixel stats
+# from the generating recurrence. General content round-trips within
+# quantization error (property-tested in tests/test_properties.py).
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K.3.1/K.3.2 — standard luminance Huffman tables
+# (BITS counts for code lengths 1..16, then HUFFVAL in order).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis: coeffs = T @ block @ T.T,
+# block = T.T @ coeffs @ T.
+_DCT_T = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if i == 0 else 0.5)
+            * np.cos((2 * j + 1) * i * np.pi / 16.0)
+            for j in range(8)
+        ]
+        for i in range(8)
+    ]
+)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol → (code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_encode_table(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    """MSB-first bit sink with JPEG byte stuffing (0x00 after 0xFF)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad final byte with 1-bits per spec
+
+
+class _BitReader:
+    """MSB-first bit source over UNSTUFFED entropy-coded bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value → (category SSSS, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    ssss = int(abs(v)).bit_length()
+    return ssss, (v if v > 0 else v + (1 << ssss) - 1)
+
+
+def _extend(bits: int, ssss: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if ssss == 0:
+        return 0
+    return bits if bits >= (1 << (ssss - 1)) else bits - (1 << ssss) + 1
+
+
+def _jpeg_bytes(planes: np.ndarray, q: int = 8) -> bytes:
+    """Encode (ncomp, h, w) uint8 planes (ncomp 1 or 3) as a baseline
+    sequential JPEG with a flat quantization table of ``q``."""
+    ncomp, h, w = planes.shape
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    padded = np.stack(
+        [
+            np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+            for p in planes.astype(np.float64)
+        ]
+    )
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(ncomp):
+                block = padded[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = _DCT_T @ (block - 128.0) @ _DCT_T.T
+                zz = np.round(coeffs.reshape(-1)[_JPEG_ZIGZAG] / q).astype(
+                    np.int64
+                )
+                diff = int(zz[0]) - prev_dc[c]
+                prev_dc[c] = int(zz[0])
+                ssss, bits = _magnitude(diff)
+                code, length = dc_enc[ssss]
+                bw.write(code, length)
+                if ssss:
+                    bw.write(bits, ssss)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = int(nz[-1]) + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_enc[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    ssss, bits = _magnitude(v)
+                    code, length = ac_enc[(run << 4) | ssss]
+                    bw.write(code, length)
+                    bw.write(bits, ssss)
+                    run = 0
+                if last < 63:
+                    code, length = ac_enc[0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab_zz = bytes([q] * 64)
+    dqt = seg(0xFFDB, bytes([0x00]) + qtab_zz)
+    sof_comps = b"".join(
+        struct.pack("BBB", c + 1, 0x11, 0) for c in range(ncomp)
+    )
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_comps = b"".join(struct.pack("BB", c + 1, 0x00) for c in range(ncomp))
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline sequential 4:4:4 JPEG → (width, height,
+    ncomp, planes (ncomp, h, w) uint8, in coded component order).
+
+    A real entropy decoder: marker walk (APPn/COM skipped), multiple
+    DQT/DHT segments, canonical Huffman reconstruction, byte
+    unstuffing, DC prediction, AC run-length with ZRL/EOB,
+    dequantize → dezigzag → IDCT → level shift. Restart intervals and
+    subsampled/progressive streams are rejected explicitly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, tq)])
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("JPEG has no scan data")
+        length = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                qtabs[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = [(body[1 + 2 * j], body[2 + 2 * j]) for j in range(ns)]
+            break
+        # APPn / COM / other: skipped
+    h, w, comps = frame
+    # entropy-coded data runs to the next real marker; unstuff 0xFF00
+    data = bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers unsupported")
+            break  # real marker (EOI)
+        data.append(b)
+        pos += 1
+    br = _BitReader(bytes(data))
+    nby, nbx = -(-h // 8), -(-w // 8)
+    ncomp = len(comps)
+    comp_tq = dict(comps)
+    planes = np.zeros((ncomp, nby * 8, nbx * 8), dtype=np.uint8)
+    prev_dc = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for c, (cid, td_ta) in enumerate(scan):
+                dc_tab = dc_tabs[td_ta >> 4]
+                ac_tab = ac_tabs[td_ta & 0xF]
+                qt = qtabs[comp_tq[cid]]
+                ssss = _read_huff(br, dc_tab)
+                diff = _extend(br.read_bits(ssss), ssss)
+                prev_dc[c] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = prev_dc[c]
+                k = 1
+                while k < 64:
+                    sym = _read_huff(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC coefficient overrun")
+                    zz[k] = _extend(br.read_bits(sym & 0xF), sym & 0xF)
+                    k += 1
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZIGZAG] = zz * qt
+                block = _DCT_T.T @ nat.reshape(8, 8) @ _DCT_T
+                planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block) + 128, 0, 255
+                ).astype(np.uint8)
+    return w, h, ncomp, np.ascontiguousarray(planes[:, :h, :w])
+
+
+def jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine baseline JPEG payloads from the documents
+    fixture: per doc, a 3-component 8·(doc_id%3+1) × 8·(doc_id%2+1)
+    image whose 8×8 block (c, b) is CONSTANT at
+    (doc_id·31 + (c·nb + b)·17) mod 256 (b row-major). With the flat
+    q=8 table the encode→decode round-trip is exact for such content
+    (see codec header note), so the DuckDB oracle can recompute every
+    decoded-pixel stat from the recurrence."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (did % 3 + 1), 8 * (did % 2 + 1)
+                nbx, nby = w // 8, h // 8
+                nb = nbx * nby
+                planes = np.zeros((3, h, w), dtype=np.uint8)
+                for c in range(3):
+                    for b in range(nb):
+                        v = (did * 31 + (c * nb + b) * 17) % 256
+                        by, bx = divmod(b, nbx)
+                        planes[
+                            c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = v
+                out["asset_id"].append(did)
+                out["media_type"].append("image")
+                out["payload"].append(_jpeg_bytes(planes, q=8))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("media_type", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_components", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+        StructField("spatial_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def decode_jpeg(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas JPEG decode: frame header fields + exact integer
+    stats over the DECODED pixels. ``spatial_sum`` weights each pixel
+    by (c·h·w + y·w + x), so a decoder that misplaces blocks, swaps
+    planes, or mis-walks the zigzag produces a different number even
+    when plane sums collide. Payloads never leave their partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in JPEG_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                w, h, ncomp, planes = parse_jpeg(bytes(payload))
+                p64 = planes.astype(np.int64)
+                idx = np.arange(ncomp * h * w, dtype=np.int64)
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_components"].append(ncomp)
+                rows["n_pixels"].append(w * h)
+                for c in range(3):
+                    rows[f"sum_c{c}"].append(
+                        int(p64[c].sum()) if c < ncomp else 0
+                    )
+                rows["spatial_sum"].append(int((p64.reshape(-1) * idx).sum()))
+                rows["peak"].append(int(p64.max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, JPEG_STATS_SCHEMA)

@@ -197,3 +197,45 @@ def test_avi_roundtrip_property(nf, w, h, seed):
     assert (w2, h2, us, len(got)) == (w, h, mm.AVI_US_PER_FRAME, nf)
     for f in range(nf):
         assert np.array_equal(got[f], frames[f])
+
+
+@given(
+    ncomp=st.sampled_from([1, 3]),
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(ncomp, w, h, seed):
+    """Baseline JPEG codec on ARBITRARY content with the near-lossless
+    q=1 table: header fields exact, every pixel within the DCT
+    float-rounding bound (±2). Exercises partial edge blocks, gray and
+    4:4:4 color, ZRL/EOB runs, DC prediction, and byte stuffing."""
+    rng = np.random.default_rng(seed)
+    planes = rng.integers(0, 256, size=(ncomp, h, w), dtype=np.uint8)
+    w2, h2, n2, out = mm.parse_jpeg(mm._jpeg_bytes(planes, q=1))
+    assert (w2, h2, n2) == (w, h, ncomp)
+    assert np.abs(out.astype(np.int64) - planes.astype(np.int64)).max() <= 2
+
+
+@given(
+    did=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_block_constant_exact(did):
+    """The oracle-exactness contract: block-constant planes with the
+    flat q=8 table round-trip BIT-EXACTLY (DC-only blocks, zero
+    quantization loss) — the property q_media_jpeg_decode's SQL
+    oracle relies on."""
+    w, h = 8 * (did % 3 + 1), 8 * (did % 2 + 1)
+    nbx, nby = w // 8, h // 8
+    nb = nbx * nby
+    planes = np.zeros((3, h, w), dtype=np.uint8)
+    for c in range(3):
+        for b in range(nb):
+            v = (did * 31 + (c * nb + b) * 17) % 256
+            by, bx = divmod(b, nbx)
+            planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    w2, h2, n2, out = mm.parse_jpeg(mm._jpeg_bytes(planes, q=8))
+    assert (w2, h2, n2) == (w, h, 3)
+    assert np.array_equal(out, planes)
