@@ -80,7 +80,11 @@ _ROUND2_RED = ["q_daily_rollup", "q_precision_reagg", "q_unpivot"]
 # Queries added in round 3+: they queue behind the round-2 backlog so
 # they don't displace the 49 never-checked round-2 queries (+ 1 red
 # fix proof) from this round's 50-slot window; they rotate in next.
-_ON_DECK: list[str] = ["q_history_ordered", "q_media_jpeg_decode"]
+_ON_DECK: list[str] = [
+    "q_history_ordered",
+    "q_media_jpeg_decode",
+    "q_semantic_dedup",
+]
 
 
 def driver_order() -> list[str]:
@@ -2489,6 +2493,16 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-only summary stats so the oracle match is exact. The
     compression step before any large-scale ANN index build."""
     return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_semantic_dedup", oracle=_sim.semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 SemDeDup-shaped semantic dedup: coarse-quantizer cells
+    (broadcast-centroid assignment), then an in-cell cosine self-join
+    drops every vector with a lower-id neighbor ≥ threshold — one
+    representative per semantic near-dup chain, candidate work
+    Σ|cell|² not N². See operators/similarity.semantic_dedup."""
+    return _sim.semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -706,3 +706,141 @@ def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
         FROM a2 JOIN l1 ON a2.cell = l1.cell
         GROUP BY a2.cell
     """
+
+
+# --- SemDeDup-style semantic deduplication ---------------------------------
+
+# Fixture-scaled: the synthetic embeddings top out near cosine 0.48,
+# so 0.4 marks a meaningful dup set; real-corpus deployments of the
+# method run ~0.95+ (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+# public literature).
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """X2/X3 semantic (embedding-space) dedup, SemDeDup-shaped:
+    cluster the corpus with the coarse quantizer, then WITHIN each
+    cluster drop every vector that has a lower-id neighbor at cosine
+    ≥ threshold — one representative (the minimum id) survives per
+    semantic near-dup chain.
+
+    Output: (vec_id, cell, n_dup_partners, is_kept) for EVERY vector
+    — n_dup_partners counts the lower-id in-cluster neighbors over
+    the threshold, is_kept = 1 iff that count is 0. All integers, so
+    the oracle is exact; cosine uses the same round(·, 6) + id
+    tiebreak discipline as the ANN queries.
+
+    Scale shape: assignment is one broadcast-centroid pass (identical
+    to topk_cosine_ivf); the pair search self-joins ONLY within a
+    cell, so candidate work is Σ |cell|² rather than N² — exactly the
+    trade the SemDeDup construction makes (cluster count scales with
+    corpus size to keep cells bounded). No window over the corpus, no
+    global sort; one shuffle keyed by cell."""
+    cent = df.where(F.expr(_centroid_filter())).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(_spark_norm("embedding")).alias("c_norm"),
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            f"round({_spark_dot('embedding', 'c_emb')} / "
+            f"({_spark_norm('embedding')} * c_norm), 6)"
+        ).alias("score"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cent_id")).alias("negc"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negc")).alias("cell"))
+    )
+    v = df.join(assign, "vec_id").select(
+        "cell",
+        "vec_id",
+        "embedding",
+        F.expr(_spark_norm("embedding")).alias("nm"),
+    )
+    va = v.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nm").alias("nm_a"),
+    )
+    vb = v.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nm").alias("nm_b"),
+    )
+    dup_counts = (
+        va.join(vb, "cell")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(
+            F.expr(
+                f"round({_spark_dot('emb_a', 'emb_b')} / (nm_a * nm_b), 6)"
+            )
+            >= threshold
+        )
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_partners"))
+    )
+    return (
+        assign.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_dup_partners"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_partners"),
+            F.when(F.col("n_dup_partners").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb,
+                   {_duck_norm('embedding')} AS c_norm
+            FROM embeddings WHERE {_centroid_filter()}
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round({_duck_dot('e.embedding', 'c.c_emb')} /
+                         ({_duck_norm('e.embedding')} * c.c_norm), 6) AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cent_id AS cell FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) = 1
+        ),
+        v AS (
+            SELECT a.cell, e.vec_id, e.embedding,
+                   {_duck_norm('e.embedding')} AS nm
+            FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        ),
+        dups AS (
+            SELECT a.vec_id, count(*) AS n_dup_partners
+            FROM v a JOIN v b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE round({_duck_dot('a.embedding', 'b.embedding')} /
+                        (a.nm * b.nm), 6) >= {threshold}
+            GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cell,
+               CAST(coalesce(d.n_dup_partners, 0) AS BIGINT)
+                   AS n_dup_partners,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_kept
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
