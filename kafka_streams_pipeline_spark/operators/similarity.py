@@ -751,6 +751,11 @@ def semantic_dedup(
             f"({_spark_norm('embedding')} * c_norm), 6)"
         ).alias("score"),
     )
+    # The (vec_id, cell) assignment feeds three consumers (both pair
+    # sides + the final output); materialize it once — it is two thin
+    # longs per vector, while recomputing it costs the full
+    # broadcast-centroid dot pass each time. On a cluster this is the
+    # assignment table you'd checkpoint durably.
     assign = (
         scored.groupBy("vec_id")
         .agg(
@@ -759,6 +764,7 @@ def semantic_dedup(
             ).alias("m")
         )
         .select("vec_id", (-F.col("m.negc")).alias("cell"))
+        .localCheckpoint()
     )
     v = df.join(assign, "vec_id").select(
         "cell",
