@@ -84,6 +84,8 @@ _ON_DECK: list[str] = [
     "q_history_ordered",
     "q_media_jpeg_decode",
     "q_semantic_dedup",
+    "q_vocab_build",
+    "q_unigram_surprisal",
 ]
 
 
@@ -2588,6 +2590,26 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs, retries, and any partitioning; counts + kept-token mass
     certify the realized rates."""
     return _text.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("q_vocab_build", oracle=_text.vocab_build_oracle())
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 tokenizer-vocabulary construction: corpus token counts,
+    min-count floor, dense frequency-ranked ids with a deterministic
+    (count DESC, token) tie-break — two runs assign identical ids.
+    The ranking window rides the min-count-pruned VOCAB, not the
+    token stream. See operators/text.vocab_build."""
+    return _text.vocab_build(_t(spark, sf_dir, "documents"))
+
+
+@register("q_unigram_surprisal", oracle=_text.unigram_surprisal_oracle())
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 CCNet-shaped LM quality scoring, integer-exact: mean
+    unigram surprisal of each eval-split document under the
+    train-split unigram model, with a pure-integer floor-log2 (no
+    float log — engine-portable to the bit). OOV gets the max
+    penalty. See operators/text.unigram_surprisal."""
+    return _text.unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -666,3 +666,174 @@ def write_split_corpus(
         .partitionBy("split", "lang")
         .parquet(path)
     )
+
+
+# --- Vocabulary build + unigram surprisal scoring --------------------------
+
+
+def _spark_bitlen(x: str) -> str:
+    """Integer bit length (floor(log2)+1) as a pure-integer
+    expression: count the powers of two ≤ x. Float log2 is NOT used —
+    Math.log boundary rounding (log2(8) → 2.9999…96) differs between
+    engines; this form is bit-identical everywhere."""
+    return (
+        f"aggregate(transform(sequence(0, 62), k -> "
+        f"CASE WHEN {x} >= shiftleft(1L, k) THEN 1 ELSE 0 END), 0, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_bitlen(x: str) -> str:
+    return (
+        f"list_sum([CASE WHEN {x} >= (1::BIGINT << k) THEN 1 ELSE 0 END "
+        f"FOR k IN range(0, 63)])"
+    )
+
+
+def vocab_build(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """X5 vocabulary construction: corpus token counts, a min-count
+    floor, and dense frequency-ranked ids (count DESC, token ASC — the
+    deterministic tie-break every tokenizer build needs so two runs
+    assign identical ids). Output: (token, cnt, token_id).
+
+    Scale shape: one explode → one vocab-sized aggregate with map-side
+    partials; the ranking window runs over the VOCAB (≪ corpus, and
+    already min-count-pruned), not the token stream. For
+    billion-token vocabularies the same two-pass threshold trick as
+    stratified sampling applies (rank only tokens above an
+    approximate count cutoff); the ranking semantics are unchanged."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    return counts.select(
+        "token",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .cast("long")
+        .alias("token_id"),
+    )
+
+
+def vocab_build_oracle(min_count: int = 2) -> str:
+    return f"""
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                   AS token_id
+        FROM (
+            SELECT token, count(*) AS cnt
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            )
+            GROUP BY token
+        )
+        WHERE cnt >= {min_count}
+    """
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 CCNet-shaped LM quality signal, integer-exact: score each
+    EVAL-split document by mean unigram surprisal under the
+    TRAIN-split unigram model (CCNet buckets documents by LM
+    perplexity; the unigram form keeps the statistic engine-portable).
+
+    Surprisal per token ≈ floor-log2(N_train / count_train) + 1 bits,
+    computed with the pure-integer bit-length expression (no float
+    log anywhere). Out-of-vocabulary tokens get the max penalty
+    bitlen(N)+1. Output per eval doc: token count, total surprisal
+    bits, and a fixed-point mean (×10⁶, integer div).
+
+    Scale shape: the unigram table is vocab-sized and aggregated with
+    map-side partials; scoring is one join keyed by token (broadcast
+    when the vocab is bounded, shuffled otherwise — Spark picks by
+    stats) followed by a per-doc aggregate. Splits reuse the salted
+    doc_id hash, so train here is exactly q_hash_split's train."""
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_spark,
+    )
+
+    toks = df.select(
+        "doc_id",
+        _split_bucket_spark().alias("bucket"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    )
+    train_counts = (
+        toks.where(F.col("bucket") < 80)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_train = train_counts.agg(
+        F.sum("cnt").cast("long").alias("n")
+    ).withColumn("max_bits", F.expr(_spark_bitlen("n")) + 1)
+    ev = toks.where(F.col("bucket") >= 90).select("doc_id", "token")
+    scored = (
+        ev.join(train_counts, "token", "left")
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cnt").isNotNull(),
+                F.expr(_spark_bitlen("(n div cnt)")) + 1,
+            )
+            .otherwise(F.col("max_bits"))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST(sum(bits) * 1000000L div count(1) AS BIGINT)").alias(
+            "mean_bits_fp"
+        ),
+    )
+
+
+def unigram_surprisal_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_sql,
+    )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_split_bucket_sql()} AS bucket,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        train_counts AS (
+            SELECT token, count(*) AS cnt FROM toks
+            WHERE bucket < 80 GROUP BY token
+        ),
+        nt AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   {_duck_bitlen('CAST(sum(cnt) AS BIGINT)')} + 1 AS max_bits
+            FROM train_counts
+        ),
+        scored AS (
+            SELECT e.doc_id,
+                   CAST(CASE WHEN tc.cnt IS NOT NULL
+                        THEN {_duck_bitlen('(nt.n // tc.cnt)')} + 1
+                        ELSE nt.max_bits END AS BIGINT) AS bits
+            FROM toks e
+            LEFT JOIN train_counts tc ON e.token = tc.token
+            CROSS JOIN nt
+            WHERE e.bucket >= 90
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS total_bits,
+               CAST((sum(bits) * 1000000) // count(*) AS BIGINT)
+                   AS mean_bits_fp
+        FROM scored
+        GROUP BY doc_id
+    """

@@ -706,3 +706,51 @@ def test_semantic_dedup_matches_bruteforce(emb):
         assert r["is_kept"] == (1 if not partners else 0), vid
     # the dedup marks SOMETHING at fixture scale, else the test is vacuous
     assert any(r["is_kept"] == 0 for r in out.values())
+
+
+def test_vocab_build_ids_dense_and_frequency_ordered(docs):
+    out = sorted(
+        text.vocab_build(docs).collect(), key=lambda r: r["token_id"]
+    )
+    assert [r["token_id"] for r in out] == list(range(1, len(out) + 1))
+    counts = [r["cnt"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    # deterministic tie-break: equal counts ordered by token
+    for a, b in zip(out, out[1:]):
+        if a["cnt"] == b["cnt"]:
+            assert a["token"] < b["token"]
+
+
+def test_unigram_surprisal_rare_above_common(spark):
+    """A doc of corpus-rare tokens must out-score a doc of common
+    ones, and OOV must hit the max penalty."""
+    rows = []
+    did = 0
+    # salted split: find ids landing in train (<80) and eval (>=90)
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_spark,
+    )
+
+    probe = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), _split_bucket_spark().alias("b")
+    )
+    buckets = {r["doc_id"]: r["b"] for r in probe.collect()}
+    train_ids = [i for i, b in buckets.items() if b < 80]
+    eval_ids = [i for i, b in buckets.items() if b >= 90]
+    assert len(train_ids) >= 3 and len(eval_ids) >= 3
+    common = "the " * 50 + "the"
+    for tid in train_ids[:3]:
+        rows.append((tid, common + " rare"))
+    docs_rows = rows + [
+        (eval_ids[0], "the the the the"),
+        (eval_ids[1], "rare rare rare rare"),
+        (eval_ids[2], "unseen tokens only here"),
+    ]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.unigram_surprisal(df).collect()}
+    assert set(out) == {eval_ids[0], eval_ids[1], eval_ids[2]}
+    assert (
+        out[eval_ids[0]]["mean_bits_fp"]
+        < out[eval_ids[1]]["mean_bits_fp"]
+        < out[eval_ids[2]]["mean_bits_fp"]
+    )
