@@ -86,6 +86,7 @@ _ON_DECK: list[str] = [
     "q_semantic_dedup",
     "q_vocab_build",
     "q_unigram_surprisal",
+    "q_media_mjpeg_frames",
 ]
 
 
@@ -2277,6 +2278,53 @@ def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to v·(64·c·h·w + 512·w·brow + 224·w + 512·bcol + 224)."""
     jpg = _mm.jpeg_from_documents(_t(spark, sf_dir, "documents"))
     return _mm.decode_jpeg(jpg)
+
+
+@register(
+    "q_media_mjpeg_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 + 1       AS nf,
+                   8 * (doc_id % 2 + 1) AS w,
+                   8                    AS h,
+                   doc_id % 2 + 1       AS nb
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, nb, f, c, b,
+                   (doc_id * 37 + f * 113 + (c * nb + b) * 17) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, nf - 1)) AS tf(f),
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                 AS asset_id,
+               f                      AS frame_idx,
+               CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+               w                      AS width,
+               CAST(h AS BIGINT)      AS height,
+               CAST(sum(64 * v) AS BIGINT) AS sum_px,
+               CAST(sum(v * (64 * c * h * w + 224 * w + 512 * b + 224))
+                    AS BIGINT)        AS spatial_sum,
+               max(v)                 AS peak
+        FROM cells
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real COMPRESSED-video decode: Motion-JPEG AVIs (fourcc
+    'MJPG', one complete baseline JPEG per '00dc' chunk) synthesized
+    per document, decoded by composing the two real kernels — the
+    RIFF LIST walker and the T.81 JPEG entropy decoder — inside
+    mapInPandas (operators/multimodal.parse_mjpeg_avi). Frames are
+    block-constant so the JPEG layer is exact at flat q=8 and the
+    oracle recomputes per-frame decoded stats from the recurrence;
+    frame_ts_ms comes from the container's own dwMicroSecPerFrame.
+    Single-block-row frames collapse the spatial weight to
+    v·(64·c·h·w + 224·w + 512·b + 224)."""
+    avi = _mm.mjpeg_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_mjpeg_frames(avi)
 
 
 # ---------------------------------------------------------------------------

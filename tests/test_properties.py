@@ -239,3 +239,22 @@ def test_jpeg_block_constant_exact(did):
     w2, h2, n2, out = mm.parse_jpeg(mm._jpeg_bytes(planes, q=8))
     assert (w2, h2, n2) == (w, h, 3)
     assert np.array_equal(out, planes)
+
+
+@given(
+    nf=st.integers(min_value=1, max_value=4),
+    ncomp=st.sampled_from([1, 3]),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_mjpeg_avi_roundtrip_property(nf, ncomp, w, h, seed):
+    """MJPEG-in-AVI: container fields exact, every JPEG frame within
+    the q=1 quantization bound."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, ncomp, h, w), dtype=np.uint8)
+    w2, h2, us, got = mm.parse_mjpeg_avi(mm._mjpeg_avi_bytes(frames, q=1))
+    assert (w2, h2, us, len(got)) == (w, h, mm.AVI_US_PER_FRAME, nf)
+    for g, f in zip(got, frames):
+        assert np.abs(g.astype(np.int64) - f.astype(np.int64)).max() <= 2
