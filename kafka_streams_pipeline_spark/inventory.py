@@ -87,6 +87,7 @@ _ON_DECK: list[str] = [
     "q_vocab_build",
     "q_unigram_surprisal",
     "q_media_mjpeg_frames",
+    "q_media_png_decode",
 ]
 
 
@@ -2325,6 +2326,45 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     v·(64·c·h·w + 224·w + 512·b + 224)."""
     avi = _mm.mjpeg_from_documents(_t(spark, sf_dir, "documents"))
     return _mm.decode_mjpeg_frames(avi)
+
+
+@register(
+    "q_media_png_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h
+            FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, w, h, k,
+                   (doc_id * 19 + k * 41) % 256 AS v
+            FROM base, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id                 AS asset_id,
+               w                      AS width,
+               h                      AS height,
+               CAST(24 AS BIGINT)     AS bits_per_pixel,
+               CAST(w * h AS BIGINT)  AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                 AS peak
+        FROM comps
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real PNG decode: genuine truecolor PNGs (zlib-inflated
+    scanlines, per-chunk CRC-32, row filters CYCLING through all five
+    predictors None/Sub/Up/Average/Paeth) synthesized per document
+    and decoded by the stdlib parser
+    (operators/multimodal.parse_png) inside mapInPandas. PNG is
+    lossless, so the oracle recomputes every decoded stat from the
+    arbitrary pixel recurrence; a decoder that botches any filter
+    inverse, the CRC frame, or row order cannot hash-match."""
+    png = _mm.png_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_png(png)
 
 
 # ---------------------------------------------------------------------------

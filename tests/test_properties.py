@@ -258,3 +258,20 @@ def test_mjpeg_avi_roundtrip_property(nf, ncomp, w, h, seed):
     assert (w2, h2, us, len(got)) == (w, h, mm.AVI_US_PER_FRAME, nf)
     for g, f in zip(got, frames):
         assert np.abs(g.astype(np.int64) - f.astype(np.int64)).max() <= 2
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, mode, seed):
+    """PNG is lossless: bit-exact round-trip for arbitrary content
+    under both the trivial filter and the all-five-predictors cycle."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, depth, out = mm.parse_png(mm._png_bytes(px, mode))
+    assert (w2, h2, depth) == (w, h, 8)
+    assert np.array_equal(out, px)
