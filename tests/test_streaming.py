@@ -431,3 +431,45 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_facto
         (r.p_id, r.user_id): r.n_clicks_10m for r in batch if r.n_clicks_10m > 0
     }
     assert got_counts == want_counts
+
+
+def test_media_decode_runs_under_streaming(spark, sf_dir, tmp_path_factory):
+    """Batch/stream unification for the binary-decode kernels:
+    decode_png is a stateless mapInPandas projection, so the same
+    builder runs unchanged on a readStream frame of (asset_id,
+    payload) rows and yields byte-identical stats to the batch path —
+    the shape of a streaming ingest that decodes media as it lands."""
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        decode_png,
+        png_from_documents,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    payloads = png_from_documents(docs)
+    src = str(tmp_path_factory.mktemp("media_src"))
+    out = str(tmp_path_factory.mktemp("media_out"))
+    ck = str(tmp_path_factory.mktemp("media_ck"))
+    payloads.write.mode("overwrite").parquet(src)
+
+    batch = {
+        r.asset_id: (r.width, r.height, r.sum_c0, r.weighted_sum)
+        for r in decode_png(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    (
+        decode_png(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = {
+        r.asset_id: (r.width, r.height, r.sum_c0, r.weighted_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch and len(batch) == 40
