@@ -88,6 +88,9 @@ _ON_DECK: list[str] = [
     "q_unigram_surprisal",
     "q_media_mjpeg_frames",
     "q_media_png_decode",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_customer_distribution",
 ]
 
 
@@ -3114,6 +3117,143 @@ def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM lineitem
+        )
+        SELECT count(*) AS n_lines,
+               CAST(sum(l.price_c) AS BIGINT) AS rev_cents
+        FROM li l
+        WHERE l.qty_c * 5 * (SELECT count(*) FROM li i
+                             WHERE i.l_partkey = l.l_partkey)
+              < (SELECT sum(i.qty_c) FROM li i
+                 WHERE i.l_partkey = l.l_partkey)
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): keep lines whose
+    quantity is below 20% of their part's average — the canonical
+    CORRELATED SCALAR SUBQUERY, which Catalyst decorrelates into an
+    aggregate + join (run .explain: no per-row subplan execution
+    survives). Expressed through the SQL surface so the rewrite
+    itself is what's certified. The avg comparison is cross-
+    multiplied (qty·5·cnt < sum) so the predicate is pure-integer —
+    no float avg to drift between engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17_raw")
+    return spark.sql(
+        """
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM li_q17_raw
+        )
+        SELECT count(*) AS n_lines,
+               CAST(sum(l.price_c) AS BIGINT) AS rev_cents
+        FROM li l
+        WHERE l.qty_c * 5 * (SELECT count(*) FROM li i
+                             WHERE i.l_partkey = l.l_partkey)
+              < (SELECT sum(i.qty_c) FROM li i
+                 WHERE i.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+        WITH totals AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS total_qty_c,
+                   count(*)        AS n_items
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 17500
+        )
+        SELECT o.o_orderkey,
+               epoch_ms(o.o_orderdate) AS order_ms,
+               t.total_qty_c,
+               t.n_items
+        FROM orders o JOIN totals t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a HAVING-filtered
+    aggregate over the fact table drives a join back to the orders
+    dimension — the aggregate-derived join pattern. The heavy side
+    aggregates BEFORE joining (map-side partials, one shuffle on
+    orderkey); the surviving total is tiny, so AQE turns the join
+    broadcast at runtime. Quantities in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("total_qty_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .where(F.col("total_qty_c") > 17500)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(totals, o.o_orderkey == totals.l_orderkey).select(
+        "o_orderkey",
+        # o_orderdate arrives TIMESTAMP_NTZ; session tz is UTC, so the
+        # naive values ARE UTC instants (same rule as load_table)
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_ms"
+        ),
+        "total_qty_c",
+        "n_items",
+    )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): count orders
+    per customer INCLUDING zero-order customers, then histogram the
+    counts. The priority predicate lives INSIDE the left-join
+    condition — pushing it to a WHERE would silently delete the
+    zero-order rows, so this certifies join-condition-vs-filter
+    semantics. Two-level aggregation: per-customer count (shuffle on
+    custkey), then a histogram over the tiny count domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
     )
 
 
