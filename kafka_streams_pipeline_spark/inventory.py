@@ -91,6 +91,7 @@ _ON_DECK: list[str] = [
     "q_small_qty_revenue",
     "q_large_orders",
     "q_customer_distribution",
+    "q_hll_distinct",
 ]
 
 
@@ -3258,6 +3259,19 @@ def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from kafka_streams_pipeline_spark.operators import corpus as _corpus  # noqa: E402
+from kafka_streams_pipeline_spark.operators import sketches as _sk  # noqa: E402
+
+
+@register("q_hll_distinct", oracle=_sk.hll_distinct_oracle("events", "user_id"))
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 approximate aggregation: portable HyperLogLog distinct-user
+    estimate whose registers are bit-identical on Spark and DuckDB
+    (md5-derived buckets, pure-integer rho, exact-BIGINT harmonic
+    denominator) — the sketch VALUE is oracle-certified, not just its
+    plumbing. One pass + a 256-key shuffle + a one-row final agg;
+    registers merge associatively, so map-side partials do the work.
+    See operators/sketches.py."""
+    return _sk.hll_distinct(_t(spark, sf_dir, "events"), "user_id")
 
 
 @register("q_chunk_dedup", oracle=_corpus.chunk_dedup_oracle())

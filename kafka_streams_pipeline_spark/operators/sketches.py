@@ -1,0 +1,171 @@
+"""Approximate-aggregation sketches, declarative and engine-portable
+(SURVEY.md §2.9 X6).
+
+Spark ships HLL++ (``approx_count_distinct``) and DuckDB ships its
+own ``approx_count_distinct`` — but the two implementations hash
+differently, so their estimates can never be differentially tested
+against each other. This module instead builds the classic
+HyperLogLog (Flajolet et al. 2007, public literature) out of plain
+SQL expressions over the repo's portable md5 hash: both engines
+compute bit-identical registers, the register sum is held in exact
+integers (Σ 2^(25−M_j) fits BIGINT), and the final estimate is one
+deterministic double expression — so the sketch itself is certified
+by the DuckDB oracle, not just its plumbing.
+
+Scale shape: one pass over the input with map-side partial max per
+register, a 2^b-key shuffle (256 keys), and a one-row final
+aggregate. At 100 TB this is the textbook distributed-HLL plan —
+registers merge associatively, so partial aggregation does almost
+all the work executor-side. The streaming twin of this idea (a
+Count-Min Sketch under ``applyInPandasWithState``) lives in
+streaming/stateful.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+
+HLL_B = 8  # register-index bits
+HLL_M = 1 << HLL_B  # 256 registers
+HLL_W = 32 - HLL_B  # 24 payload bits per hash
+# alpha_m for m >= 128 (Flajolet et al. §4); written as the SAME
+# arithmetic expression on both engines so the IEEE result is
+# identical.
+_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M})"
+
+
+def _spark_rho(w: str) -> str:
+    """Position of the first 1-bit of the {HLL_W}-bit payload, from
+    the MSB, 1-based; all-zero payload → W+1. Pure-integer bit-length
+    (no float log — engine-portable to the bit)."""
+    bitlen = (
+        f"aggregate(transform(sequence(0, {HLL_W - 1}), k -> "
+        f"CASE WHEN {w} >= shiftleft(1L, k) THEN 1 ELSE 0 END), 0, "
+        f"(acc, v) -> acc + v)"
+    )
+    return f"CASE WHEN {w} = 0 THEN {HLL_W + 1} ELSE {HLL_W + 1} - {bitlen} END"
+
+
+def _duck_rho(w: str) -> str:
+    bitlen = (
+        f"list_sum([CASE WHEN {w} >= (1::BIGINT << k) THEN 1 ELSE 0 END "
+        f"FOR k IN range(0, {HLL_W})])"
+    )
+    return (
+        f"CASE WHEN {w} = 0 THEN {HLL_W + 1} "
+        f"ELSE {HLL_W + 1} - {bitlen} END"
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str = "user_id", exact: bool = True
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``df[col]``.
+
+    Output (one row): ``hll_estimate`` (round 6), ``n_registers_used``,
+    ``register_checksum`` (Σ (bucket+1)·M_j — any register disagreeing
+    between engines flips it), and ``n_exact`` when ``exact`` (the
+    certified reference value; at production scale drop it — the
+    whole point of the sketch is avoiding that exact shuffle).
+
+    Registers: bucket = top ``HLL_B`` bits of the 32-bit md5 hash,
+    rho = first-1-bit position of the remaining bits. The harmonic
+    denominator Σ 2^(25−M_j) is an exact BIGINT (≤ 2^33), so the only
+    float math is the single final estimate expression. Small-range
+    correction (linear counting) applies below 2.5·m as in the
+    paper."""
+    h = md5_long(F.col(col).cast("string"))
+    regs = (
+        df.select(
+            (h.bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
+        )
+        .select(
+            F.expr(f"h32 div {1 << HLL_W}").alias("bucket"),
+            F.expr(_spark_rho(f"(h32 % {1 << HLL_W})")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+        .cast("long")
+        .alias("s_used"),
+        F.sum((F.col("bucket") + 1) * F.col("m"))
+        .cast("long")
+        .alias("register_checksum"),
+    )
+    # absent registers contribute 2^(W+1) each (M_j = 0)
+    s_total = (
+        f"(s_used + (({HLL_M} - n_registers_used)) * "
+        f"shiftleft(1L, {HLL_W + 1}))"
+    )
+    raw = (
+        f"(({_ALPHA_EXPR}) * {HLL_M} * {HLL_M} * "
+        f"shiftleft(1L, {HLL_W + 1})) / {s_total}"
+    )
+    zeros = f"({HLL_M} - n_registers_used)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {HLL_M} AND {zeros} > 0 "
+        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / {zeros}) "
+        f"ELSE {raw} END"
+    )
+    out = agg.select(
+        F.expr(f"round({est}, 6)").alias("hll_estimate"),
+        "n_registers_used",
+        "register_checksum",
+    )
+    if exact:
+        exact_df = df.agg(
+            F.countDistinct(F.col(col)).cast("long").alias("n_exact")
+        )
+        out = out.crossJoin(F.broadcast(exact_df))
+    return out
+
+
+def hll_distinct_oracle(table: str = "events", col: str = "user_id") -> str:
+    h32 = f"({md5_long_sql(f'CAST({col} AS VARCHAR)')} & {(1 << 32) - 1})"
+    s_total = (
+        f"(s_used + ({HLL_M} - n_registers_used) * "
+        f"(1::BIGINT << {HLL_W + 1}))"
+    )
+    raw = (
+        f"(({_ALPHA_EXPR}) * {HLL_M} * {HLL_M} * "
+        f"(1::BIGINT << {HLL_W + 1})) / {s_total}"
+    )
+    zeros = f"({HLL_M} - n_registers_used)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {HLL_M} AND {zeros} > 0 "
+        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / {zeros}) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {h32} // {1 << HLL_W} AS bucket,
+                   {_duck_rho(f'({h32} % {1 << HLL_W})')} AS rho
+            FROM {table}
+        ),
+        regs AS (
+            SELECT bucket, max(rho) AS m FROM hashed GROUP BY bucket
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
+                   CAST(sum(1::BIGINT << ({HLL_W + 1} - m)) AS BIGINT)
+                       AS s_used,
+                   CAST(sum((bucket + 1) * m) AS BIGINT)
+                       AS register_checksum
+            FROM regs
+        )
+        SELECT round({est}, 6) AS hll_estimate,
+               n_registers_used,
+               register_checksum,
+               (SELECT CAST(count(DISTINCT {col}) AS BIGINT)
+                FROM {table}) AS n_exact
+        FROM agg
+    """

@@ -754,3 +754,21 @@ def test_unigram_surprisal_rare_above_common(spark):
         < out[eval_ids[1]]["mean_bits_fp"]
         < out[eval_ids[2]]["mean_bits_fp"]
     )
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """HLL with m=256 has ~6.5% standard error; assert within 3σ of
+    the exact distinct count, plus the linear-counting small-range
+    path on a tiny domain."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    row = sketches.hll_distinct(ev, "user_id").collect()[0]
+    n, est = row["n_exact"], row["hll_estimate"]
+    assert abs(est - n) / n < 0.2, (est, n)
+
+    tiny = spark.range(0, 12).select(F.col("id").alias("user_id"))
+    trow = sketches.hll_distinct(tiny, "user_id").collect()[0]
+    # 12 distinct over 256 registers → linear counting, near-exact
+    assert trow["n_exact"] == 12
+    assert abs(trow["hll_estimate"] - 12) <= 1.0
