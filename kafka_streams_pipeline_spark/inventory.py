@@ -92,6 +92,7 @@ _ON_DECK: list[str] = [
     "q_large_orders",
     "q_customer_distribution",
     "q_hll_distinct",
+    "q_bloom_prefilter",
 ]
 
 
@@ -2619,10 +2620,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND mean_len BETWEEN {_text.FILTER_MIN_MEAN_LEN}
                                     AND {_text.FILTER_MAX_MEAN_LEN}
                    AND sym_ratio <= {_text.FILTER_MAX_SYMBOL_RATIO} AS keep,
-                   CAST(round((0.5 * least(wc, 100) / 100.0
-                     + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
-                     + 0.2 * least(list_sum([length(x) FOR x IN toks]) * 1.0
-                                   / len(toks), 10.0) / 10.0) * 1000000)
+                   CAST(round(round(
+                       (wc * least(wc, 100)
+                        + 60 * len(list_distinct(toks))
+                        + 4 * least(list_sum([length(x) FOR x IN toks]),
+                                    10 * wc))
+                       / (200.0::DOUBLE * wc), 6) * 1000000)
                         AS BIGINT) AS q_micro
             FROM t
         )
@@ -3272,6 +3275,38 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers merge associatively, so map-side partials do the work.
     See operators/sketches.py."""
     return _sk.hll_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle=_sk.bloom_semijoin_oracle(
+        "SELECT DISTINCT o_custkey AS k FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'",
+        "customer",
+        "c_custkey",
+    ),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 runtime-filter certification: Bloom semi-join reduction —
+    bit positions of the filtered build-side key set (urgent 1998
+    orders' custkeys) broadcast against the customer probe side;
+    output counts the probe population, bloom passes, exact matches,
+    and false positives, so the no-false-negative invariant and the
+    false-positive rate are both inside the oracle hash. The probe
+    side never shuffles before the reduction — the mechanism behind
+    Spark's runtimeFilter.bloomFilter, differentially tested.
+    See operators/sketches.bloom_semijoin_reduction."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (
+            F.col("o_orderdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    return _sk.bloom_semijoin_reduction(
+        o, _t(spark, sf_dir, "customer"), "o_custkey", "c_custkey"
+    )
 
 
 @register("q_chunk_dedup", oracle=_corpus.chunk_dedup_oracle())

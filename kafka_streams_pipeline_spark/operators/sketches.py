@@ -169,3 +169,138 @@ def hll_distinct_oracle(table: str = "events", col: str = "user_id") -> str:
                 FROM {table}) AS n_exact
         FROM agg
     """
+
+
+# --- Bloom-filter semi-join reduction --------------------------------------
+
+BLOOM_MBITS = 4096
+# affine double-hashing family over the portable md5 base hash; odd
+# multipliers < 2^27 keep a*h inside BIGINT on both engines
+BLOOM_A = [769231, 15487469, 32452867]
+BLOOM_B = [17, 10007, 1000003]
+BLOOM_K = len(BLOOM_A)
+
+
+def _bloom_pos_spark(expr: str, i: int) -> str:
+    h = (
+        f"cast(conv(substring(md5(cast({expr} as string)), 1, 8), 16, 10) "
+        f"as bigint)"
+    )
+    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {BLOOM_MBITS})"
+
+
+def _bloom_pos_duck(expr: str, i: int) -> str:
+    h = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {BLOOM_MBITS})"
+
+
+def bloom_semijoin_reduction(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+) -> DataFrame:
+    """The runtime-filter pattern that makes selective joins cheap at
+    scale: build a Bloom filter over the (small, filtered) build-side
+    key set, broadcast its bit positions, and pre-filter the probe
+    side BEFORE the real join ever shuffles it. Here the reduction is
+    certified end-to-end: output is one row with the probe-side
+    population, the bloom-pass count, the exact semi-join match
+    count, and the false-positive count — the no-false-negative
+    invariant (n_true == n_both_pass_and_match) is checkable by the
+    oracle hash because every number is a deterministic integer
+    (portable md5 double-hashing, k=3, m=4096 bits).
+
+    Scale shape: the build side collapses to ≤ m distinct bit
+    positions (one tiny sorted array, broadcast); the probe side is a
+    single scan with a per-row array_contains — no shuffle until
+    after the reduction. Spark's own runtime row-group skipping
+    (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) does
+    this transparently; the declarative form exists so the mechanism
+    itself is differentially tested."""
+    keys = build.select(F.col(build_key).alias("k")).distinct()
+    pos = (
+        keys.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _bloom_pos_spark("k", i) for i in range(BLOOM_K)
+                    )
+                    + ")"
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_list("p")).alias("bits"))
+    )
+    probe_hashed = probe.select(
+        F.col(probe_key).alias("pk"),
+        F.expr(
+            "array("
+            + ", ".join(
+                _bloom_pos_spark("pk", i) for i in range(BLOOM_K)
+            )
+            + ")"
+        ).alias("phs"),
+    )
+    passed = probe_hashed.crossJoin(F.broadcast(pos)).withColumn(
+        "bloom_pass",
+        F.expr("forall(phs, h -> array_contains(bits, h))"),
+    )
+    matched = passed.join(
+        F.broadcast(keys), passed.pk == keys.k, "left"
+    ).select(
+        "bloom_pass", F.col("k").isNotNull().alias("is_match")
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long"))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_match")).cast("long")
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+def bloom_semijoin_oracle(
+    build_sql: str, probe_table: str, probe_key: str
+) -> str:
+    """``build_sql`` must select one column named ``k``."""
+    probe_pos = ", ".join(
+        _bloom_pos_duck(probe_key, i) for i in range(BLOOM_K)
+    )
+    key_pos = " UNION ".join(
+        f"SELECT {_bloom_pos_duck('k', i)} AS p FROM keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+        WITH keys AS ({build_sql}),
+        bits AS ({key_pos}),
+        probe AS (
+            SELECT {probe_key} AS pk, [{probe_pos}] AS phs
+            FROM {probe_table}
+        ),
+        flags AS (
+            SELECT pk,
+                   NOT EXISTS (SELECT 1 FROM unnest(phs) AS t(h)
+                               WHERE h NOT IN (SELECT p FROM bits))
+                       AS bloom_pass,
+                   EXISTS (SELECT 1 FROM keys WHERE keys.k = probe.pk)
+                       AS is_match
+            FROM probe
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_pass,
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               CAST(sum(CASE WHEN bloom_pass AND NOT is_match
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos
+        FROM flags
+    """

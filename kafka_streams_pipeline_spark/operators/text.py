@@ -148,7 +148,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """X5: heuristic document quality in [0,1]:
     0.5·min(n_tokens,100)/100 + 0.3·type-token-ratio +
     0.2·min(avg_token_len,10)/10 — length, diversity, and word-shape
-    factors (the standard pretraining-quality trio)."""
+    factors (the standard pretraining-quality trio).
+
+    Computed as ONE exact-integer numerator over ONE division:
+    (n·min(n,100) + 60·d + 4·min(L,10n)) / (200n) with n = tokens,
+    d = distinct tokens, L = total chars. Summing the three float
+    terms separately differs by 1 ulp between engines and flipped a
+    round(·,6) boundary at sf0.1 (doc 7: …62 vs …63) — a single IEEE
+    division of identical integers cannot."""
     return (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .select(
@@ -156,10 +163,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr(
                 """
                 round(
-                  0.5 * least(size(toks), 100) / 100.0
-                + 0.3 * (size(array_distinct(toks)) / size(toks))
-                + 0.2 * least(aggregate(toks, 0L, (a, x) -> a + length(x))
-                              / size(toks), 10.0) / 10.0
+                  (size(toks) * least(size(toks), 100)
+                   + 60 * size(array_distinct(toks))
+                   + 4 * least(aggregate(toks, 0L, (a, x) -> a + length(x)),
+                               10 * size(toks)))
+                  / (200.0D * size(toks))
                 , 6)
                 """
             ).alias("quality"),
@@ -171,10 +179,11 @@ def quality_score_oracle() -> str:
     return """
         SELECT doc_id,
                round(
-                 0.5 * least(len(toks), 100) / 100.0
-               + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
-               + 0.2 * least(list_sum([length(x) FOR x IN toks]) * 1.0
-                             / len(toks), 10.0) / 10.0
+                 (len(toks) * least(len(toks), 100)
+                  + 60 * len(list_distinct(toks))
+                  + 4 * least(list_sum([length(x) FOR x IN toks]),
+                              10 * len(toks)))
+                 / (200.0::DOUBLE * len(toks))
                , 6) AS quality
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """

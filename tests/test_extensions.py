@@ -772,3 +772,20 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     # 12 distinct over 256 registers → linear counting, near-exact
     assert trow["n_exact"] == 12
     assert abs(trow["hll_estimate"] - 12) <= 1.0
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    row = sketches.bloom_semijoin_reduction(
+        o, c, "o_custkey", "c_custkey"
+    ).collect()[0]
+    # every true match must pass the bloom (no false negatives) and
+    # the pass set is exactly matches + false positives
+    assert row["n_bloom_pass"] == row["n_true"] + row["n_false_pos"]
+    assert row["n_true"] <= row["n_bloom_pass"] <= row["n_probe"]
+    assert row["n_true"] > 0
