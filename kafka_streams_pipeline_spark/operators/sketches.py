@@ -36,8 +36,15 @@ HLL_M = 1 << HLL_B  # 256 registers
 HLL_W = 32 - HLL_B  # 24 payload bits per hash
 # alpha_m for m >= 128 (Flajolet et al. §4); written as the SAME
 # arithmetic expression on both engines so the IEEE result is
-# identical.
-_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M})"
+# identical. The CAST(… AS DOUBLE) wrappers are load-bearing: Spark
+# parses a bare 0.7213 as DECIMAL(5,4) and decimal division truncates
+# scale, which skewed the estimate in the 7th significant digit
+# (caught by the sf0.1 differential sweep — sf0.01 takes the
+# linear-counting branch and never evaluates this expression).
+_ALPHA_EXPR = (
+    f"CAST(0.7213 AS DOUBLE) / "
+    f"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {HLL_M})"
+)
 
 
 def _spark_rho(w: str) -> str:
