@@ -2590,7 +2590,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
-@register("q_semantic_dedup", oracle=_sim.semantic_dedup_oracle())
+@register("q_semantic_dedup", oracle=_sim.semantic_dedup_oracle(), bench=True)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3 SemDeDup-shaped semantic dedup: coarse-quantizer cells
     (broadcast-centroid assignment), then an in-cell cosine self-join
@@ -3173,6 +3173,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_large_orders",
+    bench=True,
     oracle="""
         WITH totals AS (
             SELECT l_orderkey,
@@ -3265,7 +3266,11 @@ from kafka_streams_pipeline_spark.operators import corpus as _corpus  # noqa: E4
 from kafka_streams_pipeline_spark.operators import sketches as _sk  # noqa: E402
 
 
-@register("q_hll_distinct", oracle=_sk.hll_distinct_oracle("events", "user_id"))
+@register(
+    "q_hll_distinct",
+    oracle=_sk.hll_distinct_oracle("events", "user_id"),
+    bench=True,
+)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 approximate aggregation: portable HyperLogLog distinct-user
     estimate whose registers are bit-identical on Spark and DuckDB

@@ -766,11 +766,18 @@ def semantic_dedup(
         .select("vec_id", (-F.col("m.negc")).alias("cell"))
         .localCheckpoint()
     )
-    v = df.join(assign, "vec_id").select(
-        "cell",
-        "vec_id",
-        "embedding",
-        F.expr(_spark_norm("embedding")).alias("nm"),
+    # Same treatment for the per-vector (cell, embedding, norm) frame:
+    # both pair sides consume it, and without materialization each
+    # side would replay the assignment join plus the norm expression.
+    v = (
+        df.join(assign, "vec_id")
+        .select(
+            "cell",
+            "vec_id",
+            "embedding",
+            F.expr(_spark_norm("embedding")).alias("nm"),
+        )
+        .localCheckpoint()
     )
     va = v.select(
         "cell",
