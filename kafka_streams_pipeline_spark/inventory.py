@@ -93,6 +93,7 @@ _ON_DECK: list[str] = [
     "q_customer_distribution",
     "q_hll_distinct",
     "q_bloom_prefilter",
+    "q_dedup_best_keeper",
 ]
 
 
@@ -1892,6 +1893,68 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash pair graph by iterative min-label propagation; the oracle
     is a recursive-CTE transitive closure, certifying the fixpoint."""
     return _dedup.dedup_components(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q_dedup_best_keeper",
+    oracle=f"""
+        WITH comp AS ({{COMPONENTS}}),
+        q AS ({{QUALITY}}),
+        j AS (
+            SELECT comp.component, comp.doc_id, q.quality
+            FROM comp JOIN q USING (doc_id)
+        ),
+        ranked AS (
+            SELECT component, doc_id, quality,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY quality DESC, doc_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY component) AS n_members
+            FROM j
+        )
+        SELECT component,
+               CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS keeper,
+               quality AS keeper_quality
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality-aware dedup keeper selection: within each near-dup
+    component (MinHash → connected components), keep the HIGHEST-
+    quality member instead of the arbitrary lowest id — the policy a
+    real corpus dedup actually wants (drop the worse copies). The
+    arg-max is a partial/final max over a (quality, doc_id) struct —
+    no window over the corpus; quality is the single-division
+    integer-numerator score, so the keeper choice is deterministic
+    and engine-identical (doc_id tiebreak on equal quality)."""
+    docs = _t(spark, sf_dir, "documents")
+    comps = _dedup.dedup_components(docs, threshold=0.8)
+    q = _text.quality_score(docs)
+    return (
+        comps.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("quality"), F.col("doc_id"))).alias("m"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.col("m.doc_id").alias("keeper"),
+            F.col("m.quality").alias("keeper_quality"),
+        )
+    )
+
+
+# splice the sub-oracles in (both are self-contained SELECTs; the
+# components one carries its own WITH RECURSIVE, legal as a nested
+# CTE body)
+ORACLES["q_dedup_best_keeper"] = (
+    ORACLES["q_dedup_best_keeper"]
+    .replace("{COMPONENTS}", _dedup.components_oracle(0.8))
+    .replace("{QUALITY}", _text.quality_score_oracle())
+)
 
 
 @register("q_dedup_simhash", oracle=_dedup.simhash_oracle())
