@@ -99,12 +99,17 @@ def hll_distinct(
         .groupBy("bucket")
         .agg(F.max("rho").alias("m"))
     )
+    # coalesce: on EMPTY input the sums are NULL; zeroing them routes
+    # the estimate through linear counting with zeros = m, giving the
+    # correct 256·ln(256/256) = 0 instead of a NULL estimate
     agg = regs.agg(
         F.count(F.lit(1)).cast("long").alias("n_registers_used"),
-        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)")), F.lit(0)
+        )
         .cast("long")
         .alias("s_used"),
-        F.sum((F.col("bucket") + 1) * F.col("m"))
+        F.coalesce(F.sum((F.col("bucket") + 1) * F.col("m")), F.lit(0))
         .cast("long")
         .alias("register_checksum"),
     )
@@ -163,9 +168,9 @@ def hll_distinct_oracle(table: str = "events", col: str = "user_id") -> str:
         ),
         agg AS (
             SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
-                   CAST(sum(1::BIGINT << ({HLL_W + 1} - m)) AS BIGINT)
-                       AS s_used,
-                   CAST(sum((bucket + 1) * m) AS BIGINT)
+                   CAST(coalesce(sum(1::BIGINT << ({HLL_W + 1} - m)), 0)
+                        AS BIGINT) AS s_used,
+                   CAST(coalesce(sum((bucket + 1) * m), 0) AS BIGINT)
                        AS register_checksum
             FROM regs
         )

@@ -789,3 +789,13 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert row["n_bloom_pass"] == row["n_true"] + row["n_false_pos"]
     assert row["n_true"] <= row["n_bloom_pass"] <= row["n_probe"]
     assert row["n_true"] > 0
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    empty = spark.range(0, 0).select(F.col("id").alias("user_id"))
+    row = sketches.hll_distinct(empty, "user_id").collect()[0]
+    assert row["hll_estimate"] == 0.0
+    assert row["n_registers_used"] == 0
+    assert row["n_exact"] == 0
