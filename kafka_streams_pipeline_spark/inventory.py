@@ -94,6 +94,7 @@ _ON_DECK: list[str] = [
     "q_hll_distinct",
     "q_bloom_prefilter",
     "q_dedup_best_keeper",
+    "q_radius_search",
 ]
 
 
@@ -3184,6 +3185,114 @@ def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+def _radius_search_parts() -> tuple[str, str, float, float]:
+    """Driver-side spatial prep shared by q_radius_search and its
+    oracle: the distinct reading cells decoded to centers (pure-Python
+    geohash toolkit — F6/F7), the center point, the equirectangular
+    longitude scale, and the radius² in squared degrees. Every float
+    is embedded via repr() into BOTH engines' SQL, so the refine
+    arithmetic is bit-identical."""
+    import math
+
+    from kafka_streams_pipeline_spark.sources.readings import (
+        EVENT_TYPE_GEOHASH,
+    )
+
+    lat0, lon0 = geo.decode("u155mz")
+    k = math.cos(math.radians(lat0))
+    r2 = (20.0 / 111.32) ** 2  # 20 km in squared degrees
+    cells = sorted({gh[:6] for gh in EVENT_TYPE_GEOHASH.values()})
+    rows = [(c, *geo.decode(c)) for c in cells]
+    spark_dim = "VALUES " + ", ".join(
+        f"('{c}', {la!r}D, {lo!r}D)" for c, la, lo in rows
+    )
+    duck_dim = "VALUES " + ", ".join(
+        f"('{c}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+        for c, la, lo in rows
+    )
+    # CAST(… AS DOUBLE) on every literal: both engines parse bare
+    # float literals as DECIMAL (DuckDB even overflows its max scale
+    # multiplying them); the cast form is portable and IEEE-exact.
+    la0 = f"CAST({lat0!r} AS DOUBLE)"
+    lo0 = f"CAST({lon0!r} AS DOUBLE)"
+    kk = f"CAST({k!r} AS DOUBLE)"
+    d2 = (
+        f"((clat - {la0}) * (clat - {la0}) + "
+        f"((clon - {lo0}) * {kk}) * ((clon - {lo0}) * {kk}))"
+    )
+    return spark_dim, duck_dim, r2, d2
+
+
+_RS_SPARK_DIM, _RS_DUCK_DIM, _RS_R2, _RS_D2 = (
+    lambda p: (p[0], p[1], p[2], p[3])
+)(_radius_search_parts())
+
+
+@register(
+    "q_radius_search",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql()}),
+        dim(gh6, clat, clon) AS ({_RS_DUCK_DIM}),
+        hits AS (
+            SELECT substring(r.geohash, 1, 6) AS gh6, r.tempVal,
+                   d.clat, d.clon
+            FROM readings r
+            JOIN dim d ON substring(r.geohash, 1, 6) = d.gh6
+            WHERE {_RS_D2} <= {_RS_R2!r}
+        )
+        SELECT gh6,
+               count(*) AS n_readings,
+               round(sum(CAST(round(tempVal * 100) AS BIGINT)) / 100.0
+                     / count(*), 6) AS avg_val,
+               round(sqrt({_RS_D2.replace('clat', 'any_value(clat)')
+                                 .replace('clon', 'any_value(clon)')})
+                     * 111.32, 6) AS dist_km
+        FROM hits
+        GROUP BY gh6
+    """,
+)
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius search — the natural companion to the bbox
+    snapshot (querying/QueryingService.java:124-203): readings within
+    20 km of a center point, aggregated per cell. The geohash toolkit
+    runs DRIVER-side (the repo's core spatial design): distinct cells
+    decode to a literal dimension, the equirectangular refine
+    ((Δlat)² + (Δlon·cos lat₀)² ≤ r²) is plain arithmetic over
+    literals identical in both engines — no trig, no Python, no UDF
+    in the plan. At scale the dim is the maintained distinct-cell
+    table (≪ data, broadcast), the coarse cover prefilter is the
+    same IN/prefix predicate the snapshot uses, and the refine is a
+    scan-local expression."""
+    r = readings_from_events(_t(spark, sf_dir, "events")).select(
+        F.expr("substring(geohash, 1, 6)").alias("gh6"), "tempVal"
+    )
+    dim = spark.sql(
+        f"SELECT col1 AS gh6, col2 AS clat, col3 AS clon FROM ({_RS_SPARK_DIM})"
+    )
+    hits = r.join(F.broadcast(dim), "gh6").where(
+        F.expr(_RS_D2) <= F.lit(_RS_R2)
+    )
+    return hits.groupBy("gh6").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(
+            F.sum(F.round(F.col("tempVal") * 100).cast("long"))
+            / F.lit(100.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_val"),
+        F.round(
+            F.expr(
+                "sqrt("
+                + _RS_D2.replace("clat", "any_value(clat)").replace(
+                    "clon", "any_value(clon)"
+                )
+                + ") * 111.32"
+            ),
+            6,
+        ).alias("dist_km"),
     )
 
 
