@@ -95,6 +95,7 @@ _ON_DECK: list[str] = [
     "q_bloom_prefilter",
     "q_dedup_best_keeper",
     "q_radius_search",
+    "q_decayed_engagement",
 ]
 
 
@@ -3185,6 +3186,69 @@ def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "q_decayed_engagement",
+    oracle="""
+        WITH mx AS (SELECT max(epoch_ms(ts)) AS mx_ms FROM events),
+        w AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT)
+                   * (1::BIGINT << (30 - least(
+                         (mx_ms - epoch_ms(ts)) // 86400000, 30)))
+                       AS w_scaled
+            FROM events, mx
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               round(CAST(sum(w_scaled) AS BIGINT)
+                     / (CAST(1073741824 AS DOUBLE) * 100.0), 6)
+                   AS decayed_spend
+        FROM w
+        GROUP BY user_id
+        ORDER BY decayed_spend DESC, user_id
+        LIMIT 20
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement (feature-engineering shape): each
+    event's spend decays by 2^-age_days (capped at 30 days), top-20
+    users by the decayed total. The half-life weight is a POWER OF
+    TWO, so every term value_cents·2^(30−age) is an exact integer —
+    the whole aggregate is integer arithmetic and only the final
+    single division is float (deterministic on both engines). The
+    usual exp(-λ·age) weighting cannot be differentially certified
+    (transcendental per-row + order-dependent float sum); the dyadic
+    form keeps the operator shape with exact parity. One shuffle on
+    user_id with map-side partials; the max-ts anchor is a one-row
+    broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = e.agg(F.max("ts_ms").alias("mx_ms"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "cents * shiftleft(1L, 30 - "
+            "least((mx_ms - ts_ms) div 86400000, 30))"
+        ).alias("w_scaled"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("w_scaled")
+                / (F.lit(1073741824).cast("double") * F.lit(100.0)),
+                6,
+            ).alias("decayed_spend"),
+        )
+        .orderBy(F.col("decayed_spend").desc(), "user_id")
+        .limit(20)
     )
 
 
