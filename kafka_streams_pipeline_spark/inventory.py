@@ -50,17 +50,16 @@ ORACLES: dict[str, str] = {}
 # Names of queries bench.py treats as the headline set.
 BENCH_QUERIES: list[str] = []
 
-# Queries with a GREEN driver correctness row from rounds 1-2
-# (CORRECTNESS_r01/r02.json). The driver's per-round gate only covers
-# the first 50 entries of ``__spark_entry__.queries()``, so rotation
-# is required for every operator to accumulate a driver row: already
-# certified names go to the back of the returned dict, never-checked
-# names to the front (VERDICT r2 "Next round" item 3). The three
-# round-2 red rows (q_daily_rollup / q_precision_reagg / q_unpivot —
-# single shared cause: un-cast DuckDB HUGEINT sum outputs, fixed this
-# round) are deliberately NOT listed so they re-enter the window
-# right after the never-checked block and certify the fix.
-DRIVER_CERTIFIED: list[str] = [
+# Queries with a GREEN driver correctness row, ordered
+# oldest-evidence-first so the spare window slots re-certify the
+# stalest rows as a regression guard. The driver's per-round gate
+# only covers the first 50 entries of ``__spark_entry__.queries()``,
+# so rotation is required for every operator to accumulate a driver
+# row: certified names go to the back of the returned dict,
+# never-checked names to the front (VERDICT r2 "Next round" item 3,
+# VERDICT r3 items 1-2).
+# Rounds 1-2 evidence (CORRECTNESS_r01/r02.json):
+_CERTIFIED_R1: list[str] = [
     "q_scan_project", "q_filter_time_range", "q_json_extract",
     "q_event_time_valid", "q_hourly_view", "q_history",
     "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
@@ -76,11 +75,35 @@ DRIVER_CERTIFIED: list[str] = [
     "q_hash_sample", "q_dedup_exact", "q_dedup_normalized",
     "q_dedup_minhash", "q_dedup_ngram",
 ]
-_ROUND2_RED = ["q_daily_rollup", "q_precision_reagg", "q_unpivot"]
-# Queries added in round 3+: they queue behind the round-2 backlog so
-# they don't displace the 49 never-checked round-2 queries (+ 1 red
-# fix proof) from this round's 50-slot window; they rotate in next.
-_ON_DECK: list[str] = [
+# Round-3 evidence (CORRECTNESS_r03.json — all 50 window rows green,
+# listed in window order):
+_CERTIFIED_R3: list[str] = [
+    "q_dedup_components", "q_dedup_simhash", "q_dedup_embed",
+    "q_dedup_embed_lsh", "q_sim_topk", "q_sim_ann_lsh",
+    "q_sim_ann_ivf", "q_array_stats", "q_text_tokens",
+    "q_text_wordcount", "q_lang_id", "q_lang_stats", "q_pii_scrub",
+    "q_doc_length_hist", "q_quality_score", "q_fingerprint",
+    "q_multimodal_meta", "q_media_decode", "q_media_audio_energy",
+    "q_media_image_decode", "q_media_video_frames",
+    "q_media_image_resize", "q_sliding_window", "q_session_window",
+    "q_text_bigrams", "q_term_stats", "q_dedup_edit",
+    "q_dedup_components_alt", "q_repetition_stats",
+    "q_heuristic_filter", "q_hash_split", "q_ivf_train",
+    "q_embed_quantize", "q_corpus_stats", "q_pack_sequences",
+    "q_mixture_sample", "q_corpus_pipeline", "q_dedup_incremental",
+    "q_range_band_join", "q_interval_join", "q_window_ntile",
+    "q_grouping_sets", "q_minmax_by", "q_sessionize",
+    "q_order_priority", "q_priority_shipmode", "q_chunk_dedup",
+    "q_contamination", "q_stratified_sample", "q_daily_rollup",
+]
+DRIVER_CERTIFIED: list[str] = _CERTIFIED_R1 + _CERTIFIED_R3
+# Still awaiting their first green driver row: the two round-2 reds
+# (shared HUGEINT-cast root cause, fixed in commit b8d35b0 and green
+# under the driver-faithful local gate) re-enter the window first to
+# certify the fix, followed by the round-3 additions that were parked
+# on deck behind round 3's 50-slot window.
+_UNCERTIFIED_RED = ["q_precision_reagg", "q_unpivot"]
+_PENDING: list[str] = [
     "q_history_ordered",
     "q_media_jpeg_decode",
     "q_semantic_dedup",
@@ -97,16 +120,26 @@ _ON_DECK: list[str] = [
     "q_radius_search",
     "q_decayed_engagement",
 ]
+# Queries added in round 4+: they queue behind the uncertified
+# backlog so they never displace an older query's certification slot.
+_ON_DECK: list[str] = []
 
 
 def driver_order() -> list[str]:
     """Registration names reordered for the driver's 50-query
-    correctness window: never-driver-checked round-2 queries first
-    (registration order), then the round-2 red trio, then the
-    newly-added on-deck queries, then the certified backlog."""
-    back = set(DRIVER_CERTIFIED) | set(_ROUND2_RED) | set(_ON_DECK)
+    correctness window: every query lacking a green driver row first
+    (unlisted new registrations, then the round-2 reds, then the
+    round-3 pending batch, then round-4 on-deck additions), then the
+    certified backlog oldest-evidence-first so spare slots re-certify
+    the stalest green rows."""
+    back = (
+        set(DRIVER_CERTIFIED)
+        | set(_UNCERTIFIED_RED)
+        | set(_PENDING)
+        | set(_ON_DECK)
+    )
     head = [n for n in QUERIES if n not in back]
-    return head + _ROUND2_RED + _ON_DECK + DRIVER_CERTIFIED
+    return head + _UNCERTIFIED_RED + _PENDING + _ON_DECK + DRIVER_CERTIFIED
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from kafka_streams_pipeline_spark import inventory
 
+WINDOW = 50
+
 
 def test_driver_order_covers_every_query_once():
     order = inventory.driver_order()
@@ -14,27 +16,55 @@ def test_driver_order_covers_every_query_once():
 
 
 def test_driver_window_prioritizes_uncertified_queries():
-    """The first 50 slots (the driver's correctness window) must hold
-    exactly the round-2 never-checked queries plus q_daily_rollup (the
-    twice-red fix proof); previously certified names stay behind them.
-    New queries belong in _ON_DECK, NOT at the front — otherwise they
-    silently displace the rotation targets."""
+    """Generalized invariant (VERDICT r3 item 1): the window prefix
+    must contain EVERY query lacking a green driver row — unlisted
+    new registrations, the red backlog, the pending round-3 batch,
+    and on-deck additions — before any already-certified name. If
+    the uncertified population ever exceeds the window, the overflow
+    must be exactly the newest on-deck tail (never an older query)."""
     order = inventory.driver_order()
-    window = set(order[:50])
-    assert "q_daily_rollup" in window
-    assert not (window - {"q_daily_rollup"}) & set(inventory.DRIVER_CERTIFIED)
-    # every registered query is accounted for by exactly one bucket
     buckets = (
         set(inventory.DRIVER_CERTIFIED)
-        | set(inventory._ROUND2_RED)
+        | set(inventory._UNCERTIFIED_RED)
+        | set(inventory._PENDING)
         | set(inventory._ON_DECK)
     )
     head = [n for n in inventory.QUERIES if n not in buckets]
-    assert order == head + inventory._ROUND2_RED + inventory._ON_DECK + (
-        inventory.DRIVER_CERTIFIED
+    uncertified = (
+        head
+        + inventory._UNCERTIFIED_RED
+        + inventory._PENDING
+        + inventory._ON_DECK
     )
-    # on-deck names must be real queries
-    assert set(inventory._ON_DECK) <= set(inventory.QUERIES)
+    assert order[: len(uncertified)] == uncertified
+    window = set(order[:WINDOW])
+    if len(uncertified) <= WINDOW:
+        assert set(uncertified) <= window
+        # spare slots re-certify the OLDEST certified evidence first
+        spare = WINDOW - len(uncertified)
+        assert order[len(uncertified) : WINDOW] == (
+            inventory.DRIVER_CERTIFIED[:spare]
+        )
+    else:
+        overflow = set(uncertified) - window
+        assert overflow <= set(inventory._ON_DECK)
+
+
+def test_certified_lists_are_registered_and_disjoint():
+    reg = set(inventory.QUERIES)
+    for bucket in (
+        inventory.DRIVER_CERTIFIED,
+        inventory._UNCERTIFIED_RED,
+        inventory._PENDING,
+        inventory._ON_DECK,
+    ):
+        assert set(bucket) <= reg
+        assert len(bucket) == len(set(bucket))
+    assert not set(inventory.DRIVER_CERTIFIED) & (
+        set(inventory._UNCERTIFIED_RED)
+        | set(inventory._PENDING)
+        | set(inventory._ON_DECK)
+    )
 
 
 def test_every_query_has_an_oracle():
