@@ -3338,7 +3338,7 @@ _RS_SPARK_DIM, _RS_DUCK_DIM, _RS_R2, _RS_D2 = (
                    d.clat, d.clon
             FROM readings r
             JOIN dim d ON substring(r.geohash, 1, 6) = d.gh6
-            WHERE {_RS_D2} <= {_RS_R2!r}
+            WHERE {_RS_D2} <= CAST({_RS_R2!r} AS DOUBLE)
         )
         SELECT gh6,
                count(*) AS n_readings,

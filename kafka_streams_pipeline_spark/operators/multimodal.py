@@ -1013,6 +1013,12 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — the marker code is the first non-FF byte.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI with no scan
@@ -1487,6 +1493,11 @@ def parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     geo = None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r} (need {12 + length} "
+                f"bytes, have {len(payload) - pos})"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         crc = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]

@@ -88,8 +88,13 @@ def hll_distinct(
     correction (linear counting) applies below 2.5·m as in the
     paper."""
     h = md5_long(F.col(col).cast("string"))
+    # NULLs must not reach the hash: md5(NULL) is NULL, which would
+    # mint a phantom register that inflates n_registers_used while
+    # count(DISTINCT) ignores NULLs — the estimate would silently
+    # skew relative to n_exact on nullable inputs.
     regs = (
-        df.select(
+        df.where(F.col(col).isNotNull())
+        .select(
             (h.bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
         )
         .select(
@@ -162,6 +167,7 @@ def hll_distinct_oracle(table: str = "events", col: str = "user_id") -> str:
             SELECT {h32} // {1 << HLL_W} AS bucket,
                    {_duck_rho(f'({h32} % {1 << HLL_W})')} AS rho
             FROM {table}
+            WHERE {col} IS NOT NULL
         ),
         regs AS (
             SELECT bucket, max(rho) AS m FROM hashed GROUP BY bucket
@@ -230,7 +236,17 @@ def bloom_semijoin_reduction(
     (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) does
     this transparently; the declarative form exists so the mechanism
     itself is differentially tested."""
-    keys = build.select(F.col(build_key).alias("k")).distinct()
+    # NULL keys are excluded on BOTH sides: a NULL probe key hashes
+    # to an all-NULL position array, and Spark's forall yields NULL
+    # (dropped from n_bloom_pass) while DuckDB's NOT EXISTS over an
+    # empty unnest yields TRUE — an engine-parity split. A NULL key
+    # also never equi-joins, so excluding it preserves semi-join
+    # semantics exactly.
+    keys = (
+        build.where(F.col(build_key).isNotNull())
+        .select(F.col(build_key).alias("k"))
+        .distinct()
+    )
     pos = (
         keys.select(
             F.explode(
@@ -246,7 +262,7 @@ def bloom_semijoin_reduction(
         .distinct()
         .agg(F.array_sort(F.collect_list("p")).alias("bits"))
     )
-    probe_hashed = probe.select(
+    probe_hashed = probe.where(F.col(probe_key).isNotNull()).select(
         F.col(probe_key).alias("pk"),
         F.expr(
             "array("
@@ -291,11 +307,14 @@ def bloom_semijoin_oracle(
         for i in range(BLOOM_K)
     )
     return f"""
-        WITH keys AS ({build_sql}),
+        WITH keys AS (
+            SELECT k FROM ({build_sql}) WHERE k IS NOT NULL
+        ),
         bits AS ({key_pos}),
         probe AS (
             SELECT {probe_key} AS pk, [{probe_pos}] AS phs
             FROM {probe_table}
+            WHERE {probe_key} IS NOT NULL
         ),
         flags AS (
             SELECT pk,

@@ -799,3 +799,43 @@ def test_hll_empty_input_estimates_zero(spark):
     assert row["hll_estimate"] == 0.0
     assert row["n_registers_used"] == 0
     assert row["n_exact"] == 0
+
+
+def test_hll_nulls_match_count_distinct_semantics(spark):
+    """NULL values must not mint a phantom register: the sketch over
+    a nulls-interleaved column equals the sketch over the non-null
+    subset, matching count(DISTINCT) which ignores NULLs."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    base = spark.range(0, 64).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("user_id")
+    )
+    clean = base.where(F.col("user_id").isNotNull())
+    r_mixed = sketches.hll_distinct(base, "user_id").collect()[0]
+    r_clean = sketches.hll_distinct(clean, "user_id").collect()[0]
+    assert r_mixed["hll_estimate"] == r_clean["hll_estimate"]
+    assert r_mixed["n_registers_used"] == r_clean["n_registers_used"]
+    assert r_mixed["register_checksum"] == r_clean["register_checksum"]
+    assert r_mixed["n_exact"] == 48
+
+
+def test_bloom_null_keys_excluded_both_sides(spark):
+    """NULL build/probe keys are dropped before hashing: a NULL key
+    never equi-joins, and Spark's forall-over-NULL vs DuckDB's
+    NOT EXISTS-over-empty-unnest would otherwise split on it."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    build = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k_build: int"
+    )
+    probe = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "k_probe: int"
+    )
+    row = sketches.bloom_semijoin_reduction(
+        build, probe, "k_build", "k_probe"
+    ).collect()[0]
+    assert row["n_probe"] == 3  # NULL probe rows excluded
+    assert row["n_true"] == 2
+    assert row["n_bloom_pass"] == row["n_true"] + row["n_false_pos"]

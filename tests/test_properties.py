@@ -275,3 +275,37 @@ def test_png_roundtrip_property(w, h, mode, seed):
     w2, h2, depth, out = mm.parse_png(mm._png_bytes(px, mode))
     assert (w2, h2, depth) == (w, h, 8)
     assert np.array_equal(out, px)
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+    the walk must skip them rather than desync (foreign encoders emit
+    them as padding)."""
+    planes = np.full((1, 8, 8), 42, dtype=np.uint8)
+    raw = mm._jpeg_bytes(planes, q=8)
+    # inject two fill bytes right after SOI, before the first segment
+    padded = raw[:2] + b"\xff\xff" + raw[2:]
+    w, h, n, out = mm.parse_jpeg(padded)
+    assert (w, h, n) == (8, 8, 1)
+    assert np.array_equal(out, planes)
+
+
+def test_jpeg_trailing_fill_truncation_is_valueerror():
+    """All-0xFF tail (truncated mid-fill) must raise the decoder's
+    ValueError, not IndexError."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_jpeg(b"\xff\xd8" + b"\xff" * 6)
+
+
+def test_png_truncated_chunk_is_valueerror():
+    """A chunk whose declared length overruns the payload must raise
+    ValueError (clean rejection of foreign/corrupt input), never
+    struct.error from the CRC unpack."""
+    import pytest
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = mm._png_bytes(px, "none")
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        mm.parse_png(raw[:-2])
