@@ -309,7 +309,12 @@ def minhash_near_dup_pairs(
     clusters are better served by exact/normalized dedup upstream.
     The DuckDB oracle applies the identical cap, so parity holds at
     any setting; pass ``bucket_cap=None`` to disable."""
-    pairs, _sig = _minhash_pairs_and_sig(df, text_col, threshold, bucket_cap)
+    pairs, sig = _minhash_pairs_and_sig(df, text_col, threshold, bucket_cap)
+    # Materialize the verified pairs (bounded by LSH candidates, not
+    # the corpus) so the signature cache is released on return rather
+    # than pinned for the session; dedup_components does the same.
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
     return pairs
 
 

@@ -516,7 +516,7 @@ def nearest_pairs_lsh(
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -529,6 +529,13 @@ def nearest_pairs_lsh(
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(top_n)
     )
+    # Materialize the ≤ top_n result rows now so the signature cache
+    # can be released before returning — same contract as
+    # _minhash_pairs_and_sig (dedup.py): a lazily-returned frame
+    # would pin sig's blocks for the rest of the session.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def nearest_pairs_lsh_oracle(
@@ -632,7 +639,7 @@ def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
             "centroid_l1"
         ),
     )
-    return (
+    out = (
         final.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -642,6 +649,11 @@ def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
         .join(l1, "cell")
         .select("cell", "n_members", "first_member", "last_member", "centroid_l1")
     )
+    # N_CLUSTERS rows — materialize and release the fixed-point
+    # vector cache rather than leaking it into the session.
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out
 
 
 def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
