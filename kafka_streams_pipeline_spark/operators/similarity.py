@@ -745,89 +745,100 @@ def semantic_dedup(
     tiebreak discipline as the ANN queries.
 
     Scale shape: assignment is one broadcast-centroid pass (identical
-    to topk_cosine_ivf); the pair search self-joins ONLY within a
-    cell, so candidate work is Σ |cell|² rather than N² — exactly the
-    trade the SemDeDup construction makes (cluster count scales with
-    corpus size to keep cells bounded). No window over the corpus, no
-    global sort; one shuffle keyed by cell."""
+    to topk_cosine_ivf); the O(Σ|cell|²) pair stage runs as ONE
+    Arrow-batched ``applyInPandas`` over cells — the sanctioned
+    vectorized-UDF slot for dense linear algebra, where per-pair JVM
+    expression evaluation (interpreted higher-order lambdas, or an
+    SMJ whose 8-key shuffle AQE packs into one task) measures 5-10×
+    slower. Group memory is bounded because the SemDeDup construction
+    bounds |cell| (cluster count scales with corpus size). One
+    shuffle keyed by cell; no window, no global sort, no join-back —
+    the group stage emits the final rows directly.
+
+    Engine-parity construction (why the oracle stays hash-exact):
+    the Gram matrix accumulates dim-major (G += outer(col_d, col_d)
+    for d in 0..dim-1), which replays the engines' sequential
+    left-to-right dot-product fold bit-for-bit (0.0 + t ≡ t); norms
+    come IN from the Spark plan, not recomputed; and the round(·, 6)
+    at the threshold is Python's exact-decimal round — doubles have
+    no exact decimal ties at scale 6 (x.xxxxxx5 needs a 5^7
+    denominator), so HALF_UP (Spark/DuckDB) and HALF_EVEN (Python)
+    coincide on every representable value."""
     cent = df.where(F.expr(_centroid_filter())).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.expr(_spark_norm("embedding")).alias("c_norm"),
     )
-    scored = df.crossJoin(F.broadcast(cent)).select(
+    base = df.select(
+        "vec_id", "embedding", F.expr(_spark_norm("embedding")).alias("nm")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id",
+        "embedding",
+        "nm",
         "cent_id",
         F.expr(
-            f"round({_spark_dot('embedding', 'c_emb')} / "
-            f"({_spark_norm('embedding')} * c_norm), 6)"
+            f"round({_spark_dot('embedding', 'c_emb')} / (nm * c_norm), 6)"
         ).alias("score"),
     )
-    # The (vec_id, cell) assignment feeds three consumers (both pair
-    # sides + the final output); materialize it once — it is two thin
-    # longs per vector, while recomputing it costs the full
-    # broadcast-centroid dot pass each time. On a cluster this is the
-    # assignment table you'd checkpoint durably.
-    assign = (
+    # The embedding and norm ride through the assignment aggregate
+    # (any_value — constant within a vec_id group); the broadcast
+    # crossJoin keeps all N_CLUSTERS rows of a vector in one
+    # partition, so the map-side combine collapses them before any
+    # data moves. Single consumer downstream → nothing to checkpoint.
+    v = (
         scored.groupBy("vec_id")
         .agg(
             F.max(
                 F.struct(F.col("score"), (-F.col("cent_id")).alias("negc"))
-            ).alias("m")
+            ).alias("m"),
+            F.any_value("embedding").alias("embedding"),
+            F.any_value("nm").alias("nm"),
         )
-        .select("vec_id", (-F.col("m.negc")).alias("cell"))
-        .localCheckpoint()
-    )
-    # Same treatment for the per-vector (cell, embedding, norm) frame:
-    # both pair sides consume it, and without materialization each
-    # side would replay the assignment join plus the norm expression.
-    v = (
-        df.join(assign, "vec_id")
         .select(
-            "cell",
-            "vec_id",
-            "embedding",
-            F.expr(_spark_norm("embedding")).alias("nm"),
+            (-F.col("m.negc")).alias("cell"), "vec_id", "embedding", "nm"
         )
-        .localCheckpoint()
     )
-    va = v.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nm").alias("nm_a"),
-    )
-    vb = v.select(
-        "cell",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nm").alias("nm_b"),
-    )
-    dup_counts = (
-        va.join(vb, "cell")
-        .where(F.col("id_b") < F.col("id_a"))
-        .where(
-            F.expr(
-                f"round({_spark_dot('emb_a', 'emb_b')} / (nm_a * nm_b), 6)"
-            )
-            >= threshold
+    thr = float(threshold)
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = np.stack(pdf["embedding"].to_numpy()[order]).astype(
+            np.float64
         )
-        .groupBy(F.col("id_a").alias("vec_id"))
-        .agg(F.count(F.lit(1)).alias("n_dup_partners"))
-    )
-    return (
-        assign.join(dup_counts, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(F.col("n_dup_partners"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_partners"),
-            F.when(F.col("n_dup_partners").isNull(), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("is_kept"),
+        nm = pdf["nm"].to_numpy()[order].astype(np.float64)
+        n = len(ids)
+        gram = np.zeros((n, n), dtype=np.float64)
+        for d in range(emb.shape[1]):
+            col = np.ascontiguousarray(emb[:, d])
+            gram += np.outer(col, col)
+        cos = gram / np.outer(nm, nm)
+        # Exact-decimal round only where it can change the compare:
+        # round(·, 6) moves a value by ≤ 5e-7, so anything below
+        # thr - 1e-6 can never cross up. Strict lower triangle only
+        # (id_b < id_a after the id sort).
+        passed = np.zeros((n, n), dtype=bool)
+        band = np.tril(cos >= thr - 1e-6, k=-1)
+        for i, j in zip(*np.nonzero(band)):
+            passed[i, j] = round(float(cos[i, j]), 6) >= thr
+        ndup = passed.sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(n, pdf["cell"].iloc[0], dtype=np.int64),
+                "n_dup_partners": ndup,
+                "is_kept": (ndup == 0).astype(np.int64),
+            }
         )
+
+    return v.groupBy("cell").applyInPandas(
+        per_cell,
+        "vec_id long, cell long, n_dup_partners long, is_kept long",
     )
 
 
