@@ -122,7 +122,9 @@ _PENDING: list[str] = [
 ]
 # Queries added in round 4+: they queue behind the uncertified
 # backlog so they never displace an older query's certification slot.
-_ON_DECK: list[str] = []
+_ON_DECK: list[str] = [
+    "q_media_mp4_frames",
+]
 
 
 def driver_order() -> list[str]:
@@ -2429,6 +2431,56 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     v·(64·c·h·w + 224·w + 512·b + 224)."""
     avi = _mm.mjpeg_from_documents(_t(spark, sf_dir, "documents"))
     return _mm.decode_mjpeg_frames(avi)
+
+
+@register(
+    "q_media_mp4_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 + 1       AS nf,
+                   8 * (doc_id % 2 + 1) AS w,
+                   8                    AS h,
+                   doc_id % 2 + 1       AS nb
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, nb, f, c, b,
+                   (doc_id * 41 + f * 131 + (c * nb + b) * 19) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, nf - 1)) AS tf(f),
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                 AS asset_id,
+               f                      AS frame_idx,
+               CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+               w                      AS width,
+               CAST(h AS BIGINT)      AS height,
+               CAST(sum(64 * v) AS BIGINT) AS sum_px,
+               CAST(sum(v * (64 * c * h * w + 224 * w + 512 * b + 224))
+                    AS BIGINT)        AS spatial_sum,
+               max(v)                 AS peak
+        FROM cells
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real MP4 video decode: MJPEG-in-MP4 (ISO/IEC 14496-12
+    box tree, Photo-JPEG samples located via the stsd/stts/stsc/
+    stsz/stco sample tables — samples packed two per chunk so the
+    sample→chunk map is non-trivial) synthesized per document and
+    decoded by composing the ISO-BMFF walker with the T.81 JPEG
+    entropy decoder inside mapInPandas
+    (operators/multimodal.parse_mp4). Same block-constant exactness
+    construction as q_media_mjpeg_frames (different constants);
+    frame_ts_ms comes from the container's own stts deltas over the
+    mdhd timescale. The reference has no media path at all
+    (SURVEY.md §2.9 X4) — this closes the last container format in
+    the extension surface; H.264 entropy decode remains explicitly
+    rejected (no ffmpeg in this container)."""
+    mp4 = _mm.mp4_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_mp4_frames(mp4)
 
 
 @register(

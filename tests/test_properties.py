@@ -309,3 +309,54 @@ def test_png_truncated_chunk_is_valueerror():
     raw = mm._png_bytes(px, "none")
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         mm.parse_png(raw[:-2])
+
+
+@given(
+    nf=st.integers(min_value=1, max_value=5),
+    ncomp=st.sampled_from([1, 3]),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_roundtrip_property(nf, ncomp, w, h, seed):
+    """MJPEG-in-MP4: sample tables (two samples per chunk → real
+    stsc/stco walking) and mdhd timing exact, every Photo-JPEG
+    sample within the q=1 quantization bound."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, ncomp, h, w), dtype=np.uint8)
+    w2, h2, ts, got = mm.parse_mp4(mm._mp4_bytes(frames, q=1))
+    assert (w2, h2, ts, len(got)) == (w, h, mm.MP4_TIMESCALE, nf)
+    for i, (t, g) in enumerate(got):
+        assert t == i * mm.MP4_SAMPLE_DELTA
+        assert np.abs(g.astype(np.int64) - frames[i].astype(np.int64)).max() <= 2
+
+
+def test_mp4_block_constant_exact():
+    """Block-constant frames with the flat q=8 table round-trip
+    BIT-EXACTLY — the property q_media_mp4_frames' oracle relies on."""
+    frames = np.zeros((3, 3, 8, 16), dtype=np.uint8)
+    for f in range(3):
+        for c in range(3):
+            for b in range(2):
+                frames[f, c, :, b * 8 : b * 8 + 8] = (f * 131 + (c * 2 + b) * 19) % 256
+    w, h, ts, got = mm.parse_mp4(mm._mp4_bytes(frames, q=8))
+    assert (w, h, len(got)) == (16, 8, 3)
+    for i, (_, g) in enumerate(got):
+        assert np.array_equal(g, frames[i])
+
+
+def test_mp4_rejects_foreign_and_truncated():
+    import pytest
+
+    frames = np.full((1, 3, 8, 8), 7, dtype=np.uint8)
+    raw = mm._mp4_bytes(frames)
+    # non-jpeg codec entry rejected by name
+    hacked = raw.replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(ValueError, match="avc1"):
+        mm.parse_mp4(hacked)
+    # truncation inside mdat/moov → clean ValueError
+    with pytest.raises(ValueError):
+        mm.parse_mp4(raw[: len(raw) - 30])
+    with pytest.raises(ValueError):
+        mm.parse_mp4(b"\x00\x00\x00\x08ftyp")
