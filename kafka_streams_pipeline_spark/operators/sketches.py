@@ -335,3 +335,221 @@ def bloom_semijoin_oracle(
                    AS n_false_pos
         FROM flags
     """
+
+
+# --- KMV (k minimum values) distinct sketch --------------------------------
+
+KMV_K = 64
+
+
+def kmv_distinct(
+    df: DataFrame, col: str = "user_id", k: int = KMV_K
+) -> DataFrame:
+    """KMV distinct-count estimate (Bar-Yossef et al. 2002, public
+    literature): keep the k smallest distinct 32-bit hashes; the
+    k-th smallest h_k estimates density, n ≈ (k-1) · 2^32 / h_k.
+    Complements HLL: KMV supports set operations (union = merge-k,
+    intersection via inclusion–exclusion on the combined sketch) and
+    its estimate is a single exact-integer-backed division, so the
+    sketch state (h_k, the k-hash checksum) is hash-certified by the
+    oracle, not just the estimate.
+
+    Output (one row): ``kmv_estimate`` (round 6; exact count when
+    the domain has fewer than k values), ``h_k``, ``kmv_checksum``
+    (Σ of the kept hashes), ``n_used``, and ``n_exact``.
+
+    Scale shape: distinct-hash shuffle (32-bit keys, map-side
+    combine), then a global top-k (TakeOrderedAndProject — per-
+    partition heads merge on the driver, never a full sort). At
+    100 TB the distinct pre-shuffle is the dominant cost, same as
+    any exact-distinct — the win is that downstream set algebra
+    runs on k values instead of the domain."""
+    h = md5_long(F.col(col).cast("string")).bitwiseAND(
+        F.lit((1 << 32) - 1)
+    )
+    kept = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h32"))
+        .distinct()
+        .orderBy("h32")
+        .limit(k)
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.max("h32").cast("long").alias("h_k"),
+        F.sum("h32").cast("long").alias("kmv_checksum"),
+    )
+    est = (
+        f"CASE WHEN n_used < {k} THEN CAST(n_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / h_k END"
+    )
+    exact = df.agg(
+        F.countDistinct(F.col(col)).cast("long").alias("n_exact")
+    )
+    return (
+        agg.select(
+            F.expr(f"round({est}, 6)").alias("kmv_estimate"),
+            F.coalesce("h_k", F.lit(0)).cast("long").alias("h_k"),
+            F.coalesce("kmv_checksum", F.lit(0))
+            .cast("long")
+            .alias("kmv_checksum"),
+            "n_used",
+        )
+        .crossJoin(F.broadcast(exact))
+    )
+
+
+def kmv_distinct_oracle(
+    table: str = "events", col: str = "user_id", k: int = KMV_K
+) -> str:
+    h = f"({md5_long_sql(f'CAST({col} AS VARCHAR)')} & {(1 << 32) - 1})"
+    est = (
+        f"CASE WHEN n_used < {k} THEN CAST(n_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / h_k END"
+    )
+    return f"""
+        WITH kept AS (
+            SELECT DISTINCT {h} AS h32
+            FROM {table}
+            WHERE {col} IS NOT NULL
+            ORDER BY h32
+            LIMIT {k}
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_used,
+                   CAST(max(h32) AS BIGINT) AS h_k,
+                   CAST(sum(h32) AS BIGINT) AS kmv_checksum
+            FROM kept
+        )
+        SELECT round({est}, 6) AS kmv_estimate,
+               CAST(coalesce(h_k, 0) AS BIGINT) AS h_k,
+               CAST(coalesce(kmv_checksum, 0) AS BIGINT) AS kmv_checksum,
+               n_used,
+               (SELECT CAST(count(DISTINCT {col}) AS BIGINT)
+                FROM {table}) AS n_exact
+        FROM agg
+    """
+
+
+# --- Batch Count-Min Sketch + heavy hitters --------------------------------
+
+CMS_D = 3  # rows (independent hash functions — reuse the Bloom family)
+CMS_W = 256  # counters per row
+
+
+def _cms_pos_spark(expr: str, i: int) -> str:
+    return _bloom_pos_spark(expr, i).replace(
+        f"% {BLOOM_MBITS}", f"% {CMS_W}"
+    )
+
+
+def _cms_pos_duck(expr: str, i: int) -> str:
+    return _bloom_pos_duck(expr, i).replace(
+        f"% {BLOOM_MBITS}", f"% {CMS_W}"
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str = "event_type"
+) -> DataFrame:
+    """Batch Count-Min Sketch (Cormode & Muthukrishnan 2005, public
+    literature) + point queries: build the d×w counter matrix in one
+    pass, then estimate every distinct key as min_i counter[i][h_i
+    (key)]. The one-sided error invariant (estimate ≥ exact, always)
+    is part of the certified output. This is the BATCH twin of the
+    streaming CMS in streaming/stateful.py — same d×w geometry, same
+    portable double-hashing family as the Bloom filter.
+
+    Output per key: ``cms_estimate``, ``n_exact``, ``overcount``
+    (= estimate − exact ≥ 0). All integers — hash-exact oracle.
+
+    Scale shape: one scan exploding each row into d (row, pos)
+    increments → groupBy over ≤ d·w keys (map-side combine does
+    nearly all the work: the sketch IS the partial-aggregate state);
+    point queries join the d·w-row sketch broadcast-side. At 100 TB
+    the counter matrix never grows — that is the point of a sketch."""
+    incr = df.where(F.col(col).isNotNull()).select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({i} AS i, {_cms_pos_spark(col, i)} AS pos)"
+                    for i in range(CMS_D)
+                )
+                + ")"
+            )
+        ).alias("c")
+    )
+    sketch = (
+        incr.select("c.i", "c.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    keys = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    probes = keys.select(
+        "key",
+        "n_exact",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({i} AS i, {_cms_pos_spark('key', i)} AS pos)"
+                    for i in range(CMS_D)
+                )
+                + ")"
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (probes.p.i == sketch.i) & (probes.p.pos == sketch.pos),
+        )
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .select(
+            "key",
+            "cms_estimate",
+            "n_exact",
+            (F.col("cms_estimate") - F.col("n_exact"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+def cms_heavy_hitters_oracle(
+    table: str = "events", col: str = "event_type"
+) -> str:
+    incr_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {_cms_pos_duck(col, i)} AS pos "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for i in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, n_exact, {i} AS i, {_cms_pos_duck('key', i)} AS pos "
+        f"FROM keys"
+        for i in range(CMS_D)
+    )
+    return f"""
+        WITH incr AS ({incr_rows}),
+        sketch AS (
+            SELECT i, pos, CAST(count(*) AS BIGINT) AS cnt
+            FROM incr GROUP BY i, pos
+        ),
+        keys AS (
+            SELECT {col} AS key, CAST(count(*) AS BIGINT) AS n_exact
+            FROM {table} WHERE {col} IS NOT NULL GROUP BY {col}
+        ),
+        probes AS ({probe_rows})
+        SELECT p.key,
+               CAST(min(s.cnt) AS BIGINT) AS cms_estimate,
+               p.n_exact,
+               CAST(min(s.cnt) - p.n_exact AS BIGINT) AS overcount
+        FROM probes p JOIN sketch s ON p.i = s.i AND p.pos = s.pos
+        GROUP BY p.key, p.n_exact
+    """

@@ -855,3 +855,29 @@ def test_lsh_and_ivf_release_their_caches(spark, sf_dir):
     similarity.ivf_train(emb).collect()
     dedup.minhash_near_dup_pairs(docs, threshold=0.8).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_kmv_small_domain_is_exact(spark):
+    """Below k distinct values the KMV estimate must collapse to the
+    exact count (the h_k density formula would be biased there)."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    tiny = spark.range(0, 12).select(F.col("id").alias("user_id"))
+    row = sketches.kmv_distinct(tiny, "user_id", k=64).collect()[0]
+    assert row["n_used"] == 12
+    assert row["kmv_estimate"] == 12.0
+    assert row["n_exact"] == 12
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """Every CMS point estimate dominates the exact count, and at
+    5-key cardinality over a 3x256 sketch there are no collisions —
+    estimates are exact."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.cms_heavy_hitters(ev, "event_type").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["cms_estimate"] >= r["n_exact"]

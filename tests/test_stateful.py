@@ -153,3 +153,82 @@ def test_cms_sketch_counts(spark, sf_dir, reading_stream_dir, tmp_path):
             exact += 1
     # most estimates exact at this cardinality (width 128, depth 4)
     assert exact / len(truth) > 0.5
+
+
+def test_streaming_cms_equals_batch_cms(spark, sf_dir, reading_stream_dir, tmp_path):
+    """Streaming-vs-batch sketch differential (ties T5 to X7): the
+    streaming CMS state after replaying the whole stream must equal,
+    BIT-EXACTLY, a batch recomputation of the same d×w sketch with
+    the same seeded-md5 hash family — same counters, same min-over-
+    rows point estimates. Proves the stateful path accumulates
+    exactly what the declarative path computes, not merely something
+    correlated with it."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_sensor_counts,
+    )
+
+    batches = _run_stream(
+        spark, reading_stream_dir, cms_sensor_counts, str(tmp_path / "ckpt2")
+    )
+    streaming_final = {}
+    for batch in batches:
+        for r in batch:
+            streaming_final[(r["gh"], r["sensorId"])] = r["est_count"]
+
+    readings = readings_from_events(load_table(spark, sf_dir, "events")).select(
+        F.substring("geohash", 1, 6).alias("gh"), "sensorId"
+    )
+    # the streaming sketch's hash is md5("{d}:{sensor}")[:8] % width —
+    # the repo's portable seeded-md5 family, so the batch twin is a
+    # plain explode + groupBy over (gh, d, pos)
+    pos = lambda d: (
+        f"cast(conv(substring(md5(concat('{d}:', sensorId)), 1, 8), 16, 10) "
+        f"as bigint) % {CMS_WIDTH}"
+    )
+    incr = readings.select(
+        "gh",
+        "sensorId",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d} AS d, {pos(d)} AS pos)"
+                    for d in range(CMS_DEPTH)
+                )
+                + ")"
+            )
+        ).alias("c"),
+    )
+    sketch = (
+        incr.select("gh", "c.d", "c.pos")
+        .groupBy("gh", "d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        readings.distinct()
+        .select(
+            "gh",
+            "sensorId",
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"struct({d} AS d, {pos(d)} AS pos)"
+                        for d in range(CMS_DEPTH)
+                    )
+                    + ")"
+                )
+            ).alias("c"),
+        )
+        .select("gh", "sensorId", "c.d", "c.pos")
+    )
+    batch_final = {
+        (r["gh"], r["sensorId"]): r["est"]
+        for r in probes.join(sketch, ["gh", "d", "pos"])
+        .groupBy("gh", "sensorId")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    }
+    assert streaming_final == batch_final
