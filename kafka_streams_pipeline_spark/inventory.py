@@ -3731,10 +3731,11 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix. Keeps ≤ 5 docs per source, selected by salted-md5 rank
     (reproducible across runs/engines/partitionings, unlike rand()),
     and certifies membership via the kept-doc-id checksum. Plan: one
-    window over the source-keyed shuffle; at corpus scale this is
-    the same per-key top-k every keeper query uses — no global
-    sort, skew bounded because rank stops scanning past the cap
-    (WindowGroupLimit pushes rk <= 5 into the sort)."""
+    window over the source-keyed shuffle, no global sort. (Because
+    this certified form also reports n_total per source, every row
+    passes through the window; a production keep-only variant would
+    filter rk <= 5 directly and get Spark's WindowGroupLimit
+    rank-pushdown for free.)"""
     w = Window.partitionBy("source").orderBy(
         md5_long(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
         "doc_id",
