@@ -3691,6 +3691,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cms_heavy_hitters",
     oracle=_sk.cms_heavy_hitters_oracle("events", "event_type"),
+    bench=True,
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 sketch family: batch Count-Min Sketch point queries over
@@ -3951,6 +3952,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_returned_items",
+    bench=True,
     oracle="""
         SELECT c_custkey, c_name, n_name,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
