@@ -1,0 +1,97 @@
+"""Physical-plan contracts: the scale properties the README's
+"Design for 100 TB" section promises must be visible in the plans
+Catalyst actually emits, not just in docstrings. These assertions
+catch silent plan regressions (a lost pushdown, a dimension that
+stops broadcasting, a top-k that becomes a global sort) the way the
+oracle gate catches value regressions."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_streams_pipeline_spark.inventory import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def test_scan_predicates_reach_parquet(spark, sf_dir):
+    """Q6-shaped scan-agg: every predicate (timestamp range, discount
+    band, quantity cap) must appear in PushedFilters — this query IS
+    the pushdown certification."""
+    plan = _plan(spark, sf_dir, "q_revenue_forecast")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, f"missing pushdown {frag}"
+
+
+def test_time_range_reaches_raw_scan(spark, sf_dir):
+    """The reference's core time predicate must prune at the parquet
+    scan via the raw-nanos pushdown (sources/tables.py)."""
+    plan = _plan(spark, sf_dir, "q_filter_time_range")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "ts" in pushed, plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """TPC-H-shaped joins: dimension sides broadcast; the fact table
+    must never be on the build side of a shuffle for them."""
+    for name in ("q_local_supplier_volume", "q_volume_shipping", "q_market_share"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Every bounded top-k must plan as TakeOrderedAndProject
+    (per-partition heads merged on the driver), never a full
+    exchange-then-sort."""
+    for name in ("q_returned_items", "q_waiting_suppliers", "q_topk_limit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """crossJoin is allowed only against broadcast-size sides (scalar
+    thresholds, centroid tables, 1-row query vectors) — a
+    CartesianProduct node anywhere means a corpus×corpus blowup."""
+    for name in (
+        "q_sim_topk",
+        "q_sales_opportunity",
+        "q_sim_ann_ivf",
+        "q_hll_distinct",
+        "q_kmv_distinct",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
+    """The declared-query surface must stay JVM-side: BatchEvalPython
+    (row-at-a-time Python UDF) may never appear. Arrow-batched nodes
+    (MapInPandas/FlatMapGroupsInPandas) are the sanctioned slots and
+    appear only in the media/semantic queries."""
+    sanctioned = re.compile(r"q_media_|q_semantic_dedup|q_multimodal_meta")
+    for name in QUERIES:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        if not sanctioned.search(name):
+            assert "MapInPandas" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
