@@ -133,6 +133,8 @@ _ON_DECK: list[str] = [
     "q_returned_items",
     "q_waiting_suppliers",
     "q_sales_opportunity",
+    "q_pq_encode",
+    "q_pq_adc_topk",
 ]
 
 
@@ -4147,3 +4149,27 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents_sum(F.col("c_acctbal"), "total_acctbal"),
         )
     )
+
+
+@register("q_pq_encode", oracle=_sim.pq_encode_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compressed-ANN storage: product-quantize every embedding
+    (M=8 subspaces × K=16 sample-init centroids, exact micro-unit
+    integers) into a packed 32-bit code + certified quantization
+    error — the ~64× store shrink that makes billion-vector ANN
+    serving fit in memory. One explode + one broadcast codebook join
+    + one argmin aggregate; the full vectors never shuffle. See
+    operators/similarity.py pq_encode."""
+    return _sim.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_pq_adc_topk", oracle=_sim.pq_adc_topk_oracle(0, 10))
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compressed-ANN search: asymmetric distance computation —
+    query at full precision against PQ codes via a broadcast
+    M·K-entry lookup table; Σ of per-subspace table entries ranks
+    the corpus without touching the embeddings. Exact integers
+    end-to-end, so the APPROXIMATION ITSELF is oracle-certified,
+    not just the plumbing. Top-k is TakeOrderedAndProject with id
+    tiebreak."""
+    return _sim.pq_adc_topk(_t(spark, sf_dir, "embeddings"), 0, 10)

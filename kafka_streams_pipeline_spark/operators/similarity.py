@@ -870,3 +870,217 @@ def semantic_dedup_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
                    AS is_kept
         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """
+
+
+# --- Product quantization (IVF-PQ building block) --------------------------
+#
+# PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search", public literature): split each vector into M subvectors,
+# quantize each against a per-subspace codebook of K centroids, store
+# M·log2(K) bits per vector, and answer queries with asymmetric
+# distance computation (ADC) — per-subspace lookup tables built from
+# the query, summed per code. The whole construction here runs in
+# exact micro-unit integers (same KM_FP convention as ivf_train), so
+# codes, quantization errors, and ADC distances are all
+# hash-certified by the DuckDB oracle. Codebooks use the same
+# deterministic sample init as the IVF coarse quantizer (vectors
+# vec_id < PQ_K); refining them is ivf_train's Lloyd step applied
+# per subspace.
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (M · DSUB = 64)
+PQ_K = 16  # centroids per subspace → 4-bit codes, 32 bits/vector
+
+
+def _pq_codes(df: DataFrame) -> DataFrame:
+    """Per-(vec_id, m): nearest sub-centroid ``code`` and the exact
+    integer squared error ``sub_err``. One explode (M rows/vector) +
+    one broadcast codebook join + one argmin aggregate."""
+    fp = df.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {KM_FP}) as bigint))"
+        ).alias("xf"),
+    )
+    subs = fp.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m AS m, slice(xf, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+    cb = subs.where(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    dists = subs.join(F.broadcast(cb), subs.m == cb.cb_m).select(
+        "vec_id",
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("dist"),
+    )
+    return (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.cid").alias("code"),
+            F.col("best.dist").alias("sub_err"),
+        )
+    )
+
+
+def pq_encode(df: DataFrame) -> DataFrame:
+    """X3 (compressed ANN storage): PQ-encode every vector → packed
+    32-bit code + exact integer quantization error. At corpus scale
+    this is the operator that shrinks an embedding store ~64× (256 B
+    float32 → 4 B) before ANN serving; the certified outputs (packed
+    code, summed error) pin every per-subspace argmin."""
+    return (
+        _pq_codes(df)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr(f"code * shiftleft(1L, 4 * m)"))
+            .cast("long")
+            .alias("pq_code"),
+            F.sum("sub_err").cast("long").alias("q_err"),
+        )
+    )
+
+
+def _pq_oracle_prelude(dim: int = 64) -> str:
+    return f"""
+        xf AS (
+            SELECT vec_id, d,
+                   CAST(round(CAST(embedding[d] AS DOUBLE) * {KM_FP}) AS BIGINT)
+                       AS x
+            FROM embeddings,
+                 generate_series(1, {dim}) AS t(d)
+        ),
+        subs AS (
+            SELECT vec_id, (d - 1) // {PQ_DSUB} AS m,
+                   (d - 1) % {PQ_DSUB} AS j, x
+            FROM xf
+        ),
+        cb AS (
+            SELECT vec_id AS cid, m, j, x AS c FROM subs
+            WHERE vec_id < {PQ_K}
+        ),
+        dists AS (
+            SELECT s.vec_id, s.m, cb.cid,
+                   sum((s.x - cb.c) * (s.x - cb.c)) AS dist
+            FROM subs s JOIN cb ON s.m = cb.m AND s.j = cb.j
+            GROUP BY s.vec_id, s.m, cb.cid
+        ),
+        codes AS (
+            SELECT vec_id, m, cid AS code, dist AS sub_err FROM (
+                SELECT vec_id, m, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )"""
+
+
+def pq_encode_oracle(dim: int = 64) -> str:
+    return f"""
+        WITH {_pq_oracle_prelude(dim)}
+        SELECT vec_id,
+               CAST(sum(code * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_code,
+               CAST(sum(sub_err) AS BIGINT) AS q_err
+        FROM codes
+        GROUP BY vec_id
+    """
+
+
+def pq_adc_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """X3 (compressed ANN search): asymmetric distance computation —
+    the query stays full-precision, corpus vectors are their PQ
+    codes, distance ≈ Σ_m table[m][code_m] where the M·K-entry table
+    is built once from the query. Exact integers end-to-end → the
+    approximation itself is oracle-certified. Scale shape: the table
+    (128 longs) broadcasts; the corpus side touches only its codes —
+    the full embeddings never move. Top-k via TakeOrderedAndProject
+    with id tiebreak."""
+    fp = df.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {KM_FP}) as bigint))"
+        ).alias("xf"),
+    )
+    qsubs = (
+        fp.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(xf, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS qv))"
+                )
+            ).alias("q")
+        )
+        .select("q.m", "q.qv")
+    )
+    cb = (
+        fp.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(xf, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS cv))"
+                )
+            ).alias("c"),
+        )
+        .select("cid", "c.m", "c.cv")
+    )
+    table = qsubs.join(cb, "m").select(
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("tdist"),
+    )
+    codes = _pq_codes(df)
+    return (
+        codes.join(
+            F.broadcast(table),
+            (codes.m == table.m) & (codes.code == table.cid),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_adc_topk_oracle(
+    query_vec_id: int = 0, k: int = 10, dim: int = 64
+) -> str:
+    return f"""
+        WITH {_pq_oracle_prelude(dim)},
+        tbl AS (
+            SELECT cb.m, cb.cid,
+                   sum((q.x - cb.c) * (q.x - cb.c)) AS tdist
+            FROM subs q JOIN cb ON q.m = cb.m AND q.j = cb.j
+            WHERE q.vec_id = {query_vec_id}
+            GROUP BY cb.m, cb.cid
+        )
+        SELECT codes.vec_id,
+               CAST(sum(tbl.tdist) AS BIGINT) AS adc_dist
+        FROM codes JOIN tbl ON codes.m = tbl.m AND codes.code = tbl.cid
+        GROUP BY codes.vec_id
+        ORDER BY sum(tbl.tdist), codes.vec_id
+        LIMIT {k}
+    """

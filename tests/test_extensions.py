@@ -881,3 +881,38 @@ def test_cms_one_sided_error(spark, sf_dir):
     for r in rows:
         assert r["overcount"] >= 0
         assert r["cms_estimate"] >= r["n_exact"]
+
+
+def test_pq_codebook_members_have_zero_error(spark, sf_dir):
+    """Vectors that ARE the codebook (vec_id < PQ_K) must quantize to
+    themselves in every subspace: q_err == 0 and the packed code is
+    vec_id replicated into all M nibbles."""
+    from kafka_streams_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(emb)
+        .where(F.col("vec_id") < similarity.PQ_K)
+        .collect()
+    }
+    assert len(rows) == similarity.PQ_K
+    nibble_repl = sum(1 << (4 * m) for m in range(similarity.PQ_M))
+    for vid, r in rows.items():
+        assert r["q_err"] == 0
+        assert r["pq_code"] == vid * nibble_repl
+
+
+def test_pq_adc_ranks_query_first(spark, sf_dir):
+    """ADC of the query against its own code is the minimum possible
+    for that code assignment — the query itself must rank at the top
+    of its own search."""
+    from kafka_streams_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = similarity.pq_adc_topk(emb, query_vec_id=3, k=5).collect()
+    assert top[0]["vec_id"] == 3
+    assert top[0]["adc_dist"] == 0  # query 3 < PQ_K: its code IS itself
+    assert [r["adc_dist"] for r in top] == sorted(
+        r["adc_dist"] for r in top
+    )
