@@ -135,6 +135,7 @@ _ON_DECK: list[str] = [
     "q_sales_opportunity",
     "q_pq_encode",
     "q_pq_adc_topk",
+    "q_window_cume",
 ]
 
 
@@ -4173,3 +4174,61 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the plumbing. Top-k is TakeOrderedAndProject with id
     tiebreak."""
     return _sim.pq_adc_topk(_t(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "q_window_cume",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS pr,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS cd,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+            WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               round(max(CASE WHEN rn = (n + 1) // 2 THEN pr END), 6)
+                   AS median_pr,
+               round(max(CASE WHEN rn = (n + 1) // 2 THEN cd END), 6)
+                   AS median_cd,
+               CAST(sum(CASE WHEN 4 * rn <= n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bottom_quartile
+        FROM ranked
+        GROUP BY event_type
+    """,
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family completion: percent_rank + cume_dist
+    per event_type over (value, event_id) — the id tiebreak makes
+    both distribution functions deterministic even on duplicate
+    values. Certification avoids cross-row float summation entirely
+    (the round-3 flake class): the median row's pr/cd are single
+    engine-identical doubles picked by integer rank, and the
+    bottom-quartile count is the pure-integer predicate 4·rn ≤ n
+    (≡ cume_dist ≤ 0.25 for all-distinct ranks). One window over the
+    type-keyed shuffle, no global sort."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = F.col("rn") == F.expr("(n + 1) div 2")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max(F.when(mid, F.col("pr"))), 6).alias("median_pr"),
+        F.round(F.max(F.when(mid, F.col("cd"))), 6).alias("median_cd"),
+        F.sum(F.when(4 * F.col("rn") <= F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bottom_quartile"),
+    )

@@ -169,3 +169,71 @@ def threshold_alert_latch(readings: DataFrame, threshold: float) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_B_STREAM = 8
+HLL_M_STREAM = 1 << HLL_B_STREAM
+HLL_W_STREAM = 32 - HLL_B_STREAM
+HLL_OUTPUT = (
+    "gh string, n_registers_used bigint, register_checksum bigint"
+)
+HLL_STATE = "regs array<bigint>"
+
+
+def _hll_bucket_rho(item: str) -> tuple[int, int]:
+    """EXACTLY the batch hll_distinct hash (operators/sketches.py):
+    h32 = first 8 md5 hex chars of str(item); bucket = top B bits;
+    rho = first-1-bit position of the W-bit payload (W+1 if zero)."""
+    import hashlib
+
+    h32 = int(hashlib.md5(str(item).encode()).hexdigest()[:8], 16)
+    bucket = h32 >> HLL_W_STREAM
+    payload = h32 % (1 << HLL_W_STREAM)
+    rho = (
+        HLL_W_STREAM + 1
+        if payload == 0
+        else HLL_W_STREAM + 1 - payload.bit_length()
+    )
+    return bucket, rho
+
+
+def hll_sensor_distinct(readings: DataFrame, gh_col: str = "geohash") -> DataFrame:
+    """HyperLogLog register state per geohash cell, maintained across
+    micro-batches — the STREAMING twin of the batch
+    ``operators/sketches.hll_distinct``, sharing its md5 register
+    construction bit-for-bit so the two are differentially testable
+    (tests/test_stateful.py). State per key is a constant 256-long
+    array regardless of sensor cardinality; registers merge by max,
+    so restarts and batch boundaries cannot change the result."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (regs,) = state.get if state.exists else ([0] * HLL_M_STREAM,)
+        regs = list(regs)
+        for pdf in pdfs:
+            for sensor in pdf["sensorId"].dropna():
+                bucket, rho = _hll_bucket_rho(sensor)
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+        state.update((regs,))
+        yield pd.DataFrame(
+            {
+                "gh": [key[0]],
+                "n_registers_used": [sum(1 for r in regs if r > 0)],
+                "register_checksum": [
+                    sum((b + 1) * r for b, r in enumerate(regs))
+                ],
+            }
+        )
+
+    keyed = readings.withColumn("gh6", F.substring(F.col(gh_col), 1, 6))
+    return keyed.groupBy("gh6").applyInPandasWithState(
+        fn,
+        HLL_OUTPUT,
+        HLL_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

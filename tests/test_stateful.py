@@ -232,3 +232,41 @@ def test_streaming_cms_equals_batch_cms(spark, sf_dir, reading_stream_dir, tmp_p
         .collect()
     }
     assert streaming_final == batch_final
+
+
+def test_streaming_hll_equals_batch_hll(spark, sf_dir, reading_stream_dir, tmp_path):
+    """Streaming-vs-batch sketch differential #2 (HLL this time):
+    after replaying the stream, each cell's register summary must
+    equal the batch hll_distinct register construction bit-for-bit —
+    same md5 bucket/rho, merged by max. Register state is
+    order-insensitive, so micro-batch boundaries cannot matter."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        hll_sensor_distinct,
+    )
+
+    batches = _run_stream(
+        spark, reading_stream_dir, hll_sensor_distinct, str(tmp_path / "ckpt3")
+    )
+    streaming_final = {}
+    for batch in batches:
+        for r in batch:
+            streaming_final[r["gh"]] = (
+                r["n_registers_used"],
+                r["register_checksum"],
+            )
+
+    from kafka_streams_pipeline_spark.operators.sketches import hll_distinct
+
+    readings = readings_from_events(load_table(spark, sf_dir, "events")).select(
+        F.substring("geohash", 1, 6).alias("gh"), "sensorId"
+    )
+    batch_final = {}
+    for gh in [r["gh"] for r in readings.select("gh").distinct().collect()]:
+        row = hll_distinct(
+            readings.where(F.col("gh") == gh), "sensorId", exact=False
+        ).collect()[0]
+        batch_final[gh] = (
+            row["n_registers_used"],
+            row["register_checksum"],
+        )
+    assert streaming_final == batch_final
