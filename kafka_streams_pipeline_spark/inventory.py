@@ -136,6 +136,7 @@ _ON_DECK: list[str] = [
     "q_pq_encode",
     "q_pq_adc_topk",
     "q_window_cume",
+    "q_dedup_prefix_join",
 ]
 
 
@@ -4232,3 +4233,16 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bottom_quartile"),
     )
+
+@register("q_dedup_prefix_join", oracle=_dedup.prefix_jaccard_join_oracle())
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 EXACT similarity join at scale: prefix-filtered Jaccard
+    join (SSJoin/PPJoin family) — candidates only from each doc's
+    globally-rarest prefix shingles, then exact verify; output
+    bit-identical to the brute-force quadratic join the oracle runs.
+    The exact counterpart to q_dedup_minhash at the same 0.8
+    threshold: no banding recall loss, and frequent-shingle skew
+    self-prunes (hot shingles sort last, out of every prefix). Pure
+    integer threshold arithmetic (4/5) until the reported jaccard.
+    See operators/dedup.py prefix_jaccard_join."""
+    return _dedup.prefix_jaccard_join(_t(spark, sf_dir, "documents"))

@@ -916,3 +916,22 @@ def test_pq_adc_ranks_query_first(spark, sf_dir):
     assert [r["adc_dist"] for r in top] == sorted(
         r["adc_dist"] for r in top
     )
+
+
+def test_prefix_join_equals_exact_baseline(spark, sf_dir):
+    """The prefix-filtered join must reproduce the exact inverted-
+    index baseline pair-for-pair at the same 0.8 threshold — the
+    filter prunes candidates, never results."""
+    from kafka_streams_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_join(docs).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert fast == slow
+    assert len(fast) > 0
