@@ -57,15 +57,12 @@ BENCH_QUERIES: list[str] = []
 # so rotation is required for every operator to accumulate a driver
 # row: certified names go to the back of the returned dict,
 # never-checked names to the front (VERDICT r2 "Next round" item 3,
-# VERDICT r3 items 1-2).
-# Rounds 1-2 evidence (CORRECTNESS_r01/r02.json):
-_CERTIFIED_R1: list[str] = [
-    "q_scan_project", "q_filter_time_range", "q_json_extract",
-    "q_event_time_valid", "q_hourly_view", "q_history",
-    "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
-    "q_date_trunc_funcs", "q_string_funcs", "q_math_funcs",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_join_anti", "q_group_distinct", "q_rollup", "q_cube",
+# VERDICT r3 items 1-2, VERDICT r4 items 1-2).
+# Rounds 1-2 evidence (CORRECTNESS_r01/r02.json) — the stalest tier:
+# the first 19 names of the original round-1 list were re-certified
+# by round 4's spare window slots and now live in _CERTIFIED_R4.
+_CERTIFIED_R2: list[str] = [
+    "q_rollup", "q_cube",
     "q_salted_agg", "q_asof_attribution", "q_window_rank",
     "q_window_lag", "q_retention", "q_funnel", "q_latest_by_key",
     "q_scd2_intervals", "q_rolling_zscore", "q_set_ops", "q_union",
@@ -96,57 +93,51 @@ _CERTIFIED_R3: list[str] = [
     "q_order_priority", "q_priority_shipmode", "q_chunk_dedup",
     "q_contamination", "q_stratified_sample", "q_daily_rollup",
 ]
-DRIVER_CERTIFIED: list[str] = _CERTIFIED_R1 + _CERTIFIED_R3
-# Still awaiting their first green driver row: the two round-2 reds
-# (shared HUGEINT-cast root cause, fixed in commit b8d35b0 and green
-# under the driver-faithful local gate) re-enter the window first to
-# certify the fix, followed by the round-3 additions that were parked
-# on deck behind round 3's 50-slot window.
-_UNCERTIFIED_RED = ["q_precision_reagg", "q_unpivot"]
-_PENDING: list[str] = [
-    "q_history_ordered",
-    "q_media_jpeg_decode",
-    "q_semantic_dedup",
-    "q_vocab_build",
-    "q_unigram_surprisal",
-    "q_media_mjpeg_frames",
-    "q_media_png_decode",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_customer_distribution",
-    "q_hll_distinct",
-    "q_bloom_prefilter",
-    "q_dedup_best_keeper",
-    "q_radius_search",
-    "q_decayed_engagement",
+# Round-4 evidence (CORRECTNESS_r04.json — all 50 window rows green,
+# listed in window order: the 2 ex-red + 15 pending + 14 on-deck
+# promotions, then the 19 round-1 names re-certified by spare slots):
+_CERTIFIED_R4: list[str] = [
+    "q_precision_reagg", "q_unpivot",
+    "q_history_ordered", "q_media_jpeg_decode", "q_semantic_dedup",
+    "q_vocab_build", "q_unigram_surprisal", "q_media_mjpeg_frames",
+    "q_media_png_decode", "q_small_qty_revenue", "q_large_orders",
+    "q_customer_distribution", "q_hll_distinct", "q_bloom_prefilter",
+    "q_dedup_best_keeper", "q_radius_search", "q_decayed_engagement",
+    "q_media_mp4_frames", "q_kmv_distinct", "q_cms_heavy_hitters",
+    "q_source_cap", "q_revenue_forecast", "q_volume_shipping",
+    "q_market_share", "q_returned_items", "q_waiting_suppliers",
+    "q_sales_opportunity", "q_pq_encode", "q_pq_adc_topk",
+    "q_window_cume", "q_dedup_prefix_join",
+    "q_scan_project", "q_filter_time_range", "q_json_extract",
+    "q_event_time_valid", "q_hourly_view", "q_history",
+    "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
+    "q_date_trunc_funcs", "q_string_funcs", "q_math_funcs",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_group_distinct",
 ]
-# Queries added in round 4+: they queue behind the uncertified
-# backlog so they never displace an older query's certification slot.
-_ON_DECK: list[str] = [
-    "q_media_mp4_frames",
-    "q_kmv_distinct",
-    "q_cms_heavy_hitters",
-    "q_source_cap",
-    "q_revenue_forecast",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_waiting_suppliers",
-    "q_sales_opportunity",
-    "q_pq_encode",
-    "q_pq_adc_topk",
-    "q_window_cume",
-    "q_dedup_prefix_join",
-]
+DRIVER_CERTIFIED: list[str] = _CERTIFIED_R2 + _CERTIFIED_R3 + _CERTIFIED_R4
+# Queries awaiting their first green driver row. Empty as of round 5:
+# all 128 declared queries carry at least one green CORRECTNESS row
+# (r1-r4 union), so the window is pure stalest-first re-certification.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window: they queue behind the
+# uncertified backlog so they never displace an older query's slot.
+_ON_DECK: list[str] = []
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping.
+_RECHECK: list[str] = []
 
 
 def driver_order() -> list[str]:
     """Registration names reordered for the driver's 50-query
     correctness window: every query lacking a green driver row first
-    (unlisted new registrations, then the round-2 reds, then the
-    round-3 pending batch, then round-4 on-deck additions), then the
-    certified backlog oldest-evidence-first so spare slots re-certify
-    the stalest green rows."""
+    (unlisted new registrations, then red/pending/on-deck backlogs),
+    then certified queries whose code changed since certification
+    (_RECHECK), then the certified backlog oldest-evidence-first so
+    spare slots re-certify the stalest green rows."""
     back = (
         set(DRIVER_CERTIFIED)
         | set(_UNCERTIFIED_RED)
@@ -154,7 +145,12 @@ def driver_order() -> list[str]:
         | set(_ON_DECK)
     )
     head = [n for n in QUERIES if n not in back]
-    return head + _UNCERTIFIED_RED + _PENDING + _ON_DECK + DRIVER_CERTIFIED
+    recheck = [n for n in _RECHECK if n not in head]
+    certified_tail = [n for n in DRIVER_CERTIFIED if n not in recheck]
+    return (
+        head + _UNCERTIFIED_RED + _PENDING + _ON_DECK
+        + recheck + certified_tail
+    )
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):

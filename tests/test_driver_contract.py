@@ -36,18 +36,37 @@ def test_driver_window_prioritizes_uncertified_queries():
         + inventory._PENDING
         + inventory._ON_DECK
     )
-    assert order[: len(uncertified)] == uncertified
+    recheck = [n for n in inventory._RECHECK if n not in head]
+    priority = uncertified + recheck
+    assert order[: len(priority)] == priority
     window = set(order[:WINDOW])
-    if len(uncertified) <= WINDOW:
-        assert set(uncertified) <= window
+    if len(priority) <= WINDOW:
+        assert set(priority) <= window
         # spare slots re-certify the OLDEST certified evidence first
-        spare = WINDOW - len(uncertified)
-        assert order[len(uncertified) : WINDOW] == (
-            inventory.DRIVER_CERTIFIED[:spare]
-        )
+        spare = WINDOW - len(priority)
+        certified_tail = [
+            n for n in inventory.DRIVER_CERTIFIED if n not in recheck
+        ]
+        assert order[len(priority) : WINDOW] == certified_tail[:spare]
     else:
-        overflow = set(uncertified) - window
+        overflow = set(priority) - window
         assert overflow <= set(inventory._ON_DECK)
+
+
+def test_round5_window_recertifies_stalest_evidence():
+    """VERDICT r4 item 1 'done' criterion: with every query certified
+    and no backlog, the round-5 window must be exactly the 28 queries
+    whose evidence dates to rounds 1-2 plus the 22 oldest round-3
+    rows — the stalest-first regression sweep."""
+    if (
+        inventory._UNCERTIFIED_RED
+        or inventory._PENDING
+        or inventory._ON_DECK
+        or inventory._RECHECK
+    ):
+        return  # backlog reappeared; the generalized invariant governs
+    expected = inventory._CERTIFIED_R2 + inventory._CERTIFIED_R3[:22]
+    assert inventory.driver_order()[:WINDOW] == expected
 
 
 def test_certified_lists_are_registered_and_disjoint():
@@ -57,6 +76,7 @@ def test_certified_lists_are_registered_and_disjoint():
         inventory._UNCERTIFIED_RED,
         inventory._PENDING,
         inventory._ON_DECK,
+        inventory._RECHECK,
     ):
         assert set(bucket) <= reg
         assert len(bucket) == len(set(bucket))
