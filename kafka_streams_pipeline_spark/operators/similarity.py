@@ -753,7 +753,13 @@ def semantic_dedup(
     at the threshold is Python's exact-decimal round — doubles have
     no exact decimal ties at scale 6 (x.xxxxxx5 needs a 5^7
     denominator), so HALF_UP (Spark/DuckDB) and HALF_EVEN (Python)
-    coincide on every representable value."""
+    coincide on every representable value. Residual hazard: that
+    argument covers decimal-rounding MODE, not DuckDB's round
+    implementation, which scales by 1e6 before truncating — the
+    scaled multiply's own FP error could in principle flip a value
+    lying within ~1 ulp of a decimal midpoint. The thr - 1e-6 band
+    guard confines any such exposure to near-threshold cosines, and
+    the differential gate has never observed a divergence."""
     cent = df.where(F.expr(_centroid_filter())).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),

@@ -199,17 +199,17 @@ BLOOM_B = [17, 10007, 1000003]
 BLOOM_K = len(BLOOM_A)
 
 
-def _bloom_pos_spark(expr: str, i: int) -> str:
+def _bloom_pos_spark(expr: str, i: int, modulus: int = BLOOM_MBITS) -> str:
     h = (
         f"cast(conv(substring(md5(cast({expr} as string)), 1, 8), 16, 10) "
         f"as bigint)"
     )
-    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {BLOOM_MBITS})"
+    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {modulus})"
 
 
-def _bloom_pos_duck(expr: str, i: int) -> str:
+def _bloom_pos_duck(expr: str, i: int, modulus: int = BLOOM_MBITS) -> str:
     h = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
-    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {BLOOM_MBITS})"
+    return f"(({BLOOM_A[i]} * {h} + {BLOOM_B[i]}) % {modulus})"
 
 
 def bloom_semijoin_reduction(
@@ -438,15 +438,11 @@ CMS_W = 256  # counters per row
 
 
 def _cms_pos_spark(expr: str, i: int) -> str:
-    return _bloom_pos_spark(expr, i).replace(
-        f"% {BLOOM_MBITS}", f"% {CMS_W}"
-    )
+    return _bloom_pos_spark(expr, i, modulus=CMS_W)
 
 
 def _cms_pos_duck(expr: str, i: int) -> str:
-    return _bloom_pos_duck(expr, i).replace(
-        f"% {BLOOM_MBITS}", f"% {CMS_W}"
-    )
+    return _bloom_pos_duck(expr, i, modulus=CMS_W)
 
 
 def cms_heavy_hitters(

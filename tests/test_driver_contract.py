@@ -94,3 +94,19 @@ def test_every_query_has_an_oracle():
 
 def test_bench_queries_are_registered():
     assert set(inventory.BENCH_QUERIES) <= set(inventory.QUERIES)
+
+
+def test_readme_query_count_matches_inventory():
+    """ADVICE r4: docs counts drift when queries are added — pin the
+    README's stated query count to the registry so the suite fails
+    loudly instead of shipping stale numbers."""
+    import pathlib
+    import re
+
+    readme = pathlib.Path(__file__).parent.parent / "README.md"
+    text = readme.read_text()
+    stated = {int(m) for m in re.findall(r"(\d+)\s+(?:entries|queries)", text)}
+    assert stated == {len(inventory.QUERIES)}, (
+        f"README states query counts {sorted(stated)}; registry has "
+        f"{len(inventory.QUERIES)}"
+    )
