@@ -4161,7 +4161,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pq_encode(_t(spark, sf_dir, "embeddings"))
 
 
-@register("q_pq_adc_topk", oracle=_sim.pq_adc_topk_oracle(0, 10))
+@register("q_pq_adc_topk", oracle=_sim.pq_adc_topk_oracle(0, 10), bench=True)
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 compressed-ANN search: asymmetric distance computation —
     query at full precision against PQ codes via a broadcast
@@ -4230,7 +4230,11 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bottom_quartile"),
     )
 
-@register("q_dedup_prefix_join", oracle=_dedup.prefix_jaccard_join_oracle())
+@register(
+    "q_dedup_prefix_join",
+    oracle=_dedup.prefix_jaccard_join_oracle(),
+    bench=True,
+)
 def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 EXACT similarity join at scale: prefix-filtered Jaccard
     join (SSJoin/PPJoin family) — candidates only from each doc's

@@ -364,13 +364,49 @@ def _minhash_pairs_and_sig(
     return verified.select("id_a", "id_b", "jaccard"), sig
 
 
+# Edge-count ceiling for the driver-side union-find shortcut in
+# dedup_components(algorithm="auto"). 1M verified edges is ~16 MB
+# collected and <1 s of driver CPU — far below the cost of even one
+# distributed iteration's job-scheduling overhead. Above this, the
+# O(log n) alternating algorithm runs distributed.
+SMALL_COMPONENTS_MAX_EDGES = 1_000_000
+
+
+def _union_find_labels(edge_rows: list) -> list:
+    """Driver-side union-find with path compression over a collected
+    edge list. Returns (node, comp) tuples with comp = min id of the
+    component — the same fixpoint as the distributed algorithms and
+    the recursive-CTE oracle."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps roots = component minima as we go
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
 def dedup_components(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_iter: int = 25,
-    algorithm: str = "label",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """X2 (duplicate-group clustering): connected components over the
     MinHash near-dup pair graph — every document labeled with the
@@ -378,18 +414,65 @@ def dedup_components(
     themselves). The stage after pair generation in a real dedup
     pipeline: keep one representative per component.
 
-    Iterative min-label propagation (converges within the graph
-    diameter; near-dup clusters are tiny, so a handful of rounds).
-    Each round is one join + aggregate over the EDGE set only — at
-    100 TB that's proportional to candidate pairs, not the corpus.
-    The classic large-star/small-star optimization drops in here if
-    components ever get deep. Genuinely iterative — not expressible
-    as one SQL query without recursion; the DuckDB oracle uses a
-    recursive CTE (components_oracle) to certify the fixpoint."""
+    ``algorithm`` picks the component solver over the VERIFIED edge
+    set (which is orders smaller than the corpus by LSH + exact
+    verification — the corpus never iterates):
+
+    - ``"auto"`` (default): adaptive, in the spirit of AQE's runtime
+      broadcast conversion. The edge count is materialized anyway;
+      when it is at most SMALL_COMPONENTS_MAX_EDGES the edges are
+      collected and solved with driver-side union-find (the dominant
+      cost of a distributed round at small edge counts is job
+      scheduling, not compute — observed 5-7 s for a 256-edge graph
+      vs <0.5 s for collect + union-find + broadcast join-back).
+      Larger graphs fall through to ``"alternating"``.
+    - ``"label"``: iterative min-label propagation (converges within
+      the graph diameter), with automatic fail-over to the
+      alternating algorithm if max_iter is exhausted.
+    - ``"alternating"``: large-star/small-star, O(log n) rounds
+      independent of diameter — the 100 TB path.
+
+    All three reach the same fixpoint; the DuckDB oracle certifies it
+    with a recursive CTE (components_oracle) — connected components
+    are not expressible as one SQL query without recursion."""
     pairs, sig = _minhash_pairs_and_sig(
         df, text_col, threshold, DEFAULT_BUCKET_CAP
     )
     pairs = pairs.select("id_a", "id_b")
+    if algorithm == "auto":
+        # Probe with limit(cap + 1): ONE job that short-circuits as
+        # soon as enough rows arrive. Either the whole (small) edge
+        # set lands on the driver, or the cap + 1'th row proves the
+        # graph is big and we fall through to the distributed path
+        # without ever collecting it.
+        probe = pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
+        if len(probe) <= SMALL_COMPONENTS_MAX_EDGES:
+            sig.unpersist()
+            rows = _union_find_labels([(r[0], r[1]) for r in probe])
+            id_type = next(
+                f for f in pairs.schema.fields if f.name == "id_a"
+            ).dataType.simpleString()
+            connected = df.sparkSession.createDataFrame(
+                rows, schema=f"{id_col} {id_type}, component {id_type}"
+            )
+            return df.select(id_col).join(
+                F.broadcast(connected), id_col, "left"
+            ).select(
+                id_col,
+                F.coalesce(F.col("component"), F.col(id_col)).alias(
+                    "component"
+                ),
+            )
+        pairs = pairs.localCheckpoint(eager=True)
+        sig.unpersist()
+        labels = connected_components_alternating(pairs, max_iter)
+        connected = labels.select(
+            F.col("node").alias(id_col), F.col("comp").alias("component")
+        )
+        return df.select(id_col).join(connected, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
     if algorithm == "alternating":
         # Diameter-independent path: go straight to large-star/
         # small-star (O(log n) rounds). Same fixpoint as label
@@ -906,11 +989,17 @@ def prefix_jaccard_join(
     excluded from prefixes automatically (they sort LAST in the
     rarest-first order). Frequent-shingle skew therefore prunes
     itself — the opposite of the LSH bucket-cap trade."""
+    # The signature subplan feeds FOUR consumers (document-frequency
+    # aggregate, prefix ordering, both verify sides); without persist
+    # the md5 shingle hashing recomputes per consumer — measured 4×
+    # wall-clock at sf0.1. At cluster scale this intermediate is the
+    # thing you'd checkpoint to a table.
     sig = (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .where(F.expr("size(toks)") >= SHINGLE_N)
         .withColumn("shh", F.expr(spark_hashed_shingles_expr("toks")))
         .select("doc_id", "shh")
+        .persist()
     )
     inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(
@@ -949,7 +1038,7 @@ def prefix_jaccard_join(
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("shh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("shh_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -968,6 +1057,11 @@ def prefix_jaccard_join(
             F.expr("round(n_common / (n_sum - n_common), 6)").alias("jaccard"),
         )
     )
+    # Materialize the (candidate-bounded) result so the signature
+    # cache is released on return rather than pinned for the session.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def prefix_jaccard_join_oracle(

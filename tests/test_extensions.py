@@ -453,10 +453,39 @@ def test_dedup_components_fails_over_to_alternating(docs):
     return the exact transitive-closure labels."""
     sample = docs.limit(120)
     want = {r.doc_id: r.component
-            for r in dedup.dedup_components(sample, max_iter=25).collect()}
+            for r in dedup.dedup_components(
+                sample, max_iter=25, algorithm="label").collect()}
     got = {r.doc_id: r.component
-           for r in dedup.dedup_components(sample, max_iter=1).collect()}
+           for r in dedup.dedup_components(
+               sample, max_iter=1, algorithm="label").collect()}
     assert got == want
+
+
+def test_dedup_components_algorithms_agree(docs):
+    """auto (driver union-find shortcut), label propagation, and
+    alternating large-star/small-star must reach the identical
+    fixpoint on the same corpus."""
+    sample = docs.limit(200)
+    results = {
+        algo: {
+            r.doc_id: r.component
+            for r in dedup.dedup_components(
+                sample, algorithm=algo
+            ).collect()
+        }
+        for algo in ("auto", "label", "alternating")
+    }
+    assert results["auto"] == results["label"] == results["alternating"]
+
+
+def test_union_find_labels_min_root():
+    """Chains, triangles, duplicate/reversed/self edges resolve to
+    the component minimum; isolated ids never appear."""
+    edges = [(10, 11), (11, 12), (12, 13), (50, 51), (51, 52), (50, 52),
+             (7, 99), (99, 7), (4, 4), (5, 3), (3, 5)]
+    got = dict(dedup._union_find_labels(edges))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   50: 50, 51: 50, 52: 50, 7: 7, 99: 7, 3: 3, 5: 3, 4: 4}
 
 
 def test_avi_round_trip_and_rejects_garbage():
