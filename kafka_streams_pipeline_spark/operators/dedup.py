@@ -962,7 +962,7 @@ def edit_distance_pairs_oracle(
 
 def prefix_jaccard_join(
     df: DataFrame, text_col: str = "text", threshold_num: int = 4,
-    threshold_den: int = 5,
+    threshold_den: int = 5, materialize: bool = True,
 ) -> DataFrame:
     """X2 exact-at-scale alternative to LSH: the prefix-filter
     similarity join (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008
@@ -1059,6 +1059,10 @@ def prefix_jaccard_join(
     )
     # Materialize the (candidate-bounded) result so the signature
     # cache is released on return rather than pinned for the session.
+    # materialize=False returns the lazy plan (plan-contract tests
+    # inspect the candidate join shape, which a checkpoint would hide).
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     sig.unpersist()
     return out

@@ -79,6 +79,41 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_prefix_join_candidates_are_equijoin_not_cartesian(spark, sf_dir):
+    """VERDICT r4 item 5: prefix_jaccard_join's candidate stage must
+    plan as a hash-partitioned equi-join on the prefix shingle (the
+    doc_id inequality rides as a post-join condition) — never a
+    CartesianProduct / BroadcastNestedLoopJoin, which would be the
+    corpus×corpus blowup the prefix filter exists to avoid."""
+    from kafka_streams_pipeline_spark.operators import dedup
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    df = dedup.prefix_jaccard_join(
+        load_table(spark, sf_dir, "documents"), materialize=False
+    )
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join keys on the shingle column (hash join —
+    # broadcast at small SF, shuffled at scale; either is an
+    # equi-join, what matters is that shingle IS the join key)
+    assert re.search(r"Left keys \[1\]: \[shingle", plan), plan
+
+
+def test_pq_adc_topk_is_take_ordered(spark, sf_dir):
+    """VERDICT r4 item 5: the ADC top-k must plan as
+    TakeOrderedAndProject over the aggregated distances (per-partition
+    heads, driver merge) with the lookup-table join broadcast — a
+    global sort or a shuffled table join is a plan regression."""
+    plan = _plan(spark, sf_dir, "q_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     """The declared-query surface must stay JVM-side: BatchEvalPython
     (row-at-a-time Python UDF) may never appear. Arrow-batched nodes
