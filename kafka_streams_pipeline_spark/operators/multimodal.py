@@ -47,8 +47,10 @@ Arrow batch memory when payloads are large.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,6 +65,38 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _foreign_payload_guard(fn):
+    """Normalize the failure surface of the public media walkers:
+    malformed/foreign payloads must raise ValueError, full stop.
+    The walkers validate what is cheap to validate explicitly (magic
+    numbers, geometry, chunk CRCs), but a truncation or bit-flip can
+    surface anywhere inside the bit/box/inflate machinery as a
+    low-level bounds fault — on untrusted input those are payload
+    rejections, not distinguishable code paths. Genuine ValueErrors
+    (with their diagnostic messages) pass through untouched."""
+
+    @functools.wraps(fn)
+    def wrapped(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except ValueError:
+            raise
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            OverflowError,
+            EOFError,
+            zlib.error,
+        ) as e:
+            raise ValueError(
+                f"{fn.__name__}: malformed payload "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
 
 MEDIA_FEATURE_SCHEMA = StructType(
     [
@@ -256,6 +290,7 @@ def _wav_bytes(samples: np.ndarray, sample_rate: int, with_list_chunk: bool) -> 
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+@_foreign_payload_guard
 def parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse one RIFF/WAVE payload → (channels, rate, bits, samples).
 
@@ -391,6 +426,7 @@ def _bmp_bytes(pixels: np.ndarray) -> bytes:
     return file_header + info + body
 
 
+@_foreign_payload_guard
 def parse_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse one 24-bit BMP payload → (width, height, bpp, pixels).
 
@@ -574,6 +610,7 @@ def _avi_bytes(frames: np.ndarray, us_per_frame: int = AVI_US_PER_FRAME) -> byte
     return struct.pack("<4sI", b"RIFF", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
+@_foreign_payload_guard
 def parse_avi(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
     """Parse one uncompressed AVI payload → (width, height,
     us_per_frame, frames), each frame an (h, w, 3) top-down array.
@@ -996,6 +1033,7 @@ def _jpeg_bytes(planes: np.ndarray, q: int = 8) -> bytes:
     )
 
 
+@_foreign_payload_guard
 def parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a baseline sequential 4:4:4 JPEG → (width, height,
     ncomp, planes (ncomp, h, w) uint8, in coded component order).
@@ -1277,6 +1315,7 @@ def _mjpeg_avi_bytes(
     )
 
 
+@_foreign_payload_guard
 def parse_mjpeg_avi(
     payload: bytes,
 ) -> tuple[int, int, int, list[np.ndarray]]:
@@ -1476,6 +1515,7 @@ def _png_bytes(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
     )
 
 
+@_foreign_payload_guard
 def parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse one 8-bit truecolor PNG → (width, height, bit_depth,
     pixels (h, w, 3) uint8).
@@ -1785,6 +1825,7 @@ def _find_box(payload: bytes, pos: int, end: int, path: list[bytes]):
     return pos, end
 
 
+@_foreign_payload_guard
 def parse_mp4(payload: bytes) -> tuple[int, int, int, list[tuple[int, np.ndarray]]]:
     """Parse an MJPEG-in-MP4 → (width, height, timescale,
     [(sample_time_ticks, planes), ...]). The sample tables are read

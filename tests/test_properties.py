@@ -360,3 +360,72 @@ def test_mp4_rejects_foreign_and_truncated():
         mm.parse_mp4(raw[: len(raw) - 30])
     with pytest.raises(ValueError):
         mm.parse_mp4(b"\x00\x00\x00\x08ftyp")
+
+
+# --- foreign-payload fuzz pass (VERDICT r4 item 6) ------------------------
+# Hypothesis-driven truncations and byte mutations of VALID fixtures:
+# every media walker must either parse the damaged payload or raise
+# ValueError — never struct.error / IndexError / zlib.error / KeyError.
+# (The r3 ADVICE fill-byte and truncated-chunk fixes are locked here.)
+
+
+def _codec_fixtures() -> dict:
+    rng = np.random.default_rng(20260814)
+    frames = rng.integers(0, 256, size=(2, 3, 6, 5), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(2, 1, 6, 5), dtype=np.uint8)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    wav = np.array(rng.integers(-32768, 32767, size=64), dtype=np.int16)
+    return {
+        "wav": (mm.parse_wav, mm._wav_bytes(wav, 16000, True)),
+        "bmp": (mm.parse_bmp, mm._bmp_bytes(px)),
+        "avi": (mm.parse_avi, mm._avi_bytes(frames.transpose(0, 2, 3, 1))),
+        "jpeg": (mm.parse_jpeg, mm._jpeg_bytes(frames[0], q=4)),
+        "png": (mm.parse_png, mm._png_bytes(px, "cycle")),
+        "mjpeg": (mm.parse_mjpeg_avi, mm._mjpeg_avi_bytes(gray, q=2)),
+        "mp4": (mm.parse_mp4, mm._mp4_bytes(frames, q=2)),
+    }
+
+
+_FIXTURES = _codec_fixtures()
+
+
+def _must_parse_or_valueerror(parser, payload: bytes, what: str) -> None:
+    try:
+        parser(payload)
+    except ValueError:
+        pass  # the sanctioned rejection path
+    except Exception as e:  # noqa: BLE001 — the property under test
+        raise AssertionError(
+            f"{what}: {type(e).__name__} escaped instead of ValueError: {e}"
+        ) from e
+
+
+@given(codec=st.sampled_from(sorted(_FIXTURES)), frac=st.floats(0.0, 1.0))
+@settings(max_examples=200, deadline=None)
+def test_truncated_payload_never_crashes(codec, frac):
+    parser, raw = _FIXTURES[codec]
+    cut = int(frac * (len(raw) - 1))
+    _must_parse_or_valueerror(parser, raw[:cut], f"{codec} truncated@{cut}")
+
+
+@given(
+    codec=st.sampled_from(sorted(_FIXTURES)),
+    frac=st.floats(0.0, 1.0),
+    byte=st.integers(0, 255),
+)
+@settings(max_examples=300, deadline=None)
+def test_mutated_payload_never_crashes(codec, frac, byte):
+    parser, raw = _FIXTURES[codec]
+    pos = int(frac * (len(raw) - 1))
+    mutated = raw[:pos] + bytes([byte]) + raw[pos + 1 :]
+    _must_parse_or_valueerror(parser, mutated, f"{codec} mutated@{pos}={byte}")
+
+
+@given(
+    codec=st.sampled_from(sorted(_FIXTURES)),
+    junk=st.binary(min_size=0, max_size=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_junk_payload_never_crashes(codec, junk):
+    parser, _ = _FIXTURES[codec]
+    _must_parse_or_valueerror(parser, junk, f"{codec} junk[{len(junk)}]")
