@@ -129,6 +129,15 @@ _ON_DECK: list[str] = []
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping.
 _RECHECK: list[str] = []
+# New queries deliberately parked at the BACK of the rotation for one
+# round: round 5's window is reserved for re-certifying the 50 stalest
+# green rows (VERDICT r4 item 1's done criterion), so the round-5
+# additions wait here — pytest-certified now, promoted to the window
+# front (move to _ON_DECK) next round.
+_DEFERRED: list[str] = [
+    "q_streaming_dedup",
+    "q_streaming_hll",
+]
 
 
 def driver_order() -> list[str]:
@@ -143,13 +152,14 @@ def driver_order() -> list[str]:
         | set(_UNCERTIFIED_RED)
         | set(_PENDING)
         | set(_ON_DECK)
+        | set(_DEFERRED)
     )
     head = [n for n in QUERIES if n not in back]
     recheck = [n for n in _RECHECK if n not in head]
     certified_tail = [n for n in DRIVER_CERTIFIED if n not in recheck]
     return (
         head + _UNCERTIFIED_RED + _PENDING + _ON_DECK
-        + recheck + certified_tail
+        + recheck + certified_tail + _DEFERRED
     )
 
 
@@ -4246,3 +4256,179 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer threshold arithmetic (4/5) until the reported jaccard.
     See operators/dedup.py prefix_jaccard_join."""
     return _dedup.prefix_jaccard_join(_t(spark, sf_dir, "documents"))
+
+
+# --- Streaming driver rows (VERDICT r4 item 8) -----------------------------
+# The two extension rows certified only by pytest bit-exact
+# differentials (X2g streaming dedup, X7d streaming HLL state) gain
+# DuckDB-oracle driver rows here: each query replays the readings
+# stream through a REAL availableNow structured-streaming job (file
+# source, one file per micro-batch, checkpointed) and returns the
+# collected emissions as a batch frame the oracle can hash-compare.
+
+
+def _replay_readings_stream(
+    spark: SparkSession, sf_dir: str, op, output_mode: str
+) -> list:
+    """Write the readings derived from `events` as time-ordered JSON
+    chunks, run ``op`` over an availableNow file stream (one file per
+    micro-batch so state genuinely crosses batch boundaries), and
+    return the per-batch collected emissions. Time-ordered chunks keep
+    every row inside the 24 h watermark grace — the same replay
+    discipline as tests/test_streaming.py."""
+    import json as _json
+    import shutil
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+    rows = sorted(
+        readings_from_events(_t(spark, sf_dir, "events")).collect(),
+        key=lambda r: (r["timestamp"], r["sensorId"]),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-replay-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    n_chunks = 3
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        chunk = rows[c * per : (c + 1) * per]
+        # Deterministic duplicate injection so the replay exercises
+        # real suppression, not a vacuously-unique stream: every 7th
+        # row of the chunk repeats within the SAME micro-batch, and
+        # every 7th row of the previous chunk's tail repeats in the
+        # NEXT one (cross-batch state hit; if a repeat falls beyond
+        # the watermark it is dropped as late — either path preserves
+        # DISTINCT semantics, and duplicates are idempotent for the
+        # HLL register max).
+        dups = chunk[::7]
+        if c > 0:
+            dups = dups + rows[c * per - 200 : c * per : 7]
+        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
+            for r in chunk + dups:
+                f.write(_json.dumps(r.asDict()) + "\n")
+    batches: list = []
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(READING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(base, ignore_errors=True)
+    return batches
+
+
+@register(
+    "q_streaming_dedup",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql('events')})
+        SELECT DISTINCT sensorId AS sensor_id,
+               CAST(timestamp AS BIGINT) AS ts_ms
+        FROM readings
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2g (streaming exact dedup): watermark-bounded dropDuplicates
+    over an availableNow replay — each (sensorId, timestamp) key
+    emitted exactly once in append mode even when its duplicates
+    arrive in different micro-batches. Output projected to the dedup
+    key alone, so first-arrival nondeterminism cannot leak into the
+    hash compare; with time-ordered chunks nothing crosses the 24 h
+    grace, so the streaming result IS batch DISTINCT — which is
+    exactly what the oracle runs. See streaming/pipeline.py
+    streaming_dedup."""
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    batches = _replay_readings_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_dedup(
+            s, keys=("sensorId", "timestamp"), grace="24 hours"
+        ).select(
+            F.col("sensorId").alias("sensor_id"),
+            F.col("timestamp").alias("ts_ms"),
+        ),
+        "append",
+    )
+    rows = [(r["sensor_id"], r["ts_ms"]) for b in batches for r in b]
+    return spark.createDataFrame(rows, "sensor_id string, ts_ms bigint")
+
+
+def _streaming_hll_oracle() -> str:
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        HLL_W_STREAM,
+    )
+
+    w = HLL_W_STREAM
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        h AS (
+            SELECT substr(geohash, 1, 6) AS gh,
+                   ('0x' || substr(md5(sensorId), 1, 8))::BIGINT AS h32
+            FROM readings WHERE sensorId IS NOT NULL
+        ),
+        br AS (
+            SELECT gh, h32 >> {w} AS bucket, h32 % {1 << w} AS payload
+            FROM h
+        ),
+        rho AS (
+            SELECT gh, bucket,
+                   CASE WHEN payload = 0 THEN {w + 1}
+                        ELSE {w} - CAST(floor(log2(payload)) AS BIGINT)
+                   END AS rho
+            FROM br
+        ),
+        regs AS (
+            SELECT gh, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+        )
+        SELECT gh,
+               CAST(count(*) AS BIGINT) AS n_registers_used,
+               CAST(sum((bucket + 1) * r) AS BIGINT) AS register_checksum
+        FROM regs
+        GROUP BY gh
+    """
+
+
+@register("q_streaming_hll", oracle=_streaming_hll_oracle())
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7d (streaming HLL state): per-geohash-cell HyperLogLog
+    registers maintained across micro-batches via
+    applyInPandasWithState, replayed with availableNow. Update mode
+    emits one row per touched key per batch; the LAST emission per
+    key is the final register state. Registers merge by max, so batch
+    boundaries cannot change the result — the oracle recomputes the
+    identical md5 bucket/rho register construction (bit-for-bit the
+    batch twin from operators/sketches.py) in pure SQL. See
+    streaming/stateful.py hll_sensor_distinct."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        hll_sensor_distinct,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, hll_sensor_distinct, "update"
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["gh"]] = (
+                r["n_registers_used"],
+                r["register_checksum"],
+            )
+    return spark.createDataFrame(
+        [(k, n, c) for k, (n, c) in final.items()],
+        "gh string, n_registers_used bigint, register_checksum bigint",
+    )

@@ -28,6 +28,7 @@ def test_driver_window_prioritizes_uncertified_queries():
         | set(inventory._UNCERTIFIED_RED)
         | set(inventory._PENDING)
         | set(inventory._ON_DECK)
+        | set(inventory._DEFERRED)
     )
     head = [n for n in inventory.QUERIES if n not in buckets]
     uncertified = (
@@ -77,6 +78,7 @@ def test_certified_lists_are_registered_and_disjoint():
         inventory._PENDING,
         inventory._ON_DECK,
         inventory._RECHECK,
+        inventory._DEFERRED,
     ):
         assert set(bucket) <= reg
         assert len(bucket) == len(set(bucket))
