@@ -127,8 +127,30 @@ _ON_DECK: list[str] = []
 # Certified queries whose backing operator code changed materially
 # since their last green driver row (ADVICE r4): list them here to
 # pull them to the window front for re-certification without losing
-# their certified status bookkeeping.
-_RECHECK: list[str] = []
+# their certified status bookkeeping. Round-5 code changes:
+# dedup_components auto/union-find path (components, _alt,
+# best_keeper), prefix_jaccard_join persist/materialize, the
+# _foreign_payload_guard on all seven media walkers, and the
+# Bloom/CMS position-modulus refactor. All 15 re-verified green
+# against the local oracle at sf0.01 AND sf0.1 this round; the
+# driver window re-certifies them with driver rows.
+_RECHECK: list[str] = [
+    "q_dedup_components",
+    "q_dedup_components_alt",
+    "q_dedup_best_keeper",
+    "q_dedup_prefix_join",
+    "q_media_decode",
+    "q_media_audio_energy",
+    "q_media_image_decode",
+    "q_media_image_resize",
+    "q_media_video_frames",
+    "q_media_jpeg_decode",
+    "q_media_mjpeg_frames",
+    "q_media_png_decode",
+    "q_media_mp4_frames",
+    "q_bloom_prefilter",
+    "q_cms_heavy_hitters",
+]
 # New queries deliberately parked at the BACK of the rotation for one
 # round: round 5's window is reserved for re-certifying the 50 stalest
 # green rows (VERDICT r4 item 1's done criterion), so the round-5

@@ -54,20 +54,28 @@ def test_driver_window_prioritizes_uncertified_queries():
         assert overflow <= set(inventory._ON_DECK)
 
 
-def test_round5_window_recertifies_stalest_evidence():
-    """VERDICT r4 item 1 'done' criterion: with every query certified
-    and no backlog, the round-5 window must be exactly the 28 queries
-    whose evidence dates to rounds 1-2 plus the 22 oldest round-3
-    rows — the stalest-first regression sweep."""
-    if (
-        inventory._UNCERTIFIED_RED
-        or inventory._PENDING
-        or inventory._ON_DECK
-        or inventory._RECHECK
-    ):
-        return  # backlog reappeared; the generalized invariant governs
-    expected = inventory._CERTIFIED_R2 + inventory._CERTIFIED_R3[:22]
-    assert inventory.driver_order()[:WINDOW] == expected
+def test_round5_window_covers_stalest_and_changed():
+    """VERDICT r4 item 1 + ADVICE r4 rotation rule, combined: with
+    every query certified, the 50-slot window must contain (a) every
+    query whose backing code changed since its last driver row
+    (_RECHECK — changed code outranks stale-but-unchanged code) and
+    (b) every query whose evidence dates to rounds 1-2, with the
+    remaining slots filled by the oldest round-3 evidence in order."""
+    if inventory._UNCERTIFIED_RED or inventory._PENDING or inventory._ON_DECK:
+        return  # an uncertified backlog reappeared; the generalized
+        # invariant above governs the window instead
+    window = inventory.driver_order()[:WINDOW]
+    missing_recheck = set(inventory._RECHECK) - set(window)
+    assert not missing_recheck, missing_recheck
+    missing_stale = set(inventory._CERTIFIED_R2) - set(window)
+    assert not missing_stale, missing_stale
+    # spare slots re-certify round-3 evidence oldest-first
+    spare = [n for n in window if n not in set(inventory._RECHECK)
+             and n not in set(inventory._CERTIFIED_R2)]
+    expected_spare = [
+        n for n in inventory._CERTIFIED_R3 if n not in inventory._RECHECK
+    ][: len(spare)]
+    assert spare == expected_spare
 
 
 def test_certified_lists_are_registered_and_disjoint():
