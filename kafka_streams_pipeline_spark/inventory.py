@@ -159,6 +159,8 @@ _RECHECK: list[str] = [
 _DEFERRED: list[str] = [
     "q_streaming_dedup",
     "q_streaming_hll",
+    "q_bm25",
+    "q_knn_join",
 ]
 
 
@@ -4454,3 +4456,26 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n, c) for k, (n, c) in final.items()],
         "gh string, n_registers_used bigint, register_checksum bigint",
     )
+
+
+@register("q_bm25", oracle=_text.bm25_topk_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (retrieval scoring): Okapi BM25 top-25 for a fixed query
+    term set with rational k1/b, pure-integer bit-length IDF, and a
+    single fixed-order per-row float sum — the retrieval primitive
+    for domain-targeted corpus selection, made engine-exact. Rank is
+    bound into the output (TakeOrderedAndProject + 25-row window).
+    See operators/text.py bm25_topk."""
+    return _text.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@register("q_knn_join", oracle=_sim.knn_join_oracle())
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (batch kNN join): exact k nearest neighbors for every query
+    in a bounded block (vec_id < 8, k = 5) — topk_cosine generalized
+    from one query to the per-document neighbor-list primitive.
+    Query block broadcasts; corpus never self-joins; per-query top-k
+    is a window keyed by query id with rounded-similarity ordering
+    and id tiebreaks, rank bound into the hash. See
+    operators/similarity.py knn_join."""
+    return _sim.knn_join(_t(spark, sf_dir, "embeddings"))

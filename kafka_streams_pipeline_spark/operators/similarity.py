@@ -1090,3 +1090,78 @@ def pq_adc_topk_oracle(
         ORDER BY sum(tbl.tdist), codes.vec_id
         LIMIT {k}
     """
+
+
+# --- Exact kNN join (bounded query block) ----------------------------------
+
+
+def knn_join(
+    df: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """X3 (batch kNN join): exact k nearest neighbors for EVERY query
+    vector in a bounded query block — the per-document neighbor-list
+    primitive behind near-dup curation and SemDeDup-style analysis,
+    generalizing topk_cosine from one query to a block.
+
+    Scale shape: the query block broadcasts (it is the bounded batch
+    dimension — a 100 TB corpus is processed in query-block passes);
+    the corpus streams through one broadcast scoring pass with NO
+    corpus shuffle except the per-query top-k, a window keyed by
+    query id over rows already reduced to (qid, vec_id, sim). The
+    scored frame is |corpus|·|queries| rows, which is why the query
+    block is the knob — the corpus side is never joined to itself.
+    Ordering is on the ROUNDED similarity with vec_id tiebreak and
+    the rank is bound into the output, so the order-insensitive
+    driver hash certifies both the rowset and the ordering."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_join_oracle(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS q_emb,
+                   {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   round({_duck_dot('e.embedding', 'q.q_emb')} /
+                         ({_duck_norm('e.embedding')} * q.q_norm), 6)
+                       AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != q.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """

