@@ -161,6 +161,7 @@ _DEFERRED: list[str] = [
     "q_streaming_hll",
     "q_bm25",
     "q_knn_join",
+    "q_skew_report",
 ]
 
 
@@ -4479,3 +4480,21 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and id tiebreaks, rank bound into the hash. See
     operators/similarity.py knn_join."""
     return _sim.knn_join(_t(spark, sf_dir, "embeddings"))
+
+
+from kafka_streams_pipeline_spark.operators import skew as _skew  # noqa: E402
+
+
+@register(
+    "q_skew_report",
+    oracle=_skew.skew_report_oracle("lineitem", "l_suppkey"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-ops diagnostic: per-join-key skew report over the
+    lineitem supplier key — top-5 hot keys with row share plus the
+    global max/avg skew ratio, the measurement that decides salting
+    (operators/skew.salted_aggregate) or an AQE skew split before a
+    100 TB shuffle runs. One count aggregate on the would-be join
+    key, a broadcast 1-row stats frame, a bounded top-N with rank
+    bound into the hash. See operators/skew.py skew_report."""
+    return _skew.skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey")

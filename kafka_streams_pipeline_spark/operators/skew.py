@@ -46,3 +46,76 @@ def salted_aggregate(
         (F.sum("_sum") / F.sum("_cnt")).alias("avg"),
     ]
     return partial.groupBy(*keys).agg(*merged)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 5
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the measurement that decides
+    whether a key needs salting or an AQE skew-join split BEFORE the
+    shuffle runs at 100 TB. One aggregate keyed by ``key_col`` (the
+    same shuffle the diagnosed join would do, but reduced to counts),
+    a 1-row global stats frame (broadcast), and a bounded top-N.
+
+    Output per hot key: rank (by count desc, key asc — bound into
+    the driver hash), count, share of all rows (round 6), and the
+    global skew ratio max_count/avg_count (= max·n_keys/total,
+    integer products, ONE division) repeated on each row so the
+    single frame carries both the hot keys and the headline metric."""
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(top_n)
+        .crossJoin(F.broadcast(stats))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col(key_col),
+        "cnt",
+        F.expr("round(cast(cnt as double) / cast(total as double), 6)").alias(
+            "share"
+        ),
+        F.expr(
+            "round(cast(max_cnt * n_keys as double) / cast(total as double), 6)"
+        ).alias("skew_ratio"),
+    )
+
+
+def skew_report_oracle(
+    table: str, key_col: str, top_n: int = 5
+) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {key_col}, CAST(count(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY {key_col}
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM counts
+        ),
+        top AS (
+            SELECT {key_col}, cnt FROM counts
+            ORDER BY cnt DESC, {key_col} LIMIT {top_n}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, {key_col})
+                    AS BIGINT) AS rank,
+               {key_col},
+               cnt,
+               round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                   AS share,
+               round(CAST(max_cnt * n_keys AS DOUBLE) /
+                     CAST(total AS DOUBLE), 6) AS skew_ratio
+        FROM top, stats
+    """

@@ -429,3 +429,53 @@ def test_mutated_payload_never_crashes(codec, frac, byte):
 def test_junk_payload_never_crashes(codec, junk):
     parser, _ = _FIXTURES[codec]
     _must_parse_or_valueerror(parser, junk, f"{codec} junk[{len(junk)}]")
+
+
+# --- union-find vs BFS reference (round-5 components fast path) -----------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_union_find_matches_bfs_components(edges):
+    """_union_find_labels (the dedup_components small-graph fast
+    path) must agree with a breadth-first transitive closure on
+    arbitrary edge lists — duplicates, self-loops, reversed edges."""
+    from collections import deque
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        _union_find_labels,
+    )
+
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen: set = set()
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp, queue = [], deque([start])
+        seen.add(start)
+        while queue:
+            u = queue.popleft()
+            comp.append(u)
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    queue.append(v)
+        label = min(comp)
+        for u in comp:
+            expected[u] = label
+    assert dict(_union_find_labels(edges)) == expected
