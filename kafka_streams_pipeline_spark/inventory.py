@@ -162,6 +162,7 @@ _DEFERRED: list[str] = [
     "q_bm25",
     "q_knn_join",
     "q_skew_report",
+    "q_streaming_view",
 ]
 
 
@@ -4292,45 +4293,55 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collected emissions as a batch frame the oracle can hash-compare.
 
 
+def _sorted_replay_rows(spark: SparkSession, sf_dir: str) -> list:
+    return sorted(
+        readings_from_events(_t(spark, sf_dir, "events")).collect(),
+        key=lambda r: (r["timestamp"], r["sensorId"]),
+    )
+
+
+def _write_replay_chunks(
+    rows: list, src: str, n_chunks: int = 3, inject_dups: bool = True
+) -> None:
+    """Write time-ordered JSON chunks (one file = one micro-batch
+    under maxFilesPerTrigger=1). Time order keeps every row inside
+    the 24 h watermark grace — the same replay discipline as
+    tests/test_streaming.py. With ``inject_dups``, deterministic
+    duplicates repeat every 7th row within the SAME chunk and every
+    7th row of the previous chunk's tail in the NEXT one (cross-batch
+    state hit; a repeat beyond the watermark is dropped as late —
+    either path preserves DISTINCT semantics, and duplicates are
+    idempotent for the HLL register max). Replays that must count
+    every physical row (the windowed view) pass inject_dups=False."""
+    import json as _json
+
+    os.makedirs(src, exist_ok=True)
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        chunk = rows[c * per : (c + 1) * per]
+        dups: list = []
+        if inject_dups:
+            dups = chunk[::7]
+            if c > 0:
+                dups = dups + rows[c * per - 200 : c * per : 7]
+        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
+            for r in chunk + dups:
+                f.write(_json.dumps(r.asDict()) + "\n")
+
+
 def _replay_readings_stream(
     spark: SparkSession, sf_dir: str, op, output_mode: str
 ) -> list:
-    """Write the readings derived from `events` as time-ordered JSON
-    chunks, run ``op`` over an availableNow file stream (one file per
-    micro-batch so state genuinely crosses batch boundaries), and
-    return the per-batch collected emissions. Time-ordered chunks keep
-    every row inside the 24 h watermark grace — the same replay
-    discipline as tests/test_streaming.py."""
-    import json as _json
+    """Run ``op`` over an availableNow file stream of the replay
+    chunks (one file per micro-batch so state genuinely crosses batch
+    boundaries) and return the per-batch collected emissions."""
     import shutil
 
     from kafka_streams_pipeline_spark.schema import READING_SCHEMA
 
-    rows = sorted(
-        readings_from_events(_t(spark, sf_dir, "events")).collect(),
-        key=lambda r: (r["timestamp"], r["sensorId"]),
-    )
     base = tempfile.mkdtemp(prefix="kspipeline-replay-")
     src = os.path.join(base, "src")
-    os.makedirs(src)
-    n_chunks = 3
-    per = (len(rows) + n_chunks - 1) // n_chunks
-    for c in range(n_chunks):
-        chunk = rows[c * per : (c + 1) * per]
-        # Deterministic duplicate injection so the replay exercises
-        # real suppression, not a vacuously-unique stream: every 7th
-        # row of the chunk repeats within the SAME micro-batch, and
-        # every 7th row of the previous chunk's tail repeats in the
-        # NEXT one (cross-batch state hit; if a repeat falls beyond
-        # the watermark it is dropped as late — either path preserves
-        # DISTINCT semantics, and duplicates are idempotent for the
-        # HLL register max).
-        dups = chunk[::7]
-        if c > 0:
-            dups = dups + rows[c * per - 200 : c * per : 7]
-        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
-            for r in chunk + dups:
-                f.write(_json.dumps(r.asDict()) + "\n")
+    _write_replay_chunks(_sorted_replay_rows(spark, sf_dir), src)
     batches: list = []
 
     def sink(batch_df: DataFrame, _epoch_id: int) -> None:
@@ -4498,3 +4509,51 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, a broadcast 1-row stats frame, a bounded top-N with rank
     bound into the hash. See operators/skew.py skew_report."""
     return _skew.skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@register("q_streaming_view", oracle=ORACLES["q_hourly_view"])
+def q_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T6 as ONE driver row: the reference's full continuous
+    topology — file-source replay → PERMISSIVE decode shape →
+    event-time + 24 h watermark → 1-hour windowed count/sum/avg in
+    update mode → foreachBatch partition-upsert into the parquet view
+    store — executed as a REAL availableNow streaming job (one file
+    per micro-batch, checkpointed), then the standing view is read
+    back and hash-compared against q_hourly_view's BATCH oracle. The
+    streaming aggregate uses the identical micros-integer sum
+    expression as operators/view.build_view, so stream-replay equals
+    batch rebuild EXACTLY, not approximately (the pytest twin is
+    tests/test_streaming.py::test_stream_matches_batch_view; this row
+    makes the driver certify it). Duplicate injection is OFF — the
+    view counts every physical reading. See streaming/pipeline.py
+    start_file_stream_pipeline."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        read_view as _stream_read_view,
+        start_file_stream_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sview-")
+    src = os.path.join(base, "src")
+    view_dir = os.path.join(base, "view")
+    ckpt = os.path.join(base, "ckpt")
+    _write_replay_chunks(
+        _sorted_replay_rows(spark, sf_dir), src, inject_dups=False
+    )
+    q = start_file_stream_pipeline(
+        spark, src, view_dir, ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = _stream_read_view(spark, view_dir).select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.col("count").alias("cnt"),
+        F.round("sum", 6).alias("sum_val"),
+        F.round("avg", 6).alias("avg_val"),
+    )
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
