@@ -163,6 +163,8 @@ _DEFERRED: list[str] = [
     "q_knn_join",
     "q_skew_report",
     "q_streaming_view",
+    "q_streaming_totals",
+    "q_streaming_alerts",
 ]
 
 
@@ -4330,18 +4332,25 @@ def _write_replay_chunks(
 
 
 def _replay_readings_stream(
-    spark: SparkSession, sf_dir: str, op, output_mode: str
+    spark: SparkSession,
+    sf_dir: str,
+    op,
+    output_mode: str,
+    inject_dups: bool = True,
 ) -> list:
     """Run ``op`` over an availableNow file stream of the replay
     chunks (one file per micro-batch so state genuinely crosses batch
-    boundaries) and return the per-batch collected emissions."""
+    boundaries) and return the per-batch collected emissions.
+    ``inject_dups=False`` for ops that count physical rows."""
     import shutil
 
     from kafka_streams_pipeline_spark.schema import READING_SCHEMA
 
     base = tempfile.mkdtemp(prefix="kspipeline-replay-")
     src = os.path.join(base, "src")
-    _write_replay_chunks(_sorted_replay_rows(spark, sf_dir), src)
+    _write_replay_chunks(
+        _sorted_replay_rows(spark, sf_dir), src, inject_dups=inject_dups
+    )
     batches: list = []
 
     def sink(batch_df: DataFrame, _epoch_id: int) -> None:
@@ -4557,3 +4566,95 @@ def q_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_streaming_totals",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql('events')})
+        SELECT sensorId,
+               CAST(count(tempVal) AS BIGINT) AS n_readings,
+               round(CAST(sum(CAST(round(tempVal * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0, 6) AS sum_val,
+               round(CAST(sum(CAST(round(tempVal * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0
+                     / count(tempVal), 6) AS avg_val
+        FROM readings WHERE tempVal IS NOT NULL
+        GROUP BY sensorId
+    """,
+)
+def q_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-adjacent driver row: per-sensor running {count, sum, avg}
+    via applyInPandasWithState across micro-batches. The state holds
+    the EXACT micros-integer sum (rounded once, JVM-side HALF_UP —
+    the build_view discipline carried into streaming state), so the
+    final emission per sensor is bit-identical to the batch
+    aggregate regardless of batch boundaries — which is exactly what
+    the oracle computes. Duplicate injection OFF (counts physical
+    rows). See streaming/stateful.py running_sensor_totals."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        running_sensor_totals,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, running_sensor_totals, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = (r["count"], r["sum"], r["avg"])
+    out = spark.createDataFrame(
+        [(k, c, s, a) for k, (c, s, a) in final.items()],
+        "sensorId string, n_readings long, sum_raw double, avg_raw double",
+    )
+    return out.select(
+        "sensorId",
+        "n_readings",
+        F.round("sum_raw", 6).alias("sum_val"),
+        F.round("avg_raw", 6).alias("avg_val"),
+    )
+
+
+@register(
+    "q_streaming_alerts",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql('events')})
+        SELECT sensorId,
+               CAST(sum(CASE WHEN tempVal > 150.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alerts,
+               CAST(CASE WHEN sum(CASE WHEN tempVal > 150.0
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS latched
+        FROM readings WHERE tempVal IS NOT NULL
+        GROUP BY sensorId
+    """,
+)
+def q_streaming_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-adjacent driver row: the latching alert detector — counts
+    threshold crossings per sensor and latches once any reading
+    exceeds the threshold, state carried across micro-batches. The
+    final latch state equals the batch predicate aggregate (the
+    latch is order-dependent HISTORY, but its terminal value is
+    order-free — that equivalence is what the oracle certifies).
+    last_value is projected away: it depends on arrival order within
+    equal timestamps, which no batch oracle can reproduce. Duplicate
+    injection OFF. See streaming/stateful.py threshold_alert_latch."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        threshold_alert_latch,
+    )
+
+    batches = _replay_readings_stream(
+        spark,
+        sf_dir,
+        lambda s: threshold_alert_latch(s, threshold=150.0),
+        "update",
+        inject_dups=False,
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = (r["n_alerts"], r["latched"])
+    return spark.createDataFrame(
+        [(k, n, 1 if l else 0) for k, (n, l) in final.items()],
+        "sensorId string, n_alerts long, latched long",
+    )

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_OUTPUT = "sensorId string, count bigint, sum double, avg double"
-RUNNING_TOTALS_STATE = "count bigint, sum double"
+# sum accumulates as micros-scaled BIGINT (exact, order-independent —
+# the operators/view.build_view discipline carried into streaming
+# state), divided back to double only at emission.
+RUNNING_TOTALS_STATE = "count bigint, sum_u bigint"
 
 ALERT_OUTPUT = (
     "sensorId string, n_alerts bigint, last_value double, latched boolean"
@@ -39,19 +42,30 @@ def running_sensor_totals(readings: DataFrame) -> DataFrame:
     the unwindowed cousin of the reference's aggregate
     (ingestion/KafkaStreamsAggregator.java:42-51), as a custom
     stateful op. Emits the updated aggregate for each sensor touched
-    by a micro-batch."""
+    by a micro-batch.
+
+    Exactness: each value is rounded to micros ONCE, in the JVM plan
+    (F.round — HALF_UP, identical to the SQL oracle's round), and the
+    state accumulates the exact BIGINT sum — so the final aggregate
+    is bit-identical to a batch aggregate regardless of batch
+    boundaries, arrival order, or restarts. Emission divides back to
+    double with the same (sum/1e6)/count sequence the oracle uses."""
+    readings = readings.withColumn(
+        "v_u", F.round(F.col("tempVal") * 1000000).cast("long")
+    )
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, sum_u = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            vals = pdf["tempVal"].dropna()
+            vals = pdf["v_u"].dropna()
             cnt += len(vals)
-            total += float(vals.sum())
-        state.update((cnt, total))
+            sum_u += int(vals.sum())
+        state.update((cnt, sum_u))
+        total = sum_u / 1000000.0
         yield pd.DataFrame(
             {
                 "sensorId": [key[0]],

@@ -80,16 +80,20 @@ def test_running_totals_match_batch(spark, sf_dir, reading_stream_dir, tmp_path)
         .groupBy("sensorId")
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.sum("tempVal").alias("sum"),
-            F.avg("tempVal").alias("avg"),
+            (
+                F.sum(F.round(F.col("tempVal") * 1000000).cast("long"))
+                / 1000000.0
+            ).alias("sum"),
         )
         .collect()
     }
     assert set(final) == set(expected)
+    # micros-integer state → EXACT equality with the batch aggregate,
+    # not approx — batch boundaries cannot move the result
     for k, e in expected.items():
         assert final[k]["count"] == e["count"]
-        assert final[k]["sum"] == pytest.approx(e["sum"], rel=1e-9)
-        assert final[k]["avg"] == pytest.approx(e["avg"], rel=1e-9)
+        assert final[k]["sum"] == e["sum"]
+        assert final[k]["avg"] == e["sum"] / e["count"]
 
 
 def test_alert_latch_persists(spark, sf_dir, reading_stream_dir, tmp_path):
