@@ -165,6 +165,8 @@ _DEFERRED: list[str] = [
     "q_streaming_view",
     "q_streaming_totals",
     "q_streaming_alerts",
+    "q_csv_source",
+    "q_orc_source",
 ]
 
 
@@ -4658,3 +4660,117 @@ def q_streaming_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n, 1 if l else 0) for k, (n, l) in final.items()],
         "sensorId string, n_alerts long, latched long",
     )
+
+
+_SOURCE_AGG_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+               AS sum_val,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                 / count(*), 6) AS avg_val
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _source_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0
+        ).alias("sum_val"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_val"),
+    )
+
+
+@register("q_csv_source", oracle=_SOURCE_AGG_ORACLE)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 source-format breadth: the events table round-tripped
+    through CSV with the engine's lenient-decode contract — explicit
+    schema (never inference), PERMISSIVE mode, and a
+    columnNameOfCorruptRecord column that captures the two malformed
+    lines injected into the file so they are DROPPED (the
+    decode_kafka_records policy applied to a file format). A green
+    row proves: CSV write/read fidelity for long/double/string
+    columns AND that corrupt rows cannot leak into an aggregate —
+    the oracle aggregates the clean parquet directly."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-csv-")
+    path = os.path.join(base, "events_csv")
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").csv(path)
+    # inject malformed lines the PERMISSIVE parse must reject
+    with open(os.path.join(path, "zz_corrupt.csv"), "w") as f:
+        f.write("not_a_long,alpha\n")
+        f.write('12,34,"unterminated,NaNff\n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    decoded = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .where(
+            F.col("_corrupt").isNull()
+            # required-field validity guard (the with_event_time
+            # policy): a row that parsed but lost a required field —
+            # e.g. an unterminated quote swallowing the tail of the
+            # line — is as invalid as a corrupt one. The fixture has
+            # zero legitimate nulls in these columns (asserted by the
+            # oracle matching count(*)).
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .drop("_corrupt")
+    )
+    out = _source_agg(decoded)
+    rows = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+@register("q_orc_source", oracle=_SOURCE_AGG_ORACLE)
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 source-format breadth: the same aggregate through an ORC
+    round-trip — Spark's second columnar format, exercised with
+    predicate-capable typed columns. Proves the engine's source layer
+    is format-agnostic: parquet (everywhere), CSV (q_csv_source),
+    JSON (streaming replays + q_json_extract), ORC (here)."""
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="kspipeline-orc-")
+    path = os.path.join(base, "events_orc")
+    _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("overwrite").orc(path)
+    out = _source_agg(spark.read.orc(path))
+    rows = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
