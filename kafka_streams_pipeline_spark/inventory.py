@@ -167,6 +167,10 @@ _DEFERRED: list[str] = [
     "q_streaming_alerts",
     "q_csv_source",
     "q_orc_source",
+    "q_disjunctive_revenue",
+    "q_top_supplier",
+    "q_profit_by_nation",
+    "q_component_sizes",
 ]
 
 
@@ -4774,3 +4778,184 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_out = out.schema
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema_out)
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the lineitem⋈part join — the classic test of
+    OR-predicate handling (Catalyst splits the join-key equality out
+    of the disjunction so the join stays a hash join, and pushes the
+    per-side residuals down to each scan). Broadcast part side;
+    cents-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS rev_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+              AND l_shipdate < TIMESTAMP '2000-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               rev_c / 100.0 AS total_revenue
+        FROM rev JOIN supplier ON suppkey = s_suppkey
+        WHERE rev_c = (SELECT max(rev_c) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view over a ship-date quarter, then
+    the supplier(s) achieving the maximum — the scalar-subquery-on-an
+    -aggregate pattern. The max compares CENTS INTEGERS, so the
+    equality (and therefore the selected rowset) is exact on both
+    engines; division to dollars happens after selection. Ship-date
+    filter pushed to the scan, supplier dimension broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_profit_by_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS amount
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year; the fixture has no
+    partsupp table, so amount is the revenue term — the JOIN TOPOLOGY
+    is the point): fact → part (LIKE-filtered, broadcast) → supplier
+    (broadcast) → nation (broadcast), grouped by (nation, year).
+    Three dimension broadcasts, one fact-side aggregate shuffle —
+    the multi-way star plan a 100 TB profit rollup wants."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "amount",
+            )
+        )
+    )
+
+
+@register(
+    "q_component_sizes",
+    oracle=f"""
+        WITH comps AS ({_dedup.components_oracle(0.8)})
+        SELECT CAST(n_members AS BIGINT) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_components
+        FROM (
+            SELECT component, count(*) AS n_members
+            FROM comps GROUP BY component
+        )
+        GROUP BY n_members
+    """,
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 dedup telemetry: the near-dup component size histogram —
+    how many singletons, pairs, triples… the corpus contains. The
+    first report a dedup run produces (it sizes the removal rate and
+    flags pathological mega-components before any deletion). One
+    extra two-level aggregate over the components output."""
+    comps = _dedup.dedup_components(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
