@@ -114,6 +114,25 @@ def test_pq_adc_topk_is_take_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_disjunctive_join_stays_hash_join(spark, sf_dir):
+    """Q19 shape: the OR-of-conjunctions must NOT demote the
+    lineitem⋈part equality to a nested-loop join — Catalyst keeps the
+    hash join (broadcast here) and evaluates the disjunction as a
+    post-join residual with per-side pushdown."""
+    plan = _plan(spark, sf_dir, "q_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profit_star_broadcasts_all_dimensions(spark, sf_dir):
+    """Q9 join topology: three dimension broadcasts, no SortMergeJoin
+    — the fact table must never shuffle for a dimension."""
+    plan = _plan(spark, sf_dir, "q_profit_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     """The declared-query surface must stay JVM-side: BatchEvalPython
     (row-at-a-time Python UDF) may never appear. Arrow-batched nodes
