@@ -171,6 +171,7 @@ _DEFERRED: list[str] = [
     "q_top_supplier",
     "q_profit_by_nation",
     "q_component_sizes",
+    "q_hll_by_group",
 ]
 
 
@@ -4958,4 +4959,20 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
         .groupBy("n_members")
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
+
+
+@register(
+    "q_hll_by_group",
+    oracle=_sk.hll_distinct_by_oracle("events", "event_type", "user_id"),
+)
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 grouped form: per-event-type HyperLogLog register state —
+    the mergeable approximate-distinct-per-dimension shape production
+    rollups actually use. All-integer output (register count,
+    harmonic denominator, position-weighted checksum, exact
+    reference); the float estimate formula is certified by the global
+    q_hll_distinct row. See operators/sketches.py hll_distinct_by."""
+    return _sk.hll_distinct_by(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
     )

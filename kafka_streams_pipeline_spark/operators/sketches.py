@@ -549,3 +549,94 @@ def cms_heavy_hitters_oracle(
         FROM probes p JOIN sketch s ON p.i = s.i AND p.pos = s.pos
         GROUP BY p.key, p.n_exact
     """
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, col: str = "user_id"
+) -> DataFrame:
+    """Grouped HyperLogLog: the mergeable per-group sketch state —
+    the realistic production shape (approximate distinct per
+    dimension value, registers mergeable across partitions/days by
+    max). Emits EXACT integers only: register count, checksum, and
+    the harmonic denominator s_used (the estimate numerator's only
+    data-dependent term) — any register bit differing between engines
+    flips the checksum. The float estimate formula itself (including
+    the small-range ln branch) is certified once by the GLOBAL
+    hll_distinct row; deriving per-group estimates from this state is
+    one expression away and adds no new sketch semantics, only a
+    per-group float whose ln branch would reintroduce cross-engine
+    libm exposure for tiny groups. n_exact rides along as the
+    certified reference value."""
+    h = md5_long(F.col(col).cast("string"))
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            (h.bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
+        )
+        .select(
+            "grp",
+            F.expr(f"h32 div {1 << HLL_W}").alias("bucket"),
+            F.expr(_spark_rho(f"(h32 % {1 << HLL_W})")).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    state = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+        .cast("long")
+        .alias("s_used"),
+        F.sum((F.col("bucket") + 1) * F.col("m"))
+        .cast("long")
+        .alias("register_checksum"),
+    )
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.countDistinct(F.col(col)).cast("long").alias("n_exact"))
+    )
+    return state.join(exact, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_registers_used",
+        "s_used",
+        "register_checksum",
+        "n_exact",
+    )
+
+
+def hll_distinct_by_oracle(
+    table: str = "events", group_col: str = "event_type",
+    col: str = "user_id",
+) -> str:
+    h32 = f"({md5_long_sql(f'CAST({col} AS VARCHAR)')} & {(1 << 32) - 1})"
+    return f"""
+        WITH hashed AS (
+            SELECT {group_col} AS grp,
+                   {h32} // {1 << HLL_W} AS bucket,
+                   {_duck_rho(f'({h32} % {1 << HLL_W})')} AS rho
+            FROM {table}
+            WHERE {col} IS NOT NULL
+        ),
+        regs AS (
+            SELECT grp, bucket, max(rho) AS m
+            FROM hashed GROUP BY grp, bucket
+        ),
+        state AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n_registers_used,
+                   CAST(sum(1::BIGINT << ({HLL_W + 1} - m)) AS BIGINT)
+                       AS s_used,
+                   CAST(sum((bucket + 1) * m) AS BIGINT)
+                       AS register_checksum
+            FROM regs GROUP BY grp
+        ),
+        exact AS (
+            SELECT {group_col} AS grp,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS n_exact
+            FROM {table} WHERE {col} IS NOT NULL GROUP BY {group_col}
+        )
+        SELECT state.grp AS {group_col},
+               n_registers_used, s_used, register_checksum, n_exact
+        FROM state JOIN exact ON state.grp = exact.grp
+    """
