@@ -139,7 +139,18 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     (MapInPandas/FlatMapGroupsInPandas) are the sanctioned slots and
     appear only in the media/semantic queries."""
     sanctioned = re.compile(r"q_media_|q_semantic_dedup|q_multimodal_meta")
+    # Queries that EXECUTE inside the builder (streaming replays,
+    # file-format round-trips, collect-and-rebuild operators) return a
+    # LocalTableScan — running a full streaming job to inspect an
+    # already-materialized plan adds minutes of suite time and zero
+    # census information. Their upstream shapes have dedicated
+    # contracts above / in the operators' own tests.
+    materializing = re.compile(
+        r"q_streaming_|q_csv_source|q_orc_source|q_ivf_train"
+    )
     for name in QUERIES:
+        if materializing.match(name):
+            continue
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         if not sanctioned.search(name):
