@@ -51,6 +51,9 @@ def _ms_to_dt(ms: int | None) -> dt.datetime | None:
 
 class QueryHandler(BaseHTTPRequestHandler):
     view: DataFrame  # injected by serve()
+    # (spark, sf_dir) for the generic /api/queries registry surface;
+    # None disables that route (reference-parity-only serving)
+    registry_ctx: tuple | None = None
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -68,6 +71,35 @@ class QueryHandler(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
         try:
+            # Generic registry surface (beyond-reference): every
+            # declared query is servable, so a reference user gains
+            # the full engine over the same wire format.
+            #   GET /api/queries            → {"queries": [names...]}
+            #   GET /api/queries/{name}[?limit=N]
+            if parts[:2] == ["api", "queries"] and self.registry_ctx:
+                spark, sf_dir = self.registry_ctx
+                from kafka_streams_pipeline_spark import inventory
+
+                if len(parts) == 2:
+                    self._reply(
+                        200, {"queries": sorted(inventory.QUERIES)}
+                    )
+                    return
+                name = parts[2]
+                if len(parts) != 3 or name not in inventory.QUERIES:
+                    self._reply(
+                        404,
+                        {"errorMessage": "unknown query", "errorCode": 404},
+                    )
+                    return
+                limit = int(q.get("limit", "100"))
+                if not 1 <= limit <= 10_000:
+                    raise QueryValidationError(
+                        "limit must be in [1, 10000]"
+                    )
+                df = inventory.QUERIES[name](spark, sf_dir).limit(limit)
+                self._reply(200, to_message(df))
+                return
             if (
                 len(parts) != 5
                 or parts[:3] != ["api", "temperature", "aggregate"]
@@ -113,11 +145,24 @@ class QueryHandler(BaseHTTPRequestHandler):
             self._reply(500, {"errorMessage": str(e), "errorCode": 500})
 
 
-def serve(view: DataFrame, host: str = "0.0.0.0", port: int = 7070) -> ThreadingHTTPServer:
+def serve(
+    view: DataFrame,
+    host: str = "0.0.0.0",
+    port: int = 7070,
+    spark=None,
+    sf_dir: str | None = None,
+) -> ThreadingHTTPServer:
     """Start the API over a view DataFrame (default port mirrors the
     reference's Docker default, Dockerfile:26-27). Returns the server;
-    call .shutdown() to stop. Runs in a daemon thread."""
-    handler = type("BoundHandler", (QueryHandler,), {"view": view})
+    call .shutdown() to stop. Runs in a daemon thread.
+
+    Pass ``spark`` + ``sf_dir`` to additionally expose the full
+    declared-query registry at ``/api/queries[/{name}?limit=N]`` —
+    the beyond-reference serving surface."""
+    ctx = (spark, sf_dir) if spark is not None and sf_dir else None
+    handler = type(
+        "BoundHandler", (QueryHandler,), {"view": view, "registry_ctx": ctx}
+    )
     server = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server

@@ -90,3 +90,45 @@ def test_validation_400s(api, path):
 def test_unknown_route_404(api):
     code, msg = _get(api + "/api/nope")
     assert code == 404
+
+
+@pytest.fixture(scope="module")
+def registry_api(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    view = build_view(readings_from_events(events)).cache()
+    view.count()
+    server = serve(
+        view, host="127.0.0.1", port=17071, spark=spark, sf_dir=sf_dir
+    )
+    yield "http://127.0.0.1:17071"
+    server.shutdown()
+
+
+def test_registry_listing(registry_api):
+    code, msg = _get(f"{registry_api}/api/queries")
+    assert code == 200
+    assert "q_hourly_view" in msg["queries"]
+    assert "q_dedup_minhash" in msg["queries"]
+    assert len(msg["queries"]) >= 140
+
+
+def test_registry_query_execution(registry_api):
+    code, msg = _get(f"{registry_api}/api/queries/q_scan_project?limit=5")
+    assert code == 200
+    assert set(msg) == {"columns", "data", "metadata"}
+    assert len(msg["data"]) == 5
+
+
+def test_registry_unknown_and_bad_limit(registry_api):
+    code, _ = _get(f"{registry_api}/api/queries/q_no_such")
+    assert code == 404
+    code, msg = _get(f"{registry_api}/api/queries/q_scan_project?limit=0")
+    assert code == 400
+    assert "limit" in msg["errorMessage"]
+
+
+def test_registry_disabled_without_context(api):
+    """The reference-parity server (no spark/sf_dir) must NOT expose
+    the registry route."""
+    code, _ = _get(f"{api}/api/queries")
+    assert code == 404
