@@ -59,6 +59,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # min of 2 runs: sub-second queries are noise-dominated on a
         # shared box; min approximates steady-state cost
@@ -67,6 +68,7 @@ def main() -> None:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).collect()
             runs.append(time.time() - t0)
+        first_runs[name] = round(runs[0], 3)
         # Adaptive third run: if the min still reads as a tripwire
         # regression vs the last recorded round, measure once more
         # before reporting — a single noisy pair on a shared box
@@ -91,6 +93,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # first measured run per query (post-warmup, cold caches):
+        # min-of-N measures steady state; this records what a
+        # fresh-plan execution costs (VERDICT r4 nit). The headline
+        # stays min-of-N for round-over-round comparability.
+        "first_run_total_sec": round(sum(first_runs.values()), 3),
         "sf": sf_val,
     }
     # Regression tripwire (VERDICT r3 item 7): compare per-query

@@ -274,3 +274,76 @@ def test_streaming_hll_equals_batch_hll(spark, sf_dir, reading_stream_dir, tmp_p
             row["register_checksum"],
         )
     assert streaming_final == batch_final
+
+
+def test_running_totals_survive_restart(spark, sf_dir, tmp_path):
+    """Checkpoint-compat for the micros-integer state: process the
+    first chunk, STOP, add the remaining chunks, restart from the
+    same checkpoint — the final per-sensor totals must equal the
+    batch aggregate over everything (state carried, nothing
+    reprocessed or lost)."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        running_sensor_totals,
+    )
+
+    rows = sorted(
+        readings_from_events(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r["timestamp"],
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    third = len(rows) // 3
+
+    def write_chunk(name, chunk_rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in chunk_rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+
+    batches: list = []
+
+    def run_once():
+        def sink(df, _e):
+            batches.append(df.collect())
+
+        q = (
+            running_sensor_totals(
+                spark.readStream.schema(READING_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+                .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_chunk("chunk0.json", rows[:third])
+    run_once()  # first incarnation: one chunk
+    write_chunk("chunk1.json", rows[third : 2 * third])
+    write_chunk("chunk2.json", rows[2 * third :])
+    run_once()  # restart: resumes from checkpoint, sees only new files
+
+    final = _latest_per_key(batches, "sensorId")
+    expected = {
+        r["sensorId"]: r
+        for r in readings_from_events(load_table(spark, sf_dir, "events"))
+        .groupBy("sensorId")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            (
+                F.sum(F.round(F.col("tempVal") * 1000000).cast("long"))
+                / 1000000.0
+            ).alias("sum"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        assert final[k]["count"] == e["count"]
+        assert final[k]["sum"] == e["sum"]
