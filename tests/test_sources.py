@@ -150,3 +150,62 @@ def test_stream_static_dimension_join(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM region_agg").collect()
     }
     assert got == {"north": (2, 30.0), "south": (2, 70.0)}
+
+
+def test_decode_survives_hostile_payloads(spark):
+    """Foreign-input hardening for the ingest decode (the JSON
+    sibling of the media walkers' fuzz pass): hostile record values —
+    truncated JSON, control characters, deep nesting, huge numbers,
+    wrong types, binary junk, duplicate keys — must never raise.
+    Every record either decodes to a valid reading or is dropped by
+    the corrupt-record / validity guards; well-formed readings in the
+    same batch always survive."""
+    from pyspark.sql import Row
+
+    from kafka_streams_pipeline_spark.sources.readings import (
+        decode_kafka_records,
+    )
+
+    good = (
+        '{"timestamp": 1585054952527, "sensorId": "s000001", '
+        '"geohash": "u155mz82dv33", "tempVal": 20.3, "tempUnit": "c"}'
+    )
+    hostile = [
+        "",
+        "{",
+        '{"timestamp": ',
+        "[1, 2, 3]",
+        "null",
+        "true",
+        '"just a string"',
+        '{"timestamp": "not_a_number", "sensorId": 42}',
+        '{"timestamp": 1e400}',
+        '{"timestamp": 99999999999999999999999999999}',
+        '{"nested": ' * 50 + "{}" + "}" * 50,
+        '{"sensorId": "' + "\x00\x01\x02" + '"}',
+        '{"sensorId": "\\ud800"}',  # lone surrogate escape
+        '{"timestamp": 1, "timestamp": 2}',  # duplicate key
+        "\xff\xfe binary junk \x00",
+        '{"tempVal": NaN}',
+        '{"timestamp": -5, "sensorId": "s1"}',  # negative → guarded
+    ]
+    import datetime as dt
+
+    base_ts = dt.datetime(2020, 3, 24, 12, 0, 0)
+    rows = [
+        Row(
+            timestamp=base_ts + dt.timedelta(seconds=i),
+            value=v.encode("utf-8", "ignore"),
+        )
+        for i, v in enumerate([good] + hostile)
+    ]
+    out = decode_kafka_records(spark.createDataFrame(rows)).collect()
+    # no exception above is the main assertion; the good record
+    # survives with its payload fields intact
+    good_rows = [r for r in out if r["sensorId"] == "s000001"]
+    assert len(good_rows) == 1
+    assert good_rows[0]["tempVal"] == 20.3
+    # nothing negative-timestamped leaks past the validity guard
+    assert all(
+        r["timestamp"] is None or r["timestamp"] >= 0 for r in out
+    )
