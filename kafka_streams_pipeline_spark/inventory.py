@@ -172,6 +172,7 @@ _DEFERRED: list[str] = [
     "q_profit_by_nation",
     "q_component_sizes",
     "q_hll_by_group",
+    "q_trailing_window",
 ]
 
 
@@ -4975,4 +4976,54 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hll_distinct row. See operators/sketches.py hll_distinct_by."""
     return _sk.hll_distinct_by(
         _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@register(
+    "q_trailing_window",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS od_s,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders
+        )
+        SELECT o_custkey,
+               od_s * 1000 AS od_ms,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+               sum(price_c) OVER w / 100.0 AS trailing_total
+        FROM o
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY od_s
+            RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames — the moving-interval aggregate
+    (trailing 7 days of orders per customer AT each order date) that
+    row-count frames cannot express when events are irregularly
+    spaced. The frame bound is defined on the ORDER BY VALUE
+    (epoch seconds), so ties and gaps behave identically across
+    engines; the money sum is cents-integer inside the frame with one
+    division outside. Scale shape: one shuffle on the partition key,
+    per-partition sort, single-pass frame evaluation — Spark's
+    WindowExec sliding frame."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("od_s"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_s")
+        .rangeBetween(-604799, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        (F.col("od_s") * 1000).alias("od_ms"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        (F.sum("price_c").over(w) / F.lit(100.0)).alias("trailing_total"),
     )
