@@ -173,6 +173,7 @@ _DEFERRED: list[str] = [
     "q_component_sizes",
     "q_hll_by_group",
     "q_trailing_window",
+    "q_snapshot_ring",
 ]
 
 
@@ -5026,4 +5027,45 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("od_s") * 1000).alias("od_ms"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
         (F.sum("price_c").over(w) / F.lit(100.0)).alias("trailing_total"),
+    )
+
+
+# Cell + its 8 geohash neighbors, computed DRIVER-SIDE once at import
+# (geo.neighbors — pure Python, tested against known vectors) so both
+# the Spark plan and the oracle see the same literal IN-list and the
+# executor plan stays native.
+_RING_CELLS = sorted(
+    set([EVENT_TYPE_GEOHASH["click"][:6]])
+    | set(geo.neighbors(EVENT_TYPE_GEOHASH["click"][:6]))
+)
+
+
+@register(
+    "q_snapshot_ring",
+    oracle=VIEW_CTE
+    + f"""
+    SELECT gh,
+           round(s / cnt, 6) AS avg
+    FROM v
+    WHERE gh IN ({', '.join(f"'{c}'" for c in _RING_CELLS)})
+      AND window_start = TIMESTAMP '2024-01-07 10:00:00'
+    """,
+)
+def q_snapshot_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/A6 variant: per-cell snapshot over a geohash RING — the
+    query cell plus its 8 neighbors from geo.neighbors (the
+    proximity shape 'what is around this cell' that bbox cover
+    approximates from the outside). The ring is computed driver-side
+    (pure-Python geohash arithmetic, known-vector tested), so the
+    executor plan is a native IN-filter + partition-pruned scan of
+    the standing view — no UDF, no geo math in the plan."""
+    v = _served_view(spark, sf_dir)
+    import datetime as dt
+
+    return (
+        v.where(
+            F.col("gh").isin(_RING_CELLS)
+            & (F.col("window_start") == F.lit(dt.datetime(2024, 1, 7, 10)))
+        )
+        .select("gh", F.round(F.col("sum") / F.col("count"), 6).alias("avg"))
     )
