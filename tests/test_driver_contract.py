@@ -120,3 +120,31 @@ def test_readme_query_count_matches_inventory():
         f"README states query counts {sorted(stated)}; registry has "
         f"{len(inventory.QUERIES)}"
     )
+
+
+def test_rotation_assistant_reads_evidence():
+    """tools/rotate.py derives certification ground truth from the
+    recorded CORRECTNESS files; its green-row predicate must match
+    the driver's (all three matches AND no err)."""
+    import importlib
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent / "tools")
+    )
+    rotate = importlib.import_module("rotate")
+    assert rotate.row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    )
+    for broken in (
+        {"rows_match": False, "schema_match": True, "hash_match": True},
+        {"rows_match": True, "schema_match": True, "hash_match": False},
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": "boom"},
+    ):
+        assert not rotate.row_green(broken)
+    rounds = rotate.load_rounds(str(pathlib.Path(__file__).parent.parent))
+    assert rounds, "CORRECTNESS files should be discoverable"
+    assert all(isinstance(v, dict) for v in rounds.values())
