@@ -5059,13 +5059,18 @@ def q_snapshot_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure-Python geohash arithmetic, known-vector tested), so the
     executor plan is a native IN-filter + partition-pruned scan of
     the standing view — no UDF, no geo math in the plan."""
-    v = _served_view(spark, sf_dir)
     import datetime as dt
 
+    from kafka_streams_pipeline_spark.operators.queries import _utc_lit
+
+    v = _served_view(spark, sf_dir)
     return (
         v.where(
             F.col("gh").isin(_RING_CELLS)
-            & (F.col("window_start") == F.lit(dt.datetime(2024, 1, 7, 10)))
+            # _utc_lit, NEVER F.lit(naive datetime): PySpark converts
+            # naive datetimes through the OS timezone (caught by the
+            # TZ=America/New_York driver-sim gate)
+            & (F.col("window_start") == _utc_lit(dt.datetime(2024, 1, 7, 10)))
         )
         .select("gh", F.round(F.col("sum") / F.col("count"), 6).alias("avg"))
     )
