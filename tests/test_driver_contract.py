@@ -54,26 +54,22 @@ def test_driver_window_prioritizes_uncertified_queries():
         assert overflow <= set(inventory._ON_DECK)
 
 
-def test_round5_window_covers_stalest_and_changed():
-    """VERDICT r4 item 1 + ADVICE r4 rotation rule, combined: with
-    every query certified, the 50-slot window must contain (a) every
-    query whose backing code changed since its last driver row
-    (_RECHECK — changed code outranks stale-but-unchanged code) and
-    (b) every query whose evidence dates to rounds 1-2, with the
-    remaining slots filled by the oldest round-3 evidence in order."""
-    if inventory._UNCERTIFIED_RED or inventory._PENDING or inventory._ON_DECK:
-        return  # an uncertified backlog reappeared; the generalized
-        # invariant above governs the window instead
+def test_round6_window_certifies_deferred_then_stalest():
+    """VERDICT r5 item 1: the round-6 window must open with the 17
+    round-5 additions (promoted _DEFERRED → _ON_DECK — the only
+    queries without any driver row), then any changed-code rechecks,
+    then the stalest certified evidence (round-3 tier) in order."""
     window = inventory.driver_order()[:WINDOW]
+    missing_on_deck = set(inventory._ON_DECK) - set(window)
+    assert not missing_on_deck, missing_on_deck
     missing_recheck = set(inventory._RECHECK) - set(window)
     assert not missing_recheck, missing_recheck
-    missing_stale = set(inventory._CERTIFIED_R2) - set(window)
-    assert not missing_stale, missing_stale
     # spare slots re-certify round-3 evidence oldest-first
-    spare = [n for n in window if n not in set(inventory._RECHECK)
-             and n not in set(inventory._CERTIFIED_R2)]
+    spare = [n for n in window if n not in set(inventory._ON_DECK)
+             and n not in set(inventory._RECHECK)]
     expected_spare = [
-        n for n in inventory._CERTIFIED_R3 if n not in inventory._RECHECK
+        n for n in inventory.DRIVER_CERTIFIED
+        if n not in inventory._RECHECK
     ][: len(spare)]
     assert spare == expected_spare
 
