@@ -49,6 +49,23 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 # Names of queries bench.py treats as the headline set.
 BENCH_QUERIES: list[str] = []
+# Queries that EXECUTE heavyweight work at build time rather than
+# returning a lazy plan: streaming replays (full checkpointed
+# availableNow jobs), file-format round-trips that write/delete temp
+# dirs server-side, and iterative collect-and-rebuild trainers. The
+# REST registry route excludes these by default (ADVICE r5: an
+# unauthenticated GET must not be able to pin the Spark session for
+# minutes); serve(..., allow_materializing=...) opts back in.
+MATERIALIZING: frozenset[str] = frozenset({
+    "q_streaming_dedup",
+    "q_streaming_hll",
+    "q_streaming_view",
+    "q_streaming_totals",
+    "q_streaming_alerts",
+    "q_csv_source",
+    "q_orc_source",
+    "q_ivf_train",
+})
 
 # Queries with a GREEN driver correctness row, ordered
 # oldest-evidence-first so the spare window slots re-certify the
@@ -4352,7 +4369,10 @@ def _write_replay_chunks(
         if inject_dups:
             dups = chunk[::7]
             if c > 0:
-                dups = dups + rows[c * per - 200 : c * per : 7]
+                # ADVICE r5: clamp the start — a negative start would
+                # resolve from the list END at small scale factors,
+                # silently injecting no cross-batch duplicates.
+                dups = dups + rows[max(0, c * per - 200) : c * per : 7]
         with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
             for r in chunk + dups:
                 f.write(_json.dumps(r.asDict()) + "\n")
@@ -4397,7 +4417,13 @@ def _replay_readings_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # ADVICE r5: surface a timeout as a clear error instead of
+    # collecting partial emissions and deleting the source/checkpoint
+    # out from under a still-running query.
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("availableNow replay timed out after 300 s")
     shutil.rmtree(base, ignore_errors=True)
     return batches
 
@@ -4441,11 +4467,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_hll_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.sketches import _duck_rho
     from kafka_streams_pipeline_spark.streaming.stateful import (
         HLL_W_STREAM,
     )
 
     w = HLL_W_STREAM
+    # ADVICE r5: pure-integer bit-length rho (no float log2 — a libm
+    # result a hair under an integer would flip rho cross-platform).
+    _duck_rho_stream = _duck_rho("payload", width=w)
     return f"""
         WITH readings AS ({readings_from_events_sql('events')}),
         h AS (
@@ -4458,10 +4488,7 @@ def _streaming_hll_oracle() -> str:
             FROM h
         ),
         rho AS (
-            SELECT gh, bucket,
-                   CASE WHEN payload = 0 THEN {w + 1}
-                        ELSE {w} - CAST(floor(log2(payload)) AS BIGINT)
-                   END AS rho
+            SELECT gh, bucket, {_duck_rho_stream} AS rho
             FROM br
         ),
         regs AS (
@@ -4581,7 +4608,10 @@ def q_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, view_dir, ckpt,
         available_now=True, max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("streaming-view replay timed out after 300 s")
     out = _stream_read_view(spark, view_dir).select(
         "gh",
         F.unix_millis("window_start").alias("ws_ms"),

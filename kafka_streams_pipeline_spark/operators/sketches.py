@@ -59,14 +59,18 @@ def _spark_rho(w: str) -> str:
     return f"CASE WHEN {w} = 0 THEN {HLL_W + 1} ELSE {HLL_W + 1} - {bitlen} END"
 
 
-def _duck_rho(w: str) -> str:
+def _duck_rho(w: str, width: int = HLL_W) -> str:
+    """DuckDB twin of ``_spark_rho`` for a ``width``-bit payload.
+    Same pure-integer bit-length construction (no float log —
+    engine-portable to the bit); parameterized so the streaming
+    oracle (HLL_W_STREAM) reuses it instead of floor(log2())."""
     bitlen = (
         f"list_sum([CASE WHEN {w} >= (1::BIGINT << k) THEN 1 ELSE 0 END "
-        f"FOR k IN range(0, {HLL_W})])"
+        f"FOR k IN range(0, {width})])"
     )
     return (
-        f"CASE WHEN {w} = 0 THEN {HLL_W + 1} "
-        f"ELSE {HLL_W + 1} - {bitlen} END"
+        f"CASE WHEN {w} = 0 THEN {width + 1} "
+        f"ELSE {width + 1} - {bitlen} END"
     )
 
 

@@ -54,6 +54,12 @@ class QueryHandler(BaseHTTPRequestHandler):
     # (spark, sf_dir) for the generic /api/queries registry surface;
     # None disables that route (reference-parity-only serving)
     registry_ctx: tuple | None = None
+    # Materializing queries (streaming replays, temp-dir format
+    # round-trips — inventory.MATERIALIZING) opted back into the
+    # served registry; empty by default (ADVICE r5: a single
+    # unauthenticated GET must not pin the session for minutes —
+    # limit=N only truncates an already-computed result).
+    allow_materializing: frozenset = frozenset()
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -80,13 +86,14 @@ class QueryHandler(BaseHTTPRequestHandler):
                 spark, sf_dir = self.registry_ctx
                 from kafka_streams_pipeline_spark import inventory
 
+                servable = set(inventory.QUERIES) - (
+                    inventory.MATERIALIZING - self.allow_materializing
+                )
                 if len(parts) == 2:
-                    self._reply(
-                        200, {"queries": sorted(inventory.QUERIES)}
-                    )
+                    self._reply(200, {"queries": sorted(servable)})
                     return
                 name = parts[2]
-                if len(parts) != 3 or name not in inventory.QUERIES:
+                if len(parts) != 3 or name not in servable:
                     self._reply(
                         404,
                         {"errorMessage": "unknown query", "errorCode": 404},
@@ -151,17 +158,29 @@ def serve(
     port: int = 7070,
     spark=None,
     sf_dir: str | None = None,
+    allow_materializing: frozenset = frozenset(),
 ) -> ThreadingHTTPServer:
     """Start the API over a view DataFrame (default port mirrors the
     reference's Docker default, Dockerfile:26-27). Returns the server;
     call .shutdown() to stop. Runs in a daemon thread.
 
-    Pass ``spark`` + ``sf_dir`` to additionally expose the full
-    declared-query registry at ``/api/queries[/{name}?limit=N]`` —
-    the beyond-reference serving surface."""
+    Pass ``spark`` + ``sf_dir`` to additionally expose the declared
+    query registry at ``/api/queries[/{name}?limit=N]`` — the
+    beyond-reference serving surface. Every request EXECUTES the
+    query server-side (limit=N truncates the result, not the
+    compute); materializing queries (``inventory.MATERIALIZING`` —
+    streaming replays, temp-dir format round-trips, iterative
+    trainers) are therefore excluded unless explicitly allowlisted
+    via ``allow_materializing``."""
     ctx = (spark, sf_dir) if spark is not None and sf_dir else None
     handler = type(
-        "BoundHandler", (QueryHandler,), {"view": view, "registry_ctx": ctx}
+        "BoundHandler",
+        (QueryHandler,),
+        {
+            "view": view,
+            "registry_ctx": ctx,
+            "allow_materializing": frozenset(allow_materializing),
+        },
     )
     server = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()

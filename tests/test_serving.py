@@ -105,11 +105,29 @@ def registry_api(spark, sf_dir):
 
 
 def test_registry_listing(registry_api):
+    from kafka_streams_pipeline_spark import inventory
+
     code, msg = _get(f"{registry_api}/api/queries")
     assert code == 200
     assert "q_hourly_view" in msg["queries"]
     assert "q_dedup_minhash" in msg["queries"]
-    assert len(msg["queries"]) >= 140
+    assert len(msg["queries"]) == len(inventory.QUERIES) - len(
+        inventory.MATERIALIZING
+    )
+
+
+def test_registry_excludes_materializing_by_default(registry_api):
+    """ADVICE r5: a single unauthenticated GET must not be able to
+    pin the session for minutes — materializing queries (streaming
+    replays, temp-dir format round-trips) are not listed and return
+    404 unless explicitly allowlisted at serve() time."""
+    from kafka_streams_pipeline_spark import inventory
+
+    code, msg = _get(f"{registry_api}/api/queries")
+    assert code == 200
+    assert not set(msg["queries"]) & inventory.MATERIALIZING
+    code, _ = _get(f"{registry_api}/api/queries/q_streaming_view")
+    assert code == 404
 
 
 def test_registry_query_execution(registry_api):
