@@ -113,3 +113,69 @@ def test_neighbors_adjacent():
     nbrs = geo.neighbors("u155m")
     assert len(nbrs) == 8
     assert "u155m" not in nbrs
+
+
+def test_frozen_ring_tiles_3x3_grid():
+    """The q_snapshot_ring oracle's FROZEN cell list must tile the
+    exact 3x3 grid around the fixture cell — verified using ONLY
+    decode_bbox (independent of neighbors() and encode()), so the
+    oracle literals cannot silently track a broken neighbor table
+    (VERDICT r5 item 2)."""
+    from kafka_streams_pipeline_spark.inventory import (
+        _RING_CELLS_EXPECTED,
+        _RING_CENTER,
+    )
+
+    s, w, n, e = geo.decode_bbox(_RING_CENTER)
+    dh, dw = n - s, e - w
+    expected_centers = {
+        (round((s + n) / 2 + di * dh, 9), round((w + e) / 2 + dj * dw, 9))
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    }
+    got_centers = set()
+    for gh in _RING_CELLS_EXPECTED:
+        cs, cw, cn, ce = geo.decode_bbox(gh)
+        assert abs((cn - cs) - dh) < 1e-12 and abs((ce - cw) - dw) < 1e-12
+        got_centers.add((round((cs + cn) / 2, 9), round((cw + ce) / 2, 9)))
+    assert got_centers == expected_centers
+
+
+def test_neighbors_matches_frozen_ring():
+    """geo.neighbors must reproduce the independently verified frozen
+    ring — a regression in the neighbor math fails here AND turns the
+    q_snapshot_ring driver row red (the oracle keeps the frozen
+    list while the Spark side recomputes at call time)."""
+    from kafka_streams_pipeline_spark.inventory import (
+        _RING_CELLS_EXPECTED,
+        _RING_CENTER,
+    )
+
+    ring = sorted({_RING_CENTER} | set(geo.neighbors(_RING_CENTER)))
+    assert ring == sorted(_RING_CELLS_EXPECTED)
+
+
+def test_broken_neighbors_turns_ring_row_red(monkeypatch, spark):
+    """Mutation test: a deliberately broken neighbors() must change
+    q_snapshot_ring's RESULT (not just its plan), proving the driver
+    row certifies the ring membership math against the frozen
+    oracle literals. Runs at the driver's certification scale
+    (sf0.01) — the fixture window is empty at sf0.001."""
+    from kafka_streams_pipeline_spark import inventory
+    from tests.conftest import ORACLE_SF_DIR as sf_dir
+
+    baseline = {
+        tuple(r)
+        for r in inventory.QUERIES["q_snapshot_ring"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert baseline, "fixture must produce ring rows for the mutation to bite"
+    monkeypatch.setattr(geo, "neighbors", lambda gh: [])
+    mutated = {
+        tuple(r)
+        for r in inventory.QUERIES["q_snapshot_ring"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert mutated != baseline
