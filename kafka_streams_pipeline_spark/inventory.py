@@ -209,7 +209,9 @@ _RECHECK: list[str] = []
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.
-_DEFERRED: list[str] = []
+_DEFERRED: list[str] = [
+    "q_media_features",
+]
 
 
 def driver_order() -> list[str]:
@@ -2200,10 +2202,97 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads + typed metadata;
-    JVM-side byte-length/md5 (decode itself is the stubbed
-    mapInPandas path, exercised in tests)."""
+    pure-JVM byte-length/md5 — the cheap pre-decode pass (decode
+    itself is the real per-codec mapInPandas path certified by the
+    q_media_* rows and q_media_features)."""
     media = _mm.media_from_documents(_t(spark, sf_dir, "documents"))
     return _mm.binary_meta(media)
+
+
+_MEDIA_FEATURES_ORACLE = """
+    WITH aud AS (
+        SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    aud_s AS (
+        SELECT doc_id, n,
+               (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+        FROM aud, unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    aud_f AS (
+        SELECT doc_id AS asset_id, 'audio' AS media_type,
+               CAST(1 AS DOUBLE) AS f0, CAST(8000 AS DOUBLE) AS f1,
+               CAST(16 AS DOUBLE) AS f2, CAST(n AS DOUBLE) AS f3,
+               CAST(n * 1000 // 8000 AS DOUBLE) AS f4,
+               CAST(max(abs(s)) AS DOUBLE) AS f5,
+               CAST(sum(s) AS DOUBLE) AS f6,
+               CAST(sum(s * s) AS DOUBLE) AS f7
+        FROM aud_s GROUP BY doc_id, n
+    ),
+    img AS (
+        SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    img_px AS (
+        SELECT doc_id, w, h, k,
+               (doc_id * 17 + k * 29) % 256 AS v
+        FROM img, unnest(generate_series(0, h * w * 3 - 1)) AS t(k)
+    ),
+    img_f AS (
+        SELECT doc_id AS asset_id, 'image' AS media_type,
+               CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+               CAST(24 AS DOUBLE) AS f2, CAST(w * h AS DOUBLE) AS f3,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) AS f4,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) AS f5,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) AS f6,
+               CAST(max(v) AS DOUBLE) AS f7
+        FROM img_px GROUP BY doc_id, w, h
+    ),
+    vid AS (
+        SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 3 + 2 AS w,
+               doc_id % 5 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    vid_px AS (
+        SELECT doc_id, nf, w, h, f,
+               (doc_id * 23 + f * 101 + k * 29) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS tf(f),
+             unnest(generate_series(0, h * w * 3 - 1)) AS tk(k)
+    ),
+    vid_f AS (
+        SELECT doc_id AS asset_id, 'video' AS media_type,
+               CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+               CAST(40000 AS DOUBLE) AS f2, CAST(nf AS DOUBLE) AS f3,
+               CAST(sum(v) AS DOUBLE) AS f4,
+               CAST(max(v) AS DOUBLE) AS f5,
+               CAST(sum(CASE WHEN f = 0 THEN v ELSE 0 END) AS DOUBLE) AS f6,
+               CAST(sum(CASE WHEN f = nf - 1 THEN v ELSE 0 END) AS DOUBLE) AS f7
+        FROM vid_px GROUP BY doc_id, nf, w, h
+    )
+    SELECT * FROM aud_f
+    UNION ALL SELECT * FROM img_f
+    UNION ALL SELECT * FROM vid_f
+"""
+
+
+@register("q_media_features", oracle=_MEDIA_FEATURES_ORACLE)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction, certified end-to-end: the
+    mixed-modality fixture (REAL BMP/WAV/AVI payloads per doc_id % 3)
+    through extract_features' per-media_type dispatch to the stdlib
+    parsers, flattened to one row of 8 feature columns per asset. The
+    oracle recomputes every decoded feature from the fixture's
+    integer recurrences in pure SQL — so a parser that mis-walks any
+    of the three containers flips the hash. See
+    operators/multimodal.py extract_features/_real_features."""
+    media = _mm.typed_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = _mm.extract_features(media)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(_mm.FEAT_DIM)],
+    )
 
 
 @register(

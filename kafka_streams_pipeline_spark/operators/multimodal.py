@@ -36,8 +36,7 @@ tested. Decode status:
   stco sample tables) and entropy-decode Photo-JPEG ('jpeg') samples
   with the same T.81 kernel. H.264 entropy decode itself stays out
   (ffmpeg is not in this container): an 'avc1' stsd entry raises the
-  explicit unsupported-codec ValueError, and the generic
-  ``decode_stub="raise"`` path names the needed lib.
+  explicit unsupported-codec ValueError.
 
 Design for 100 TB: payloads never shuffle — metadata extraction is a
 narrow mapInPandas; anything aggregate-shaped first projects payload
@@ -58,6 +57,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -104,10 +104,11 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
         StructField("payload_md5", StringType()),
-        StructField("feat_mean", DoubleType()),  # decoded-feature summary
+        StructField("features", ArrayType(DoubleType())),
         StructField("feat_dim", LongType()),
     ]
 )
+FEAT_DIM = 8
 
 
 def binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -121,26 +122,64 @@ def binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoder: md5-seeded pseudo
-    features. Keeps every pipeline stage testable without codecs."""
-    h = hashlib.md5(payload).digest()
-    return [h[i % len(h)] / 255.0 for i in range(dim)]
+def _real_features(mtype: str, payload: bytes) -> list[float]:
+    """Decode one payload with the REAL stdlib parser for its
+    modality and emit a fixed FEAT_DIM-length typed feature vector.
+    Every component is an exactly-representable integer value, so
+    downstream derivations stay oracle-exact."""
+    if mtype == "audio":
+        channels, rate, bits, samples = parse_wav(payload)
+        s = samples.astype(np.int64)
+        n = len(s)
+        return [
+            float(channels), float(rate), float(bits), float(n),
+            float(n * 1000 // rate) if rate else 0.0,
+            float(np.abs(s).max()) if n else 0.0,
+            float(s.sum()), float((s * s).sum()),
+        ]
+    if mtype == "image":
+        w, h, bpp, px = parse_bmp(payload)
+        flat = px.reshape(-1).astype(np.int64)
+        return [
+            float(w), float(h), float(bpp), float(w * h),
+            float(flat[0::3].sum()), float(flat[1::3].sum()),
+            float(flat[2::3].sum()),
+            float(flat.max()) if len(flat) else 0.0,
+        ]
+    if mtype == "video":
+        w, h, us, frames = parse_avi(payload)
+        if frames:
+            flat = np.concatenate(
+                [f.reshape(-1) for f in frames]
+            ).astype(np.int64)
+            first = int(frames[0].reshape(-1).astype(np.int64).sum())
+            last = int(frames[-1].reshape(-1).astype(np.int64).sum())
+        else:
+            flat, first, last = np.zeros(0, np.int64), 0, 0
+        return [
+            float(w), float(h), float(us), float(len(frames)),
+            float(flat.sum()),
+            float(flat.max()) if len(flat) else 0.0,
+            float(first), float(last),
+        ]
+    raise ValueError(f"unsupported media_type: {mtype!r}")
 
 
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
-    decode_stub: str = "fake",
-    feat_dim: int = 8,
     max_records_per_batch: int = 64,
 ) -> DataFrame:
-    """mapInPandas feature extraction over media payloads.
-
-    Real deployments replace ``_fake_features`` with PIL/librosa/
-    ffmpeg decode + model features; the Arrow batching, schema, and
-    partition behavior here are exactly what that code inherits.
-    """
+    """REAL mapInPandas feature extraction over media payloads: each
+    row dispatches on ``media_type`` to the stdlib codec parser for
+    its modality — audio → ``parse_wav``, image → ``parse_bmp``,
+    video → ``parse_avi`` — and emits a fixed 8-dim typed feature
+    vector, the decode → featurize hop an embedding pipeline runs
+    before the model. An unknown media_type raises the documented
+    ValueError (no silent skip). Payloads stay partition-local; only
+    the small typed rows leave the operator, and
+    ``maxRecordsPerBatch`` bounds Arrow batch memory when payloads
+    are large."""
     spark = df.sparkSession
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
@@ -148,24 +187,20 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "media decode requires PIL/librosa/ffmpeg — not in this "
-                    "container; pass decode_stub='fake' for the test path"
-                )
-            feats = pdf[payload_col].map(
-                lambda b: _fake_features(bytes(b), feat_dim)
-            )
+            payloads = pdf[payload_col].map(bytes)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "payload_md5": pdf[payload_col].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
                     ),
-                    "feat_mean": feats.map(lambda v: sum(v) / len(v)),
-                    "feat_dim": feat_dim,
+                    "features": [
+                        _real_features(m, b)
+                        for m, b in zip(pdf["media_type"], payloads)
+                    ],
+                    "feat_dim": FEAT_DIM,
                 }
             )
 
@@ -181,92 +216,6 @@ RESIZED_SCHEMA = StructType(
         StructField("resized", BinaryType()),
     ]
 )
-
-
-def resize_images(
-    df: DataFrame,
-    width: int = 4,
-    height: int = 4,
-    payload_col: str = "payload",
-    decode_stub: str = "fake",
-) -> DataFrame:
-    """mapInPandas image resize (1 row → 1 row, payload-sized output).
-
-    Real deployments: PIL decode → resize → re-encode. The stub emits
-    a deterministic width×height byte grid derived from the payload
-    md5, so schema, batch shape and partition behavior are the real
-    thing. Payloads stay partition-local — no shuffle."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "image resize requires PIL — not in this container; "
-                    "pass decode_stub='fake' for the test path"
-                )
-            n = width * height
-
-            def fake_resize(b: bytes) -> bytes:
-                h = hashlib.md5(bytes(b)).digest()
-                return (h * (n // len(h) + 1))[:n]
-
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "width": width,
-                    "height": height,
-                    "resized": pdf[payload_col].map(fake_resize),
-                }
-            )
-
-    return df.mapInPandas(run, RESIZED_SCHEMA)
-
-
-FRAME_SCHEMA = StructType(
-    [
-        StructField("asset_id", LongType()),
-        StructField("frame_idx", LongType()),
-        StructField("frame_ts_ms", LongType()),
-        StructField("frame", BinaryType()),
-    ]
-)
-
-
-def sample_frames(
-    df: DataFrame,
-    n_frames: int = 3,
-    frame_interval_ms: int = 1000,
-    payload_col: str = "payload",
-    decode_stub: str = "fake",
-) -> DataFrame:
-    """mapInPandas frame sampling (1 video row → N frame rows).
-
-    Real deployments: ffmpeg keyframe extraction. The stub emits
-    ``n_frames`` deterministic md5-derived frames per asset,
-    exercising the row-expanding Arrow batch shape (the part that
-    actually bites at scale: output rows ≫ input rows, so
-    maxRecordsPerBatch must bound the INPUT side)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if decode_stub == "raise":
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg — not in this container; "
-                    "pass decode_stub='fake' for the test path"
-                )
-            out = {"asset_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
-                for i in range(n_frames):
-                    out["asset_id"].append(aid)
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * frame_interval_ms)
-                    out["frame"].append(
-                        hashlib.md5(bytes(payload) + bytes([i])).digest()
-                    )
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(run, FRAME_SCHEMA)
 
 
 # --- Real audio decode: stdlib RIFF/WAVE parser -----------------------------
@@ -394,6 +343,23 @@ def wav_from_documents(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def typed_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Mixed-modality fixture with REAL codec payloads: per doc_id %
+    3, a genuine 24-bit BMP image (0), PCM16 RIFF/WAVE audio (1), or
+    uncompressed AVI video (2) — the three stdlib synthesizers below,
+    tagged with media_type. Deterministic (same integer recurrences
+    as the single-modality fixtures), so every decoded feature is
+    recomputable exactly in a SQL oracle."""
+    d = docs.select("doc_id")
+    img = bmp_from_documents(d.where(F.col("doc_id") % 3 == 0))
+    aud = wav_from_documents(d.where(F.col("doc_id") % 3 == 1)).select(
+        "asset_id", F.lit("audio").alias("media_type"), "payload"
+    )
+    vid = avi_from_documents(d.where(F.col("doc_id") % 3 == 2))
+    cols = ["asset_id", "media_type", "payload"]
+    return img.select(*cols).unionByName(aud).unionByName(vid.select(*cols))
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -191,47 +191,48 @@ def test_fingerprint_order_sensitivity(spark):
 
 
 def test_multimodal_feature_extraction(docs):
-    media = multimodal.media_from_documents(docs.limit(50))
-    feats = multimodal.extract_features(media, decode_stub="fake").collect()
-    assert len(feats) == 50
+    """extract_features dispatches per media_type to the REAL stdlib
+    parsers; each feature vector is verified against a direct
+    driver-side parse of the same payload."""
+    media = multimodal.typed_media_from_documents(docs.limit(51))
+    feats = {r.asset_id: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 51
     meta = {r.asset_id: r for r in multimodal.binary_meta(media).collect()}
-    for r in feats:
-        assert r.feat_dim == 8
-        assert 0.0 <= r.feat_mean <= 1.0
+    payloads = {
+        r["asset_id"]: (r["media_type"], bytes(r["payload"]))
+        for r in media.collect()
+    }
+    for aid, r in feats.items():
+        assert r.feat_dim == multimodal.FEAT_DIM
+        assert len(r.features) == multimodal.FEAT_DIM
         # mapInPandas md5 equals the JVM-side md5 (same bytes seen)
-        assert r.payload_md5 == meta[r.asset_id].payload_md5
-        assert r.n_bytes == meta[r.asset_id].n_bytes
+        assert r.payload_md5 == meta[aid].payload_md5
+        assert r.n_bytes == meta[aid].n_bytes
+        mtype, payload = payloads[aid]
+        assert r.media_type == mtype
+        assert r.features == multimodal._real_features(mtype, payload)
+
+    # spot-verify one of each modality against the raw parser
+    audio = next(r for r in feats.values() if r.media_type == "audio")
+    _, _, _, samples = multimodal.parse_wav(payloads[audio.asset_id][1])
+    assert audio.features[3] == float(len(samples))
+    image = next(r for r in feats.values() if r.media_type == "image")
+    w, h, _, _ = multimodal.parse_bmp(payloads[image.asset_id][1])
+    assert image.features[:2] == [float(w), float(h)]
+    video = next(r for r in feats.values() if r.media_type == "video")
+    _, _, _, frames = multimodal.parse_avi(payloads[video.asset_id][1])
+    assert video.features[3] == float(len(frames))
 
 
-def test_multimodal_resize_and_frames(docs):
-    from kafka_streams_pipeline_spark.operators import multimodal as mm
-
-    media = mm.media_from_documents(docs).limit(6)
-    resized = mm.resize_images(media, width=4, height=4).collect()
-    assert len(resized) == 6
-    for r in resized:
-        assert r["width"] == 4 and r["height"] == 4
-        assert len(bytes(r["resized"])) == 16
-    # deterministic: same payload → same resized bytes
-    again = {r["asset_id"]: bytes(r["resized"])
-             for r in mm.resize_images(media, width=4, height=4).collect()}
-    for r in resized:
-        assert bytes(r["resized"]) == again[r["asset_id"]]
-
-    frames = mm.sample_frames(media, n_frames=3, frame_interval_ms=500).collect()
-    assert len(frames) == 18  # 1 → N row expansion
-    by_asset = {}
-    for fr in frames:
-        by_asset.setdefault(fr["asset_id"], []).append(fr)
-    for aid, frs in by_asset.items():
-        assert sorted(f["frame_idx"] for f in frs) == [0, 1, 2]
-        assert sorted(f["frame_ts_ms"] for f in frs) == [0, 500, 1000]
-        assert len({bytes(f["frame"]) for f in frs}) == 3  # distinct frames
-
+def test_extract_features_rejects_unknown_media_type(spark):
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="PIL"):
-        mm.resize_images(media, decode_stub="raise").collect()
+    df = spark.createDataFrame(
+        [(1, "hologram", b"\x00\x01")],
+        "asset_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="unsupported media_type"):
+        multimodal.extract_features(df).collect()
 
 
 def test_wav_parser_reads_stdlib_wave_files(tmp_path):
@@ -280,13 +281,6 @@ def test_wav_decode_pipeline(docs):
         assert r.duration_ms == n * 1000 // 8000
         assert r.peak_abs == int(np.abs(s).max())
         assert r.sum_samples == int(s.sum())
-
-
-def test_multimodal_raise_stub(docs):
-    media = multimodal.media_from_documents(docs.limit(5))
-    with pytest.raises(Exception) as ei:
-        multimodal.extract_features(media, decode_stub="raise").collect()
-    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
