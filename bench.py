@@ -8,7 +8,11 @@ prints ONE JSON line:
 Each query is executed with a result-materializing action (collect on
 the final, already-aggregated frame — the driver does the same). A
 warmup pass on sf0.001 triggers JVM/codegen warm paths so steady-state
-throughput is measured, not JIT.
+throughput is measured, not JIT. Per-query numbers are the MEDIAN of
+three timed runs with the max-min spread recorded alongside
+(VERDICT r5 item 5: the box's run-to-run noise was larger than most
+real deltas; the median plus a visible noise floor keeps the
+regression tripwire meaningful).
 """
 
 from __future__ import annotations
@@ -60,31 +64,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # min of 2 runs: sub-second queries are noise-dominated on a
-        # shared box; min approximates steady-state cost
+        # median of 3 runs (VERDICT r5 item 5): single-pair min
+        # swung up to 2x on this box for sub-2s queries, which is
+        # larger than most real deltas — the median rejects one
+        # outlier in either direction, and the recorded spread keeps
+        # the noise floor visible next to each number.
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).collect()
             runs.append(time.time() - t0)
         first_runs[name] = round(runs[0], 3)
-        # Adaptive third run: if the min still reads as a tripwire
-        # regression vs the last recorded round, measure once more
-        # before reporting — a single noisy pair on a shared box
-        # produced false 1.5-2x alerts for structurally unchanged
-        # queries; a genuine plan regression survives three runs.
-        base = prev_queries.get(name)
-        if (
-            base
-            and min(runs) > 1.5 * base
-            and min(runs) - base > 0.4
-        ):
-            release_blocks()
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).collect()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(sorted(runs)[1], 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
         release_blocks()
 
     total = round(sum(timings.values()), 3)
@@ -94,10 +88,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         # first measured run per query (post-warmup, cold caches):
-        # min-of-N measures steady state; this records what a
-        # fresh-plan execution costs (VERDICT r4 nit). The headline
-        # stays min-of-N for round-over-round comparability.
+        # median-of-3 measures steady state; this records what a
+        # fresh-plan execution costs (VERDICT r4 nit).
         "first_run_total_sec": round(sum(first_runs.values()), 3),
+        # per-query max-min across the 3 runs: the box's noise floor,
+        # so a delta smaller than its query's spread is not a signal
+        "spread": spreads,
         "sf": sf_val,
     }
     # Regression tripwire (VERDICT r3 item 7): compare per-query

@@ -1,0 +1,48 @@
+"""Registration primitives for the declared query inventory.
+
+Kept free of query imports so domain modules can import ``register``
+without circularity; the package ``__init__`` wires everything
+together and re-exports the public surface (SURVEY.md §7.3 names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+# Names of queries bench.py treats as the headline set.
+BENCH_QUERIES: list[str] = []
+# Queries that EXECUTE heavyweight work at build time rather than
+# returning a lazy plan: streaming replays (full checkpointed
+# availableNow jobs), file-format round-trips that write/delete temp
+# dirs server-side, and iterative collect-and-rebuild trainers. The
+# REST registry route excludes these by default (ADVICE r5: an
+# unauthenticated GET must not be able to pin the Spark session for
+# minutes); serve(..., allow_materializing=...) opts back in.
+MATERIALIZING: frozenset[str] = frozenset({
+    "q_streaming_dedup",
+    "q_streaming_hll",
+    "q_streaming_view",
+    "q_streaming_totals",
+    "q_streaming_alerts",
+    "q_csv_source",
+    "q_orc_source",
+    "q_ivf_train",
+})
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        if bench:
+            BENCH_QUERIES.append(name)
+        return fn
+
+    return deco

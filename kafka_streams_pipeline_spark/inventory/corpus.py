@@ -1,0 +1,1091 @@
+"""Round-out additions: n-gram generation, TF-DF term scoring, edit
+distance, IVF training, quantization, semantic dedup, corpus
+statistics/packing/mixture/vocab/surprisal, incremental dedup,
+range/interval joins, and sampling/split/contamination guards.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_streams_pipeline_spark import geo
+from kafka_streams_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from kafka_streams_pipeline_spark.inventory._registry import register
+from kafka_streams_pipeline_spark.inventory._shared import (
+    VIEW_CTE,
+    _cents_sum,
+    _served_view,
+    _t,
+)
+from kafka_streams_pipeline_spark.operators import corpus as _corpus
+from kafka_streams_pipeline_spark.operators import dedup as _dedup
+from kafka_streams_pipeline_spark.operators import similarity as _sim
+from kafka_streams_pipeline_spark.operators import sketches as _sk
+from kafka_streams_pipeline_spark.operators import text as _text
+from kafka_streams_pipeline_spark.operators.queries import (
+    history,
+    history_interval,
+    merge_views,
+    reaggregate_precision,
+    snapshot,
+)
+from kafka_streams_pipeline_spark.operators.view import build_view
+from kafka_streams_pipeline_spark.sources.readings import (
+    EVENT_TYPE_GEOHASH,
+    readings_from_events,
+    readings_from_events_sql,
+)
+from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
+from kafka_streams_pipeline_spark.sources.tables import load_table, pushed_ts_range
+
+# ---------------------------------------------------------------------------
+# Round-out additions: n-gram generation, TF-DF term scoring,
+# incremental corpus dedup, non-equi range/band join.
+# ---------------------------------------------------------------------------
+
+
+@register("q_text_bigrams", oracle=_text.word_bigrams_oracle(100))
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / n-gram generation: top-100 word bigrams corpus-wide
+    (higher-order array build, map-side partial counts, TakeOrdered
+    top-N — no global sort)."""
+    return _text.word_bigrams(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@register("q_term_stats", oracle=_text.term_stats_oracle())
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / TF-IDF core: per-term total frequency, document frequency,
+    fixed-point tf/df score (integer div keeps the hash engine-stable)."""
+    return _text.term_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_edit", oracle=_dedup.edit_distance_pairs_oracle(20))
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: edit-distance near-dup — MinHash band candidates verified
+    with levenshtein (≤20% of the longer text, integer predicate).
+    The character-level complement to jaccard verification; only
+    candidate-pair texts ever cross the verify join."""
+    return _dedup.edit_distance_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_components_alt", oracle=_dedup.components_oracle(0.8))
+def q_dedup_components_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the same duplicate-group clustering as q_dedup_components,
+    computed by the alternating large-star/small-star algorithm
+    (O(log n) rounds, diameter-independent — the 100 TB path for deep
+    near-dup chains). Certified by the identical recursive-CTE
+    oracle, so the driver proves both component strategies agree."""
+    return _dedup.dedup_components(
+        _t(spark, sf_dir, "documents"), algorithm="alternating"
+    )
+
+
+@register("q_repetition_stats", oracle=_text.repetition_stats_oracle())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (Gopher-style repetition signals): top-token mass fraction
+    + duplicated-bigram fraction per document — the public
+    MassiveText boilerplate indicators, as per-row JVM higher-order
+    expressions (no shuffle, no Python)."""
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_heuristic_filter", oracle=_text.heuristic_filter_oracle())
+def q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (C4/Gopher-style quality gate): word-count bounds, mean
+    token length bounds, symbol ratio → keep flag + first failed rule.
+    The debuggable corpus-filter form: one per-row pass, no shuffle."""
+    return _text.heuristic_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*)    AS n_docs,
+               min(doc_id) AS first_id,
+               max(doc_id) AS last_id
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted id
+    hash — the reproducible way to partition a 100 TB corpus:
+    membership depends only on the id, so re-runs, retries, and
+    different partitionings assign every document identically, and
+    adding documents never reshuffles existing assignments (unlike
+    rand() or row_number splits). Per-(split, lang) counts certify
+    the stratification."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )
+
+
+@register("q_ivf_train", oracle=_sim.ivf_train_oracle(2), bench=True)
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (index training): two k-means Lloyd iterations for the IVF
+    coarse quantizer in exact micro-unit integer arithmetic —
+    assignment minimizes the integer surrogate |c|²−2x·c, centroid
+    updates are one deterministic division on exact integer sums, so
+    the iterative 'ML' workload is still hash-certifiable against a
+    fully-unrolled SQL twin. Broadcast argmin + (cell,dim) mean
+    aggregate per iteration: the canonical distributed Lloyd step."""
+    return _sim.ivf_train(_t(spark, sf_dir, "embeddings"), iters=2)
+
+
+@register("q_embed_quantize", oracle=_sim.quantize_embeddings_oracle())
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4: symmetric int8 scalar quantization of the embedding
+    column (scale = 127/max|v|, floor(x·scale + 0.5)) with
+    integer-only summary stats so the oracle match is exact. The
+    compression step before any large-scale ANN index build."""
+    return _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_semantic_dedup", oracle=_sim.semantic_dedup_oracle(), bench=True)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 SemDeDup-shaped semantic dedup: coarse-quantizer cells
+    (broadcast-centroid assignment), then an in-cell cosine self-join
+    drops every vector with a lower-id neighbor ≥ threshold — one
+    representative per semantic near-dup chain, candidate work
+    Σ|cell|² not N². See operators/similarity.semantic_dedup."""
+    return _sim.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_corpus_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS wc,
+                   list_sum([length(x) FOR x IN string_split(text, ' ')])
+                       * 1.0 / len(string_split(text, ' ')) AS mean_len,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       * 1.0 / length(text) AS sym_ratio
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, wc,
+                   wc BETWEEN {_text.FILTER_MIN_TOKENS}
+                          AND {_text.FILTER_MAX_TOKENS}
+                   AND mean_len BETWEEN {_text.FILTER_MIN_MEAN_LEN}
+                                    AND {_text.FILTER_MAX_MEAN_LEN}
+                   AND sym_ratio <= {_text.FILTER_MAX_SYMBOL_RATIO} AS keep,
+                   CAST(round(round(
+                       (wc * least(wc, 100)
+                        + 60 * len(list_distinct(toks))
+                        + 4 * least(list_sum([length(x) FOR x IN toks]),
+                                    10 * wc))
+                       / (200.0::DOUBLE * wc), 6) * 1000000)
+                        AS BIGINT) AS q_micro
+            FROM t
+        )
+        SELECT lang,
+               count(*)                        AS n_docs,
+               CAST(sum(wc) AS BIGINT)         AS total_tokens,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(sum(q_micro) / 1000000.0 / count(*), 6)
+                   AS mean_quality
+        FROM g GROUP BY lang
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report per language: doc/token counts, heuristic
+    keep counts, mean quality. The mean aggregates micro-integer
+    quality scores (each per-row score quantized before summation) so
+    the language-level average is order-independent — the fixed-point
+    discipline applied to a derived metric, not just money."""
+    docs = _t(spark, sf_dir, "documents")
+    hf = _text.heuristic_filter(docs).select("doc_id", "n_tokens", "keep")
+    q = _text.quality_score(docs).select(
+        "doc_id", F.round(F.col("quality") * 1_000_000).cast("long").alias("q_micro")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(hf, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.sum("q_micro") / 1_000_000.0 / F.count(F.lit(1)), 6).alias(
+                "mean_quality"
+            ),
+        )
+    )
+
+
+@register("q_pack_sequences", oracle=_text.pack_sequences_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: GPT-style concat-then-chunk sequence packing —
+    documents assigned to fixed-token-budget bins by prefix-sum
+    offset, windowed PER LANGUAGE so packing parallelizes across
+    streams instead of funneling through one global sort. Per-bin
+    doc counts and token mass are the packing-efficiency stats a
+    training-data pipeline reports."""
+    return _text.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register("q_mixture_sample", oracle=_text.mixture_sample_oracle())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: deterministic mixture weighting — per-source
+    salted-hash admission at two rates (80%/30%). Membership is a
+    pure function of the id, so the sample is identical under
+    re-runs, retries, and any partitioning; counts + kept-token mass
+    certify the realized rates."""
+    return _text.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("q_vocab_build", oracle=_text.vocab_build_oracle())
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 tokenizer-vocabulary construction: corpus token counts,
+    min-count floor, dense frequency-ranked ids with a deterministic
+    (count DESC, token) tie-break — two runs assign identical ids.
+    The ranking window rides the min-count-pruned VOCAB, not the
+    token stream. See operators/text.vocab_build."""
+    return _text.vocab_build(_t(spark, sf_dir, "documents"))
+
+
+@register("q_unigram_surprisal", oracle=_text.unigram_surprisal_oracle())
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 CCNet-shaped LM quality scoring, integer-exact: mean
+    unigram surprisal of each eval-split document under the
+    train-split unigram model, with a pure-integer floor-log2 (no
+    float log — engine-portable to the bit). OOV gets the max
+    penalty. See operators/text.unigram_surprisal."""
+    return _text.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_corpus_pipeline",
+    bench=True,
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text, lang,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, lang, len(toks) AS n_tokens
+            FROM f
+            WHERE len(toks) BETWEEN {_text.FILTER_MIN_TOKENS}
+                                AND {_text.FILTER_MAX_TOKENS}
+              AND list_sum([length(x) FOR x IN toks]) * 1.0 / len(toks)
+                    BETWEEN {_text.FILTER_MIN_MEAN_LEN}
+                        AND {_text.FILTER_MAX_MEAN_LEN}
+              AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                    * 1.0 / length(text) <= {_text.FILTER_MAX_SYMBOL_RATIO}
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ),
+        train AS (
+            SELECT k.doc_id, k.lang, k.n_tokens
+            FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+            WHERE {md5_long_sql("'split:' || CAST(k.doc_id AS VARCHAR)")}
+                    % 100 < 80
+        ),
+        packed AS (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM train
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(DISTINCT CAST(floor((cum - n_tokens)
+                                         / {_text.PACK_CAPACITY}) AS BIGINT))
+                   AS n_bins
+        FROM packed
+        GROUP BY lang
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flagship: the full training-corpus pipeline as ONE
+    declarative plan — heuristic quality gate → exact dedup (keep
+    lowest id per text hash) → deterministic 80% train split →
+    per-language sequence packing — reported as per-language doc/
+    token/bin counts. Catalyst fuses the per-row stages into the
+    scan-side map; the only shuffles are the dedup groupBy, the pack
+    window, and the final aggregate. Every stage is the registered
+    operator's own builder, so this certifies the COMPOSITION, not a
+    re-implementation."""
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = (
+        _text.heuristic_filter(docs).where(F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    keepers = _dedup.exact_dedup(kept).select(F.col("keeper").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id")
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    train = survivors.where(bucket < 80)
+    packed = _text.pack_sequences(train)
+    return packed.groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+@register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 / ingest loop: anti-join a new batch (source src0) against
+    the admitted corpus's normalized fingerprints, then dedup within
+    the batch. Fingerprints (not text) cross the join; small sets
+    broadcast, large ones fall back to a hash anti-join via AQE."""
+    return _dedup.incremental_dedup(_t(spark, sf_dir, "documents"), batch_source="src0")
+
+
+#: Price bands for the non-equi range join — a dimension of
+#: [lo, hi) intervals; any row set works, bands just bucket it.
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("b0_low", 0.0, 925.0),
+    ("b1_mid", 925.0, 950.0),
+    ("b2_high", 950.0, 975.0),
+    ("b3_top", 975.0, 100000.0),
+]
+
+
+@register(
+    "q_range_band_join",
+    bench=True,
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES {", ".join(
+            f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+        SELECT band,
+               count(*) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
+               min(p_partkey) AS first_part
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range (band) join: bucket parts into [lo, hi) price
+    intervals from an inline dimension. The tiny band table is
+    broadcast, so the non-equi condition runs as a
+    BroadcastNestedLoopJoin — the right physical plan for an
+    interval dimension at any fact-side scale. Money summed in
+    integer cents (order-independent)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.min("p_partkey").alias("first_part"),
+        )
+    )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_ms(p.ts) AS p_ts_ms,
+               count(c.ts)    AS n_clicks_10m
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+        GROUP BY 1, 2, 3
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (the batch shape of a stream-stream time-bounded
+    join): for each purchase, clicks by the same user in the
+    preceding 10 minutes. The user_id equi-key carries the shuffle
+    (hash join); the time bounds are post-join range predicates, so
+    the plan stays a key-partitioned join — the same layout a
+    watermarked stream-stream join uses — not a cross product."""
+    return interval_click_attribution(_t(spark, sf_dir, "events"))
+
+
+def interval_click_attribution(events: DataFrame) -> DataFrame:
+    """The q_interval_join body over any events-shaped frame — shared
+    with the boundary test so the REGISTERED bounds (inclusive lower,
+    strict upper) are what gets asserted."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "left",
+        )
+        .groupBy("p_id", "user_id", F.unix_millis("p_ts").alias("p_ts_ms"))
+        .agg(F.count("c_ts").alias("n_clicks_10m"))
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+        SELECT user_id, spend_cents,
+               ntile(4) OVER (ORDER BY spend_cents DESC, user_id) AS quartile
+        FROM (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_cents
+            FROM events GROUP BY user_id
+        )
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ntile: users bucketed into spend quartiles. Sums in
+    integer cents (order-independent); the ORDER BY carries a user_id
+    tiebreak so bucket assignment is unique. Single-partition window
+    by construction — fine here because the frame is one row per
+    user after aggregation, bounded, not raw-event-sized."""
+    e = _t(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("user_id"))
+    return spend.select(
+        "user_id", "spend_cents", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus)   AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS
+            ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general Expand-operator form that
+    rollup/cube (q_rollup/q_cube) specialize. Spark's Expand node
+    replicates each input row once per grouping set ahead of a single
+    hash aggregate, so the table is scanned once no matter how many
+    sets are requested; partial aggregation still applies per set.
+    grouping() markers disambiguate aggregation NULLs from data NULLs
+    (statuses are non-null here, but the contract must not rely on
+    that). Money summed in integer cents (order-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        _cents_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, cents * 1000000000 + o_orderkey)
+                   AS top_orderkey,
+               max(cents) / 100.0 AS top_price,
+               arg_min(o_orderkey, cents * 1000000000 + o_orderkey)
+                   AS bottom_orderkey,
+               min(cents) / 100.0 AS bottom_price
+        FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        GROUP BY o_orderstatus
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates (max_by/min_by): the priciest and
+    cheapest order per status in ONE aggregation pass — no self-join,
+    no window sort; partial max_by states merge associatively like any
+    algebraic aggregate. Prices tie across orders, so the ordering key
+    is a composite BIGINT (cents * 1e9 + orderkey) that is unique and
+    overflow-safe while cents < 9.2e9 (a $92M order) and orderkey <
+    1e9 — both hold at every TPC-H scale factor in range."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    key = F.col("cents") * F.lit(1_000_000_000) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        (F.max("cents") / F.lit(100.0)).alias("top_price"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        (F.min("cents") / F.lit(100.0)).alias("bottom_price"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+            SELECT user_id, ts_ms,
+                   CAST(sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM ordered
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+               max(ts_ms) - min(ts_ms) AS duration_ms
+        FROM marked
+        GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a session breaks after a
+    30-min silence. The streaming twin is q_session_window
+    (session_window(ts, '30 minutes')); this is the batch idiom —
+    lag() marks session starts, a running sum numbers them, one
+    groupBy collapses them. All three windows partition by user_id, so
+    the whole plan rides a single hash partitioning of 150..N-million
+    users with no global sort; exact epoch-ms integer arithmetic and
+    an event_id tiebreak keep the numbering engine-identical."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1_800_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS rendered as a
+    LEFT SEMI join with a non-equi residual (l_shipdate > o_orderdate
+    — the fixture has no commit/receipt dates, so late shipment stands
+    in). Semi join means lineitem matches short-circuit per order and
+    the probe side never duplicates rows; the quarter predicate on
+    orders is pushed to its scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q_priority_shipmode",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+)
+def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation over a fact join): the
+    year predicate prunes lineitem at the scan, the join shuffles both
+    sides on orderkey once, and the CASE pivot happens inside the
+    partial aggregate — 3 output rows, so the final shuffle is
+    trivial. The fixture lacks l_shipmode; l_returnflag plays the
+    grouping role with identical plan shape."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_decayed_engagement",
+    oracle="""
+        WITH mx AS (SELECT max(epoch_ms(ts)) AS mx_ms FROM events),
+        w AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT)
+                   * (1::BIGINT << (30 - least(
+                         (mx_ms - epoch_ms(ts)) // 86400000, 30)))
+                       AS w_scaled
+            FROM events, mx
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               round(CAST(sum(w_scaled) AS BIGINT)
+                     / (CAST(1073741824 AS DOUBLE) * 100.0), 6)
+                   AS decayed_spend
+        FROM w
+        GROUP BY user_id
+        ORDER BY decayed_spend DESC, user_id
+        LIMIT 20
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement (feature-engineering shape): each
+    event's spend decays by 2^-age_days (capped at 30 days), top-20
+    users by the decayed total. The half-life weight is a POWER OF
+    TWO, so every term value_cents·2^(30−age) is an exact integer —
+    the whole aggregate is integer arithmetic and only the final
+    single division is float (deterministic on both engines). The
+    usual exp(-λ·age) weighting cannot be differentially certified
+    (transcendental per-row + order-dependent float sum); the dyadic
+    form keeps the operator shape with exact parity. One shuffle on
+    user_id with map-side partials; the max-ts anchor is a one-row
+    broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = e.agg(F.max("ts_ms").alias("mx_ms"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "cents * shiftleft(1L, 30 - "
+            "least((mx_ms - ts_ms) div 86400000, 30))"
+        ).alias("w_scaled"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("w_scaled")
+                / (F.lit(1073741824).cast("double") * F.lit(100.0)),
+                6,
+            ).alias("decayed_spend"),
+        )
+        .orderBy(F.col("decayed_spend").desc(), "user_id")
+        .limit(20)
+    )
+
+
+def _radius_search_parts() -> tuple[str, str, float, float]:
+    """Driver-side spatial prep shared by q_radius_search and its
+    oracle: the distinct reading cells decoded to centers (pure-Python
+    geohash toolkit — F6/F7), the center point, the equirectangular
+    longitude scale, and the radius² in squared degrees. Every float
+    is embedded via repr() into BOTH engines' SQL, so the refine
+    arithmetic is bit-identical."""
+    import math
+
+    from kafka_streams_pipeline_spark.sources.readings import (
+        EVENT_TYPE_GEOHASH,
+    )
+
+    lat0, lon0 = geo.decode("u155mz")
+    k = math.cos(math.radians(lat0))
+    r2 = (20.0 / 111.32) ** 2  # 20 km in squared degrees
+    cells = sorted({gh[:6] for gh in EVENT_TYPE_GEOHASH.values()})
+    rows = [(c, *geo.decode(c)) for c in cells]
+    spark_dim = "VALUES " + ", ".join(
+        f"('{c}', {la!r}D, {lo!r}D)" for c, la, lo in rows
+    )
+    duck_dim = "VALUES " + ", ".join(
+        f"('{c}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+        for c, la, lo in rows
+    )
+    # CAST(… AS DOUBLE) on every literal: both engines parse bare
+    # float literals as DECIMAL (DuckDB even overflows its max scale
+    # multiplying them); the cast form is portable and IEEE-exact.
+    la0 = f"CAST({lat0!r} AS DOUBLE)"
+    lo0 = f"CAST({lon0!r} AS DOUBLE)"
+    kk = f"CAST({k!r} AS DOUBLE)"
+    d2 = (
+        f"((clat - {la0}) * (clat - {la0}) + "
+        f"((clon - {lo0}) * {kk}) * ((clon - {lo0}) * {kk}))"
+    )
+    return spark_dim, duck_dim, r2, d2
+
+
+_RS_SPARK_DIM, _RS_DUCK_DIM, _RS_R2, _RS_D2 = (
+    lambda p: (p[0], p[1], p[2], p[3])
+)(_radius_search_parts())
+
+
+@register(
+    "q_radius_search",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql()}),
+        dim(gh6, clat, clon) AS ({_RS_DUCK_DIM}),
+        hits AS (
+            SELECT substring(r.geohash, 1, 6) AS gh6, r.tempVal,
+                   d.clat, d.clon
+            FROM readings r
+            JOIN dim d ON substring(r.geohash, 1, 6) = d.gh6
+            WHERE {_RS_D2} <= CAST({_RS_R2!r} AS DOUBLE)
+        )
+        SELECT gh6,
+               count(*) AS n_readings,
+               round(sum(CAST(round(tempVal * 100) AS BIGINT)) / 100.0
+                     / count(*), 6) AS avg_val,
+               round(sqrt({_RS_D2.replace('clat', 'any_value(clat)')
+                                 .replace('clon', 'any_value(clon)')})
+                     * 111.32, 6) AS dist_km
+        FROM hits
+        GROUP BY gh6
+    """,
+)
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius search — the natural companion to the bbox
+    snapshot (querying/QueryingService.java:124-203): readings within
+    20 km of a center point, aggregated per cell. The geohash toolkit
+    runs DRIVER-side (the repo's core spatial design): distinct cells
+    decode to a literal dimension, the equirectangular refine
+    ((Δlat)² + (Δlon·cos lat₀)² ≤ r²) is plain arithmetic over
+    literals identical in both engines — no trig, no Python, no UDF
+    in the plan. At scale the dim is the maintained distinct-cell
+    table (≪ data, broadcast), the coarse cover prefilter is the
+    same IN/prefix predicate the snapshot uses, and the refine is a
+    scan-local expression."""
+    r = readings_from_events(_t(spark, sf_dir, "events")).select(
+        F.expr("substring(geohash, 1, 6)").alias("gh6"), "tempVal"
+    )
+    dim = spark.sql(
+        f"SELECT col1 AS gh6, col2 AS clat, col3 AS clon FROM ({_RS_SPARK_DIM})"
+    )
+    hits = r.join(F.broadcast(dim), "gh6").where(
+        F.expr(_RS_D2) <= F.lit(_RS_R2)
+    )
+    return hits.groupBy("gh6").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(
+            F.sum(F.round(F.col("tempVal") * 100).cast("long"))
+            / F.lit(100.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_val"),
+        F.round(
+            F.expr(
+                "sqrt("
+                + _RS_D2.replace("clat", "any_value(clat)").replace(
+                    "clon", "any_value(clon)"
+                )
+                + ") * 111.32"
+            ),
+            6,
+        ).alias("dist_km"),
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM lineitem
+        )
+        SELECT count(*) AS n_lines,
+               CAST(sum(l.price_c) AS BIGINT) AS rev_cents
+        FROM li l
+        WHERE l.qty_c * 5 * (SELECT count(*) FROM li i
+                             WHERE i.l_partkey = l.l_partkey)
+              < (SELECT sum(i.qty_c) FROM li i
+                 WHERE i.l_partkey = l.l_partkey)
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): keep lines whose
+    quantity is below 20% of their part's average — the canonical
+    CORRELATED SCALAR SUBQUERY, which Catalyst decorrelates into an
+    aggregate + join (run .explain: no per-row subplan execution
+    survives). Expressed through the SQL surface so the rewrite
+    itself is what's certified. The avg comparison is cross-
+    multiplied (qty·5·cnt < sum) so the predicate is pure-integer —
+    no float avg to drift between engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17_raw")
+    return spark.sql(
+        """
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM li_q17_raw
+        )
+        SELECT count(*) AS n_lines,
+               CAST(sum(l.price_c) AS BIGINT) AS rev_cents
+        FROM li l
+        WHERE l.qty_c * 5 * (SELECT count(*) FROM li i
+                             WHERE i.l_partkey = l.l_partkey)
+              < (SELECT sum(i.qty_c) FROM li i
+                 WHERE i.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q_large_orders",
+    bench=True,
+    oracle="""
+        WITH totals AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS total_qty_c,
+                   count(*)        AS n_items
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 17500
+        )
+        SELECT o.o_orderkey,
+               epoch_ms(o.o_orderdate) AS order_ms,
+               t.total_qty_c,
+               t.n_items
+        FROM orders o JOIN totals t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a HAVING-filtered
+    aggregate over the fact table drives a join back to the orders
+    dimension — the aggregate-derived join pattern. The heavy side
+    aggregates BEFORE joining (map-side partials, one shuffle on
+    orderkey); the surviving total is tiny, so AQE turns the join
+    broadcast at runtime. Quantities in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("total_qty_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .where(F.col("total_qty_c") > 17500)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(totals, o.o_orderkey == totals.l_orderkey).select(
+        "o_orderkey",
+        # o_orderdate arrives TIMESTAMP_NTZ; session tz is UTC, so the
+        # naive values ARE UTC instants (same rule as load_table)
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_ms"
+        ),
+        "total_qty_c",
+        "n_items",
+    )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): count orders
+    per customer INCLUDING zero-order customers, then histogram the
+    counts. The priority predicate lives INSIDE the left-join
+    condition — pushing it to a WHERE would silently delete the
+    zero-order rows, so this certifies join-condition-vs-filter
+    semantics. Two-level aggregation: per-customer count (shuffle on
+    custkey), then a histogram over the tiny count domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+
+
+@register(
+    "q_hll_distinct",
+    oracle=_sk.hll_distinct_oracle("events", "user_id"),
+    bench=True,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 approximate aggregation: portable HyperLogLog distinct-user
+    estimate whose registers are bit-identical on Spark and DuckDB
+    (md5-derived buckets, pure-integer rho, exact-BIGINT harmonic
+    denominator) — the sketch VALUE is oracle-certified, not just its
+    plumbing. One pass + a 256-key shuffle + a one-row final agg;
+    registers merge associatively, so map-side partials do the work.
+    See operators/sketches.py."""
+    return _sk.hll_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle=_sk.bloom_semijoin_oracle(
+        "SELECT DISTINCT o_custkey AS k FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'",
+        "customer",
+        "c_custkey",
+    ),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 runtime-filter certification: Bloom semi-join reduction —
+    bit positions of the filtered build-side key set (urgent 1998
+    orders' custkeys) broadcast against the customer probe side;
+    output counts the probe population, bloom passes, exact matches,
+    and false positives, so the no-false-negative invariant and the
+    false-positive rate are both inside the oracle hash. The probe
+    side never shuffles before the reduction — the mechanism behind
+    Spark's runtimeFilter.bloomFilter, differentially tested.
+    See operators/sketches.bloom_semijoin_reduction."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (
+            F.col("o_orderdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    return _sk.bloom_semijoin_reduction(
+        o, _t(spark, sf_dir, "customer"), "o_custkey", "c_custkey"
+    )
+
+
+@register("q_chunk_dedup", oracle=_corpus.chunk_dedup_oracle())
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/corpus-hygiene: CCNet-style boilerplate removal by
+    corpus-wide chunk-hash dedup — per-document total/boilerplate
+    chunk counts and surviving word count. Text never shuffles; both
+    exchanges carry (doc_id, md5) pairs. See operators/corpus.py."""
+    return _corpus.chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_contamination", oracle=_corpus.contamination_oracle())
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene: train/eval 12-gram contamination check over
+    q_hash_split's deterministic splits — per held-out doc, distinct
+    shingles, shingles also present anywhere in train, and the ratio.
+    Both sides reduce to hash sets before the only join."""
+    return _corpus.contamination(_t(spark, sf_dir, "documents"))
+
+
+@register("q_stratified_sample", oracle=_corpus.stratified_sample_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene: reproducible per-language top-20 sample keyed
+    by salted doc_id md5 — identical membership across runs, engines,
+    and partitionings (rand()/TABLESAMPLE cannot promise this)."""
+    return _corpus.stratified_sample(_t(spark, sf_dir, "documents"))
+
+

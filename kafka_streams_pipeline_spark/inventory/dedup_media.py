@@ -1,0 +1,776 @@
+"""Extension operators (SURVEY.md §2.9): exact/minhash/simhash/
+embedding dedup, similarity search (top-k, LSH, IVF), text metrics,
+and the real-codec media decode family (WAV/BMP/AVI/JPEG/MJPEG/PNG/
+MP4) with exact recurrence oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_streams_pipeline_spark import geo
+from kafka_streams_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from kafka_streams_pipeline_spark.inventory._registry import ORACLES, register
+from kafka_streams_pipeline_spark.inventory._shared import (
+    VIEW_CTE,
+    _cents_sum,
+    _served_view,
+    _t,
+)
+from kafka_streams_pipeline_spark.operators import dedup as _dedup
+from kafka_streams_pipeline_spark.operators import multimodal as _mm
+from kafka_streams_pipeline_spark.operators import similarity as _sim
+from kafka_streams_pipeline_spark.operators import text as _text
+from kafka_streams_pipeline_spark.operators.queries import (
+    history,
+    history_interval,
+    merge_views,
+    reaggregate_precision,
+    snapshot,
+)
+from kafka_streams_pipeline_spark.operators.view import build_view
+from kafka_streams_pipeline_spark.sources.readings import (
+    EVENT_TYPE_GEOHASH,
+    readings_from_events,
+    readings_from_events_sql,
+)
+from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
+from kafka_streams_pipeline_spark.sources.tables import load_table, pushed_ts_range
+
+# ---------------------------------------------------------------------------
+# Extension operators (SURVEY.md §2.9): dedup / similarity / text /
+# multimodal — the LLM-data-pipeline family.
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup (hash-groupBy, keeper = lowest id)."""
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_normalized",
+    oracle=f"""
+        SELECT md5({_dedup.DUCK_NORMALIZE.format(c='text')}) AS norm_md5,
+               min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: normalized-text dedup (lower/strip-punct/collapse-ws)."""
+    return _dedup.normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_minhash", oracle=_dedup.minhash_pairs_oracle(0.8), bench=True)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket
+    join→exact-Jaccard verify, threshold 0.8)."""
+    return _dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("q_dedup_ngram", oracle=_dedup.ngram_pairs_oracle(0.8))
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact n-gram Jaccard pairs via inverted shingle index —
+    the exact baseline certifying the MinHash path."""
+    return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("q_dedup_components", oracle=_dedup.components_oracle(0.8), bench=True)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: duplicate-group clustering — connected components over the
+    MinHash pair graph by iterative min-label propagation; the oracle
+    is a recursive-CTE transitive closure, certifying the fixpoint."""
+    return _dedup.dedup_components(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q_dedup_best_keeper",
+    oracle=f"""
+        WITH comp AS ({{COMPONENTS}}),
+        q AS ({{QUALITY}}),
+        j AS (
+            SELECT comp.component, comp.doc_id, q.quality
+            FROM comp JOIN q USING (doc_id)
+        ),
+        ranked AS (
+            SELECT component, doc_id, quality,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY quality DESC, doc_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY component) AS n_members
+            FROM j
+        )
+        SELECT component,
+               CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS keeper,
+               quality AS keeper_quality
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality-aware dedup keeper selection: within each near-dup
+    component (MinHash → connected components), keep the HIGHEST-
+    quality member instead of the arbitrary lowest id — the policy a
+    real corpus dedup actually wants (drop the worse copies). The
+    arg-max is a partial/final max over a (quality, doc_id) struct —
+    no window over the corpus; quality is the single-division
+    integer-numerator score, so the keeper choice is deterministic
+    and engine-identical (doc_id tiebreak on equal quality)."""
+    docs = _t(spark, sf_dir, "documents")
+    comps = _dedup.dedup_components(docs, threshold=0.8)
+    q = _text.quality_score(docs)
+    return (
+        comps.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("quality"), F.col("doc_id"))).alias("m"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.col("m.doc_id").alias("keeper"),
+            F.col("m.quality").alias("keeper_quality"),
+        )
+    )
+
+
+# splice the sub-oracles in (both are self-contained SELECTs; the
+# components one carries its own WITH RECURSIVE, legal as a nested
+# CTE body)
+ORACLES["q_dedup_best_keeper"] = (
+    ORACLES["q_dedup_best_keeper"]
+    .replace("{COMPONENTS}", _dedup.components_oracle(0.8))
+    .replace("{QUALITY}", _text.quality_score_oracle())
+)
+
+
+@register("q_dedup_simhash", oracle=_dedup.simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 32-bit SimHash signatures (bitwise majority of token
+    hashes); near-dups land within small Hamming distance."""
+    return _dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_embed", oracle=_sim.nearest_pairs_oracle(20))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: embedding-cosine near-dup — top-20 closest vector pairs."""
+    return _sim.nearest_pairs(_t(spark, sf_dir, "embeddings"), top_n=20)
+
+
+@register("q_dedup_embed_lsh", oracle=_sim.nearest_pairs_lsh_oracle(20), bench=True)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: the same top-20 closest-pair query as
+    q_dedup_embed, with the pair space pruned by banded hyperplane
+    LSH (4 tables × 8 deterministic md5 planes) instead of the
+    all-pairs join — single groupBy(bucket) shuffle + in-group pair
+    generation, exact cosine on candidates only. ~7× faster than the
+    exact baseline at sf0.1 and sub-quadratic at corpus scale."""
+    return _sim.nearest_pairs_lsh(_t(spark, sf_dir, "embeddings"), top_n=20)
+
+
+@register("q_sim_topk", oracle=_sim.topk_cosine_oracle(0, 10), bench=True)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-10 for a stored query vector."""
+    return _sim.topk_cosine(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("q_sim_ann_lsh", oracle=_sim.topk_cosine_lsh_oracle(0, 10))
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hyperplane-LSH ANN top-10 (bucket-restricted; approximate
+    by construction, deterministic planes → exact oracle)."""
+    return _sim.topk_cosine_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("q_sim_ann_ivf", oracle=_sim.topk_cosine_ivf_oracle(0, 10))
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF-style ANN top-10 — deterministic coarse quantizer,
+    nprobe=2 cell probing, exact re-rank inside probed cells (the
+    second scale path beside hyperplane LSH)."""
+    return _sim.topk_cosine_ivf(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("q_array_stats", oracle=_sim.array_stats_oracle())
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-vector array stats (dim, L2 norm, min/max/mean)."""
+    return _sim.array_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_text_tokens", oracle=_text.token_stats_oracle())
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-document token statistics."""
+    return _text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_text_wordcount", oracle=_text.wordpiece_counts_oracle(), bench=True)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: BPE-ish regex tokenization → global term frequencies."""
+    return _text.wordpiece_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("q_lang_id", oracle=_text.lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: stopword-vote language-ID heuristic."""
+    return _text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register("q_lang_stats", oracle=_text.lang_table_stats_oracle())
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-language corpus statistics."""
+    return _text.lang_table_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("q_pii_scrub", oracle=_text.pii_scrub_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / hygiene: PII redaction (emails, URLs, phones, long digit
+    runs) — per-doc counts by type + scrubbed-text md5."""
+    return _text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register("q_doc_length_hist", oracle=_text.doc_length_hist_oracle())
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 / profiling: document-length histogram (100-char buckets)."""
+    return _text.doc_length_hist(_t(spark, sf_dir, "documents"))
+
+
+@register("q_quality_score", oracle=_text.quality_score_oracle())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: heuristic document quality score (length/diversity/shape)."""
+    return _text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register("q_fingerprint", oracle=_text.fingerprints_oracle())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: document fingerprints (md5 prefix + order-sensitive
+    polynomial rolling hash)."""
+    return _text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata;
+    pure-JVM byte-length/md5 — the cheap pre-decode pass (decode
+    itself is the real per-codec mapInPandas path certified by the
+    q_media_* rows and q_media_features)."""
+    media = _mm.media_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.binary_meta(media)
+
+
+_MEDIA_FEATURES_ORACLE = """
+    WITH aud AS (
+        SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    aud_s AS (
+        SELECT doc_id, n,
+               (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+        FROM aud, unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    aud_f AS (
+        SELECT doc_id AS asset_id, 'audio' AS media_type,
+               CAST(1 AS DOUBLE) AS f0, CAST(8000 AS DOUBLE) AS f1,
+               CAST(16 AS DOUBLE) AS f2, CAST(n AS DOUBLE) AS f3,
+               CAST(n * 1000 // 8000 AS DOUBLE) AS f4,
+               CAST(max(abs(s)) AS DOUBLE) AS f5,
+               CAST(sum(s) AS DOUBLE) AS f6,
+               CAST(sum(s * s) AS DOUBLE) AS f7
+        FROM aud_s GROUP BY doc_id, n
+    ),
+    img AS (
+        SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    img_px AS (
+        SELECT doc_id, w, h, k,
+               (doc_id * 17 + k * 29) % 256 AS v
+        FROM img, unnest(generate_series(0, h * w * 3 - 1)) AS t(k)
+    ),
+    img_f AS (
+        SELECT doc_id AS asset_id, 'image' AS media_type,
+               CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+               CAST(24 AS DOUBLE) AS f2, CAST(w * h AS DOUBLE) AS f3,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) AS f4,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) AS f5,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) AS f6,
+               CAST(max(v) AS DOUBLE) AS f7
+        FROM img_px GROUP BY doc_id, w, h
+    ),
+    vid AS (
+        SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 3 + 2 AS w,
+               doc_id % 5 + 2 AS h
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    vid_px AS (
+        SELECT doc_id, nf, w, h, f,
+               (doc_id * 23 + f * 101 + k * 29) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS tf(f),
+             unnest(generate_series(0, h * w * 3 - 1)) AS tk(k)
+    ),
+    vid_f AS (
+        SELECT doc_id AS asset_id, 'video' AS media_type,
+               CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+               CAST(40000 AS DOUBLE) AS f2, CAST(nf AS DOUBLE) AS f3,
+               CAST(sum(v) AS DOUBLE) AS f4,
+               CAST(max(v) AS DOUBLE) AS f5,
+               CAST(sum(CASE WHEN f = 0 THEN v ELSE 0 END) AS DOUBLE) AS f6,
+               CAST(sum(CASE WHEN f = nf - 1 THEN v ELSE 0 END) AS DOUBLE) AS f7
+        FROM vid_px GROUP BY doc_id, nf, w, h
+    )
+    SELECT * FROM aud_f
+    UNION ALL SELECT * FROM img_f
+    UNION ALL SELECT * FROM vid_f
+"""
+
+
+@register("q_media_features", oracle=_MEDIA_FEATURES_ORACLE)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction, certified end-to-end: the
+    mixed-modality fixture (REAL BMP/WAV/AVI payloads per doc_id % 3)
+    through extract_features' per-media_type dispatch to the stdlib
+    parsers, flattened to one row of 8 feature columns per asset. The
+    oracle recomputes every decoded feature from the fixture's
+    integer recurrences in pure SQL — so a parser that mis-walks any
+    of the three containers flips the hash. See
+    operators/multimodal.py extract_features/_real_features."""
+    media = _mm.typed_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = _mm.extract_features(media)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(_mm.FEAT_DIM)],
+    )
+
+
+@register(
+    "q_media_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, n,
+                   (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+            FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id                          AS asset_id,
+               CAST(1 AS BIGINT)               AS n_channels,
+               CAST(8000 AS BIGINT)            AS sample_rate,
+               CAST(16 AS BIGINT)              AS bits_per_sample,
+               n                               AS n_samples,
+               n * 1000 // 8000                AS duration_ms,
+               max(abs(s))                     AS peak_abs,
+               CAST(sum(s) AS BIGINT)          AS sum_samples,
+               round(CAST(sum(s) AS BIGINT) / n, 6) AS mean_val
+        FROM samples
+        GROUP BY doc_id, n
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real decode kernel: genuine PCM16 RIFF/WAVE payloads
+    synthesized per document, decoded by the stdlib chunk-walking WAV
+    parser (operators/multimodal.parse_wav) inside mapInPandas —
+    header fields + exact integer PCM stats. The oracle recomputes the
+    decoded stats from the sample recurrence in pure SQL, so the hash
+    match certifies the decode end-to-end. Payloads are built and
+    decoded partition-locally: nothing but small typed columns ever
+    shuffles."""
+    wav = _mm.wav_from_documents(_t(spark, sf_dir, "documents"))
+    dec = _mm.decode_wav(wav)
+    return dec.select(
+        "asset_id",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "sum_samples",
+        F.round(F.col("sum_samples") / F.col("n_samples"), 6).alias("mean_val"),
+    )
+
+
+@register(
+    "q_media_audio_energy",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, i // {_mm.ENERGY_FRAME} AS frame_idx,
+                   (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+            FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id            AS asset_id,
+               frame_idx,
+               count(*)          AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS energy,
+               max(abs(s))       AS peak_abs
+        FROM samples
+        GROUP BY doc_id, frame_idx
+    """,
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 windowed audio analysis: WAV decode → fixed 20-sample
+    framing → exact integer energy (Σs²) and peak per frame — the
+    decode/window/feature chain before VAD or audio embedding,
+    expanding 1 asset row → ceil(n/20) frame rows in the same Arrow
+    pass as the decode."""
+    wav = _mm.wav_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.audio_frame_energy(wav)
+
+
+@register(
+    "q_media_image_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+            FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, w, h, k,
+                   (doc_id * 17 + k * 29) % 256 AS v
+            FROM base, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id                 AS asset_id,
+               w                      AS width,
+               h                      AS height,
+               CAST(24 AS BIGINT)     AS bits_per_pixel,
+               CAST(w * h AS BIGINT)  AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                 AS peak
+        FROM comps
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real image decode kernel: genuine 24-bit Windows BMP
+    payloads (bottom-up rows, 4-byte padding) synthesized per
+    document, decoded by the stdlib BMP parser
+    (operators/multimodal.parse_bmp) inside mapInPandas — header
+    fields + exact integer pixel stats. ``weighted_sum`` weights each
+    component by its logical linear index, so a parser that
+    mishandles the row flip or padding cannot hash-match. The oracle
+    recomputes everything from the pixel recurrence in pure SQL."""
+    bmp = _mm.bmp_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_bmp(bmp)
+
+
+@register(
+    "q_media_video_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 4 + 2 AS nf,
+                   doc_id % 3 + 2 AS w,
+                   doc_id % 5 + 2 AS h
+            FROM documents
+        ),
+        sampled AS (
+            SELECT doc_id, nf, w, h, f
+            FROM base, unnest(generate_series(0, nf - 1)) AS tf(f)
+            WHERE f % 2 = 0
+        ),
+        comps AS (
+            SELECT doc_id, w, h, f, k,
+                   (doc_id * 23 + f * 101 + k * 29) % 256 AS v
+            FROM sampled, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id            AS asset_id,
+               f                 AS frame_idx,
+               f * 40            AS frame_ts_ms,
+               w                 AS width,
+               h                 AS height,
+               CAST(sum(v) AS BIGINT)     AS sum_px,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)            AS peak
+        FROM comps
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real video frame-sampling kernel: genuine uncompressed AVI
+    containers (RIFF nested-LIST structure, '00db' DIB frames)
+    synthesized per document, parsed by the stdlib AVI reader
+    (operators/multimodal.parse_avi) inside mapInPandas; every 2nd
+    frame sampled with exact integer pixel stats. frame_ts_ms derives
+    from the container's own dwMicroSecPerFrame (25 fps → 40 ms/
+    frame), so the oracle's f*40 certifies the header was actually
+    read. 1 video row → ceil(nf/2) frame rows — the row-expanding
+    Arrow batch shape."""
+    avi = _mm.avi_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.sample_avi_frames(avi, stride=2)
+
+
+@register(
+    "q_media_image_resize",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 7 + 2 AS h
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id,
+                   (Y * 3 + X) * 3 + c AS k,
+                   (doc_id * 17 +
+                    ((Y * h // 3 * w + X * w // 3) * 3 + c) * 29) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, 2)) AS tx(X),
+                 unnest(generate_series(0, 2)) AS ty(Y),
+                 unnest(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id                AS asset_id,
+               CAST(3 AS BIGINT)     AS width,
+               CAST(3 AS BIGINT)     AS height,
+               CAST(9 AS BIGINT)     AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                AS peak
+        FROM grid
+        GROUP BY doc_id
+    """,
+)
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real image resize: BMP decode → nearest-neighbor 3×3
+    downsample (out (X, Y) ← in (X*w // 3, Y*h // 3)) → BMP re-encode
+    → decode again for stats. Certifies the full decode/transform/
+    re-encode loop: the oracle replicates the floor-index sampling
+    over the pixel recurrence, so a hash match proves both parse and
+    encode are byte-correct. Two chained mapInPandas stages, zero
+    shuffles — payloads never leave their partition."""
+    bmp = _mm.bmp_from_documents(_t(spark, sf_dir, "documents"))
+    small = _mm.resize_bmp(bmp, width=3, height=3)
+    return _mm.decode_bmp(small, payload_col="resized").select(
+        "asset_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+        "weighted_sum",
+        "peak",
+    )
+
+
+@register(
+    "q_media_jpeg_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   8 * (doc_id % 3 + 1) AS w,
+                   8 * (doc_id % 2 + 1) AS h
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, w, h,
+                   w // 8                  AS nbx,
+                   (w // 8) * (h // 8)     AS nb
+            FROM base
+        ),
+        blocks AS (
+            SELECT doc_id, w, h, nb, c, b,
+                   (doc_id * 31 + (c * nb + b) * 17) % 256 AS v,
+                   b // nbx AS brow, b % nbx AS bcol
+            FROM dims,
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                AS asset_id,
+               w                     AS width,
+               h                     AS height,
+               CAST(3 AS BIGINT)     AS n_components,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(sum(CASE WHEN c = 0 THEN 64 * v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN c = 1 THEN 64 * v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN c = 2 THEN 64 * v END) AS BIGINT) AS sum_c2,
+               CAST(sum(v * (c * w * h * 64 + 512 * w * brow + 224 * w
+                             + 512 * bcol + 224)) AS BIGINT) AS spatial_sum,
+               max(v)                AS peak
+        FROM blocks
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real COMPRESSED-image decode: genuine baseline sequential
+    JPEG payloads (T.81 entropy coding — canonical Huffman, DC
+    prediction, zigzag, quantization, DCT) synthesized per document
+    and decoded by the stdlib codec (operators/multimodal.parse_jpeg)
+    inside mapInPandas. The fixture's blocks are constant-valued, for
+    which the flat q=8 table makes the lossy codec bit-exact (DC-only
+    blocks; see the codec section header), so the oracle recomputes
+    the DECODED pixel stats from the generating recurrence in pure
+    SQL. ``spatial_sum`` weights every pixel by (c·h·w + y·w + x):
+    a decoder that misplaces blocks, swaps planes, or mis-walks the
+    zigzag cannot hash-match. A constant-block sum over an 8×8 tile
+    collapses to v·(64·c·h·w + 512·w·brow + 224·w + 512·bcol + 224)."""
+    jpg = _mm.jpeg_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_jpeg(jpg)
+
+
+@register(
+    "q_media_mjpeg_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 + 1       AS nf,
+                   8 * (doc_id % 2 + 1) AS w,
+                   8                    AS h,
+                   doc_id % 2 + 1       AS nb
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, nb, f, c, b,
+                   (doc_id * 37 + f * 113 + (c * nb + b) * 17) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, nf - 1)) AS tf(f),
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                 AS asset_id,
+               f                      AS frame_idx,
+               CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+               w                      AS width,
+               CAST(h AS BIGINT)      AS height,
+               CAST(sum(64 * v) AS BIGINT) AS sum_px,
+               CAST(sum(v * (64 * c * h * w + 224 * w + 512 * b + 224))
+                    AS BIGINT)        AS spatial_sum,
+               max(v)                 AS peak
+        FROM cells
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real COMPRESSED-video decode: Motion-JPEG AVIs (fourcc
+    'MJPG', one complete baseline JPEG per '00dc' chunk) synthesized
+    per document, decoded by composing the two real kernels — the
+    RIFF LIST walker and the T.81 JPEG entropy decoder — inside
+    mapInPandas (operators/multimodal.parse_mjpeg_avi). Frames are
+    block-constant so the JPEG layer is exact at flat q=8 and the
+    oracle recomputes per-frame decoded stats from the recurrence;
+    frame_ts_ms comes from the container's own dwMicroSecPerFrame.
+    Single-block-row frames collapse the spatial weight to
+    v·(64·c·h·w + 224·w + 512·b + 224)."""
+    avi = _mm.mjpeg_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_mjpeg_frames(avi)
+
+
+@register(
+    "q_media_mp4_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 + 1       AS nf,
+                   8 * (doc_id % 2 + 1) AS w,
+                   8                    AS h,
+                   doc_id % 2 + 1       AS nb
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, nb, f, c, b,
+                   (doc_id * 41 + f * 131 + (c * nb + b) * 19) % 256 AS v
+            FROM base,
+                 unnest(generate_series(0, nf - 1)) AS tf(f),
+                 unnest(generate_series(0, 2)) AS tc(c),
+                 unnest(generate_series(0, nb - 1)) AS tb(b)
+        )
+        SELECT doc_id                 AS asset_id,
+               f                      AS frame_idx,
+               CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+               w                      AS width,
+               CAST(h AS BIGINT)      AS height,
+               CAST(sum(64 * v) AS BIGINT) AS sum_px,
+               CAST(sum(v * (64 * c * h * w + 224 * w + 512 * b + 224))
+                    AS BIGINT)        AS spatial_sum,
+               max(v)                 AS peak
+        FROM cells
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real MP4 video decode: MJPEG-in-MP4 (ISO/IEC 14496-12
+    box tree, Photo-JPEG samples located via the stsd/stts/stsc/
+    stsz/stco sample tables — samples packed two per chunk so the
+    sample→chunk map is non-trivial) synthesized per document and
+    decoded by composing the ISO-BMFF walker with the T.81 JPEG
+    entropy decoder inside mapInPandas
+    (operators/multimodal.parse_mp4). Same block-constant exactness
+    construction as q_media_mjpeg_frames (different constants);
+    frame_ts_ms comes from the container's own stts deltas over the
+    mdhd timescale. The reference has no media path at all
+    (SURVEY.md §2.9 X4) — this closes the last container format in
+    the extension surface; H.264 entropy decode remains explicitly
+    rejected (no ffmpeg in this container)."""
+    mp4 = _mm.mp4_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_mp4_frames(mp4)
+
+
+@register(
+    "q_media_png_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h
+            FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, w, h, k,
+                   (doc_id * 19 + k * 41) % 256 AS v
+            FROM base, unnest(generate_series(0, w * h * 3 - 1)) AS t(k)
+        )
+        SELECT doc_id                 AS asset_id,
+               w                      AS width,
+               h                      AS height,
+               CAST(24 AS BIGINT)     AS bits_per_pixel,
+               CAST(w * h AS BIGINT)  AS n_pixels,
+               CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)                 AS peak
+        FROM comps
+        GROUP BY doc_id, w, h
+    """,
+)
+def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real PNG decode: genuine truecolor PNGs (zlib-inflated
+    scanlines, per-chunk CRC-32, row filters CYCLING through all five
+    predictors None/Sub/Up/Average/Paeth) synthesized per document
+    and decoded by the stdlib parser
+    (operators/multimodal.parse_png) inside mapInPandas. PNG is
+    lossless, so the oracle recomputes every decoded stat from the
+    arbitrary pixel recurrence; a decoder that botches any filter
+    inverse, the CRC frame, or row order cannot hash-match."""
+    png = _mm.png_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.decode_png(png)
+
+

@@ -1,0 +1,181 @@
+"""Driver-certification window rotation bookkeeping.
+
+The driver's per-round correctness gate covers only the FIRST 50
+entries of ``__spark_entry__.queries()``; these lists rotate every
+query through that window so each accumulates (and refreshes) a green
+driver row. ``tools/rotate.py`` derives the per-round edits to these
+lists from the recorded CORRECTNESS_r*.json evidence.
+"""
+
+from __future__ import annotations
+
+from kafka_streams_pipeline_spark.inventory._registry import QUERIES
+
+# Queries with a GREEN driver correctness row, ordered
+# oldest-evidence-first so the spare window slots re-certify the
+# stalest rows as a regression guard. The driver's per-round gate
+# only covers the first 50 entries of ``__spark_entry__.queries()``,
+# so rotation is required for every operator to accumulate a driver
+# row: certified names go to the back of the returned dict,
+# never-checked names to the front (VERDICT r2 "Next round" item 3,
+# VERDICT r3 items 1-2, VERDICT r4 items 1-2).
+# Round-3 evidence (CORRECTNESS_r03.json — names still stalest-r3
+# after round 5 re-certified 14 of the original 50 into R5):
+_CERTIFIED_R3: list[str] = [
+    "q_text_tokens",
+    "q_text_wordcount", "q_lang_id", "q_lang_stats", "q_pii_scrub",
+    "q_doc_length_hist", "q_quality_score", "q_fingerprint",
+    "q_multimodal_meta",
+    "q_sliding_window", "q_session_window",
+    "q_text_bigrams", "q_term_stats", "q_dedup_edit",
+    "q_repetition_stats",
+    "q_heuristic_filter", "q_hash_split", "q_ivf_train",
+    "q_embed_quantize", "q_corpus_stats", "q_pack_sequences",
+    "q_mixture_sample", "q_corpus_pipeline", "q_dedup_incremental",
+    "q_range_band_join", "q_interval_join", "q_window_ntile",
+    "q_grouping_sets", "q_minmax_by", "q_sessionize",
+    "q_order_priority", "q_priority_shipmode", "q_chunk_dedup",
+    "q_contamination", "q_stratified_sample", "q_daily_rollup",
+]
+# Round-4 evidence (CORRECTNESS_r04.json — all 50 window rows green;
+# 8 of them were re-certified by round 5 and moved to R5):
+_CERTIFIED_R4: list[str] = [
+    "q_precision_reagg", "q_unpivot",
+    "q_history_ordered", "q_semantic_dedup",
+    "q_vocab_build", "q_unigram_surprisal",
+    "q_small_qty_revenue", "q_large_orders",
+    "q_customer_distribution", "q_hll_distinct",
+    "q_radius_search", "q_decayed_engagement",
+    "q_kmv_distinct",
+    "q_source_cap", "q_revenue_forecast", "q_volume_shipping",
+    "q_market_share", "q_returned_items", "q_waiting_suppliers",
+    "q_sales_opportunity", "q_pq_encode", "q_pq_adc_topk",
+    "q_window_cume",
+    "q_scan_project", "q_filter_time_range", "q_json_extract",
+    "q_event_time_valid", "q_hourly_view", "q_history",
+    "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
+    "q_date_trunc_funcs", "q_string_funcs", "q_math_funcs",
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_group_distinct",
+]
+# Round-5 evidence (CORRECTNESS_r05.json — all 50 window rows green,
+# listed in window order: the 15 _RECHECK re-certifications, then the
+# 35 stalest rounds-2/3 rows the spare slots re-certified; derived by
+# tools/rotate.py from the recorded evidence):
+_CERTIFIED_R5: list[str] = [
+    "q_dedup_components",
+    "q_dedup_components_alt",
+    "q_dedup_best_keeper",
+    "q_dedup_prefix_join",
+    "q_media_decode",
+    "q_media_audio_energy",
+    "q_media_image_decode",
+    "q_media_image_resize",
+    "q_media_video_frames",
+    "q_media_jpeg_decode",
+    "q_media_mjpeg_frames",
+    "q_media_png_decode",
+    "q_media_mp4_frames",
+    "q_bloom_prefilter",
+    "q_cms_heavy_hitters",
+    "q_rollup",
+    "q_cube",
+    "q_salted_agg",
+    "q_asof_attribution",
+    "q_window_rank",
+    "q_window_lag",
+    "q_retention",
+    "q_funnel",
+    "q_latest_by_key",
+    "q_scd2_intervals",
+    "q_rolling_zscore",
+    "q_set_ops",
+    "q_union",
+    "q_topk_limit",
+    "q_tpch_pricing",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_promo_share",
+    "q_supplier_volume",
+    "q_quantiles",
+    "q_pivot",
+    "q_corr_stats",
+    "q_group_mode",
+    "q_hash_sample",
+    "q_dedup_exact",
+    "q_dedup_normalized",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_sim_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_array_stats",
+]
+DRIVER_CERTIFIED: list[str] = _CERTIFIED_R3 + _CERTIFIED_R4 + _CERTIFIED_R5
+# Queries awaiting their first green driver row. Empty as of round 5:
+# all 128 declared queries carry at least one green CORRECTNESS row
+# (r1-r4 union), so the window is pure stalest-first re-certification.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window: they queue behind the
+# uncertified backlog so they never displace an older query's slot.
+# Round 6: the 17 round-5 additions move here from _DEFERRED
+# (VERDICT r5 item 1) so the round-6 window certifies them first —
+# taking driver-certified coverage to 145/145.
+_ON_DECK: list[str] = [
+    "q_streaming_dedup",
+    "q_streaming_hll",
+    "q_bm25",
+    "q_knn_join",
+    "q_skew_report",
+    "q_streaming_view",
+    "q_streaming_totals",
+    "q_streaming_alerts",
+    "q_csv_source",
+    "q_orc_source",
+    "q_disjunctive_revenue",
+    "q_top_supplier",
+    "q_profit_by_nation",
+    "q_component_sizes",
+    "q_hll_by_group",
+    "q_trailing_window",
+    "q_snapshot_ring",
+]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping. Populated during round 6 as
+# code changes land.
+_RECHECK: list[str] = []
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round.
+_DEFERRED: list[str] = [
+    "q_media_features",
+]
+
+
+def driver_order() -> list[str]:
+    """Registration names reordered for the driver's 50-query
+    correctness window: every query lacking a green driver row first
+    (unlisted new registrations, then red/pending/on-deck backlogs),
+    then certified queries whose code changed since certification
+    (_RECHECK), then the certified backlog oldest-evidence-first so
+    spare slots re-certify the stalest green rows."""
+    back = (
+        set(DRIVER_CERTIFIED)
+        | set(_UNCERTIFIED_RED)
+        | set(_PENDING)
+        | set(_ON_DECK)
+        | set(_DEFERRED)
+    )
+    head = [n for n in QUERIES if n not in back]
+    recheck = [n for n in _RECHECK if n not in head]
+    certified_tail = [n for n in DRIVER_CERTIFIED if n not in recheck]
+    return (
+        head + _UNCERTIFIED_RED + _PENDING + _ON_DECK
+        + recheck + certified_tail + _DEFERRED
+    )

@@ -81,8 +81,10 @@ def kafka_reading_stream(
     broker; neither exists in this sandbox, so CI covers this path via
     :func:`decode_kafka_records` over a batch frame with the exact
     Kafka source schema (tests/test_sources.py) and the file-stream
-    replay of the same transforms (streaming/pipeline.py). The only
-    uncovered line is the ``format("kafka")`` connection itself.
+    replay of the same transforms (streaming/pipeline.py). The
+    ``format("kafka")`` connection itself is exercised by the opt-in
+    integration test (tests/test_kafka_integration.py, gated on
+    ``KAFKA_BOOTSTRAP``; broker via docker/kafka-compose.yml).
     """
     raw = (
         spark.readStream.format("kafka")
