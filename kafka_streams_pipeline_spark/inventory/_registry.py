@@ -30,6 +30,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_view",
     "q_streaming_totals",
     "q_streaming_alerts",
+    "q_streaming_cms",
     "q_csv_source",
     "q_orc_source",
     "q_ivf_train",

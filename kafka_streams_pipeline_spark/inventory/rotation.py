@@ -155,6 +155,7 @@ _RECHECK: list[str] = []
 # _ON_DECK next round.
 _DEFERRED: list[str] = [
     "q_media_features",
+    "q_streaming_cms",
 ]
 
 

@@ -852,3 +852,83 @@ def q_snapshot_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("gh", F.round(F.col("sum") / F.col("count"), 6).alias("avg"))
     )
+
+
+def _streaming_cms_oracle() -> str:
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        h AS (
+            SELECT substr(geohash, 1, 6) AS gh, sensorId
+            FROM readings WHERE sensorId IS NOT NULL
+        ),
+        counts AS (
+            SELECT gh, sensorId, count(*) AS n FROM h GROUP BY 1, 2
+        ),
+        pos AS (
+            SELECT gh, sensorId, n, d,
+                   ('0x' || substr(md5(d::VARCHAR || ':' || sensorId), 1, 8))
+                       ::BIGINT % {CMS_WIDTH} AS r
+            FROM counts,
+                 unnest(generate_series(0, {CMS_DEPTH - 1})) AS t(d)
+        ),
+        cells AS (
+            SELECT gh, d, r, sum(n) AS c FROM pos GROUP BY 1, 2, 3
+        )
+        SELECT p.gh, p.sensorId AS sensor_id,
+               CAST(min(c.c) AS BIGINT) AS est_count
+        FROM pos p
+        JOIN cells c ON c.gh = p.gh AND c.d = p.d AND c.r = p.r
+        GROUP BY 1, 2
+    """
+
+
+@register("q_streaming_cms", oracle=_streaming_cms_oracle())
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7-family streaming CMS, driver-certified (VERDICT r5 item 9):
+    per-geohash-cell Count-Min cell matrices maintained across
+    micro-batches via applyInPandasWithState, replayed with
+    availableNow. The staleness problem that kept CMS pytest-only —
+    per-batch point estimates depend on how arrivals split across
+    batches — is solved by emitting the FULL cell state per touched
+    key (streaming/stateful.py cms_cell_state): counters are pure
+    additive state, so the LAST emission per key is
+    batch-boundary-independent. Point estimates for every (cell,
+    sensor) are then derived from that final state with the same
+    seeded-md5 row family the oracle recomputes in pure SQL.
+    Duplicate injection is OFF — CMS counts every physical row."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        CMS_WIDTH,
+        _cms_rows,
+        cms_cell_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, cms_cell_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["gh"]] = r["cells"]
+    sensors = (
+        readings_from_events(_t(spark, sf_dir, "events"))
+        .where(F.col("sensorId").isNotNull())
+        .select(F.substring("geohash", 1, 6).alias("gh"), "sensorId")
+        .distinct()
+        .collect()
+    )
+    rows = []
+    for s in sensors:
+        cells = final[s["gh"]]
+        est = min(
+            cells[d * CMS_WIDTH + r]
+            for d, r in enumerate(_cms_rows(s["sensorId"]))
+        )
+        rows.append((s["gh"], s["sensorId"], int(est)))
+    return spark.createDataFrame(
+        rows, "gh string, sensor_id string, est_count bigint"
+    )

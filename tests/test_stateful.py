@@ -347,3 +347,43 @@ def test_running_totals_survive_restart(spark, sf_dir, tmp_path):
     for k, e in expected.items():
         assert final[k]["count"] == e["count"]
         assert final[k]["sum"] == e["sum"]
+
+
+def test_cms_cell_state_final_is_batch_independent(
+    spark, sf_dir, reading_stream_dir, tmp_path
+):
+    """cms_cell_state (the driver-certifiable CMS emission): the LAST
+    emitted cell matrix per key must equal a direct single-pass
+    Python recomputation over all input rows — i.e. the final state
+    is independent of micro-batch boundaries, the property that makes
+    q_streaming_cms hash-comparable against a batch oracle."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_rows,
+        cms_cell_state,
+    )
+
+    batches = _run_stream(
+        spark, reading_stream_dir, cms_cell_state, str(tmp_path / "ckpt3")
+    )
+    final = _latest_per_key(batches, "gh")
+
+    expected: dict = {}
+    import json as _json
+    import os as _os
+
+    for fname in sorted(_os.listdir(reading_stream_dir)):
+        with open(_os.path.join(reading_stream_dir, fname)) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec.get("sensorId") is None:
+                    continue
+                gh = rec["geohash"][:6]
+                cells = expected.setdefault(gh, [0] * (CMS_DEPTH * CMS_WIDTH))
+                for d, r in enumerate(_cms_rows(rec["sensorId"])):
+                    cells[d * CMS_WIDTH + r] += 1
+
+    assert set(final) == set(expected)
+    for gh, row in final.items():
+        assert list(row["cells"]) == expected[gh], gh
