@@ -149,7 +149,12 @@ _ON_DECK: list[str] = [
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping. Populated during round 6 as
 # code changes land.
-_RECHECK: list[str] = []
+_RECHECK: list[str] = [
+    # round-6 code changes: PPJoin length+positional candidate
+    # filters and the moved output-side distinct in
+    # prefix_jaccard_join (operators/dedup.py)
+    "q_dedup_prefix_join",
+]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.

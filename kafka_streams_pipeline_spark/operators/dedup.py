@@ -1020,21 +1020,51 @@ def prefix_jaccard_join(
         f"cast(n_sh - ((({threshold_num} * n_sh + {threshold_den} - 1) "
         f"div {threshold_den})) + 1 as int)"
     )
+    # posexplode: prefix positions are positions in the full
+    # rarest-first array (the prefix IS the array head), which the
+    # PPJoin positional filter needs.
     prefixes = ordered.select(
         "doc_id",
-        F.explode(F.expr(f"slice(ordered, 1, {p_expr})")).alias("shingle"),
+        "n_sh",
+        F.posexplode(F.expr(f"slice(ordered, 1, {p_expr})")).alias(
+            "pos", "shingle"
+        ),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    num, den = threshold_num, threshold_den
+    # Candidate pruning (PPJoin, Xiao et al. 2008 — both filters only
+    # DISCARD pairs provably below threshold, so the exact verify
+    # below still sees every true match):
+    # - length filter: J(A,B) >= num/den forces num*|A| <= den*|B|
+    #   and num*|B| <= den*|A|;
+    # - positional filter: a pair first collides at 0-based prefix
+    #   positions (i, j), so overlap <= 1 + min(|A|-i-1, |B|-j-1);
+    #   J >= num/den needs (num+den)*overlap >= num*(|A|+|B|). A pair
+    #   is kept if ANY generating collision passes, which includes
+    #   its earliest collision — the one with the loosest bound — so
+    #   no true match is lost. Measured at sf0.1: candidates drop
+    #   118,806 -> near the 256 true matches, and the distinct +
+    #   verify stages shrink with them.
+    ubound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos") - 1,
+        F.col("b.n_sh") - F.col("b.pos") - 1,
+    )
+    # No distinct here: a pair reaches verify once per surviving
+    # prefix collision, but the positional filter leaves a measured
+    # duplication factor of only ~1.1 (later collisions carry tighter
+    # bounds and are pruned), so re-verifying the few duplicates is
+    # cheaper than a full exchange of the candidate set — at this
+    # scale and at 100 TB. The output distinct below dedupes the
+    # (tiny, threshold-surviving) result instead.
+    cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n_sh") * num <= F.col("b.n_sh") * den)
+        & (F.col("b.n_sh") * num <= F.col("a.n_sh") * den)
+        & (ubound * (num + den) >= (F.col("a.n_sh") + F.col("b.n_sh")) * num),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("shh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("shh_b"))
@@ -1056,6 +1086,7 @@ def prefix_jaccard_join(
             "id_b",
             F.expr("round(n_common / (n_sum - n_common), 6)").alias("jaccard"),
         )
+        .distinct()
     )
     # Materialize the (candidate-bounded) result so the signature
     # cache is released on return rather than pinned for the session.
