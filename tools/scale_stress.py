@@ -1,0 +1,267 @@
+"""Scale-stress sweep for the dedup / ANN / components families
+(VERDICT r5 item 6).
+
+The driver fixtures stop at sf0.1 (5k documents / 2k embeddings), so
+the sub-quadratic-growth claims of the LSH/prefix/components
+operators were argued from plan shape, not measured. This tool
+manufactures sf1-equivalent inputs locally — replicating the sf0.1
+fixtures with deterministic perturbations so near-duplicate CLIQUES
+grow with the multiplier (each original document gains identical
+replicas plus mutated non-duplicate variants) — and records wall
+time + result size per multiplier, then separately certifies the
+distributed components path on a graph ABOVE the driver-side
+union-find cap (SMALL_COMPONENTS_MAX_EDGES), where the alternating
+large-star/small-star solver must run.
+
+Usage:
+    python tools/scale_stress.py [--mults 1,2,5,10] [--out SCALE_SWEEP_r06.json]
+
+Writes one JSON file with the sweep table; nothing in /root/testdata
+is touched (generated parquet goes to a temp dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from kafka_streams_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# replica id stride keeps replicated doc_ids disjoint per copy
+STRIDE = 1_000_000
+
+
+def generate(base_dir: str, out_dir: str, mult: int) -> None:
+    """Replicate documents/embeddings ``mult``× with deterministic
+    perturbations: replica 0 is the original; replica k>0 keeps the
+    text IDENTICAL when (doc_id + k) % 3 != 0 (growing each doc's
+    near-dup clique with the multiplier — the load the LSH buckets,
+    prefix join, and components solver must absorb) and otherwise
+    rewrites every 7th word to a replica-unique token (non-duplicate
+    filler, so the corpus also grows in distinct content).
+    Embeddings get a ±2e-3 deterministic jitter per replica —
+    semantically near, never bit-equal."""
+    con = duckdb.connect()
+    docs = f"read_parquet('{base_dir}/documents.parquet')"
+    embs = f"read_parquet('{base_dir}/embeddings.parquet')"
+    os.makedirs(out_dir, exist_ok=True)
+    con.execute(
+        f"""
+        COPY (
+            WITH src AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       lang, source, n_chars, k
+                FROM {docs},
+                     unnest(generate_series(0, {mult - 1})) AS t(k)
+            )
+            SELECT doc_id + {STRIDE} * k AS doc_id,
+                   CASE
+                     WHEN k = 0 OR (doc_id + k) % 3 != 0
+                       THEN list_aggregate(toks, 'string_agg', ' ')
+                     ELSE list_aggregate(
+                       list_transform(
+                         generate_series(1, len(toks)),
+                         i -> CASE WHEN (i - 1) % 7 = 0
+                              THEN 'mut' || doc_id || 'k' || k || 'w' || i
+                              ELSE toks[i] END),
+                       'string_agg', ' ')
+                   END AS text,
+                   lang, source, n_chars
+            FROM src
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT vec_id + {STRIDE} * k AS vec_id,
+                   list_transform(
+                     generate_series(1, len(embedding)),
+                     i -> CAST(embedding[i]
+                          + ((vec_id * 13 + k * 7 + i) % 5 - 2) * 0.001
+                          AS FLOAT)) AS embedding,
+                   label
+            FROM {embs},
+                 unnest(generate_series(0, {mult - 1})) AS t(k)
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def run_sweep(spark, mults: list[int]) -> dict:
+    from kafka_streams_pipeline_spark.operators import dedup as dd
+    from kafka_streams_pipeline_spark.operators import similarity as sim
+
+    # Warm-up pass at the smallest multiplier (JVM/codegen warm
+    # paths): without it the first sweep row absorbs one-time JIT
+    # cost and every growth ratio reads artificially sub-linear.
+    warm_dir = tempfile.mkdtemp(prefix="kspipeline-scale-warm-")
+    generate(SF_BASE, warm_dir, mults[0])
+    wdocs = spark.read.parquet(os.path.join(warm_dir, "documents.parquet"))
+    wembs = spark.read.parquet(os.path.join(warm_dir, "embeddings.parquet"))
+    for fn in (
+        lambda: dd.minhash_near_dup_pairs(wdocs).count(),
+        lambda: dd.prefix_jaccard_join(wdocs).count(),
+        lambda: dd.dedup_components(wdocs).count(),
+        lambda: sim.semantic_dedup(wembs).count(),
+        lambda: sim.topk_cosine_lsh(wembs).count(),
+        lambda: sim.topk_cosine_ivf(wembs).count(),
+    ):
+        fn()
+    spark.catalog.clearCache()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    results: dict = {}
+    for mult in mults:
+        out_dir = tempfile.mkdtemp(prefix=f"kspipeline-scale-{mult}x-")
+        generate(SF_BASE, out_dir, mult)
+        docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+        embs = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+        n_docs, n_vecs = docs.count(), embs.count()
+        row: dict = {"n_docs": n_docs, "n_vecs": n_vecs, "ops": {}}
+
+        def timed(name: str, fn) -> None:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn()
+            row["ops"][name] = {
+                "sec": round(time.time() - t0, 3),
+                "rows": n,
+            }
+            print(
+                f"  {mult}x {name}: {row['ops'][name]['sec']}s"
+                f" ({n} rows)",
+                flush=True,
+            )
+
+        timed(
+            "minhash_pairs",
+            lambda: dd.minhash_near_dup_pairs(docs).count(),
+        )
+        timed(
+            "prefix_join",
+            lambda: dd.prefix_jaccard_join(docs).count(),
+        )
+        timed(
+            "components_auto",
+            lambda: dd.dedup_components(docs).count(),
+        )
+        timed(
+            "semantic_dedup",
+            lambda: sim.semantic_dedup(embs).count(),
+        )
+        timed(
+            "ann_lsh",
+            lambda: sim.topk_cosine_lsh(embs).count(),
+        )
+        timed(
+            "ann_ivf",
+            lambda: sim.topk_cosine_ivf(embs).count(),
+        )
+        results[str(mult)] = row
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return results
+
+
+def big_graph_check(spark) -> dict:
+    """Certify the distributed components path on a graph ABOVE the
+    driver-side cap: 2M nodes in blocks of 5 connected by chain edges
+    (1.6M edges > SMALL_COMPONENTS_MAX_EDGES = 1M), so
+    connected_components_alternating actually iterates. Ground truth
+    per node is the block head — checked IN SPARK (no collect of the
+    label set)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        SMALL_COMPONENTS_MAX_EDGES,
+        connected_components_alternating,
+    )
+
+    n_nodes, block = 2_000_000, 5
+    edges = (
+        spark.range(n_nodes)
+        .where(F.col("id") % block != block - 1)
+        .select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+    )
+    n_edges = edges.count()
+    assert n_edges > SMALL_COMPONENTS_MAX_EDGES, n_edges
+    t0 = time.time()
+    labels = connected_components_alternating(edges, max_iter=25)
+    mismatches = (
+        labels.where(
+            F.col("comp") != F.col("node") - (F.col("node") % block)
+        ).count()
+    )
+    labeled = labels.count()
+    sec = round(time.time() - t0, 3)
+    print(
+        f"  big graph: {n_edges} edges, {labeled} labeled nodes, "
+        f"{mismatches} mismatches, {sec}s",
+        flush=True,
+    )
+    return {
+        "n_edges": n_edges,
+        "labeled_nodes": labeled,
+        "label_mismatches": mismatches,
+        "sec": sec,
+        "cap": SMALL_COMPONENTS_MAX_EDGES,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,2,5,10")
+    ap.add_argument("--out", default="SCALE_SWEEP_r06.json")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    spark = get_spark(app_name="kspipeline-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    sweep = run_sweep(spark, mults)
+    big = big_graph_check(spark)
+
+    # growth factors vs the smallest multiplier (sub-quadratic = the
+    # time ratio stays well under the square of the size ratio)
+    base = sweep[str(mults[0])]
+    growth = {}
+    for m in mults[1:]:
+        row = sweep[str(m)]
+        size_ratio = row["n_docs"] / base["n_docs"]
+        growth[str(m)] = {
+            op: {
+                "time_ratio": round(
+                    row["ops"][op]["sec"]
+                    / max(base["ops"][op]["sec"], 1e-9),
+                    2,
+                ),
+                "size_ratio": round(size_ratio, 2),
+                "quadratic_would_be": round(size_ratio**2, 2),
+            }
+            for op in row["ops"]
+        }
+
+    payload = {
+        "base_dir": SF_BASE,
+        "sweep": sweep,
+        "growth_vs_smallest": growth,
+        "big_graph_alternating": big,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({"wrote": args.out, "big_graph_ok": big["label_mismatches"] == 0}))
+
+
+if __name__ == "__main__":
+    main()
