@@ -1089,3 +1089,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+
+
+@register("q_rag_chunks", oracle=_text.rag_chunks_oracle())
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 retrieval prep: overlapping fixed-token-window chunking
+    (64-token chunks, 48-token stride) — the document → chunk
+    explosion a RAG/embedding-index pipeline runs before encoding.
+    The chunk md5 binds exact chunk CONTENT into the driver hash;
+    zero shuffles (embarrassingly parallel, text never moves). See
+    operators/text.py rag_chunks."""
+    return _text.rag_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register("q_repeated_ngrams", oracle=_text.repeated_ngrams_oracle())
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 substring-level dedup signal (Lee et al. 2021): fixed
+    5-token windows repeated across ≥2 documents — the repeated
+    PASSAGES (boilerplate, licenses, templates) that survive
+    document-level dedup. Top-50 by occurrences with rank bound into
+    the hash. One window explosion → one aggregate → TopN. See
+    operators/text.py repeated_ngrams."""
+    return _text.repeated_ngrams(_t(spark, sf_dir, "documents"))

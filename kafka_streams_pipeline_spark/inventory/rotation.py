@@ -161,6 +161,9 @@ _RECHECK: list[str] = [
 _DEFERRED: list[str] = [
     "q_media_features",
     "q_streaming_cms",
+    "q_rag_chunks",
+    "q_repeated_ngrams",
+    "q_embed_rp_reduce",
 ]
 
 

@@ -617,3 +617,14 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.prefix_jaccard_join(_t(spark, sf_dir, "documents"))
 
 
+
+
+@register("q_embed_rp_reduce", oracle=_sim.rp_reduce_oracle())
+def q_embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 embedding prep: Johnson–Lindenstrauss random projection
+    64 → 16 dims onto deterministic ±1 md5-parity hyperplanes (the
+    LSH plane family, reproducible in any engine) — the cheap
+    distance-preserving reduction before clustering / coarse ANN.
+    Pure per-row projection: plane literals fold into whole-stage
+    codegen, zero shuffles. See operators/similarity.py rp_reduce."""
+    return _sim.rp_reduce(_t(spark, sf_dir, "embeddings"))

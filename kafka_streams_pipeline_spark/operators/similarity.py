@@ -1165,3 +1165,46 @@ def knn_join_oracle(n_queries: int = 8, k: int = 5) -> str:
         )
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# --- Random-projection dimensionality reduction (round 6) ------------------
+
+RP_OUT_DIM = 16
+
+
+def rp_reduce(
+    df: DataFrame, out_dim: int = RP_OUT_DIM, dim: int = 64
+) -> DataFrame:
+    """X3/X4 embedding prep: Johnson–Lindenstrauss random-projection
+    reduction — project each embedding onto `out_dim` deterministic
+    ±1 hyperplanes (the same md5-parity plane family as the LSH
+    signatures, so the 'random' matrix is reproducible in any
+    engine). The standard cheap pre-step before clustering or
+    coarse ANN when 64 dims is still too wide for the distance loop:
+    JL preserves pairwise distances within (1±ε) with high
+    probability, and a ±1 matrix needs no float weights.
+
+    Output: (vec_id, r0..r{out_dim-1}), each component the exact
+    left-to-right dot-product fold rounded to 6 dp (the repo's float
+    discipline — both engines fold sequentially, so values are
+    bit-comparable after the round).
+
+    Scale shape: pure per-row projection, zero shuffles; planes are
+    compile-time literals, so the whole operator is one
+    whole-stage-codegen map over the scan."""
+    cols = [
+        F.expr(
+            f"round({_spark_dot('embedding', _spark_plane_lit(p, dim))}, 6)"
+        ).alias(f"r{p}")
+        for p in range(out_dim)
+    ]
+    return df.select("vec_id", *cols)
+
+
+def rp_reduce_oracle(out_dim: int = RP_OUT_DIM, dim: int = 64) -> str:
+    cols = ", ".join(
+        f"round({_duck_dot('embedding', _duck_plane_lit(p, dim))}, 6)"
+        f" AS r{p}"
+        for p in range(out_dim)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"

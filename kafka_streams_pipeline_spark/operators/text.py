@@ -978,3 +978,178 @@ def bm25_topk_oracle(
                     AS BIGINT) AS rank
         FROM top
     """
+
+
+# --- RAG chunking + substring-level repetition (round 6) -------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk_size - overlap (16-token overlap)
+
+
+def rag_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """X5 / retrieval prep: overlapping fixed-token-window chunking —
+    the document → chunk explosion every RAG/embedding-index
+    pipeline runs before encoding. Chunk k covers tokens
+    [k·stride, k·stride + chunk_size) with starts while start < n
+    (trailing partial chunks kept: the tail must be retrievable).
+
+    Output per chunk: (doc_id, chunk_idx, start_tok, n_tok,
+    chunk_md5) — the md5 binds the exact chunk CONTENT into the
+    driver hash without shipping chunk text through the compare.
+
+    Scale shape: one narrow projection + per-row array ops + explode;
+    no shuffle at all — chunking is embarrassingly parallel, and
+    payload text never moves between executors."""
+    return (
+        df.withColumn("ws", F.split(F.col(text_col), " "))
+        .withColumn("n", F.expr("size(ws)"))
+        .where(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "n",
+            "ws",
+            F.posexplode(
+                F.expr(f"sequence(0, n - 1, {stride})")
+            ).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.expr(
+                f"size(slice(ws, start_tok + 1, {chunk_size}))"
+            ).cast("long").alias("n_tok"),
+            F.md5(
+                F.expr(
+                    f"array_join(slice(ws, start_tok + 1, {chunk_size}), ' ')"
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def rag_chunks_oracle(
+    chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, ws, n,
+                   unnest(generate_series(0, n - 1, {stride})) AS start_tok,
+                   generate_subscripts(
+                       generate_series(0, n - 1, {stride}), 1
+                   ) - 1 AS chunk_idx
+            FROM t WHERE n >= 1
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(len(list_slice(ws, start_tok + 1,
+                                   start_tok + {chunk_size})) AS BIGINT)
+                   AS n_tok,
+               md5(list_aggregate(
+                   list_slice(ws, start_tok + 1, start_tok + {chunk_size}),
+                   'string_agg', ' ')) AS chunk_md5
+        FROM starts
+    """
+
+
+REPEAT_W = 5  # window length (tokens) for substring-repetition scan
+REPEAT_TOP = 50
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = REPEAT_W,
+    top_n: int = REPEAT_TOP,
+) -> DataFrame:
+    """X2 substring-level dedup signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    public literature): fixed-W-token windows repeated across the
+    corpus. Exact-duplicate DOCUMENTS are handled by dedup.*; this
+    finds repeated PASSAGES — boilerplate headers, license blocks,
+    templated sentences — that survive document-level dedup and that
+    substring-dedup pipelines cut before training.
+
+    Output: top `top_n` windows by (total occurrences, text) with
+    occurrence count, distinct-document count, and rank bound into
+    the hash (unique rowset under ties).
+
+    Scale shape: per-row window explosion (W· tokens rows) → one
+    count/count-distinct aggregate with map-side partials → TopN
+    (TakeOrderedAndProject). At 100 TB the window key space is what
+    shuffles — windows are strings of W tokens, so a production run
+    would hash them first (as dedup.py does for shingles); kept as
+    text here so the repeated passage is directly inspectable."""
+    wins = (
+        df.withColumn("ws", F.split(F.col(text_col), " "))
+        .where(F.expr(f"size(ws) >= {w}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {w} + 1), "
+                    f"i -> array_join(slice(ws, i, {w}), ' '))"
+                )
+            ).alias("win"),
+        )
+    )
+    agg = (
+        wins.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = agg.select(
+        "win",
+        "n_occur",
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occur"), F.asc("win")))
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= top_n)
+
+
+def repeated_ngrams_oracle(
+    w: int = REPEAT_W, top_n: int = REPEAT_TOP
+) -> str:
+    return f"""
+        WITH wins AS (
+            SELECT doc_id,
+                   unnest([list_aggregate(list_slice(ws, i, i + {w} - 1),
+                                          'string_agg', ' ')
+                           FOR i IN range(1, len(ws) - {w} + 2)]) AS win
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= {w}
+        ),
+        agg AS (
+            SELECT win,
+                   CAST(count(*) AS BIGINT) AS n_occur,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM wins
+            GROUP BY win
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT win, n_occur, n_docs,
+               CAST(row_number() OVER (ORDER BY n_occur DESC, win ASC)
+                    AS BIGINT) AS rank
+        FROM agg
+        QUALIFY rank <= {top_n}
+    """

@@ -989,3 +989,59 @@ def test_knn_join_matches_single_query_topk(emb):
         for r in similarity.topk_cosine(emb, query_vec_id=0, k=5).collect()
     }
     assert got == want
+
+
+def test_rag_chunks_windows(spark):
+    """Chunk boundary semantics: starts at every stride while < n,
+    trailing partial chunks kept, content md5 matches a direct
+    slice."""
+    import hashlib
+
+    from kafka_streams_pipeline_spark.operators.text import rag_chunks
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo")], "doc_id long, text string"
+    )
+    rows = [
+        r.asDict()
+        for r in rag_chunks(df, chunk_size=8, stride=6).collect()
+    ]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in c1] == list(range(0, 100, 6))
+    for r in c1:
+        s = r["start_tok"]
+        chunk = words[s : s + 8]
+        assert r["n_tok"] == len(chunk)
+        assert r["chunk_md5"] == hashlib.md5(
+            " ".join(chunk).encode()
+        ).hexdigest()
+    # trailing partial chunk: start 96 -> 4 tokens
+    assert c1[-1]["n_tok"] == 4
+    assert by_doc[2][0]["n_tok"] == 1  # 1-token doc -> one chunk
+
+
+def test_repeated_ngrams_finds_cross_doc_passage(spark):
+    from kafka_streams_pipeline_spark.operators.text import repeated_ngrams
+
+    boiler = "all rights reserved by the author"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler),
+            (2, boiler + " gamma delta"),
+            (3, "unrelated words only here today now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["win"]: r.asDict()
+        for r in repeated_ngrams(df, w=5, top_n=10).collect()
+    }
+    hit = "rights reserved by the author"
+    assert hit in rows
+    assert rows[hit]["n_docs"] == 2 and rows[hit]["n_occur"] == 2
+    # nothing from the unrelated doc alone
+    assert all(r["n_docs"] >= 2 for r in rows.values())
