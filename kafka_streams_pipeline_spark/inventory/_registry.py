@@ -31,6 +31,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_totals",
     "q_streaming_alerts",
     "q_streaming_cms",
+    "q_streaming_join",
     "q_csv_source",
     "q_orc_source",
     "q_ivf_train",

@@ -164,6 +164,7 @@ _DEFERRED: list[str] = [
     "q_rag_chunks",
     "q_repeated_ngrams",
     "q_embed_rp_reduce",
+    "q_streaming_join",
 ]
 
 

@@ -932,3 +932,158 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "gh string, sensor_id string, est_count bigint"
     )
+
+
+def _write_event_chunks(
+    rows: list, src: str, cuts: list[int], max_chunks: int = 24
+) -> None:
+    """Write time-ordered event JSON chunks (one file = one
+    micro-batch under maxFilesPerTrigger=1), split at the given
+    sorted row indexes — the events-shaped twin of
+    _write_replay_chunks. Time order keeps every row inside the 24 h
+    watermark grace; the caller picks ``cuts`` so the property under
+    test (e.g. a join match spanning two micro-batches) actually
+    occurs instead of depending on where an even split lands."""
+    import json as _json
+
+    os.makedirs(src, exist_ok=True)
+    bounds = [0] + sorted(set(cuts))[: max_chunks - 1] + [len(rows)]
+    for c in range(len(bounds) - 1):
+        lo, hi = bounds[c], bounds[c + 1]
+        if lo >= hi:
+            continue
+        with open(os.path.join(src, f"chunk{c:03d}.json"), "w") as f:
+            for r in rows[lo:hi]:
+                f.write(_json.dumps(r) + "\n")
+
+
+@register(
+    "q_streaming_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_ms(p.ts) AS p_ts_ms,
+               epoch_ms(c.ts) AS c_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+    """,
+)
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join as a driver row (the
+    streaming twin of q_interval_join): purchases joined to the same
+    user's clicks in the preceding 10 minutes, both sides replayed
+    through ONE availableNow file stream (self-join, one file per
+    micro-batch) with 24 h watermarks. The replay cuts a micro-batch
+    boundary right BEFORE each matched purchase (computed by a tiny
+    batch pre-join), so every match's click arrives in an earlier
+    micro-batch than its purchase and must be served from the join
+    STATE STORE — the cross-batch buffering this row certifies (an
+    even time split leaves zero cross-batch matches: a 10-minute
+    window almost never straddles an arbitrary boundary). With
+    time-ordered chunks nothing crosses the grace, so the emitted
+    match set equals the batch interval join, which is exactly what
+    the oracle runs. The pytest twin
+    (tests/test_streaming.py::test_streaming_join_crosses_batches)
+    asserts the cross-batch property itself."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    # Batch pre-join (tiny: ids only) to find matched purchases, so
+    # chunk boundaries can be cut right before each one.
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string"
+    )
+    pp = ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    cc = ev_df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_ms").alias("c_ms")
+    )
+    matched = (
+        pp.join(
+            cc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ms") >= F.col("p_ms") - 600_000)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .select("p_id")
+        .distinct()
+        .collect()
+    )
+    matched_ids = {r["p_id"] for r in matched}
+    idx = {r["event_id"]: i for i, r in enumerate(rows)}
+    cuts = [idx[p] for p in matched_ids]
+    base = tempfile.mkdtemp(prefix="kspipeline-sjoin-")
+    src = os.path.join(base, "src")
+    _write_event_chunks(rows, src, cuts)
+
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "p_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        F.unix_millis("c_ts").alias("c_ts_ms"),
+    )
+
+    batches: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("stream-stream join replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+    out = [(r["p_id"], r["user_id"], r["p_ts_ms"], r["c_ts_ms"])
+           for b in batches for r in b]
+    return spark.createDataFrame(
+        out, "p_id long, user_id long, p_ts_ms long, c_ts_ms long"
+    )

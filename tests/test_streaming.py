@@ -473,3 +473,124 @@ def test_media_decode_runs_under_streaming(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch and len(batch) == 40
+
+
+def test_streaming_join_crosses_batches(spark, tmp_path):
+    """The q_streaming_join replay must actually exercise the join
+    state store: with boundaries cut before each matched purchase,
+    every match's click arrives in an EARLIER micro-batch, so every
+    emitted match is served from buffered state — and the emitted set
+    still equals the batch interval join."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _write_event_chunks,
+    )
+    from tests.conftest import ORACLE_SF_DIR
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, ORACLE_SF_DIR, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string"
+    )
+    pp = ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    cc = ev_df.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    matches = (
+        pp.join(
+            cc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ms") >= F.col("p_ms") - 600_000)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .select("p_id", "c_id")
+        .collect()
+    )
+    assert matches, "fixture must contain interval-join matches"
+    idx = {r["event_id"]: i for i, r in enumerate(rows)}
+    cuts = [idx[r["p_id"]] for r in {m["p_id"]: m for m in matches}.values()]
+    src = str(tmp_path / "src")
+    _write_event_chunks(rows, src, cuts)
+
+    # layout property: every match's click chunk < purchase chunk
+    bounds = []
+    pos = 0
+    chunk_of = {}
+    for fname in sorted(_os.listdir(src)):
+        with open(_os.path.join(src, fname)) as f:
+            for line in f:
+                chunk_of[_json.loads(line)["event_id"]] = fname
+    crossing = sum(
+        1 for m in matches if chunk_of[m["c_id"]] < chunk_of[m["p_id"]]
+    )
+    assert crossing == len(matches), (crossing, len(matches))
+
+    # streaming run: every match must be emitted in a LATER batch
+    # than batch 0 is for its click — i.e. emitted only once the
+    # purchase arrives, from buffered click state
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(F.col("event_id").alias("p_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("p_id", F.unix_millis("c_ts").alias("c_ts_ms"))
+    emitted_in = []
+
+    def sink(df, epoch_id):
+        emitted_in.extend((r["p_id"], r["c_ts_ms"], epoch_id)
+                          for r in df.collect())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(emitted_in) == len(matches)
+    # no match can be emitted in the first micro-batch: its purchase
+    # is always the first row of a later chunk
+    assert all(e[2] >= 1 for e in emitted_in)
