@@ -32,6 +32,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_alerts",
     "q_streaming_cms",
     "q_streaming_join",
+    "q_streaming_sessions",
     "q_csv_source",
     "q_orc_source",
     "q_ivf_train",

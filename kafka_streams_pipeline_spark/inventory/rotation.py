@@ -165,6 +165,7 @@ _DEFERRED: list[str] = [
     "q_repeated_ngrams",
     "q_embed_rp_reduce",
     "q_streaming_join",
+    "q_streaming_sessions",
 ]
 
 

@@ -73,9 +73,11 @@ def _write_replay_chunks(
     idempotent for the HLL register max). Replays that must count
     every physical row (the windowed view) pass inject_dups=False."""
     import json as _json
+    import time as _time
 
     os.makedirs(src, exist_ok=True)
     per = (len(rows) + n_chunks - 1) // n_chunks
+    mtime0 = _time.time() - 86_400
     for c in range(n_chunks):
         chunk = rows[c * per : (c + 1) * per]
         dups: list = []
@@ -86,9 +88,18 @@ def _write_replay_chunks(
                 # resolve from the list END at small scale factors,
                 # silently injecting no cross-batch duplicates.
                 dups = dups + rows[max(0, c * per - 200) : c * per : 7]
-        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
             for r in chunk + dups:
                 f.write(_json.dumps(r.asDict()) + "\n")
+        # The file source orders micro-batches by MODIFICATION TIME,
+        # and files written back-to-back tie — an arbitrary tie-break
+        # can process a later-timestamped chunk first, advancing the
+        # watermark past the earlier chunks and silently dropping
+        # their rows as late (caught when a 21-chunk session replay
+        # lost 40% of its sessions nondeterministically). Explicit
+        # ascending mtimes make the replay order deterministic.
+        os.utime(path, (mtime0 + c, mtime0 + c))
 
 
 def _replay_readings_stream(
@@ -945,16 +956,26 @@ def _write_event_chunks(
     test (e.g. a join match spanning two micro-batches) actually
     occurs instead of depending on where an even split lands."""
     import json as _json
+    import time as _time
 
     os.makedirs(src, exist_ok=True)
     bounds = [0] + sorted(set(cuts))[: max_chunks - 1] + [len(rows)]
+    mtime0 = _time.time() - 86_400
+    seq = 0
     for c in range(len(bounds) - 1):
         lo, hi = bounds[c], bounds[c + 1]
         if lo >= hi:
             continue
-        with open(os.path.join(src, f"chunk{c:03d}.json"), "w") as f:
+        path = os.path.join(src, f"chunk{c:03d}.json")
+        with open(path, "w") as f:
             for r in rows[lo:hi]:
                 f.write(_json.dumps(r) + "\n")
+        # ascending mtimes: the file source orders micro-batches by
+        # modification time and same-instant writes tie arbitrarily —
+        # an out-of-order chunk advances the watermark and late-drops
+        # every earlier chunk's rows (see _write_replay_chunks).
+        os.utime(path, (mtime0 + seq, mtime0 + seq))
+        seq += 1
 
 
 @register(
@@ -1086,4 +1107,142 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            for b in batches for r in b]
     return spark.createDataFrame(
         out, "p_id long, user_id long, p_ts_ms long, c_ts_ms long"
+    )
+
+
+@register(
+    "q_streaming_sessions",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        m AS (
+            SELECT *, CASE WHEN prev IS NULL
+                            OR ts - prev >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM o
+        ),
+        s AS (
+            SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               epoch_ms(min(ts))     AS session_start_ms,
+               count(*)              AS n_events,
+               round(sum(value), 6)  AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows as a driver row (the streaming twin
+    of q_session_window): per-user 30-minute-gap sessions aggregated
+    with session_window + watermark in APPEND mode over an
+    availableNow replay. Two replay constructions make the row
+    meaningful:
+
+    - micro-batch boundaries are cut at session-CONTINUATION rows
+      (a row whose same-user predecessor is < 30 min earlier), so
+      sessions genuinely straddle batches and must merge in the
+      session state store;
+    - append mode only emits a session once the watermark passes its
+      close, and the watermark stops ``grace`` behind the last event
+      — so a SENTINEL chunk (one far-future event for a reserved
+      user id) is appended to flush every real session, then
+      filtered from the result. Without it the tail sessions are
+      silently missing — the classic append-mode pitfall.
+
+    The emitted set then equals the batch gaps-and-islands rewrite,
+    which is what the oracle runs."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+        )
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    # cut before session-continuation rows (same user, gap < 30 min)
+    last_ts: dict = {}
+    cuts = []
+    for i, r in enumerate(rows):
+        prev = last_ts.get(r["user_id"])
+        if prev is not None and r["ts_ms"] - prev < 1_800_000:
+            cuts.append(i)
+        last_ts[r["user_id"]] = r["ts_ms"]
+    # spread up to 20 cuts across the stream (every len/20-th)
+    step = max(1, len(cuts) // 20)
+    cuts = cuts[::step][:20]
+    SENTINEL_USER = -1
+    sentinel_ts = rows[-1]["ts_ms"] + 48 * 3600 * 1000  # > gap + grace
+    rows_s = rows + [
+        {
+            "event_id": -1,
+            "ts_ms": sentinel_ts,
+            "user_id": SENTINEL_USER,
+            "value": 0.0,
+        }
+    ]
+    base = tempfile.mkdtemp(prefix="kspipeline-ssess-")
+    src = os.path.join(base, "src")
+    # sentinel goes in its own final chunk: cut right before it
+    _write_event_chunks(rows_s, src, cuts + [len(rows)], max_chunks=24)
+
+    schema = "event_id long, ts_ms long, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    batches: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("session replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+    out = [
+        (r["user_id"], r["session_start_ms"], r["n_events"], r["sum_value"])
+        for b in batches
+        for r in b
+        if r["user_id"] != SENTINEL_USER
+    ]
+    return spark.createDataFrame(
+        out,
+        "user_id long, session_start_ms long, n_events long, sum_value double",
     )
