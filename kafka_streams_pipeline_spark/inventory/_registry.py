@@ -33,6 +33,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_cms",
     "q_streaming_join",
     "q_streaming_sessions",
+    "q_streaming_restart",
     "q_csv_source",
     "q_orc_source",
     "q_ivf_train",

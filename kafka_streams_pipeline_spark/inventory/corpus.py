@@ -1111,3 +1111,16 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. One window explosion → one aggregate → TopN. See
     operators/text.py repeated_ngrams."""
     return _text.repeated_ngrams(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_temperature_mixture", oracle=_text.temperature_mixture_oracle()
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multilingual rebalancing: α=1/2 temperature sampling over
+    language shares (the mT5/XLM-R upsampling rule) with
+    integer-exact weights (IEEE sqrt on scaled integers) and pure
+    integer-division target allocation — low-resource languages gain
+    share, and every number is engine-bit-identical. See
+    operators/text.py temperature_mixture."""
+    return _text.temperature_mixture(_t(spark, sf_dir, "documents"))

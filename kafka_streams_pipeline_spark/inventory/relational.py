@@ -1194,3 +1194,79 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_join_full",
+    oracle="""
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS cust,
+               c.c_name,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_big_orders,
+               round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                              0) / 100.0, 6) AS big_total
+        FROM customer c
+        FULL OUTER JOIN (SELECT * FROM orders
+                         WHERE o_totalprice > 250000) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join kind the q_join_* family did
+    not yet certify: customers with no qualifying order keep a
+    null-padded right side, and qualifying orders whose customer is
+    absent from the dimension keep a null-padded left side (the
+    fixture's orders reference customers uniformly, so the left-null
+    branch is exercised when o_custkey falls outside the customer
+    range at small scale factors). Aggregated per customer with the
+    exact-cents sum convention."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "full_outer")
+        .groupBy(
+            F.coalesce("c_custkey", "o_custkey").alias("cust"), "c_name"
+        )
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_big_orders"),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0),
+                )
+                / F.lit(100.0)
+            ).alias("big_total"),
+        )
+        .select(
+            "cust", "c_name", "n_big_orders",
+            F.round("big_total", 6).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+        SELECT n.n_name, r.r_name,
+               CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END
+                   AS is_home
+        FROM nation n CROSS JOIN region r
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate bounded CROSS join (nation × region, 125 rows): the
+    one place a cartesian product is the RIGHT plan — both sides are
+    tiny dimensions and the product is the requested result (a
+    feature matrix of every nation-region combination). Broadcast
+    keeps it a BroadcastNestedLoopJoin over the 5-row side; the plan
+    census still forbids cartesians everywhere else."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_home"),
+    )

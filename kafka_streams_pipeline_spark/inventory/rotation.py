@@ -166,6 +166,10 @@ _DEFERRED: list[str] = [
     "q_embed_rp_reduce",
     "q_streaming_join",
     "q_streaming_sessions",
+    "q_join_full",
+    "q_join_cross",
+    "q_temperature_mixture",
+    "q_streaming_restart",
 ]
 
 

@@ -1246,3 +1246,83 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "user_id long, session_start_ms long, n_events long, sum_value double",
     )
+
+
+@register("q_streaming_restart", oracle=ORACLES["q_streaming_totals"])
+def q_streaming_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (fault tolerance) as a driver row: the running-totals
+    pipeline processes the FIRST THIRD of the stream, STOPS (query
+    terminated, session state gone — only the checkpoint survives),
+    then a SECOND incarnation starts from the same checkpoint and
+    processes the remaining chunks. The final per-sensor state must
+    be bit-identical to the batch aggregate over everything — state
+    restored, nothing reprocessed, nothing lost. Same oracle as
+    q_streaming_totals: the restart must be INVISIBLE in the result.
+    See streaming/stateful.py running_sensor_totals and the pytest
+    twin tests/test_stateful.py::test_running_totals_survive_restart."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        running_sensor_totals,
+    )
+
+    rows = _sorted_replay_rows(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kspipeline-restart-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    third = max(1, len(rows) // 3)
+    mtime0 = _time.time() - 86_400
+
+    def write_chunk(idx: int, chunk_rows: list) -> None:
+        path = os.path.join(src, f"chunk{idx}.json")
+        with open(path, "w") as f:
+            for r in chunk_rows:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + idx, mtime0 + idx))
+
+    batches: list = []
+
+    def run_once() -> None:
+        q = (
+            running_sensor_totals(
+                spark.readStream.schema(READING_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+                .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: batches.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
+            raise RuntimeError("restart replay timed out after 300 s")
+
+    write_chunk(0, rows[:third])
+    run_once()  # incarnation 1: first third only
+    write_chunk(1, rows[third : 2 * third])
+    write_chunk(2, rows[2 * third :])
+    run_once()  # incarnation 2: resumes from checkpoint
+
+    shutil.rmtree(base, ignore_errors=True)
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = (r["count"], r["sum"], r["avg"])
+    out = spark.createDataFrame(
+        [(k, c, s, a) for k, (c, s, a) in final.items()],
+        "sensorId string, n_readings long, sum_raw double, avg_raw double",
+    )
+    return out.select(
+        "sensorId",
+        "n_readings",
+        F.round("sum_raw", 6).alias("sum_val"),
+        F.round("avg_raw", 6).alias("avg_val"),
+    )

@@ -1153,3 +1153,65 @@ def repeated_ngrams_oracle(
         FROM agg
         QUALIFY rank <= {top_n}
     """
+
+
+def temperature_mixture(df: DataFrame, alpha_denom: int = 2) -> DataFrame:
+    """X5 multilingual rebalancing: temperature sampling over
+    language shares (the mT5/XLM-R p_l^α rule, public literature) at
+    α = 1/alpha_denom (default 1/2 — square root), computed
+    INTEGER-EXACTLY: weight_l = floor(sqrt(n_l · 10¹²)) uses IEEE
+    correctly-rounded sqrt (bit-identical across engines on < 2^52
+    integers), and the target allocation is pure integer division
+    n_total · w_l / Σw. Low-resource languages are upsampled relative
+    to their natural share — the standard fix for high-resource
+    domination of a multilingual mixture.
+
+    Output per lang: natural count, weight (micros-scaled BIGINT),
+    target_docs (BIGINT). Scale shape: one tiny aggregate over the
+    language dimension; the weights then drive mixture_sample-style
+    admission at corpus scale."""
+    counts = df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = F.floor(F.sqrt(F.col("n_docs") * F.lit(1_000_000_000_000))).cast(
+        "long"
+    )
+    weighted = counts.select("lang", "n_docs", w.alias("weight"))
+    totals = weighted.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("weight").cast("long").alias("w_total"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "weight",
+            (F.col("n_total") * F.col("weight") / F.col("w_total"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )
+
+
+def temperature_mixture_oracle() -> str:
+    return """
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        weighted AS (
+            SELECT lang, n_docs,
+                   CAST(floor(sqrt(n_docs * 1000000000000)) AS BIGINT)
+                       AS weight
+            FROM counts
+        ),
+        totals AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                   CAST(sum(weight) AS BIGINT) AS w_total
+            FROM weighted
+        )
+        SELECT lang, n_docs, weight,
+               CAST(n_total * weight // w_total AS BIGINT) AS target_docs
+        FROM weighted, totals
+    """
