@@ -170,6 +170,7 @@ _DEFERRED: list[str] = [
     "q_join_cross",
     "q_temperature_mixture",
     "q_streaming_restart",
+    "q_view_compaction",
 ]
 
 

@@ -1326,3 +1326,53 @@ def q_streaming_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_raw", 6).alias("sum_val"),
         F.round("avg_raw", 6).alias("avg_val"),
     )
+
+
+@register("q_view_compaction", oracle=ORACLES["q_hourly_view"])
+def q_view_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 maintenance as a driver row: the fragmented-store →
+    compaction lifecycle of the standing view. The full hourly view
+    is written as two KEY-DISJOINT slices (overwrite + append — the
+    fragmentation pattern of append-mode writers and
+    high-parallelism backfills; the foreachBatch upsert itself
+    rewrites whole partitions, so its fragmentation is appends too),
+    leaving multiple files per ws_date partition; then
+    sinks.compact_view rewrites one sorted file per partition (the
+    layout that gives parquet min/max skipping on gh its power). The
+    row FAILS LOUDLY if compaction removed no files, and the
+    compacted store read back must hash-match the batch hourly-view
+    oracle — maintenance must be invisible in the data."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+    from kafka_streams_pipeline_spark.sources.sinks import compact_view
+
+    base = tempfile.mkdtemp(prefix="kspipeline-compact-")
+    view_dir = os.path.join(base, "view")
+    full = build_view(
+        readings_from_events(_t(spark, sf_dir, "events"))
+    ).withColumn("_slice", md5_long(F.col("gh")) % 2)
+    write_view(full.where(F.col("_slice") == 0).drop("_slice"), view_dir)
+    write_view(
+        full.where(F.col("_slice") != 0).drop("_slice"),
+        view_dir,
+        mode="append",
+    )
+    removed = compact_view(spark, view_dir)
+    if removed < 1:
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "compaction removed no files — the sliced writes did not "
+            "produce the fragmented state this row certifies"
+        )
+    out = read_view(spark, view_dir).select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        F.col("count").alias("cnt"),
+        F.round("sum", 6).alias("sum_val"),
+        F.round("avg", 6).alias("avg_val"),
+    )
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
