@@ -34,10 +34,10 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_join",
     "q_streaming_sessions",
     "q_streaming_restart",
-    "q_view_compaction",
     "q_csv_source",
     "q_orc_source",
     "q_ivf_train",
+    "q_view_compaction",
 })
 
 
