@@ -16,7 +16,7 @@ ground truth from the recorded evidence and prints:
      names should move to _ON_DECK, and the resulting stalest-first
      window preview.
 
-Read-only: it prints lists to paste, never edits inventory.py.
+Read-only: it prints lists to paste, never edits the inventory package (rotation lists live in kafka_streams_pipeline_spark/inventory/rotation.py).
 
 Usage:
     python tools/rotate.py            # report against latest round
