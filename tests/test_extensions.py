@@ -1045,3 +1045,58 @@ def test_repeated_ngrams_finds_cross_doc_passage(spark):
     assert rows[hit]["n_docs"] == 2 and rows[hit]["n_occur"] == 2
     # nothing from the unrelated doc alone
     assert all(r["n_docs"] >= 2 for r in rows.values())
+
+
+def test_temperature_mixture_upsamples_low_resource(docs):
+    """α=1/2 temperature sampling: every language's target share must
+    sit between its natural share and the uniform share (the
+    compression property of p^α, α<1), and targets must be consistent
+    with the integer weights."""
+    from kafka_streams_pipeline_spark.operators.text import (
+        temperature_mixture,
+    )
+
+    rows = {r["lang"]: r.asDict() for r in temperature_mixture(docs).collect()}
+    n_total = sum(r["n_docs"] for r in rows.values())
+    uniform = 1.0 / len(rows)
+    for r in rows.values():
+        natural = r["n_docs"] / n_total
+        target = r["target_docs"] / n_total
+        lo, hi = sorted((natural, uniform))
+        assert lo - 0.02 <= target <= hi + 0.02, r
+    # high-resource lang compressed, low-resource expanded
+    hi_lang = max(rows.values(), key=lambda r: r["n_docs"])
+    lo_lang = min(rows.values(), key=lambda r: r["n_docs"])
+    assert hi_lang["target_docs"] < hi_lang["n_docs"]
+    assert lo_lang["target_docs"] > lo_lang["n_docs"]
+
+
+def test_rp_reduce_preserves_relative_distances(emb):
+    """JL property on the fixture: the 16-dim projection keeps the
+    nearest-vs-farthest ordering for a sample of anchor vectors
+    (exact preservation is not promised; gross ordering is)."""
+    import numpy as np
+
+    from kafka_streams_pipeline_spark.operators.similarity import rp_reduce
+
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.limit(60).collect()
+    }
+    red = {
+        r["vec_id"]: np.array(
+            [r[f"r{i}"] for i in range(16)], dtype=np.float64
+        )
+        for r in rp_reduce(emb.limit(60)).collect()
+    }
+    ids = sorted(orig)
+    agree = 0
+    for a in ids[:10]:
+        others = [i for i in ids if i != a]
+        d_orig = {i: np.linalg.norm(orig[a] - orig[i]) for i in others}
+        d_red = {i: np.linalg.norm(red[a] - red[i]) for i in others}
+        nearest = min(d_orig, key=d_orig.get)
+        farthest = max(d_orig, key=d_orig.get)
+        if d_red[nearest] < d_red[farthest]:
+            agree += 1
+    assert agree >= 8  # gross ordering survives the projection
