@@ -6,37 +6,17 @@ the TPC-H pricing/shipping/volume shapes.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_streams_pipeline_spark import geo
 from kafka_streams_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from kafka_streams_pipeline_spark.inventory._registry import register
 from kafka_streams_pipeline_spark.inventory._shared import (
-    VIEW_CTE,
     _cents_sum,
-    _served_view,
     _t,
 )
-from kafka_streams_pipeline_spark.operators.queries import (
-    history,
-    history_interval,
-    merge_views,
-    reaggregate_precision,
-    snapshot,
-)
-from kafka_streams_pipeline_spark.operators.view import build_view
-from kafka_streams_pipeline_spark.sources.readings import (
-    EVENT_TYPE_GEOHASH,
-    readings_from_events,
-    readings_from_events_sql,
-)
-from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
-from kafka_streams_pipeline_spark.sources.tables import load_table, pushed_ts_range
 
 # ---------------------------------------------------------------------------
 # Capability-rounding queries on the TPC-H-ish star schema (§2.4–§2.6)

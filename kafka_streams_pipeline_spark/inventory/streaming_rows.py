@@ -9,12 +9,12 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_streams_pipeline_spark import geo
-from kafka_streams_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from kafka_streams_pipeline_spark.functions.hashing import md5_long
 from kafka_streams_pipeline_spark.inventory._registry import ORACLES, register
 from kafka_streams_pipeline_spark.inventory._shared import (
     VIEW_CTE,
@@ -27,13 +27,6 @@ from kafka_streams_pipeline_spark.operators import similarity as _sim
 from kafka_streams_pipeline_spark.operators import sketches as _sk
 from kafka_streams_pipeline_spark.operators import skew as _skew
 from kafka_streams_pipeline_spark.operators import text as _text
-from kafka_streams_pipeline_spark.operators.queries import (
-    history,
-    history_interval,
-    merge_views,
-    reaggregate_precision,
-    snapshot,
-)
 from kafka_streams_pipeline_spark.operators.view import build_view
 from kafka_streams_pipeline_spark.sources.readings import (
     EVENT_TYPE_GEOHASH,
@@ -41,7 +34,6 @@ from kafka_streams_pipeline_spark.sources.readings import (
     readings_from_events_sql,
 )
 from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
-from kafka_streams_pipeline_spark.sources.tables import load_table, pushed_ts_range
 
 # --- Streaming driver rows (VERDICT r4 item 8) -----------------------------
 # The two extension rows certified only by pytest bit-exact
