@@ -133,6 +133,16 @@ def test_profit_star_broadcasts_all_dimensions(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_perrow_ops_have_no_exchange(spark, sf_dir):
+    """q_rag_chunks and q_embed_rp_reduce claim to be embarrassingly
+    parallel per-row maps (chunk text / plane literals never move
+    between executors) — their plans must contain NO Exchange node at
+    all."""
+    for name in ("q_rag_chunks", "q_embed_rp_reduce"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
 def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     """The declared-query surface must stay JVM-side: BatchEvalPython
     (row-at-a-time Python UDF) may never appear. Arrow-batched nodes
