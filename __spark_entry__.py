@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual inventory lives in
-``kafka_streams_pipeline_spark/inventory.py`` (and the extension
+``kafka_streams_pipeline_spark/inventory/`` (and the operator
 modules it imports); this file is the thin driver-facing adapter.
 """
 
