@@ -171,6 +171,7 @@ _DEFERRED: list[str] = [
     "q_temperature_mixture",
     "q_streaming_restart",
     "q_view_compaction",
+    "q_salted_join",
 ]
 
 

@@ -608,3 +608,46 @@ def q_embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row projection: plane literals fold into whole-stage
     codegen, zero shuffles. See operators/similarity.py rp_reduce."""
     return _sim.rp_reduce(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+        SELECT l.l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 6) AS revenue,
+               s.s_name
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_suppkey, s.s_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-ops: skew-resistant SALTED equi-join (operators/skew.py
+    salted_join) — the fact side salted over 16 reducers, the
+    supplier dimension replicated 16× so each reducer holds its
+    replica; result row-for-row identical to the plain join, which is
+    exactly what the oracle runs. The technique for the hot-key join
+    AQE can't split (bucketed / storage-partitioned inputs).
+    Aggregated per supplier with exact-cents revenue."""
+    from kafka_streams_pipeline_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_orderkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, s, "l_suppkey", spread_col="l_orderkey")
+    return joined.groupBy("l_suppkey", "s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.lit(100.0)
+        ).alias("rev_raw"),
+    ).select(
+        "l_suppkey",
+        "n_items",
+        F.round("rev_raw", 6).alias("revenue"),
+        "s_name",
+    )

@@ -119,3 +119,37 @@ def skew_report_oracle(
                      CAST(total AS DOUBLE), 6) AS skew_ratio
         FROM top, stats
     """
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = DEFAULT_SALT,
+    spread_col: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: the join-side twin of
+    :func:`salted_aggregate`, for when a sort-merge join's hot key
+    would pin one reducer (and the dimension is too big to broadcast
+    outright, or AQE's runtime skew split is unavailable — e.g. a
+    bucketed or storage-partitioned join AQE won't touch).
+
+    Construction (classic, public-literature): the FACT side gains a
+    deterministic salt in [0, salt); the DIM side is replicated
+    ``salt`` ways via a posexploded literal range; the join keys on
+    (key, salt), so a hot key's rows spread over ``salt`` reducers
+    while each reducer still holds the full dim row for that key.
+    Row-for-row identical to the plain join (each fact row matches
+    exactly the one dim replica carrying its salt).
+
+    Cost model at 100 TB: dim shuffles salt× its size (bounded — dim
+    is the SMALL side by assumption, just not broadcast-small); fact
+    shuffles once, hot keys fanned out. ``spread_col`` picks the
+    deterministic salting input (any high-cardinality fact column —
+    it decides only which reducer a row visits, never the result)."""
+    spread = F.col(spread_col) if spread_col else F.col(key)
+    f = fact.withColumn("_salt", F.pmod(F.hash(spread), F.lit(salt)))
+    d = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

@@ -47,3 +47,32 @@ def test_salted_plan_has_two_exchanges(spark):
     )
     plan = salted_aggregate(df, ["k"], "v", salt=8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-for-row identical to the plain join,
+    and its plan must key the join on (key, _salt) — the hot-key
+    fan-out — with the dim side exploded, not broadcast-planned away
+    from the salting."""
+    from kafka_streams_pipeline_spark.operators.skew import salted_join
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(li, s, "l_suppkey", spread_col="l_orderkey")
+        .select("l_suppkey", "l_orderkey", "s_name")
+        .collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in li.join(s, "l_suppkey")
+        .select("l_suppkey", "l_orderkey", "s_name")
+        .collect()
+    )
+    assert salted == plain and len(plain) > 0
