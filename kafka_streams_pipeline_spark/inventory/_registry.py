@@ -38,6 +38,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_orc_source",
     "q_ivf_train",
     "q_view_compaction",
+    "q_streaming_late_update",
 })
 
 

@@ -1110,3 +1110,13 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, and every number is engine-bit-identical. See
     operators/text.py temperature_mixture."""
     return _text.temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+@register("q_vocab_coverage", oracle=_text.vocab_coverage_oracle())
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 tokenizer health: per-document OOV rate against the top-24
+    built vocabulary (vocab_build composition) — the coverage metric
+    that validates a vocabulary against a corpus before training.
+    Vocabulary broadcast against the exploded token stream, one
+    doc-keyed aggregate. See operators/text.py vocab_coverage."""
+    return _text.vocab_coverage(_t(spark, sf_dir, "documents"))

@@ -172,6 +172,8 @@ _DEFERRED: list[str] = [
     "q_streaming_restart",
     "q_view_compaction",
     "q_salted_join",
+    "q_streaming_late_update",
+    "q_vocab_coverage",
 ]
 
 

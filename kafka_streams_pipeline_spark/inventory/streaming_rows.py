@@ -1368,3 +1368,108 @@ def q_view_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register("q_streaming_late_update", oracle=ORACLES["q_hourly_view"])
+def q_streaming_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (late data within the watermark grace) as a driver row: the
+    hourly windowed aggregate replayed with DELIBERATE local disorder
+    — each 50-row block is reversed, and every second row from each
+    chunk's final 12 hours is HELD BACK to the next chunk. When a
+    held row arrives, the watermark sits a full grace (24 h) behind
+    the previous chunk's maximum, so the row is late by up to 12 h
+    but INSIDE the grace — Spark must merge it into the
+    already-emitted window, never drop it (rows held across a
+    boundary by more than the grace would be legitimately dropped,
+    which is why the hold-back is bounded to grace/2). Update mode
+    re-emits a (gh, window) row every time a late arrival changes
+    it; the LAST emission per key must equal the batch hourly view
+    exactly. Same oracle as q_hourly_view: in-grace lateness must be
+    invisible in the result."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+    rows = _sorted_replay_rows(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kspipeline-late-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    n_chunks = 3
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    half_grace_ms = 12 * 3600 * 1000
+    held: list = []
+    mtime0 = _time.time() - 86_400
+    for c in range(n_chunks):
+        chunk = rows[c * per : (c + 1) * per]
+        # local disorder: reverse 50-row blocks (bounded, ≪ grace)
+        jumbled: list = []
+        for i in range(0, len(chunk), 50):
+            jumbled.extend(reversed(chunk[i : i + 50]))
+        # hold back every second row from the chunk's final grace/2 —
+        # genuinely late arrivals (up to 12 h behind the watermark
+        # base) that are still INSIDE the 24 h grace when they land
+        # in the next chunk, so Spark must merge, not drop
+        cutoff = max(r["timestamp"] for r in chunk) - half_grace_ms
+        tail_idx = [
+            i for i, r in enumerate(jumbled) if r["timestamp"] >= cutoff
+        ]
+        hold = set(tail_idx[::2])
+        arriving = held + [
+            r for i, r in enumerate(jumbled) if i not in hold
+        ]
+        held = [r for i, r in enumerate(jumbled) if i in hold]
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
+            for r in arriving:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + c, mtime0 + c))
+    # final chunk: the tail of held-back rows
+    path = os.path.join(src, f"chunk{n_chunks}.json")
+    with open(path, "w") as f:
+        for r in held:
+            f.write(_json.dumps(r.asDict()) + "\n")
+    os.utime(path, (mtime0 + n_chunks, mtime0 + n_chunks))
+
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        streaming_view_aggregate,
+    )
+
+    batches: list = []
+    stream = (
+        spark.readStream.schema(READING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    q = (
+        streaming_view_aggregate(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("late-update replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[(r["gh"], r["window_start"])] = (
+                r["count"], r["sum"], r["avg"],
+            )
+    out = spark.createDataFrame(
+        [(gh, ws, c, s, a) for (gh, ws), (c, s, a) in final.items()],
+        "gh string, window_start timestamp, cnt long, sum_raw double, avg_raw double",
+    )
+    return out.select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        "cnt",
+        F.round("sum_raw", 6).alias("sum_val"),
+        F.round("avg_raw", 6).alias("avg_val"),
+    )

@@ -1215,3 +1215,91 @@ def temperature_mixture_oracle() -> str:
                CAST(n_total * weight // w_total AS BIGINT) AS target_docs
         FROM weighted, totals
     """
+
+
+VOCAB_TOP_K = 24  # coverage vocabulary size (fixture-sized; a real
+# tokenizer build uses 32k-256k — the plan shape is identical)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_k: int = VOCAB_TOP_K,
+) -> DataFrame:
+    """X5 tokenizer health: per-document OOV rate against the top-K
+    built vocabulary — the coverage metric that decides whether a
+    vocabulary (or its normalization rules) fits a corpus before a
+    training run burns on it. Composes vocab_build: tokens ranked by
+    (count DESC, token ASC), vocabulary = ids ≤ top_k, per-doc OOV =
+    tokens outside it.
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate[round 6]).
+
+    Scale shape: the vocabulary is top-K of an already-aggregated
+    count table — broadcast-joined against the exploded token stream
+    (the stream never shuffles for membership), then one doc-keyed
+    aggregate."""
+    vocab = (
+        vocab_build(df, text_col, min_count)
+        .where(F.col("token_id") <= top_k)
+        .select("token")
+    )
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("round(n_oov / n_tokens, 6)").alias("oov_rate"),
+        )
+    )
+
+
+def vocab_coverage_oracle(
+    min_count: int = 2, top_k: int = VOCAB_TOP_K
+) -> str:
+    return f"""
+        WITH vocab AS (
+            SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY cnt DESC, token)
+                           AS token_id
+                FROM (
+                    SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(string_split(lower(text), ' '))
+                              AS token
+                          FROM documents)
+                    GROUP BY token
+                )
+                WHERE cnt >= {min_count}
+            )
+            WHERE token_id <= {top_k}
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        GROUP BY t.doc_id
+    """
