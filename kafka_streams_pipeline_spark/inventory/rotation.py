@@ -143,6 +143,21 @@ _ON_DECK: list[str] = [
     "q_hll_by_group",
     "q_trailing_window",
     "q_snapshot_ring",
+    # Round-6 batch additions, appended mid-round: fast pure-batch
+    # rows whose cost profile matches the already-certified window
+    # queries, so they can take window slots from the stalest-r3 tail
+    # without risking the window's runtime budget. The slow
+    # materializing round-6 rows (streaming replays, compaction) stay
+    # in _DEFERRED for round 7.
+    "q_media_features",
+    "q_rag_chunks",
+    "q_repeated_ngrams",
+    "q_embed_rp_reduce",
+    "q_join_full",
+    "q_join_cross",
+    "q_temperature_mixture",
+    "q_salted_join",
+    "q_vocab_coverage",
 ]
 # Certified queries whose backing operator code changed materially
 # since their last green driver row (ADVICE r4): list them here to
@@ -159,21 +174,12 @@ _RECHECK: list[str] = [
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.
 _DEFERRED: list[str] = [
-    "q_media_features",
     "q_streaming_cms",
-    "q_rag_chunks",
-    "q_repeated_ngrams",
-    "q_embed_rp_reduce",
     "q_streaming_join",
     "q_streaming_sessions",
-    "q_join_full",
-    "q_join_cross",
-    "q_temperature_mixture",
     "q_streaming_restart",
     "q_view_compaction",
-    "q_salted_join",
     "q_streaming_late_update",
-    "q_vocab_coverage",
 ]
 
 
