@@ -720,7 +720,9 @@ SEMDEDUP_THRESHOLD = 0.4
 
 
 def semantic_dedup(
-    df: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+    df: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_clusters: int = N_CLUSTERS,
 ) -> DataFrame:
     """X2/X3 semantic (embedding-space) dedup, SemDeDup-shaped:
     cluster the corpus with the coarse quantizer, then WITHIN each
@@ -741,7 +743,14 @@ def semantic_dedup(
     expression evaluation (interpreted higher-order lambdas, or an
     SMJ whose 8-key shuffle AQE packs into one task) measures 5-10×
     slower. Group memory is bounded because the SemDeDup construction
-    bounds |cell| (cluster count scales with corpus size). One
+    bounds |cell| (``n_clusters`` MUST scale with corpus size — the
+    20× sweep measured the fixed-8-cell default going super-linear,
+    38.9× time for 20× data). Scaling cells bounds the pair stage but
+    makes the broadcast assignment O(n·k) in interpreted lambdas —
+    fine at certification scale, where exact-oracle arithmetic is the
+    point; the 100 TB deployment swaps assignment for an offline
+    ``ml.clustering.KMeans`` fit + Arrow-vectorized scoring (README
+    "Operating at scale"). One
     shuffle keyed by cell; no window, no global sort, no join-back —
     the group stage emits the final rows directly.
 
@@ -760,7 +769,7 @@ def semantic_dedup(
     lying within ~1 ulp of a decimal midpoint. The thr - 1e-6 band
     guard confines any such exposure to near-threshold cosines, and
     the differential gate has never observed a divergence."""
-    cent = df.where(F.expr(_centroid_filter())).select(
+    cent = df.where(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.expr(_spark_norm("embedding")).alias("c_norm"),

@@ -158,7 +158,13 @@ def run_sweep(spark, mults: list[int]) -> dict:
         )
         timed(
             "semantic_dedup",
-            lambda: sim.semantic_dedup(embs).count(),
+            # cluster count scales with the corpus (the SemDeDup
+            # contract: per-cell size stays bounded) — the fixed
+            # default measured super-linear at 20x, as the README's
+            # knob documentation predicts
+            lambda m=mult: sim.semantic_dedup(
+                embs, n_clusters=8 * m
+            ).count(),
         )
         timed(
             "ann_lsh",
