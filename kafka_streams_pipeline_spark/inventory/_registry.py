@@ -39,6 +39,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_ivf_train",
     "q_view_compaction",
     "q_streaming_late_update",
+    "q_streaming_late_drop",
 })
 
 

@@ -180,6 +180,7 @@ _DEFERRED: list[str] = [
     "q_streaming_restart",
     "q_view_compaction",
     "q_streaming_late_update",
+    "q_streaming_late_drop",
 ]
 
 

@@ -1473,3 +1473,113 @@ def q_streaming_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_raw", 6).alias("sum_val"),
         F.round("avg_raw", 6).alias("avg_val"),
     )
+
+
+@register(
+    "q_streaming_late_drop",
+    oracle="""
+        WITH readings AS ("""
+    + readings_from_events_sql("events")
+    + """),
+        cutoff AS (
+            SELECT min(ts) + INTERVAL 2 HOUR AS c FROM readings
+        ),
+        v AS (
+            SELECT substring(geohash, 1, 6)  AS gh,
+                   date_trunc('hour', ts)    AS window_start,
+                   count(*)                  AS cnt,
+                   sum(CAST(round(tempVal * 1000000) AS BIGINT)) / 1000000.0
+                                             AS s
+            FROM readings, cutoff
+            WHERE ts >= cutoff.c
+            GROUP BY 1, 2
+        )
+        SELECT gh,
+               epoch_ms(window_start)  AS ws_ms,
+               cnt,
+               round(s, 6)             AS sum_val,
+               round(s / cnt, 6)       AS avg_val
+        FROM v
+    """,
+)
+def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3's DROP side, deterministic: rows from the stream's FIRST
+    TWO HOURS are withheld and delivered in a final chunk, by which
+    point the watermark (max event time − 24 h grace) sits far past
+    their windows' close — their state is evicted and the arrivals
+    are guaranteed-late, so Spark must DROP every one of them. The
+    final state therefore equals the batch view over exactly the
+    on-time rows, which is what the oracle computes (readings with
+    ts ≥ min + 2 h). Dropping is deterministic here because the
+    windows have CLOSED behind the watermark before delivery — a
+    beyond-watermark row whose window is still open would legally
+    merge, which is why the construction evicts first (the
+    mirror-image discipline of q_streaming_late_update's
+    grace/2 bound)."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        streaming_view_aggregate,
+    )
+
+    rows = _sorted_replay_rows(spark, sf_dir)
+    cutoff_ms = rows[0]["timestamp"] + 2 * 3600 * 1000
+    withheld = [r for r in rows if r["timestamp"] < cutoff_ms]
+    on_time = [r for r in rows if r["timestamp"] >= cutoff_ms]
+    if not withheld:
+        raise RuntimeError("fixture has no rows in its first two hours")
+    base = tempfile.mkdtemp(prefix="kspipeline-latedrop-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    n_chunks = 3
+    per = (len(on_time) + n_chunks - 1) // n_chunks
+    mtime0 = _time.time() - 86_400
+    chunks = [on_time[c * per : (c + 1) * per] for c in range(n_chunks)]
+    chunks.append(withheld)  # beyond-grace arrivals, delivered last
+    for c, chunk in enumerate(chunks):
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + c, mtime0 + c))
+
+    batches: list = []
+    stream = (
+        spark.readStream.schema(READING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    q = (
+        streaming_view_aggregate(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("late-drop replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[(r["gh"], r["window_start"])] = (
+                r["count"], r["sum"], r["avg"],
+            )
+    out = spark.createDataFrame(
+        [(gh, ws, c, s, a) for (gh, ws), (c, s, a) in final.items()],
+        "gh string, window_start timestamp, cnt long, sum_raw double, avg_raw double",
+    )
+    return out.select(
+        "gh",
+        F.unix_millis("window_start").alias("ws_ms"),
+        "cnt",
+        F.round("sum_raw", 6).alias("sum_val"),
+        F.round("avg_raw", 6).alias("avg_val"),
+    )
