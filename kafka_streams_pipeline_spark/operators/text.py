@@ -1187,9 +1187,11 @@ def temperature_mixture(df: DataFrame, alpha_denom: int = 2) -> DataFrame:
             "lang",
             "n_docs",
             "weight",
-            (F.col("n_total") * F.col("weight") / F.col("w_total"))
-            .cast("long")
-            .alias("target_docs"),
+            # `div`, not `/ ... cast(long)`: double division truncates
+            # through an FP rounding that can disagree with true
+            # integer division when the quotient sits within an ulp of
+            # an integer — `div` on BIGINTs is exact in both engines
+            F.expr("(n_total * weight) div w_total").alias("target_docs"),
         )
     )
 
