@@ -40,6 +40,7 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_view_compaction",
     "q_streaming_late_update",
     "q_streaming_late_drop",
+    "q_corpus_versioning",
 })
 
 

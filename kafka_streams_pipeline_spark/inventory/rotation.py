@@ -181,6 +181,7 @@ _DEFERRED: list[str] = [
     "q_view_compaction",
     "q_streaming_late_update",
     "q_streaming_late_drop",
+    "q_corpus_versioning",
 ]
 
 

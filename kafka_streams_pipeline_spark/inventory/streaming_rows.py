@@ -1583,3 +1583,57 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_raw", 6).alias("sum_val"),
         F.round("avg_raw", 6).alias("avg_val"),
     )
+
+
+@register(
+    "q_corpus_versioning",
+    oracle="""
+        SELECT 1 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents
+    """,
+)
+def q_corpus_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset reproducibility: the versioned corpus store
+    (sources/versioned.py — append-only batches + manifest-pinned
+    time travel, a transaction-log-lite on plain parquet). Commit the
+    even-doc_id half as v1, the odd half as v2, then read BOTH
+    versions back: v1 must be exactly the first batch (time travel —
+    later commits invisible), v2 the union. Summarized per version
+    as count + id checksum + char total, which is what the oracle
+    computes over the corresponding doc_id slices. A training run
+    pinning v1 gets byte-identical inputs after any number of later
+    commits — the property this row certifies."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-versions-")
+    store = os.path.join(base, "corpus")
+    v1 = commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even half")
+    v2 = commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd half")
+    out_rows = []
+    for v in (v1, v2):
+        snap = read_corpus(spark, store, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        ).collect()[0]
+        out_rows.append((v, snap["n_docs"], snap["id_checksum"], snap["chars_total"]))
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "version int, n_docs long, id_checksum long, chars_total long",
+    )

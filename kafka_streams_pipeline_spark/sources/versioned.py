@@ -1,0 +1,96 @@
+"""Versioned corpus store: append-only snapshots with manifest-pinned
+time travel (a transaction-log-lite in the spirit of Delta/Iceberg,
+built on plain parquet + JSON manifests — public design, no table
+format dependency).
+
+Why an engine for training data needs this: a training run must be
+able to pin "the corpus as of version N" and get byte-identical
+inputs months later, while ingestion keeps appending. Commits are
+append-only batches; version N is defined as the union of batches
+1..N, recorded in an immutable per-version manifest.
+
+Layout:
+
+    store/
+      data/b000001/part-*.parquet     (immutable batch directories)
+      data/b000002/...
+      _manifests/v000001.json         {"version":1,"batches":[...],"note":...}
+      _manifests/v000002.json
+
+Scale posture: manifests list DIRECTORIES (O(versions) metadata, not
+O(files)); data files are immutable, so a version is reproducible
+forever and concurrent readers never see partial state (the manifest
+is written to a temp name and atomically renamed AFTER its batch
+directory is fully written). Readers do one parquet scan over the
+pinned batch dirs — partition pruning and column projection work as
+on any parquet table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(store_dir: str, version: int) -> str:
+    return os.path.join(store_dir, _MANIFESTS, f"v{version:06d}.json")
+
+
+def latest_version(store_dir: str) -> int:
+    """Highest committed version, 0 if the store is empty/new."""
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:7])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
+    """Append ``df`` as a new immutable batch and return the new
+    version number. The batch directory is fully written BEFORE the
+    manifest appears (temp-write + atomic rename), so a crash leaves
+    at worst an orphan batch dir — never a version that references
+    missing data."""
+    os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
+    version = latest_version(store_dir) + 1
+    batch = f"b{version:06d}"
+    batch_dir = os.path.join(store_dir, _DATA, batch)
+    df.write.mode("errorifexists").parquet(batch_dir)
+    prior: list[str] = []
+    if version > 1:
+        with open(_manifest_path(store_dir, version - 1)) as f:
+            prior = json.load(f)["batches"]
+    manifest = {"version": version, "batches": prior + [batch], "note": note}
+    tmp = _manifest_path(store_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(store_dir, version))
+    return version
+
+
+def read_corpus(
+    spark: SparkSession, store_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the corpus AS OF ``version`` (default: latest). The
+    returned frame is reproducible for as long as the store exists:
+    batch directories are immutable and the manifest pins exactly
+    which of them constitute the version."""
+    if version is None:
+        version = latest_version(store_dir)
+    if version < 1:
+        raise ValueError(f"no committed version in {store_dir!r}")
+    with open(_manifest_path(store_dir, version)) as f:
+        manifest = json.load(f)
+    dirs = [
+        os.path.join(store_dir, _DATA, b) for b in manifest["batches"]
+    ]
+    return spark.read.parquet(*dirs)

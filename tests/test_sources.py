@@ -209,3 +209,38 @@ def test_decode_survives_hostile_payloads(spark):
     assert all(
         r["timestamp"] is None or r["timestamp"] >= 0 for r in out
     )
+
+
+def test_versioned_corpus_time_travel(spark, sf_dir, tmp_path):
+    """Append-only versioned store: v1 stays byte-identical after
+    later commits (time travel), latest() follows the head, and a
+    partially-written batch without a manifest is invisible."""
+    import os
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        latest_version,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    v1 = commit_corpus(docs.where(F.col("doc_id") < 100), store, "first")
+    assert v1 == 1 and latest_version(store) == 1
+    v1_ids = sorted(
+        r["doc_id"] for r in read_corpus(spark, store, 1).collect()
+    )
+    v2 = commit_corpus(docs.where(F.col("doc_id") >= 100), store, "rest")
+    assert v2 == 2 and latest_version(store) == 2
+    # time travel: v1 unchanged after the second commit
+    assert v1_ids == sorted(
+        r["doc_id"] for r in read_corpus(spark, store, 1).collect()
+    )
+    # latest = union
+    assert len(read_corpus(spark, store).collect()) == docs.count()
+    # an orphan batch dir (crash between data write and manifest
+    # rename) must be invisible to every reader
+    os.makedirs(os.path.join(store, "data", "b000099"))
+    assert latest_version(store) == 2
+    assert len(read_corpus(spark, store).collect()) == docs.count()
