@@ -1077,7 +1077,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("q_rag_chunks", oracle=_text.rag_chunks_oracle())
+@register("q_rag_chunks", oracle=_text.rag_chunks_oracle(), bench=True)
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 retrieval prep: overlapping fixed-token-window chunking
     (64-token chunks, 48-token stride) — the document → chunk
@@ -1088,7 +1088,7 @@ def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.rag_chunks(_t(spark, sf_dir, "documents"))
 
 
-@register("q_repeated_ngrams", oracle=_text.repeated_ngrams_oracle())
+@register("q_repeated_ngrams", oracle=_text.repeated_ngrams_oracle(), bench=True)
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 substring-level dedup signal (Lee et al. 2021): fixed
     5-token windows repeated across ≥2 documents — the repeated

@@ -599,7 +599,7 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("q_embed_rp_reduce", oracle=_sim.rp_reduce_oracle())
+@register("q_embed_rp_reduce", oracle=_sim.rp_reduce_oracle(), bench=True)
 def q_embed_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4 embedding prep: Johnson–Lindenstrauss random projection
     64 → 16 dims onto deterministic ±1 md5-parity hyperplanes (the
