@@ -150,3 +150,32 @@ def test_registry_disabled_without_context(api):
     the registry route."""
     code, _ = _get(f"{api}/api/queries")
     assert code == 404
+
+
+def test_registry_materializing_allowlist_opt_in(spark, sf_dir):
+    """serve(allow_materializing=...) restores exactly the allowlisted
+    materializing queries to the served registry."""
+    from kafka_streams_pipeline_spark import inventory
+
+    events = load_table(spark, sf_dir, "events")
+    view = build_view(readings_from_events(events))
+    server = serve(
+        view,
+        host="127.0.0.1",
+        port=17072,
+        spark=spark,
+        sf_dir=sf_dir,
+        allow_materializing=frozenset({"q_ivf_train"}),
+    )
+    try:
+        code, msg = _get("http://127.0.0.1:17072/api/queries")
+        assert code == 200
+        assert "q_ivf_train" in msg["queries"]
+        assert "q_streaming_view" not in msg["queries"]
+        assert set(msg["queries"]) == (
+            set(inventory.QUERIES)
+            - inventory.MATERIALIZING
+            | {"q_ivf_train"}
+        )
+    finally:
+        server.shutdown()
