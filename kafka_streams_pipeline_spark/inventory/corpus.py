@@ -1120,3 +1120,75 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocabulary broadcast against the exploded token stream, one
     doc-keyed aggregate. See operators/text.py vocab_coverage."""
     return _text.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_pipeline_audit",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, text, lang,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, lang
+            FROM f
+            WHERE len(toks) BETWEEN {_text.FILTER_MIN_TOKENS}
+                                AND {_text.FILTER_MAX_TOKENS}
+              AND list_sum([length(x) FOR x IN toks]) * 1.0 / len(toks)
+                    BETWEEN {_text.FILTER_MIN_MEAN_LEN}
+                        AND {_text.FILTER_MAX_MEAN_LEN}
+              AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                    * 1.0 / length(text) <= {_text.FILTER_MAX_SYMBOL_RATIO}
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ),
+        train AS (
+            SELECT d.doc_id
+            FROM dedup d
+            WHERE {md5_long_sql("'split:' || CAST(d.doc_id AS VARCHAR)")}
+                    % 100 < 80
+        )
+        SELECT 1 AS stage_idx, 'input' AS stage,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+        UNION ALL
+        SELECT 2, 'quality_gate',
+               CAST((SELECT count(*) FROM kept) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'exact_dedup',
+               CAST((SELECT count(*) FROM dedup) AS BIGINT)
+        UNION ALL
+        SELECT 4, 'train_split',
+               CAST((SELECT count(*) FROM train) AS BIGINT)
+    """,
+)
+def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline lineage: per-stage row-count attrition for the
+    flagship corpus pipeline (input → quality gate → exact dedup →
+    train split) — the audit artifact every production data pipeline
+    records so a surprising corpus size is attributable to a stage,
+    not discovered at training time. Stages are the registered
+    operators' own builders (certifies the composition's bookkeeping,
+    not a re-implementation); the oracle recomputes each stage
+    population in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = (
+        _text.heuristic_filter(docs).where(F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    keepers = _dedup.exact_dedup(kept).select(F.col("keeper").alias("doc_id"))
+    bucket = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    train = keepers.where(bucket < 80)
+    counts = [
+        ("input", docs.count()),
+        ("quality_gate", kept.count()),
+        ("exact_dedup", keepers.count()),
+        ("train_split", train.count()),
+    ]
+    return spark.createDataFrame(
+        [(i + 1, s, n) for i, (s, n) in enumerate(counts)],
+        "stage_idx int, stage string, n_docs long",
+    )

@@ -182,6 +182,7 @@ _DEFERRED: list[str] = [
     "q_streaming_late_update",
     "q_streaming_late_drop",
     "q_corpus_versioning",
+    "q_pipeline_audit",
 ]
 
 
