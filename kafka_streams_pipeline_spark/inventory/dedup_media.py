@@ -749,3 +749,44 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_png(png)
 
 
+
+
+@register(
+    "q_dedup_recall",
+    oracle=f"""
+        WITH lsh AS ({_dedup.minhash_pairs_oracle()}),
+        exact AS ({_dedup.ngram_pairs_oracle()})
+        SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+               CAST((SELECT count(*)
+                     FROM lsh JOIN exact
+                       ON lsh.id_a = exact.id_a
+                      AND lsh.id_b = exact.id_b) AS BIGINT) AS n_both,
+               round((SELECT count(*)
+                      FROM lsh JOIN exact
+                        ON lsh.id_a = exact.id_a
+                       AND lsh.id_b = exact.id_b) * 1.0
+                     / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality certification: MinHash-LSH recall measured against
+    the exact all-pairs baseline at the same threshold — the number a
+    dedup deployment must report before trusting banded LSH at scale
+    (banding trades recall for sub-quadratic cost; 8 hashes / 4
+    bands at t=0.8 keeps recall 1.0 on this fixture's 0.07-wide
+    jaccard gap). Both sides are the registered operators' own
+    builders; the oracle recomposes both pair sets in SQL, so a
+    recall regression — a banding change that silently loses pairs —
+    flips the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    lsh = _dedup.minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    exact = _dedup.ngram_jaccard_pairs(docs).select("id_a", "id_b")
+    n_lsh = lsh.count()
+    n_exact = exact.count()
+    n_both = lsh.join(exact, ["id_a", "id_b"]).count()
+    recall = round(n_both / n_exact, 6) if n_exact else None
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_both, recall)],
+        "n_exact long, n_lsh long, n_both long, recall double",
+    )

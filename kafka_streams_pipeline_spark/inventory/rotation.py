@@ -183,6 +183,7 @@ _DEFERRED: list[str] = [
     "q_streaming_late_drop",
     "q_corpus_versioning",
     "q_pipeline_audit",
+    "q_dedup_recall",
 ]
 
 
