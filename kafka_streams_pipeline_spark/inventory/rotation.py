@@ -22,16 +22,7 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # Round-3 evidence (CORRECTNESS_r03.json — names still stalest-r3
 # after round 5 re-certified 14 of the original 50 into R5):
 _CERTIFIED_R3: list[str] = [
-    "q_text_tokens",
-    "q_text_wordcount", "q_lang_id", "q_lang_stats", "q_pii_scrub",
-    "q_doc_length_hist", "q_quality_score", "q_fingerprint",
-    "q_multimodal_meta",
-    "q_sliding_window", "q_session_window",
-    "q_text_bigrams", "q_term_stats", "q_dedup_edit",
-    "q_repetition_stats",
-    "q_heuristic_filter", "q_hash_split", "q_ivf_train",
-    "q_embed_quantize", "q_corpus_stats", "q_pack_sequences",
-    "q_mixture_sample", "q_corpus_pipeline", "q_dedup_incremental",
+    "q_dedup_incremental",
     "q_range_band_join", "q_interval_join", "q_window_ntile",
     "q_grouping_sets", "q_minmax_by", "q_sessionize",
     "q_order_priority", "q_priority_shipmode", "q_chunk_dedup",
@@ -66,7 +57,6 @@ _CERTIFIED_R5: list[str] = [
     "q_dedup_components",
     "q_dedup_components_alt",
     "q_dedup_best_keeper",
-    "q_dedup_prefix_join",
     "q_media_decode",
     "q_media_audio_energy",
     "q_media_image_decode",
@@ -114,18 +104,11 @@ _CERTIFIED_R5: list[str] = [
     "q_sim_ann_ivf",
     "q_array_stats",
 ]
-DRIVER_CERTIFIED: list[str] = _CERTIFIED_R3 + _CERTIFIED_R4 + _CERTIFIED_R5
-# Queries awaiting their first green driver row. Empty as of round 5:
-# all 128 declared queries carry at least one green CORRECTNESS row
-# (r1-r4 union), so the window is pure stalest-first re-certification.
-_UNCERTIFIED_RED: list[str] = []
-_PENDING: list[str] = []
-# Queries added after the last driver window: they queue behind the
-# uncertified backlog so they never displace an older query's slot.
-# Round 6: the 17 round-5 additions move here from _DEFERRED
-# (VERDICT r5 item 1) so the round-6 window certifies them first —
-# taking driver-certified coverage to 145/145.
-_ON_DECK: list[str] = [
+# Round-6 evidence (CORRECTNESS_r06.json — all 50 window rows green,
+# listed in window order: the 26 _ON_DECK round-5/6 additions, the
+# q_dedup_prefix_join re-certification, then the 23 stalest-r3 rows
+# the spare slots re-certified; derived by tools/rotate.py):
+_CERTIFIED_R6: list[str] = [
     "q_streaming_dedup",
     "q_streaming_hll",
     "q_bm25",
@@ -143,12 +126,6 @@ _ON_DECK: list[str] = [
     "q_hll_by_group",
     "q_trailing_window",
     "q_snapshot_ring",
-    # Round-6 batch additions, appended mid-round: fast pure-batch
-    # rows whose cost profile matches the already-certified window
-    # queries, so they can take window slots from the stalest-r3 tail
-    # without risking the window's runtime budget. The slow
-    # materializing round-6 rows (streaming replays, compaction) stay
-    # in _DEFERRED for round 7.
     "q_media_features",
     "q_rag_chunks",
     "q_repeated_ngrams",
@@ -158,22 +135,45 @@ _ON_DECK: list[str] = [
     "q_temperature_mixture",
     "q_salted_join",
     "q_vocab_coverage",
-]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping. Populated during round 6 as
-# code changes land.
-_RECHECK: list[str] = [
-    # round-6 code changes: PPJoin length+positional candidate
-    # filters and the moved output-side distinct in
-    # prefix_jaccard_join (operators/dedup.py)
     "q_dedup_prefix_join",
+    "q_text_tokens",
+    "q_text_wordcount",
+    "q_lang_id",
+    "q_lang_stats",
+    "q_pii_scrub",
+    "q_doc_length_hist",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_multimodal_meta",
+    "q_sliding_window",
+    "q_session_window",
+    "q_text_bigrams",
+    "q_term_stats",
+    "q_dedup_edit",
+    "q_repetition_stats",
+    "q_heuristic_filter",
+    "q_hash_split",
+    "q_ivf_train",
+    "q_embed_quantize",
+    "q_corpus_stats",
+    "q_pack_sequences",
+    "q_mixture_sample",
+    "q_corpus_pipeline",
 ]
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round.
-_DEFERRED: list[str] = [
+DRIVER_CERTIFIED: list[str] = (
+    _CERTIFIED_R3 + _CERTIFIED_R4 + _CERTIFIED_R5 + _CERTIFIED_R6
+)
+# Queries awaiting their first green driver row. Empty as of round 5:
+# all 128 declared queries carry at least one green CORRECTNESS row
+# (r1-r4 union), so the window is pure stalest-first re-certification.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window: they queue behind the
+# uncertified backlog so they never displace an older query's slot.
+# Round 7: the 10 round-6 deferred rows move here from _DEFERRED
+# (VERDICT r6 item 1) so the round-7 window certifies them first —
+# taking driver-certified coverage to 164/164.
+_ON_DECK: list[str] = [
     "q_streaming_cms",
     "q_streaming_join",
     "q_streaming_sessions",
@@ -185,6 +185,27 @@ _DEFERRED: list[str] = [
     "q_pipeline_audit",
     "q_dedup_recall",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping. Populated during round 6 as
+# code changes land.
+_RECHECK: list[str] = [
+    # round-7 code changes (VERDICT r6 items 3-5 + ADVICE r6): the
+    # two-phase vocab_build rank, the TakeOrderedAndProject-first
+    # repeated_ngrams rewrite, semantic_dedup's vectorized assignment
+    # refactor, salted_join's spread_col default, and
+    # temperature_mixture's overflow-safe target arithmetic.
+    "q_vocab_build",
+    "q_repeated_ngrams",
+    "q_semantic_dedup",
+    "q_salted_join",
+    "q_temperature_mixture",
+]
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:
