@@ -82,25 +82,35 @@ def main() -> None:
         release_blocks()
 
     total = round(sum(timings.values()), 3)
+    # The driver keeps only the LAST 2000 chars of bench output
+    # (VERDICT r6 item 2: BENCH_r06's summary JSON, grown by
+    # spread/deltas maps, was truncated mid-map and recorded as
+    # "parsed": null). So the final stdout line is a compact
+    # medians-only payload, and everything diagnostic — spread,
+    # first-run, deltas, regressions — goes to a side file
+    # BENCH_DETAIL_r{N}.json committed with the round.
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # first measured run per query (post-warmup, cold caches):
-        # median-of-3 measures steady state; this records what a
-        # fresh-plan execution costs (VERDICT r4 nit).
+        "sf": sf_val,
+    }
+    detail: dict = {
         "first_run_total_sec": round(sum(first_runs.values()), 3),
+        "first_runs": first_runs,
         # per-query max-min across the 3 runs: the box's noise floor,
         # so a delta smaller than its query's spread is not a signal
         "spread": spreads,
+        "queries": timings,
+        "total_sec": total,
         "sf": sf_val,
     }
     # Regression tripwire (VERDICT r3 item 7): compare per-query
     # against the most recent recorded round so a round-2-style
-    # drift is caught in-round, not by the judge. Deltas ride in the
-    # JSON line (the driver records it verbatim); regressions
-    # > 1.5x also shout on stderr. Exit code stays 0 — the driver's
+    # drift is caught in-round, not by the judge. Regressions
+    # > 1.5x shout on stderr (before the final JSON line, so they
+    # can never truncate it). Exit code stays 0 — the driver's
     # bench recording must never be broken by its own tripwire.
     if prev is not None and prev[2] == payload["sf"]:
         prev_name = prev[0]
@@ -118,10 +128,10 @@ def main() -> None:
             for n, d in deltas.items()
             if d > 1.5 and timings[n] - prev_queries[n] > 0.4
         }
-        payload["deltas_vs"] = prev_name
-        payload["deltas"] = deltas
+        detail["deltas_vs"] = prev_name
+        detail["deltas"] = deltas
         if regressions:
-            payload["regressions"] = regressions
+            detail["regressions"] = regressions
             print(
                 f"BENCH REGRESSION vs {prev_name}: "
                 + ", ".join(
@@ -130,40 +140,78 @@ def main() -> None:
                 ),
                 file=sys.stderr,
             )
-    print(json.dumps(payload))
+    _write_detail(detail)
+    line = json.dumps(payload)
+    if len(line) > 1900:  # hard driver-capture budget; medians only
+        print(f"BENCH WARNING: summary line {len(line)} chars, "
+              "driver captures last 2000 — trim BENCH_QUERIES",
+              file=sys.stderr)
+    print(line)
 
 
-def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
-    """(name, per-query secs, sf) of the most recent BENCH_r{N}.json
-    next to this script, if any. The driver wraps our JSON line
-    under a "parsed" key; a bare line (local runs saved by hand) is
-    accepted too."""
+def _write_detail(detail: dict) -> None:
+    """Persist the diagnostic bench record next to this script as
+    BENCH_DETAIL_r{N}.json for the round in progress (latest recorded
+    BENCH_r{N} + 1; repeat local runs within a round overwrite)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    latest = 0
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), path)
-    if best is None:
-        return None
+        if m:
+            latest = max(latest, int(m.group(1)))
+    out = os.path.join(here, f"BENCH_DETAIL_r{latest + 1:02d}.json")
     try:
-        with open(best[1]) as f:
-            rec = json.load(f)
-        if isinstance(rec.get("parsed"), dict):
-            rec = rec["parsed"]
-        queries = rec.get("queries") or {}
-        if not isinstance(queries, dict):
-            return None
-        return (
-            os.path.basename(best[1]),
-            {str(k): float(v) for k, v in queries.items()},
-            rec.get("sf"),
+        with open(out, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as exc:  # diagnostics must never fail the record
+        print(f"BENCH WARNING: detail write failed: {exc}",
+              file=sys.stderr)
+
+
+def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
+    """(name, per-query secs, sf) of the most recent usable bench
+    record next to this script. Per round N, prefers our own
+    BENCH_DETAIL_r{N}.json (full medians, written by _write_detail),
+    then the driver's BENCH_r{N}.json ("parsed" wrapper or a bare
+    line saved by hand). Rounds whose record is unusable — r6's
+    driver file has "parsed": null from output truncation — fall
+    through to the next-older round rather than losing the tripwire
+    baseline entirely."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: set[int] = set()
+    for path in glob.glob(os.path.join(here, "BENCH*_r*.json")):
+        m = re.match(
+            r"BENCH(?:_DETAIL)?_r(\d+)\.json$", os.path.basename(path)
         )
-    except (OSError, ValueError):
-        return None
+        if m:
+            rounds.add(int(m.group(1)))
+    for n in sorted(rounds, reverse=True):
+        for name in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_r{n:02d}.json",
+                     f"BENCH_DETAIL_r{n}.json", f"BENCH_r{n}.json"):
+            path = os.path.join(here, name)
+            if not os.path.isfile(path):
+                continue
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+                if isinstance(rec.get("parsed"), dict):
+                    rec = rec["parsed"]
+                queries = rec.get("queries") or {}
+                if isinstance(queries, dict) and queries:
+                    return (
+                        name,
+                        {str(k): float(v) for k, v in queries.items()},
+                        rec.get("sf"),
+                    )
+            except (OSError, ValueError):
+                continue
+    return None
 
 
 if __name__ == "__main__":
