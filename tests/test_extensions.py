@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from kafka_streams_pipeline_spark.operators import dedup, multimodal, similarity, text
 from kafka_streams_pipeline_spark.sources.tables import load_table
 
+from tests.conftest import ORACLE_SF_DIR
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
@@ -1045,6 +1047,43 @@ def test_repeated_ngrams_finds_cross_doc_passage(spark):
     assert rows[hit]["n_docs"] == 2 and rows[hit]["n_occur"] == 2
     # nothing from the unrelated doc alone
     assert all(r["n_docs"] >= 2 for r in rows.values())
+
+
+def test_repeated_ngrams_hashed_twin_same_window_multiset(spark):
+    """hash_windows=True (the production path: 8-byte xxhash64 keys
+    shuffle instead of raw W-token strings) must aggregate the IDENTICAL
+    window multiset as the certified text form — same windows, same
+    n_occur, same n_docs — at real-fixture scale (VERDICT r6 item 5)."""
+    docs01 = spark.read.parquet(ORACLE_SF_DIR + "/documents.parquet")
+    # top_n above the total repeated-window count so both forms return
+    # the FULL n_docs>=2 aggregate, not a tie-break-dependent prefix
+    big = 10**6
+    text_form = {
+        r["win"]: (r["n_occur"], r["n_docs"])
+        for r in text.repeated_ngrams(docs01, top_n=big).collect()
+    }
+    hashed_form = {
+        r["win"]: (r["n_occur"], r["n_docs"])
+        for r in text.repeated_ngrams(
+            docs01, top_n=big, hash_windows=True
+        ).collect()
+    }
+    assert len(text_form) == len(hashed_form) > 0
+    # re-key the text form by the same hash the production path uses
+    rehashed = {
+        r["h"]: (r["n_occur"], r["n_docs"])
+        for r in spark.createDataFrame(
+            [(w, c[0], c[1]) for w, c in text_form.items()],
+            "win string, n_occur long, n_docs long",
+        )
+        .select(
+            F.xxhash64("win").cast("string").alias("h"),
+            "n_occur",
+            "n_docs",
+        )
+        .collect()
+    }
+    assert rehashed == hashed_form
 
 
 def test_temperature_mixture_upsamples_low_resource(docs):
