@@ -56,15 +56,30 @@ def latest_version(store_dir: str) -> int:
 
 def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
     """Append ``df`` as a new immutable batch and return the new
-    version number. The batch directory is fully written BEFORE the
-    manifest appears (temp-write + atomic rename), so a crash leaves
-    at worst an orphan batch dir — never a version that references
-    missing data."""
+    version number. The batch is written under a dot-temp name and
+    renamed into place only when complete, and the manifest appears
+    (its own temp-write + atomic rename) only after that — so a crash
+    at ANY point leaves either an invisible temp dir or an
+    unreferenced batch dir, never a version that references missing
+    data. Both kinds of debris sit at exactly the names the NEXT
+    commit of the same version would use, so it clears them first —
+    without that, a crash between batch write and manifest rename
+    would wedge the store permanently (``errorifexists`` failing on
+    the orphan at every retry; ADVICE r6). Unreferenced-by
+    -construction: a batch dir becomes referenced atomically with its
+    manifest, so an existing ``b{latest+1}`` can only be crash debris."""
+    import shutil
+
     os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
     version = latest_version(store_dir) + 1
     batch = f"b{version:06d}"
     batch_dir = os.path.join(store_dir, _DATA, batch)
-    df.write.mode("errorifexists").parquet(batch_dir)
+    tmp_batch_dir = os.path.join(store_dir, _DATA, f".tmp-{batch}")
+    for debris in (tmp_batch_dir, batch_dir):
+        if os.path.exists(debris):
+            shutil.rmtree(debris)
+    df.write.mode("errorifexists").parquet(tmp_batch_dir)
+    os.rename(tmp_batch_dir, batch_dir)
     prior: list[str] = []
     if version > 1:
         with open(_manifest_path(store_dir, version - 1)) as f:

@@ -244,3 +244,33 @@ def test_versioned_corpus_time_travel(spark, sf_dir, tmp_path):
     os.makedirs(os.path.join(store, "data", "b000099"))
     assert latest_version(store) == 2
     assert len(read_corpus(spark, store).collect()) == docs.count()
+
+
+def test_versioned_corpus_recovers_from_crashed_commit(spark, sf_dir, tmp_path):
+    """A crash between batch write and manifest rename leaves an
+    orphan data/b{N} dir at exactly the name the next commit of
+    version N will use; commit_corpus must clear the debris and
+    succeed rather than fail errorifexists forever (ADVICE r6 —
+    previously the store wedged permanently)."""
+    import os
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        latest_version,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    commit_corpus(docs.where(F.col("doc_id") < 100), store, "first")
+    # simulate the crashed v2: full batch dir written, no manifest
+    docs.where(F.col("doc_id") >= 100).write.parquet(
+        os.path.join(store, "data", "b000002")
+    )
+    # and a half-written temp dir from an even earlier attempt
+    os.makedirs(os.path.join(store, "data", ".tmp-b000002"))
+    v2 = commit_corpus(docs.where(F.col("doc_id") >= 100), store, "retry")
+    assert v2 == 2 and latest_version(store) == 2
+    assert len(read_corpus(spark, store).collect()) == docs.count()
+    assert not os.path.exists(os.path.join(store, "data", ".tmp-b000002"))
