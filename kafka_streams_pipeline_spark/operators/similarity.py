@@ -717,12 +717,17 @@ def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
 # method run ~0.95+ (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
 # public literature).
 SEMDEDUP_THRESHOLD = 0.4
+# auto-derived cluster count targets this expected cell size: the
+# pair stage is O(Σ|cell|²), so cells must stay bounded as the
+# corpus grows (n_clusters ≈ n / SEMDEDUP_TARGET_CELL)
+SEMDEDUP_TARGET_CELL = 512
 
 
 def semantic_dedup(
     df: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
-    n_clusters: int = N_CLUSTERS,
+    n_clusters: int | None = N_CLUSTERS,
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """X2/X3 semantic (embedding-space) dedup, SemDeDup-shaped:
     cluster the corpus with the coarse quantizer, then WITHIN each
@@ -745,12 +750,18 @@ def semantic_dedup(
     slower. Group memory is bounded because the SemDeDup construction
     bounds |cell| (``n_clusters`` MUST scale with corpus size — the
     20× sweep measured the fixed-8-cell default going super-linear,
-    38.9× time for 20× data). Scaling cells bounds the pair stage but
-    makes the broadcast assignment O(n·k) in interpreted lambdas —
-    fine at certification scale, where exact-oracle arithmetic is the
-    point; the 100 TB deployment swaps assignment for an offline
-    ``ml.clustering.KMeans`` fit + Arrow-vectorized scoring (README
-    "Operating at scale"). One
+    38.9× time for 20× data; pass ``n_clusters=None`` to auto-derive
+    ``max(N_CLUSTERS, ⌈n / SEMDEDUP_TARGET_CELL⌉)`` from one count).
+    Scaling cells bounds the pair stage but makes the broadcast
+    assignment O(n·k): the DEFAULT path evaluates it as interpreted
+    JVM lambdas whose arithmetic is the sequential fold the oracle
+    replays exactly — right at certification scale, where hash-exact
+    compare is the point; ``vectorized_assign=True`` is the 100 TB
+    path (VERDICT r6 item 4), scoring each Arrow batch as ONE NumPy
+    ``emb @ C.T`` matmul against the broadcast centroid matrix with
+    the same round-6 + lowest-cent-id tie discipline
+    (``tests/test_extensions.py`` proves both paths emit identical
+    rows on the fixtures). One
     shuffle keyed by cell; no window, no global sort, no join-back —
     the group stage emits the final rows directly.
 
@@ -769,6 +780,11 @@ def semantic_dedup(
     lying within ~1 ulp of a decimal midpoint. The thr - 1e-6 band
     guard confines any such exposure to near-threshold cosines, and
     the differential gate has never observed a divergence."""
+    if n_clusters is None:
+        n_total = df.count()
+        n_clusters = max(
+            N_CLUSTERS, -(-n_total // SEMDEDUP_TARGET_CELL)
+        )
     cent = df.where(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
@@ -777,33 +793,84 @@ def semantic_dedup(
     base = df.select(
         "vec_id", "embedding", F.expr(_spark_norm("embedding")).alias("nm")
     )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "nm",
-        "cent_id",
-        F.expr(
-            f"round({_spark_dot('embedding', 'c_emb')} / (nm * c_norm), 6)"
-        ).alias("score"),
-    )
-    # The embedding and norm ride through the assignment aggregate
-    # (any_value — constant within a vec_id group); the broadcast
-    # crossJoin keeps all N_CLUSTERS rows of a vector in one
-    # partition, so the map-side combine collapses them before any
-    # data moves. Single consumer downstream → nothing to checkpoint.
-    v = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("cent_id")).alias("negc"))
-            ).alias("m"),
-            F.any_value("embedding").alias("embedding"),
-            F.any_value("nm").alias("nm"),
+    if vectorized_assign:
+        # 100 TB assignment: the centroid matrix (n_clusters rows —
+        # small by construction) broadcasts once; every Arrow batch
+        # scores against it as a single float64 matmul instead of
+        # n·k interpreted lambda folds. argmax over the rounded
+        # scores with centroids stacked in ascending cent_id order
+        # reproduces the exact path's (score DESC, cent_id ASC) pick
+        # (np.argmax returns the FIRST maximal column).
+        import numpy as np
+
+        cent_rows = cent.orderBy("cent_id").collect()
+        cmat = np.stack(
+            [np.asarray(r["c_emb"], dtype=np.float64) for r in cent_rows]
         )
-        .select(
-            (-F.col("m.negc")).alias("cell"), "vec_id", "embedding", "nm"
+        cnorm = np.asarray(
+            [r["c_norm"] for r in cent_rows], dtype=np.float64
         )
-    )
+        cids = np.asarray(
+            [r["cent_id"] for r in cent_rows], dtype=np.int64
+        )
+        bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm, cids))
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            cm, cn, ci = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                nm = pdf["nm"].to_numpy().astype(np.float64)
+                cos = np.round((emb @ cm.T) / np.outer(nm, cn), 6)
+                yield pd.DataFrame(
+                    {
+                        "cell": ci[np.argmax(cos, axis=1)],
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "embedding": pdf["embedding"],
+                        "nm": nm,
+                    }
+                )
+
+        v = base.mapInPandas(
+            assign,
+            "cell long, vec_id long, embedding array<float>, nm double",
+        )
+    else:
+        scored = base.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "nm",
+            "cent_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'c_emb')} / (nm * c_norm), 6)"
+            ).alias("score"),
+        )
+        # The embedding and norm ride through the assignment aggregate
+        # (any_value — constant within a vec_id group); the broadcast
+        # crossJoin keeps all N_CLUSTERS rows of a vector in one
+        # partition, so the map-side combine collapses them before any
+        # data moves. Single consumer downstream → nothing to checkpoint.
+        v = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("cent_id")).alias("negc")
+                    )
+                ).alias("m"),
+                F.any_value("embedding").alias("embedding"),
+                F.any_value("nm").alias("nm"),
+            )
+            .select(
+                (-F.col("m.negc")).alias("cell"), "vec_id", "embedding", "nm"
+            )
+        )
     thr = float(threshold)
 
     def per_cell(pdf):

@@ -733,6 +733,47 @@ def test_semantic_dedup_matches_bruteforce(emb):
     assert any(r["is_kept"] == 0 for r in out.values())
 
 
+def test_semantic_dedup_vectorized_assign_identical(spark):
+    """The flag-selected 100 TB assignment path (one NumPy matmul per
+    Arrow batch against the broadcast centroid matrix) must emit
+    row-identical output to the exact interpreted-lambda path —
+    same cells, same partner counts, same keeper set (VERDICT r6
+    item 4) — at real-fixture scale."""
+    emb01 = spark.read.parquet(ORACLE_SF_DIR + "/embeddings.parquet")
+    exact = sorted(
+        tuple(r) for r in similarity.semantic_dedup(emb01).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            emb01, vectorized_assign=True
+        ).collect()
+    )
+    assert exact == fast and len(exact) == emb01.count()
+
+
+def test_semantic_dedup_auto_clusters_scales_with_corpus(emb):
+    """n_clusters=None derives the cluster count from corpus size
+    (SemDeDup contract: expected cell size stays bounded). At
+    fixture scale the derived count equals the N_CLUSTERS floor, so
+    output matches the default exactly; the formula itself must grow
+    linearly in n."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        N_CLUSTERS,
+        SEMDEDUP_TARGET_CELL,
+    )
+
+    auto = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, n_clusters=None).collect()
+    )
+    fixed = sorted(tuple(r) for r in similarity.semantic_dedup(emb).collect())
+    assert auto == fixed
+    n_big = 10_000_000
+    derived = max(N_CLUSTERS, -(-n_big // SEMDEDUP_TARGET_CELL))
+    assert derived == (n_big + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL
+
+
 def test_vocab_build_ids_dense_and_frequency_ordered(docs):
     out = sorted(
         text.vocab_build(docs).collect(), key=lambda r: r["token_id"]

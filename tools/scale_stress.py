@@ -158,12 +158,14 @@ def run_sweep(spark, mults: list[int]) -> dict:
         )
         timed(
             "semantic_dedup",
-            # cluster count scales with the corpus (the SemDeDup
-            # contract: per-cell size stays bounded) — the fixed
-            # default measured super-linear at 20x, as the README's
-            # knob documentation predicts
-            lambda m=mult: sim.semantic_dedup(
-                embs, n_clusters=8 * m
+            # the production configuration (VERDICT r6 item 4):
+            # n_clusters auto-derived from corpus size (the SemDeDup
+            # contract: per-cell size stays bounded — the fixed
+            # default measured super-linear at 20x) and the
+            # Arrow-vectorized matmul assignment instead of the
+            # exact-oracle interpreted-lambda fold
+            lambda: sim.semantic_dedup(
+                embs, n_clusters=None, vectorized_assign=True
             ).count(),
         )
         timed(
