@@ -989,6 +989,27 @@ def prefix_jaccard_join(
     excluded from prefixes automatically (they sort LAST in the
     rarest-first order). Frequent-shingle skew therefore prunes
     itself — the opposite of the LSH bucket-cap trade."""
+    sig, _cand, out = _prefix_join_parts(
+        df, text_col, threshold_num, threshold_den
+    )
+    # Materialize the (candidate-bounded) result so the signature
+    # cache is released on return rather than pinned for the session.
+    # materialize=False returns the lazy plan (plan-contract tests
+    # inspect the candidate join shape, which a checkpoint would hide).
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
+
+
+def _prefix_join_parts(
+    df: DataFrame, text_col: str, threshold_num: int, threshold_den: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """prefix_jaccard_join body, returning (persisted signature frame,
+    candidate pairs pre-verify, verified lazy output) so the sweep's
+    scaling diagnostics can count candidates separately from true
+    pairs (VERDICT r6 item 6) without duplicating the construction."""
     # The signature subplan feeds FOUR consumers (document-frequency
     # aggregate, prefix ordering, both verify sides); without persist
     # the md5 shingle hashing recomputes per consumer — measured 4×
@@ -1088,15 +1109,58 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
-    # Materialize the (candidate-bounded) result so the signature
-    # cache is released on return rather than pinned for the session.
-    # materialize=False returns the lazy plan (plan-contract tests
-    # inspect the candidate join shape, which a checkpoint would hide).
-    if not materialize:
-        return out
-    out = out.localCheckpoint(eager=True)
+    return sig, cand, out
+
+
+def prefix_join_scaling_stats(
+    df: DataFrame, text_col: str = "text", threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> dict:
+    """Sweep diagnostic (VERDICT r6 item 6): candidate-pair count
+    (post length+positional filters, pre exact-verify, duplicates
+    included — exactly the rows the verify join pays for) next to the
+    true-pair count, so a super-linear sweep point can be attributed
+    to output growth vs prefix-filter decay."""
+    sig, cand, out = _prefix_join_parts(
+        df, text_col, threshold_num, threshold_den
+    )
+    stats = {
+        "n_candidates": cand.count(),
+        "n_true_pairs": out.count(),
+    }
     sig.unpersist()
-    return out
+    return stats
+
+
+def minhash_scaling_stats(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.8,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> dict:
+    """Sweep diagnostic twin for the LSH path: distinct band-bucket
+    candidate pairs vs verified pairs."""
+    sig = minhash_signatures(df, text_col).persist()
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk")
+    )
+    cand = band_candidates(bands, bucket_cap).persist()
+    n_cand = cand.count()
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
+    n_true = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.expr(
+                "round(size(array_intersect(sh_a, sh_b)) / "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 6)"
+            )
+            >= threshold
+        )
+        .count()
+    )
+    cand.unpersist()
+    sig.unpersist()
+    return {"n_candidates": n_cand, "n_true_pairs": n_true}
 
 
 def prefix_jaccard_join_oracle(

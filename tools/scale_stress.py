@@ -168,6 +168,15 @@ def run_sweep(spark, mults: list[int]) -> dict:
                 embs, n_clusters=None, vectorized_assign=True
             ).count(),
         )
+        # candidate-vs-true-pair counts (VERDICT r6 item 6): proves a
+        # super-linear time point is output-bound (true pairs grew),
+        # not prefix/band filter decay
+        row["ops"]["prefix_join"]["filter_stats"] = (
+            dd.prefix_join_scaling_stats(docs)
+        )
+        row["ops"]["minhash_pairs"]["filter_stats"] = (
+            dd.minhash_scaling_stats(docs)
+        )
         timed(
             "ann_lsh",
             lambda: sim.topk_cosine_lsh(embs).count(),
