@@ -474,10 +474,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, but per-user cardinality still grows with the corpus, so
     this is a known single-reducer sort at extreme scale (VERDICT r6
     cosmetic): exact global quartiles inherently need a total order.
-    A 100 TB deployment wanting approximate quartiles should bucket
-    by ``approx_percentile(spend, [.25,.5,.75])`` cutpoints instead
-    (two scans, no global sort); exact ntile is kept here because the
-    certified row IS the exact semantics."""
+    The scalable twin is ``q_spend_quartile_scalable`` (exact
+    percentile_disc cutpoints + broadcast compare, no total order);
+    exact ntile is kept here because the certified row IS the exact
+    equal-bucket semantics."""
     e = _t(spark, sf_dir, "events")
     spend = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents")
@@ -485,6 +485,76 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("spend_cents"), F.asc("user_id"))
     return spend.select(
         "user_id", "spend_cents", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_spend_quartile_scalable",
+    oracle="""
+        WITH spend AS (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_cents
+            FROM events GROUP BY user_id
+        ),
+        cuts AS (
+            SELECT
+                CAST(percentile_disc(0.25)
+                     WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS c1,
+                CAST(percentile_disc(0.50)
+                     WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS c2,
+                CAST(percentile_disc(0.75)
+                     WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS c3
+            FROM spend
+        )
+        SELECT user_id, spend_cents,
+               CAST(1 + CASE WHEN spend_cents > c1 THEN 1 ELSE 0 END
+                      + CASE WHEN spend_cents > c2 THEN 1 ELSE 0 END
+                      + CASE WHEN spend_cents > c3 THEN 1 ELSE 0 END
+                    AS INTEGER) AS quartile
+        FROM spend, cuts
+    """,
+)
+def q_spend_quartile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB answer to q_window_ntile's inherent global sort:
+    VALUE-based spend quartiles via exact ``percentile_disc``
+    cutpoints + a broadcast bucket compare — no total order of users
+    anywhere. Semantics differ from ntile deliberately (equal spends
+    always share a bucket; ntile splits ties to equalize bucket
+    sizes) — these are the distribution quartiles, which is what
+    training-mixture work actually wants (assign by VALUE cutoff,
+    reproducible under corpus growth).
+
+    Scale shape: one user-keyed aggregate; the cutpoint aggregate's
+    state is a partial-merged value→count map bounded by the DISTINCT
+    cents grid (value range, not user count); the bucket assignment
+    is a 1-row broadcast crossJoin — embarrassingly parallel. Both
+    engines implement SQL-standard percentile_disc (smallest value
+    with cume_dist ≥ p), so the cutpoints — actual elements of the
+    integer-cents multiset — are hash-exact (the double return ride
+    is lossless below 2^53 cents)."""
+    e = _t(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents")
+    )
+    cuts = spend.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP "
+                f"(ORDER BY spend_cents) AS BIGINT)"
+            ).alias(f"c{i}")
+            for i, p in ((1, 0.25), (2, "0.50"), (3, 0.75))
+        ]
+    )
+    return spend.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "spend_cents",
+        (
+            F.lit(1)
+            + (F.col("spend_cents") > F.col("c1")).cast("int")
+            + (F.col("spend_cents") > F.col("c2")).cast("int")
+            + (F.col("spend_cents") > F.col("c3")).cast("int")
+        ).cast("int").alias("quartile"),
     )
 
 

@@ -201,6 +201,8 @@ _RECHECK: list[str] = [
     "q_semantic_dedup",
     "q_salted_join",
     "q_temperature_mixture",
+    # round-7 overflow-widening of tf_df_fp (same ADVICE r6 class)
+    "q_term_stats",
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to

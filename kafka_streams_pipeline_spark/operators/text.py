@@ -362,7 +362,12 @@ def term_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-term total frequency, document frequency, and a fixed-point
     tf/df ratio. Integer `div` keeps the score hash-stable across
     engines (no float log). One explode → one aggregate; vocabulary-
-    sized shuffle with map-side partials."""
+    sized shuffle with map-side partials. The tf·10⁶ intermediate is
+    widened to DECIMAL(38,0) (same hazard class as ADVICE r6's
+    temperature_mixture: a BIGINT product wraps silently past
+    tf_total ≈ 9.2e12 — a head token in a ~PB corpus); the RESULT
+    fits BIGINT because tf/df is bounded by a term's max per-doc
+    frequency."""
     return (
         df.select(
             "doc_id",
@@ -373,14 +378,21 @@ def term_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("tf_total"),
             F.countDistinct("doc_id").alias("df_docs"),
         )
-        .withColumn("tf_df_fp", F.expr("tf_total * 1000000L div df_docs"))
+        .withColumn(
+            "tf_df_fp",
+            F.expr(
+                "CAST(CAST(tf_total AS DECIMAL(38,0)) * 1000000"
+                " div df_docs AS BIGINT)"
+            ),
+        )
     )
 
 
 def term_stats_oracle() -> str:
     return """
         SELECT term, tf_total, df_docs,
-               (tf_total * 1000000) // df_docs AS tf_df_fp
+               CAST(CAST(tf_total AS HUGEINT) * 1000000 // df_docs
+                    AS BIGINT) AS tf_df_fp
         FROM (
             SELECT term, count(*) AS tf_total,
                    count(DISTINCT doc_id) AS df_docs
