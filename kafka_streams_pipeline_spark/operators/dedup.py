@@ -1070,13 +1070,6 @@ def _prefix_join_parts(
         F.col("a.n_sh") - F.col("a.pos") - 1,
         F.col("b.n_sh") - F.col("b.pos") - 1,
     )
-    # No distinct here: a pair reaches verify once per surviving
-    # prefix collision, but the positional filter leaves a measured
-    # duplication factor of only ~1.1 (later collisions carry tighter
-    # bounds and are pruned), so re-verifying the few duplicates is
-    # cheaper than a full exchange of the candidate set — at this
-    # scale and at 100 TB. The output distinct below dedupes the
-    # (tiny, threshold-surviving) result instead.
     cand = a.join(
         b,
         (F.col("a.shingle") == F.col("b.shingle"))
@@ -1087,6 +1080,18 @@ def _prefix_join_parts(
     ).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
+    # Distinct BEFORE verify: a pair reaches the candidate set once
+    # per surviving prefix collision. On natural corpora the
+    # positional filter leaves a duplication factor of only ~1.1, but
+    # on clique-heavy inputs (exact replicas share their WHOLE
+    # prefix, positions aligned, so many collisions survive) the
+    # round-7 sweep measured 11.2× at 20× data. The distinct is one
+    # exchange of 16-byte (id_a, id_b) rows; each duplicate that
+    # reaches verify instead ships two ~kB shingle arrays through the
+    # join and pays an array_intersect — so dedup-first wins for any
+    # duplication above ~2%, and caps verify work at the UNIQUE
+    # candidate count regardless of clique structure.
+    cand = cand.distinct()
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("shh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("shh_b"))
     out = (
@@ -1107,7 +1112,8 @@ def _prefix_join_parts(
             "id_b",
             F.expr("round(n_common / (n_sum - n_common), 6)").alias("jaccard"),
         )
-        .distinct()
+        # no output distinct needed: candidates are unique pairs, so
+        # each (id_a, id_b) verifies exactly once
     )
     return sig, cand, out
 
@@ -1116,11 +1122,11 @@ def prefix_join_scaling_stats(
     df: DataFrame, text_col: str = "text", threshold_num: int = 4,
     threshold_den: int = 5,
 ) -> dict:
-    """Sweep diagnostic (VERDICT r6 item 6): candidate-pair count
-    (post length+positional filters, pre exact-verify, duplicates
-    included — exactly the rows the verify join pays for) next to the
-    true-pair count, so a super-linear sweep point can be attributed
-    to output growth vs prefix-filter decay."""
+    """Sweep diagnostic (VERDICT r6 item 6): DISTINCT candidate-pair
+    count (post length+positional filters and the candidate dedup,
+    pre exact-verify — exactly the rows the verify join pays for)
+    next to the true-pair count, so a super-linear sweep point can be
+    attributed to output growth vs prefix-filter decay."""
     sig, cand, out = _prefix_join_parts(
         df, text_col, threshold_num, threshold_den
     )
