@@ -54,19 +54,30 @@ def test_driver_window_prioritizes_uncertified_queries():
         assert overflow <= set(inventory._ON_DECK)
 
 
-def test_round6_window_certifies_deferred_then_stalest():
-    """VERDICT r5 item 1: the round-6 window must open with the 17
-    round-5 additions (promoted _DEFERRED → _ON_DECK — the only
-    queries without any driver row), then any changed-code rechecks,
-    then the stalest certified evidence (round-3 tier) in order."""
+def test_window_certifies_new_then_recheck_then_stalest():
+    """VERDICT r5 item 1 / r6 item 1, round-agnostic form: the
+    window must open with every query lacking a driver row (unlisted
+    new registrations first, then the promoted _ON_DECK batch), then
+    the changed-code rechecks, and spend its spare slots on the
+    stalest certified evidence in list order."""
     window = inventory.driver_order()[:WINDOW]
-    missing_on_deck = set(inventory._ON_DECK) - set(window)
-    assert not missing_on_deck, missing_on_deck
+    buckets = (
+        set(inventory.DRIVER_CERTIFIED)
+        | set(inventory._UNCERTIFIED_RED)
+        | set(inventory._PENDING)
+        | set(inventory._ON_DECK)
+        | set(inventory._DEFERRED)
+    )
+    head = [n for n in inventory.QUERIES if n not in buckets]
+    missing_new = (set(head) | set(inventory._ON_DECK)) - set(window)
+    assert not missing_new, missing_new
     missing_recheck = set(inventory._RECHECK) - set(window)
     assert not missing_recheck, missing_recheck
-    # spare slots re-certify round-3 evidence oldest-first
-    spare = [n for n in window if n not in set(inventory._ON_DECK)
-             and n not in set(inventory._RECHECK)]
+    # spare slots re-certify the oldest certified evidence first
+    priority = (
+        set(head) | set(inventory._ON_DECK) | set(inventory._RECHECK)
+    )
+    spare = [n for n in window if n not in priority]
     expected_spare = [
         n for n in inventory.DRIVER_CERTIFIED
         if n not in inventory._RECHECK
