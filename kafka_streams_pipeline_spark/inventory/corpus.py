@@ -273,6 +273,17 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@register("q_bigram_surprisal", oracle=_text.bigram_surprisal_oracle())
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 LM quality scoring one order up: mean BIGRAM surprisal
+    with stupid backoff (unseen bigram → unigram cost + integer
+    penalty; train-OOV → max penalty; document-initial token scored
+    unigram) under the train split — still pure-integer bit-length
+    arithmetic, no float log. The bigram twin of
+    q_unigram_surprisal; see operators/text.bigram_surprisal."""
+    return _text.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "q_corpus_pipeline",
     bench=True,

@@ -864,6 +864,182 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BIGRAM_BACKOFF_BITS = 2  # penalty when an unseen bigram backs off
+# to the unigram model — the integer-bits analogue of stupid
+# backoff's α=0.4 discount (−log2(0.4) ≈ 1.3, rounded up to keep
+# every score a pure integer)
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5 LM quality signal, one order up from
+    :func:`unigram_surprisal`: score each EVAL-split document by mean
+    BIGRAM surprisal with stupid backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — public literature)
+    under the TRAIN-split model, integer-exactly. A token whose
+    (prev, cur) bigram was seen in train costs
+    bitlen(C1(prev) div C2(prev, cur)) + 1 bits (the conditional
+    probability); an unseen bigram backs off to the unigram cost plus
+    ``BIGRAM_BACKOFF_BITS``; a train-OOV token pays the max unigram
+    penalty (+ backoff if it had a history). The first token of a
+    document has no history and is scored by the unigram model
+    directly. No float log anywhere — every score is an integer, so
+    the DuckDB oracle is hash-exact.
+
+    Output per eval doc: (doc_id, n_tokens, total_bits,
+    mean_bits_fp) — same shape as the unigram row, directly
+    comparable (bigram mean ≤ unigram mean wherever history helps).
+
+    Scale shape: the bigram table aggregates with map-side partials
+    (vocab²-bounded in principle, corpus-bounded in practice); eval
+    scoring is three equi-joins keyed by token strings (broadcast
+    when the model is bounded, shuffled otherwise — Spark picks by
+    stats) and one per-doc aggregate. A production run at 100 TB
+    would hash (prev, cur) pairs to 64-bit keys before the shuffle,
+    as dedup.py does for shingles; text keys are kept here so the
+    certified row stays directly inspectable. Per-doc sums are
+    bounded by document length, so the ×10⁶ fixed-point mean cannot
+    overflow BIGINT."""
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_spark,
+    )
+
+    toks = df.select(
+        "doc_id",
+        _split_bucket_spark().alias("bucket"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "bucket",
+        F.posexplode("ws").alias("pos0", "cur"),
+        # element_at is 1-based: index pos0 = the PREVIOUS token
+        F.expr(
+            "CASE WHEN pos0 >= 1 THEN element_at(ws, pos0) END"
+        ).alias("prev"),
+    )
+    train = toks.where(F.col("bucket") < 80)
+    uni = train.groupBy(F.col("cur").alias("token")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bi = (
+        train.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n_train = uni.agg(F.sum("c1").cast("long").alias("n")).withColumn(
+        "max_bits", F.expr(_spark_bitlen("n")) + 1
+    )
+    ev = toks.where(F.col("bucket") >= 90).select("doc_id", "prev", "cur")
+    pen = BIGRAM_BACKOFF_BITS
+    scored = (
+        ev.join(bi, ["prev", "cur"], "left")
+        .join(
+            uni.select(F.col("token").alias("cur"), F.col("c1").alias("c1c")),
+            "cur",
+            "left",
+        )
+        .join(
+            uni.select(
+                F.col("token").alias("prev"), F.col("c1").alias("c1p")
+            ),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.expr(_spark_bitlen("(c1p div c2)")) + 1,
+            )
+            .when(
+                F.col("prev").isNotNull() & F.col("c1c").isNotNull(),
+                F.expr(_spark_bitlen("(n div c1c)")) + 1 + pen,
+            )
+            .when(F.col("prev").isNotNull(), F.col("max_bits") + pen)
+            .when(
+                F.col("c1c").isNotNull(),
+                F.expr(_spark_bitlen("(n div c1c)")) + 1,
+            )
+            .otherwise(F.col("max_bits"))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST(sum(bits) * 1000000L div count(1) AS BIGINT)").alias(
+            "mean_bits_fp"
+        ),
+    )
+
+
+def bigram_surprisal_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_sql,
+    )
+
+    pen = BIGRAM_BACKOFF_BITS
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_split_bucket_sql()} AS bucket,
+                   string_split(lower(text), ' ') AS ws
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, bucket,
+                   unnest(ws) AS cur,
+                   generate_subscripts(ws, 1) AS pos1,
+                   ws
+            FROM t
+        ),
+        toks AS (
+            SELECT doc_id, bucket, cur,
+                   CASE WHEN pos1 >= 2 THEN ws[pos1 - 1] END AS prev
+            FROM tok
+        ),
+        uni AS (
+            SELECT cur AS token, count(*) AS c1 FROM toks
+            WHERE bucket < 80 GROUP BY cur
+        ),
+        bi AS (
+            SELECT prev, cur, count(*) AS c2 FROM toks
+            WHERE bucket < 80 AND prev IS NOT NULL GROUP BY prev, cur
+        ),
+        nt AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n,
+                   {_duck_bitlen('CAST(sum(c1) AS BIGINT)')} + 1 AS max_bits
+            FROM uni
+        ),
+        scored AS (
+            SELECT e.doc_id,
+                   CAST(CASE
+                        WHEN b.c2 IS NOT NULL
+                            THEN {_duck_bitlen('(up.c1 // b.c2)')} + 1
+                        WHEN e.prev IS NOT NULL AND uc.c1 IS NOT NULL
+                            THEN {_duck_bitlen('(nt.n // uc.c1)')} + 1 + {pen}
+                        WHEN e.prev IS NOT NULL
+                            THEN nt.max_bits + {pen}
+                        WHEN uc.c1 IS NOT NULL
+                            THEN {_duck_bitlen('(nt.n // uc.c1)')} + 1
+                        ELSE nt.max_bits END AS BIGINT) AS bits
+            FROM toks e
+            LEFT JOIN bi b ON e.prev = b.prev AND e.cur = b.cur
+            LEFT JOIN uni uc ON e.cur = uc.token
+            LEFT JOIN uni up ON e.prev = up.token
+            CROSS JOIN nt
+            WHERE e.bucket >= 90
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS total_bits,
+               CAST((sum(bits) * 1000000) // count(*) AS BIGINT)
+                   AS mean_bits_fp
+        FROM scored
+        GROUP BY doc_id
+    """
+
+
 def unigram_surprisal_oracle() -> str:
     from kafka_streams_pipeline_spark.operators.corpus import (
         _split_bucket_sql,

@@ -774,6 +774,67 @@ def test_semantic_dedup_auto_clusters_scales_with_corpus(emb):
     assert derived == (n_big + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL
 
 
+def test_bigram_surprisal_history_beats_unigram(spark):
+    """On a perfectly predictable corpus (every doc the same 'a b'
+    alternation), the bigram model must assign strictly fewer total
+    bits than the unigram model to every eval doc with ≥2 tokens:
+    each seen bigram costs bitlen(C1(prev)//C2)+1 = 2 bits (C2 =
+    C1(prev)), below the unigram ~bitlen(N//C1)+1 ≥ 3. Also pins the
+    doc set and token counts to the unigram row (same split, same
+    tokenization)."""
+    df = spark.createDataFrame(
+        [(i, "a b a b a b a b") for i in range(300)],
+        "doc_id long, text string",
+    )
+    uni = {
+        r["doc_id"]: r
+        for r in text.unigram_surprisal(df).collect()
+    }
+    bi = {
+        r["doc_id"]: r
+        for r in text.bigram_surprisal(df).collect()
+    }
+    assert set(bi) == set(uni) and len(bi) > 0
+    for d, r in bi.items():
+        assert r["n_tokens"] == uni[d]["n_tokens"]
+        assert r["total_bits"] < uni[d]["total_bits"]
+
+
+def test_bigram_surprisal_backoff_penalizes_unseen(spark):
+    """A doc whose bigrams never occur in train must cost MORE under
+    the bigram model than under unigram (unigram cost + backoff
+    penalty per non-initial token) — backoff punishes, never
+    rescues. doc_id 17 hashes into the eval bucket with its novel
+    word order; train docs share its vocabulary but never its
+    bigrams."""
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        _split_bucket_spark,
+    )
+
+    rows = [(i, "x x y y") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", _split_bucket_spark().alias("b")
+        ).collect()
+    }
+    eval_ids = [d for d, b in buckets.items() if b >= 90]
+    assert eval_ids, "no eval docs at this corpus size"
+    # rewrite every EVAL doc with unseen bigrams over the same vocab
+    df2 = spark.createDataFrame(
+        [
+            (i, "y x y x" if i in set(eval_ids) else "x x y y")
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r for r in text.unigram_surprisal(df2).collect()}
+    bi = {r["doc_id"]: r for r in text.bigram_surprisal(df2).collect()}
+    for d in eval_ids:
+        assert bi[d]["total_bits"] > uni[d]["total_bits"]
+
+
 def test_vocab_build_ids_dense_and_frequency_ordered(docs):
     out = sorted(
         text.vocab_build(docs).collect(), key=lambda r: r["token_id"]
