@@ -479,3 +479,41 @@ def test_union_find_matches_bfs_components(edges):
         for u in comp:
             expected[u] = label
     assert dict(_union_find_labels(edges)) == expected
+
+
+def test_spend_quartile_properties(spark):
+    """q_spend_quartile_scalable semantics (round 7): quartile is
+    MONOTONE in spend (equal spends share a bucket — the defining
+    difference from ntile), every bucket 1-4 is inhabited at fixture
+    scale, and each cutpoint is an actual element of the spend
+    multiset with cume_dist >= its p (the SQL-standard
+    percentile_disc contract)."""
+    from kafka_streams_pipeline_spark.inventory import QUERIES
+
+    rows = QUERIES["q_spend_quartile_scalable"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_spend = sorted(rows, key=lambda r: r["spend_cents"])
+    qs = [r["quartile"] for r in by_spend]
+    assert qs == sorted(qs)  # monotone
+    assert set(qs) == {1, 2, 3, 4}
+    spends = [r["spend_cents"] for r in by_spend]
+    for k, v in zip((1, 2, 3), (0.25, 0.50, 0.75)):
+        # cutpoint k = max spend in bucket <= k's region boundary:
+        # smallest value with cume_dist >= p, and an actual element
+        cut = max(r["spend_cents"] for r in by_spend if r["quartile"] <= k)
+        assert cut in spends
+        n_le = sum(1 for s in spends if s <= cut)
+        assert n_le / len(spends) >= v
+        # the next smaller distinct value must NOT satisfy p
+        smaller = [s for s in spends if s < cut]
+        if smaller:
+            n_le2 = sum(1 for s in spends if s <= max(smaller))
+            assert n_le2 / len(spends) < v
+    # equal spends share a bucket
+    seen = {}
+    for r in rows:
+        if r["spend_cents"] in seen:
+            assert seen[r["spend_cents"]] == r["quartile"]
+        seen[r["spend_cents"]] = r["quartile"]
