@@ -163,6 +163,22 @@ def _write_detail(detail: dict) -> None:
         if m:
             latest = max(latest, int(m.group(1)))
     out = os.path.join(here, f"BENCH_DETAIL_r{latest + 1:02d}.json")
+    # tripwire on the tripwire (VERDICT r7 item 5): the baseline must
+    # be a PRIOR round's record, never this round's own detail file
+    m = re.match(
+        r"BENCH(?:_DETAIL)?_r(\d+)\.json$",
+        str(detail.get("deltas_vs", "")),
+    )
+    if m and int(m.group(1)) >= latest + 1:
+        print(
+            f"BENCH WARNING: deltas_vs={detail['deltas_vs']} is not a "
+            f"prior round (in-progress r{latest + 1}) — baseline "
+            "selection bug; dropping deltas from the record",
+            file=sys.stderr,
+        )
+        detail.pop("deltas", None)
+        detail.pop("regressions", None)
+        detail.pop("deltas_vs", None)
     try:
         with open(out, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -179,19 +195,32 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
     line saved by hand). Rounds whose record is unusable — r6's
     driver file has "parsed": null from output truncation — fall
     through to the next-older round rather than losing the tripwire
-    baseline entirely."""
+    baseline entirely.
+
+    The IN-PROGRESS round (latest driver-recorded BENCH_r{N} + 1 —
+    the round _write_detail is writing) is excluded: otherwise a
+    second local run within a round baselines against the FIRST run
+    of the same round, and an in-round regression that persists
+    across reruns self-masks after run one (ADVICE r7; also the
+    cause of BENCH_DETAIL_r07's deltas_vs naming itself)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     rounds: set[int] = set()
+    recorded: set[int] = set()
     for path in glob.glob(os.path.join(here, "BENCH*_r*.json")):
         m = re.match(
             r"BENCH(?:_DETAIL)?_r(\d+)\.json$", os.path.basename(path)
         )
         if m:
             rounds.add(int(m.group(1)))
+            if "_DETAIL" not in os.path.basename(path):
+                recorded.add(int(m.group(1)))
+    in_progress = (max(recorded) + 1) if recorded else None
     for n in sorted(rounds, reverse=True):
+        if n == in_progress:
+            continue
         for name in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_r{n:02d}.json",
                      f"BENCH_DETAIL_r{n}.json", f"BENCH_r{n}.json"):
             path = os.path.join(here, name)

@@ -710,6 +710,41 @@ def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:
     """
 
 
+def _round6_half_up(a):
+    """Replicate Spark's ``round(x, 6)`` on a float64 ndarray.
+
+    Spark rounds doubles HALF_UP on the value's shortest decimal
+    representation (BigDecimal.valueOf → setScale(6, HALF_UP));
+    ``np.round`` is round-half-even via an inexact
+    scale/rint/unscale, which diverges exactly at 1e-6 midpoints
+    (ADVICE r7). Vectorized sign-aware floor(|x|·1e6 + 0.5) matches
+    HALF_UP on the binary value; elements whose scaled fraction lies
+    within 1e-7 of the 0.5 midpoint — where the scaled multiply's
+    own FP error, or the binary-vs-shortest-repr gap, could flip the
+    compare — are re-rounded exactly via ``decimal`` on ``repr(x)``,
+    the Python twin of BigDecimal.valueOf. The band is empty on
+    virtually every batch (a random double sits within 1e-7 of a
+    midpoint with probability ~2e-7 per element), so the exact loop
+    costs nothing in practice."""
+    import numpy as np
+
+    scaled = np.abs(a) * 1e6
+    out = np.sign(a) * np.floor(scaled + 0.5)
+    frac = scaled - np.floor(scaled)
+    near = np.abs(frac - 0.5) < 1e-7
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_a = a.reshape(-1)
+        flat_o = out.reshape(-1)
+        for i in np.nonzero(near.reshape(-1))[0]:
+            flat_o[i] = float(
+                Decimal(repr(float(flat_a[i]))).quantize(q, ROUND_HALF_UP)
+            ) * 1e6
+    return out / 1e6
+
+
 # --- SemDeDup-style semantic deduplication ---------------------------------
 
 # Fixture-scaled: the synthetic embeddings top out near cosine 0.48,
@@ -759,9 +794,18 @@ def semantic_dedup(
     compare is the point; ``vectorized_assign=True`` is the 100 TB
     path (VERDICT r6 item 4), scoring each Arrow batch as ONE NumPy
     ``emb @ C.T`` matmul against the broadcast centroid matrix with
-    the same round-6 + lowest-cent-id tie discipline
-    (``tests/test_extensions.py`` proves both paths emit identical
-    rows on the fixtures). One
+    the same round-6 + lowest-cent-id tie discipline. The kernel
+    replicates Spark's HALF_UP rounding — sign-aware
+    floor(|x|·1e6 + 0.5), plus an exact shortest-repr Decimal
+    re-round for the rare elements inside the FP-uncertainty band of
+    a 1e-6 midpoint (ADVICE r7: plain np.round is half-even and
+    diverges exactly there). Residual hazard the rounding fix cannot
+    remove: the BLAS matmul's summation order differs from the exact
+    path's sequential fold, so a dot product within ~1 ulp of a
+    rounding boundary can still land on the other side — the two
+    paths are identical EXCEPT for scores within ~1 ulp of a 1e-6
+    midpoint (``tests/test_extensions.py`` verifies identity on the
+    fixtures; it cannot establish the general guarantee). One
     shuffle keyed by cell; no window, no global sort, no join-back —
     the group stage emits the final rows directly.
 
@@ -827,7 +871,7 @@ def semantic_dedup(
                     np.float64
                 )
                 nm = pdf["nm"].to_numpy().astype(np.float64)
-                cos = np.round((emb @ cm.T) / np.outer(nm, cn), 6)
+                cos = _round6_half_up((emb @ cm.T) / np.outer(nm, cn))
                 yield pd.DataFrame(
                     {
                         "cell": ci[np.argmax(cos, axis=1)],

@@ -147,18 +147,23 @@ def salted_join(
     shuffles once, hot keys fanned out. ``spread_col`` picks the
     deterministic salting input (any high-cardinality fact column —
     it decides only which reducer a row visits, never the result).
-    When None, the salt comes from ``monotonically_increasing_id()``
-    — a distinct per-row value, so a hot key's rows spread uniformly
-    without any column choice. (It must NOT default to the join key:
-    hashing the key gives every row of a hot key the SAME salt, i.e.
-    one reducer and zero mitigation — ADVICE r6. Prefer an explicit
-    ``spread_col`` when row-level reproducibility of reducer
-    placement matters; mono-id is assigned per task attempt, which
-    never changes the join RESULT, only which reducer computed it.)"""
+    When None, the salt hashes ALL fact columns (``xxhash64(*cols)``)
+    — deterministic under task retry, and it spreads every hot-key
+    row whose OTHER columns vary. (It must NOT default to the join
+    key alone: that gives every row of a hot key the SAME salt, i.e.
+    one reducer and zero mitigation — ADVICE r6. It must also not be
+    ``monotonically_increasing_id()``: a per-attempt value makes the
+    shuffle key non-deterministic, and a partial stage retry can then
+    duplicate or drop rows — the SPARK-23207 hazard; ADVICE r7.)
+    Degenerate case: fact rows that are bit-identical across ALL
+    columns share a salt. If the hot key's rows are exact duplicates,
+    pass an explicit high-cardinality ``spread_col``."""
     spread = (
-        F.col(spread_col) if spread_col else F.monotonically_increasing_id()
+        F.xxhash64(F.col(spread_col))
+        if spread_col
+        else F.xxhash64(*[F.col(c) for c in fact.columns])
     )
-    f = fact.withColumn("_salt", F.pmod(F.hash(spread), F.lit(salt)))
+    f = fact.withColumn("_salt", F.pmod(spread, F.lit(salt)))
     d = dim.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
     )

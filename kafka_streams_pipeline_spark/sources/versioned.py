@@ -37,6 +37,11 @@ _MANIFESTS = "_manifests"
 _DATA = "data"
 
 
+class StoreLockedError(RuntimeError):
+    """Another committer holds (or a dead one left) the store's
+    exclusive commit lock."""
+
+
 def _manifest_path(store_dir: str, version: int) -> str:
     return os.path.join(store_dir, _MANIFESTS, f"v{version:06d}.json")
 
@@ -67,29 +72,71 @@ def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
     would wedge the store permanently (``errorifexists`` failing on
     the orphan at every retry; ADVICE r6). Unreferenced-by
     -construction: a batch dir becomes referenced atomically with its
-    manifest, so an existing ``b{latest+1}`` can only be crash debris."""
+    manifest, so an existing ``b{latest+1}`` can only be crash debris.
+
+    Writer contract (ADVICE r7): commits are serialized by an
+    exclusive lock file (``_manifests/.commit.lock``, O_CREAT|O_EXCL
+    — atomic on POSIX and on NFSv3+). A concurrent commit fails
+    LOUDLY with ``StoreLockedError`` instead of racing the
+    debris-clearing rmtree into a peer's completed-but-unmanifested
+    batch; the manifest is published with ``os.link`` (fails on an
+    existing name) rather than ``os.rename`` (which silently
+    overwrites). A committer killed mid-commit leaves a stale lock;
+    the error message names it and the holder pid — after verifying
+    no live committer, remove the lock and the next commit clears
+    the batch debris as before. That trade (explicit unlock after a
+    crash vs silently deleting a concurrent peer's data) is the
+    point of the lock."""
     import shutil
 
     os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
-    version = latest_version(store_dir) + 1
-    batch = f"b{version:06d}"
-    batch_dir = os.path.join(store_dir, _DATA, batch)
-    tmp_batch_dir = os.path.join(store_dir, _DATA, f".tmp-{batch}")
-    for debris in (tmp_batch_dir, batch_dir):
-        if os.path.exists(debris):
-            shutil.rmtree(debris)
-    df.write.mode("errorifexists").parquet(tmp_batch_dir)
-    os.rename(tmp_batch_dir, batch_dir)
-    prior: list[str] = []
-    if version > 1:
-        with open(_manifest_path(store_dir, version - 1)) as f:
-            prior = json.load(f)["batches"]
-    manifest = {"version": version, "batches": prior + [batch], "note": note}
-    tmp = _manifest_path(store_dir, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(store_dir, version))
-    return version
+    lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock) as f:
+                holder = f.read().strip() or "unknown"
+        except OSError:
+            holder = "unknown"
+        raise StoreLockedError(
+            f"store {store_dir!r} has an active (or stale) commit "
+            f"lock {lock!r} held by [{holder}]; if the holder is "
+            "dead, remove the lock file and retry"
+        )
+    try:
+        os.write(fd, f"pid={os.getpid()}".encode())
+        os.close(fd)
+        version = latest_version(store_dir) + 1
+        batch = f"b{version:06d}"
+        batch_dir = os.path.join(store_dir, _DATA, batch)
+        tmp_batch_dir = os.path.join(store_dir, _DATA, f".tmp-{batch}")
+        for debris in (tmp_batch_dir, batch_dir):
+            if os.path.exists(debris):
+                shutil.rmtree(debris)
+        df.write.mode("errorifexists").parquet(tmp_batch_dir)
+        os.rename(tmp_batch_dir, batch_dir)
+        prior: list[str] = []
+        if version > 1:
+            with open(_manifest_path(store_dir, version - 1)) as f:
+                prior = json.load(f)["batches"]
+        manifest = {
+            "version": version, "batches": prior + [batch], "note": note,
+        }
+        tmp = _manifest_path(store_dir, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        # exclusive publish: link fails if the manifest already
+        # exists (a writer that somehow bypassed the lock), where
+        # rename would silently clobber it
+        os.link(tmp, _manifest_path(store_dir, version))
+        os.unlink(tmp)
+        return version
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def read_corpus(

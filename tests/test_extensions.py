@@ -734,11 +734,14 @@ def test_semantic_dedup_matches_bruteforce(emb):
 
 
 def test_semantic_dedup_vectorized_assign_identical(spark):
-    """The flag-selected 100 TB assignment path (one NumPy matmul per
-    Arrow batch against the broadcast centroid matrix) must emit
-    row-identical output to the exact interpreted-lambda path —
-    same cells, same partner counts, same keeper set (VERDICT r6
-    item 4) — at real-fixture scale."""
+    """The 100 TB assignment path (one NumPy matmul per Arrow batch
+    against the broadcast centroid matrix) must emit row-identical
+    output to the exact interpreted-lambda path — same cells, same
+    partner counts, same keeper set (VERDICT r6 item 4) — at
+    real-fixture scale. Fixture identity is evidence, not the full
+    contract: the documented guarantee (ADVICE r7) is identity
+    except for dot products within ~1 ulp of a 1e-6 rounding
+    midpoint, where BLAS-vs-sequential summation order can differ."""
     emb01 = spark.read.parquet(ORACLE_SF_DIR + "/embeddings.parquet")
     exact = sorted(
         tuple(r) for r in similarity.semantic_dedup(emb01).collect()
@@ -750,6 +753,38 @@ def test_semantic_dedup_vectorized_assign_identical(spark):
         ).collect()
     )
     assert exact == fast and len(exact) == emb01.count()
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """_round6_half_up (the vectorized-assign rounding kernel) must
+    agree with Spark's round(x, 6) — HALF_UP on the shortest decimal
+    repr — including at exact 1e-6 midpoints and for negatives,
+    where np.round's half-even mode diverges (ADVICE r7)."""
+    import numpy as np
+
+    vals = [
+        0.1234565,      # exact decimal midpoint-looking repr
+        0.9999995,
+        -0.1234565,
+        -0.9999995,
+        0.0000005,
+        -0.0000005,
+        0.123456499999,
+        0.123456500001,
+        0.48,
+        -0.399999999,
+        0.0,
+        1.0,
+        -1.0,
+    ] + list(np.linspace(-1, 1, 257))
+    arr = np.asarray(vals, dtype=np.float64)
+    ours = similarity._round6_half_up(arr)
+    sdf = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).selectExpr("round(x, 6) AS r")
+    theirs = [r["r"] for r in sdf.collect()]
+    for v, o, t in zip(vals, ours, theirs):
+        assert o == t, (v, o, t)
 
 
 def test_semantic_dedup_auto_clusters_scales_with_corpus(emb):

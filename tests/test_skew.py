@@ -82,8 +82,11 @@ def test_salted_join_default_spread_fans_out_hot_key(spark):
     """With spread_col omitted, a hot key's rows must land on MANY
     salt values (ADVICE r6: the old default salted by the join key
     itself, so every row of a hot key got the identical salt — one
-    reducer, zero mitigation). Also re-proves result equality for the
-    default path."""
+    reducer, zero mitigation) AND the salt must be a deterministic
+    function of the row (ADVICE r7: the interim mono-id default was a
+    per-attempt value — non-deterministic shuffle keys duplicate or
+    drop rows under partial stage retry, the SPARK-23207 hazard).
+    Also re-proves result equality for the default path."""
     from kafka_streams_pipeline_spark.operators.skew import salted_join
 
     fact = spark.range(0, 2000).select(
@@ -92,14 +95,15 @@ def test_salted_join_default_spread_fans_out_hot_key(spark):
     dim = spark.createDataFrame([("hot", "d1")], "k string, dval string")
     out = salted_join(fact, dim, "k", salt=16)
     assert out.count() == 2000
-    # reconstruct the default salting: distinct salts actually used
-    salts = (
-        fact.withColumn(
-            "_salt",
-            F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(16)),
-        )
-        .select("_salt")
-        .distinct()
-        .count()
+    # reconstruct the default salting: deterministic xxhash64 over
+    # ALL fact columns — distinct salts actually used
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(16)),
     )
-    assert salts > 8  # 2000 draws over 16 buckets: all 16 w.h.p.
+    assert salted.select("_salt").distinct().count() > 8
+    # determinism: recomputing the salt (as a retried task would)
+    # yields the identical per-row assignment
+    a = {r["v"]: r["_salt"] for r in salted.collect()}
+    b = {r["v"]: r["_salt"] for r in salted.collect()}
+    assert a == b and len(a) == 2000

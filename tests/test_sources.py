@@ -274,3 +274,50 @@ def test_versioned_corpus_recovers_from_crashed_commit(spark, sf_dir, tmp_path):
     assert v2 == 2 and latest_version(store) == 2
     assert len(read_corpus(spark, store).collect()) == docs.count()
     assert not os.path.exists(os.path.join(store, "data", ".tmp-b000002"))
+
+
+def test_versioned_corpus_concurrent_commit_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """Two concurrent committers must NOT race: the second one hits
+    the exclusive commit lock and raises StoreLockedError naming the
+    holder, instead of rmtree-ing the first one's
+    completed-but-unmanifested batch as 'crash debris' (ADVICE r7).
+    After the lock clears, the commit succeeds and no data was
+    lost."""
+    import os
+
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        StoreLockedError,
+        commit_corpus,
+        latest_version,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    commit_corpus(docs.where(F.col("doc_id") < 100), store, "first")
+    # simulate a peer mid-commit: lock held, its batch fully written
+    # but not yet manifested
+    lock = os.path.join(store, "_manifests", ".commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b"pid=424242")
+    os.close(fd)
+    peer_batch = os.path.join(store, "data", "b000002")
+    docs.where(F.col("doc_id") >= 100).write.parquet(peer_batch)
+    with pytest.raises(StoreLockedError, match="424242"):
+        commit_corpus(docs.limit(1), store, "loser")
+    # the loser must not have touched the peer's batch
+    assert os.path.isdir(peer_batch)
+    assert latest_version(store) == 1
+    # peer finishes (lock released after its manifest publish) —
+    # here: release the lock and let a fresh commit reclaim b000002
+    # as debris, the documented single-writer recovery path
+    os.unlink(lock)
+    v2 = commit_corpus(docs.where(F.col("doc_id") >= 100), store, "rest")
+    assert v2 == 2
+    assert len(read_corpus(spark, store).collect()) == docs.count()
+    assert not os.path.exists(lock)
