@@ -162,7 +162,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-centroid assignment), then an in-cell cosine self-join
     drops every vector with a lower-id neighbor ≥ threshold — one
     representative per semantic near-dup chain, candidate work
-    Σ|cell|² not N². See operators/similarity.semantic_dedup."""
+    Σ|cell|² not N². Since r8 this row runs the PRODUCTION default —
+    the Arrow-vectorized matmul assignment with the Spark-HALF_UP
+    rounding kernel — hash-matched against the exact SQL oracle, so
+    the driver gate certifies the path a 100 TB run would use.
+    See operators/similarity.semantic_dedup."""
     return _sim.semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
@@ -282,6 +286,21 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, no float log. The bigram twin of
     q_unigram_surprisal; see operators/text.bigram_surprisal."""
     return _text.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register("q_bigram_surprisal_hashed", oracle=_text.bigram_surprisal_oracle())
+def q_bigram_surprisal_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of q_bigram_surprisal (VERDICT r7
+    item 2): the bigram/unigram model aggregation and all three
+    scoring joins shuffle 64-bit xxhash64 token keys instead of raw
+    strings. The per-document scores are key-representation-
+    independent (absent a 64-bit collision), so the SAME exact SQL
+    oracle certifies this path — the driver gate hash-matches the
+    hashed-shuffle plan end-to-end, not just a pytest twin.
+    See operators/text.bigram_surprisal(hash_keys=True)."""
+    return _text.bigram_surprisal(
+        _t(spark, sf_dir, "documents"), hash_keys=True
+    )
 
 
 @register(
@@ -1184,6 +1203,49 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. One window explosion → one aggregate → TopN. See
     operators/text.py repeated_ngrams."""
     return _text.repeated_ngrams(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_repeated_ngrams_hashed",
+    oracle=f"""
+        WITH wins AS (
+            SELECT doc_id,
+                   unnest([list_aggregate(
+                               list_slice(ws, i, i + {_text.REPEAT_W} - 1),
+                               'string_agg', ' ')
+                           FOR i IN range(1, len(ws) - {_text.REPEAT_W} + 2)])
+                       AS win
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= {_text.REPEAT_W}
+        ),
+        agg AS (
+            SELECT win,
+                   CAST(count(*) AS BIGINT) AS n_occur,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM wins
+            GROUP BY win
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT n_occur, n_docs,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM agg
+        GROUP BY n_occur, n_docs
+    """,
+)
+def q_repeated_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of q_repeated_ngrams (VERDICT r7
+    item 4): the window aggregate shuffles 64-bit xxhash64 keys
+    instead of raw W-token strings, and there is NO TopN and NO rank
+    — two plain aggregates with map-side partials, no sort anywhere.
+    The hash keys themselves are not SQL-reproducible (DuckDB has no
+    xxhash64), but the multiset of (n_occur, n_docs) over the FULL
+    repeated-window set is key-representation-independent — so this
+    row emits that invariant and the exact text-form oracle
+    certifies it (a hash collision, a lost window, or a miscounted
+    occurrence all break the match).
+    See operators/text.repeated_window_stats."""
+    return _text.repeated_window_stats(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -762,7 +762,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
     n_clusters: int | None = N_CLUSTERS,
-    vectorized_assign: bool = False,
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """X2/X3 semantic (embedding-space) dedup, SemDeDup-shaped:
     cluster the corpus with the coarse quantizer, then WITHIN each
@@ -788,11 +788,11 @@ def semantic_dedup(
     38.9× time for 20× data; pass ``n_clusters=None`` to auto-derive
     ``max(N_CLUSTERS, ⌈n / SEMDEDUP_TARGET_CELL⌉)`` from one count).
     Scaling cells bounds the pair stage but makes the broadcast
-    assignment O(n·k): the DEFAULT path evaluates it as interpreted
-    JVM lambdas whose arithmetic is the sequential fold the oracle
-    replays exactly — right at certification scale, where hash-exact
-    compare is the point; ``vectorized_assign=True`` is the 100 TB
-    path (VERDICT r6 item 4), scoring each Arrow batch as ONE NumPy
+    assignment O(n·k): ``vectorized_assign=True`` — the DEFAULT
+    since r8 (VERDICT r7 item 4: the production path is what the
+    certified row should run; the driver gate hash-matches it
+    against the exact SQL oracle every rotation) — is the 100 TB
+    path, scoring each Arrow batch as ONE NumPy
     ``emb @ C.T`` matmul against the broadcast centroid matrix with
     the same round-6 + lowest-cent-id tie discipline. The kernel
     replicates Spark's HALF_UP rounding — sign-aware
@@ -805,7 +805,11 @@ def semantic_dedup(
     rounding boundary can still land on the other side — the two
     paths are identical EXCEPT for scores within ~1 ulp of a 1e-6
     midpoint (``tests/test_extensions.py`` verifies identity on the
-    fixtures; it cannot establish the general guarantee). One
+    fixtures; it cannot establish the general guarantee).
+    ``vectorized_assign=False`` selects the interpreted-JVM-lambda
+    assignment whose arithmetic is the sequential fold the oracle
+    replays bit-for-bit — the inspectable certification form, kept
+    one argument away. One
     shuffle keyed by cell; no window, no global sort, no join-back —
     the group stage emits the final rows directly.
 

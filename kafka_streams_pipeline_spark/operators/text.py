@@ -870,7 +870,9 @@ BIGRAM_BACKOFF_BITS = 2  # penalty when an unseen bigram backs off
 # every score a pure integer)
 
 
-def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", hash_keys: bool = False
+) -> DataFrame:
     """X5 LM quality signal, one order up from
     :func:`unigram_surprisal`: score each EVAL-split document by mean
     BIGRAM surprisal with stupid backoff (Brants et al. 2007, "Large
@@ -893,12 +895,20 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     (vocab²-bounded in principle, corpus-bounded in practice); eval
     scoring is three equi-joins keyed by token strings (broadcast
     when the model is bounded, shuffled otherwise — Spark picks by
-    stats) and one per-doc aggregate. A production run at 100 TB
-    would hash (prev, cur) pairs to 64-bit keys before the shuffle,
-    as dedup.py does for shingles; text keys are kept here so the
-    certified row stays directly inspectable. Per-doc sums are
-    bounded by document length, so the ×10⁶ fixed-point mean cannot
-    overflow BIGINT."""
+    stats) and one per-doc aggregate. ``hash_keys=True`` is the
+    100 TB production path (VERDICT r7 item 2, mirroring
+    ``repeated_ngrams(hash_windows=True)``): tokens are mapped to
+    64-bit ``xxhash64`` keys BEFORE the model aggregation and the
+    three scoring joins, so the shuffles carry fixed 8-byte keys
+    instead of raw strings. NULL history is preserved as NULL (a
+    first token must never equi-join the bigram table), and every
+    downstream expression treats the keys as opaque, so the scores
+    are identical absent a 64-bit token collision (~n²/2⁶⁵ — the
+    same accepted exposure as the shingle hashing in dedup.py;
+    pytest proves score-identity on the fixtures). The certified row
+    keeps text keys so it stays directly inspectable. Per-doc sums
+    are bounded by document length, so the ×10⁶ fixed-point mean
+    cannot overflow BIGINT."""
     from kafka_streams_pipeline_spark.operators.corpus import (
         _split_bucket_spark,
     )
@@ -916,6 +926,18 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
             "CASE WHEN pos0 >= 1 THEN element_at(ws, pos0) END"
         ).alias("prev"),
     )
+    if hash_keys:
+        # opaque 64-bit keys from here on; NULL prev stays NULL so
+        # first-token rows keep missing the bigram join exactly as
+        # the text-keyed form does
+        toks = toks.select(
+            "doc_id",
+            "bucket",
+            F.when(
+                F.col("prev").isNotNull(), F.xxhash64("prev")
+            ).alias("prev"),
+            F.xxhash64("cur").alias("cur"),
+        )
     train = toks.where(F.col("bucket") < 80)
     uni = train.groupBy(F.col("cur").alias("token")).agg(
         F.count(F.lit(1)).alias("c1")
@@ -1299,6 +1321,64 @@ REPEAT_W = 5  # window length (tokens) for substring-repetition scan
 REPEAT_TOP = 50
 
 
+def _repeated_window_agg(
+    df: DataFrame, text_col: str, w: int, hash_windows: bool
+) -> DataFrame:
+    """Shared core of :func:`repeated_ngrams` and
+    :func:`repeated_window_stats`: explode every W-token window,
+    optionally hash it to a 64-bit key BEFORE the shuffle, and
+    aggregate (n_occur, n_docs) keeping only cross-document repeats."""
+    wins = (
+        df.withColumn("ws", F.split(F.col(text_col), " "))
+        .where(F.expr(f"size(ws) >= {w}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {w} + 1), "
+                    f"i -> array_join(slice(ws, i, {w}), ' '))"
+                )
+            ).alias("win"),
+        )
+    )
+    if hash_windows:
+        # hash BEFORE the shuffle: the aggregate's key is 8 bytes,
+        # not a W-token string; raw text never leaves its scan task
+        wins = wins.select(
+            "doc_id", F.xxhash64("win").cast("string").alias("win")
+        )
+    return (
+        wins.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def repeated_window_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = REPEAT_W,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Corpus-level repeated-passage profile: the multiset of
+    (n_occur, n_docs) over EVERY cross-document repeated W-token
+    window, as (n_occur, n_docs, n_windows) rows. Unlike
+    :func:`repeated_ngrams` there is no TopN and no rank — two plain
+    aggregates, both with map-side partials, no sort anywhere — so
+    this is the form to run corpus-wide at 100 TB (default
+    ``hash_windows=True``: the first aggregate shuffles 8-byte keys).
+    The stats are key-representation-independent, which is what lets
+    the driver certify the hashed plan against an exact text-form
+    SQL oracle (q_repeated_ngrams_hashed)."""
+    agg = _repeated_window_agg(df, text_col, w, hash_windows)
+    return agg.groupBy("n_occur", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+
+
 def repeated_ngrams(
     df: DataFrame,
     text_col: str = "text",
@@ -1332,33 +1412,7 @@ def repeated_ngrams(
     certified row keeps text form so the repeated passage is
     directly inspectable; ``tests/test_text.py`` proves both forms
     aggregate the identical window multiset."""
-    wins = (
-        df.withColumn("ws", F.split(F.col(text_col), " "))
-        .where(F.expr(f"size(ws) >= {w}"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(ws) - {w} + 1), "
-                    f"i -> array_join(slice(ws, i, {w}), ' '))"
-                )
-            ).alias("win"),
-        )
-    )
-    if hash_windows:
-        # hash BEFORE the shuffle: the aggregate's key is 8 bytes,
-        # not a W-token string; raw text never leaves its scan task
-        wins = wins.select(
-            "doc_id", F.xxhash64("win").cast("string").alias("win")
-        )
-    agg = (
-        wins.groupBy("win")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occur"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        )
-        .where(F.col("n_docs") >= 2)
-    )
+    agg = _repeated_window_agg(df, text_col, w, hash_windows)
     top = agg.orderBy(F.desc("n_occur"), F.asc("win")).limit(top_n)
     from pyspark.sql.window import Window
 
