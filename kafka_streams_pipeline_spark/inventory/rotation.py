@@ -5,6 +5,12 @@ entries of ``__spark_entry__.queries()``; these lists rotate every
 query through that window so each accumulates (and refreshes) a green
 driver row. ``tools/rotate.py`` derives the per-round edits to these
 lists from the recorded CORRECTNESS_r*.json evidence.
+
+As of round 8 every registered query has at least one green driver
+row (166/166 after round 7 — the terminal parity milestone), so the
+window's job is purely freshness: re-certify the stalest rows first
+so no query's latest evidence ages past ~3 rounds, with _RECHECK
+pulling code-changed rows to the front.
 """
 
 from __future__ import annotations
@@ -19,40 +25,33 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # row: certified names go to the back of the returned dict,
 # never-checked names to the front (VERDICT r2 "Next round" item 3,
 # VERDICT r3 items 1-2, VERDICT r4 items 1-2).
-# Round-3 evidence (CORRECTNESS_r03.json — names still stalest-r3
-# after round 5 re-certified 14 of the original 50 into R5):
-_CERTIFIED_R3: list[str] = [
-    "q_dedup_incremental",
-    "q_range_band_join", "q_interval_join", "q_window_ntile",
-    "q_grouping_sets", "q_minmax_by", "q_sessionize",
-    "q_order_priority", "q_priority_shipmode", "q_chunk_dedup",
-    "q_contamination", "q_stratified_sample", "q_daily_rollup",
-]
-# Round-4 evidence (CORRECTNESS_r04.json — all 50 window rows green;
-# 8 of them were re-certified by round 5 and moved to R5):
+# Round-4 evidence (CORRECTNESS_r04.json — the residue after rounds
+# 5-7 re-certified the rest of the original 50; these 21 are now the
+# stalest rows in the registry and head the round-8 window):
 _CERTIFIED_R4: list[str] = [
-    "q_precision_reagg", "q_unpivot",
-    "q_history_ordered", "q_semantic_dedup",
-    "q_vocab_build", "q_unigram_surprisal",
-    "q_small_qty_revenue", "q_large_orders",
-    "q_customer_distribution", "q_hll_distinct",
-    "q_radius_search", "q_decayed_engagement",
-    "q_kmv_distinct",
-    "q_source_cap", "q_revenue_forecast", "q_volume_shipping",
-    "q_market_share", "q_returned_items", "q_waiting_suppliers",
-    "q_sales_opportunity", "q_pq_encode", "q_pq_adc_topk",
+    "q_pq_adc_topk",
     "q_window_cume",
-    "q_scan_project", "q_filter_time_range", "q_json_extract",
-    "q_event_time_valid", "q_hourly_view", "q_history",
-    "q_history_interval", "q_snapshot", "q_reagg_merge", "q_gapfill",
-    "q_date_trunc_funcs", "q_string_funcs", "q_math_funcs",
-    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_join_anti", "q_group_distinct",
+    "q_scan_project",
+    "q_filter_time_range",
+    "q_json_extract",
+    "q_event_time_valid",
+    "q_hourly_view",
+    "q_history",
+    "q_history_interval",
+    "q_snapshot",
+    "q_reagg_merge",
+    "q_gapfill",
+    "q_date_trunc_funcs",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_group_distinct",
 ]
-# Round-5 evidence (CORRECTNESS_r05.json — all 50 window rows green,
-# listed in window order: the 15 _RECHECK re-certifications, then the
-# 35 stalest rounds-2/3 rows the spare slots re-certified; derived by
-# tools/rotate.py from the recorded evidence):
+# Round-5 evidence (CORRECTNESS_r05.json residue):
 _CERTIFIED_R5: list[str] = [
     "q_dedup_components",
     "q_dedup_components_alt",
@@ -104,10 +103,7 @@ _CERTIFIED_R5: list[str] = [
     "q_sim_ann_ivf",
     "q_array_stats",
 ]
-# Round-6 evidence (CORRECTNESS_r06.json — all 50 window rows green,
-# listed in window order: the 26 _ON_DECK round-5/6 additions, the
-# q_dedup_prefix_join re-certification, then the 23 stalest-r3 rows
-# the spare slots re-certified; derived by tools/rotate.py):
+# Round-6 evidence (CORRECTNESS_r06.json residue):
 _CERTIFIED_R6: list[str] = [
     "q_streaming_dedup",
     "q_streaming_hll",
@@ -128,12 +124,9 @@ _CERTIFIED_R6: list[str] = [
     "q_snapshot_ring",
     "q_media_features",
     "q_rag_chunks",
-    "q_repeated_ngrams",
     "q_embed_rp_reduce",
     "q_join_full",
     "q_join_cross",
-    "q_temperature_mixture",
-    "q_salted_join",
     "q_vocab_coverage",
     "q_dedup_prefix_join",
     "q_text_tokens",
@@ -148,7 +141,6 @@ _CERTIFIED_R6: list[str] = [
     "q_sliding_window",
     "q_session_window",
     "q_text_bigrams",
-    "q_term_stats",
     "q_dedup_edit",
     "q_repetition_stats",
     "q_heuristic_filter",
@@ -160,20 +152,13 @@ _CERTIFIED_R6: list[str] = [
     "q_mixture_sample",
     "q_corpus_pipeline",
 ]
-DRIVER_CERTIFIED: list[str] = (
-    _CERTIFIED_R3 + _CERTIFIED_R4 + _CERTIFIED_R5 + _CERTIFIED_R6
-)
-# Queries awaiting their first green driver row. Empty as of round 5:
-# all 128 declared queries carry at least one green CORRECTNESS row
-# (r1-r4 union), so the window is pure stalest-first re-certification.
-_UNCERTIFIED_RED: list[str] = []
-_PENDING: list[str] = []
-# Queries added after the last driver window: they queue behind the
-# uncertified backlog so they never displace an older query's slot.
-# Round 7: the 10 round-6 deferred rows move here from _DEFERRED
-# (VERDICT r6 item 1) so the round-7 window certifies them first —
-# taking driver-certified coverage to 164/164.
-_ON_DECK: list[str] = [
+# Round-7 evidence (CORRECTNESS_r07.json — all 50 window rows green,
+# listed in window order: the 2 round-7 additions, the 10 _ON_DECK
+# streaming/governance rows, the 6 _RECHECK re-certifications, then
+# the 32 stalest r3/r4 re-certs; derived by tools/rotate.py):
+_CERTIFIED_R7: list[str] = [
+    "q_bigram_surprisal",
+    "q_spend_quartile_scalable",
     "q_streaming_cms",
     "q_streaming_join",
     "q_streaming_sessions",
@@ -184,25 +169,74 @@ _ON_DECK: list[str] = [
     "q_corpus_versioning",
     "q_pipeline_audit",
     "q_dedup_recall",
-]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping. Populated during round 6 as
-# code changes land.
-_RECHECK: list[str] = [
-    # round-7 code changes (VERDICT r6 items 3-5 + ADVICE r6): the
-    # two-phase vocab_build rank, the TakeOrderedAndProject-first
-    # repeated_ngrams rewrite, semantic_dedup's vectorized assignment
-    # refactor, salted_join's spread_col default, and
-    # temperature_mixture's overflow-safe target arithmetic.
     "q_vocab_build",
     "q_repeated_ngrams",
     "q_semantic_dedup",
     "q_salted_join",
     "q_temperature_mixture",
-    # round-7 overflow-widening of tf_df_fp (same ADVICE r6 class)
     "q_term_stats",
+    "q_dedup_incremental",
+    "q_range_band_join",
+    "q_interval_join",
+    "q_window_ntile",
+    "q_grouping_sets",
+    "q_minmax_by",
+    "q_sessionize",
+    "q_order_priority",
+    "q_priority_shipmode",
+    "q_chunk_dedup",
+    "q_contamination",
+    "q_stratified_sample",
+    "q_daily_rollup",
+    "q_precision_reagg",
+    "q_unpivot",
+    "q_history_ordered",
+    "q_unigram_surprisal",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_customer_distribution",
+    "q_hll_distinct",
+    "q_radius_search",
+    "q_decayed_engagement",
+    "q_kmv_distinct",
+    "q_source_cap",
+    "q_revenue_forecast",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_waiting_suppliers",
+    "q_sales_opportunity",
+    "q_pq_encode",
+]
+DRIVER_CERTIFIED: list[str] = (
+    _CERTIFIED_R4 + _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7
+)
+# Queries awaiting their first green driver row. Empty since round 7:
+# all queries registered before this round carry a green row.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window that should certify
+# before the stalest re-certs. Empty: round-8's two new queries
+# (q_bigram_surprisal_hashed, q_repeated_ngrams_hashed) are in no
+# bucket, so driver_order() already puts them at the window head.
+_ON_DECK: list[str] = []
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping.
+_RECHECK: list[str] = [
+    # round-8 code changes (VERDICT r7 items 2/4 + ADVICE r7): the
+    # deterministic xxhash64 salt default in salted_join, the
+    # vectorized-by-default semantic_dedup assignment with the
+    # HALF_UP rounding kernel, the repeated_ngrams refactor over the
+    # shared _repeated_window_agg helper, bigram_surprisal's
+    # hash_keys parameter (text path re-proved), and the versioned
+    # store's exclusive commit lock.
+    "q_salted_join",
+    "q_semantic_dedup",
+    "q_repeated_ngrams",
+    "q_bigram_surprisal",
+    "q_corpus_versioning",
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
