@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_streams_pipeline_spark.inventory import QUERIES
 
@@ -175,6 +176,118 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
         if not sanctioned.search(name):
             assert "MapInPandas" not in plan, name
             assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def _walk_executed(node, out):
+    """Flatten an executed SparkPlan, descending through the AQE
+    wrapper and query-stage nodes (collectLeaves() stops at them)."""
+    out.append(node)
+    cn = node.getClass().getName()
+    if "AdaptiveSparkPlan" in cn:
+        _walk_executed(node.executedPlan(), out)
+    elif "QueryStage" in cn:
+        _walk_executed(node.plan(), out)
+    else:
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk_executed(ch.apply(i), out)
+    return out
+
+
+def _file_scan(df):
+    """Execute df and return (numFiles read, partition-filter string,
+    data-filter string) from its parquet scan's runtime metrics —
+    the ground truth of data skipping, not just filter presence."""
+    df.collect()
+    nodes = _walk_executed(df._jdf.queryExecution().executedPlan(), [])
+    for n in nodes:
+        if "FileSourceScan" in n.getClass().getName():
+            return (
+                int(n.metrics().apply("numFiles").value()),
+                n.partitionFilters().mkString(";"),
+                n.dataFilters().mkString(";"),
+            )
+    raise AssertionError(
+        "no FileSourceScan in executed plan (AQE may have "
+        "empty-relation-propagated it away): "
+        + str([x.getClass().getName() for x in nodes])
+    )
+
+
+def test_view_store_scans_prune_partitions_and_files(spark, sf_dir, tmp_path):
+    """SURVEY §4's storage claim, certified at the FILE level: the
+    compacted view store (ws_date-partitioned, one sorted file per
+    partition — the q_view_compaction lifecycle) must serve history
+    with partition-pruned scans (ws_date PartitionFilters, files
+    read = days touched, not the store) and snapshot with a
+    single-file scan, with the gh predicate pushed as a data filter
+    for parquet min/max skipping (VERDICT r7 item 6: assert pruned
+    file COUNTS from runtime scan metrics, not just filter
+    presence)."""
+    import datetime as dt
+
+    from kafka_streams_pipeline_spark import geo
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+    from kafka_streams_pipeline_spark.operators import queries as Q
+    from kafka_streams_pipeline_spark.operators.view import build_view
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events,
+    )
+    from kafka_streams_pipeline_spark.sources.sinks import (
+        compact_view,
+        read_view,
+        write_view,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    view_dir = str(tmp_path / "view")
+    full = build_view(
+        readings_from_events(load_table(spark, sf_dir, "events"))
+    ).withColumn("_slice", md5_long(F.col("gh")) % 2)
+    write_view(full.where(F.col("_slice") == 0).drop("_slice"), view_dir)
+    write_view(
+        full.where(F.col("_slice") != 0).drop("_slice"),
+        view_dir,
+        mode="append",
+    )
+    assert compact_view(spark, view_dir) >= 1
+    view = read_view(spark, view_dir)
+    dates = sorted(
+        r["ws_date"] for r in view.select("ws_date").distinct().collect()
+    )
+    assert len(dates) > 3  # pruning needs something to prune
+    # post-compaction invariant: exactly one parquet file per ws_date
+    import glob as _glob
+
+    files = _glob.glob(view_dir + "/ws_date=*/*.parquet")
+    assert len(files) == len(dates), (len(files), len(dates))
+
+    # -- history over a 2-day subrange: scan must read 2 files
+    mid = dates[len(dates) // 2]
+    from_ts = dt.datetime(mid.year, mid.month, mid.day)
+    to_ts = from_ts + dt.timedelta(days=1)
+    ghs = [r["gh"] for r in view.select("gh").limit(2).collect()]
+    n_files, pf, df_filters = _file_scan(
+        Q.history(view, "count", ghs, from_ts, to_ts)
+    )
+    assert n_files == 2, (n_files, pf)
+    assert "ws_date" in pf and ">=" in pf and "<=" in pf, pf
+    assert "gh" in df_filters and "window_start" in df_filters, df_filters
+
+    # -- snapshot at a data-derived hour/cell: scan must read 1 file
+    r = (
+        view.select(
+            "gh", F.unix_millis("window_start").alias("ms")
+        ).first()
+    )
+    hour = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=r["ms"])
+    south, west, north, east = geo.decode_bbox(r["gh"])
+    snap = Q.snapshot(view, "avg", hour, (north, west, south, east))
+    n_files, pf, df_filters = _file_scan(snap)
+    assert n_files == 1, (n_files, pf)
+    assert "ws_date" in pf, pf
+    assert "gh" in df_filters, df_filters
+    assert len(snap.collect()) >= 1  # guards the AQE empty-relation trap
 
 
 if __name__ == "__main__":
