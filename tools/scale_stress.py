@@ -1,5 +1,6 @@
-"""Scale-stress sweep for the dedup / ANN / components families
-(VERDICT r5 item 6).
+"""Scale-stress sweep for the dedup / ANN / components and
+text/corpus families (VERDICT r5 item 6; r7 items 3+7 added the
+text ops and the recurring LSH-recall certification).
 
 The driver fixtures stop at sf0.1 (5k documents / 2k embeddings), so
 the sub-quadratic-growth claims of the LSH/prefix/components
@@ -101,6 +102,7 @@ def generate(base_dir: str, out_dir: str, mult: int) -> None:
 def run_sweep(spark, mults: list[int]) -> dict:
     from kafka_streams_pipeline_spark.operators import dedup as dd
     from kafka_streams_pipeline_spark.operators import similarity as sim
+    from kafka_streams_pipeline_spark.operators import text as tx
 
     # Warm-up pass at the smallest multiplier (JVM/codegen warm
     # paths): without it the first sweep row absorbs one-time JIT
@@ -116,6 +118,10 @@ def run_sweep(spark, mults: list[int]) -> dict:
         lambda: sim.semantic_dedup(wembs).count(),
         lambda: sim.topk_cosine_lsh(wembs).count(),
         lambda: sim.topk_cosine_ivf(wembs).count(),
+        lambda: tx.vocab_build(wdocs).count(),
+        lambda: tx.bigram_surprisal(wdocs, hash_keys=True).count(),
+        lambda: tx.pack_sequences(wdocs).count(),
+        lambda: tx.repeated_window_stats(wdocs).count(),
     ):
         fn()
     spark.catalog.clearCache()
@@ -185,6 +191,48 @@ def run_sweep(spark, mults: list[int]) -> dict:
             "ann_ivf",
             lambda: sim.topk_cosine_ivf(embs).count(),
         )
+        # text/corpus family (VERDICT r7 item 3): the round-7/8
+        # rewrites — vocab_build's two-phase range-repartition rank,
+        # bigram_surprisal's three token joins (text vs hashed keys,
+        # so the 8-byte-shuffle win is RECORDED, not asserted),
+        # prefix-sum sequence packing, and the sortless hashed
+        # repeated-window profile. The mutated replica tokens grow
+        # the vocabulary with the multiplier, so vocab_build's rank
+        # stage is genuinely stressed.
+        timed("vocab_build", lambda: tx.vocab_build(docs).count())
+        timed(
+            "bigram_surprisal_text",
+            lambda: tx.bigram_surprisal(docs).count(),
+        )
+        timed(
+            "bigram_surprisal_hashed",
+            lambda: tx.bigram_surprisal(docs, hash_keys=True).count(),
+        )
+        timed("pack_sequences", lambda: tx.pack_sequences(docs).count())
+        timed(
+            "repeated_window_stats",
+            lambda: tx.repeated_window_stats(docs).count(),
+        )
+        # LSH recall vs the exact inverted-index baseline (VERDICT r7
+        # item 7: keep the recall certification recurring so banding
+        # changes can't silently regress it at scale — the driver's
+        # q_dedup_recall row only measures sf0.01)
+        t0 = time.time()
+        lsh = dd.minhash_near_dup_pairs(docs).select("id_a", "id_b")
+        exact = dd.ngram_jaccard_pairs(docs).select("id_a", "id_b")
+        n_exact = exact.count()
+        n_both = lsh.join(exact, ["id_a", "id_b"]).count()
+        row["lsh_recall"] = {
+            "n_exact": n_exact,
+            "n_both": n_both,
+            "recall": round(n_both / n_exact, 6) if n_exact else None,
+            "sec": round(time.time() - t0, 3),
+        }
+        print(
+            f"  {mult}x lsh_recall: {row['lsh_recall']['recall']}"
+            f" ({n_both}/{n_exact}, {row['lsh_recall']['sec']}s)",
+            flush=True,
+        )
         results[str(mult)] = row
         shutil.rmtree(out_dir, ignore_errors=True)
     return results
@@ -240,7 +288,7 @@ def big_graph_check(spark) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,2,5,10")
-    ap.add_argument("--out", default="SCALE_SWEEP_r06.json")
+    ap.add_argument("--out", default="SCALE_SWEEP_r08.json")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
