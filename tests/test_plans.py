@@ -62,10 +62,15 @@ def test_topk_avoids_global_sort(spark, sf):
 def test_declared_queries_stay_jvm_side(spark, sf):
     """No Python evaluation in any declared query plan: UDF-free by
     design (geohash work is driver-side; kernels are higher-order
-    SQL). The only sanctioned Python boundary is the Arrow-batched
-    mapInPandas in the media-decode queries, where a binary codec
-    genuinely cannot be a JVM expression."""
-    MEDIA_DECODE = {n for n in QUERIES if n.startswith("q_media_")}
+    SQL). The only sanctioned Python boundaries are Arrow-batched:
+    mapInPandas in the media-decode queries (a binary codec genuinely
+    cannot be a JVM expression) and in q_semantic_dedup, whose
+    production-default centroid assignment scores each batch as one
+    NumPy matmul (round 8; its pair stage was always
+    applyInPandas)."""
+    MEDIA_DECODE = {n for n in QUERIES if n.startswith("q_media_")} | {
+        "q_semantic_dedup"
+    }
     for name, fn in QUERIES.items():
         if name in ("q_dedup_components",):
             continue  # iterative driver loop: per-step frames checked below
