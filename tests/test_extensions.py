@@ -778,6 +778,15 @@ def test_round6_half_up_matches_spark_round(spark):
         1.0,
         -1.0,
     ] + list(np.linspace(-1, 1, 257))
+    # deterministic pseudorandom fuzz over the cosine range, plus
+    # values CONSTRUCTED adjacent to 1e-6 midpoints (the divergence
+    # band): both sides of x.xxxxxx5 at the nearest representables
+    rng = np.random.RandomState(20240814)
+    vals += list(rng.uniform(-1, 1, 20000))
+    mids = (np.round(rng.uniform(0, 999999, 200)) + 0.5) / 1e6
+    vals += list(np.nextafter(mids, -1)) + list(mids) + list(
+        np.nextafter(mids, 2)
+    )
     arr = np.asarray(vals, dtype=np.float64)
     ours = similarity._round6_half_up(arr)
     sdf = spark.createDataFrame(
