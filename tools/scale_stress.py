@@ -238,6 +238,93 @@ def run_sweep(spark, mults: list[int]) -> dict:
     return results
 
 
+def view_family_check(spark, mults: list[int]) -> dict:
+    """Measure the CORE reference family's load-bearing claim
+    (README: "query cost is O(cells × hours in range), independent of
+    raw-event volume"): replicate the sf0.1 events ``m``× with
+    30-day timestamp shifts (dates — and so ws_date partitions —
+    grow linearly; the cell grid stays fixed), rebuild + write the
+    partitioned view store, then run the SAME fixed 2-day history
+    and single-hour snapshot against each store. Expected shape:
+    ingest ~linear in events, history/snapshot ~FLAT (partition
+    pruning holds the scanned file count constant while the store
+    grows 20×)."""
+    import datetime as dt
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    from kafka_streams_pipeline_spark import geo
+    from kafka_streams_pipeline_spark.operators import queries as Q
+    from kafka_streams_pipeline_spark.operators.view import build_view
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events,
+    )
+    from kafka_streams_pipeline_spark.sources.sinks import (
+        read_view,
+        write_view,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    base = readings_from_events(load_table(spark, SF_BASE, "events"))
+    n_base = base.count()
+    shift_ms = 30 * 86_400_000  # one replica = one 30-day epoch
+    from_ts = dt.datetime(2024, 1, 15)
+    to_ts = dt.datetime(2024, 1, 17)
+    snap_hour = dt.datetime(2024, 1, 10, 7, 0)
+    out: dict = {"n_base_events": n_base}
+    for m in mults:
+        readings = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.withColumn(
+                    "timestamp", F.col("timestamp") + F.lit(k * shift_ms)
+                )
+                for k in range(m)
+            ],
+        )
+        vdir = os.path.join(
+            tempfile.mkdtemp(prefix=f"kspipeline-viewfam-{m}x-"), "view"
+        )
+        t0 = time.time()
+        write_view(build_view(readings), vdir)
+        t_ingest = round(time.time() - t0, 3)
+        view = read_view(spark, vdir)
+        n_view = view.count()
+        ghs = [
+            r["gh"]
+            for r in view.select("gh").distinct().orderBy("gh").limit(2).collect()
+        ]
+        t0 = time.time()
+        n_hist = len(
+            Q.history(view, "count", ghs, from_ts, to_ts).collect()
+        )
+        t_hist = round(time.time() - t0, 3)
+        south, west, north, east = geo.decode_bbox(ghs[0])
+        t0 = time.time()
+        n_snap = len(
+            Q.snapshot(view, "avg", snap_hour, (north, west, south, east)).collect()
+        )
+        t_snap = round(time.time() - t0, 3)
+        out[str(m)] = {
+            "events": n_base * m,
+            "view_rows": n_view,
+            "ingest_sec": t_ingest,
+            "history_sec": t_hist,
+            "history_rows": n_hist,
+            "snapshot_sec": t_snap,
+            "snapshot_rows": n_snap,
+        }
+        print(
+            f"  viewfam {m}x: ingest {t_ingest}s ({n_base * m} events → "
+            f"{n_view} view rows), history {t_hist}s ({n_hist}), "
+            f"snapshot {t_snap}s ({n_snap})",
+            flush=True,
+        )
+        shutil.rmtree(os.path.dirname(vdir), ignore_errors=True)
+    return out
+
+
 def big_graph_check(spark) -> dict:
     """Certify the distributed components path on a graph ABOVE the
     driver-side cap: 2M nodes in blocks of 5 connected by chain edges
@@ -295,6 +382,7 @@ def main() -> None:
     spark = get_spark(app_name="kspipeline-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     sweep = run_sweep(spark, mults)
+    viewfam = view_family_check(spark, mults)
     big = big_graph_check(spark)
 
     # growth factors vs the smallest multiplier (sub-quadratic = the
@@ -321,6 +409,7 @@ def main() -> None:
         "base_dir": SF_BASE,
         "sweep": sweep,
         "growth_vs_smallest": growth,
+        "view_family": viewfam,
         "big_graph_alternating": big,
     }
     with open(args.out, "w") as f:
