@@ -267,6 +267,18 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.vocab_build(_t(spark, sf_dir, "documents"))
 
 
+@register("q_encode_documents", oracle=_text.encode_documents_oracle())
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 tokenizer application (round 8): every document mapped to
+    its id sequence under the vocab_build vocabulary (OOV → UNK 0),
+    certified per document by an ORDER-SENSITIVE integer checksum —
+    a transposed, dropped, or mis-assigned id anywhere flips the
+    hash, with no arrays crossing the differential gate. Completes
+    the tokenizer-prep chain vocab_build → encode → pack_sequences.
+    See operators/text.encode_documents."""
+    return _text.encode_documents(_t(spark, sf_dir, "documents"))
+
+
 @register("q_unigram_surprisal", oracle=_text.unigram_surprisal_oracle())
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 CCNet-shaped LM quality scoring, integer-exact: mean

@@ -806,6 +806,91 @@ def vocab_build_oracle(min_count: int = 2) -> str:
     """
 
 
+#: modulus for the order-sensitive encode checksum: per-term products
+#: stay < 2^63 for any realistic vocab (id ≤ ~10^7) and document
+#: length (pos ≤ ~10^6), and the per-doc SUM stays < n_tokens · 10^9
+ENCODE_CHECKSUM_MOD = 1_000_000_007
+
+
+def encode_documents(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """X5 tokenizer APPLICATION — the step between
+    :func:`vocab_build` and :func:`pack_sequences`: map every
+    document to its id sequence under the corpus vocabulary
+    (OOV → id 0, the UNK convention) and emit per-document
+    (n_tokens, n_oov, ids_checksum).
+
+    The id sequence itself is certified without shipping arrays
+    through the differential gate: ``ids_checksum`` is the
+    ORDER-SENSITIVE integer Σ ((pos₁ · (id + 1)) mod 1e9+7) over
+    1-based positions — a transposed, dropped, or mis-assigned id
+    anywhere in any document changes the sum, and pure-integer
+    arithmetic makes both engines agree to the bit. vocab ids come
+    from :func:`vocab_build`'s deterministic (cnt DESC, token ASC)
+    ranking, so the encoding is reproducible across runs by
+    construction.
+
+    Scale shape: the vocabulary is corpus-bounded (min-count-pruned,
+    typically ≤ ~10⁶ rows — tens of MB), so Spark broadcasts the
+    encode join; the token stream never shuffles for the join and
+    the only exchange is the per-document aggregate. No window, no
+    sort, no arrays across stages."""
+    vocab = vocab_build(df, text_col, min_count).select(
+        "token", "token_id"
+    )
+    toks = df.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("pos0", "token"),
+    )
+    enc = toks.join(vocab, "token", "left").select(
+        "doc_id",
+        "pos0",
+        F.col("token_id").isNull().cast("long").alias("oov"),
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("id"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.sum(
+            ((F.col("pos0") + 1) * (F.col("id") + 1))
+            % F.lit(ENCODE_CHECKSUM_MOD)
+        )
+        .cast("long")
+        .alias("ids_checksum"),
+    )
+
+
+def encode_documents_oracle(min_count: int = 2) -> str:
+    return f"""
+        WITH vocab AS ({vocab_build_oracle(min_count)}),
+        tok AS (
+            SELECT doc_id,
+                   unnest([{{'pos1': i, 'token': ws[i]}}
+                           FOR i IN range(1, len(ws) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ),
+        enc AS (
+            SELECT t.doc_id,
+                   t.u.pos1 AS pos1,
+                   v.token_id IS NULL AS oov,
+                   COALESCE(v.token_id, 0) AS id
+            FROM tok t LEFT JOIN vocab v ON t.u.token = v.token
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(sum((pos1 * (id + 1)) % {ENCODE_CHECKSUM_MOD})
+                    AS BIGINT) AS ids_checksum
+        FROM enc
+        GROUP BY doc_id
+    """
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     """X5 CCNet-shaped LM quality signal, integer-exact: score each
     EVAL-split document by mean unigram surprisal under the

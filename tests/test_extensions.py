@@ -845,6 +845,39 @@ def test_bigram_surprisal_history_beats_unigram(spark):
         assert r["total_bits"] < uni[d]["total_bits"]
 
 
+def test_encode_documents_hand_computed(spark):
+    """Tokenizer application against a fixture small enough to check
+    by hand: vocab (min_count=2) ranks a(cnt 4)→id 1, b(cnt 3)→id 2;
+    c(cnt 1) is pruned → UNK id 0. Checksums are the order-sensitive
+    Σ pos₁·(id+1): d0 'a a b' → 1·2+2·2+3·3 = 15, d1 'a b c' →
+    1·2+2·3+3·1 = 11 (one OOV), d2 'b a' → 1·3+2·2 = 7."""
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.encode_documents(df).collect()}
+    assert out[0]["n_tokens"] == 3 and out[0]["n_oov"] == 0
+    assert out[0]["ids_checksum"] == 15
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1
+    assert out[1]["ids_checksum"] == 11
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 0
+    assert out[2]["ids_checksum"] == 7
+
+
+def test_encode_documents_order_sensitivity(spark):
+    """The checksum must distinguish permutations of the same token
+    multiset — that is the property that lets it certify SEQUENCES
+    without arrays crossing the gate."""
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a b a"), (2, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.encode_documents(df).collect()}
+    sums = {r["ids_checksum"] for r in out.values()}
+    assert len(sums) == 3  # same multiset, three distinct orders
+    assert all(r["n_tokens"] == 4 and r["n_oov"] == 0 for r in out.values())
+
+
 def test_bigram_surprisal_hashed_twin_score_identical(spark):
     """hash_keys=True (the 100 TB path: the model aggregation and
     all three scoring joins shuffle 8-byte xxhash64 keys instead of
