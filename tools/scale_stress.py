@@ -122,6 +122,7 @@ def run_sweep(spark, mults: list[int]) -> dict:
         lambda: tx.bigram_surprisal(wdocs, hash_keys=True).count(),
         lambda: tx.pack_sequences(wdocs).count(),
         lambda: tx.repeated_window_stats(wdocs).count(),
+        lambda: tx.encode_documents(wdocs).count(),
     ):
         fn()
     spark.catalog.clearCache()
@@ -212,6 +213,10 @@ def run_sweep(spark, mults: list[int]) -> dict:
         timed(
             "repeated_window_stats",
             lambda: tx.repeated_window_stats(docs).count(),
+        )
+        timed(
+            "encode_documents",
+            lambda: tx.encode_documents(docs).count(),
         )
         # LSH recall vs the exact inverted-index baseline (VERDICT r7
         # item 7: keep the recall certification recurring so banding
