@@ -729,20 +729,22 @@ def _round6_half_up(a):
     import numpy as np
 
     scaled = np.abs(a) * 1e6
-    out = np.sign(a) * np.floor(scaled + 0.5)
+    out = (np.sign(a) * np.floor(scaled + 0.5)) / 1e6
     frac = scaled - np.floor(scaled)
     near = np.abs(frac - 0.5) < 1e-7
     if near.any():
         from decimal import ROUND_HALF_UP, Decimal
 
+        # patch band entries in VALUE space (no ×1e6/÷1e6 round
+        # trip, which could wobble the final double by 1 ulp)
         q = Decimal("0.000001")
         flat_a = a.reshape(-1)
         flat_o = out.reshape(-1)
         for i in np.nonzero(near.reshape(-1))[0]:
             flat_o[i] = float(
                 Decimal(repr(float(flat_a[i]))).quantize(q, ROUND_HALF_UP)
-            ) * 1e6
-    return out / 1e6
+            )
+    return out
 
 
 # --- SemDeDup-style semantic deduplication ---------------------------------
