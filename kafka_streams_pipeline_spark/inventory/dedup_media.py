@@ -752,6 +752,89 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_binary_source",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n
+            FROM documents WHERE doc_id < 200
+        ),
+        samples AS (
+            SELECT doc_id, n,
+                   (doc_id * 31 + i * 7) % 65536 - 32768 AS s
+            FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(44 + 2 * n
+                    + CASE WHEN doc_id % 4 = 0 THEN 26 ELSE 0 END
+                    AS BIGINT) AS file_bytes,
+               n AS n_samples,
+               max(abs(s)) AS peak_abs,
+               CAST(sum(s) AS BIGINT) AS sum_samples
+        FROM samples
+        GROUP BY doc_id, n
+    """,
+)
+def q_media_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b for raw media: Spark's native ``binaryFile`` source — THE
+    ingestion path for image/audio/video files at scale — exercised
+    end-to-end. WAV payloads are synthesized from the deterministic
+    sample recurrence, written as individual ``.wav`` FILES, read
+    back via ``spark.read.format("binaryFile")`` (path /
+    modificationTime / length / content), the asset id recovered
+    from the filename with a JVM-side regexp, and the content column
+    decoded by the stdlib WAV parser. The oracle recomputes both the
+    decoded PCM stats AND the exact on-disk byte size (44-byte
+    header + 2n PCM + 26-byte LIST chunk on every 4th asset) from
+    the recurrence, so the hash match certifies the source's
+    ``length`` metadata, the file round-trip, and the decode in one
+    row. Bounded to 200 assets — fixture materialization, like the
+    other replay rows; at scale the write step IS the upstream
+    producer and everything from ``binaryFile`` on is this exact
+    plan (payloads never shuffle: decode emits typed columns
+    partition-locally)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-binsrc-")
+    try:
+        for r in _mm.wav_from_documents(docs).collect():
+            with open(
+                os.path.join(base, f"a{int(r['asset_id']):06d}.wav"), "wb"
+            ) as f:
+                f.write(bytes(r["payload"]))
+        bf = spark.read.format("binaryFile").load(base + "/*.wav")
+        assets = bf.select(
+            F.regexp_extract(F.col("path"), r"a(\d{6})\.wav$", 1)
+            .cast("long")
+            .alias("asset_id"),
+            F.col("length").alias("file_bytes"),
+            F.col("content").alias("payload"),
+        )
+        dec = _mm.decode_wav(assets.select("asset_id", "payload"))
+        out = (
+            dec.join(assets.select("asset_id", "file_bytes"), "asset_id")
+            .select(
+                "asset_id",
+                F.col("file_bytes").cast("long").alias("file_bytes"),
+                "n_samples",
+                "peak_abs",
+                "sum_samples",
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "q_dedup_recall",
     oracle=f"""
         WITH lsh AS ({_dedup.minhash_pairs_oracle()}),

@@ -165,6 +165,7 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     # (materialize=False) instead.
     materializing = re.compile(
         r"q_streaming_|q_csv_source|q_orc_source|q_ivf_train"
+        r"|q_media_binary_source"
         r"|q_dedup_prefix_join|q_view_compaction|q_corpus_versioning"
         r"|q_pipeline_audit|q_dedup_recall"
     )
