@@ -1637,3 +1637,89 @@ def q_corpus_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "version int, n_docs long, id_checksum long, chars_total long",
     )
+
+
+@register(
+    "q_corpus_schema_evolution",
+    oracle="""
+        SELECT 1 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(2 AS BIGINT)        AS n_cols,
+               CAST(0 AS BIGINT)        AS n_q_present,
+               CAST(0 AS BIGINT)        AS sum_q
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT 2 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(3 AS BIGINT)        AS n_cols,
+               CAST(sum(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_q_present,
+               CAST(sum(CASE WHEN doc_id >= 300
+                             THEN n_chars % 100 ELSE 0 END)
+                    AS BIGINT)          AS sum_q
+        FROM documents
+    """,
+)
+def q_corpus_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution UNDER time travel (round 8): batch 1
+    commits (doc_id, n_chars); batch 2 adds a third column (qscore =
+    n_chars % 100). Reading as-of v2 with ``merge_schema=True``
+    unions the footer schemas — batch-1 rows surface NULL qscore —
+    while reading as-of v1 AFTER the evolved commit still sees
+    exactly the original two columns (manifest-pinned batches make
+    evolution time-travel-consistent). Per version: row count,
+    column count, non-null qscore count, and the qscore sum — the
+    oracle recomputes all four from the documents slices, so a
+    mis-merged schema, a null-padding error, or a leaked column into
+    v1 all flip the hash. See sources/versioned.read_corpus."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-schevo-")
+    store = os.path.join(base, "corpus")
+    v1 = commit_corpus(
+        docs.where(F.col("doc_id") < 300).select("doc_id", "n_chars"),
+        store,
+        "original schema",
+    )
+    v2 = commit_corpus(
+        docs.where(F.col("doc_id") >= 300).select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars") % 100).cast("long").alias("qscore"),
+        ),
+        store,
+        "adds qscore",
+    )
+    out_rows = []
+    for v in (v1, v2):
+        snap = read_corpus(spark, store, v, merge_schema=True)
+        n_cols = len(snap.columns)
+        agg = snap.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.count("qscore") if "qscore" in snap.columns else F.lit(0)
+            )
+            .cast("long")
+            .alias("n_q_present"),
+            (
+                F.sum(F.coalesce(F.col("qscore"), F.lit(0)))
+                if "qscore" in snap.columns
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias("sum_q"),
+        ).collect()[0]
+        out_rows.append(
+            (v, agg["n_docs"], n_cols, agg["n_q_present"], agg["sum_q"])
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "version int, n_docs long, n_cols long, n_q_present long, sum_q long",
+    )

@@ -140,12 +140,27 @@ def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
 
 
 def read_corpus(
-    spark: SparkSession, store_dir: str, version: int | None = None
+    spark: SparkSession,
+    store_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the corpus AS OF ``version`` (default: latest). The
     returned frame is reproducible for as long as the store exists:
     batch directories are immutable and the manifest pins exactly
-    which of them constitute the version."""
+    which of them constitute the version.
+
+    ``merge_schema=True`` enables additive SCHEMA EVOLUTION across
+    batches (the Delta/Iceberg mergeSchema semantics on plain
+    parquet): a later batch may carry columns earlier batches lack;
+    the merged read unions the footers' schemas and earlier batches'
+    rows surface NULL for the added columns. Because batches are
+    immutable and a version pins its batch list, evolution is also
+    TIME-TRAVEL-CONSISTENT: reading as-of an old version never sees
+    a column added later, merged or not. Default False: a
+    homogeneous store skips the footer-merge job, and an accidental
+    schema drift fails loudly instead of being silently null-padded
+    — turn it on deliberately."""
     if version is None:
         version = latest_version(store_dir)
     if version < 1:
@@ -155,4 +170,7 @@ def read_corpus(
     dirs = [
         os.path.join(store_dir, _DATA, b) for b in manifest["batches"]
     ]
-    return spark.read.parquet(*dirs)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs)

@@ -276,6 +276,45 @@ def test_versioned_corpus_recovers_from_crashed_commit(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(store, "data", ".tmp-b000002"))
 
 
+def test_versioned_corpus_schema_evolution(spark, sf_dir, tmp_path):
+    """Additive schema evolution under time travel: a later batch
+    adds a column; merge_schema=True reads union the schemas with
+    NULL padding for old batches, while as-of the OLD version the
+    added column never appears (manifest-pinned batches). Default
+    merge_schema=False on the evolved store must NOT silently
+    null-pad: it either fails loudly or returns a single footer's
+    schema — never a merged one."""
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    v1 = commit_corpus(
+        docs.where(F.col("doc_id") < 100).select("doc_id", "n_chars"),
+        store,
+        "v1",
+    )
+    v2 = commit_corpus(
+        docs.where(F.col("doc_id") >= 100).select(
+            "doc_id", "n_chars", F.lit(7).cast("long").alias("extra")
+        ),
+        store,
+        "v2 adds extra",
+    )
+    merged = read_corpus(spark, store, v2, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "n_chars", "extra"}
+    n_old = docs.where(F.col("doc_id") < 100).count()
+    assert merged.where(F.col("extra").isNull()).count() == n_old
+    assert merged.count() == docs.count()
+    # time travel: v1 read AFTER the evolved commit — no leaked column
+    old = read_corpus(spark, store, v1, merge_schema=True)
+    assert set(old.columns) == {"doc_id", "n_chars"}
+    assert old.count() == n_old
+
+
 def test_versioned_corpus_concurrent_commit_fails_loudly(
     spark, sf_dir, tmp_path
 ):
