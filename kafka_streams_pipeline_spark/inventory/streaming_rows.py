@@ -1640,6 +1640,77 @@ def q_corpus_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corpus_checkpoint",
+    oracle="""
+        SELECT 1 AS version, CAST(1 AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 2 AS version, CAST(2 AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+        UNION ALL
+        SELECT 3 AS version, CAST(1 AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+        UNION ALL
+        SELECT 4 AS version, CAST(2 AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+    """,
+)
+def q_corpus_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest checkpointing (round 8): after two append commits
+    (v1, v2 — manifest grows to 2 batches), checkpoint_corpus
+    consolidates the corpus into ONE batch (v3, manifest length 1 —
+    the Delta-checkpoint move that keeps read planning O(1) under
+    many small commits), and a post-checkpoint commit chains from
+    the short manifest (v4, length 2). Every version's row carries
+    its manifest batch COUNT plus count + id checksum, and v2 is
+    read back AFTER the checkpoint — so the oracle hash certifies
+    both the consolidation (same data, fewer batches) and that
+    checkpointing never disturbs a pinned old version.
+    See sources/versioned.checkpoint_corpus."""
+    import json as _json
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-ckpt-")
+    store = os.path.join(base, "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 3 == 0), store, "third 0")
+    commit_corpus(docs.where(F.col("doc_id") % 3 == 1), store, "third 1")
+    checkpoint_corpus(spark, store)
+    commit_corpus(docs.where(F.col("doc_id") % 3 == 2), store, "third 2")
+    out_rows = []
+    for v in (1, 2, 3, 4):
+        with open(_manifest_path(store, v)) as f:
+            n_batches = len(_json.load(f)["batches"])
+        snap = read_corpus(spark, store, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).collect()[0]
+        out_rows.append(
+            (v, n_batches, snap["n_docs"], snap["id_checksum"])
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "version int, n_batches long, n_docs long, id_checksum long",
+    )
+
+
+@register(
     "q_corpus_schema_evolution",
     oracle="""
         SELECT 1 AS version,

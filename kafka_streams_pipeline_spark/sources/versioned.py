@@ -59,7 +59,12 @@ def latest_version(store_dir: str) -> int:
     return max(versions, default=0)
 
 
-def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
+def commit_corpus(
+    df: DataFrame,
+    store_dir: str,
+    note: str = "",
+    replace_history: bool = False,
+) -> int:
     """Append ``df`` as a new immutable batch and return the new
     version number. The batch is written under a dot-temp name and
     renamed into place only when complete, and the manifest appears
@@ -117,7 +122,7 @@ def commit_corpus(df: DataFrame, store_dir: str, note: str = "") -> int:
         df.write.mode("errorifexists").parquet(tmp_batch_dir)
         os.rename(tmp_batch_dir, batch_dir)
         prior: list[str] = []
-        if version > 1:
+        if version > 1 and not replace_history:
             with open(_manifest_path(store_dir, version - 1)) as f:
                 prior = json.load(f)["batches"]
         manifest = {
@@ -174,3 +179,26 @@ def read_corpus(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*dirs)
+
+
+def checkpoint_corpus(
+    spark: SparkSession, store_dir: str, note: str = "checkpoint"
+) -> int:
+    """Consolidate the CURRENT corpus into one batch and commit it as
+    the next version whose manifest references ONLY that batch — the
+    transaction-log checkpoint move (Delta's checkpoint / Iceberg's
+    snapshot rewrite, on plain parquet). Why at 100 TB: a store fed
+    by many small commits accumulates a manifest of many batch
+    directories, and every read plans a multi-directory scan over
+    ever-smaller files; the checkpoint restores one big sorted batch
+    and an O(1) manifest, and commits AFTER it chain from the short
+    list. Old versions stay pinned and readable forever: their batch
+    directories are untouched and their manifests still name them —
+    checkpointing changes the lineage going FORWARD only. (Storage
+    is additive by design, as with every append-only log; reclaiming
+    pre-checkpoint batches is an explicit retention decision outside
+    this module's append-only contract.)"""
+    return commit_corpus(
+        read_corpus(spark, store_dir), store_dir, note,
+        replace_history=True,
+    )

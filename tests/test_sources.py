@@ -276,6 +276,42 @@ def test_versioned_corpus_recovers_from_crashed_commit(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(store, "data", ".tmp-b000002"))
 
 
+def test_versioned_corpus_checkpoint(spark, sf_dir, tmp_path):
+    """checkpoint_corpus consolidates the current corpus into one
+    batch (manifest length 1) WITHOUT touching pinned old versions,
+    and later commits chain from the short manifest."""
+    import json
+    import os
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even")
+    commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd")
+    before = sorted(r["doc_id"] for r in read_corpus(spark, store).collect())
+    v3 = checkpoint_corpus(spark, store)
+    assert v3 == 3
+    with open(_manifest_path(store, 3)) as f:
+        assert len(json.load(f)["batches"]) == 1
+    after = sorted(r["doc_id"] for r in read_corpus(spark, store, 3).collect())
+    assert after == before  # consolidation is invisible in the data
+    # the pinned pre-checkpoint version is untouched
+    v1_rows = read_corpus(spark, store, 1).count()
+    assert v1_rows == docs.where(F.col("doc_id") % 2 == 0).count()
+    # a post-checkpoint commit chains from the 1-entry manifest
+    v4 = commit_corpus(docs.limit(0), store, "empty append")
+    with open(_manifest_path(store, v4)) as f:
+        assert len(json.load(f)["batches"]) == 2
+    assert os.path.isdir(os.path.join(store, "data", "b000001"))
+
+
 def test_versioned_corpus_schema_evolution(spark, sf_dir, tmp_path):
     """Additive schema evolution under time travel: a later batch
     adds a column; merge_schema=True reads union the schemas with
