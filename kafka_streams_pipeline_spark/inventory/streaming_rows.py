@@ -1711,6 +1711,58 @@ def q_corpus_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corpus_vacuum",
+    oracle="""
+        SELECT CAST(2 AS BIGINT) AS batches_removed,
+               CAST(2 AS BIGINT) AS manifests_removed,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+    """,
+)
+def q_corpus_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (round 8): the full store lifecycle ending in
+    VACUUM — two append commits, a manifest checkpoint, then
+    vacuum(keep_from=checkpoint) reclaims exactly the two
+    pre-checkpoint batches + manifests, and the retained version
+    reads back bit-identical (count + id checksum against the
+    oracle). Manifests are removed before batches, so a crash
+    mid-vacuum can orphan files but never leave a manifest pointing
+    at deleted data. See sources/versioned.vacuum_corpus."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-vacuum-")
+    store = os.path.join(base, "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even")
+    commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd")
+    v3 = checkpoint_corpus(spark, store)
+    stats = vacuum_corpus(store, v3)
+    snap = read_corpus(spark, store, v3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    ).collect()[0]
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            stats["batches_removed"],
+            stats["manifests_removed"],
+            snap["n_docs"],
+            snap["id_checksum"],
+        )],
+        "batches_removed long, manifests_removed long, "
+        "n_docs long, id_checksum long",
+    )
+
+
+@register(
     "q_corpus_schema_evolution",
     oracle="""
         SELECT 1 AS version,

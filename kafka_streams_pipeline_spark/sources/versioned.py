@@ -202,3 +202,63 @@ def checkpoint_corpus(
         read_corpus(spark, store_dir), store_dir, note,
         replace_history=True,
     )
+
+
+def vacuum_corpus(store_dir: str, keep_from_version: int) -> dict:
+    """Explicit RETENTION: drop batches and manifests that only
+    versions OLDER than ``keep_from_version`` reference — the Delta
+    ``VACUUM`` analogue, and the one deliberately destructive
+    operation in this module. Time travel to versions ≥
+    ``keep_from_version`` keeps working bit-for-bit (their batches
+    are retained); reading an older version afterwards fails LOUDLY
+    (its manifest is gone) instead of returning partial data — the
+    manifests are removed FIRST so a crash mid-vacuum can orphan
+    batch files (harmless, reclaimed on retry) but can never leave a
+    readable manifest pointing at deleted data. Serialized against
+    committers by the same exclusive lock as commit_corpus.
+
+    Returns {"batches_removed": n, "manifests_removed": m}."""
+    import shutil
+
+    latest = latest_version(store_dir)
+    if not 1 <= keep_from_version <= latest:
+        raise ValueError(
+            f"keep_from_version must be in [1, {latest}], "
+            f"got {keep_from_version}"
+        )
+    lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise StoreLockedError(
+            f"store {store_dir!r} has an active (or stale) commit "
+            f"lock {lock!r}; vacuum refused"
+        )
+    try:
+        os.write(fd, f"pid={os.getpid()} vacuum".encode())
+        os.close(fd)
+        keep: set[str] = set()
+        for v in range(keep_from_version, latest + 1):
+            with open(_manifest_path(store_dir, v)) as f:
+                keep.update(json.load(f)["batches"])
+        manifests_removed = 0
+        for v in range(1, keep_from_version):
+            path = _manifest_path(store_dir, v)
+            if os.path.exists(path):
+                os.unlink(path)  # manifests first: no dangling reads
+                manifests_removed += 1
+        batches_removed = 0
+        data_dir = os.path.join(store_dir, _DATA)
+        for b in sorted(os.listdir(data_dir)):
+            if b.startswith("b") and b not in keep:
+                shutil.rmtree(os.path.join(data_dir, b))
+                batches_removed += 1
+        return {
+            "batches_removed": batches_removed,
+            "manifests_removed": manifests_removed,
+        }
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass

@@ -167,7 +167,7 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
         r"q_streaming_|q_csv_source|q_orc_source|q_ivf_train"
         r"|q_media_binary_source"
         r"|q_dedup_prefix_join|q_view_compaction|q_corpus_versioning"
-        r"|q_corpus_schema_evolution|q_corpus_checkpoint"
+        r"|q_corpus_schema_evolution|q_corpus_checkpoint|q_corpus_vacuum"
         r"|q_pipeline_audit|q_dedup_recall"
     )
     for name in QUERIES:

@@ -312,6 +312,49 @@ def test_versioned_corpus_checkpoint(spark, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(store, "data", "b000001"))
 
 
+def test_versioned_corpus_vacuum(spark, sf_dir, tmp_path):
+    """vacuum_corpus(keep_from) drops only pre-checkpoint history:
+    retained versions stay bit-identical, older reads fail loudly
+    (manifest gone, never a dangling read), and the reclaim counts
+    are reported. A held commit lock refuses the vacuum."""
+    import os
+
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        StoreLockedError,
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus,
+        vacuum_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even")
+    commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd")
+    v3 = checkpoint_corpus(spark, store)
+    before = sorted(r["doc_id"] for r in read_corpus(spark, store, v3).collect())
+    # lock held → refused
+    lock = os.path.join(store, "_manifests", ".commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    with pytest.raises(StoreLockedError):
+        vacuum_corpus(store, v3)
+    os.unlink(lock)
+    stats = vacuum_corpus(store, v3)
+    assert stats == {"batches_removed": 2, "manifests_removed": 2}
+    after = sorted(r["doc_id"] for r in read_corpus(spark, store, v3).collect())
+    assert after == before  # retained version bit-identical
+    with pytest.raises(FileNotFoundError):
+        read_corpus(spark, store, 1)  # vacuumed version fails loudly
+    # idempotent: nothing further to reclaim
+    assert vacuum_corpus(store, v3) == {
+        "batches_removed": 0, "manifests_removed": 0,
+    }
+
+
 def test_versioned_corpus_schema_evolution(spark, sf_dir, tmp_path):
     """Additive schema evolution under time travel: a later batch
     adds a column; merge_schema=True reads union the schemas with
