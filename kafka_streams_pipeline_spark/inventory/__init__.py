@@ -61,10 +61,10 @@ from kafka_streams_pipeline_spark.inventory import streaming_rows  # noqa: E402,
 # Rotation bookkeeping re-exports (tools/rotate.py + contract tests).
 from kafka_streams_pipeline_spark.inventory.rotation import (  # noqa: E402,F401
     DRIVER_CERTIFIED,
-    _CERTIFIED_R4,
     _CERTIFIED_R5,
     _CERTIFIED_R6,
     _CERTIFIED_R7,
+    _CERTIFIED_R8,
     _DEFERRED,
     _ON_DECK,
     _PENDING,

@@ -25,51 +25,10 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # row: certified names go to the back of the returned dict,
 # never-checked names to the front (VERDICT r2 "Next round" item 3,
 # VERDICT r3 items 1-2, VERDICT r4 items 1-2).
-# Round-4 evidence (CORRECTNESS_r04.json — the residue after rounds
-# 5-7 re-certified the rest of the original 50; these 21 are now the
-# stalest rows in the registry and head the round-8 window):
-_CERTIFIED_R4: list[str] = [
-    "q_pq_adc_topk",
-    "q_window_cume",
-    "q_scan_project",
-    "q_filter_time_range",
-    "q_json_extract",
-    "q_event_time_valid",
-    "q_hourly_view",
-    "q_history",
-    "q_history_interval",
-    "q_snapshot",
-    "q_reagg_merge",
-    "q_gapfill",
-    "q_date_trunc_funcs",
-    "q_string_funcs",
-    "q_math_funcs",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_group_distinct",
-]
-# Round-5 evidence (CORRECTNESS_r05.json residue):
+# Round-5 evidence (CORRECTNESS_r05.json residue after round 8
+# re-certified the r4 vintage and the head of this list; these 33
+# are now the stalest rows and head the round-9 window tail):
 _CERTIFIED_R5: list[str] = [
-    "q_dedup_components",
-    "q_dedup_components_alt",
-    "q_dedup_best_keeper",
-    "q_media_decode",
-    "q_media_audio_energy",
-    "q_media_image_decode",
-    "q_media_image_resize",
-    "q_media_video_frames",
-    "q_media_jpeg_decode",
-    "q_media_mjpeg_frames",
-    "q_media_png_decode",
-    "q_media_mp4_frames",
-    "q_bloom_prefilter",
-    "q_cms_heavy_hitters",
-    "q_rollup",
-    "q_cube",
-    "q_salted_agg",
     "q_asof_attribution",
     "q_window_rank",
     "q_window_lag",
@@ -157,7 +116,6 @@ _CERTIFIED_R6: list[str] = [
 # streaming/governance rows, the 6 _RECHECK re-certifications, then
 # the 32 stalest r3/r4 re-certs; derived by tools/rotate.py):
 _CERTIFIED_R7: list[str] = [
-    "q_bigram_surprisal",
     "q_spend_quartile_scalable",
     "q_streaming_cms",
     "q_streaming_join",
@@ -166,13 +124,9 @@ _CERTIFIED_R7: list[str] = [
     "q_view_compaction",
     "q_streaming_late_update",
     "q_streaming_late_drop",
-    "q_corpus_versioning",
     "q_pipeline_audit",
     "q_dedup_recall",
     "q_vocab_build",
-    "q_repeated_ngrams",
-    "q_semantic_dedup",
-    "q_salted_join",
     "q_temperature_mixture",
     "q_term_stats",
     "q_dedup_incremental",
@@ -208,8 +162,64 @@ _CERTIFIED_R7: list[str] = [
     "q_sales_opportunity",
     "q_pq_encode",
 ]
+# Round-8 evidence (CORRECTNESS_r08.json — all 50 window rows green,
+# in window order: the 7 round-8 additions, the 5 _RECHECK
+# re-certifications, then the 38 stalest r4/r5 re-certs; derived by
+# tools/rotate.py):
+_CERTIFIED_R8: list[str] = [
+    "q_media_binary_source",
+    "q_encode_documents",
+    "q_bigram_surprisal_hashed",
+    "q_repeated_ngrams_hashed",
+    "q_corpus_checkpoint",
+    "q_corpus_vacuum",
+    "q_corpus_schema_evolution",
+    "q_salted_join",
+    "q_semantic_dedup",
+    "q_repeated_ngrams",
+    "q_bigram_surprisal",
+    "q_corpus_versioning",
+    "q_pq_adc_topk",
+    "q_window_cume",
+    "q_scan_project",
+    "q_filter_time_range",
+    "q_json_extract",
+    "q_event_time_valid",
+    "q_hourly_view",
+    "q_history",
+    "q_history_interval",
+    "q_snapshot",
+    "q_reagg_merge",
+    "q_gapfill",
+    "q_date_trunc_funcs",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_group_distinct",
+    "q_dedup_components",
+    "q_dedup_components_alt",
+    "q_dedup_best_keeper",
+    "q_media_decode",
+    "q_media_audio_energy",
+    "q_media_image_decode",
+    "q_media_image_resize",
+    "q_media_video_frames",
+    "q_media_jpeg_decode",
+    "q_media_mjpeg_frames",
+    "q_media_png_decode",
+    "q_media_mp4_frames",
+    "q_bloom_prefilter",
+    "q_cms_heavy_hitters",
+    "q_rollup",
+    "q_cube",
+    "q_salted_agg",
+]
 DRIVER_CERTIFIED: list[str] = (
-    _CERTIFIED_R4 + _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7
+    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
@@ -225,18 +235,16 @@ _ON_DECK: list[str] = []
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping.
 _RECHECK: list[str] = [
-    # round-8 code changes (VERDICT r7 items 2/4 + ADVICE r7): the
-    # deterministic xxhash64 salt default in salted_join, the
-    # vectorized-by-default semantic_dedup assignment with the
-    # HALF_UP rounding kernel, the repeated_ngrams refactor over the
-    # shared _repeated_window_agg helper, bigram_surprisal's
-    # hash_keys parameter (text path re-proved), and the versioned
-    # store's exclusive commit lock.
-    "q_salted_join",
-    "q_semantic_dedup",
-    "q_repeated_ngrams",
-    "q_bigram_surprisal",
+    # round-9 code changes (ADVICE r8 + VERDICT r8 items 3/6): the
+    # versioned store's lock-scope fixes (vacuum/checkpoint TOCTOU,
+    # pid-liveness stale-lock probe) touch every versioned-store
+    # lifecycle row, and the streaming upsert profiling touched the
+    # foreachBatch path behind q_streaming_view.
     "q_corpus_versioning",
+    "q_corpus_checkpoint",
+    "q_corpus_vacuum",
+    "q_corpus_schema_evolution",
+    "q_streaming_view",
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
