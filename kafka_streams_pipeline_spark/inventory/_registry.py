@@ -41,6 +41,11 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_late_update",
     "q_streaming_late_drop",
     "q_corpus_versioning",
+    # round-8 rows that also write/replay server-side at build time
+    "q_corpus_checkpoint",
+    "q_corpus_vacuum",
+    "q_corpus_schema_evolution",
+    "q_media_binary_source",
 })
 
 

@@ -267,7 +267,10 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.vocab_build(_t(spark, sf_dir, "documents"))
 
 
-@register("q_encode_documents", oracle=_text.encode_documents_oracle())
+@register(
+    "q_encode_documents", bench=True,
+    oracle=_text.encode_documents_oracle(),
+)
 def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 tokenizer application (round 8): every document mapped to
     its id sequence under the vocab_build vocabulary (OOV → UNK 0),
@@ -300,7 +303,10 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
-@register("q_bigram_surprisal_hashed", oracle=_text.bigram_surprisal_oracle())
+@register(
+    "q_bigram_surprisal_hashed", bench=True,
+    oracle=_text.bigram_surprisal_oracle(),
+)
 def q_bigram_surprisal_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB production form of q_bigram_surprisal (VERDICT r7
     item 2): the bigram/unigram model aggregation and all three
@@ -385,6 +391,26 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bin_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+@register(
+    "q_tokenizer_pipeline",
+    bench=True,
+    oracle=_text.tokenizer_pipeline_oracle(),
+)
+def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flagship (round 9): the tokenizer-prep chain
+    vocab_build → encode_documents → pack_sequences composed as ONE
+    declarative plan — the tokenizer mirror of q_corpus_pipeline's
+    hygiene chain. Per language: doc counts, encoded token/OOV mass,
+    the modular sum of the order-sensitive per-doc id checksums, the
+    fixed-capacity bin count the encoded mass packs into, and the
+    corpus vocab size — one driver row certifying every stage AND
+    the composition. Every stage is the registered operator's own
+    builder (the one vocab subtree feeds both the broadcast encode
+    join and the vocab_size scalar), so this certifies the chain,
+    not a re-implementation. See operators/text.tokenizer_pipeline."""
+    return _text.tokenizer_pipeline(_t(spark, sf_dir, "documents"))
 
 
 @register("q_dedup_incremental", oracle=_dedup.incremental_dedup_oracle("src0"))
@@ -1027,8 +1053,11 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # bench flag retired in round 9: the Q18 aggregate-derived-join
+    # shape is tripwire-covered by q_returned_items/q_tpch_pricing;
+    # its slot guards the r8 tokenizer production paths instead
+    # (BENCH_DETAIL_r09 notes the set change).
     "q_large_orders",
-    bench=True,
     oracle="""
         WITH totals AS (
             SELECT l_orderkey,
@@ -1219,6 +1248,7 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_repeated_ngrams_hashed",
+    bench=True,
     oracle=f"""
         WITH wins AS (
             SELECT doc_id,

@@ -813,7 +813,10 @@ ENCODE_CHECKSUM_MOD = 1_000_000_007
 
 
 def encode_documents(
-    df: DataFrame, text_col: str = "text", min_count: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """X5 tokenizer APPLICATION — the step between
     :func:`vocab_build` and :func:`pack_sequences`: map every
@@ -835,10 +838,15 @@ def encode_documents(
     typically ≤ ~10⁶ rows — tens of MB), so Spark broadcasts the
     encode join; the token stream never shuffles for the join and
     the only exchange is the per-document aggregate. No window, no
-    sort, no arrays across stages."""
-    vocab = vocab_build(df, text_col, min_count).select(
-        "token", "token_id"
-    )
+    sort, no arrays across stages.
+
+    ``vocab``: a prebuilt (token, token_id) frame (a
+    :func:`vocab_build` result, possibly persisted) so a composed
+    pipeline that ALSO reports on the vocabulary reuses one subtree
+    instead of re-deriving it; default None builds it from ``df``."""
+    if vocab is None:
+        vocab = vocab_build(df, text_col, min_count)
+    vocab = vocab.select("token", "token_id")
     toks = df.select(
         "doc_id",
         F.posexplode(
@@ -888,6 +896,113 @@ def encode_documents_oracle(min_count: int = 2) -> str:
                     AS BIGINT) AS ids_checksum
         FROM enc
         GROUP BY doc_id
+    """
+
+
+def tokenizer_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """North-star (round 9): the full tokenizer-prep chain —
+    :func:`vocab_build` → :func:`encode_documents` →
+    :func:`pack_sequences`' bin assignment — as ONE declarative
+    plan, the tokenizer mirror of q_corpus_pipeline's hygiene chain.
+    Per language it reports doc count, encoded token/OOV mass, the
+    modular sum of the per-doc ORDER-SENSITIVE id checksums (any
+    mis-assigned, dropped, or transposed id anywhere in the corpus
+    flips it), the number of fixed-capacity training bins the
+    encoded token mass packs into, and the corpus vocabulary size —
+    so one driver row certifies all three stages end-to-end AND
+    their composition.
+
+    Scale shape: the one vocab subtree feeds both the broadcast
+    encode join and the vocab_size scalar; the token stream never
+    shuffles for the join; the pack window partitions by lang (no
+    global sort); the only exchanges are the vocab aggregate, the
+    per-doc aggregate, and the per-lang rollup. ``checksum_mod``
+    sums per-doc checksums mod 1e9+7, exact in int64 up to ~9·10⁹
+    documents per language."""
+    from pyspark.sql.window import Window
+
+    vocab = vocab_build(df, text_col, min_count)
+    enc = encode_documents(df, text_col, min_count, vocab=vocab)
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = (
+        enc.join(df.select("doc_id", "lang"), "doc_id")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            ((F.col("cum") - F.col("n_tokens")) / capacity).cast("long"),
+        )
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_oov").cast("long").alias("total_oov"),
+            (
+                F.sum(F.col("ids_checksum") % F.lit(ENCODE_CHECKSUM_MOD))
+                % F.lit(ENCODE_CHECKSUM_MOD)
+            )
+            .cast("long")
+            .alias("checksum_mod"),
+            F.countDistinct("bin").cast("long").alias("n_bins"),
+        )
+        .crossJoin(F.broadcast(vsize))
+    )
+
+
+def tokenizer_pipeline_oracle(
+    min_count: int = 2, capacity: int = PACK_CAPACITY
+) -> str:
+    return f"""
+        WITH vocab AS ({vocab_build_oracle(min_count)}),
+        tok AS (
+            SELECT doc_id,
+                   unnest([{{'pos1': i, 'token': ws[i]}}
+                           FOR i IN range(1, len(ws) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ),
+        enc AS (
+            SELECT t.doc_id,
+                   t.u.pos1 AS pos1,
+                   v.token_id IS NULL AS oov,
+                   COALESCE(v.token_id, 0) AS id
+            FROM tok t LEFT JOIN vocab v ON t.u.token = v.token
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                   sum((pos1 * (id + 1)) % {ENCODE_CHECKSUM_MOD})
+                       AS ids_checksum
+            FROM enc
+            GROUP BY doc_id
+        ),
+        packed AS (
+            SELECT p.doc_id, p.n_tokens, p.n_oov, p.ids_checksum, d.lang,
+                   sum(p.n_tokens) OVER (PARTITION BY d.lang
+                                         ORDER BY p.doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+            FROM perdoc p JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_oov) AS BIGINT) AS total_oov,
+               CAST(sum(ids_checksum % {ENCODE_CHECKSUM_MOD})
+                    % {ENCODE_CHECKSUM_MOD} AS BIGINT) AS checksum_mod,
+               CAST(count(DISTINCT CAST(floor((cum - n_tokens)
+                                              / {capacity}) AS BIGINT))
+                    AS BIGINT) AS n_bins,
+               (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vocab_size
+        FROM packed
+        GROUP BY lang
     """
 
 

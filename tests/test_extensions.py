@@ -1338,3 +1338,46 @@ def test_rp_reduce_preserves_relative_distances(emb):
         if d_red[nearest] < d_red[farthest]:
             agree += 1
     assert agree >= 8  # gross ordering survives the projection
+
+
+def test_tokenizer_pipeline_composition_consistent(spark):
+    """The round-9 composed tokenizer chain must agree with its own
+    stages run standalone: per-lang token/OOV/checksum mass re-derived
+    from encode_documents + the documents table, bin counts from
+    pack_sequences' assignment rule, vocab_size from vocab_build —
+    and the prebuilt-vocab fast path of encode_documents must be
+    row-identical to the self-building default."""
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    out = {r["lang"]: r for r in text.tokenizer_pipeline(docs).collect()}
+    assert len(out) > 1
+
+    vocab = text.vocab_build(docs)
+    vocab_size = vocab.count()
+    assert all(r["vocab_size"] == vocab_size for r in out.values())
+
+    enc_default = sorted(tuple(r) for r in text.encode_documents(docs).collect())
+    enc_prebuilt = sorted(
+        tuple(r) for r in text.encode_documents(docs, vocab=vocab).collect()
+    )
+    assert enc_default == enc_prebuilt and len(enc_default) > 0
+
+    per_lang = {
+        r["lang"]: r
+        for r in (
+            text.encode_documents(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("n_oov").alias("total_oov"),
+            )
+            .collect()
+        )
+    }
+    assert set(per_lang) == set(out)
+    for lang, r in out.items():
+        assert r["n_docs"] == per_lang[lang]["n_docs"]
+        assert r["total_tokens"] == per_lang[lang]["total_tokens"]
+        assert r["total_oov"] == per_lang[lang]["total_oov"]
+        assert 1 <= r["n_bins"] <= r["n_docs"]
