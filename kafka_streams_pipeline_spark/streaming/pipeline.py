@@ -133,6 +133,16 @@ def upsert_view_batch(view_dir: str):
     return apply
 
 
+#: org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+#: — Spark's bundled alternative provider; with changelog
+#: checkpointing it uploads per-batch DELTAS instead of full state
+#: snapshots.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def start_file_stream_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -143,11 +153,31 @@ def start_file_stream_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     processing_time: str = "10 seconds",
+    state_partitions: int | None = None,
+    rocksdb_state: bool = False,
 ) -> StreamingQuery:
     """File-source replay of the ingest topology (json files of
     reading records). Kafka deployments swap the source for
     sources/readings.kafka_reading_stream — every later stage is
-    identical."""
+    identical.
+
+    ``state_partitions``: number of shuffle/state-store partitions
+    for the stateful aggregate. Every micro-batch commits EVERY
+    state partition (a task + a store commit each, even for
+    partitions no batch key hashes into), so at a 10 s cadence this
+    is the per-batch fixed cost lever: size it to the standing KEY
+    cardinality (cells × live windows), not to the bulk-replay data
+    volume — the two differ by orders of magnitude. Fixed at the
+    stream's FIRST start and pinned by the checkpoint thereafter
+    (Spark refuses to restart with a different value). Default None
+    keeps the session's ``spark.sql.shuffle.partitions``.
+
+    ``rocksdb_state``: use the RocksDB state-store provider with
+    changelog checkpointing (per-batch delta uploads instead of full
+    HDFS-backed snapshots). Also pinned at first start via the
+    checkpoint. Both knobs are applied through the streaming query's
+    cloned session conf, so they never leak into the caller's
+    session."""
     reader = spark.readStream.schema(READING_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -169,7 +199,33 @@ def start_file_stream_pipeline(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    # StreamExecution clones the session at start(), freezing the
+    # confs below into the query; restoring afterwards keeps the
+    # caller's session untouched.
+    overrides: dict[str, str | None] = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if rocksdb_state:
+        overrides["spark.sql.streaming.stateStore.providerClass"] = (
+            ROCKSDB_PROVIDER
+        )
+        overrides[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
+    saved = {
+        k: spark.conf.get(k, None) for k in overrides
+    }
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        return writer.start()
+    finally:
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 
 def streaming_dedup(

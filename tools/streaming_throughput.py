@@ -37,7 +37,40 @@ from kafka_streams_pipeline_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_mode(spark, rows: list, n_chunks: int, label: str) -> dict:
+def _progress_breakdown(q) -> dict:
+    """Mean per-batch durationMs attribution from the query's
+    progress events: triggerExecution is the whole batch; addBatch is
+    the data plan INCLUDING the foreachBatch upsert; the remainder
+    (walCommit, stateCommit via stateOperators, getBatch/planning) is
+    streaming-machinery fixed cost."""
+    progs = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+             or p.get("durationMs")]
+    if not progs:
+        return {}
+    keys = set()
+    for p in progs:
+        keys.update((p.get("durationMs") or {}).keys())
+    out = {
+        f"mean_{k}_ms": round(
+            sum((p.get("durationMs") or {}).get(k, 0) for p in progs)
+            / len(progs)
+        )
+        for k in sorted(keys)
+    }
+    commit_ms = [
+        op.get("allUpdatesTimeMs", 0) + op.get("commitTimeMs", 0)
+        for p in progs
+        for op in (p.get("stateOperators") or [])
+    ]
+    if commit_ms:
+        out["mean_state_update_plus_commit_ms"] = round(
+            sum(commit_ms) / len(progs)
+        )
+    out["n_batches"] = len(progs)
+    return out
+
+
+def run_mode(spark, rows: list, n_chunks: int, label: str, **knobs) -> dict:
     from kafka_streams_pipeline_spark.inventory.streaming_rows import (
         _write_replay_chunks,
     )
@@ -56,12 +89,14 @@ def run_mode(spark, rows: list, n_chunks: int, label: str) -> dict:
         spark, src, view_dir, ckpt,
         available_now=True,
         max_files_per_trigger=1 if n_chunks > 1 else None,
+        **knobs,
     )
     if not q.awaitTermination(600):
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
         raise RuntimeError(f"{label} replay timed out")
     sec = time.time() - t0
+    breakdown = _progress_breakdown(q)
     n_view = read_view(spark, view_dir).count()
     shutil.rmtree(base, ignore_errors=True)
     out = {
@@ -70,10 +105,12 @@ def run_mode(spark, rows: list, n_chunks: int, label: str) -> dict:
         "sec": round(sec, 3),
         "events_per_sec": round(len(rows) / sec),
         "view_rows": n_view,
+        **({"knobs": knobs} if knobs else {}),
+        **({"breakdown": breakdown} if breakdown else {}),
     }
     print(f"  {label}: {out['events_per_sec']} events/s "
           f"({len(rows)} events, {n_chunks} micro-batches, "
-          f"{out['sec']}s, view {n_view} rows)", flush=True)
+          f"{out['sec']}s, view {n_view} rows) {breakdown}", flush=True)
     return out
 
 
@@ -97,6 +134,18 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "bulk": run_mode(spark, rows, 1, "bulk"),
         "micro": run_mode(spark, rows, args.chunks, "micro"),
+        # VERDICT r8 item 3: attack the ~1.6 s/batch fixed cost.
+        # Every batch commits EVERY state partition, so shrinking the
+        # state-partition count to the standing key cardinality is
+        # the first lever; RocksDB changelog checkpointing replaces
+        # per-batch full snapshots with delta uploads.
+        "micro_state8": run_mode(
+            spark, rows, args.chunks, "micro_state8", state_partitions=8
+        ),
+        "micro_rocksdb": run_mode(
+            spark, rows, args.chunks, "micro_rocksdb",
+            state_partitions=8, rocksdb_state=True,
+        ),
         "note": (
             "full topology incl. checkpoint + per-batch parquet view "
             "upsert; reference publishes no comparable number "
