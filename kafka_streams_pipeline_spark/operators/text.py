@@ -1522,12 +1522,18 @@ REPEAT_TOP = 50
 
 
 def _repeated_window_agg(
-    df: DataFrame, text_col: str, w: int, hash_windows: bool
+    df: DataFrame,
+    text_col: str,
+    w: int,
+    hash_windows: bool,
+    min_docs: int = 2,
 ) -> DataFrame:
     """Shared core of :func:`repeated_ngrams` and
     :func:`repeated_window_stats`: explode every W-token window,
     optionally hash it to a 64-bit key BEFORE the shuffle, and
-    aggregate (n_occur, n_docs) keeping only cross-document repeats."""
+    aggregate (n_occur, n_docs) keeping windows seen in at least
+    ``min_docs`` documents (2 = cross-document repeats; 1 = the full
+    window-group table, used by the sweep instrumentation)."""
     wins = (
         df.withColumn("ws", F.split(F.col(text_col), " "))
         .where(F.expr(f"size(ws) >= {w}"))
@@ -1553,8 +1559,42 @@ def _repeated_window_agg(
             F.count(F.lit(1)).cast("long").alias("n_occur"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
-        .where(F.col("n_docs") >= 2)
+        .where(F.col("n_docs") >= min_docs)
     )
+
+
+def repeated_window_scaling_stats(
+    df: DataFrame, text_col: str = "text", w: int = REPEAT_W
+) -> dict:
+    """Sweep diagnostic (VERDICT r8 item 4): the window-multiset
+    cardinalities behind :func:`repeated_window_stats`, so a
+    super-linear sweep point can be attributed to DATA growth (the
+    repeated-window multiset itself grows super-linearly under
+    corpus replication — every replica pair repeats every window)
+    versus a plan problem. One aggregate over the same hashed
+    window-group table the profile consumes:
+
+    - ``total_windows``: exploded window instances (the map-side
+      volume; linear in corpus tokens),
+    - ``distinct_windows``: window groups (the shuffle key
+      cardinality),
+    - ``repeated_windows`` / ``repeated_occurrences``: the
+      cross-document groups and their instance mass — the rows the
+      profile's second aggregate actually processes."""
+    grouped = _repeated_window_agg(
+        df, text_col, w, hash_windows=True, min_docs=1
+    )
+    row = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_windows"),
+        F.sum("n_occur").cast("long").alias("total_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("repeated_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_occur")).otherwise(0))
+        .cast("long")
+        .alias("repeated_occurrences"),
+    ).collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
 
 
 def repeated_window_stats(

@@ -214,6 +214,11 @@ def run_sweep(spark, mults: list[int]) -> dict:
             "repeated_window_stats",
             lambda: tx.repeated_window_stats(docs).count(),
         )
+        # window-multiset cardinality (VERDICT r8 item 4): attributes
+        # a super-linear time point to multiset growth vs plan decay
+        row["ops"]["repeated_window_stats"]["filter_stats"] = (
+            tx.repeated_window_scaling_stats(docs)
+        )
         timed(
             "encode_documents",
             lambda: tx.encode_documents(docs).count(),
