@@ -1222,6 +1222,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("q_epoch_shuffle", oracle=_corpus.epoch_shuffle_oracle())
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order reproducibility (round 9): the deterministic
+    per-epoch global reshuffle — every document assigned (shard,
+    pos) for epoch 1 as a pure function of (epoch, doc_id), so a
+    preempted training job resumes with bit-identical data order and
+    each epoch is a fresh full permutation. One shuffle on the
+    uniformly-distributed shard key + a per-shard window; no global
+    sort. See operators/corpus.epoch_shuffle."""
+    return _corpus.epoch_shuffle(_t(spark, sf_dir, "documents"))
 
 
 @register("q_rag_chunks", oracle=_text.rag_chunks_oracle(), bench=True)

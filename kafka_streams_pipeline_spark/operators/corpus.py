@@ -254,3 +254,62 @@ def stratified_sample_oracle() -> str:
         )
         WHERE samp_rank <= {STRATUM_N}
     """
+
+
+# Training-worker shards per epoch-shuffle pass (the fixture-scale
+# stand-in for the worker count of a distributed training job).
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int = 1, n_shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Deterministic per-epoch training order: assign every document
+    a (shard, pos) for epoch ``epoch`` as a pure function of
+    (epoch, doc_id) — the reproducible global reshuffle a distributed
+    training run performs between epochs. shard = salted-hash mod
+    ``n_shards`` (each epoch re-shards, the standard full-reshuffle
+    semantics); pos = dense rank of the salted hash within the shard,
+    tie-broken on doc_id. Because the permutation is a pure function
+    of the ids, a preempted or re-run job resumes with bit-identical
+    data order — the property ``rand()``-seeded shuffles lose the
+    moment partitioning changes.
+
+    Scale shape: one shuffle keyed on the uniformly-distributed
+    shard, then a per-shard window — parallel across the worker
+    count, no global sort. At 100 TB/shard the documented refinement
+    is vocab_build's two-phase rank (range-repartition the shard by
+    hash, per-partition row_number, broadcast prefix-sum offsets);
+    the rank math and output are unchanged, which is why the window
+    form is the declared semantic."""
+    h = md5_long(
+        F.concat(
+            F.lit(f"epoch:{epoch}:"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("ekey").asc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select("doc_id", h.alias("ekey"))
+        .withColumn("shard", (F.col("ekey") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def epoch_shuffle_oracle(
+    epoch: int = 1, n_shards: int = EPOCH_SHARDS
+) -> str:
+    key = md5_long_sql(f"'epoch:{epoch}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard
+                   ORDER BY ekey ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id, {key} AS ekey,
+                   CAST(({key}) % {n_shards} AS BIGINT) AS shard
+            FROM documents
+        )
+    """

@@ -1381,3 +1381,32 @@ def test_tokenizer_pipeline_composition_consistent(spark):
         assert r["total_tokens"] == per_lang[lang]["total_tokens"]
         assert r["total_oov"] == per_lang[lang]["total_oov"]
         assert 1 <= r["n_bins"] <= r["n_docs"]
+
+
+def test_epoch_shuffle_deterministic_fresh_permutation(spark):
+    """Epoch shuffle contract: (a) a pure function of (epoch,
+    doc_id) — two builds of the same epoch are identical; (b) every
+    document appears exactly once with dense per-shard positions;
+    (c) a different epoch yields a genuinely different permutation
+    (different shard assignment for some docs, different order), not
+    a rotation of the same one."""
+    from kafka_streams_pipeline_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, ORACLE_SF_DIR, "documents")
+    n = docs.count()
+    e1a = sorted(tuple(r) for r in corpus_ops.epoch_shuffle(docs, epoch=1).collect())
+    e1b = sorted(tuple(r) for r in corpus_ops.epoch_shuffle(docs, epoch=1).collect())
+    assert e1a == e1b and len(e1a) == n
+    # exact cover: every doc once, and per-shard positions dense 1..k
+    by_shard: dict = {}
+    for doc_id, shard, pos in e1a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert sum(len(v) for v in by_shard.values()) == n
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    e2 = sorted(tuple(r) for r in corpus_ops.epoch_shuffle(docs, epoch=2).collect())
+    assert e2 != e1a
+    shard1 = {d: s for d, s, _ in e1a}
+    shard2 = {d: s for d, s, _ in e2}
+    moved = sum(1 for d in shard1 if shard1[d] != shard2[d])
+    assert moved > n // 4  # re-sharding really happened
