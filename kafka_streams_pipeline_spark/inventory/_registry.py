@@ -46,6 +46,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_corpus_vacuum",
     "q_corpus_schema_evolution",
     "q_media_binary_source",
+    # round-9: full store lifecycle (writes + vacuums a temp store)
+    "q_store_history",
 })
 
 

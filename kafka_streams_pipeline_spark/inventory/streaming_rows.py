@@ -1853,3 +1853,81 @@ def q_corpus_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "version int, n_docs long, n_cols long, n_q_present long, sum_q long",
     )
+
+
+@register(
+    "q_store_history",
+    oracle="""
+        WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+                   FROM documents),
+             e AS (SELECT CAST(count(*) AS BIGINT) AS n_even
+                   FROM documents WHERE doc_id % 2 = 0),
+             s AS (SELECT CAST(count(*) AS BIGINT) AS n_sev
+                   FROM documents WHERE doc_id % 7 = 0)
+        SELECT 'pre' AS phase, 1 AS version,
+               CAST(1 AS BIGINT) AS n_batches,
+               CAST(1 AS BIGINT) AS batches_added,
+               'even half' AS note, n_even AS n_docs
+        FROM e
+        UNION ALL
+        SELECT 'pre', 2, 2, 1, 'odd half', n_all FROM c
+        UNION ALL
+        SELECT 'pre', 3, 1, 1, 'checkpoint', n_all FROM c
+        UNION ALL
+        SELECT 'pre', 4, 2, 1, 'sevens', n_all + n_sev FROM c, s
+        UNION ALL
+        SELECT 'post', 3, 1, 1, 'checkpoint', n_all FROM c
+        UNION ALL
+        SELECT 'post', 4, 2, 1, 'sevens', n_all + n_sev FROM c, s
+    """,
+)
+def q_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log introspection (round 9): ``store_history`` — the
+    DESCRIBE HISTORY analogue for the versioned corpus store — over
+    the full lifecycle: two appends, a checkpoint (the row whose
+    ``n_batches`` RESETS to 1 while still adding exactly one batch),
+    a post-checkpoint append, then a vacuum. History is captured
+    BEFORE the vacuum (all four versions visible with their notes
+    and lineage lengths) and AFTER it (only the retained versions
+    remain, exactly as their manifests do), and every listed version
+    is read back for its row count — so the oracle hash ties the
+    metadata log to the data it describes. O(versions) manifest
+    reads, never a data scan, for the history itself.
+    See sources/versioned.store_history."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus,
+        store_history,
+        vacuum_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-history-")
+    store = os.path.join(base, "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even half")
+    commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd half")
+    v3 = checkpoint_corpus(spark, store)
+    commit_corpus(docs.where(F.col("doc_id") % 7 == 0), store, "sevens")
+
+    out_rows = []
+
+    def _snapshot(phase: str) -> None:
+        for h in store_history(spark, store).collect():
+            n_docs = read_corpus(spark, store, h["version"]).count()
+            out_rows.append((
+                phase, h["version"], h["n_batches"],
+                h["batches_added"], h["note"], n_docs,
+            ))
+
+    _snapshot("pre")
+    vacuum_corpus(store, v3)
+    _snapshot("post")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "phase string, version int, n_batches long, "
+        "batches_added long, note string, n_docs long",
+    )

@@ -341,3 +341,39 @@ def vacuum_corpus(store_dir: str, keep_from_version: int) -> dict:
             os.unlink(lock)
         except OSError:
             pass
+
+
+def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The store's commit log as a queryable frame — the DESCRIBE
+    HISTORY analogue: one row per READABLE version (vacuumed
+    versions are absent, exactly as their manifests are) with the
+    manifest's batch count, the number of batches the version added
+    over its predecessor's lineage (an append and a checkpoint both
+    add exactly one; a checkpoint is the row whose ``n_batches``
+    RESETS to 1 while its predecessor's lineage was longer), and the
+    commit note. Driver-side work is one manifest-directory listing
+    + one small JSON read per version — O(versions) metadata, never
+    data — then a
+    ``createDataFrame`` of the summary rows, so the result composes
+    with any query (join against audit tables, filter by note)."""
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    versions = sorted(
+        int(f[1:7])
+        for f in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if f.startswith("v") and f.endswith(".json")
+    )
+    batches_by_version: dict[int, list[str]] = {}
+    rows = []
+    for v in versions:
+        with open(_manifest_path(store_dir, v)) as f:
+            manifest = json.load(f)
+        batches = list(manifest["batches"])
+        batches_by_version[v] = batches
+        prev = batches_by_version.get(v - 1)
+        added = (
+            len(set(batches) - set(prev)) if prev is not None else len(batches)
+        )
+        rows.append((v, len(batches), added, manifest.get("note", "")))
+    return spark.createDataFrame(
+        rows, "version int, n_batches long, batches_added long, note string"
+    )

@@ -567,3 +567,41 @@ def test_versioned_corpus_vacuum_inflight_reader(spark, sf_dir, tmp_path):
     )
     got = sorted(r["doc_id"] for r in survivor.collect())
     assert got == expected
+
+
+def test_versioned_corpus_store_history(spark, sf_dir, tmp_path):
+    """store_history is the DESCRIBE HISTORY analogue: one row per
+    readable version with lineage length, batches added, and note.
+    A checkpoint shows as n_batches resetting to 1 (still adding
+    exactly one batch); a vacuum removes exactly the reclaimed
+    versions' rows; an empty/new store yields an empty frame."""
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        checkpoint_corpus,
+        commit_corpus,
+        store_history,
+        vacuum_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    assert store_history(spark, store).count() == 0  # new store
+
+    docs = load_table(spark, sf_dir, "documents")
+    commit_corpus(docs.where(F.col("doc_id") < 100), store, "first")
+    commit_corpus(docs.where(F.col("doc_id") >= 100), store, "rest")
+    v3 = checkpoint_corpus(spark, store)
+    commit_corpus(docs.where(F.col("doc_id") % 7 == 0), store, "sevens")
+
+    hist = {r["version"]: r for r in store_history(spark, store).collect()}
+    assert sorted(hist) == [1, 2, 3, v3 + 1]
+    assert [hist[v]["n_batches"] for v in (1, 2, 3, 4)] == [1, 2, 1, 2]
+    # every version (append or checkpoint) adds exactly one batch
+    assert all(hist[v]["batches_added"] == 1 for v in (1, 2, 3, 4))
+    assert hist[1]["note"] == "first" and hist[3]["note"] == "checkpoint"
+
+    vacuum_corpus(store, v3)
+    post = {r["version"]: r for r in store_history(spark, store).collect()}
+    assert sorted(post) == [3, 4]  # vacuumed versions absent
+    # v3's predecessor is gone: its whole lineage counts as added
+    assert post[3]["n_batches"] == 1 and post[3]["batches_added"] == 1
+    assert post[4]["note"] == "sevens"
