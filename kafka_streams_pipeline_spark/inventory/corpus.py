@@ -1393,3 +1393,186 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, s, n) for i, (s, n) in enumerate(counts)],
         "stage_idx int, stage string, n_docs long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 data-quality family: single-pass column profiling and the
+# declarative constraint-check suite (operators/quality.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS o_totalprice_cents,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS o_orderdate_days
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM o
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(count(o_custkey) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM o
+        UNION ALL
+        SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+               CAST(count(o_totalprice_cents) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice_cents) AS BIGINT),
+               CAST(min(o_totalprice_cents) AS VARCHAR),
+               CAST(max(o_totalprice_cents) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderdate_days', CAST(count(*) AS BIGINT),
+               CAST(count(o_orderdate_days) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate_days) AS BIGINT),
+               CAST(min(o_orderdate_days) AS VARCHAR),
+               CAST(max(o_orderdate_days) AS VARCHAR)
+        FROM o
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (X10a): per-column health numbers —
+    row/non-null/distinct counts plus min/max — for the whole orders
+    table in ONE aggregate pass (operators/quality.table_profile,
+    the Deequ-analyzer family as plain Catalyst aggregates). Floats
+    are normalized to exact cents and the NTZ order date to epoch
+    days BEFORE profiling, per the repo's float-free oracle
+    discipline, so min/max render identically across engines. This
+    exact-distinct form is the oracle-certified twin; at 100 TB the
+    same operator runs with approx=True (HLL++ distincts, no Expand
+    in the plan — differential-tested in pytest)."""
+    from kafka_streams_pipeline_spark.operators.quality import table_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("o_totalprice_cents"),
+        # o_orderdate is midnight-valued TIMESTAMP_NTZ; unix_date on
+        # the DATE cast is timezone-free
+        F.unix_date(F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("o_orderdate_days"),
+    )
+    return table_profile(o)
+
+
+@register(
+    "q_quality_checks",
+    oracle="""
+        WITH v AS (
+            SELECT 'orderkey_not_null' AS check_name,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations
+            FROM orders
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_unique',
+                   CAST(count(o_custkey) - count(DISTINCT o_custkey)
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'status_in_set',
+                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O', 'F', 'P')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_in_set',
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                       '4-NOT SPECIFIED')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'totalprice_in_range',
+                   CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                  AND (o_totalprice < 0.0
+                                       OR o_totalprice > 300000.0)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_format',
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND NOT regexp_matches(o_orderpriority,
+                                                         '^[1-4]-')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_references_customer',
+                   CAST(count(*) AS BIGINT)
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)
+        )
+        SELECT check_name, violations, violations = 0 AS passed FROM v
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (X10b): eight Deequ-style checks
+    over orders — key completeness + uniqueness, closed enums, a
+    value-range contract, a format regex, and an FK into customer —
+    compiled by operators/quality.run_checks into ONE aggregate pass
+    plus one broadcast LEFT ANTI join for the referential check. The
+    suite is built to return a MIX of passing and failing checks
+    (custkey repeats, 5-LOW breaks the narrowed enum/format, prices
+    exceed the 300k cap) so both branches of `passed` are certified,
+    not just the happy path."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        Check,
+        run_checks,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    checks = [
+        Check("orderkey_not_null", "not_null", "o_orderkey"),
+        Check("orderkey_unique", "unique", "o_orderkey"),
+        Check("custkey_unique", "unique", "o_custkey"),
+        Check("status_in_set", "in_set", "o_orderstatus",
+              values=("O", "F", "P")),
+        Check("priority_in_set", "in_set", "o_orderpriority",
+              values=("1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED")),
+        Check("totalprice_in_range", "in_range", "o_totalprice",
+              lo=0.0, hi=300000.0),
+        Check("priority_format", "matches", "o_orderpriority",
+              pattern="^[1-4]-"),
+        Check("custkey_references_customer", "references", "o_custkey",
+              ref_df=customer, ref_col="c_custkey"),
+    ]
+    return run_checks(orders, checks)
