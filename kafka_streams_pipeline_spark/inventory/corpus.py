@@ -1576,3 +1576,29 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
               ref_df=customer, ref_col="c_custkey"),
     ]
     return run_checks(orders, checks)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 graph centrality: weighted PageRank / TextRank
+# (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+
+from kafka_streams_pipeline_spark.operators.graph import textrank_oracle as _textrank_oracle
+
+
+@register("q_textrank", oracle=_textrank_oracle())
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality (X11): TextRank keyword salience — weighted
+    PageRank over the token co-occurrence graph (Mihalcea & Tarau
+    2004), 5 unrolled iterations of scaled-integer power iteration
+    (all BIGINT floor arithmetic, so Spark and the oracle's unrolled
+    SQL produce BIT-IDENTICAL ranks — no float drift across an
+    iterative algorithm). The heavy distributed stage is the edge
+    aggregation over the corpus; each iteration is one edges⋈ranks
+    join + one dst-keyed partial-merged aggregate, localCheckpointed
+    so the plan stays constant-size (round-2 lesson). See
+    operators/graph.weighted_pagerank."""
+    from kafka_streams_pipeline_spark.operators.graph import textrank
+
+    return textrank(_t(spark, sf_dir, "documents"))

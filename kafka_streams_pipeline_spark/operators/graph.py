@@ -1,0 +1,265 @@
+"""Graph centrality: generic weighted PageRank as iterated DataFrame
+joins, plus the TextRank keyword graph (Mihalcea & Tarau 2004 —
+PageRank over the token co-occurrence graph, the classic
+unsupervised keyword/salience scorer for a text corpus).
+
+Why an engine for training data needs this: corpus curation ranks
+things — domains in a web-crawl link graph, tokens in a
+co-occurrence graph, documents in a similarity graph — and PageRank
+is the standard centrality for all three. The operator here is the
+generic edge-frame form: anything that can produce
+``(src, dst, weight)`` rows can be ranked.
+
+Exactness: the whole iteration is scaled-integer arithmetic —
+ranks carry ``scale`` fixed-point units, every division is integer
+floor (`div` in Spark, `//` in DuckDB — identical on the
+non-negative values used here), and sums are associative BIGINT
+sums. Spark and DuckDB therefore produce bit-identical ranks after
+any number of iterations; the certified row's oracle UNROLLS the
+same fixed iteration count in SQL.
+
+Scale posture (100 TB corpus, vocabulary- or domain-sized graph):
+the heavy distributed work is the EDGE AGGREGATION over the raw
+corpus (one explode + one groupBy with map-side partials — the
+same shape as term_stats). The power iteration then runs over the
+graph-sized frames: per round, one join of edges against the
+current ranks (broadcastable while ranks fit an executor;
+shuffle-join otherwise) and one groupBy(dst) with map-side partial
+sums. Each round's result is ``localCheckpoint``-ed so the plan
+stays constant-size across iterations (the round-2 lesson: without
+it, Catalyst re-analysis of a linearly growing plan dominates).
+
+Overflow budget: rank mass is conserved at ~``scale`` per node
+(Σ pr → N·scale fixed point), so ``pr ≤ N·scale`` only in the
+pathological all-edges-into-one-node star; the per-edge product
+``pr · weight`` must stay under 2^63. With the default
+``scale=10^9``, a vocabulary-sized graph (N ≈ 10^5, hot-edge weight
+≈ 10^6) peaks around 10^17 — inside BIGINT with two orders of
+headroom. For web-scale domain graphs (N ≈ 10^8) drop ``scale`` to
+10^6; the docstring contract is ``N · scale · max_weight < 2^63``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DAMPING_PCT = 85
+DEFAULT_ITERS = 5
+DEFAULT_SCALE = 10**9
+DEFAULT_MIN_COUNT = 5
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    damping_pct: int = DEFAULT_DAMPING_PCT,
+    iters: int = DEFAULT_ITERS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge frame
+    ``(src, dst, weight)`` (symmetric graphs list each edge in both
+    directions). Returns ``(node, pr)`` with ``pr`` in ``scale``
+    fixed-point units after ``iters`` rounds of
+
+        pr'(v) = (100−d)·scale/100
+                 + d · Σ_u floor(pr(u)·w(u,v) / W(u)) / 100
+
+    (all floor divisions), starting from ``pr = scale`` everywhere —
+    the unnormalized TextRank form whose fixed point averages
+    ``scale`` per node. Nodes are defined by edge endpoints; a node
+    with no in-edges settles at the base term, as in the paper."""
+    base = (100 - damping_pct) * scale // 100
+    e = (
+        edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+        .join(
+            edges.groupBy("src").agg(F.sum("weight").alias("w_out")), "src"
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("(pr * w) div w_out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def token_cooccurrence_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> DataFrame:
+    """TextRank's graph: symmetric adjacent-token co-occurrence
+    edges ``(src, dst, weight)`` over the lowercased corpus, with
+    both endpoints restricted to tokens of corpus frequency ≥
+    ``min_count`` (the paper's frequency filter) and self-loops
+    dropped. Each undirected edge appears once per direction with
+    the same weight ``c(u,v) + c(v,u)``.
+
+    One explode → one directed-pair count (map-side partials,
+    vocabulary²-bounded shuffle) → the symmetrizing union re-agg;
+    the frequency filter joins against the vocabulary-sized
+    qualifying-token frame."""
+    ws = df.select(
+        F.split(F.lower(F.col(text_col)), " ").alias("ws")
+    ).where(F.expr("size(ws) >= 2"))
+    vocab = (
+        ws.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("w")
+    )
+    directed = (
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "struct(element_at(ws, i) AS src, "
+                    "element_at(ws, i + 1) AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .where(F.col("src") != F.col("dst"))
+        .join(vocab.select(F.col("w").alias("src")), "src")
+        .join(vocab.select(F.col("w").alias("dst")), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        directed.select("src", "dst", "c")
+        .union(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("long").alias("weight"))
+    )
+
+
+def textrank(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
+    damping_pct: int = DEFAULT_DAMPING_PCT,
+    iters: int = DEFAULT_ITERS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """TextRank keyword salience: weighted PageRank over the token
+    co-occurrence graph. Returns ``(token, pr)``, ``pr`` in
+    ``scale`` fixed-point units — exact across engines."""
+    ranks = weighted_pagerank(
+        token_cooccurrence_edges(df, text_col, min_count),
+        damping_pct=damping_pct,
+        iters=iters,
+        scale=scale,
+    )
+    return ranks.select(F.col("node").alias("token"), "pr")
+
+
+def textrank_oracle(
+    min_count: int = DEFAULT_MIN_COUNT,
+    damping_pct: int = DEFAULT_DAMPING_PCT,
+    iters: int = DEFAULT_ITERS,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`textrank` on the ``documents`` view,
+    with the fixed iteration count UNROLLED (recursive CTEs restrict
+    aggregation in the recursive term; a fixed-K unroll is exact and
+    engine-portable). Bit-identical to the Spark plan by the
+    scaled-integer argument in the module docstring."""
+    base = (100 - damping_pct) * scale // 100
+    rounds = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""r{k} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping_pct} * COALESCE(c.s, 0)) // 100
+                        AS BIGINT) AS pr
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst, sum((p.pr * e.weight) // w.w_out) AS s
+                FROM edges e
+                JOIN wout w ON e.src = w.src
+                JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst
+            ) c ON n.node = c.dst
+        )"""
+        )
+        prev = f"r{k}"
+    unrolled = ",\n        ".join(rounds)
+    return f"""
+        WITH ws AS (
+            SELECT string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        toks AS (SELECT unnest(ws) AS w FROM ws WHERE len(ws) >= 2),
+        vocab AS (
+            SELECT w FROM toks GROUP BY w HAVING count(*) >= {min_count}
+        ),
+        dpairs AS (
+            SELECT p['src'] AS src, p['dst'] AS dst
+            FROM (
+                SELECT unnest([{{'src': ws[i], 'dst': ws[i + 1]}}
+                               FOR i IN range(1, len(ws))]) AS p
+                FROM ws WHERE len(ws) >= 2
+            )
+            WHERE p['src'] <> p['dst']
+        ),
+        dcounts AS (
+            SELECT src, dst, count(*) AS c
+            FROM dpairs
+            JOIN vocab a ON src = a.w
+            JOIN vocab b ON dst = b.w
+            GROUP BY src, dst
+        ),
+        edges AS (
+            SELECT src, dst, CAST(sum(c) AS BIGINT) AS weight
+            FROM (
+                SELECT src, dst, c FROM dcounts
+                UNION ALL
+                SELECT dst AS src, src AS dst, c FROM dcounts
+            )
+            GROUP BY src, dst
+        ),
+        wout AS (
+            SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+            FROM edges GROUP BY src
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst AS node FROM edges
+        ),
+        r0 AS (
+            SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes
+        ),
+        {unrolled}
+        SELECT node AS token, pr FROM {prev}
+    """

@@ -1,0 +1,95 @@
+"""Graph centrality: weighted PageRank and the TextRank
+co-occurrence graph (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.operators.graph import (
+    token_cooccurrence_edges,
+    weighted_pagerank,
+)
+
+SCALE = 10**9
+
+
+def test_pagerank_hand_graph(spark):
+    """3-node directed cycle a→b→c→a with equal weights: perfect
+    symmetry means every node keeps exactly the conserved per-node
+    mass; the integer iteration must hold them equal (and near
+    scale) instead of drifting."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    pr = {r["node"]: r["pr"] for r in weighted_pagerank(edges).collect()}
+    assert len(pr) == 3
+    assert len(set(pr.values())) == 1  # symmetry preserved exactly
+    assert abs(pr["a"] - SCALE) < SCALE * 0.01
+
+
+def test_pagerank_sink_and_source(spark):
+    """a→b, c→b: b receives both contributions, a and c (no
+    in-edges) settle at exactly the base term (100−d)·scale/100 —
+    the paper's behavior for leaf nodes, integer-exact."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("c", "b", 1)],
+        "src string, dst string, weight long",
+    )
+    pr = {r["node"]: r["pr"] for r in weighted_pagerank(edges).collect()}
+    base = 15 * SCALE // 100
+    assert pr["a"] == base and pr["c"] == base
+    # b gets base + 0.85 * (pr_a + pr_c) exactly (outdegree 1 each)
+    assert pr["b"] == base + 85 * (pr["a"] + pr["c"]) // 100
+
+
+def test_pagerank_weight_sensitivity(spark):
+    """a splits its vote 3:1 between b and c — b must end strictly
+    ahead of c, and the two contributions must sum to a's paid-out
+    mass (floor-division exactness)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)],
+        "src string, dst string, weight long",
+    )
+    pr = {r["node"]: r["pr"] for r in weighted_pagerank(edges, iters=1).collect()}
+    base = 15 * SCALE // 100
+    assert pr["b"] == base + 85 * (SCALE * 3 // 4) // 100
+    assert pr["c"] == base + 85 * (SCALE * 1 // 4) // 100
+    assert pr["b"] > pr["c"]
+
+
+def test_cooccurrence_edges_symmetric_filtered(spark):
+    """Adjacency counts symmetrize (w = c(u,v)+c(v,u), each
+    direction listed), self-loops drop, and sub-min_count tokens are
+    excluded with their edges."""
+    docs = spark.createDataFrame(
+        [(1, "x y x y zz"), (2, "x x y rare")],
+        "doc_id long, text string",
+    )
+    edges = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in token_cooccurrence_edges(docs, min_count=2).collect()
+    }
+    # adjacencies: x→y (×2), y→x, y→zz, x→x (self, dropped),
+    # x→y, rare/zz below min_count=2... zz appears once, rare once.
+    assert ("x", "zz") not in edges and ("y", "zz") not in edges
+    assert all("rare" not in e for e in edges)
+    assert edges[("x", "y")] == edges[("y", "x")] == 4  # 3 x→y + 1 y→x
+    assert ("x", "x") not in edges
+
+
+def test_textrank_plan_is_jvm_only(spark, sf_dir):
+    """The full TextRank build contains no Python eval nodes and no
+    cartesian product — pure Catalyst."""
+    from kafka_streams_pipeline_spark.operators.graph import textrank
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    plan = (
+        textrank(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
