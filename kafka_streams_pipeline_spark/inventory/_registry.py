@@ -48,6 +48,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_media_binary_source",
     # round-9: full store lifecycle (writes + vacuums a temp store)
     "q_store_history",
+    # round-9: availableNow stream-stream outer-join replay
+    "q_streaming_outer_join",
 })
 
 

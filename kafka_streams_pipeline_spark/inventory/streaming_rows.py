@@ -1931,3 +1931,147 @@ def q_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, version int, n_batches long, "
         "batches_added long, note string, n_docs long",
     )
+
+
+@register(
+    "q_streaming_outer_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_ms(p.ts) AS p_ts_ms,
+               epoch_ms(c.ts) AS c_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM LEFT OUTER join (round 9): the
+    missing outer leg of q_streaming_join — purchases joined to the
+    same user's clicks in the preceding 10 minutes, with purchases
+    that never match emitting a NULL-padded row once the watermark
+    passes their eligibility window (no future click can satisfy
+    c_ts < p_ts after that). The replay appends a far-future
+    SENTINEL row per side (filtered from the result): the outer
+    results only flush when the watermark moves past every real
+    purchase, and an availableNow stream's watermark otherwise stops
+    one grace behind the last event — the same tail-flush hazard the
+    session-window replay solved (round-6 lesson). Cross-batch cuts
+    before each matched purchase force matched pairs through the
+    join state store, so BOTH emission paths (state-served matches,
+    watermark-evicted NULL rows) are certified against the one batch
+    LEFT JOIN oracle."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string"
+    )
+    pp = ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    cc = ev_df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_ms").alias("c_ms")
+    )
+    matched = (
+        pp.join(
+            cc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ms") >= F.col("p_ms") - 600_000)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .select("p_id")
+        .distinct()
+        .collect()
+    )
+    matched_ids = {r["p_id"] for r in matched}
+    idx = {r["event_id"]: i for i, r in enumerate(rows)}
+    cuts = [idx[p] for p in matched_ids]
+    # Sentinels: one per side, 48 h past the last event (24 h grace
+    # → final watermark lands 24 h past every real row). user_id -1
+    # matches nothing; both are filtered from the emitted result.
+    sentinel_ms = rows[-1]["ts_ms"] + 48 * 3_600_000
+    rows.append({"event_id": -1, "ts_ms": sentinel_ms,
+                 "user_id": -1, "event_type": "click"})
+    rows.append({"event_id": -2, "ts_ms": sentinel_ms,
+                 "user_id": -1, "event_type": "purchase"})
+    base = tempfile.mkdtemp(prefix="kspipeline-sojoin-")
+    src = os.path.join(base, "src")
+    _write_event_chunks(rows, src, cuts)
+
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "p_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        F.unix_millis("c_ts").alias("c_ts_ms"),
+    )
+
+    batches: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "stream-stream outer join replay timed out after 300 s"
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    out = [
+        (r["p_id"], r["user_id"], r["p_ts_ms"], r["c_ts_ms"])
+        for b in batches
+        for r in b
+        if r["p_id"] >= 0  # sentinels are harness plumbing
+    ]
+    return spark.createDataFrame(
+        out, "p_id long, user_id long, p_ts_ms long, c_ts_ms long"
+    )

@@ -594,3 +594,45 @@ def test_streaming_join_crosses_batches(spark, tmp_path):
     # no match can be emitted in the first micro-batch: its purchase
     # is always the first row of a later chunk
     assert all(e[2] >= 1 for e in emitted_in)
+
+
+def test_streaming_outer_join_emits_null_padded_rows(spark):
+    """q_streaming_outer_join: the left-outer replay must emit BOTH
+    result kinds — state-served matches identical to the inner-join
+    row's, plus NULL-padded rows for purchases with no click in the
+    preceding 10 minutes, flushed by the far-future sentinel
+    advancing the watermark past every real purchase. The union must
+    equal the batch LEFT JOIN exactly."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_pipeline_spark.inventory import QUERIES
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = QUERIES["q_streaming_outer_join"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_millis("ts").alias("p_ts_ms"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("c_ts_ms"),
+    )
+    expected = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts_ms") >= F.col("p_ts_ms") - 600_000)
+            & (F.col("c_ts_ms") < F.col("p_ts_ms")),
+            "left_outer",
+        )
+        .select("p_id", "user_id", "p_ts_ms", "c_ts_ms")
+        .collect()
+    )
+    key = lambda r: (r["p_id"], r["p_ts_ms"], r["c_ts_ms"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    nulls = [r for r in got if r["c_ts_ms"] is None]
+    matches = [r for r in got if r["c_ts_ms"] is not None]
+    assert nulls and matches  # both emission paths exercised
