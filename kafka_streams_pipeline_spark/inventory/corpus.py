@@ -1602,3 +1602,19 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_pipeline_spark.operators.graph import textrank
 
     return textrank(_t(spark, sf_dir, "documents"))
+
+
+@register("q_bpe_train", oracle=_text.bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LEARNING (X5s): distributed BPE merge-rule training
+    (Sennrich et al. 2016) — 8 rounds of frequency-weighted pair
+    counting, lexicographic-tie-break argmax, and greedy
+    non-overlapping merge application, entirely as window functions
+    + aggregates over the vocabulary-sized word-frequency table
+    (never the raw corpus — the same state-size argument real
+    tokenizer trainers rely on). The oracle unrolls the identical 8
+    rounds in SQL; `corpus_symbols_after` pins the merge APPLICATION
+    (overlap policy included), `pair_freq` the selection. Completes
+    the tokenizer family: learn (this) → vocab_build → encode →
+    pack. See operators/text.bpe_train."""
+    return _text.bpe_train(_t(spark, sf_dir, "documents"))

@@ -1861,3 +1861,202 @@ def vocab_coverage_oracle(
         FROM toks t LEFT JOIN vocab v ON v.token = t.token
         GROUP BY t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (round 9). Sennrich et al. 2016 ("Neural
+# Machine Translation of Rare Words with Subword Units") — the
+# byte-pair-encoding merge-learning loop, re-expressed relationally
+# so a DISTRIBUTED engine can run it and an unrolled-SQL oracle can
+# certify it bit-for-bit (the same exactness trick as
+# operators/graph.weighted_pagerank: every round is deterministic
+# integer arithmetic + window functions, so Spark and DuckDB agree
+# exactly, including greedy overlap handling and tie-breaks).
+# ---------------------------------------------------------------------------
+
+BPE_NUM_MERGES = 8
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", num_merges: int = BPE_NUM_MERGES
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from the corpus and
+    return one row per round:
+    ``(merge_idx, left_sym, right_sym, pair_freq,
+    corpus_symbols_after)``.
+
+    Exactly the classic algorithm. The corpus first collapses to the
+    WORD-FREQUENCY table (one aggregate — this is also why the loop
+    scales: BPE training state is vocabulary-sized, never
+    corpus-sized, which is how production tokenizer trainers operate
+    too); each word carries its symbol ARRAY. Each round then:
+
+    1. pairs:   adjacent-symbol pairs via a zip of the array with
+       its tail, exploded → frequency-weighted count per pair
+       (map-side partials; the only shuffle, vocabulary-bounded);
+    2. argmax:  highest count, ties broken lexicographically on
+       (left, right) — a 1-row collect per round (bounded scalar);
+    3. merge:   greedy left-to-right non-overlapping application as
+       a map-only ``aggregate`` fold: push each symbol, and when
+       the accumulator top is ``a`` and the incoming symbol is
+       ``b``, replace the top with ``ab``. The replaced top can
+       never re-match ``a``, which IS the non-overlap rule —
+       ``aaaa`` under ``(a,a)`` folds to ``aa,aa``, identical to
+       the oracle's run-parity window formulation;
+    4. ``localCheckpoint`` so the plan stays constant-size across
+       rounds (round-2 lesson).
+
+    ``corpus_symbols_after`` (frequency-weighted surviving symbol
+    count) certifies the merge APPLICATION, not just the selection:
+    a wrong overlap policy changes it immediately. Stops early if no
+    pair remains. No window functions, no per-word sort — rounds are
+    map-only plus one tiny pair aggregate, so round cost is
+    O(vocabulary), independent of corpus size."""
+
+    def _q(sym: str) -> str:
+        return "'" + sym.replace("'", "''") + "'"
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seq = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for k in range(1, num_merges + 1):
+        best = (
+            seq.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "arrays_zip(slice(syms, 1, size(syms) - 1), "
+                        "slice(syms, 2, size(syms) - 1))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        fold = (
+            "aggregate(syms, cast(array() as array<string>), "
+            "(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = {_q(a)} AND x = {_q(b)} "
+            "THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array({_q(a + b)})) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        seq = seq.select(
+            "freq", F.expr(fold).alias("syms")
+        ).localCheckpoint(eager=True)
+        after = int(
+            seq.agg(
+                F.sum(F.col("freq") * F.size("syms")).cast("long")
+            ).collect()[0][0]
+        )
+        merges.append((k, a, b, cnt, after))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, "
+        "pair_freq long, corpus_symbols_after long",
+    )
+
+
+def bpe_train_oracle(num_merges: int = BPE_NUM_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_train` on the ``documents`` view,
+    rounds UNROLLED (one CTE chain per merge — the same fixed-K
+    unroll as graph.textrank_oracle). Identical window semantics and
+    tie-breaks → bit-identical merge table."""
+    parts = [
+        """
+        WITH words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE len(w) > 0
+            GROUP BY w
+        ),
+        seq0 AS MATERIALIZED (
+            SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+            FROM words,
+                 LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i)
+        )"""
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""nx{k} AS MATERIALIZED (
+            SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                      AS nxt
+            FROM seq{p}
+        ),
+        best{k} AS MATERIALIZED (
+            SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM nx{k} WHERE nxt IS NOT NULL
+            GROUP BY sym, nxt
+            ORDER BY cnt DESC, a ASC, b ASC
+            LIMIT 1
+        ),
+        m{k} AS MATERIALIZED (
+            SELECT nx{k}.*,
+                   (sym = best{k}.a AND nxt = best{k}.b) AS match
+            FROM nx{k} CROSS JOIN best{k}
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT *, row_number() OVER (
+                PARTITION BY word, match ORDER BY pos) AS rn
+            FROM m{k}
+        ),
+        g{k} AS MATERIALIZED (
+            SELECT *, min(pos) OVER (
+                PARTITION BY word, match, pos - rn) AS grp_start
+            FROM r{k}
+        ),
+        mh{k} AS MATERIALIZED (
+            SELECT *, (match AND (pos - grp_start) % 2 = 0)
+                      AS merged_here
+            FROM g{k}
+        ),
+        cons{k} AS MATERIALIZED (
+            SELECT *, coalesce(lag(merged_here) OVER (
+                PARTITION BY word ORDER BY pos), false) AS consumed
+            FROM mh{k}
+        ),
+        seq{k} AS MATERIALIZED (
+            SELECT word, freq,
+                   row_number() OVER (PARTITION BY word ORDER BY pos)
+                       AS pos,
+                   CASE WHEN merged_here THEN sym || nxt ELSE sym END
+                       AS sym
+            FROM cons{k} WHERE NOT consumed
+        ),
+        stat{k} AS MATERIALIZED (
+            SELECT {k} AS merge_idx, a AS left_sym, b AS right_sym,
+                   cnt AS pair_freq,
+                   (SELECT CAST(sum(freq) AS BIGINT) FROM seq{k})
+                       AS corpus_symbols_after
+            FROM best{k}
+        )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM stat{k}" for k in range(1, num_merges + 1)
+    )
+    return ",\n        ".join(parts) + f"\n        {union}"

@@ -93,3 +93,56 @@ def test_textrank_plan_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (operators/text.bpe_train) — shares this file's
+# iterative-exactness theme with PageRank.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_textbook_example(spark):
+    """Sennrich et al.'s shape: corpus 'low lower lowest' ×
+    frequencies — the first merges must be the most frequent
+    adjacent pairs with lexicographic tie-breaks, and
+    corpus_symbols_after must drop by exactly the number of APPLIED
+    merges each round."""
+    from kafka_streams_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, num_merges=3).collect()
+    # pair counts round 1: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1,
+    # (e,s)=1, (s,t)=1 → tie (l,o) vs (o,w) broken lexicographically
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("l", "o")
+    assert out[0]["pair_freq"] == 5
+    # 'low'→(lo,w): 3 words × applied merges reduce weighted symbols
+    before = 3 * 3 + 5 + 6  # low×3 + lower + lowest chars
+    assert out[0]["corpus_symbols_after"] == before - 5  # 5 applied
+    # round 2: (lo,w)=5 dominates
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("lo", "w")
+    assert out[1]["corpus_symbols_after"] == before - 10
+
+
+def test_bpe_greedy_overlap(spark):
+    """'aaaa' under merge (a,a) must apply left-to-right
+    non-overlapping: two merges, never three — the fold's
+    replace-top rule (and the oracle's run-parity twin)."""
+    from kafka_streams_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    out = bpe_train(docs, num_merges=1).collect()
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "a")
+    assert out[0]["pair_freq"] == 3 + 2  # overlapping pairs COUNTED
+    # applied: aaaa→aa,aa (2), aaa→aa,a (1): 7 chars − 3 = 4 symbols
+    assert out[0]["corpus_symbols_after"] == 4
+
+
+def test_bpe_early_stop(spark):
+    """Single-char words have no pairs: training stops after zero
+    rounds instead of failing."""
+    from kafka_streams_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    assert bpe_train(docs, num_merges=4).count() == 0
