@@ -1618,3 +1618,51 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenizer family: learn (this) → vocab_build → encode →
     pack. See operators/text.bpe_train."""
     return _text.bpe_train(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+        WITH pairs AS ({_dedup.minhash_pairs_oracle()}),
+        e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT id_a AS n FROM e
+                  UNION ALL SELECT id_b AS n FROM e)
+            GROUP BY n
+        ),
+        w AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.id_b = e2.id_a
+            JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (3 * n_triangles * 1000000) // n_wedges END
+                   AS clustering_ppm
+        FROM w, ne, t
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (X11b): exact triangle census + global
+    clustering coefficient over the MinHash near-dup graph — the
+    standard structure metric for duplicate-cluster quality (a
+    near-dup component that is also triangle-dense is boilerplate;
+    a sparse chain is drift). Edges come from the SAME banded-LSH
+    pair generator the dedup family certifies, the a<b<c ordered
+    triple join counts each triangle once, and the clustering
+    coefficient is a parts-per-million integer division — fully
+    engine-exact. Completes the graph trio: components (dedup),
+    centrality (textrank), structure (this).
+    See operators/graph.triangle_count."""
+    from kafka_streams_pipeline_spark.operators.graph import triangle_count
+
+    pairs = _dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return triangle_count(pairs)

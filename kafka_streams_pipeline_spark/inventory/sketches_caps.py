@@ -651,3 +651,29 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_raw", 6).alias("revenue"),
         "s_name",
     )
+
+
+@register(
+    "q_kmv_set_ops",
+    oracle=_sk.kmv_set_ops_oracle(
+        "documents", "doc_id", "lang = 'en'", "n_chars >= 200"
+    ),
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (round 9): KMV/theta-style union AND
+    intersection estimation from two k-minimum-value sketches —
+    A = English documents, B = documents of ≥200 chars (genuinely
+    partial overlap, domains ≫ k, so the estimation branch is
+    exercised, not the exact-small fallback). The union sketch is
+    the k smallest of the two kept sets (mergeability), θ its k-th
+    hash, and the intersection estimate scales the union estimate
+    by the match fraction — the operation HLL cannot do, and the
+    reason the suite carries both. Sketch state (θ, counts) and the
+    exact reference counts are all in the oracle hash. See
+    operators/sketches.kmv_set_ops."""
+    docs = _t(spark, sf_dir, "documents")
+    return _sk.kmv_set_ops(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("n_chars") >= 200),
+        col="doc_id",
+    )

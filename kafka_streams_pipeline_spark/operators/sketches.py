@@ -644,3 +644,172 @@ def hll_distinct_by_oracle(
                n_registers_used, s_used, register_checksum, n_exact
         FROM state JOIN exact ON state.grp = exact.grp
     """
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str = "doc_id",
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV set algebra (the theta-sketch move, public literature:
+    Bar-Yossef et al. 2002; Dasgupta et al. 2016): estimate
+    |A ∪ B| and |A ∩ B| from two k-minimum-value sketches WITHOUT
+    touching the full domains again — the reason KMV complements HLL
+    in the suite (HLL unions trivially but cannot intersect).
+
+    Mergeability: the k smallest hashes of A ∪ B are a subset of
+    S_A ∪ S_B, so the union sketch is the k smallest of the two kept
+    sets — pure sketch-state algebra, 2k values. θ is the union
+    sketch's k-th smallest hash; matches are hashes present in BOTH
+    input sketches with h ≤ θ, and
+
+        |A ∪ B| ≈ (k−1) · 2^32 / θ
+        |A ∩ B| ≈ |A ∪ B| · n_match / k
+
+    (exact counts when the union domain has fewer than k values —
+    same convention as kmv_distinct). All inputs to the two
+    divisions are exact integers and the expression trees are
+    written identically in the DuckDB twin, so the rounded doubles
+    are engine-exact. Output one row: sketch sizes, θ, n_match, both
+    estimates, and the exact counts for reference.
+
+    Scale shape: each sketch is one distinct-hash shuffle + global
+    top-k (TakeOrderedAndProject); the set algebra itself runs on
+    ≤ 2k rows — constant, domain-independent."""
+    hx = md5_long(F.col(col).cast("string")).bitwiseAND(
+        F.lit((1 << 32) - 1)
+    )
+
+    def sketch(d: DataFrame) -> DataFrame:
+        return (
+            d.where(F.col(col).isNotNull())
+            .select(hx.alias("h32"))
+            .distinct()
+            .orderBy("h32")
+            .limit(k)
+        )
+
+    sa, sb = sketch(df_a), sketch(df_b)
+    union_kept = sa.union(sb).distinct().orderBy("h32").limit(k)
+    u = union_kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_used"),
+        F.max("h32").cast("long").alias("theta"),
+    )
+    counts = (
+        sa.agg(F.count(F.lit(1)).cast("long").alias("n_a_used"))
+        .crossJoin(sb.agg(F.count(F.lit(1)).cast("long").alias("n_b_used")))
+        .crossJoin(u)
+    )
+    matches = sa.join(sb, "h32")
+    counts = counts.crossJoin(
+        matches.crossJoin(u.select(F.col("theta").alias("_t")))
+        .where(F.col("h32") <= F.col("_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    exact = (
+        df_a.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("in_a", F.lit(1))
+        .join(
+            df_b.select(F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .withColumn("in_b", F.lit(1)),
+            "v",
+            "full_outer",
+        )
+        .agg(
+            F.count_distinct(F.col("v")).cast("long").alias("union_exact"),
+            F.count_distinct(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias("inter_exact"),
+        )
+    )
+    est_u = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_union_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / theta END"
+    )
+    est_i = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_match AS DOUBLE) "
+        f"ELSE ({est_u}) * n_match / {k} END"
+    )
+    return counts.crossJoin(exact).select(
+        "n_a_used",
+        "n_b_used",
+        "n_union_used",
+        "theta",
+        "n_match",
+        F.expr(f"round({est_u}, 6)").alias("union_estimate"),
+        F.expr(f"round({est_i}, 6)").alias("inter_estimate"),
+        "union_exact",
+        "inter_exact",
+    )
+
+
+def kmv_set_ops_oracle(
+    table: str,
+    col: str,
+    pred_a: str,
+    pred_b: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` for A = rows of ``table``
+    matching ``pred_a``, B = matching ``pred_b``."""
+    h = f"({md5_long_sql(f'CAST({col} AS VARCHAR)')} & {(1 << 32) - 1})"
+    est_u = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_union_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / theta END"
+    )
+    est_i = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_match AS DOUBLE) "
+        f"ELSE ({est_u}) * n_match / {k} END"
+    )
+    return f"""
+        WITH sa AS (
+            SELECT DISTINCT {h} AS h32 FROM {table}
+            WHERE {col} IS NOT NULL AND ({pred_a})
+            ORDER BY h32 LIMIT {k}
+        ),
+        sb AS (
+            SELECT DISTINCT {h} AS h32 FROM {table}
+            WHERE {col} IS NOT NULL AND ({pred_b})
+            ORDER BY h32 LIMIT {k}
+        ),
+        uk AS (
+            SELECT DISTINCT h32 FROM (
+                SELECT h32 FROM sa UNION ALL SELECT h32 FROM sb
+            ) ORDER BY h32 LIMIT {k}
+        ),
+        u AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_union_used,
+                   CAST(max(h32) AS BIGINT) AS theta
+            FROM uk
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_match
+            FROM sa JOIN sb USING (h32), u
+            WHERE h32 <= u.theta
+        ),
+        ex AS (
+            SELECT
+                (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}
+                 WHERE {col} IS NOT NULL
+                   AND (({pred_a}) OR ({pred_b}))) AS union_exact,
+                (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}
+                 WHERE {col} IS NOT NULL
+                   AND ({pred_a}) AND ({pred_b})) AS inter_exact
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a_used,
+            (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b_used,
+            n_union_used, theta, n_match,
+            round({est_u}, 6) AS union_estimate,
+            round({est_i}, 6) AS inter_estimate,
+            union_exact, inter_exact
+        FROM u, m, ex
+    """

@@ -1480,3 +1480,24 @@ def test_gif_frame_sampling_pipeline(docs):
         assert r["sum_px"] == int(v.sum())
         assert r["weighted_sum"] == int((k * v).sum())
         assert r["peak"] == int(v.max())
+
+
+def test_kmv_set_ops_accuracy_and_exact_branch(spark):
+    """kmv_set_ops: on a constructed overlap (A = 0..999,
+    B = 500..1499, |∪| = 1500, |∩| = 500) the k=64 estimates land
+    within the sketch's ~3/√k relative error; on domains smaller
+    than k both estimates are EXACT (the same convention as
+    kmv_distinct's small-domain branch)."""
+    from kafka_streams_pipeline_spark.operators.sketches import kmv_set_ops
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "v")
+    b = spark.range(500, 1500).withColumnRenamed("id", "v")
+    r = kmv_set_ops(a, b, col="v").collect()[0]
+    assert r["union_exact"] == 1500 and r["inter_exact"] == 500
+    assert abs(r["union_estimate"] - 1500) / 1500 < 3 / 64**0.5
+    assert abs(r["inter_estimate"] - 500) / 500 < 3 / 64**0.5 + 0.2
+    # exact-small branch: union domain < k
+    a2 = spark.range(0, 20).withColumnRenamed("id", "v")
+    b2 = spark.range(10, 40).withColumnRenamed("id", "v")
+    r2 = kmv_set_ops(a2, b2, col="v").collect()[0]
+    assert r2["union_estimate"] == 40.0 and r2["inter_estimate"] == 10.0

@@ -146,3 +146,25 @@ def test_bpe_early_stop(spark):
 
     docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     assert bpe_train(docs, num_merges=4).count() == 0
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 (complete graph on 4 nodes): 4 triangles, 12 wedges,
+    clustering 1.0 (10⁶ ppm); a 4-path: 0 triangles, 2 wedges,
+    clustering 0. Duplicate edge rows are tolerated (distinct)."""
+    from kafka_streams_pipeline_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4)],
+        "id_a long, id_b long",
+    )
+    r = triangle_count(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"]) == (4, 6, 12)
+    assert r["n_triangles"] == 4
+    assert r["clustering_ppm"] == 1_000_000
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    r2 = triangle_count(path).collect()[0]
+    assert r2["n_triangles"] == 0 and r2["n_wedges"] == 2
+    assert r2["clustering_ppm"] == 0
