@@ -1403,6 +1403,7 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_table_profile",
+    bench=True,
     oracle="""
         WITH o AS (
             SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
@@ -1458,14 +1459,16 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling (X10a): per-column health numbers —
     row/non-null/distinct counts plus min/max — for the whole orders
-    table in ONE aggregate pass (operators/quality.table_profile,
-    the Deequ-analyzer family as plain Catalyst aggregates). Floats
-    are normalized to exact cents and the NTZ order date to epoch
-    days BEFORE profiling, per the repo's float-free oracle
-    discipline, so min/max render identically across engines. This
-    exact-distinct form is the oracle-certified twin; at 100 TB the
-    same operator runs with approx=True (HLL++ distincts, no Expand
-    in the plan — differential-tested in pytest)."""
+    table (operators/quality.table_profile, the Deequ-analyzer
+    family as plain Catalyst aggregates: one algebraic pass for
+    counts and typed min/max, one constant-buffer (col_name, value)
+    dedupe shuffle for the exact distincts — measured and chosen over
+    Catalyst's Expand-rewritten multi-distinct plan). Floats are
+    normalized to exact cents and the NTZ order date to epoch days
+    BEFORE profiling, per the repo's float-free oracle discipline,
+    so min/max render identically across engines. approx=True is
+    the one-pass HLL++ form for 100 TB (differential-tested in
+    pytest)."""
     from kafka_streams_pipeline_spark.operators.quality import table_profile
 
     o = _t(spark, sf_dir, "orders").select(
@@ -1587,7 +1590,7 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kafka_streams_pipeline_spark.operators.graph import textrank_oracle as _textrank_oracle
 
 
-@register("q_textrank", oracle=_textrank_oracle())
+@register("q_textrank", oracle=_textrank_oracle(), bench=True)
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph centrality (X11): TextRank keyword salience — weighted
     PageRank over the token co-occurrence graph (Mihalcea & Tarau
@@ -1604,7 +1607,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank(_t(spark, sf_dir, "documents"))
 
 
-@register("q_bpe_train", oracle=_text.bpe_train_oracle())
+@register("q_bpe_train", oracle=_text.bpe_train_oracle(), bench=True)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer LEARNING (X5s): distributed BPE merge-rule training
     (Sennrich et al. 2016) — 8 rounds of frequency-weighted pair
@@ -1622,6 +1625,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangle_count",
+    bench=True,
     oracle=f"""
         WITH pairs AS ({_dedup.minhash_pairs_oracle()}),
         e AS (SELECT DISTINCT id_a, id_b FROM pairs),

