@@ -50,6 +50,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_store_history",
     # round-9: availableNow stream-stream outer-join replay
     "q_streaming_outer_join",
+    # round-9: merge-on-read lifecycle (writes + compacts a temp store)
+    "q_corpus_upsert",
 })
 
 

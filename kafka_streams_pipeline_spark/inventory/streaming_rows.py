@@ -2075,3 +2075,164 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "p_id long, user_id long, p_ts_ms long, c_ts_ms long"
     )
+
+
+@register(
+    "q_corpus_upsert",
+    oracle="""
+        WITH fin AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 7777
+                        WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars * 2
+            FROM documents WHERE doc_id % 9 = 0
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars * 2
+            FROM documents WHERE doc_id % 9 = 0
+        ),
+        chg AS (
+            SELECT doc_id, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars * 2
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id, 7777
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT 'final' AS phase, CAST(doc_id % 3 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM fin GROUP BY doc_id % 3
+        UNION ALL
+        SELECT 'asof_v2', CAST(-1 AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM v2
+        UNION ALL
+        SELECT 'changes_v1_v3', CAST(-1 AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM chg
+        UNION ALL
+        SELECT 'compacted', CAST(doc_id % 3 AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM fin GROUP BY doc_id % 3
+    """,
+)
+def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, merge-on-read (round 9): the store's missing
+    MERGE leg. v1 commits the base corpus; v2 upserts (doc_id%5
+    re-scored to n_chars+1000) and inserts (doc_id%9 cloned to key
+    +1e6 at n_chars*2); v3 re-scores doc_id%7 to 7777 and TOMBSTONES
+    doc_id%10 — writes are O(delta), one appended batch each, no
+    base rewrite. Certified against one oracle, four phases:
+    the latest-wins MERGED read at head (per doc_id%3 bucket, so
+    update-vs-insert-vs-delete resolution is row-level-bound into
+    the hash — the CASE precedence in the oracle IS the batch
+    precedence), the merged read AS OF v2 (time travel under
+    upserts: the v3 correction invisible), the CDC changes read
+    v1→v3 (raw deltas incl. tombstone rows — the retraction feed),
+    and the post-``compact_corpus`` merged read (the MoR→CoW fold:
+    bit-identical to pre-compact, now served from one base batch —
+    asserted structurally via store_history n_batches==1).
+    See sources/versioned.py upsert_corpus/read_corpus_latest/
+    read_corpus_changes/compact_corpus."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        commit_corpus,
+        compact_corpus,
+        read_corpus_changes,
+        read_corpus_latest,
+        store_history,
+        upsert_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = tempfile.mkdtemp(prefix="kspipeline-upsert-")
+    store = os.path.join(base, "corpus")
+    commit_corpus(docs, store, "base corpus")
+    upsert_corpus(
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            docs.where(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("n_chars") * 2).alias("n_chars"),
+            )
+        ),
+        store,
+        "doc_id",
+        "rescore fives, insert nines",
+    )
+    upsert_corpus(
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0))
+        .withColumn("n_chars", F.lit(7777).cast("long"))
+        .withColumn(TOMBSTONE, F.lit(False))
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_chars"),
+                F.lit(True).alias(TOMBSTONE),
+            )
+        ),
+        store,
+        "doc_id",
+        "rescore sevens, retract tens",
+    )
+
+    def _bucketed(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy(
+            (F.col("doc_id") % 3).cast("long").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    def _totals(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(-1).cast("long").alias("bucket"),
+            "*",
+        )
+
+    final = _bucketed(read_corpus_latest(spark, store, "doc_id"), "final")
+    asof = _totals(read_corpus_latest(spark, store, "doc_id", 2), "asof_v2")
+    changes = _totals(read_corpus_changes(spark, store, 1, 3), "changes_v1_v3")
+    rows = final.unionByName(asof).unionByName(changes).collect()
+
+    compact_corpus(spark, store, "doc_id")
+    head = store_history(spark, store).orderBy(F.col("version").desc()).first()
+    if head["n_batches"] != 1:
+        shutil.rmtree(base, ignore_errors=True)
+        raise AssertionError(
+            f"compact_corpus left {head['n_batches']} batches in lineage"
+        )
+    rows += _bucketed(
+        read_corpus_latest(spark, store, "doc_id"), "compacted"
+    ).collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "phase string, bucket long, n_docs long, chars_sum long, id_sum long",
+    )

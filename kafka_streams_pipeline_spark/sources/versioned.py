@@ -343,6 +343,179 @@ def vacuum_corpus(store_dir: str, keep_from_version: int) -> dict:
             pass
 
 
+TOMBSTONE = "_deleted"
+_SEQ = "_seq"
+
+
+def upsert_corpus(
+    df: DataFrame, store_dir: str, key: str, note: str = ""
+) -> int:
+    """Commit ``df`` as an UPSERT DELTA batch: merge-on-read MERGE
+    semantics (Hudi MoR / the LSM write path) on the append-only
+    store. The write is O(delta) — exactly one appended batch, no
+    rewrite of any existing data — and the merge is deferred to
+    ``read_corpus_latest``, which resolves each key to its
+    newest-batch row. Deletes are rows whose ``_deleted`` column
+    (``TOMBSTONE``) is true; the column is added as ``false`` when
+    absent so plain upserts never need to carry it.
+
+    Contract: ``key`` must be unique WITHIN the batch (two rows for
+    one key in the same commit have no defined order — the same
+    rule every LSM gives a single memtable flush). Across batches,
+    newer commits win per key; ``compact_corpus`` folds the deltas
+    back into one base batch when the read-side window tax is worth
+    reclaiming.
+
+    Why an engine for training data needs this: corpus curation is
+    not append-only — documents get re-scored, re-filtered, and
+    retracted (takedowns), and a full-corpus rewrite per correction
+    is a 100 TB job for a 1 MB change. Merge-on-read makes the
+    correction O(delta) while time travel keeps every pre-correction
+    version bit-reproducible."""
+    if key not in df.columns:
+        raise ValueError(f"upsert frame has no key column {key!r}")
+    if TOMBSTONE not in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(TOMBSTONE, F.lit(False))
+    return commit_corpus(df, store_dir, note=note)
+
+
+def read_corpus_log(
+    spark: SparkSession, store_dir: str, version: int | None = None
+) -> DataFrame:
+    """The version's raw batch LOG in commit order: every batch the
+    manifest pins, union-by-name (missing columns null-padded, so
+    schema evolution and tombstone-bearing deltas coexist), with a
+    ``_seq`` column = the batch's position in the lineage. This is
+    the substrate for both merged reads (latest ``_seq`` wins) and
+    CDC reads (``_seq`` range). One parquet scan per batch dir —
+    the plan unions them; at 100 TB the batch count is bounded by
+    checkpoint/compact cadence, not data volume."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(store_dir)
+    if version < 1:
+        raise ValueError(f"no committed version in {store_dir!r}")
+    with open(_manifest_path(store_dir, version)) as f:
+        manifest = json.load(f)
+    parts = [
+        spark.read.parquet(os.path.join(store_dir, _DATA, b))
+        .withColumn(_SEQ, F.lit(i).cast("int"))
+        for i, b in enumerate(manifest["batches"])
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def read_corpus_latest(
+    spark: SparkSession,
+    store_dir: str,
+    key: str,
+    version: int | None = None,
+) -> DataFrame:
+    """MERGED read: the corpus AS OF ``version`` under latest-wins
+    upsert semantics — for each ``key``, the row from the newest
+    batch that mentions it, with tombstoned keys absent. This is the
+    merge-on-read MERGE INTO resolution (Hudi MoR snapshot read):
+    one window over the batch log partitioned by key, ordered by
+    batch sequence descending.
+
+    Scale posture: ONE hash shuffle on the key — the standing MoR
+    read tax, identical in shape to any LSM merge — and the window
+    is a per-key top-1 (no global sort). When the delta chain grows
+    long, ``compact_corpus`` folds it into a single base batch and
+    the merged read degenerates to a plain scan. Composes with time
+    travel: ``version=N`` merges exactly the batches manifest N
+    pins, so pre-correction snapshots replay bit-identically."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = read_corpus_log(spark, store_dir, version)
+    if key not in log.columns:
+        raise ValueError(f"store batches have no key column {key!r}")
+    w = Window.partitionBy(key).orderBy(F.col(_SEQ).desc())
+    out = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", _SEQ)
+    )
+    if TOMBSTONE in out.columns:
+        out = out.where(
+            ~F.coalesce(F.col(TOMBSTONE), F.lit(False))
+        ).drop(TOMBSTONE)
+    return out
+
+
+def read_corpus_changes(
+    spark: SparkSession,
+    store_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC / incremental read: the raw rows COMMITTED AFTER
+    ``from_version`` up to ``to_version`` (default latest) — the
+    batches in the target manifest that the source manifest does not
+    reference, in commit order with their ``_seq``. Tombstone rows
+    are included as-is: a downstream incremental consumer needs the
+    retractions, not just the additions (the Debezium-style change
+    feed). O(changed batches) scan — never re-reads the base.
+
+    Fails LOUDLY if the source manifest's batches are not a subset
+    of the target's (a checkpoint/compact rewrote lineage in
+    between): batch set difference would then misreport the
+    consolidated base as "new data", so the caller must fall back
+    to a full read. This is the same contract Delta's change-data
+    feed has across history-rewriting operations."""
+    from pyspark.sql import functions as F
+
+    if to_version is None:
+        to_version = latest_version(store_dir)
+    with open(_manifest_path(store_dir, from_version)) as f:
+        from_batches = json.load(f)["batches"]
+    with open(_manifest_path(store_dir, to_version)) as f:
+        to_batches = json.load(f)["batches"]
+    if not set(from_batches) <= set(to_batches):
+        raise ValueError(
+            f"lineage of v{to_version} does not contain v{from_version} "
+            "(a checkpoint/compact rewrote history between them); "
+            "incremental read is undefined — do a full read instead"
+        )
+    log = read_corpus_log(spark, store_dir, to_version)
+    new_from = min(
+        i for i, b in enumerate(to_batches) if b not in set(from_batches)
+    ) if set(to_batches) - set(from_batches) else len(to_batches)
+    return log.where(F.col(_SEQ) >= F.lit(new_from))
+
+
+def compact_corpus(
+    spark: SparkSession, store_dir: str, key: str, note: str = "compact"
+) -> int:
+    """Fold the upsert-delta chain into ONE materialized base batch:
+    the merge-on-read → copy-on-write compaction (Hudi's compactor,
+    Delta's OPTIMIZE-after-MERGE). Commits the RESOLVED corpus
+    (``read_corpus_latest`` — tombstones applied and dropped) as a
+    replace-history version, so subsequent merged reads are plain
+    scans until new deltas arrive. Pinned + optimistic-concurrency
+    guarded exactly like ``checkpoint_corpus``: a peer commit landing
+    mid-compact raises ``ConcurrentCommitError`` rather than being
+    silently dropped from forward lineage. Old versions stay
+    readable (append-only storage; reclaiming them is vacuum's
+    job)."""
+    pinned = latest_version(store_dir)
+    return commit_corpus(
+        read_corpus_latest(spark, store_dir, key, version=pinned),
+        store_dir,
+        note,
+        replace_history=True,
+        expect_latest=pinned,
+    )
+
+
 def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
     """The store's commit log as a queryable frame — the DESCRIBE
     HISTORY analogue: one row per READABLE version (vacuumed

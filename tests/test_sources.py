@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_streams_pipeline_spark.sources.readings import (
@@ -605,3 +607,154 @@ def test_versioned_corpus_store_history(spark, sf_dir, tmp_path):
     # v3's predecessor is gone: its whole lineage counts as added
     assert post[3]["n_batches"] == 1 and post[3]["batches_added"] == 1
     assert post[4]["note"] == "sevens"
+
+
+def test_versioned_corpus_upsert_latest_wins(spark, tmp_path):
+    """Merge-on-read MERGE semantics: per key the newest batch's row
+    wins, tombstoned keys vanish from the merged read, raw reads
+    still see the whole log, and time travel merges exactly the
+    batches each version pins (a pre-correction snapshot never sees
+    a later retraction)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    commit_corpus(base, store, "base")
+    upsert_corpus(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"),
+        store,
+        "k",
+        "update 2, insert 4",
+    )
+    upsert_corpus(
+        spark.createDataFrame(
+            [(1, None, True), (2, "B3", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        store,
+        "k",
+        "delete 1, update 2 again",
+    )
+    merged = {
+        r["k"]: r["v"]
+        for r in read_corpus_latest(spark, store, "k").collect()
+    }
+    assert merged == {2: "B3", 3: "c", 4: "d"}
+    # time travel: as-of v2 the deletion/re-update are invisible
+    asof2 = {
+        r["k"]: r["v"]
+        for r in read_corpus_latest(spark, store, "k", version=2).collect()
+    }
+    assert asof2 == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # the raw log still carries every row (merge-on-read, not rewrite)
+    assert read_corpus(spark, store, merge_schema=True).count() == 7
+    # merged frame never leaks plumbing columns
+    assert set(read_corpus_latest(spark, store, "k").columns) == {"k", "v"}
+    with pytest.raises(ValueError, match="key column"):
+        upsert_corpus(base.select(F.col("k").alias("kk"), "v"), store, "k")
+
+
+def test_versioned_corpus_changes_feed(spark, tmp_path):
+    """CDC read: exactly the post-`from_version` batches, tombstones
+    included (the retraction feed); empty when nothing changed; and
+    a LOUD refusal across a history rewrite, where batch set
+    difference would misreport the consolidated base as new data."""
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        checkpoint_corpus,
+        commit_corpus,
+        read_corpus_changes,
+        upsert_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    commit_corpus(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        store,
+        "base",
+    )
+    upsert_corpus(
+        spark.createDataFrame(
+            [(2, None, True), (3, "c", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        store,
+        "k",
+        "delta",
+    )
+    feed = read_corpus_changes(spark, store, 1).collect()
+    assert {(r["k"], r["v"], r["_deleted"]) for r in feed} == {
+        (2, None, True),
+        (3, "c", False),
+    }
+    assert read_corpus_changes(spark, store, 2, 2).count() == 0
+    checkpoint_corpus(spark, store)
+    with pytest.raises(ValueError, match="rewrote history"):
+        read_corpus_changes(spark, store, 1)
+    # forward from the checkpoint the feed works again
+    upsert_corpus(
+        spark.createDataFrame([(5, "e")], "k long, v string"), store, "k"
+    )
+    assert [r["k"] for r in read_corpus_changes(spark, store, 3).collect()] == [5]
+
+
+def test_versioned_corpus_compact_folds_deltas(spark, tmp_path):
+    """compact_corpus = the MoR→CoW fold: merged content identical
+    before/after, lineage collapses to one batch (merged reads
+    become plain scans), tombstones are physically applied (gone
+    from the raw log), and the optimistic-concurrency guard inherits
+    from checkpoint machinery."""
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        compact_corpus,
+        read_corpus,
+        read_corpus_latest,
+        store_history,
+        upsert_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    commit_corpus(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k long, v string"
+        ),
+        store,
+        "base",
+    )
+    upsert_corpus(
+        spark.createDataFrame(
+            [(i, None, True) for i in range(0, 20, 4)]
+            + [(i, f"u{i}", False) for i in range(1, 20, 4)],
+            "k long, v string, _deleted boolean",
+        ),
+        store,
+        "k",
+        "mixed delta",
+    )
+    before = sorted(
+        (r["k"], r["v"])
+        for r in read_corpus_latest(spark, store, "k").collect()
+    )
+    v = compact_corpus(spark, store, "k")
+    after = sorted(
+        (r["k"], r["v"])
+        for r in read_corpus_latest(spark, store, "k").collect()
+    )
+    assert before == after
+    head = {
+        r["version"]: r["n_batches"]
+        for r in store_history(spark, store).collect()
+    }
+    assert head[v] == 1
+    # tombstones and plumbing are physically gone from the new base
+    raw = read_corpus(spark, store, version=v)
+    assert set(raw.columns) == {"k", "v"}
+    assert raw.count() == len(after) == 15
