@@ -52,6 +52,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_outer_join",
     # round-9: merge-on-read lifecycle (writes + compacts a temp store)
     "q_corpus_upsert",
+    # round-9: z-order layout rewrite (writes a temp parquet layout)
+    "q_zorder_layout",
 })
 
 

@@ -2236,3 +2236,81 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(r) for r in rows],
         "phase string, bucket long, n_docs long, chars_sum long, id_sum long",
     )
+
+
+def _zorder_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.layout import morton_key_sql
+
+    return f"""
+        WITH z AS (
+            SELECT doc_id, n_chars,
+                   {morton_key_sql("doc_id", "n_chars")} AS zkey
+            FROM documents
+        )
+        SELECT 'readback' AS phase, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(zkey) AS BIGINT) AS z_sum
+        FROM z
+        UNION ALL
+        SELECT 'disjoint_files', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@register("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (round 9): OPTIMIZE ZORDER BY for the
+    training-data lake. documents(doc_id, n_chars) is rewritten as 8
+    parquet files range-partitioned on the Morton interleave of both
+    columns — every file gets a tight bounding box in BOTH
+    dimensions, so min/max skipping serves predicates on either (the
+    one-column-sorted layout serves only its sort column; the scan-
+    metric proof lives in tests/test_plan_contracts.py). Certified:
+    content preservation (count + per-column checksums), the curve
+    key itself (sum of the 32-term bit interleave, recomputed on
+    readback against the oracle's identical SQL unroll — bit order
+    and mask are hash-bound), and the structural invariant that file
+    z-ranges never interleave (range partitioning ⇒ 0 overlapping
+    pairs, from per-file stats, regardless of sampled boundaries).
+    One range shuffle; the key never persists.
+    See operators/layout.py."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.operators.layout import (
+        morton_key,
+        overlapping_file_pairs,
+        zorder_file_stats,
+        zorder_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = tempfile.mkdtemp(prefix="kspipeline-zorder-")
+    out = os.path.join(base, "layout")
+    zorder_write(docs, out, "doc_id", "n_chars", n_files=8)
+    back = spark.read.parquet(out)
+    content = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum(morton_key(F.col("doc_id"), F.col("n_chars")))
+        .cast("long")
+        .alias("z_sum"),
+    ).collect()[0]
+    overlaps = overlapping_file_pairs(
+        zorder_file_stats(spark, out, "doc_id", "n_chars")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                "readback",
+                content["n_docs"],
+                content["id_sum"],
+                content["chars_sum"],
+                content["z_sum"],
+            ),
+            ("disjoint_files", overlaps, 0, 0, 0),
+        ],
+        "phase string, n_docs long, id_sum long, chars_sum long, z_sum long",
+    )
