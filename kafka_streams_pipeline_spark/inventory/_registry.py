@@ -54,6 +54,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_corpus_upsert",
     # round-9: z-order layout rewrite (writes a temp parquet layout)
     "q_zorder_layout",
+    # round-9: incremental sketch maintenance (temp store + checkpoint)
+    "q_hll_incremental",
 })
 
 

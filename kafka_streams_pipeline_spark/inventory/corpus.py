@@ -1234,6 +1234,27 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.epoch_shuffle(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_weighted_sample",
+    oracle=_corpus.systematic_weighted_sample_oracle(500),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (round 9): systematic (grid)
+    resampling of 500 draws over n_chars weights — the training-
+    mixture quota draw where every run, retry, and engine must pick
+    the identical sample with EXACTLY the requested total
+    multiplicity (Σ copies == 500, telescoping floor counts).
+    Pure-BIGINT selection on a salted-hash-ordered weight line;
+    heavy documents legitimately draw multiple copies. Every
+    selected row (id, weight, copies) is hash-bound. One
+    global-order window for the exclusive prefix sum; two-phase
+    prefix sum is the documented 100 TB refinement.
+    See operators/corpus.systematic_weighted_sample."""
+    return _corpus.systematic_weighted_sample(
+        _t(spark, sf_dir, "documents"), 500
+    )
+
+
 @register("q_rag_chunks", oracle=_text.rag_chunks_oracle(), bench=True)
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 retrieval prep: overlapping fixed-token-window chunking

@@ -2314,3 +2314,62 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n_docs long, id_sum long, chars_sum long, z_sum long",
     )
+
+
+@register(
+    "q_hll_incremental",
+    oracle=_sk.hll_distinct_oracle("events", "user_id"),
+)
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance (round 9): distinct-user stats
+    kept current across store versions WITHOUT rescanning the base —
+    the composition the 100 TB posture is built from. The base
+    events land as store v1 and their HLL REGISTER STATE (≤256
+    (bucket,m) rows) is checkpointed to parquet; a delta commit makes
+    v2; the maintenance job reads ONLY the CDC feed
+    (read_corpus_changes v1→v2), sketches it, and merges with the
+    persisted registers. Certified against the SAME oracle as
+    q_hll_distinct over the full events table: the hash passes only
+    if merge(state(base), state(delta)) ≡ state(base ∪ delta)
+    register-for-register (the checksum binds every register), i.e.
+    the persisted-merge path is bit-equal to the full rescan it
+    replaces. n_exact comes from the merged store read — also the
+    union. See operators/sketches.py hll_registers/
+    hll_merge_registers and sources/versioned.read_corpus_changes."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        read_corpus_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    base_dir = tempfile.mkdtemp(prefix="kspipeline-hllinc-")
+    store = os.path.join(base_dir, "events")
+    sketch_dir = os.path.join(base_dir, "sketch-v1")
+    commit_corpus(ev.where(F.col("event_id") % 10 < 7), store, "base")
+    _sk.hll_registers(read_corpus(spark, store, 1), "user_id").write.parquet(
+        sketch_dir
+    )
+    commit_corpus(ev.where(F.col("event_id") % 10 >= 7), store, "delta")
+    merged = _sk.hll_merge_registers(
+        spark.read.parquet(sketch_dir),
+        _sk.hll_registers(
+            read_corpus_changes(spark, store, 1, 2), "user_id"
+        ),
+    )
+    out = _sk.hll_estimate_from_registers(merged).crossJoin(
+        F.broadcast(
+            read_corpus(spark, store, 2).agg(
+                F.countDistinct("user_id").cast("long").alias("n_exact")
+            )
+        )
+    )
+    rows = out.collect()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "hll_estimate double, n_registers_used long, "
+        "register_checksum long, n_exact long",
+    )

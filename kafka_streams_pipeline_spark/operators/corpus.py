@@ -313,3 +313,103 @@ def epoch_shuffle_oracle(
             FROM documents
         )
     """
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling with EXACT total multiplicity:
+    systematic (grid) resampling over integer weights — the particle-
+    filter resampler, used here to draw training-mixture quotas where
+    every engine, every run, and every retry must pick the identical
+    sample. Items are laid out on a [0, W) line in salted-hash order
+    (the standard decorrelation fix for systematic sampling's
+    periodicity hazard — adjacency in the data must not survive into
+    adjacency on the line), each owning a [a_i, a_i + w_i) segment;
+    ``n`` gridpoints at odd multiples of W/(2n) select items with
+    multiplicity = gridpoints inside the segment. Σ copies == n
+    EXACTLY (telescoping of the floor counts), heavy items can draw
+    multiple copies (correct mixture semantics), and everything is
+    BIGINT: selection never touches a float, so Spark and DuckDB
+    agree bit-for-bit. Overflow budget: 2·n·W + W < 2^63.
+
+    Scale shape: the exclusive prefix-sum is one global-order window
+    (range shuffle, no global sort buffer); at 100 TB the documented
+    refinement is the two-phase prefix sum (per-partition sums,
+    broadcast offsets) with identical arithmetic. Weights must be
+    positive: zero/negative rows are rejected loudly rather than
+    silently dropped."""
+    if n < 1:
+        raise ValueError(f"sample size must be >= 1, got {n}")
+    h = md5_long(F.concat(F.lit("swsamp:"), F.col(id_col).cast("string")))
+    w_ord = Window.orderBy(F.col("h").asc(), F.col(id_col).asc())
+    lined = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("w"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "a",
+            F.coalesce(
+                F.sum("w").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("b", (F.col("a") + F.col("w")).cast("long"))
+    )
+    total = lined.agg(F.sum("w").cast("long").alias("wtot"))
+    # copies in [a,b): f(2n·b) − f(2n·a) with f(y) = (y+W) div 2W =
+    # |{k ≥ 0 : (2k+1)·W ≤ y}| — gridpoints at odd multiples of W/2n
+    counted = lined.crossJoin(F.broadcast(total)).select(
+        id_col,
+        F.col("w"),
+        (
+            F.expr(f"({2 * n}L * b + wtot) div (2 * wtot)")
+            - F.expr(f"({2 * n}L * a + wtot) div (2 * wtot)")
+        )
+        .cast("long")
+        .alias("copies"),
+    )
+    bad = df.where(F.col(weight_col).cast("long") <= 0)
+    return counted.where(F.col("copies") >= 1).unionByName(
+        # fail loudly on non-positive weights: surface them as an
+        # impossible sentinel the caller (and any oracle) would see
+        bad.select(
+            F.col(id_col),
+            F.lit(-1).cast("long").alias("w"),
+            F.lit(-1).cast("long").alias("copies"),
+        )
+    )
+
+
+def systematic_weighted_sample_oracle(
+    n: int, weight_col: str = "n_chars", table: str = "documents"
+) -> str:
+    h = md5_long_sql("'swsamp:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH lined AS (
+            SELECT doc_id, CAST({weight_col} AS BIGINT) AS w,
+                   CAST(coalesce(sum({weight_col}) OVER (
+                       ORDER BY {h} ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS a
+            FROM {table}
+        ),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM lined)
+        SELECT doc_id, w,
+               CAST((({2 * n}::BIGINT * (a + w) + wtot) // (2 * wtot))
+                  - (({2 * n}::BIGINT * a + wtot) // (2 * wtot)) AS BIGINT)
+                   AS copies
+        FROM lined, tot
+        WHERE (({2 * n}::BIGINT * (a + w) + wtot) // (2 * wtot))
+            - (({2 * n}::BIGINT * a + wtot) // (2 * wtot)) >= 1
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        FROM {table} WHERE CAST({weight_col} AS BIGINT) <= 0
+    """

@@ -91,12 +91,30 @@ def hll_distinct(
     float math is the single final estimate expression. Small-range
     correction (linear counting) applies below 2.5·m as in the
     paper."""
+    out = hll_estimate_from_registers(hll_registers(df, col))
+    if exact:
+        exact_df = df.agg(
+            F.countDistinct(F.col(col)).cast("long").alias("n_exact")
+        )
+        out = out.crossJoin(F.broadcast(exact_df))
+    return out
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The HLL sketch STATE of ``df[col]`` as a frame of (bucket, m)
+    register rows — at most ``HLL_M`` rows regardless of input size.
+    This is the persistable / mergeable form: write it to parquet as
+    a checkpointed summary, later ``hll_merge_registers`` it with the
+    registers of NEW data only (e.g. a versioned-store CDC feed) and
+    re-estimate — incremental distinct-count maintenance without ever
+    rescanning the base, the property that makes sketch-backed stats
+    sustainable at 100 TB ingest rates."""
     h = md5_long(F.col(col).cast("string"))
     # NULLs must not reach the hash: md5(NULL) is NULL, which would
     # mint a phantom register that inflates n_registers_used while
     # count(DISTINCT) ignores NULLs — the estimate would silently
     # skew relative to n_exact on nullable inputs.
-    regs = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(
             (h.bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
@@ -108,6 +126,26 @@ def hll_distinct(
         .groupBy("bucket")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def hll_merge_registers(*reg_frames: DataFrame) -> DataFrame:
+    """Associative register merge: max per bucket across any number
+    of register frames. merge(registers(A), registers(B)) ≡
+    registers(A ∪ B) bit-for-bit — the identity the incremental
+    driver row certifies — so partial sketches from different
+    batches, versions, or machines compose in any order."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), reg_frames)
+    return merged.groupBy("bucket").agg(F.max("m").alias("m"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Resolve a register frame to the one-row estimate (same output
+    columns as ``hll_distinct`` minus ``n_exact``): harmonic-mean
+    estimate with the paper's linear-counting small-range branch,
+    plus the register checksum that pins every register's value into
+    any downstream oracle hash."""
     # coalesce: on EMPTY input the sums are NULL; zeroing them routes
     # the estimate through linear counting with zeros = m, giving the
     # correct 256·ln(256/256) = 0 instead of a NULL estimate
@@ -137,17 +175,11 @@ def hll_distinct(
         f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / {zeros}) "
         f"ELSE {raw} END"
     )
-    out = agg.select(
+    return agg.select(
         F.expr(f"round({est}, 6)").alias("hll_estimate"),
         "n_registers_used",
         "register_checksum",
     )
-    if exact:
-        exact_df = df.agg(
-            F.countDistinct(F.col(col)).cast("long").alias("n_exact")
-        )
-        out = out.crossJoin(F.broadcast(exact_df))
-    return out
 
 
 def hll_distinct_oracle(table: str = "events", col: str = "user_id") -> str:

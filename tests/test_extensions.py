@@ -1501,3 +1501,91 @@ def test_kmv_set_ops_accuracy_and_exact_branch(spark):
     b2 = spark.range(10, 40).withColumnRenamed("id", "v")
     r2 = kmv_set_ops(a2, b2, col="v").collect()[0]
     assert r2["union_estimate"] == 40.0 and r2["inter_estimate"] == 10.0
+
+
+def test_hll_register_state_merges_and_persists(spark, tmp_path):
+    """The incremental-maintenance identity, bit-level: registers of
+    a union equal the per-bucket max of the parts' registers, merge
+    order is irrelevant, and the state survives a parquet round-trip
+    unchanged — so a checkpointed sketch plus a delta sketch replaces
+    a full rescan exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators import sketches as sk
+
+    a = spark.range(0, 700).select((F.col("id") * 7).alias("k"))
+    b = spark.range(500, 1200).select((F.col("id") * 7).alias("k"))
+
+    def regmap(df):
+        return {r["bucket"]: r["m"] for r in df.collect()}
+
+    direct = regmap(sk.hll_registers(a.unionByName(b), "k"))
+    merged = regmap(
+        sk.hll_merge_registers(
+            sk.hll_registers(a, "k"), sk.hll_registers(b, "k")
+        )
+    )
+    merged_rev = regmap(
+        sk.hll_merge_registers(
+            sk.hll_registers(b, "k"), sk.hll_registers(a, "k")
+        )
+    )
+    assert direct == merged == merged_rev
+    p = str(tmp_path / "regs")
+    sk.hll_registers(a, "k").write.parquet(p)
+    assert regmap(spark.read.parquet(p)) == regmap(sk.hll_registers(a, "k"))
+    # estimate from merged registers == estimate over the union
+    e1 = sk.hll_estimate_from_registers(
+        sk.hll_merge_registers(
+            sk.hll_registers(a, "k"), sk.hll_registers(b, "k")
+        )
+    ).collect()[0]
+    e2 = sk.hll_distinct(a.unionByName(b), "k", exact=False).collect()[0]
+    assert tuple(e1) == tuple(e2)
+
+
+def test_systematic_weighted_sample_exact_total_and_bounds(spark):
+    """Systematic resampling invariants: Σ copies == n EXACTLY
+    (telescoping floor counts), per-item copies within ±1 of the
+    real-valued quota n·w/W (the systematic-resampler guarantee),
+    deterministic across runs, and non-positive weights surface as
+    loud sentinel rows instead of silent drops."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        systematic_weighted_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 13) * 100 + 7).cast("long").alias("n_chars"),
+    )
+    n = 57
+    out = systematic_weighted_sample(df, n).collect()
+    assert sum(r["copies"] for r in out) == n
+    total = sum(((i % 13) * 100 + 7) for i in range(200))
+    for r in out:
+        quota = n * r["w"] / total
+        assert quota - 1 <= r["copies"] <= quota + 1, (r, quota)
+    again = systematic_weighted_sample(df, n).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # a dominant weight draws multiple copies
+    skew = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 1)], "doc_id long, n_chars long"
+    )
+    heavy = {
+        r["doc_id"]: r["copies"]
+        for r in systematic_weighted_sample(skew, 10).collect()
+    }
+    assert heavy[1] >= 9
+
+    # non-positive weights: sentinel rows, never silently dropped
+    bad = spark.createDataFrame(
+        [(1, 5), (2, 0)], "doc_id long, n_chars long"
+    )
+    rows = {
+        r["doc_id"]: (r["w"], r["copies"])
+        for r in systematic_weighted_sample(bad, 3).collect()
+    }
+    assert rows[2] == (-1, -1)
