@@ -56,6 +56,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_zorder_layout",
     # round-9: incremental sketch maintenance (temp store + checkpoint)
     "q_hll_incremental",
+    # round-9: bloom secondary index (temp store + index build)
+    "q_store_bloom_index",
 })
 
 

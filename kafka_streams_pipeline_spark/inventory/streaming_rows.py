@@ -2373,3 +2373,94 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_estimate double, n_registers_used long, "
         "register_checksum long, n_exact long",
     )
+
+
+def _bloom_index_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        _bloom_pos_duck,
+    )
+    from kafka_streams_pipeline_spark.sources.bloom_index import INDEX_MBITS
+
+    def pos(expr: str, i: int) -> str:
+        return _bloom_pos_duck(expr, i, INDEX_MBITS)
+
+    probes = "(VALUES (1),(2),(3),(12),(9999991),(9999993))"
+    return f"""
+        WITH probes AS (SELECT v FROM {probes} t(v)),
+        bt AS (SELECT DISTINCT doc_id % 8 AS b FROM documents),
+        kb AS (
+            SELECT DISTINCT doc_id % 8 AS b, {pos("doc_id", 0)} AS p
+            FROM documents
+            UNION
+            SELECT DISTINCT doc_id % 8, {pos("doc_id", 1)} FROM documents
+            UNION
+            SELECT DISTINCT doc_id % 8, {pos("doc_id", 2)} FROM documents
+        ),
+        cand AS (
+            SELECT b FROM bt WHERE EXISTS (
+                SELECT 1 FROM probes pr
+                WHERE EXISTS (SELECT 1 FROM kb
+                              WHERE kb.b = bt.b AND kb.p = {pos("pr.v", 0)})
+                  AND EXISTS (SELECT 1 FROM kb
+                              WHERE kb.b = bt.b AND kb.p = {pos("pr.v", 1)})
+                  AND EXISTS (SELECT 1 FROM kb
+                              WHERE kb.b = bt.b AND kb.p = {pos("pr.v", 2)})
+            )
+        )
+        SELECT 'row' AS phase, CAST(doc_id AS BIGINT) AS a,
+               CAST(n_chars AS BIGINT) AS b
+        FROM documents WHERE doc_id IN (1, 2, 3, 12, 9999991, 9999993)
+        UNION ALL
+        SELECT 'prune', CAST(count(*) AS BIGINT),
+               CAST((SELECT count(*) FROM bt) AS BIGINT)
+        FROM cand
+    """
+
+
+@register("q_store_bloom_index", oracle=_bloom_index_oracle())
+def q_store_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index (round 9): per-batch Bloom pruning for point
+    lookups on the versioned store — the file-skipping move for keys
+    with no partition column. documents land as 8 batches (doc_id%8
+    residues); the index stores each batch's md5-affine bit
+    positions as kilobyte JSON next to the manifests; a 6-probe
+    lookup (4 present, 2 absent) scans only candidate batches.
+    Certified BOTH ways: the looked-up rows equal the direct IN-list
+    (no false negatives — row-level hash-bound), and the PRUNING
+    DECISION itself is recomputed by the oracle (candidate count
+    from the same bloom membership in SQL) — so a hashing drift
+    between the driver-side probe, the Spark index build, and the
+    DuckDB recompute flips the hash. Incremental by construction:
+    immutable batches mean an index file is forever valid and each
+    maintenance call scans new batches only.
+    See sources/bloom_index.py."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.bloom_index import (
+        build_bloom_index,
+        lookup_corpus,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = tempfile.mkdtemp(prefix="kspipeline-bloomidx-")
+    store = os.path.join(base, "corpus")
+    for i in range(8):
+        commit_corpus(
+            docs.where(F.col("doc_id") % 8 == i), store, f"residue {i}"
+        )
+    n_built = build_bloom_index(spark, store, "doc_id")
+    if n_built != 8 or build_bloom_index(spark, store, "doc_id") != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        raise AssertionError("index build not incremental as claimed")
+    probes = [1, 2, 3, 12, 9999991, 9999993]
+    found, stats = lookup_corpus(spark, store, "doc_id", probes)
+    rows = [
+        ("row", r["doc_id"], r["n_chars"])
+        for r in found.select("doc_id", "n_chars").collect()
+    ]
+    rows.append(
+        ("prune", stats["batches_scanned"], stats["batches_total"])
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

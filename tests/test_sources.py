@@ -758,3 +758,69 @@ def test_versioned_corpus_compact_folds_deltas(spark, tmp_path):
     raw = read_corpus(spark, store, version=v)
     assert set(raw.columns) == {"k", "v"}
     assert raw.count() == len(after) == 15
+
+
+def test_store_bloom_index_lookup_and_incremental_build(spark, tmp_path):
+    """Bloom index contract: no false negatives ever; absent probes
+    prune to zero scanned batches (empty frame, schema intact);
+    maintenance after a new commit indexes ONLY the new batch; an
+    unindexed batch is always scanned (correctness over pruning);
+    a modulus mismatch fails loudly instead of mis-pruning."""
+    import json
+    import os
+
+    from kafka_streams_pipeline_spark.sources.bloom_index import (
+        build_bloom_index,
+        candidate_batches,
+        lookup_corpus,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    store = str(tmp_path / "store")
+    for lo in (0, 100, 200):
+        commit_corpus(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            ),
+            store,
+            f"block {lo}",
+        )
+    assert build_bloom_index(spark, store, "k") == 3
+
+    df, stats = lookup_corpus(spark, store, "k", [5, 205])
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [
+        (5, 15),
+        (205, 615),
+    ]
+    assert stats["batches_total"] == 3
+    assert stats["batches_scanned"] <= 3  # and never misses (above)
+
+    # absent probes: zero candidates, empty result, schema preserved
+    df0, stats0 = lookup_corpus(spark, store, "k", [777777])
+    assert df0.count() == 0 and set(df0.columns) == {"k", "v"}
+    assert stats0["batches_scanned"] == 0
+
+    # a NEW commit: next build indexes exactly the one new batch;
+    # before that build, the unindexed batch is always a candidate
+    commit_corpus(
+        spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        store,
+        "block 300",
+    )
+    cands, total = candidate_batches(store, "k", [777777])
+    assert total == 4 and cands == ["b000004"]
+    assert build_bloom_index(spark, store, "k") == 1
+    assert candidate_batches(store, "k", [777777])[0] == []
+    df1, _ = lookup_corpus(spark, store, "k", [305])
+    assert [(r["k"], r["v"]) for r in df1.collect()] == [(305, 915)]
+
+    # modulus mismatch: loud, never silent mis-pruning
+    idx = os.path.join(store, "_indexes", "bloom_k", "b000001.json")
+    rec = json.load(open(idx))
+    rec["mbits"] = 4096
+    os.unlink(idx)
+    json.dump(rec, open(idx, "w"))
+    with pytest.raises(ValueError, match="mbits"):
+        candidate_batches(store, "k", [5])
