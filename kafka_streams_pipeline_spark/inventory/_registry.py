@@ -58,6 +58,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_hll_incremental",
     # round-9: bloom secondary index (temp store + index build)
     "q_store_bloom_index",
+    # round-9: exactly-once stream->store ingest replay
+    "q_streaming_store_ingest",
 })
 
 

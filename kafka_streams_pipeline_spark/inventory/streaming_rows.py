@@ -2464,3 +2464,132 @@ def q_store_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register(
+    "q_streaming_store_ingest",
+    oracle=f"""
+        WITH readings AS ({readings_from_events_sql('events')})
+        SELECT 'sensor' AS phase, sensorId AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(tempVal * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_micros
+        FROM readings WHERE tempVal IS NOT NULL
+        GROUP BY sensorId
+        UNION ALL
+        SELECT 'meta', 'versions', CAST(6 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def q_streaming_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the versioned store (round
+    9): the readings stream lands micro-batch-per-commit through the
+    idempotent foreachBatch sink, WITH a simulated crash in the
+    worst window — after incarnation 1, the newest checkpoint commit
+    marker is deleted, so incarnation 2 REPLAYS that micro-batch;
+    the sink recognizes the replay by its manifest note and skips
+    it. Certified: the final store content equals the batch
+    aggregate over all events exactly once (per-sensor counts +
+    micros-integer sums — a duplicated or lost batch flips the
+    hash), and the version count equals the 6 data chunks exactly
+    (a double-commit would mint a 7th version and fail both the
+    meta row and the sums). The harness additionally asserts the
+    skip path actually fired (stats['skipped'] >= 1) — the replay
+    is constructed, not hoped for.
+    See streaming/store_sink.py."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_corpus,
+    )
+    from kafka_streams_pipeline_spark.streaming.store_sink import (
+        make_store_commit_sink,
+    )
+
+    rows = _sorted_replay_rows(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kspipeline-ingest-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    os.makedirs(src)
+    n_chunks = 6
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    mtime0 = _time.time() - 86_400
+    for i in range(n_chunks):
+        path = os.path.join(src, f"chunk{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + i, mtime0 + i))
+
+    stats: dict = {}
+    sink = make_store_commit_sink(store, "ingest", stats)
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(READING_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .where(F.col("tempVal").isNotNull())
+            .select("sensorId", "timestamp", "tempVal")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
+            raise RuntimeError("store-ingest replay timed out after 300 s")
+        # termination and the active-queries map update are not
+        # atomic: a back-to-back restart on the same checkpoint can
+        # race the cleanup and die with "multiple streaming queries
+        # are concurrently using <ckpt>" — drain before returning
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+    # incarnation 1 — then crash in the worst window: the last
+    # micro-batch's store commit landed but its checkpoint commit
+    # marker did not
+    run_once()
+    commits = os.path.join(ckpt, "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if f.isdigit()), key=int
+    )
+    os.unlink(os.path.join(commits, newest))
+    # the local ChecksumFs keeps a .N.crc sidecar; leaving it makes
+    # the replay's rename-based rewrite die with FileAlreadyExists
+    # (surfaced as a bogus "multiple streaming queries" error)
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run_once()  # incarnation 2: replays that batch + any new chunks
+
+    if stats["skipped"] < 1:
+        shutil.rmtree(base, ignore_errors=True)
+        raise AssertionError(
+            f"replay path not exercised: {stats} — crash simulation broken"
+        )
+    n_versions = latest_version(store)
+    agg = (
+        read_corpus(spark, store)
+        .groupBy("sensorId")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("tempVal") * 1000000).cast("long"))
+            .cast("long")
+            .alias("sum_micros"),
+        )
+        .collect()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out = [("sensor", r["sensorId"], r["n"], r["sum_micros"]) for r in agg]
+    out.append(("meta", "versions", n_versions, 0))
+    return spark.createDataFrame(
+        out, "phase string, k string, n long, sum_micros long"
+    )

@@ -636,3 +636,72 @@ def test_streaming_outer_join_emits_null_padded_rows(spark):
     nulls = [r for r in got if r["c_ts_ms"] is None]
     matches = [r for r in got if r["c_ts_ms"] is not None]
     assert nulls and matches  # both emission paths exercised
+
+
+def test_store_ingest_exactly_once_across_replay(spark, tmp_path):
+    """The idempotent store sink under the worst crash window: a
+    micro-batch whose store commit landed but whose checkpoint
+    marker did not is REPLAYED on restart and must be recognized and
+    skipped — final store content exactly-once, version count equal
+    to the data-batch count, and the skip path provably exercised."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_corpus,
+        store_history,
+    )
+    from kafka_streams_pipeline_spark.streaming.store_sink import (
+        make_store_commit_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    m0 = time.time() - 86_400
+    for i in range(4):
+        p = os.path.join(src, f"c{i}.json")
+        with open(p, "w") as f:
+            for j in range(10):
+                f.write(json.dumps({"k": i * 10 + j}) + "\n")
+        os.utime(p, (m0 + i, m0 + i))
+
+    stats: dict = {}
+    sink = make_store_commit_sink(store, "t", stats)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            time.sleep(0.1)
+
+    run()
+    commits = os.path.join(ckpt, "commits")
+    newest = max(f for f in os.listdir(commits) if f.isdigit())
+    os.unlink(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run()
+
+    assert stats == {"committed": 4, "skipped": 1}
+    assert latest_version(store) == 4
+    got = sorted(r["k"] for r in read_corpus(spark, store).collect())
+    assert got == list(range(40))  # exactly once, nothing doubled/lost
+    notes = [r["note"] for r in store_history(spark, store).collect()]
+    assert len(notes) == len(set(notes)) == 4
