@@ -60,6 +60,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_store_bloom_index",
     # round-9: exactly-once stream->store ingest replay
     "q_streaming_store_ingest",
+    # round-9: min/max range index (temp store + index build)
+    "q_store_minmax_index",
 })
 
 

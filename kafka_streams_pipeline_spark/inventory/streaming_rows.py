@@ -2593,3 +2593,68 @@ def q_streaming_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "phase string, k string, n long, sum_micros long"
     )
+
+
+@register(
+    "q_store_minmax_index",
+    oracle="""
+        WITH w AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS width
+                   FROM documents),
+        b AS (SELECT doc_id, n_chars, (doc_id * 6) // width AS bkt
+              FROM documents, w),
+        mm AS (SELECT bkt, min(doc_id) AS lo, max(doc_id) AS hi
+               FROM b GROUP BY bkt),
+        p AS (SELECT width // 3 AS plo, width // 2 AS phi FROM w)
+        SELECT 'row' AS phase, CAST(doc_id AS BIGINT) AS a,
+               CAST(n_chars AS BIGINT) AS b
+        FROM b, p WHERE doc_id BETWEEN plo AND phi
+        UNION ALL
+        SELECT 'prune', CAST(count(*) AS BIGINT),
+               CAST((SELECT count(*) FROM mm) AS BIGINT)
+        FROM mm, p WHERE mm.lo <= phi AND plo <= mm.hi
+    """,
+)
+def q_store_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range index (round 9): per-batch min/max column stats — the
+    RANGE-pruning complement to the Bloom point index, i.e. Iceberg
+    manifest column stats at batch-directory granularity. documents
+    land as 6 doc_id-range batches; a doc_id BETWEEN width/3 AND
+    width/2 scan touches only the batches whose recorded interval
+    intersects the predicate. Certified BOTH ways, like the Bloom
+    row: the returned rows equal the direct BETWEEN (row-level
+    hash-bound) and the PRUNING DECISION is recomputed by the oracle
+    from per-bucket min/max in SQL — index stats that drifted from
+    the data would flip either the scanned count or the row set.
+    See sources/bloom_index.py build_minmax_index/range_scan_corpus."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.bloom_index import (
+        build_minmax_index,
+        range_scan_corpus,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    width = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    base = tempfile.mkdtemp(prefix="kspipeline-minmax-")
+    store = os.path.join(base, "corpus")
+    for i in range(6):
+        commit_corpus(
+            docs.where(F.expr(f"(doc_id * 6) div {width}") == i),
+            store,
+            f"range {i}",
+        )
+    n_built = build_minmax_index(spark, store, "doc_id")
+    if n_built != 6 or build_minmax_index(spark, store, "doc_id") != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        raise AssertionError("minmax index build not incremental")
+    found, stats = range_scan_corpus(
+        spark, store, "doc_id", width // 3, width // 2
+    )
+    rows = [
+        ("row", r["doc_id"], r["n_chars"])
+        for r in found.select("doc_id", "n_chars").collect()
+    ]
+    rows.append(("prune", stats["batches_scanned"], stats["batches_total"]))
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

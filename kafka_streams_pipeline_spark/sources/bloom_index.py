@@ -189,3 +189,93 @@ def lookup_corpus(
         *[os.path.join(store_dir, _DATA, b) for b in cands]
     ).where(F.col(key).isin(values))
     return df, stats
+
+
+def build_minmax_index(
+    spark: SparkSession,
+    store_dir: str,
+    col: str,
+    version: int | None = None,
+) -> int:
+    """Per-batch min/max column stats — the RANGE-pruning complement
+    to the Bloom point index (Iceberg keeps exactly this in its
+    manifest entries; parquet keeps it per row group — this level
+    prunes whole BATCH DIRECTORIES before any file is even listed).
+    Same incremental contract as the Bloom build: immutable batches,
+    index-once, O(delta) maintenance. Stats come from one min/max
+    aggregate per new batch; an all-NULL batch records nulls and is
+    never pruned (conservative)."""
+    if version is None:
+        version = latest_version(store_dir)
+    with open(_manifest_path(store_dir, version)) as f:
+        batches = json.load(f)["batches"]
+    idir = os.path.join(store_dir, "_indexes", f"minmax_{col}")
+    os.makedirs(idir, exist_ok=True)
+    built = 0
+    for b in batches:
+        out = os.path.join(idir, f"{b}.json")
+        if os.path.exists(out):
+            continue
+        row = (
+            spark.read.parquet(os.path.join(store_dir, _DATA, b))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()[0]
+        )
+        record = {
+            "batch": b,
+            "col": col,
+            "lo": row["lo"],
+            "hi": row["hi"],
+        }
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.link(tmp, out)
+        os.unlink(tmp)
+        built += 1
+    return built
+
+
+def range_scan_corpus(
+    spark: SparkSession,
+    store_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Range query ``lo <= col <= hi`` through the min/max index:
+    scan only batches whose recorded [lo, hi] interval intersects
+    the predicate (un-indexed or all-NULL batches always scanned —
+    correctness over pruning), with the range predicate pushed into
+    the surviving scans. Returns (rows frame, pruning stats)."""
+    if version is None:
+        version = latest_version(store_dir)
+    with open(_manifest_path(store_dir, version)) as f:
+        batches = json.load(f)["batches"]
+    idir = os.path.join(store_dir, "_indexes", f"minmax_{col}")
+    keep: list[str] = []
+    for b in batches:
+        path = os.path.join(idir, f"{b}.json")
+        if not os.path.exists(path):
+            keep.append(b)
+            continue
+        with open(path) as f:
+            rec = json.load(f)
+        if rec["lo"] is None or rec["hi"] is None:
+            keep.append(b)
+            continue
+        if rec["lo"] <= hi and lo <= rec["hi"]:
+            keep.append(b)
+    stats = {"batches_scanned": len(keep), "batches_total": len(batches)}
+    if not keep:
+        from kafka_streams_pipeline_spark.sources.versioned import (
+            read_corpus,
+        )
+
+        empty = read_corpus(spark, store_dir, version).where(F.lit(False))
+        return empty, stats
+    df = spark.read.parquet(
+        *[os.path.join(store_dir, _DATA, b) for b in keep]
+    ).where(F.col(col).between(lo, hi))
+    return df, stats

@@ -824,3 +824,45 @@ def test_store_bloom_index_lookup_and_incremental_build(spark, tmp_path):
     json.dump(rec, open(idx, "w"))
     with pytest.raises(ValueError, match="mbits"):
         candidate_batches(store, "k", [5])
+
+
+def test_store_minmax_index_range_pruning(spark, tmp_path):
+    """Range-index contract: intersecting batches only, boundary
+    inclusivity both ends, un-indexed and all-NULL batches always
+    scanned, empty predicate window → zero scans with schema
+    intact."""
+    from kafka_streams_pipeline_spark.sources.bloom_index import (
+        build_minmax_index,
+        range_scan_corpus,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    store = str(tmp_path / "store")
+    for lo in (0, 100, 200):
+        commit_corpus(
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")),
+            store,
+            f"block {lo}",
+        )
+    assert build_minmax_index(spark, store, "k") == 3
+
+    df, stats = range_scan_corpus(spark, store, "k", 95, 105)
+    assert sorted(r["k"] for r in df.collect()) == list(range(95, 106))
+    assert stats == {"batches_scanned": 2, "batches_total": 3}
+
+    # inclusive boundaries: hitting exactly a batch max scans it
+    _, s2 = range_scan_corpus(spark, store, "k", 99, 99)
+    assert s2["batches_scanned"] == 1
+
+    # out-of-domain window: nothing scanned, empty frame, schema kept
+    df0, s0 = range_scan_corpus(spark, store, "k", 1000, 2000)
+    assert df0.count() == 0 and df0.columns == ["k"]
+    assert s0["batches_scanned"] == 0
+
+    # an all-NULL batch is never pruned (conservative)
+    commit_corpus(
+        spark.createDataFrame([(None,)], "k long"), store, "nulls"
+    )
+    assert build_minmax_index(spark, store, "k") == 1
+    _, s3 = range_scan_corpus(spark, store, "k", 1000, 2000)
+    assert s3 == {"batches_scanned": 1, "batches_total": 4}
