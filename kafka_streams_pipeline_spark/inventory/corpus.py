@@ -1237,6 +1237,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_weighted_sample",
     oracle=_corpus.systematic_weighted_sample_oracle(500),
+    bench=True,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (round 9): systematic (grid)

@@ -2079,6 +2079,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corpus_upsert",
+    bench=True,
     oracle="""
         WITH fin AS (
             SELECT doc_id,
