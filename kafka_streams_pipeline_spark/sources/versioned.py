@@ -389,10 +389,14 @@ def read_corpus_log(
     schema evolution and tombstone-bearing deltas coexist), with a
     ``_seq`` column = the batch's position in the lineage. This is
     the substrate for both merged reads (latest ``_seq`` wins) and
-    CDC reads (``_seq`` range). One parquet scan per batch dir —
-    the plan unions them; at 100 TB the batch count is bounded by
-    checkpoint/compact cadence, not data volume."""
-    from functools import reduce
+    CDC reads (``_seq`` range). ONE multi-directory parquet scan
+    (mergeSchema — the union-by-name semantics), with ``_seq``
+    derived from each row's file path via the batch directory name:
+    a 65-delta chain must not become 65 scan nodes (measured 25 s vs
+    2.5 s for the merged read of a 2M-row store — per-scan overhead
+    dominated; the one-scan form is the plan that survives long
+    chains)."""
+    from itertools import chain
 
     from pyspark.sql import functions as F
 
@@ -402,13 +406,23 @@ def read_corpus_log(
         raise ValueError(f"no committed version in {store_dir!r}")
     with open(_manifest_path(store_dir, version)) as f:
         manifest = json.load(f)
-    parts = [
-        spark.read.parquet(os.path.join(store_dir, _DATA, b))
-        .withColumn(_SEQ, F.lit(i).cast("int"))
-        for i, b in enumerate(manifest["batches"])
-    ]
-    return reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    batches = manifest["batches"]
+    seq_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(b), F.lit(i)) for i, b in enumerate(batches)
+        )
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(store_dir, _DATA, b) for b in batches])
+        .withColumn(
+            _SEQ,
+            seq_map[
+                F.regexp_extract(
+                    F.input_file_name(), r"/(b\d{6})/[^/]+$", 1
+                )
+            ].cast("int"),
+        )
     )
 
 
