@@ -62,6 +62,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_store_ingest",
     # round-9: min/max range index (temp store + index build)
     "q_store_minmax_index",
+    # round-9: incremental CMS maintenance (temp store + checkpoint)
+    "q_cms_incremental",
 })
 
 

@@ -2659,3 +2659,56 @@ def q_store_minmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("prune", stats["batches_scanned"], stats["batches_total"]))
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register(
+    "q_cms_incremental",
+    oracle=_sk.cms_heavy_hitters_oracle("events", "event_type"),
+)
+def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental frequency maintenance (round 9): the CMS twin of
+    q_hll_incremental — base events land as store v1 and their
+    counter matrix (≤ d·w rows) is checkpointed to parquet; a delta
+    commit makes v2; the maintenance job sketches ONLY the CDC feed
+    and merges by elementwise counter sum (CMS is a linear sketch).
+    Certified against the SAME oracle as the full-rescan
+    q_cms_heavy_hitters: the hash passes only if
+    merge(sketch(base), sketch(delta)) ≡ sketch(base ∪ delta)
+    counter-for-counter — every per-key estimate, exact count, and
+    overcount must come out identical to the rescan it replaces.
+    See operators/sketches.py cms_sketch/cms_merge/cms_probe_keys
+    and sources/versioned.read_corpus_changes."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        read_corpus_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    base_dir = tempfile.mkdtemp(prefix="kspipeline-cmsinc-")
+    store = os.path.join(base_dir, "events")
+    sketch_dir = os.path.join(base_dir, "sketch-v1")
+    commit_corpus(ev.where(F.col("event_id") % 10 < 7), store, "base")
+    _sk.cms_sketch(
+        read_corpus(spark, store, 1), "event_type"
+    ).write.parquet(sketch_dir)
+    commit_corpus(ev.where(F.col("event_id") % 10 >= 7), store, "delta")
+    merged = _sk.cms_merge(
+        spark.read.parquet(sketch_dir),
+        _sk.cms_sketch(
+            read_corpus_changes(spark, store, 1, 2), "event_type"
+        ),
+    )
+    keys = (
+        read_corpus(spark, store, 2)
+        .where(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    rows = _sk.cms_probe_keys(merged, keys).collect()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key string, cms_estimate long, n_exact long, overcount long"
+    )

@@ -500,28 +500,60 @@ def cms_heavy_hitters(
     nearly all the work: the sketch IS the partial-aggregate state);
     point queries join the d·w-row sketch broadcast-side. At 100 TB
     the counter matrix never grows — that is the point of a sketch."""
-    incr = df.where(F.col(col).isNotNull()).select(
-        F.explode(
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"struct({i} AS i, {_cms_pos_spark(col, i)} AS pos)"
-                    for i in range(CMS_D)
-                )
-                + ")"
-            )
-        ).alias("c")
-    )
-    sketch = (
-        incr.select("c.i", "c.pos")
-        .groupBy("i", "pos")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    sketch = cms_sketch(df, col)
     keys = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
+    return cms_probe_keys(sketch, keys)
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """The CMS counter matrix as its persistable/mergeable STATE: a
+    frame of (i, pos, cnt) rows, ≤ d·w of them regardless of input
+    size. Checkpoint it to parquet, later ``cms_merge`` it with the
+    sketch of NEW data only (elementwise counter sum — CMS's merge
+    is linear) and re-probe: incremental frequency maintenance
+    without rescanning the base, the same posture as
+    ``hll_registers`` for distincts."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"struct({i} AS i, {_cms_pos_spark(col, i)} AS pos)"
+                        for i in range(CMS_D)
+                    )
+                    + ")"
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise counter sum — CMS is a linear sketch, so partial
+    sketches from any batching/partitioning compose exactly:
+    merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) counter-for-counter
+    (the identity the incremental driver row certifies)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy("i", "pos").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_probe_keys(sketch: DataFrame, keys: DataFrame) -> DataFrame:
+    """Point-query every row of ``keys`` (columns: key, n_exact)
+    against a sketch frame: estimate = min over the d rows' counters.
+    Same output contract as ``cms_heavy_hitters``."""
     probes = keys.select(
         "key",
         "n_exact",

@@ -1589,3 +1589,53 @@ def test_systematic_weighted_sample_exact_total_and_bounds(spark):
         for r in systematic_weighted_sample(bad, 3).collect()
     }
     assert rows[2] == (-1, -1)
+
+
+def test_cms_sketch_state_merges_linearly(spark, tmp_path):
+    """CMS linearity, counter-level: sketch(A ∪ B) equals the
+    elementwise sum of sketch(A) and sketch(B) in any merge order,
+    the state survives a parquet round-trip, and probes against the
+    merged state equal probes against the direct sketch."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators import sketches as sk
+
+    a = spark.range(0, 900).select(
+        (F.col("id") % 7).cast("string").alias("t")
+    )
+    b = spark.range(0, 500).select(
+        (F.col("id") % 11).cast("string").alias("t")
+    )
+
+    def counters(df):
+        return {(r["i"], r["pos"]): r["cnt"] for r in df.collect()}
+
+    direct = counters(sk.cms_sketch(a.unionByName(b), "t"))
+    merged = counters(
+        sk.cms_merge(sk.cms_sketch(a, "t"), sk.cms_sketch(b, "t"))
+    )
+    merged_rev = counters(
+        sk.cms_merge(sk.cms_sketch(b, "t"), sk.cms_sketch(a, "t"))
+    )
+    assert direct == merged == merged_rev
+    p = str(tmp_path / "cms")
+    sk.cms_sketch(a, "t").write.parquet(p)
+    assert counters(spark.read.parquet(p)) == counters(sk.cms_sketch(a, "t"))
+
+    u = a.unionByName(b)
+    keys = u.groupBy(F.col("t").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est_merged = sorted(
+        map(
+            tuple,
+            sk.cms_probe_keys(
+                sk.cms_merge(sk.cms_sketch(a, "t"), sk.cms_sketch(b, "t")),
+                keys,
+            ).collect(),
+        )
+    )
+    est_direct = sorted(map(tuple, sk.cms_heavy_hitters(u, "t").collect()))
+    assert est_merged == est_direct
+    # one-sided error invariant holds through the merge path
+    assert all(row[3] >= 0 for row in est_merged)
