@@ -64,6 +64,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_store_minmax_index",
     # round-9: incremental CMS maintenance (temp store + checkpoint)
     "q_cms_incremental",
+    # round-9: quality-gated commit lifecycle (temp store writes)
+    "q_gated_ingest",
 })
 
 

@@ -2712,3 +2712,85 @@ def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "key string, cms_estimate long, n_exact long, overcount long"
     )
+
+
+@register(
+    "q_gated_ingest",
+    oracle="""
+        SELECT 'commit1' AS phase, CAST(1 AS BIGINT) AS a,
+               CAST(0 AS BIGINT) AS b
+        UNION ALL
+        SELECT 'commit2', CAST(0 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT 'commit3', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'store_versions', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'store_content', CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM documents
+    """,
+)
+def q_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed ingest (round 9): commit-time quality gating on the
+    versioned store. Batch 1 (even doc_ids) passes the gate
+    (n_chars >= 1, doc_id not null) and commits; batch 2 (odd
+    doc_ids with every fifth poisoned to n_chars = -5) is REJECTED
+    with per-check violation counts and leaves the store untouched
+    (no version minted — the oracle pins store_versions at 2, so a
+    half-committed reject flips the hash); batch 3 (the clean odd
+    rows) commits. Final store content equals the full documents
+    table. The violation COUNT itself is oracle-recomputed, so the
+    gate's arithmetic — not just its verdict — is hash-bound.
+    See sources/versioned.commit_corpus_checked."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.operators.quality import Check
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        CommitRejectedError,
+        commit_corpus_checked,
+        latest_version,
+        read_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    checks = [
+        Check("chars_positive", "in_range", "n_chars", lo=1),
+        Check("doc_id_not_null", "not_null", "doc_id"),
+    ]
+    base = tempfile.mkdtemp(prefix="kspipeline-gated-")
+    store = os.path.join(base, "corpus")
+    rows: list = []
+
+    commit_corpus_checked(
+        docs.where(F.col("doc_id") % 2 == 0), store, checks, "evens"
+    )
+    rows.append(("commit1", 1, 0))
+
+    poisoned = docs.where(F.col("doc_id") % 2 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(-5).cast("long")).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    try:
+        commit_corpus_checked(poisoned, store, checks, "odds poisoned")
+        shutil.rmtree(base, ignore_errors=True)
+        raise AssertionError("poisoned batch passed the gate")
+    except CommitRejectedError as exc:
+        rows.append(("commit2", 0, exc.violations.get("chars_positive", -1)))
+
+    commit_corpus_checked(
+        docs.where(F.col("doc_id") % 2 != 0), store, checks, "odds clean"
+    )
+    rows.append(("commit3", 1, 0))
+    rows.append(("store_versions", latest_version(store), 0))
+    content = read_corpus(spark, store).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+    ).collect()[0]
+    rows.append(("store_content", content["n"], content["s"]))
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

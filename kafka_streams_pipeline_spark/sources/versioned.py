@@ -347,6 +347,80 @@ TOMBSTONE = "_deleted"
 _SEQ = "_seq"
 
 
+class CommitRejectedError(RuntimeError):
+    """A gated commit was refused — schema drift or failed quality
+    checks. ``violations`` maps check name → violation count."""
+
+    def __init__(self, msg: str, violations: dict[str, int] | None = None):
+        super().__init__(msg)
+        self.violations = violations or {}
+
+
+def commit_corpus_checked(
+    df: DataFrame,
+    store_dir: str,
+    checks: list,
+    note: str = "",
+    evolve: bool = False,
+) -> int:
+    """Governed ingest: Delta-style SCHEMA ENFORCEMENT plus a
+    declarative quality gate, evaluated BEFORE anything is written —
+    a rejected batch leaves the store untouched (no version, no
+    batch directory, nothing to vacuum).
+
+    Schema enforcement: on a non-empty store the incoming frame must
+    carry every existing column with the identical type; extra
+    columns are rejected unless ``evolve=True`` (additive evolution
+    only — the ``read_corpus(merge_schema=True)`` contract; a TYPE
+    change is never accepted because null-padding can't reconcile
+    it). Quality gate: ``checks`` are ``operators.quality.Check``
+    constraints compiled into one aggregate pass over the batch
+    (``run_checks``); any failing check raises
+    ``CommitRejectedError`` carrying the per-check violation counts,
+    so ingestion pipelines can quarantine the batch with its audit
+    trail. Why at 100 TB: a poisoned batch caught at commit time
+    costs one O(delta) scan; caught downstream it costs a
+    time-travel rollback and a re-derivation of everything built on
+    the corrupted version."""
+    from kafka_streams_pipeline_spark.operators.quality import run_checks
+
+    current = latest_version(store_dir)
+    if current >= 1:
+        with open(_manifest_path(store_dir, current)) as f:
+            first_batch = json.load(f)["batches"][0]
+        store_schema = (
+            df.sparkSession.read.parquet(
+                os.path.join(store_dir, _DATA, first_batch)
+            ).schema
+        )
+        have = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in store_schema.fields}
+        missing = [c for c in want if c not in have]
+        drifted = [
+            c for c in want if c in have and have[c] != want[c]
+        ]
+        extra = [c for c in have if c not in want]
+        if missing or drifted or (extra and not evolve):
+            raise CommitRejectedError(
+                f"schema drift vs store {store_dir!r}: "
+                f"missing={missing} type_changed={drifted} "
+                f"extra={extra} (extra columns need evolve=True)"
+            )
+    if checks:
+        failed = {
+            r["check_name"]: r["violations"]
+            for r in run_checks(df, checks).collect()
+            if not r["passed"]
+        }
+        if failed:
+            raise CommitRejectedError(
+                f"quality gate failed for {len(failed)} check(s): "
+                f"{failed}",
+                violations=failed,
+            )
+    return commit_corpus(df, store_dir, note=note)
+
+
 def upsert_corpus(
     df: DataFrame, store_dir: str, key: str, note: str = ""
 ) -> int:

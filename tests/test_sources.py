@@ -866,3 +866,39 @@ def test_store_minmax_index_range_pruning(spark, tmp_path):
     assert build_minmax_index(spark, store, "k") == 1
     _, s3 = range_scan_corpus(spark, store, "k", 1000, 2000)
     assert s3 == {"batches_scanned": 1, "batches_total": 4}
+
+
+def test_gated_commit_schema_enforcement(spark, tmp_path):
+    """Schema enforcement on the governed commit path: identical
+    schema passes; an extra column is rejected without evolve=True
+    and accepted with it; a missing column or a changed type is
+    always rejected; and a rejected commit mints no version."""
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        CommitRejectedError,
+        commit_corpus_checked,
+        latest_version,
+        read_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert commit_corpus_checked(base, store, [], "base") == 1
+
+    extra = spark.createDataFrame([(2, "b", 9)], "k long, v string, q long")
+    with pytest.raises(CommitRejectedError, match="extra"):
+        commit_corpus_checked(extra, store, [], "drift")
+    assert latest_version(store) == 1  # nothing minted
+    assert commit_corpus_checked(extra, store, [], "evolved", evolve=True) == 2
+    assert read_corpus(spark, store, merge_schema=True).count() == 2
+
+    with pytest.raises(CommitRejectedError, match="missing"):
+        commit_corpus_checked(
+            spark.createDataFrame([(3,)], "k long"), store, []
+        )
+    with pytest.raises(CommitRejectedError, match="type_changed"):
+        commit_corpus_checked(
+            spark.createDataFrame([("x", "c")], "k string, v string"),
+            store,
+            [],
+        )
+    assert latest_version(store) == 2
