@@ -66,6 +66,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_cms_incremental",
     # round-9: quality-gated commit lifecycle (temp store writes)
     "q_gated_ingest",
+    # round-9: tar shard round-trip (writes temp shard files)
+    "q_media_tar_shards",
 })
 
 

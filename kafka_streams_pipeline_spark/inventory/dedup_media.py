@@ -923,3 +923,67 @@ def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFLATE (PNG) and raw (BMP/AVI)."""
     gif = _mm.gif_from_documents(_t(spark, sf_dir, "documents"))
     return _mm.sample_gif_frames(gif, stride=2)
+
+
+@register(
+    "q_media_tar_shards",
+    oracle="""
+        SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+               printf('%08d.txt', doc_id) AS name,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def q_media_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard ingestion (round 9): documents packed
+    into byte-deterministic ustar TAR SHARDS (25 members each — the
+    de-facto container for web-scale training data), written as
+    .tar files, read back via Spark's native binaryFile source, and
+    exploded by the mapInPandas tar parser — full POSIX header walk
+    WITH checksum verification, so a corrupted shard fails loudly
+    rather than yielding silent partial samples. Every member's
+    (shard, name, byte length, payload md5) is hash-bound against
+    the oracle's recomputation from the source text — the member
+    NAMING, the size fields, and the payload bytes all certify in
+    one row. The writer/parser pair is externally anchored: pytest
+    round-trips both directions against Python's tarfile module.
+    Payloads never shuffle (partition-local codec boundary, as with
+    every media decode). See operators/multimodal.py
+    build_tar_shard/parse_tar_members/untar_members."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["doc_id"] // 25, []).append(
+            (f"{r['doc_id']:08d}.txt", r["text"].encode())
+        )
+    base = tempfile.mkdtemp(prefix="kspipeline-tarshard-")
+    try:
+        for sid, members in shards.items():
+            with open(
+                os.path.join(base, f"shard{sid:05d}.tar"), "wb"
+            ) as f:
+                f.write(_mm.build_tar_shard(members))
+        bf = spark.read.format("binaryFile").load(base + "/*.tar")
+        out = _mm.untar_members(
+            bf.select(
+                F.regexp_extract(F.col("path"), r"shard(\d{5})\.tar$", 1)
+                .cast("long")
+                .alias("shard_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -2254,3 +2254,114 @@ def gif_from_documents(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+# --- WebDataset-style tar shards -------------------------------------------
+# The de-facto container for large-scale training data (WebDataset:
+# samples as members of plain POSIX tar shards, streamed sequentially
+# — public format, ustar layout per POSIX.1-1988). The writer below
+# emits byte-deterministic ustar archives (fixed mode/uid/mtime), and
+# the reader is a full header parser with CHECKSUM VERIFICATION — a
+# corrupted shard fails loudly, never yields silent partial samples.
+
+_TAR_BLOCK = 512
+
+TAR_MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("name", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def build_tar_shard(members: list[tuple[str, bytes]]) -> bytes:
+    """A byte-deterministic ustar archive: one 512-byte POSIX header
+    per member (name, octal size/mode/mtime, checksum over the
+    header with the checksum field blanked, magic 'ustar\\x00'),
+    payload padded to block size, two zero blocks as end-of-archive.
+    Fixed mode/uid/gid/mtime so identical members always produce
+    identical shard bytes (reproducible shards = dedupable shards)."""
+    out = bytearray()
+    for name, payload in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError(f"member name too long for ustar: {name!r}")
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"  # mode
+        hdr[108:116] = b"0000000\x00"  # uid
+        hdr[116:124] = b"0000000\x00"  # gid
+        hdr[124:136] = (f"{len(payload):011o}").encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"  # mtime: epoch, reproducible
+        hdr[148:156] = b" " * 8  # checksum field blank for the sum
+        hdr[156] = ord("0")  # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = (f"{chksum:06o}").encode() + b"\x00 "
+        out += hdr
+        out += payload
+        pad = (-len(payload)) % _TAR_BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(out)
+
+
+def parse_tar_members(blob: bytes) -> list[tuple[str, bytes]]:
+    """Walk a tar archive's 512-byte headers: NUL-terminated name,
+    octal size, end-of-archive at the first all-zero block. The
+    header CHECKSUM is verified (unsigned-byte sum with the checksum
+    field treated as spaces — the POSIX rule); a mismatch raises
+    instead of yielding garbage members. Non-file typeflags are
+    skipped but their payload blocks are consumed."""
+    members: list[tuple[str, bytes]] = []
+    off = 0
+    while off + _TAR_BLOCK <= len(blob):
+        hdr = blob[off : off + _TAR_BLOCK]
+        if hdr == b"\x00" * _TAR_BLOCK:
+            break
+        stated = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stated != actual:
+            raise ValueError(
+                f"tar header checksum mismatch at offset {off}: "
+                f"stated {stated:o}, computed {actual:o}"
+            )
+        name = hdr[0:100].split(b"\x00")[0].decode()
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = chr(hdr[156])
+        payload = blob[off + _TAR_BLOCK : off + _TAR_BLOCK + size]
+        if typeflag in ("0", "\x00"):
+            members.append((name, payload))
+        off += _TAR_BLOCK + size + ((-size) % _TAR_BLOCK)
+    return members
+
+
+def untar_members(df: DataFrame) -> DataFrame:
+    """mapInPandas shard explosion: (shard_id, payload) → one row per
+    member with its name, byte length, and payload md5 (the content
+    fingerprint the oracle recomputes from source text). Payloads
+    never shuffle: parsing is partition-local and only typed summary
+    columns leave the codec boundary — the same contract as every
+    media decode in this module."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for name, data in parse_tar_members(bytes(payload)):
+                    rows.append(
+                        (
+                            int(shard_id),
+                            name,
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "name", "n_bytes", "payload_md5"]
+            )
+
+    return df.mapInPandas(run, TAR_MEMBER_SCHEMA)

@@ -1639,3 +1639,59 @@ def test_cms_sketch_state_merges_linearly(spark, tmp_path):
     assert est_merged == est_direct
     # one-sided error invariant holds through the merge path
     assert all(row[3] >= 0 for row in est_merged)
+
+
+def test_tar_shard_roundtrip_and_external_anchor():
+    """The tar writer/parser pair anchored BOTH directions against
+    Python's tarfile (so byte layout is per-spec, not just
+    self-consistent), plus checksum corruption fails loudly and
+    padding/typeflag handling is exact at block boundaries."""
+    import io
+    import tarfile
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        build_tar_shard,
+        parse_tar_members,
+    )
+
+    members = [
+        ("empty.txt", b""),
+        ("one.txt", b"x"),
+        ("block.txt", b"y" * 512),  # exact block: no padding
+        ("big.txt", bytes(range(256)) * 5),
+    ]
+    blob = build_tar_shard(members)
+    assert len(blob) % 512 == 0
+
+    # our bytes -> tarfile
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, m.size) for m in tf.getmembers()] == [
+        (n, len(p)) for n, p in members
+    ]
+    for n, p in members:
+        got = tf.extractfile(n).read() if p or True else b""
+        assert got == p, n
+
+    # tarfile's bytes -> our parser (incl. a directory member skipped)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        w.addfile(d)
+        ti = tarfile.TarInfo("dir/payload.bin")
+        data = b"spark" * 100
+        ti.size = len(data)
+        w.addfile(ti, io.BytesIO(data))
+    assert parse_tar_members(buf.getvalue()) == [("dir/payload.bin", data)]
+
+    # determinism: identical members, identical shard bytes
+    assert build_tar_shard(members) == blob
+
+    # corruption: flip a payload-size digit -> checksum must catch it
+    bad = bytearray(blob)
+    bad[124] = ord("7")
+    try:
+        parse_tar_members(bytes(bad))
+        raise AssertionError("corrupted header accepted")
+    except ValueError as e:
+        assert "checksum" in str(e)
