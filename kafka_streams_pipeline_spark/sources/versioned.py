@@ -121,6 +121,25 @@ def latest_version(store_dir: str) -> int:
     return max(versions, default=0)
 
 
+def version_at(store_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the highest version committed at or before
+    wall-clock ``ts`` (epoch seconds) — Delta's timestamp time
+    travel on the manifest log. Versions are scanned newest-first;
+    a manifest without a recorded ``ts`` (pre-feature commits) is
+    treated as arbitrarily old, so legacy stores resolve to their
+    newest legacy version. Raises if nothing was committed by
+    ``ts`` — an explicit error beats silently serving a later
+    corpus to a reproducibility-sensitive caller."""
+    for v in range(latest_version(store_dir), 0, -1):
+        with open(_manifest_path(store_dir, v)) as f:
+            committed = json.load(f).get("ts")
+        if committed is None or committed <= ts:
+            return v
+    raise ValueError(
+        f"no version of {store_dir!r} existed at timestamp {ts}"
+    )
+
+
 def commit_corpus(
     df: DataFrame,
     store_dir: str,
@@ -188,8 +207,14 @@ def commit_corpus(
         if version > 1 and not replace_history:
             with open(_manifest_path(store_dir, version - 1)) as f:
                 prior = json.load(f)["batches"]
+        import time
+
         manifest = {
             "version": version, "batches": prior + [batch], "note": note,
+            # wall-clock commit time: powers TIMESTAMP-AS-OF time
+            # travel (version_at). Informational only — ordering
+            # authority is always the version number
+            "ts": time.time(),
         }
         tmp = _manifest_path(store_dir, version) + ".tmp"
         with open(tmp, "w") as f:

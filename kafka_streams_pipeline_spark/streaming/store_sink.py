@@ -23,6 +23,7 @@ import os
 from kafka_streams_pipeline_spark.sources.versioned import (
     _MANIFESTS,
     commit_corpus,
+    upsert_corpus,
 )
 
 
@@ -43,6 +44,38 @@ def committed_stream_notes(store_dir: str, note_prefix: str) -> set[str]:
         if note.startswith(note_prefix):
             notes.add(note)
     return notes
+
+
+def make_store_upsert_sink(
+    store_dir: str,
+    key: str,
+    note_prefix: str = "stream-upsert",
+    stats: dict | None = None,
+):
+    """The MERGE-on-read variant of the commit sink: a stream of
+    CORRECTIONS (re-scores, retractions as ``_deleted`` tombstones)
+    lands as O(delta) upsert batches with the same micro-batch-id
+    idempotence — exactly-once CDC apply into the store.
+    ``read_corpus_latest`` then serves the corrected view;
+    ``compact_corpus`` folds the accumulated deltas on whatever
+    cadence the read tax warrants. Contract inherited from
+    ``upsert_corpus``: ``key`` unique within each micro-batch."""
+    if stats is None:
+        stats = {}
+    stats.setdefault("committed", 0)
+    stats.setdefault("skipped", 0)
+
+    def sink(df, batch_id: int) -> None:
+        if not df.take(1):
+            return
+        note = f"{note_prefix}-batch-{batch_id:06d}"
+        if note in committed_stream_notes(store_dir, note_prefix):
+            stats["skipped"] += 1
+            return
+        upsert_corpus(df, store_dir, key, note=note)
+        stats["committed"] += 1
+
+    return sink
 
 
 def make_store_commit_sink(

@@ -705,3 +705,124 @@ def test_store_ingest_exactly_once_across_replay(spark, tmp_path):
     assert got == list(range(40))  # exactly once, nothing doubled/lost
     notes = [r["note"] for r in store_history(spark, store).collect()]
     assert len(notes) == len(set(notes)) == 4
+
+
+def test_store_upsert_sink_applies_cdc_stream(spark, tmp_path):
+    """Streaming CDC apply: a corrections stream (re-scores +
+    tombstones) lands as idempotent upsert batches; the merged read
+    serves the corrected view, a replayed micro-batch is skipped,
+    and raw history still carries every correction batch."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus_latest,
+        store_history,
+    )
+    from kafka_streams_pipeline_spark.streaming.store_sink import (
+        make_store_upsert_sink,
+    )
+
+    store = str(tmp_path / "store")
+    commit_corpus(
+        spark.createDataFrame(
+            [(i, 100) for i in range(20)], "k long, score long"
+        ),
+        store,
+        "base",
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    m0 = time.time() - 86_400
+    chunks = [
+        [{"k": 3, "score": 999, "_deleted": False}],
+        [{"k": 7, "score": 0, "_deleted": True}],
+        [{"k": 3, "score": 555, "_deleted": False}],
+    ]
+    for i, rows in enumerate(chunks):
+        p = os.path.join(src, f"c{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (m0 + i, m0 + i))
+
+    stats: dict = {}
+    sink = make_store_upsert_sink(store, "k", "cdc", stats)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, score long, _deleted boolean")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            time.sleep(0.1)
+
+    run()
+    commits = os.path.join(ckpt, "commits")
+    newest = max(f for f in os.listdir(commits) if f.isdigit())
+    os.unlink(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    run()
+
+    assert stats == {"committed": 3, "skipped": 1}
+    merged = {
+        r["k"]: r["score"]
+        for r in read_corpus_latest(spark, store, "k").collect()
+    }
+    assert merged[3] == 555  # last correction wins across batches
+    assert 7 not in merged  # tombstone applied
+    assert len(merged) == 19
+    assert store_history(spark, store).count() == 4  # base + 3 deltas
+
+
+def test_version_at_timestamp_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: version_at resolves the newest version
+    committed at or before the asked instant, refuses pre-store
+    instants loudly, and legacy manifests without ts resolve as
+    arbitrarily old."""
+    import json
+    import os
+    import time
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        commit_corpus,
+        read_corpus,
+        version_at,
+    )
+
+    store = str(tmp_path / "store")
+    t0 = time.time()
+    commit_corpus(spark.range(3).selectExpr("id AS k"), store, "v1")
+    t1 = time.time()
+    time.sleep(0.05)
+    commit_corpus(spark.range(3, 9).selectExpr("id AS k"), store, "v2")
+
+    assert version_at(store, t1) == 1
+    assert version_at(store, time.time()) == 2
+    assert read_corpus(spark, store, version_at(store, t1)).count() == 3
+    with pytest.raises(ValueError, match="no version"):
+        version_at(store, t0 - 10)
+
+    # legacy manifest (no ts) counts as arbitrarily old
+    mp = _manifest_path(store, 1)
+    rec = json.load(open(mp))
+    del rec["ts"]
+    os.unlink(mp)
+    json.dump(rec, open(mp, "w"))
+    assert version_at(store, t0 - 10) == 1
