@@ -138,8 +138,18 @@ def test_view_matches_pandas_groupby(spark, rows):
     }
     pdf["gh"] = pdf["geohash"].str[:6]
     pdf["hour_ms"] = pdf["timestamp"] // 3_600_000 * 3_600_000
+    # mirror build_view's DECLARED semantic: each value rounded to
+    # micros once (HALF_UP, away from zero — Spark round()), then
+    # summed as exact integers. Summing raw doubles here instead
+    # left a 1e-6 tolerance that n·5e-7 of legitimate per-value
+    # rounding can exceed — hypothesis found a 3-row example at
+    # 1.016e-6 (round 9); the mirrored form compares exactly.
+    v = pdf["tempVal"].to_numpy() * 1_000_000
+    pdf["micros"] = np.where(
+        v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+    ).astype("int64")
     want_df = pdf.groupby(["gh", "hour_ms"]).agg(
-        count=("tempVal", "size"), sum=("tempVal", "sum")
+        count=("tempVal", "size"), sum_u=("micros", "sum")
     )
     assert len(got) == len(want_df)
     for (gh, hour_ms), row in want_df.iterrows():
@@ -147,7 +157,7 @@ def test_view_matches_pandas_groupby(spark, rows):
         assert (gh, ws) in got
         cnt, s = got[(gh, ws)]
         assert cnt == row["count"]
-        assert abs(s - row["sum"]) < 1e-6
+        assert abs(s - row["sum_u"] / 1_000_000.0) < 1e-9
 
 
 # --- media codec round-trips (pure Python/numpy — full example counts) ---
