@@ -68,6 +68,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_gated_ingest",
     # round-9: tar shard round-trip (writes temp shard files)
     "q_media_tar_shards",
+    # round-9: gzip JSONL round-trip (writes temp compressed files)
+    "q_gzip_source",
 })
 
 

@@ -1692,3 +1692,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
     return triangle_count(pairs)
+
+
+@register(
+    "q_decode_documents", oracle=_text.decode_documents_oracle()
+)
+def q_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip (round 9): decode(encode(x)) must equal
+    the UNK-normalized source — the detokenization-fidelity proof
+    closing vocab_build → encode → decode. The oracle rebuilds each
+    document's normalized text DIRECTLY from source (no id
+    indirection) and compares md5s, so a non-bijective id
+    assignment, a lossy reverse join, or an ordering slip anywhere
+    flips the hash. Two broadcast vocab joins + one per-doc
+    aggregate. See operators/text.decode_documents."""
+    return _text.decode_documents(_t(spark, sf_dir, "documents"))

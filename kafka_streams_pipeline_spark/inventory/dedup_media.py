@@ -987,3 +987,17 @@ def q_media_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register("q_ivf_pq_topk", oracle=_sim.ivf_pq_topk_oracle(0, 10))
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed production ANN (round 9): IVF coarse restriction +
+    PQ asymmetric-distance scoring — the FAISS IVFPQ serving shape.
+    The query probes its nprobe nearest cells; only those cells'
+    member CODES are scored against the broadcast M·K distance
+    table (full-precision corpus vectors never move). Exact
+    integers end-to-end, so the COMPOSITION — cell boundaries, code
+    assignment, table lookup, tie-broken top-k — is oracle-
+    certified, not just the parts (q_sim_ann_ivf, q_pq_adc_topk).
+    See operators/similarity.ivf_pq_topk."""
+    return _sim.ivf_pq_topk(_t(spark, sf_dir, "embeddings"))

@@ -2794,3 +2794,76 @@ def q_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("store_content", content["n"], content["s"]))
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register("q_gzip_source", oracle=_SOURCE_AGG_ORACLE)
+def q_gzip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b source breadth (round 9): gzip-compressed JSON-lines —
+    the wire format most web-scale text corpora actually arrive in
+    (.jsonl.gz shards). Events are serialized to JSONL, compressed
+    with stdlib gzip at two different levels across shards (codec
+    headers differ, content must not), and read back through
+    Spark's native transparent-decompression path with an explicit
+    schema + the PERMISSIVE corrupt-record guard (one malformed
+    line injected INSIDE a valid gzip stream proves corruption
+    detection operates on the DECOMPRESSED bytes). Same oracle as
+    the CSV/ORC rows: the per-type aggregate over clean parquet —
+    decode drift or a leaked corrupt row flips the hash."""
+    import gzip
+    import json as _json
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-gz-")
+    events = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    )
+    rows = sorted(events, key=lambda r: r["event_id"])
+    half = len(rows) // 2
+    for i, (chunk, level) in enumerate(
+        [(rows[:half], 1), (rows[half:], 9)]
+    ):
+        with gzip.open(
+            os.path.join(base, f"part{i}.jsonl.gz"),
+            "wt",
+            compresslevel=level,
+        ) as f:
+            for r in chunk:
+                f.write(_json.dumps(r.asDict()) + "\n")
+            if i == 0:
+                f.write('{"event_id": "oops", not json\n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    decoded = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(base + "/*.jsonl.gz")
+        .where(
+            F.col("_corrupt").isNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    )
+    out = _source_agg(decoded)
+    result = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(result, schema_out)

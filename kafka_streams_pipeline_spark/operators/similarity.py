@@ -1334,3 +1334,151 @@ def rp_reduce_oracle(out_dim: int = RP_OUT_DIM, dim: int = 64) -> str:
         for p in range(out_dim)
     )
     return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+def ivf_pq_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10, nprobe: int = NPROBE
+) -> DataFrame:
+    """X3 composed production ANN: IVF coarse restriction + PQ
+    asymmetric-distance scoring — the FAISS ``IVFPQ`` shape that
+    actually serves billion-vector indexes. The query probes its
+    ``nprobe`` nearest cells (broadcast centroid pass, argmax as a
+    partial/final aggregate); ONLY the member codes of those cells
+    are ADC-scored against the query's broadcast M·K distance table;
+    full-precision corpus vectors are touched exactly once (code
+    assignment) and never move afterwards. Cost per query at scale:
+    |corpus|·nprobe/N_CLUSTERS code lookups against a 128-long
+    table, no full-precision distance anywhere on the corpus side.
+    Exact integers end-to-end (the same fixed-point discipline as
+    the component operators), so the composed approximation is
+    oracle-certified, not just its parts."""
+    cent = df.where(F.expr(_centroid_filter())).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(_spark_norm("embedding")).alias("c_norm"),
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            f"round({_spark_dot('embedding', 'c_emb')} / "
+            f"({_spark_norm('embedding')} * c_norm), 6)"
+        ).alias("score"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cent_id")).alias("negc"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negc")).alias("cell"))
+    )
+    q_cells = (
+        scored.where(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("score").desc(), "cent_id")
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    fp = df.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {KM_FP}) as bigint))"
+        ).alias("xf"),
+    )
+    qsubs = (
+        fp.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(xf, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS qv))"
+                )
+            ).alias("q")
+        )
+        .select("q.m", "q.qv")
+    )
+    cb = (
+        fp.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(xf, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS cv))"
+                )
+            ).alias("c"),
+        )
+        .select("cid", "c.m", "c.cv")
+    )
+    table = qsubs.join(cb, "m").select(
+        "m",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("tdist"),
+    )
+    codes = (
+        _pq_codes(df)
+        .join(assign, "vec_id")
+        .join(F.broadcast(q_cells), "cell", "left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+    )
+    return (
+        codes.join(
+            F.broadcast(table),
+            (codes.m == table.m) & (codes.code == table.cid),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("tdist").cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_pq_topk_oracle(
+    query_vec_id: int = 0, k: int = 10, nprobe: int = NPROBE, dim: int = 64
+) -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb,
+                   {_duck_norm('embedding')} AS c_norm
+            FROM embeddings WHERE {_centroid_filter()}
+        ),
+        cscored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round({_duck_dot('e.embedding', 'c.c_emb')} /
+                         ({_duck_norm('e.embedding')} * c.c_norm), 6) AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cent_id AS cell FROM cscored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) = 1
+        ),
+        q_cells AS (
+            SELECT cent_id AS cell FROM cscored
+            WHERE vec_id = {query_vec_id}
+            ORDER BY score DESC, cent_id LIMIT {nprobe}
+        ),
+        {_pq_oracle_prelude(dim)},
+        tbl AS (
+            SELECT cb.m, cb.cid,
+                   sum((q.x - cb.c) * (q.x - cb.c)) AS tdist
+            FROM subs q JOIN cb ON q.m = cb.m AND q.j = cb.j
+            WHERE q.vec_id = {query_vec_id}
+            GROUP BY cb.m, cb.cid
+        )
+        SELECT codes.vec_id,
+               CAST(sum(tbl.tdist) AS BIGINT) AS adc_dist
+        FROM codes
+        JOIN tbl ON codes.m = tbl.m AND codes.code = tbl.cid
+        JOIN assign a ON codes.vec_id = a.vec_id
+        JOIN q_cells qc ON a.cell = qc.cell
+        WHERE codes.vec_id != {query_vec_id}
+        GROUP BY codes.vec_id
+        ORDER BY sum(tbl.tdist), codes.vec_id
+        LIMIT {k}
+    """

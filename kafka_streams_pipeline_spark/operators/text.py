@@ -2060,3 +2060,85 @@ def bpe_train_oracle(num_merges: int = BPE_NUM_MERGES) -> str:
         f"SELECT * FROM stat{k}" for k in range(1, num_merges + 1)
     )
     return ",\n        ".join(parts) + f"\n        {union}"
+
+
+def decode_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """X5 tokenizer round-trip — the DECODE leg closing
+    vocab_build → encode → decode: every document's token stream is
+    mapped to ids (OOV → 0, the UNK convention) and back through the
+    REVERSE vocab join (id 0 → ``<unk>``), then reassembled in
+    order. Output per document: ``n_tokens`` and the md5 of the
+    reassembled text — the oracle computes the same md5 from the
+    UNK-normalized SOURCE text directly (no id indirection), so the
+    hash matches only if the id assignment is a bijection consistent
+    across engines, the reverse join loses nothing, and reassembly
+    preserves exact token order. This is how a training pipeline
+    proves detokenization fidelity without shipping token arrays
+    through the gate.
+
+    Scale shape: two broadcast vocab joins (corpus-bounded vocab),
+    one per-document aggregate; the only array materialization is
+    per-document inside collect_list — bounded by document length,
+    never corpus-sized."""
+    vocab = vocab_build(df, text_col, min_count).select(
+        "token", "token_id"
+    )
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos0", "token"
+        ),
+    )
+    ids = toks.join(vocab, "token", "left").select(
+        "doc_id",
+        "pos0",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("id"),
+    )
+    rev = vocab.select(
+        F.col("token_id").alias("id"), F.col("token").alias("tok")
+    )
+    dec = ids.join(rev, "id", "left").select(
+        "doc_id",
+        "pos0",
+        F.coalesce(F.col("tok"), F.lit("<unk>")).alias("tok"),
+    )
+    return dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos0, tok))),"
+                    " x -> x.tok)"
+                ),
+                " ",
+            )
+        ).alias("decoded_md5"),
+    )
+
+
+def decode_documents_oracle(min_count: int = 2) -> str:
+    return f"""
+        WITH vocab AS ({vocab_build_oracle(min_count)}),
+        tok AS (
+            SELECT doc_id,
+                   unnest([{{'pos1': i, 'token': ws[i]}}
+                           FOR i IN range(1, len(ws) + 1)]) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ),
+        norm AS (
+            SELECT t.doc_id, t.u.pos1 AS pos1,
+                   CASE WHEN v.token IS NULL THEN '<unk>'
+                        ELSE t.u.token END AS tok
+            FROM tok t LEFT JOIN vocab v ON t.u.token = v.token
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos1)) AS decoded_md5
+        FROM norm
+        GROUP BY doc_id
+    """
