@@ -1707,3 +1707,16 @@ def q_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the hash. Two broadcast vocab joins + one per-doc
     aggregate. See operators/text.decode_documents."""
     return _text.decode_documents(_t(spark, sf_dir, "documents"))
+
+
+@register("q_cdc_chunk_dedup", oracle=_corpus.cdc_chunk_dedup_oracle())
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (round 9): boundaries declared by
+    token content (salted hash ≡ 0 mod 8 — word-level gear CDC), so
+    near-copies with insertions re-synchronize at the next boundary
+    and still dedup where fixed-width chunking shifts everything
+    (pytest constructs exactly that). Same per-doc outputs and
+    shuffle profile as q_chunk_dedup; the chunk-id prefix sum is a
+    per-document window — fully parallel across documents.
+    See operators/corpus.cdc_chunk_dedup."""
+    return _corpus.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))

@@ -413,3 +413,106 @@ def systematic_weighted_sample_oracle(
         SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         FROM {table} WHERE CAST({weight_col} AS BIGINT) <= 0
     """
+
+
+# mean CDC chunk length = CDC_DIVISOR words (boundary probability
+# 1/CDC_DIVISOR per token)
+CDC_DIVISOR = 8
+
+
+def cdc_chunk_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CONTENT-DEFINED chunk dedup — the shift-robust complement to
+    :func:`chunk_dedup`: chunk boundaries are declared by token
+    CONTENT (tokens whose salted hash ≡ 0 mod ``CDC_DIVISOR`` start
+    a new chunk — word-level gear/Rabin CDC, the same idea backup
+    dedup and LSH shingling use), so inserting one word near the
+    top of a near-copy re-synchronizes at the next boundary and the
+    downstream chunks still dedup — where fixed-width segmentation
+    shifts EVERY subsequent chunk and finds nothing (the property
+    the pytest constructs). Same outputs as chunk_dedup: per-doc
+    total chunks, boilerplate chunks (md5 in ≥2 distinct docs),
+    surviving words.
+
+    Plan shape: token explode → per-document prefix-sum window (the
+    chunk id — partitioned by doc_id, so fully parallel across
+    documents) → per-chunk md5 → the same two hash-shuffle legs as
+    chunk_dedup. Text leaves the plan at the chunk-hash boundary."""
+    flag = (
+        md5_long(F.concat(F.lit("cdc:"), F.col("w"))) % CDC_DIVISOR == 0
+    ).cast("long")
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).withColumn("flag", flag)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cid = toks.withColumn("cid", F.sum("flag").over(w_doc))
+    chunks = cid.groupBy("doc_id", "cid").agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))),"
+                    " x -> x.w)"
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    freq = chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_boiler"
+            ),
+            F.sum(
+                F.when(F.col("ndocs") < 2, F.col("n_words")).otherwise(0)
+            ).alias("kept_words"),
+        )
+    )
+
+
+def cdc_chunk_dedup_oracle() -> str:
+    h = md5_long_sql("'cdc:' || u.w")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, u.pos, u.w,
+                   CASE WHEN ({h}) % {CDC_DIVISOR} = 0
+                        THEN 1 ELSE 0 END AS flag
+            FROM (SELECT doc_id,
+                         unnest([{{'pos': i, 'w': ws[i]}}
+                                 FOR i IN range(1, len(ws) + 1)]) AS u
+                  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents))
+        ),
+        cids AS (
+            SELECT doc_id, pos, w,
+                   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS cid
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, cid,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS chash,
+                   count(*) AS n_words
+            FROM cids GROUP BY doc_id, cid
+        ),
+        freq AS (
+            SELECT chash, count(DISTINCT doc_id) AS ndocs
+            FROM chunks GROUP BY chash
+        )
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               CAST(sum(CASE WHEN ndocs < 2 THEN n_words ELSE 0 END)
+                    AS BIGINT) AS kept_words
+        FROM chunks JOIN freq USING (chash)
+        GROUP BY doc_id
+    """

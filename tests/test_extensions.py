@@ -1695,3 +1695,36 @@ def test_tar_shard_roundtrip_and_external_anchor():
         raise AssertionError("corrupted header accepted")
     except ValueError as e:
         assert "checksum" in str(e)
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property fixed-width chunking lacks: a one-word
+    insertion near the top of a near-copy shifts every fixed chunk
+    (zero boilerplate found) but content-defined boundaries
+    re-synchronize, so the shared tail still dedups."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        cdc_chunk_dedup,
+        chunk_dedup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    shifted = "inserted " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+
+    fixed = {
+        r["doc_id"]: r["n_boiler"] for r in chunk_dedup(docs).collect()
+    }
+    cdc = {
+        r["doc_id"]: (r["n_boiler"], r["n_chunks"])
+        for r in cdc_chunk_dedup(docs).collect()
+    }
+    # fixed-width: the insertion shifts every 8-word chunk of doc 2
+    assert fixed[2] == 0
+    # CDC: most chunks after the first boundary dedup against doc 1
+    n_boiler, n_chunks = cdc[2]
+    assert n_boiler >= n_chunks - 2, cdc
+    assert n_boiler > 0
