@@ -70,6 +70,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_media_tar_shards",
     # round-9: gzip JSONL round-trip (writes temp compressed files)
     "q_gzip_source",
+    # round-9: incremental histogram maintenance (temp store + checkpoint)
+    "q_histogram_incremental",
 })
 
 

@@ -2867,3 +2867,76 @@ def q_gzip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_out = out.schema
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(result, schema_out)
+
+
+def _hist_inc_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_sketch_sql,
+    )
+
+    return f"""
+        WITH h AS ({histogram_sketch_sql('documents', 'n_chars', 0, 1024, 32)}),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        SELECT 'bin' AS phase, bin AS a, cnt AS b FROM h
+        UNION ALL
+        SELECT 'quantile', q, CAST(min(bin) AS BIGINT)
+        FROM (VALUES (25), (50), (75), (95)) t(q), cum, tot
+        WHERE cum * 100 >= q * n
+        GROUP BY q
+    """
+
+
+@register("q_histogram_incremental", oracle=_hist_inc_oracle())
+def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rank maintenance (round 9): the third leg of the
+    mergeable-state trio (HLL distincts, CMS frequencies, histogram
+    RANKS). Base documents land as store v1 and their n_chars
+    histogram state (≤34 bin rows over the declared [0,1024)/32
+    domain, explicit overflow bins) is checkpointed to parquet; a
+    delta commit makes v2; the maintenance job sketches ONLY the CDC
+    feed and merges by per-bin sum. Certified against the oracle's
+    full-table histogram bin-for-bin PLUS the percentile-disc bin
+    for p25/50/75/95 computed from the merged state with float-free
+    integer rank arithmetic (cum·100 ≥ q·n) — so the incremental
+    path must reproduce both the distribution and its quantile reads
+    exactly. See operators/sketches.py histogram_sketch/
+    histogram_merge/histogram_quantile_bins."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantile_bins,
+        histogram_sketch,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        read_corpus_changes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base_dir = tempfile.mkdtemp(prefix="kspipeline-histinc-")
+    store = os.path.join(base_dir, "docs")
+    sketch_dir = os.path.join(base_dir, "sketch-v1")
+    commit_corpus(docs.where(F.col("doc_id") % 10 < 7), store, "base")
+    histogram_sketch(
+        read_corpus(spark, store, 1), "n_chars", 0, 1024, 32
+    ).write.parquet(sketch_dir)
+    commit_corpus(docs.where(F.col("doc_id") % 10 >= 7), store, "delta")
+    merged = histogram_merge(
+        spark.read.parquet(sketch_dir),
+        histogram_sketch(
+            read_corpus_changes(spark, store, 1, 2), "n_chars", 0, 1024, 32
+        ),
+    )
+    bins = [("bin", r["bin"], r["cnt"]) for r in merged.collect()]
+    qs = [
+        ("quantile", r["q"], r["bin"])
+        for r in histogram_quantile_bins(merged, [25, 50, 75, 95]).collect()
+    ]
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        bins + qs, "phase string, a long, b long"
+    )

@@ -877,3 +877,96 @@ def kmv_set_ops_oracle(
             union_exact, inter_exact
         FROM u, m, ex
     """
+
+
+# --- Mergeable histogram sketch (bounded-domain quantiles) -----------------
+# Completes the mergeable-state trio: distincts (HLL, max-merge),
+# frequencies (CMS, sum-merge), and now ranks/quantiles — as a
+# fixed-width equi-bin histogram over a declared integer domain.
+# Honest positioning: for UNKNOWN domains the literature reaches for
+# KLL/t-digest; their merges are order/implementation-dependent,
+# which breaks this repo's exact-oracle discipline. A declared-domain
+# histogram is what production metric pipelines actually deploy when
+# they need cross-engine determinism, and its rank error is bounded
+# by the bin width by construction.
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, lo: int, hi: int, nbins: int
+) -> DataFrame:
+    """The histogram STATE: (bin, cnt) rows, ≤ nbins+2 of them —
+    values below ``lo`` land in bin -1, at-or-above ``hi`` in bin
+    ``nbins`` (explicit overflow bins: clamping would silently
+    corrupt tail quantiles). Persist to parquet, ``histogram_merge``
+    with new data's state (sum per bin — linear, like CMS), estimate
+    ranks without rescanning the base."""
+    width = (hi - lo + nbins - 1) // nbins
+    b = (
+        F.when(F.col(col) < lo, F.lit(-1))
+        .when(F.col(col) >= hi, F.lit(nbins))
+        .otherwise(((F.col(col) - lo) / width).cast("long"))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(*states: DataFrame) -> DataFrame:
+    """Per-bin count sum — histograms are linear sketches:
+    merge(h(A), h(B)) ≡ h(A ∪ B) bin-for-bin, any order."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def histogram_quantile_bins(
+    state: DataFrame, qs: list[int], denom: int = 100
+) -> DataFrame:
+    """For each requested percentile q/denom: the bin containing the
+    percentile_disc rank (1-based ceil(q·N/denom)), from the bin
+    cumulative counts — one sort of ≤ nbins+2 summary rows, never
+    data. All integers (bin ids and ranks), so the estimate is
+    engine-exact; the VALUE-level error is the bin width, by
+    construction."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = state.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(state.agg(F.sum("cnt").cast("long").alias("n")))
+    )
+    qdf = state.sparkSession.createDataFrame(
+        [(q,) for q in qs], "q long"
+    )
+    # cum >= ceil(q*n/denom)  <=>  cum*denom >= q*n  (positive ints
+    # only — keeps the rank comparison float-free on both engines)
+    ranked = qdf.crossJoin(cum).where(
+        F.col("cum") * denom >= F.col("q") * F.col("n")
+    )
+    return (
+        ranked.groupBy("q")
+        .agg(F.min("bin").cast("long").alias("bin"))
+        .select("q", "bin")
+    )
+
+
+def histogram_sketch_sql(
+    table: str, col: str, lo: int, hi: int, nbins: int
+) -> str:
+    width = (hi - lo + nbins - 1) // nbins
+    return f"""
+        SELECT CAST(CASE WHEN {col} < {lo} THEN -1
+                         WHEN {col} >= {hi} THEN {nbins}
+                         ELSE ({col} - {lo}) // {width} END AS BIGINT)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} WHERE {col} IS NOT NULL
+        GROUP BY 1
+    """

@@ -93,6 +93,38 @@ class QueryHandler(BaseHTTPRequestHandler):
                     self._reply(200, {"queries": sorted(servable)})
                     return
                 name = parts[2]
+                # GET /api/queries/{name}/explain[?mode=formatted] —
+                # the OBSERVABILITY route: returns the physical plan
+                # WITHOUT executing anything (explain is pure plan
+                # compilation, so it is safe even for expensive
+                # queries — only MATERIALIZING ones stay excluded
+                # because their plan CONSTRUCTION runs jobs).
+                if len(parts) == 4 and parts[3] == "explain":
+                    if name not in servable:
+                        self._reply(
+                            404,
+                            {"errorMessage": "unknown query",
+                             "errorCode": 404},
+                        )
+                        return
+                    mode = q.get("mode", "formatted")
+                    if mode not in (
+                        "simple", "extended", "formatted", "cost",
+                    ):
+                        raise QueryValidationError(
+                            "mode must be one of simple|extended|"
+                            "formatted|cost"
+                        )
+                    df = inventory.QUERIES[name](spark, sf_dir)
+                    jmode = (
+                        df._sc._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString(mode)
+                    )
+                    plan = df._jdf.queryExecution().explainString(jmode)
+                    self._reply(
+                        200, {"query": name, "mode": mode, "plan": plan}
+                    )
+                    return
                 if len(parts) != 3 or name not in servable:
                     self._reply(
                         404,

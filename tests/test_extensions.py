@@ -1728,3 +1728,54 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     n_boiler, n_chunks = cdc[2]
     assert n_boiler >= n_chunks - 2, cdc
     assert n_boiler > 0
+
+
+def test_histogram_sketch_state_merges_and_bounds(spark, tmp_path):
+    """Histogram linearity + the overflow-bin contract: merge equals
+    direct union bin-for-bin in any order, out-of-domain values land
+    in the explicit -1/nbins bins (never clamped into real bins),
+    parquet round-trip exact, and the quantile-bin read is
+    consistent with percentile_disc on the raw data up to bin
+    width."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantile_bins,
+        histogram_sketch,
+    )
+
+    a = spark.range(0, 600).select((F.col("id") % 997).alias("v"))
+    b = spark.range(0, 400).select(
+        (F.col("id") * 3 % 1500 - 50).alias("v")  # incl. out-of-domain
+    )
+
+    def bins(df):
+        return {r["bin"]: r["cnt"] for r in df.collect()}
+
+    direct = bins(histogram_sketch(a.unionByName(b), "v", 0, 1024, 32))
+    merged = bins(
+        histogram_merge(
+            histogram_sketch(a, "v", 0, 1024, 32),
+            histogram_sketch(b, "v", 0, 1024, 32),
+        )
+    )
+    assert direct == merged
+    assert -1 in direct and 32 in direct  # overflow bins populated
+    p = str(tmp_path / "h")
+    histogram_sketch(a, "v", 0, 1024, 32).write.parquet(p)
+    assert bins(spark.read.parquet(p)) == bins(
+        histogram_sketch(a, "v", 0, 1024, 32)
+    )
+
+    # quantile-bin read: the true percentile_disc value falls inside
+    # (or below the upper edge of) the reported bin
+    state = histogram_sketch(a, "v", 0, 1024, 32)
+    qbins = {
+        r["q"]: r["bin"]
+        for r in histogram_quantile_bins(state, [50, 95]).collect()
+    }
+    vals = sorted(r["v"] for r in a.collect())
+    for q in (50, 95):
+        true = vals[-(-q * len(vals) // 100) - 1]  # percentile_disc
+        assert qbins[q] * 32 <= true < (qbins[q] + 1) * 32, (q, true, qbins)

@@ -179,3 +179,55 @@ def test_registry_materializing_allowlist_opt_in(spark, sf_dir):
         )
     finally:
         server.shutdown()
+
+
+def test_explain_route_returns_plan_without_executing(spark, sf_dir):
+    """GET /api/queries/{name}/explain returns the physical plan for
+    any servable query (pure plan compilation — no job), validates
+    the mode, and 404s unknown or materializing names."""
+    import json
+    import urllib.request
+
+    from kafka_streams_pipeline_spark.operators.view import build_view
+    from kafka_streams_pipeline_spark.serving import serve
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    view = build_view(readings_from_events(load_table(spark, sf_dir, "events")))
+    server = serve(view, host="127.0.0.1", port=0, spark=spark, sf_dir=sf_dir)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.load(
+            urllib.request.urlopen(f"{base}/api/queries/q_hourly_view/explain")
+        )
+        assert body["query"] == "q_hourly_view"
+        assert "HashAggregate" in body["plan"] or "Aggregate" in body["plan"]
+
+        body2 = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/queries/q_join_inner/explain?mode=simple"
+            )
+        )
+        assert "Physical Plan" in body2["plan"] or "Scan" in body2["plan"]
+
+        for bad in (
+            "/api/queries/q_nope/explain",
+            "/api/queries/q_streaming_view/explain",  # materializing
+        ):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"{bad} should 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        try:
+            urllib.request.urlopen(
+                f"{base}/api/queries/q_hourly_view/explain?mode=evil"
+            )
+            raise AssertionError("bad mode should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
