@@ -400,3 +400,51 @@ def test_mor_log_is_one_scan(spark, tmp_path):
     rows = log.collect()
     assert len(rows) == 70
     assert all(r["_seq"] == r["expect_seq"] for r in rows)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew evidence: under AQE skew-join settings, a join
+    whose left side sends 90% of its rows to one key must execute as
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the
+    engine's answer to hot keys when salting isn't applied — and the
+    result must be row-exact. Configs are restored afterwards (the
+    fixture session is shared)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())
+        # 450k rows share k=0 (one right match) + the 5k id%10==9
+        # keys below 50k with their single match each
+        assert n == 455_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
