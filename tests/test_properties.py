@@ -527,3 +527,37 @@ def test_spend_quartile_properties(spark):
         if r["spend_cents"] in seen:
             assert seen[r["spend_cents"]] == r["quartile"]
         seen[r["spend_cents"]] = r["quartile"]
+
+
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_key_is_a_bijection(spark, xy):
+    """Z-order property: the interleave is invertible — every (x, y)
+    pair maps to a distinct key whose bit de-interleave recovers
+    exactly (x, y). A dropped/duplicated/misplaced bit anywhere in
+    the 64-term expression breaks recovery for some input."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    rows = df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    assert len({r["z"] for r in rows}) == len(rows)
+    for r in rows:
+        x = y = 0
+        for i in range(16):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"]), r
