@@ -72,6 +72,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_gzip_source",
     # round-9: incremental histogram maintenance (temp store + checkpoint)
     "q_histogram_incremental",
+    # round-9: availableNow streaming histogram replay
+    "q_streaming_histogram",
 })
 
 

@@ -2940,3 +2940,60 @@ def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         bins + qs, "phase string, a long, b long"
     )
+
+
+def _streaming_hist_oracle() -> str:
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        HIST_HI,
+        HIST_LO,
+        HIST_NBINS,
+        HIST_W,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        b AS (
+            SELECT substring(geohash, 1, 6) AS gh,
+                   CASE WHEN m < {HIST_LO} THEN -1
+                        WHEN m >= {HIST_HI} THEN {HIST_NBINS}
+                        ELSE (m - {HIST_LO}) // {HIST_W} END AS bin
+            FROM (SELECT geohash,
+                         CAST(round(tempVal * 1000000) AS BIGINT) AS m
+                  FROM readings WHERE tempVal IS NOT NULL)
+        )
+        SELECT gh, CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(bin + 2) AS BIGINT) AS chk1,
+               CAST(sum((bin + 2) * (bin + 2)) AS BIGINT) AS chk2
+        FROM b GROUP BY gh
+    """
+
+
+@register("q_streaming_histogram", oracle=_streaming_hist_oracle())
+def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram state (round 9): per-cell value histogram
+    via applyInPandasWithState, replayed with availableNow — the
+    streaming twin of the batch histogram_sketch, completing the
+    batch/stream symmetry of all three mergeable sketch families.
+    Values round to micros IN THE JVM PLAN (HALF_UP — the SQL rule;
+    numpy/python round is HALF_EVEN and diverges on exact ties,
+    round-5 lesson) before the state function, so binning is pure
+    integer arithmetic and batch boundaries cannot move a value
+    across a bin edge. Duplicate injection OFF (counts physical
+    rows). The LAST emission per cell is the final state; the oracle
+    recomputes count + both weighted bin checksums per cell in SQL.
+    See streaming/stateful.py histogram_cell_state."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        histogram_cell_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, histogram_cell_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["gh"]] = (r["n_values"], r["chk1"], r["chk2"])
+    return spark.createDataFrame(
+        [(k, n, c1, c2) for k, (n, c1, c2) in final.items()],
+        "gh string, n_values long, chk1 long, chk2 long",
+    )

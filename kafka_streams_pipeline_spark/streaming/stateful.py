@@ -295,3 +295,74 @@ def hll_sensor_distinct(readings: DataFrame, gh_col: str = "geohash") -> DataFra
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# Streaming histogram: declared micro-int domain [-50, 50) value
+# units at 6-dp fixed point, 40 bins of exactly 2.5e6 micros each,
+# plus explicit under/overflow bins (indexes 0 and NB+1).
+HIST_LO = -50_000_000
+HIST_HI = 50_000_000
+HIST_NBINS = 40
+HIST_W = (HIST_HI - HIST_LO) // HIST_NBINS
+HIST_OUTPUT = "gh string, n_values bigint, chk1 bigint, chk2 bigint"
+HIST_STATE = "bins array<bigint>"
+
+
+def histogram_cell_state(
+    readings: DataFrame, gh_col: str = "geohash"
+) -> DataFrame:
+    """Per-cell value histogram maintained across micro-batches — the
+    STREAMING twin of ``operators/sketches.histogram_sketch``,
+    completing the batch/stream symmetry of the mergeable-state trio
+    (HLL distincts, CMS frequencies, histogram ranks). Values are
+    rounded to micros IN THE JVM PLAN (F.round → HALF_UP, the SQL
+    rule) before the pandas state function, so binning is pure
+    integer arithmetic and batch boundaries cannot move a value
+    across a bin edge. State per key is a constant 42-long array;
+    emission carries the count plus two weighted checksums
+    (Σ(bin+2), Σ(bin+2)²) that pin the bin multiset into the
+    differential oracle."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bins,) = state.get if state.exists else (
+            [0] * (HIST_NBINS + 2),
+        )
+        bins = list(bins)
+        for pdf in pdfs:
+            for m in pdf["m"].dropna():
+                m = int(m)
+                if m < HIST_LO:
+                    b = -1
+                elif m >= HIST_HI:
+                    b = HIST_NBINS
+                else:
+                    b = (m - HIST_LO) // HIST_W
+                bins[b + 1] += 1
+        state.update((bins,))
+        n = sum(bins)
+        chk1 = sum((i - 1 + 2) * c for i, c in enumerate(bins))
+        chk2 = sum((i - 1 + 2) ** 2 * c for i, c in enumerate(bins))
+        yield pd.DataFrame(
+            {
+                "gh": [key[0]],
+                "n_values": [n],
+                "chk1": [chk1],
+                "chk2": [chk2],
+            }
+        )
+
+    keyed = readings.where(F.col("tempVal").isNotNull()).select(
+        F.substring(F.col(gh_col), 1, 6).alias("gh6"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("m"),
+    )
+    return keyed.groupBy("gh6").applyInPandasWithState(
+        fn,
+        HIST_OUTPUT,
+        HIST_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -387,3 +387,93 @@ def test_cms_cell_state_final_is_batch_independent(
     assert set(final) == set(expected)
     for gh, row in final.items():
         assert list(row["cells"]) == expected[gh], gh
+
+
+def test_streaming_histogram_matches_batch_sketch(spark, sf_dir):
+    """Batch/stream bit-tie for the histogram family: the streaming
+    per-cell state after a chunked replay equals the batch
+    histogram_sketch over the same rounded micros, cell for cell and
+    bin-multiset for bin-multiset (via the weighted checksums)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_sketch,
+    )
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        HIST_HI,
+        HIST_LO,
+        HIST_NBINS,
+        histogram_cell_state,
+    )
+
+    readings = readings_from_events(load_table(spark, sf_dir, "events"))
+    # batch twin computed per cell from the same micro-rounding
+    cells = {}
+    micros = readings.where(F.col("tempVal").isNotNull()).select(
+        F.substring("geohash", 1, 6).alias("gh"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v"),
+    )
+    for gh in [r["gh"] for r in micros.select("gh").distinct().collect()]:
+        state = histogram_sketch(
+            micros.where(F.col("gh") == gh), "v", HIST_LO, HIST_HI,
+            HIST_NBINS,
+        ).collect()
+        n = sum(r["cnt"] for r in state)
+        chk1 = sum((r["bin"] + 2) * r["cnt"] for r in state)
+        chk2 = sum((r["bin"] + 2) ** 2 * r["cnt"] for r in state)
+        cells[gh] = (n, chk1, chk2)
+
+    # applyInPandasWithState does not run in batch mode; replay
+    # through a 3-chunk temp stream and take last emission per key
+    import json
+    import os
+    import tempfile
+    import time
+
+    base = tempfile.mkdtemp(prefix="hist-tie-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    data = sorted(
+        (r.asDict() for r in readings.select(
+            "timestamp", "sensorId", "geohash", "tempVal", "tempUnit"
+        ).collect()),
+        key=lambda r: (r["timestamp"], r["sensorId"]),
+    )
+    third = max(1, len(data) // 3)
+    m0 = time.time() - 86_400
+    for i in range(3):
+        p = os.path.join(src, f"c{i}.json")
+        with open(p, "w") as f:
+            for r in data[i * third : (i + 1) * third if i < 2 else len(data)]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (m0 + i, m0 + i))
+    from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+
+    stream = (
+        spark.readStream.schema(READING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    batches = []
+    q = (
+        histogram_cell_state(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    final = {}
+    for b in batches:
+        for r in b:
+            final[r["gh"]] = (r["n_values"], r["chk1"], r["chk2"])
+    assert final == cells
