@@ -74,6 +74,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_histogram_incremental",
     # round-9: availableNow streaming histogram replay
     "q_streaming_histogram",
+    # round-9: avro OCF round-trip (writes temp container files)
+    "q_avro_source",
 })
 
 

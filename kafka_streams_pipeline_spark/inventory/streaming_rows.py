@@ -2997,3 +2997,64 @@ def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n, c1, c2) for k, (n, c1, c2) in final.items()],
         "gh string, n_values long, chk1 long, chk2 long",
     )
+
+
+@register("q_avro_source", oracle=_SOURCE_AGG_ORACLE)
+def q_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b source breadth (round 9): Avro Object Container Files —
+    the leg previously environment-blocked (no spark-avro DataSource
+    jar; re-probed every round), now served Spark-first the way
+    every binary format here is: binaryFile ingestion + a
+    partition-local stdlib OCF codec behind the sanctioned
+    mapInPandas boundary. The writer emits byte-deterministic
+    null-codec containers (fixed sync marker, 3 shard files, small
+    blocks so the block walk is real); the reader validates magic,
+    metadata codec, per-block byte accounting, AND every block's
+    trailing sync marker (truncation/splice fails loudly). Zigzag
+    varints are pinned to the spec's own example vectors in pytest.
+    Same clean-parquet aggregate oracle as the CSV/ORC/gzip rows."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        avro_ocf_bytes,
+        decode_avro_events,
+    )
+
+    schema_json = (
+        '{"type":"record","name":"Event","fields":['
+        '{"name":"event_id","type":"long"},'
+        '{"name":"user_id","type":"long"},'
+        '{"name":"event_type","type":"string"},'
+        '{"name":"value","type":"double"}]}'
+    )
+    rows = sorted(
+        (
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .collect()
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-avro-")
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        shard = rows[i * third : (i + 1) * third]
+        with open(os.path.join(base, f"events{i}.avro"), "wb") as f:
+            f.write(
+                avro_ocf_bytes(
+                    schema_json,
+                    shard,
+                    sync=bytes([i] * 16),
+                    rows_per_block=200,
+                )
+            )
+    decoded = decode_avro_events(
+        spark.read.format("binaryFile")
+        .load(base + "/*.avro")
+        .select(F.col("content").alias("payload"))
+    )
+    out = _source_agg(decoded)
+    result = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(result, schema_out)

@@ -2365,3 +2365,207 @@ def untar_members(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, TAR_MEMBER_SCHEMA)
+
+
+# --- Avro Object Container Files -------------------------------------------
+# The reference-adjacent wire format this environment cannot serve
+# through the spark-avro DataSource (connector jar absent — probed
+# every round). The format itself is public and small (Avro 1.12
+# specification, avro.apache.org: zigzag-varint longs, length-
+# prefixed UTF-8, little-endian IEEE doubles, and the Obj\x01
+# container with per-block sync markers), so the ingestion leg is
+# served the same way every other binary format here is: Spark's
+# binaryFile source + a partition-local decode behind the sanctioned
+# mapInPandas codec boundary. Null codec only; complex types are
+# rejected loudly (this is an ingestion leg, not a full type system).
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _avro_zigzag(n: int) -> bytes:
+    """Avro long: zigzag then 7-bit little-endian varint."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(blob: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = blob[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_encode_value(v, typ: str) -> bytes:
+    if typ in ("long", "int"):
+        return _avro_zigzag(int(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "string":
+        b = str(v).encode()
+        return _avro_zigzag(len(b)) + b
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _avro_decode_value(blob: bytes, pos: int, typ: str):
+    if typ in ("long", "int"):
+        return _avro_read_long(blob, pos)
+    if typ == "double":
+        return struct.unpack("<d", blob[pos : pos + 8])[0], pos + 8
+    if typ == "string":
+        n, pos = _avro_read_long(blob, pos)
+        return blob[pos : pos + n].decode(), pos + n
+    if typ == "boolean":
+        return blob[pos] == 1, pos + 1
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _avro_fields(schema_json: str) -> list[tuple[str, str]]:
+    import json as _json
+
+    schema = _json.loads(schema_json)
+    if schema.get("type") != "record":
+        raise ValueError("only record schemas are supported")
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise ValueError(
+                f"unsupported complex type for field {f['name']!r}: {t!r}"
+            )
+        fields.append((f["name"], t))
+    return fields
+
+
+def avro_ocf_bytes(
+    schema_json: str,
+    rows: list[tuple],
+    sync: bytes = b"\x00" * 16,
+    rows_per_block: int = 1000,
+) -> bytes:
+    """A byte-deterministic Avro Object Container File (null codec):
+    magic, metadata map (avro.schema + avro.codec), sync marker,
+    then length-prefixed blocks each closed by the sync marker —
+    fixed ``sync`` for reproducible shards, multiple blocks so the
+    reader's block walk is genuinely exercised."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    fields = _avro_fields(schema_json)
+    meta = {
+        "avro.schema": schema_json.encode(),
+        "avro.codec": b"null",
+    }
+    out = bytearray(_AVRO_MAGIC)
+    out += _avro_zigzag(len(meta))
+    for k in sorted(meta):
+        kb = k.encode()
+        out += _avro_zigzag(len(kb)) + kb
+        out += _avro_zigzag(len(meta[k])) + meta[k]
+    out += _avro_zigzag(0)  # end of metadata map
+    out += sync
+    for i in range(0, len(rows), rows_per_block):
+        block = rows[i : i + rows_per_block]
+        body = bytearray()
+        for row in block:
+            for v, (_n, t) in zip(row, fields):
+                body += _avro_encode_value(v, t)
+        out += _avro_zigzag(len(block))
+        out += _avro_zigzag(len(body))
+        out += body
+        out += sync
+    return bytes(out)
+
+
+def parse_avro_ocf(blob: bytes) -> tuple[str, list[tuple]]:
+    """Walk an OCF: validate magic, read the metadata map, require
+    the null codec, then decode every block and VERIFY each block's
+    trailing sync marker — a truncated or spliced block fails loudly,
+    never yields silent partial rows."""
+    if blob[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _avro_read_long(blob, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count precedes a byte size
+            n = -n
+            _, pos = _avro_read_long(blob, pos)
+        for _ in range(n):
+            kl, pos = _avro_read_long(blob, pos)
+            k = blob[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _avro_read_long(blob, pos)
+            meta[k] = blob[pos : pos + vl]
+            pos += vl
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    schema_json = meta["avro.schema"].decode()
+    fields = _avro_fields(schema_json)
+    sync = blob[pos : pos + 16]
+    pos += 16
+    rows: list[tuple] = []
+    while pos < len(blob):
+        count, pos = _avro_read_long(blob, pos)
+        size, pos = _avro_read_long(blob, pos)
+        end = pos + size
+        for _ in range(count):
+            vals = []
+            for _name, t in fields:
+                v, pos = _avro_decode_value(blob, pos, t)
+                vals.append(v)
+            rows.append(tuple(vals))
+        if pos != end:
+            raise ValueError(
+                f"avro block decoded {pos - (end - size)} bytes, "
+                f"stated {size}"
+            )
+        if blob[pos : pos + 16] != sync:
+            raise ValueError("avro block sync marker mismatch")
+        pos += 16
+    return schema_json, rows
+
+
+AVRO_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def decode_avro_events(df: DataFrame) -> DataFrame:
+    """mapInPandas OCF explosion for the events record shape:
+    (payload) → one row per record. Partition-local; payloads never
+    shuffle — the same contract as every codec in this module."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                _schema, recs = parse_avro_ocf(bytes(payload))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                rows,
+                columns=["event_id", "user_id", "event_type", "value"],
+            )
+
+    return df.mapInPandas(run, AVRO_EVENT_SCHEMA)

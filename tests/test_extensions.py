@@ -1779,3 +1779,66 @@ def test_histogram_sketch_state_merges_and_bounds(spark, tmp_path):
     for q in (50, 95):
         true = vals[-(-q * len(vals) // 100) - 1]  # percentile_disc
         assert qbins[q] * 32 <= true < (qbins[q] + 1) * 32, (q, true, qbins)
+
+
+def test_avro_ocf_spec_vectors_and_corruption():
+    """The Avro codec anchored to the specification's own zigzag
+    examples (not just round-trip self-consistency), multi-block
+    round-trip with negative longs / unicode strings / doubles,
+    loud failure on sync-marker corruption and truncated blocks,
+    and loud rejection of complex types and non-null codecs."""
+    import struct
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        _avro_zigzag,
+        avro_ocf_bytes,
+        parse_avro_ocf,
+    )
+
+    # spec example vectors (Avro 1.12 spec, "Binary Encoding"):
+    for n, b in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                 (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                 (64, b"\x80\x01")]:
+        assert _avro_zigzag(n) == b, n
+
+    schema = (
+        '{"type":"record","name":"T","fields":['
+        '{"name":"i","type":"long"},{"name":"s","type":"string"},'
+        '{"name":"d","type":"double"},{"name":"b","type":"boolean"}]}'
+    )
+    rows = [
+        (0, "", 0.0, False),
+        (-(2**62), "héllo", -1.5, True),
+        (2**62, "x" * 300, float("inf"), False),
+    ]
+    blob = avro_ocf_bytes(schema, rows, rows_per_block=1)
+    s2, got = parse_avro_ocf(blob)
+    assert got == rows
+    assert avro_ocf_bytes(schema, rows, rows_per_block=1) == blob  # determinism
+
+    # corrupt the FINAL sync marker -> loud
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    try:
+        parse_avro_ocf(bytes(bad))
+        raise AssertionError("corrupt sync accepted")
+    except ValueError as e:
+        assert "sync" in str(e)
+
+    # truncated mid-block -> loud (index error or size mismatch)
+    try:
+        parse_avro_ocf(blob[: len(blob) - 20])
+        raise AssertionError("truncated container accepted")
+    except (ValueError, IndexError, struct.error):
+        pass
+
+    # complex type / wrong codec rejected
+    try:
+        avro_ocf_bytes(
+            '{"type":"record","name":"U","fields":'
+            '[{"name":"u","type":["null","long"]}]}',
+            [],
+        )
+        raise AssertionError("union accepted")
+    except ValueError as e:
+        assert "complex" in str(e)
