@@ -1720,3 +1720,16 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document window — fully parallel across documents.
     See operators/corpus.cdc_chunk_dedup."""
     return _corpus.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q_epoch_manifest", oracle=_corpus.epoch_manifest_oracle(500))
+def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection flagship (round 9): the epoch training MANIFEST —
+    exactly 500 (document, copy) slots drawn by systematic weighted
+    sampling (multiplicity preserved as distinct slots) and laid out
+    in the deterministic epoch-1 (shard, pos) order, as ONE plan.
+    Every slot row is hash-bound, so the draw, the multiplicity
+    expansion, and the permutation all certify together. A preempted
+    training job rebuilds the identical manifest by construction.
+    See operators/corpus.epoch_manifest."""
+    return _corpus.epoch_manifest(_t(spark, sf_dir, "documents"), 500)

@@ -516,3 +516,108 @@ def cdc_chunk_dedup_oracle() -> str:
         FROM chunks JOIN freq USING (chash)
         GROUP BY doc_id
     """
+
+
+# constant expansion bound for the manifest oracle's multiplicity
+# unnest (DuckDB generate_series cannot take a lateral column bound —
+# round-2 lesson); systematic sampling caps per-item copies at
+# ceil(n·w_max/W)+1, far below this for any real weight skew
+MANIFEST_MAX_COPIES = 64
+
+
+def epoch_manifest(
+    df: DataFrame,
+    n_draws: int,
+    epoch: int = 1,
+    n_shards: int = EPOCH_SHARDS,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SELECTION flagship composing the round's sampling pieces
+    into the artifact a training run actually consumes: an EPOCH
+    MANIFEST — exactly ``n_draws`` (document, copy) slots, drawn by
+    systematic weighted sampling (heavy documents legitimately
+    appear multiple times — each copy is a distinct slot), laid out
+    in a deterministic epoch-specific (shard, pos) order via the
+    salted-hash reshuffle. Every stage is a pure function of
+    (epoch, ids, weights): a preempted run rebuilds the identical
+    manifest, and epoch 2's manifest is a fresh permutation of a
+    fresh draw. Composition: systematic_weighted_sample →
+    multiplicity expansion (posexplode over the copies sequence) →
+    per-(doc, copy) salted shard/pos — one weight-line window + one
+    shard-keyed window, no global sort.
+
+    Copies beyond ``MANIFEST_MAX_COPIES`` fail loudly rather than
+    silently truncating the draw (a weight so dominant it exceeds
+    the bound deserves a mixture-design review, not a quiet cap)."""
+    sample = systematic_weighted_sample(df, n_draws, weight_col, id_col)
+    expanded = (
+        sample.where(F.col("copies") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.col("copies") <= MANIFEST_MAX_COPIES,
+                    F.sequence(F.lit(1), F.col("copies")),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("copies exceeds manifest bound: "),
+                            F.col("copies").cast("string"),
+                        )
+                    )
+                )
+            ).alias("copy"),
+        )
+    )
+    k = md5_long(
+        F.concat(
+            F.lit(f"em:{epoch}:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("copy").cast("string"),
+        )
+    )
+    w_shard = Window.partitionBy("shard").orderBy(
+        F.col("k").asc(), F.col(id_col).asc(), F.col("copy").asc()
+    )
+    return (
+        expanded.withColumn("k", k)
+        .withColumn("shard", (F.col("k") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w_shard).cast("long"))
+        .select(id_col, "copy", "shard", "pos")
+    )
+
+
+def epoch_manifest_oracle(
+    n_draws: int,
+    epoch: int = 1,
+    n_shards: int = EPOCH_SHARDS,
+    weight_col: str = "n_chars",
+    table: str = "documents",
+) -> str:
+    key = md5_long_sql(
+        f"'em:{epoch}:' || CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(copy AS VARCHAR)"
+    )
+    return f"""
+        WITH sam AS (
+            {systematic_weighted_sample_oracle(n_draws, weight_col, table)}
+        ),
+        expanded AS (
+            SELECT doc_id, c AS copy
+            FROM sam,
+                 unnest([x FOR x IN range(1, {MANIFEST_MAX_COPIES + 1})])
+                     AS t(c)
+            WHERE sam.copies >= 1 AND c <= sam.copies
+        ),
+        keyed AS (
+            SELECT doc_id, copy, {key} AS k FROM expanded
+        )
+        SELECT doc_id, copy,
+               CAST(k % {n_shards} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY k % {n_shards}
+                   ORDER BY k ASC, doc_id ASC, copy ASC) AS BIGINT) AS pos
+        FROM keyed
+    """

@@ -1842,3 +1842,48 @@ def test_avro_ocf_spec_vectors_and_corruption():
         raise AssertionError("union accepted")
     except ValueError as e:
         assert "complex" in str(e)
+
+
+def test_epoch_manifest_slots_and_reproducibility(spark):
+    """Manifest invariants: exactly n slots; per-shard positions
+    dense from 1; multiplicity preserved as distinct slots;
+    bit-identical rebuild; different epochs give a different
+    permutation of a fresh draw; the copies bound fails loudly."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        epoch_manifest,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 13) * 50 + 10).cast("long").alias("n_chars"),
+    )
+    n = 64
+    m1 = epoch_manifest(docs, n, epoch=1).collect()
+    assert len(m1) == n
+    by_shard: dict = {}
+    for r in m1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert len({(r["doc_id"], r["copy"]) for r in m1}) == n  # slots unique
+
+    again = epoch_manifest(docs, n, epoch=1).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, again))
+
+    m2 = epoch_manifest(docs, n, epoch=2).collect()
+    assert {(r["doc_id"], r["copy"]) for r in m1} == {
+        (r["doc_id"], r["copy"]) for r in m2
+    }  # same draw (epoch changes order, not selection)
+    assert sorted(map(tuple, m1)) != sorted(map(tuple, m2))
+
+    # dominant weight beyond the bound: loud, never truncated
+    skew = spark.createDataFrame(
+        [(1, 10_000_000), (2, 1)], "doc_id long, n_chars long"
+    )
+    try:
+        epoch_manifest(skew, 100).collect()
+        raise AssertionError("over-bound copies accepted")
+    except Exception as e:
+        assert "manifest bound" in str(e)
