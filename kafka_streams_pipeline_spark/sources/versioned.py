@@ -511,6 +511,13 @@ def read_corpus_log(
             (F.lit(b), F.lit(i)) for i, b in enumerate(batches)
         )
     )
+    # _metadata.file_path, NOT input_file_name(): the latter is
+    # classified NONDETERMINISTIC, and a nondeterministic projection
+    # blocks ALL predicate pushdown into the scan (caught by the
+    # projection/pushdown plan contract — the one-scan rewrite would
+    # otherwise have traded scan count for pushdown). The hidden
+    # metadata struct is a proper deterministic metadata column;
+    # filters push through it and column pruning is unaffected.
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(store_dir, _DATA, b) for b in batches])
@@ -518,7 +525,7 @@ def read_corpus_log(
             _SEQ,
             seq_map[
                 F.regexp_extract(
-                    F.input_file_name(), r"/(b\d{6})/[^/]+$", 1
+                    F.col("_metadata.file_path"), r"/(b\d{6})/[^/]+$", 1
                 )
             ].cast("int"),
         )

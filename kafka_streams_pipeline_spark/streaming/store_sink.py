@@ -79,7 +79,11 @@ def make_store_upsert_sink(
 
 
 def make_store_commit_sink(
-    store_dir: str, note_prefix: str = "stream", stats: dict | None = None
+    store_dir: str,
+    note_prefix: str = "stream",
+    stats: dict | None = None,
+    checks: list | None = None,
+    quarantine_dir: str | None = None,
 ):
     """A ``foreachBatch`` function committing each micro-batch as one
     store batch, EXACTLY-ONCE: the commit note encodes the
@@ -90,13 +94,29 @@ def make_store_commit_sink(
     (availableNow bookkeeping triggers) are skipped too, so the
     version count equals the data-batch count deterministically.
 
-    ``stats`` (optional dict) accumulates ``committed``/``skipped``
-    counts so harnesses can assert the replay path was actually
-    exercised rather than assumed."""
+    ``checks`` + ``quarantine_dir``: the streaming leg of commit-time
+    governance. A micro-batch failing any check is DEAD-LETTERED —
+    written under ``quarantine_dir/batch-<id>/`` (rows as parquet,
+    the per-check violation counts as ``violations.json``) and NOT
+    committed, so one poisoned batch cannot stop the stream OR
+    corrupt the store; the quarantine is idempotent under replay
+    (overwrite of the same batch directory). ``checks`` without a
+    ``quarantine_dir`` raises up front: silently dropping a failing
+    batch is never an option.
+
+    ``stats`` (optional dict) accumulates ``committed`` /
+    ``skipped`` / ``quarantined`` counts so harnesses can assert
+    each path was actually exercised rather than assumed."""
+    if checks and quarantine_dir is None:
+        raise ValueError(
+            "checks require a quarantine_dir — a failing micro-batch "
+            "must land somewhere auditable, never be dropped"
+        )
     if stats is None:
         stats = {}
     stats.setdefault("committed", 0)
     stats.setdefault("skipped", 0)
+    stats.setdefault("quarantined", 0)
 
     def sink(df, batch_id: int) -> None:
         if not df.take(1):
@@ -105,6 +125,29 @@ def make_store_commit_sink(
         if note in committed_stream_notes(store_dir, note_prefix):
             stats["skipped"] += 1
             return
+        if checks:
+            from kafka_streams_pipeline_spark.operators.quality import (
+                run_checks,
+            )
+
+            failed = {
+                r["check_name"]: r["violations"]
+                for r in run_checks(df, checks).collect()
+                if not r["passed"]
+            }
+            if failed:
+                qdir = os.path.join(
+                    quarantine_dir, f"batch-{batch_id:06d}"
+                )
+                df.write.mode("overwrite").parquet(
+                    os.path.join(qdir, "rows")
+                )
+                with open(
+                    os.path.join(qdir, "violations.json"), "w"
+                ) as f:
+                    json.dump({"batch_id": batch_id, "failed": failed}, f)
+                stats["quarantined"] += 1
+                return
         commit_corpus(df, store_dir, note=note)
         stats["committed"] += 1
 

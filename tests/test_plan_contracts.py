@@ -448,3 +448,56 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mor_latest_prunes_columns_and_pushes_filters(spark, tmp_path):
+    """Scale contract for the merged read: selecting two columns
+    through read_corpus_latest must reach the parquet scan as a
+    pruned ReadSchema (key + selected + the path-derived plumbing
+    only — never the whole row), and a key predicate must appear in
+    PushedFilters. A merged read that scans every column would drag
+    the full corpus width through the MoR shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    commit_corpus(
+        spark.range(1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("a"),
+            (F.col("id") * 3).alias("b"),
+            F.concat(F.lit("pad"), F.col("id").cast("string")).alias("c"),
+        ),
+        store,
+        "base",
+    )
+    upsert_corpus(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") + 7).alias("a"),
+            (F.col("id") + 8).alias("b"),
+            F.lit("upd").alias("c"),
+        ),
+        store,
+        "k",
+    )
+    narrow = (
+        read_corpus_latest(spark, store, "k")
+        .where(F.col("k") < 100)
+        .select("k", "a")
+    )
+    narrow.collect()
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    assert "ReadSchema" in scan
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "a:" in read_schema and "k:" in read_schema
+    assert "b:" not in read_schema and "c:" not in read_schema, read_schema
+    assert "PushedFilters: [" in scan and "LessThan(k,100)" in scan, scan

@@ -699,7 +699,7 @@ def test_store_ingest_exactly_once_across_replay(spark, tmp_path):
         os.unlink(crc)
     run()
 
-    assert stats == {"committed": 4, "skipped": 1}
+    assert stats == {"committed": 4, "skipped": 1, "quarantined": 0}
     assert latest_version(store) == 4
     got = sorted(r["k"] for r in read_corpus(spark, store).collect())
     assert got == list(range(40))  # exactly once, nothing doubled/lost
@@ -826,3 +826,76 @@ def test_version_at_timestamp_travel(spark, tmp_path):
     os.unlink(mp)
     json.dump(rec, open(mp, "w"))
     assert version_at(store, t0 - 10) == 1
+
+
+def test_store_sink_quarantines_poisoned_batches(spark, tmp_path):
+    """Streaming governance: a micro-batch failing the check suite is
+    dead-lettered (rows + violation counts under quarantine/) and
+    NOT committed — the stream continues, clean batches land, and
+    checks without a quarantine_dir refuse up front."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.quality import Check
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        read_corpus,
+        store_history,
+    )
+    from kafka_streams_pipeline_spark.streaming.store_sink import (
+        make_store_commit_sink,
+    )
+
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        make_store_commit_sink(
+            str(tmp_path / "s0"), checks=[Check("c", "not_null", "v")]
+        )
+
+    src = str(tmp_path / "src")
+    qdir = str(tmp_path / "quarantine")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    m0 = time.time() - 86_400
+    chunks = [
+        [{"k": 1, "v": 10}, {"k": 2, "v": 20}],          # clean
+        [{"k": 3, "v": -7}, {"k": 4, "v": 40}],          # poisoned
+        [{"k": 5, "v": 50}],                             # clean
+    ]
+    for i, rows in enumerate(chunks):
+        p = os.path.join(src, f"c{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (m0 + i, m0 + i))
+
+    stats: dict = {}
+    sink = make_store_commit_sink(
+        store,
+        "gq",
+        stats,
+        checks=[Check("v_positive", "in_range", "v", lo=0)],
+        quarantine_dir=qdir,
+    )
+    q = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert stats == {"committed": 2, "skipped": 0, "quarantined": 1}
+    assert sorted(r["k"] for r in read_corpus(spark, store).collect()) == [
+        1, 2, 5,
+    ]
+    assert store_history(spark, store).count() == 2
+    (qbatch,) = os.listdir(qdir)
+    viol = json.load(open(os.path.join(qdir, qbatch, "violations.json")))
+    assert viol["failed"] == {"v_positive": 1}
+    qrows = spark.read.parquet(os.path.join(qdir, qbatch, "rows"))
+    assert sorted(r["k"] for r in qrows.collect()) == [3, 4]
