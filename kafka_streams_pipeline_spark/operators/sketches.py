@@ -771,6 +771,15 @@ def kmv_set_ops(
         .where(F.col("h32") <= F.col("_t"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
     )
+    # A\B sample: θ_union ≤ min(θ_A, θ_B), so below θ every hash's
+    # membership in A and B is decided by the kept sets — the
+    # a-not-b theta-sketch rule (Dasgupta et al. 2016 §3)
+    counts = counts.crossJoin(
+        sa.join(sb, "h32", "left_anti")
+        .crossJoin(u.select(F.col("theta").alias("_t2")))
+        .where(F.col("h32") <= F.col("_t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anotb"))
+    )
     exact = (
         df_a.select(F.col(col).alias("v"))
         .where(F.col("v").isNotNull())
@@ -792,6 +801,11 @@ def kmv_set_ops(
             )
             .cast("long")
             .alias("inter_exact"),
+            F.count_distinct(
+                F.when(F.col("in_b").isNull(), F.col("v"))
+            )
+            .cast("long")
+            .alias("diff_exact"),
         )
     )
     est_u = (
@@ -802,16 +816,23 @@ def kmv_set_ops(
         f"CASE WHEN n_union_used < {k} THEN CAST(n_match AS DOUBLE) "
         f"ELSE ({est_u}) * n_match / {k} END"
     )
+    est_d = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_anotb AS DOUBLE) "
+        f"ELSE ({est_u}) * n_anotb / {k} END"
+    )
     return counts.crossJoin(exact).select(
         "n_a_used",
         "n_b_used",
         "n_union_used",
         "theta",
         "n_match",
+        "n_anotb",
         F.expr(f"round({est_u}, 6)").alias("union_estimate"),
         F.expr(f"round({est_i}, 6)").alias("inter_estimate"),
+        F.expr(f"round({est_d}, 6)").alias("diff_estimate"),
         "union_exact",
         "inter_exact",
+        "diff_exact",
     )
 
 
@@ -832,6 +853,10 @@ def kmv_set_ops_oracle(
     est_i = (
         f"CASE WHEN n_union_used < {k} THEN CAST(n_match AS DOUBLE) "
         f"ELSE ({est_u}) * n_match / {k} END"
+    )
+    est_d = (
+        f"CASE WHEN n_union_used < {k} THEN CAST(n_anotb AS DOUBLE) "
+        f"ELSE ({est_u}) * n_anotb / {k} END"
     )
     return f"""
         WITH sa AS (
@@ -859,6 +884,12 @@ def kmv_set_ops_oracle(
             FROM sa JOIN sb USING (h32), u
             WHERE h32 <= u.theta
         ),
+        ab AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_anotb
+            FROM sa, u
+            WHERE h32 <= u.theta
+              AND NOT EXISTS (SELECT 1 FROM sb WHERE sb.h32 = sa.h32)
+        ),
         ex AS (
             SELECT
                 (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}
@@ -866,16 +897,20 @@ def kmv_set_ops_oracle(
                    AND (({pred_a}) OR ({pred_b}))) AS union_exact,
                 (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}
                  WHERE {col} IS NOT NULL
-                   AND ({pred_a}) AND ({pred_b})) AS inter_exact
+                   AND ({pred_a}) AND ({pred_b})) AS inter_exact,
+                (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {table}
+                 WHERE {col} IS NOT NULL
+                   AND ({pred_a}) AND NOT ({pred_b})) AS diff_exact
         )
         SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a_used,
             (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b_used,
-            n_union_used, theta, n_match,
+            n_union_used, theta, n_match, n_anotb,
             round({est_u}, 6) AS union_estimate,
             round({est_i}, 6) AS inter_estimate,
-            union_exact, inter_exact
-        FROM u, m, ex
+            round({est_d}, 6) AS diff_estimate,
+            union_exact, inter_exact, diff_exact
+        FROM u, m, ab, ex
     """
 
 

@@ -1887,3 +1887,37 @@ def test_epoch_manifest_slots_and_reproducibility(spark):
         raise AssertionError("over-bound copies accepted")
     except Exception as e:
         assert "manifest bound" in str(e)
+
+
+def test_kmv_difference_estimate_and_identities(spark):
+    """The a-not-b leg: on sub-k domains the difference is exact;
+    on large domains the estimate lands within a loose accuracy
+    band; and the structural identity n_match + n_anotb <= k always
+    holds (both are counted below the union theta)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    # exact branch: tiny domains
+    a = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    b = spark.range(20, 40).select(F.col("id").alias("doc_id"))
+    r = kmv_set_ops(a, b).collect()[0]
+    assert r["diff_exact"] == 20
+    assert r["diff_estimate"] == 20.0  # sub-k: exact by convention
+    assert r["inter_estimate"] == 10.0
+
+    # estimation branch: domains >> k, known overlap structure
+    big_a = spark.range(0, 30_000).select(F.col("id").alias("doc_id"))
+    big_b = spark.range(20_000, 50_000).select(F.col("id").alias("doc_id"))
+    r2 = kmv_set_ops(big_a, big_b).collect()[0]
+    assert r2["n_match"] + r2["n_anotb"] <= 256 + 1
+    assert r2["diff_exact"] == 20_000
+    assert 0.5 * 20_000 < r2["diff_estimate"] < 1.6 * 20_000
+    # consistency: diff + inter estimates ≈ |A| mass
+    assert (
+        0.5 * 30_000
+        < r2["diff_estimate"] + r2["inter_estimate"]
+        < 1.6 * 30_000
+    )
