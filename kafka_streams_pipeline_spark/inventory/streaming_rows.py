@@ -3058,3 +3058,30 @@ def q_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_out = out.schema
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(result, schema_out)
+
+
+def _hist_by_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_sketch_by_sql,
+    )
+
+    return histogram_sketch_by_sql(
+        "documents", "lang", "n_chars", 0, 1024, 32
+    )
+
+
+@register("q_histogram_by_group", oracle=_hist_by_oracle())
+def q_histogram_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram ranks (round 9): per-language n_chars
+    distribution state — the per-dimension production shape of the
+    ranks family, mirroring q_hll_by_group for distincts. Every
+    (group, bin, count) row is hash-bound; ≤ groups·34 output rows
+    from one aggregate pass, map-side partials doing the work.
+    See operators/sketches.histogram_sketch_by."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        histogram_sketch_by,
+    )
+
+    return histogram_sketch_by(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", 0, 1024, 32
+    )

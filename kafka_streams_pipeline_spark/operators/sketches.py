@@ -1005,3 +1005,42 @@ def histogram_sketch_sql(
         FROM {table} WHERE {col} IS NOT NULL
         GROUP BY 1
     """
+
+
+def histogram_sketch_by(
+    df: DataFrame, group_col: str, col: str, lo: int, hi: int, nbins: int
+) -> DataFrame:
+    """Grouped histogram state: (group, bin, cnt) — the per-dimension
+    production shape (value distribution per language / source /
+    shard), mirroring ``hll_distinct_by`` for the ranks family.
+    Same declared-domain equi-bin construction with explicit
+    overflow bins; states merge per (group, bin) by sum. One
+    aggregate over the input; output is ≤ groups·(nbins+2) rows."""
+    width = (hi - lo + nbins - 1) // nbins
+    b = (
+        F.when(F.col(col) < lo, F.lit(-1))
+        .when(F.col(col) >= hi, F.lit(nbins))
+        .otherwise(((F.col(col) - lo) / width).cast("long"))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.cast("long").alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_sketch_by_sql(
+    table: str, group_col: str, col: str, lo: int, hi: int, nbins: int
+) -> str:
+    width = (hi - lo + nbins - 1) // nbins
+    return f"""
+        SELECT {group_col} AS grp,
+               CAST(CASE WHEN {col} < {lo} THEN -1
+                         WHEN {col} >= {hi} THEN {nbins}
+                         ELSE ({col} - {lo}) // {width} END AS BIGINT)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} WHERE {col} IS NOT NULL
+        GROUP BY 1, 2
+    """
