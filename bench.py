@@ -202,11 +202,15 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
     round, and an in-round regression that persists across reruns
     self-masks after run one (ADVICE r7; also the cause of
     BENCH_DETAIL_r07's deltas_vs naming itself). A round counts as
-    CLOSED only once the driver's CORRECTNESS_r{N}.json exists
-    (ADVICE r8: keying in-progress off max BENCH record + 1 let a
-    driver-recorded BENCH_r{N} mid-round reopen the self-masking) —
-    so the current round and anything newer is skipped even if a
-    BENCH_r{N} for it has already landed. Fallback when no
+    CLOSED only once BOTH the driver's CORRECTNESS_r{N}.json AND its
+    BENCH_r{N}.json exist (VERDICT r9: the driver writes correctness
+    FIRST and then runs this script to produce BENCH_r{N} — keying
+    closed-ness off correctness alone made the round being benched
+    look closed, so the driver's own run baselined against the
+    round's in-progress detail file). The round being benched is
+    therefore never its own baseline in either context: the
+    builder's in-round runs see no CORRECTNESS_r{N}, the driver's
+    end-of-round run sees no BENCH_r{N} yet. Fallback when no
     correctness records exist: the old max-BENCH+1 heuristic."""
     import glob
     import re
@@ -227,7 +231,10 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         if m:
             closed.add(int(m.group(1)))
-    if closed:
+    fully_closed = closed & recorded
+    if fully_closed:
+        in_progress_from = max(fully_closed) + 1
+    elif closed:
         in_progress_from = max(closed) + 1
     elif recorded:
         in_progress_from = max(recorded) + 1

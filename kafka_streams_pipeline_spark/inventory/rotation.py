@@ -25,25 +25,10 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # row: certified names go to the back of the returned dict,
 # never-checked names to the front (VERDICT r2 "Next round" item 3,
 # VERDICT r3 items 1-2, VERDICT r4 items 1-2).
-# Round-5 evidence (CORRECTNESS_r05.json residue after round 8
-# re-certified the r4 vintage and the head of this list; these 33
-# are now the stalest rows and head the round-9 window tail):
+# Round-5 evidence (CORRECTNESS_r05.json residue after round 9
+# re-certified the head of this list; these 17 are now the stalest
+# rows and head the round-10 window tail — VERDICT r9 item 3):
 _CERTIFIED_R5: list[str] = [
-    "q_asof_attribution",
-    "q_window_rank",
-    "q_window_lag",
-    "q_retention",
-    "q_funnel",
-    "q_latest_by_key",
-    "q_scd2_intervals",
-    "q_rolling_zscore",
-    "q_set_ops",
-    "q_union",
-    "q_topk_limit",
-    "q_tpch_pricing",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_promo_share",
     "q_supplier_volume",
     "q_quantiles",
     "q_pivot",
@@ -69,7 +54,6 @@ _CERTIFIED_R6: list[str] = [
     "q_bm25",
     "q_knn_join",
     "q_skew_report",
-    "q_streaming_view",
     "q_streaming_totals",
     "q_streaming_alerts",
     "q_csv_source",
@@ -171,14 +155,10 @@ _CERTIFIED_R8: list[str] = [
     "q_encode_documents",
     "q_bigram_surprisal_hashed",
     "q_repeated_ngrams_hashed",
-    "q_corpus_checkpoint",
-    "q_corpus_vacuum",
-    "q_corpus_schema_evolution",
     "q_salted_join",
     "q_semantic_dedup",
     "q_repeated_ngrams",
     "q_bigram_surprisal",
-    "q_corpus_versioning",
     "q_pq_adc_topk",
     "q_window_cume",
     "q_scan_project",
@@ -218,8 +198,65 @@ _CERTIFIED_R8: list[str] = [
     "q_cube",
     "q_salted_agg",
 ]
+# in window order: the 30 round-9 additions (auto-head), the 5
+# _RECHECK re-certifications, then the stalest r5/r6 re-certs
+# (CORRECTNESS_r09.json, 50/50 green).
+_CERTIFIED_R9: list[str] = [
+    "q_media_gif_frames",
+    "q_media_tar_shards",
+    "q_ivf_pq_topk",
+    "q_tokenizer_pipeline",
+    "q_epoch_shuffle",
+    "q_weighted_sample",
+    "q_table_profile",
+    "q_quality_checks",
+    "q_textrank",
+    "q_bpe_train",
+    "q_triangle_count",
+    "q_decode_documents",
+    "q_cdc_chunk_dedup",
+    "q_epoch_manifest",
+    "q_kmv_set_ops",
+    "q_store_history",
+    "q_streaming_outer_join",
+    "q_corpus_upsert",
+    "q_zorder_layout",
+    "q_hll_incremental",
+    "q_store_bloom_index",
+    "q_streaming_store_ingest",
+    "q_store_minmax_index",
+    "q_cms_incremental",
+    "q_gated_ingest",
+    "q_gzip_source",
+    "q_histogram_incremental",
+    "q_streaming_histogram",
+    "q_avro_source",
+    "q_histogram_by_group",
+    "q_corpus_versioning",
+    "q_corpus_checkpoint",
+    "q_corpus_vacuum",
+    "q_corpus_schema_evolution",
+    "q_streaming_view",
+    "q_asof_attribution",
+    "q_window_rank",
+    "q_window_lag",
+    "q_retention",
+    "q_funnel",
+    "q_latest_by_key",
+    "q_scd2_intervals",
+    "q_rolling_zscore",
+    "q_set_ops",
+    "q_union",
+    "q_topk_limit",
+    "q_tpch_pricing",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_promo_share",
+]
+
 DRIVER_CERTIFIED: list[str] = (
     _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
+    + _CERTIFIED_R9
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
@@ -235,16 +272,22 @@ _ON_DECK: list[str] = []
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping.
 _RECHECK: list[str] = [
-    # round-9 code changes (ADVICE r8 + VERDICT r8 items 3/6): the
-    # versioned store's lock-scope fixes (vacuum/checkpoint TOCTOU,
-    # pid-liveness stale-lock probe) touch every versioned-store
-    # lifecycle row, and the streaming upsert profiling touched the
-    # foreachBatch path behind q_streaming_view.
+    # round-10 code changes (ADVICE r9): the commit-lock guard
+    # (flock'd reclaim serialization) + version_at vacuumed-store
+    # scan touch every versioned-store lifecycle row; the store
+    # sinks' query-id-namespaced idempotence ledger touches the
+    # streaming ingest rows; systematic_weighted_sample now fails
+    # loudly on non-positive weights (engine + oracle rewrite); the
+    # histogram bin is now integer floor division in the Spark plan.
     "q_corpus_versioning",
     "q_corpus_checkpoint",
     "q_corpus_vacuum",
-    "q_corpus_schema_evolution",
-    "q_streaming_view",
+    "q_corpus_upsert",
+    "q_store_history",
+    "q_streaming_store_ingest",
+    "q_weighted_sample",
+    "q_histogram_by_group",
+    "q_histogram_incremental",
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to

@@ -336,6 +336,14 @@ def systematic_weighted_sample(
     BIGINT: selection never touches a float, so Spark and DuckDB
     agree bit-for-bit. Overflow budget: 2·n·W + W < 2^63.
 
+    Non-positive weights FAIL the query (``raise_error`` in the
+    plan, ``error()`` in the oracle; ADVICE r9): a zero/negative
+    weight would otherwise shrink the [0, W) line and silently
+    corrupt neighbouring segments' copy counts while the run
+    appeared to succeed. The failure is data-dependent and raised
+    from inside the prefix-sum projection, so no extra pass over
+    the input is spent checking.
+
     Scale shape: the exclusive prefix-sum is one global-order window
     (range shuffle, no global sort buffer); at 100 TB the documented
     refinement is the two-phase prefix sum (per-partition sums,
@@ -345,11 +353,22 @@ def systematic_weighted_sample(
     if n < 1:
         raise ValueError(f"sample size must be >= 1, got {n}")
     h = md5_long(F.concat(F.lit("swsamp:"), F.col(id_col).cast("string")))
+    w_guarded = F.when(
+        F.col(weight_col).cast("long") <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("systematic_weighted_sample: non-positive weight "),
+                F.col(weight_col).cast("string"),
+                F.lit(f" in {weight_col!r} at {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
     w_ord = Window.orderBy(F.col("h").asc(), F.col(id_col).asc())
     lined = (
         df.select(
             F.col(id_col),
-            F.col(weight_col).cast("long").alias("w"),
+            w_guarded.alias("w"),
             h.alias("h"),
         )
         .withColumn(
@@ -376,26 +395,22 @@ def systematic_weighted_sample(
         .cast("long")
         .alias("copies"),
     )
-    bad = df.where(F.col(weight_col).cast("long") <= 0)
-    return counted.where(F.col("copies") >= 1).unionByName(
-        # fail loudly on non-positive weights: surface them as an
-        # impossible sentinel the caller (and any oracle) would see
-        bad.select(
-            F.col(id_col),
-            F.lit(-1).cast("long").alias("w"),
-            F.lit(-1).cast("long").alias("copies"),
-        )
-    )
+    return counted.where(F.col("copies") >= 1)
 
 
 def systematic_weighted_sample_oracle(
     n: int, weight_col: str = "n_chars", table: str = "documents"
 ) -> str:
     h = md5_long_sql("'swsamp:' || CAST(doc_id AS VARCHAR)")
+    guarded = (
+        f"CASE WHEN CAST({weight_col} AS BIGINT) <= 0 THEN "
+        f"CAST(error('systematic_weighted_sample: non-positive weight at '"
+        f" || doc_id) AS BIGINT) ELSE CAST({weight_col} AS BIGINT) END"
+    )
     return f"""
         WITH lined AS (
-            SELECT doc_id, CAST({weight_col} AS BIGINT) AS w,
-                   CAST(coalesce(sum({weight_col}) OVER (
+            SELECT doc_id, {guarded} AS w,
+                   CAST(coalesce(sum({guarded}) OVER (
                        ORDER BY {h} ASC, doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) AS a
@@ -409,9 +424,6 @@ def systematic_weighted_sample_oracle(
         FROM lined, tot
         WHERE (({2 * n}::BIGINT * (a + w) + wtot) // (2 * wtot))
             - (({2 * n}::BIGINT * a + wtot) // (2 * wtot)) >= 1
-        UNION ALL
-        SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-        FROM {table} WHERE CAST({weight_col} AS BIGINT) <= 0
     """
 
 

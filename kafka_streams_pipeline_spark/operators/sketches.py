@@ -939,7 +939,12 @@ def histogram_sketch(
     b = (
         F.when(F.col(col) < lo, F.lit(-1))
         .when(F.col(col) >= hi, F.lit(nbins))
-        .otherwise(((F.col(col) - lo) / width).cast("long"))
+        .otherwise(
+            # integer floor division (ADVICE r9): the double
+            # quotient can round across an integer on large
+            # domains, misbinning vs the oracle's integer '//'
+            F.expr(f"({col} - {lo}) div {width}")
+        )
     )
     return (
         df.where(F.col(col).isNotNull())
@@ -1020,7 +1025,12 @@ def histogram_sketch_by(
     b = (
         F.when(F.col(col) < lo, F.lit(-1))
         .when(F.col(col) >= hi, F.lit(nbins))
-        .otherwise(((F.col(col) - lo) / width).cast("long"))
+        .otherwise(
+            # integer floor division (ADVICE r9): the double
+            # quotient can round across an integer on large
+            # domains, misbinning vs the oracle's integer '//'
+            F.expr(f"({col} - {lo}) div {width}")
+        )
     )
     return (
         df.where(F.col(col).isNotNull())

@@ -60,48 +60,67 @@ def _acquire_lock(store_dir: str, tag: str) -> str:
     (a live racer can still win the retry, which then fails loudly
     as usual). A lock from another host, or one whose holder is
     alive, raises ``StoreLockedError`` naming the holder; removing a
-    foreign host's lock is a human decision, never automatic."""
+    foreign host's lock is a human decision, never automatic.
+
+    Reclaim TOCTOU (ADVICE r9): the read-check-unlink-create
+    sequence is serialized through an ``flock``'d sidecar
+    (``.commit.lock.guard``) so two same-host contenders can never
+    BOTH read the same dead-pid lock and have the slower one unlink
+    the fresh lock the faster one just re-created. The guard is
+    held only for the microseconds of acquisition (never across the
+    commit itself), is kernel-released if the holder dies, and is
+    never unlinked, so it cannot itself go stale. Cross-host mutual
+    exclusion still rests solely on the O_EXCL create — foreign
+    locks are never reclaimed, so only same-host processes race on
+    the unlink, and those all funnel through the guard."""
+    import fcntl
+
     os.makedirs(os.path.join(store_dir, _MANIFESTS), exist_ok=True)
     lock = os.path.join(store_dir, _MANIFESTS, ".commit.lock")
-    for attempt in (0, 1):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    gfd = os.open(lock + ".guard", os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        fcntl.flock(gfd, fcntl.LOCK_EX)
+        for attempt in (0, 1):
             try:
-                with open(lock) as f:
-                    holder = f.read().strip() or "unknown"
-            except OSError:
-                holder = "unknown"
-            fields = dict(
-                kv.split("=", 1) for kv in holder.split() if "=" in kv
-            )
-            pid = fields.get("pid", "")
-            same_host = fields.get("host") == socket.gethostname()
-            if attempt == 0 and same_host and pid.isdigit():
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
                 try:
-                    os.kill(int(pid), 0)
-                except ProcessLookupError:
-                    # dead local holder: crash debris, reclaim
+                    with open(lock) as f:
+                        holder = f.read().strip() or "unknown"
+                except OSError:
+                    holder = "unknown"
+                fields = dict(
+                    kv.split("=", 1) for kv in holder.split() if "=" in kv
+                )
+                pid = fields.get("pid", "")
+                same_host = fields.get("host") == socket.gethostname()
+                if attempt == 0 and same_host and pid.isdigit():
                     try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-                    continue
-                except PermissionError:
-                    pass  # alive under another uid
-            raise StoreLockedError(
-                f"store {store_dir!r} has an active (or stale) commit "
-                f"lock {lock!r} held by [{holder}]; if the holder is "
-                "dead, remove the lock file and retry"
+                        os.kill(int(pid), 0)
+                    except ProcessLookupError:
+                        # dead local holder: crash debris, reclaim
+                        try:
+                            os.unlink(lock)
+                        except OSError:
+                            pass
+                        continue
+                    except PermissionError:
+                        pass  # alive under another uid
+                raise StoreLockedError(
+                    f"store {store_dir!r} has an active (or stale) commit "
+                    f"lock {lock!r} held by [{holder}]; if the holder is "
+                    "dead, remove the lock file and retry"
+                )
+            os.write(
+                fd,
+                f"pid={os.getpid()} host={socket.gethostname()} "
+                f"op={tag}".encode(),
             )
-        os.write(
-            fd,
-            f"pid={os.getpid()} host={socket.gethostname()} "
-            f"op={tag}".encode(),
-        )
-        os.close(fd)
-        return lock
-    raise AssertionError("unreachable")
+            os.close(fd)
+            return lock
+        raise AssertionError("unreachable")
+    finally:
+        os.close(gfd)  # releases the flock
 
 
 def _manifest_path(store_dir: str, version: int) -> str:
@@ -127,10 +146,26 @@ def version_at(store_dir: str, ts: float) -> int:
     travel on the manifest log. Versions are scanned newest-first;
     a manifest without a recorded ``ts`` (pre-feature commits) is
     treated as arbitrarily old, so legacy stores resolve to their
-    newest legacy version. Raises if nothing was committed by
-    ``ts`` — an explicit error beats silently serving a later
-    corpus to a reproducibility-sensitive caller."""
-    for v in range(latest_version(store_dir), 0, -1):
+    newest legacy version. Raises ``ValueError`` if nothing
+    READABLE was committed by ``ts`` — an explicit error beats
+    silently serving a later corpus to a reproducibility-sensitive
+    caller. Only versions whose manifests still exist are scanned
+    (ADVICE r9): on a vacuumed store, a ``ts`` predating the oldest
+    retained version falls through to the documented ValueError
+    instead of surfacing a FileNotFoundError from a pruned
+    manifest."""
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    versions: list[int] = []
+    if os.path.isdir(mdir):
+        versions = sorted(
+            (
+                int(f[1:7])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            ),
+            reverse=True,
+        )
+    for v in versions:
         with open(_manifest_path(store_dir, v)) as f:
             committed = json.load(f).get("ts")
         if committed is None or committed <= ts:

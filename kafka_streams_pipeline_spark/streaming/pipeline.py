@@ -246,3 +246,38 @@ def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
     return spark.read.parquet(view_dir).select(
         "gh", "window_start", "count", "sum", "avg"
     )
+
+
+def await_replay(q: StreamingQuery, timeout_secs: int = 300) -> None:
+    """Wait for a bounded (availableNow) replay to finish, LOUDLY.
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns False on
+    timeout and leaves the query RUNNING — a caller that ignores the
+    return value then reads a partially-upserted sink while the
+    query keeps mutating it in the background (the flaky-parity
+    failure mode: a replay that outlives its wait on a loaded box).
+    This helper turns that into a deterministic failure: on timeout
+    it stops the query (so the sink stops moving under later
+    readers), captures status + last progress for diagnosis, and
+    raises. Also re-raises the query's own exception if it FAILED
+    rather than timed out.
+    """
+    if q.awaitTermination(timeout_secs):
+        return
+    status, progress = None, None
+    try:
+        status, progress = q.status, q.lastProgress
+    except Exception:  # pragma: no cover - diagnostics only
+        pass
+    try:
+        q.stop()
+    except Exception:  # pragma: no cover - best effort
+        pass
+    exc = q.exception()
+    if exc is not None:  # died rather than timed out
+        raise exc
+    raise TimeoutError(
+        f"streaming replay did not finish within {timeout_secs}s; "
+        f"query stopped to keep the sink stable. status={status} "
+        f"lastProgress={progress}"
+    )

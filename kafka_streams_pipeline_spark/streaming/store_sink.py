@@ -46,6 +46,28 @@ def committed_stream_notes(store_dir: str, note_prefix: str) -> set[str]:
     return notes
 
 
+def _ledger_note(df, note_prefix: str, batch_id: int) -> str:
+    """The idempotence-ledger key for one micro-batch. Namespaced by
+    the streaming QUERY id (ADVICE r9): a ledger keyed on
+    (note_prefix, batch_id) alone confuses two different streams
+    writing the same store under the same/overlapping prefix, and —
+    worse — a checkpoint reset restarts batch ids at 0, so a
+    brand-new micro-batch would read as a replay and be silently
+    dropped. The query id is minted at the stream's FIRST start,
+    persisted in the checkpoint (stable across restarts — replays
+    still dedup), and re-minted on a checkpoint reset (fresh
+    namespace — nothing is mistaken for a replay). Read via the
+    stream-execution thread's local property, the documented
+    channel; when absent (sink invoked outside a streaming query,
+    e.g. a manual backfill) the note falls back to the bare prefix
+    and the one-sink-per-prefix-per-store contract applies."""
+    qid = df.sparkSession.sparkContext.getLocalProperty(
+        "sql.streaming.queryId"
+    )
+    ns = f"-q{qid[:8]}" if qid else ""
+    return f"{note_prefix}{ns}-batch-{batch_id:06d}"
+
+
 def make_store_upsert_sink(
     store_dir: str,
     key: str,
@@ -68,7 +90,7 @@ def make_store_upsert_sink(
     def sink(df, batch_id: int) -> None:
         if not df.take(1):
             return
-        note = f"{note_prefix}-batch-{batch_id:06d}"
+        note = _ledger_note(df, note_prefix, batch_id)
         if note in committed_stream_notes(store_dir, note_prefix):
             stats["skipped"] += 1
             return
@@ -121,7 +143,7 @@ def make_store_commit_sink(
     def sink(df, batch_id: int) -> None:
         if not df.take(1):
             return
-        note = f"{note_prefix}-batch-{batch_id:06d}"
+        note = _ledger_note(df, note_prefix, batch_id)
         if note in committed_stream_notes(store_dir, note_prefix):
             stats["skipped"] += 1
             return

@@ -155,3 +155,26 @@ def test_rotation_assistant_reads_evidence():
     rounds = rotate.load_rounds(str(pathlib.Path(__file__).parent.parent))
     assert rounds, "CORRECTNESS files should be discoverable"
     assert all(isinstance(v, dict) for v in rounds.values())
+
+
+def test_registry_md_matches_generated():
+    """REGISTRY.md drift check (VERDICT r9 item 7): at 200+ rows the
+    checked-in registry index IS the discovery surface — it must
+    equal what tools/gen_registry.py would write from the live
+    registry, byte for byte (stale certified flags and missing rows
+    both fail here instead of aging silently)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import gen_registry
+    finally:
+        sys.path.pop(0)
+
+    checked_in = (repo / "REGISTRY.md").read_text()
+    assert checked_in == gen_registry.render(), (
+        "REGISTRY.md is stale — run `python tools/gen_registry.py` "
+        "and commit the result"
+    )

@@ -1548,8 +1548,9 @@ def test_systematic_weighted_sample_exact_total_and_bounds(spark):
     """Systematic resampling invariants: Σ copies == n EXACTLY
     (telescoping floor counts), per-item copies within ±1 of the
     real-valued quota n·w/W (the systematic-resampler guarantee),
-    deterministic across runs, and non-positive weights surface as
-    loud sentinel rows instead of silent drops."""
+    deterministic across runs, and non-positive weights FAIL the
+    query (ADVICE r9: sentinel rows let a corrupted line 'succeed'
+    — a zero/negative weight shifts every later segment)."""
     from pyspark.sql import functions as F
 
     from kafka_streams_pipeline_spark.operators.corpus import (
@@ -1580,15 +1581,15 @@ def test_systematic_weighted_sample_exact_total_and_bounds(spark):
     }
     assert heavy[1] >= 9
 
-    # non-positive weights: sentinel rows, never silently dropped
+    # non-positive weights: the query fails loudly, never a silent
+    # drop and never a corrupted prefix-sum line
+    import pytest as _pytest
+
     bad = spark.createDataFrame(
         [(1, 5), (2, 0)], "doc_id long, n_chars long"
     )
-    rows = {
-        r["doc_id"]: (r["w"], r["copies"])
-        for r in systematic_weighted_sample(bad, 3).collect()
-    }
-    assert rows[2] == (-1, -1)
+    with _pytest.raises(Exception, match="non-positive weight"):
+        systematic_weighted_sample(bad, 3).collect()
 
 
 def test_cms_sketch_state_merges_linearly(spark, tmp_path):

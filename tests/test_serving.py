@@ -69,6 +69,28 @@ def test_snapshot_endpoint(api):
     assert ghs == sorted(ghs)
 
 
+def test_snapshot_local_param_still_truncates(api):
+    """Deliberate deviation pin (VERDICT r9 item 6, SURVEY §3.3):
+    the reference truncates the snapshot timestamp to the hour for
+    the GLOBAL branch but passes the UNTRUNCATED timestamp to the
+    local-state lookup (querying/QueryingController.java:82 vs :86),
+    so `local=true` point-reads a nonexistent mid-hour window key
+    and returns nothing. This engine always truncates — a single
+    distributed query IS the scatter-gather, `local` is
+    accepted-and-ignored — so the same mid-hour ts must return the
+    identical (non-empty) 10:00-window rows with and without
+    local=true."""
+    base = (
+        f"{api}/api/temperature/aggregate/count/snapshot"
+        "?ts=1704623400000&bbox=51.328125,4.21875,51.15234375,4.5703125"
+    )
+    code_g, msg_g = _get(base)
+    code_l, msg_l = _get(base + "&local=true")
+    assert code_g == code_l == 200
+    assert msg_l == msg_g
+    assert len(msg_l["data"]) > 0  # the reference's local branch: []
+
+
 @pytest.mark.parametrize(
     "path",
     [

@@ -11,6 +11,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from kafka_streams_pipeline_spark.streaming.pipeline import await_replay
 from kafka_streams_pipeline_spark.sources.readings import (
     decode_json_readings,
     with_event_time,
@@ -146,7 +147,7 @@ def test_stream_static_dimension_join(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
     got = {
         r["region"]: (r["n"], r["total"])
         for r in spark.sql("SELECT * FROM region_agg").collect()
@@ -902,3 +903,102 @@ def test_gated_commit_schema_enforcement(spark, tmp_path):
             [],
         )
     assert latest_version(store) == 2
+
+
+def test_stale_lock_reclaim_race_single_winner(tmp_path):
+    """ADVICE r9 reclaim TOCTOU: two same-host contenders that BOTH
+    see the same dead-pid lock must not interleave the
+    read-check-unlink-create sequence — the slower one would unlink
+    the fresh lock the faster one just re-created, leaving two live
+    'exclusive' holders. The flock'd guard serializes acquisition:
+    exactly ONE contender wins, every loser raises StoreLockedError,
+    and the lock file names the winner afterwards."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        StoreLockedError,
+        _acquire_lock,
+    )
+
+    def contender(store, barrier, out_path, idx):
+        barrier.wait()
+        try:
+            _acquire_lock(store, f"race-{idx}")
+            res = ("won", os.getpid())
+        except StoreLockedError:
+            res = ("lost", os.getpid())
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+
+    ctx = mp.get_context("fork")
+    for it in range(5):
+        store = str(tmp_path / f"store{it}")
+        os.makedirs(os.path.join(store, "_manifests"))
+        # a real-but-dead pid for the stale lock
+        dead = os.fork()
+        if dead == 0:
+            os._exit(0)
+        os.waitpid(dead, 0)
+        lock = os.path.join(store, "_manifests", ".commit.lock")
+        import socket
+
+        with open(lock, "w") as f:
+            f.write(f"pid={dead} host={socket.gethostname()} op=crash")
+
+        n = 4
+        barrier = ctx.Barrier(n)
+        outs = [str(tmp_path / f"out{it}_{i}.json") for i in range(n)]
+        procs = [
+            ctx.Process(target=contender, args=(store, barrier, outs[i], i))
+            for i in range(n)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(30)
+        results = [json.load(open(o)) for o in outs]
+        winners = [r for r in results if r[0] == "won"]
+        assert len(winners) == 1, results
+        with open(lock) as f:
+            content = f.read()
+        assert f"pid={winners[0][1]} " in content, (content, results)
+
+
+def test_version_at_vacuumed_store_raises_valueerror(spark, tmp_path):
+    """ADVICE r9: version_at on a vacuumed store must fall through to
+    the documented ValueError for a ts predating the oldest RETAINED
+    version — not surface a FileNotFoundError from a pruned
+    manifest."""
+    import json
+    import os
+
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        commit_corpus,
+        vacuum_corpus,
+        version_at,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        commit_corpus(
+            spark.createDataFrame([(i,)], "k long"), store, f"v{i + 1}"
+        )
+    # pin distinct, known commit timestamps
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        mp_ = _manifest_path(store, v)
+        with open(mp_) as f:
+            m = json.load(f)
+        m["ts"] = ts
+        with open(mp_, "w") as f:
+            json.dump(m, f)
+    assert version_at(store, 1500.0) == 1
+    vacuum_corpus(store, keep_from_version=2)
+    assert version_at(store, 2500.0) == 2
+    assert version_at(store, 9999.0) == 3
+    with pytest.raises(ValueError, match="no version"):
+        version_at(store, 1500.0)  # predates oldest retained

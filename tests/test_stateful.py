@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_pipeline_spark.schema import READING_SCHEMA
+from kafka_streams_pipeline_spark.streaming.pipeline import await_replay
 from kafka_streams_pipeline_spark.sources.readings import readings_from_events
 from kafka_streams_pipeline_spark.sources.tables import load_table
 from kafka_streams_pipeline_spark.streaming.stateful import (
@@ -64,7 +65,7 @@ def _run_stream(spark, src, op, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
     assert len(batches) >= 3  # one per file → state crossed batches
     return batches
 
@@ -321,7 +322,7 @@ def test_running_totals_survive_restart(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_replay(q, 300)
 
     write_chunk("chunk0.json", rows[:third])
     run_once()  # first incarnation: one chunk
@@ -468,7 +469,7 @@ def test_streaming_histogram_matches_batch_sketch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    await_replay(q, 300)
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)

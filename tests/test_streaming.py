@@ -15,6 +15,7 @@ from kafka_streams_pipeline_spark.operators import build_view
 from kafka_streams_pipeline_spark.sources.readings import readings_from_events
 from kafka_streams_pipeline_spark.sources.tables import load_table
 from kafka_streams_pipeline_spark.streaming.pipeline import (
+    await_replay,
     read_view,
     start_file_stream_pipeline,
 )
@@ -52,7 +53,7 @@ def test_stream_matches_batch_view(spark, sf_dir, readings_rows, tmp_path_factor
     q = start_file_stream_pipeline(
         spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
 
     got = {
         (r["gh"], r["window_start"]): (r["count"], r["sum"], r["avg"])
@@ -100,7 +101,7 @@ def test_late_beyond_watermark_dropped(spark, tmp_path_factory):
     q = start_file_stream_pipeline(
         spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
     # batch 2: 5 more rows for hour 0 — its window end (1 h) is far
     # below the 36 h watermark → dropped
     with open(os.path.join(src, "b_late.json"), "w") as f:
@@ -109,7 +110,7 @@ def test_late_beyond_watermark_dropped(spark, tmp_path_factory):
     q2 = start_file_stream_pipeline(
         spark, src, view, ckpt, available_now=True, max_files_per_trigger=1
     )
-    q2.awaitTermination(300)
+    await_replay(q2, 300)
 
     rows = {r["window_start"].hour: r for r in read_view(spark, view).collect()}
     assert rows[0]["count"] == 10  # late rows did NOT land
@@ -157,7 +158,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
     rows = spark.read.parquet(out).select("sensorId").collect()
     assert sorted(r["sensorId"] for r in rows) == ["s000000", "s000001", "s000002"]
 
@@ -172,7 +173,7 @@ def test_stream_restart_resumes_from_checkpoint(
     half = len(readings_rows) // 2
     _write_chunks(readings_rows[:half], src, n_chunks=1)
     q = start_file_stream_pipeline(spark, src, view, ckpt, available_now=True)
-    q.awaitTermination(300)
+    await_replay(q, 300)
     n1 = read_view(spark, view).agg(F.sum("count")).collect()[0][0]
     assert n1 == half
 
@@ -181,7 +182,7 @@ def test_stream_restart_resumes_from_checkpoint(
     _write_chunks(readings_rows[half:], src + "/more", n_chunks=1)
     os.rename(src + "/more/chunk0.json", src + "/chunk_late.json")
     q2 = start_file_stream_pipeline(spark, src, view, ckpt, available_now=True)
-    q2.awaitTermination(300)
+    await_replay(q2, 300)
     n2 = read_view(spark, view).agg(F.sum("count")).collect()[0][0]
     assert n2 == len(readings_rows)
 
@@ -292,7 +293,7 @@ def test_streaming_session_window(spark, sf_dir, readings_rows, tmp_path_factory
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_replay(q, 300)
     got = {(r["sensorId"], r["start"]): r["n"] for r in batches[-1]}
 
     batch_df = (
@@ -328,14 +329,14 @@ def test_corpus_filters_run_under_streaming(spark, sf_dir, tmp_path_factory):
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
     ).parquet(src)
-    (
+    await_replay(
         heuristic_filter(stream)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
+        .start(),
+        120,
     )
     got = {r.doc_id: (r.keep, r.drop_reason) for r in spark.read.parquet(out).collect()}
     want = {
@@ -347,14 +348,14 @@ def test_corpus_filters_run_under_streaming(spark, sf_dir, tmp_path_factory):
     # repetition_stats streams too (separate sink, same pattern)
     out2 = str(tmp_path_factory.mktemp("rep_out"))
     ck2 = str(tmp_path_factory.mktemp("rep_ck"))
-    (
+    await_replay(
         repetition_stats(stream)
         .writeStream.format("parquet")
         .option("path", out2)
         .option("checkpointLocation", ck2)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
+        .start(),
+        120,
     )
     got2 = {r.doc_id: r.top_token_frac for r in spark.read.parquet(out2).collect()}
     want2 = {
@@ -408,13 +409,13 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_facto
         & (F.col("c_ts") < F.col("p_ts")),
         "inner",
     ).select("p_id", "user_id", "p_ts", "c_ts")
-    (
+    await_replay(
         joined.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination(180)
+        .start(),
+        180,
     )
     # aggregate the streamed join results to the registered query's
     # grain; left-join semantics (purchases with zero clicks) come
@@ -459,14 +460,14 @@ def test_media_decode_runs_under_streaming(spark, sf_dir, tmp_path_factory):
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
     ).parquet(src)
-    (
+    await_replay(
         decode_png(stream)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
+        .start(),
+        120,
     )
     streamed = {
         r.asset_id: (r.width, r.height, r.sum_c0, r.weighted_sum)
@@ -589,7 +590,7 @@ def test_streaming_join_crosses_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    await_replay(q, 300)
     assert len(emitted_in) == len(matches)
     # no match can be emitted in the first micro-batch: its purchase
     # is always the first row of a later chunk
@@ -684,7 +685,7 @@ def test_store_ingest_exactly_once_across_replay(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120)
+        await_replay(q, 120)
         for _ in range(100):
             if all(aq.id != q.id for aq in spark.streams.active):
                 break
@@ -764,7 +765,7 @@ def test_store_upsert_sink_applies_cdc_stream(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120)
+        await_replay(q, 120)
         for _ in range(100):
             if all(aq.id != q.id for aq in spark.streams.active):
                 break
@@ -887,7 +888,7 @@ def test_store_sink_quarantines_poisoned_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120)
+    await_replay(q, 120)
 
     assert stats == {"committed": 2, "skipped": 0, "quarantined": 1}
     assert sorted(r["k"] for r in read_corpus(spark, store).collect()) == [
@@ -899,3 +900,54 @@ def test_store_sink_quarantines_poisoned_batches(spark, tmp_path):
     assert viol["failed"] == {"v_positive": 1}
     qrows = spark.read.parquet(os.path.join(qdir, qbatch, "rows"))
     assert sorted(r["k"] for r in qrows.collect()) == [3, 4]
+
+
+def test_store_sink_ledger_namespaced_by_query(spark, tmp_path):
+    """ADVICE r9: the sink's idempotence ledger is namespaced by the
+    streaming QUERY id. A second stream writing the same store under
+    the same prefix — or the same logical stream after a checkpoint
+    RESET — restarts micro-batch ids at 0; keyed on batch_id alone
+    its first batch would read as a replay and be silently dropped.
+    Both streams' batches must commit; replays within one checkpoint
+    still dedup (proven by the restart tests above)."""
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        read_corpus,
+        store_history,
+    )
+    from kafka_streams_pipeline_spark.streaming.store_sink import (
+        make_store_commit_sink,
+    )
+
+    store = str(tmp_path / "store")
+
+    def run_stream(tag, lo, hi):
+        src = str(tmp_path / f"src-{tag}")
+        ckpt = str(tmp_path / f"ckpt-{tag}")  # fresh checkpoint
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for k in range(lo, hi):
+                f.write(json.dumps({"k": k}) + "\n")
+        stats: dict = {}
+        sink = make_store_commit_sink(store, "ingest", stats)
+        q = (
+            spark.readStream.schema("k long")
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_replay(q, 120)
+        return stats
+
+    s1 = run_stream("first", 0, 10)
+    s2 = run_stream("second", 10, 20)  # batch ids restart at 0
+    assert s1["committed"] == 1 and s1["skipped"] == 0
+    assert s2["committed"] == 1 and s2["skipped"] == 0, (
+        "checkpoint-reset batch 0 mistaken for a replay"
+    )
+    got = sorted(r["k"] for r in read_corpus(spark, store).collect())
+    assert got == list(range(20))
+    notes = [r["note"] for r in store_history(spark, store).collect()]
+    assert len(notes) == len(set(notes)) == 2
+    assert all(n.startswith("ingest-q") for n in notes), notes
