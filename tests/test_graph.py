@@ -168,3 +168,50 @@ def test_triangle_count_hand_graphs(spark):
     r2 = triangle_count(path).collect()[0]
     assert r2["n_triangles"] == 0 and r2["n_wedges"] == 2
     assert r2["clustering_ppm"] == 0
+
+
+def test_triangle_orientation_bounds_hot_node_work(spark):
+    """VERDICT r9 item 5: degree orientation must kill the hot-node
+    wedge blowup. Construct a star (one hub, 2000 leaves) plus a
+    leaf ring: unoriented, the hub alone contributes
+    d·(d−1)/2 ≈ 2·10⁶ wedge candidates to ONE join key; oriented
+    low→high, every edge points INTO the hub, its out-degree is 0,
+    and total enumerated candidates Σ out·(out−1)/2 collapses to the
+    ring's O(n). Count must stay exact (every hub-leaf-leaf triangle
+    via a ring edge = exactly n_ring)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.graph import (
+        _oriented_edges,
+        triangle_count,
+    )
+
+    n = 2000
+    hub = spark.range(1, n + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    # ring over the leaves 1..n (each edge once, id_a < id_b)
+    ring = spark.range(1, n + 1).select(
+        F.least(F.col("id"), (F.col("id") % n) + 1).alias("id_a"),
+        F.greatest(F.col("id"), (F.col("id") % n) + 1).alias("id_b"),
+    )
+    edges = hub.unionByName(ring)
+
+    r = triangle_count(edges).collect()[0]
+    assert r["n_nodes"] == n + 1
+    assert r["n_edges"] == 2 * n
+    # every ring edge closes a triangle with the hub; no others
+    assert r["n_triangles"] == n
+    # unoriented hub wedge mass — what a hot key would have cost
+    assert r["n_wedges"] >= n * (n - 1) // 2
+
+    oriented, _ = _oriented_edges(edges)
+    out = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("o"))
+    stats = out.agg(
+        F.max("o").alias("mx"),
+        F.sum(F.expr("o * (o - 1) div 2")).alias("candidates"),
+    ).collect()[0]
+    # hub out-degree 0; leaves ≤ 3 (one hub edge + two ring edges)
+    assert stats["mx"] <= 3, stats
+    # candidate pairs are O(n), not O(n²)
+    assert stats["candidates"] <= 3 * n, stats
