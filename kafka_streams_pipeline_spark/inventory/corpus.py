@@ -1733,3 +1733,34 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     training job rebuilds the identical manifest by construction.
     See operators/corpus.epoch_manifest."""
     return _corpus.epoch_manifest(_t(spark, sf_dir, "documents"), 500)
+
+
+_DECON_BENCH_PRED = (
+    f"{md5_long_sql(chr(39) + 'bench:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 61 = 0"
+)
+
+
+@register(
+    "q_decontaminate",
+    oracle=_text.decontaminate_oracle(_DECON_BENCH_PRED),
+    bench=True,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 training-data hygiene: BENCHMARK DECONTAMINATION — flag
+    every training document sharing any 8-token n-gram with the
+    evaluation set (the scaled GPT-3 13-gram procedure). The
+    benchmark here is a deterministic ~1/61 salted-hash slice of the
+    corpus itself, so contamination is guaranteed non-trivial (the
+    slice docs self-match) and the oracle reconstructs the identical
+    slice. Benchmark n-grams broadcast; the corpus text never
+    shuffles — only matched (doc_id, count) rows reach the one
+    aggregation exchange. See operators/text.decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(
+        md5_long(
+            F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))
+        )
+        % 61
+        == 0
+    )
+    return _text.decontaminate(docs, bench)

@@ -278,7 +278,12 @@ _RECHECK: list[str] = [
     # sinks' query-id-namespaced idempotence ledger touches the
     # streaming ingest rows; systematic_weighted_sample now fails
     # loudly on non-positive weights (engine + oracle rewrite); the
-    # histogram bin is now integer floor division in the Spark plan.
+    # histogram bin is now integer floor division in the Spark plan;
+    # and the shared shingle expressions are now total on
+    # sub-n-token docs (safe-offsets filter), touching the
+    # minhash-path rows not already in the window head.
+    "q_dedup_recall",
+    "q_dedup_incremental",
     "q_corpus_versioning",
     "q_corpus_checkpoint",
     "q_corpus_vacuum",

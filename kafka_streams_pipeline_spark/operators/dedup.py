@@ -61,11 +61,29 @@ def _duck_hash(expr: str, seed: int | None = None) -> str:
     return md5_long_sql(inner)
 
 
+def _safe_offsets(tokens: str, n: int) -> str:
+    """Shingle start offsets 0..size-n as a TOTAL expression: empty
+    when the doc has fewer than n tokens. ``sequence(0, size-n)``
+    alone turns DESCENDING for short docs and the n-gram index then
+    reads past the array — and the guard cannot live in a Filter:
+    InferFiltersFromGenerate copies a size(shingles)>0 predicate
+    derived from a downstream explode into the scan-side Filter,
+    where it evaluates the shingle expression on UNFILTERED rows
+    (ANSI array OOB, round 10). DuckDB's comprehension over
+    range(1, len-n+2) is already empty for short docs, so this also
+    makes the engines agree on sub-n inputs instead of only on
+    corpora that happen to lack them."""
+    return (
+        f"filter(sequence(0, greatest(size({tokens}) - {n}, 0)), "
+        f"i -> i <= size({tokens}) - {n})"
+    )
+
+
 def spark_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
     """Distinct n-token shingles from a token array column."""
     parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
     return (
-        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), "
+        f"array_distinct(transform({_safe_offsets(tokens, n)}, "
         f"i -> concat_ws(' ', {parts})))"
     )
 
@@ -101,7 +119,7 @@ def spark_hashed_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
     parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
     h = _spark_hash(f"concat_ws(' ', {parts})")
     return (
-        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), "
+        f"array_distinct(transform({_safe_offsets(tokens, n)}, "
         f"i -> {h}))"
     )
 

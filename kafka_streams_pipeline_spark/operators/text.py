@@ -2142,3 +2142,124 @@ def decode_documents_oracle(min_count: int = 2) -> str:
         FROM norm
         GROUP BY doc_id
     """
+
+
+# --- Benchmark decontamination ---------------------------------------------
+# The GPT-3-appendix-C / PaLM procedure: a training document is
+# CONTAMINATED if it shares any length-N token n-gram with an
+# evaluation/benchmark document (production pipelines use N≈13;
+# scaled to the synthetic corpus's ~40-200-token docs here). This is
+# first-class training-data hygiene, distinct from dedup: the join is
+# corpus × benchmark, not corpus × corpus, and the benchmark side is
+# tiny by construction.
+
+DECON_N = 8  # n-gram length (the scaled-down 13-gram convention)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = DECON_N,
+) -> DataFrame:
+    """Per contaminated training doc: how many of its distinct
+    n-grams appear anywhere in the benchmark set, how many distinct
+    benchmark docs it collides with, and the contamination fraction
+    as parts-per-million integer (engine-exact; no floats).
+
+    Scale shape: the benchmark n-gram set is BROADCAST (eval suites
+    are thousands of examples vs a 100 TB corpus), so the corpus side
+    never shuffles its text — each partition explodes to md5-hashed
+    n-grams (``dedup.spark_hashed_shingles_expr``; fixed-width
+    BIGINTs, one md5 per n-gram), map-side-joins the broadcast set,
+    and only (doc_id, matched-count) survivors reach the one per-doc
+    aggregation shuffle. Clean documents produce ZERO join output —
+    at a realistic <0.1% contamination rate the shuffle is ~free.
+
+    Returns (doc_id, matched_ngrams, eval_docs_hit, total_ngrams,
+    contamination_ppm), contaminated docs only, ascending doc_id.
+    """
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        spark_hashed_shingles_expr,
+    )
+
+    sh = spark_hashed_shingles_expr("toks", n)
+    corpus = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .withColumn("ngs", F.expr(sh))
+        .select(
+            "doc_id",
+            F.expr("size(ngs)").cast("long").alias("total_ngrams"),
+            F.explode("ngs").alias("ng"),
+        )
+    )
+    bench = (
+        benchmark.withColumn("toks", F.split(F.col(text_col), " "))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.expr(sh)).alias("ng"),
+        )
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").cast("long").alias("matched_ngrams"),
+            F.countDistinct("eval_id").cast("long").alias("eval_docs_hit"),
+            F.max("total_ngrams").cast("long").alias("total_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "matched_ngrams",
+            "eval_docs_hit",
+            "total_ngrams",
+            F.expr("(matched_ngrams * 1000000) div total_ngrams")
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_oracle(
+    bench_pred: str, table: str = "documents", n: int = DECON_N
+) -> str:
+    """DuckDB twin; ``bench_pred`` is the SQL predicate selecting the
+    benchmark slice out of ``table`` (the registered query derives
+    the benchmark deterministically from the same corpus)."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        duck_hashed_shingles_expr,
+    )
+
+    sh = duck_hashed_shingles_expr("toks", n)
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, {sh} AS ngs
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM {table})
+            WHERE len(toks) >= {n}
+        ),
+        cng AS (
+            SELECT doc_id, len(ngs) AS total_ngrams, unnest(ngs) AS ng
+            FROM corpus
+        ),
+        bench AS (
+            SELECT DISTINCT eval_id, ng FROM (
+                SELECT doc_id AS eval_id, unnest({sh}) AS ng
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM {table} WHERE {bench_pred})
+                WHERE len(toks) >= {n}
+            )
+        )
+        SELECT c.doc_id,
+               CAST(count(DISTINCT c.ng) AS BIGINT) AS matched_ngrams,
+               CAST(count(DISTINCT b.eval_id) AS BIGINT) AS eval_docs_hit,
+               CAST(max(c.total_ngrams) AS BIGINT) AS total_ngrams,
+               CAST((count(DISTINCT c.ng) * 1000000) // max(c.total_ngrams)
+                   AS BIGINT) AS contamination_ppm
+        FROM cng c JOIN bench b ON c.ng = b.ng
+        GROUP BY c.doc_id
+    """

@@ -1922,3 +1922,82 @@ def test_kmv_difference_estimate_and_identities(spark):
         < r2["diff_estimate"] + r2["inter_estimate"]
         < 1.6 * 30_000
     )
+
+
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    """Benchmark decontamination: a train doc lifting an 8-token
+    phrase from an eval doc is flagged with the right n-gram count
+    and ppm; clean docs and sub-n docs produce NO row; a doc hitting
+    two eval docs reports eval_docs_hit=2."""
+    from kafka_streams_pipeline_spark.operators.text import decontaminate
+
+    phrase_a = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    phrase_b = "one two three four five six seven eight"
+    bench = spark.createDataFrame(
+        [(100, phrase_a + " tail tokens here"), (101, phrase_b)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # lifts phrase_a verbatim inside other text -> 1 matched
+            (1, "intro words " + phrase_a + " closing remark"),
+            # clean doc, >= 8 tokens
+            (2, "nothing shared with the benchmark set at all ever"),
+            # lifts BOTH phrases -> hits 2 eval docs
+            (3, phrase_a + " glue " + phrase_b),
+            # too short for any 8-gram
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["matched_ngrams"],
+            r["eval_docs_hit"],
+            r["total_ngrams"],
+            r["contamination_ppm"],
+        )
+        for r in decontaminate(train, bench).collect()
+    }
+    assert set(got) == {1, 3}
+    # doc 1: 12 tokens -> 5 distinct 8-grams, exactly 1 matches
+    assert got[1][0] == 1 and got[1][1] == 1 and got[1][2] == 5
+    assert got[1][3] == 1_000_000 // 5
+    # doc 3 matches phrase_a's and phrase_b's 8-grams, 2 eval docs
+    assert got[3][0] == 2 and got[3][1] == 2
+
+
+def test_shingle_exprs_total_on_short_docs(spark):
+    """The shared shingle expressions must be TOTAL: sub-n-token docs
+    yield an EMPTY shingle array instead of an ANSI array-index error
+    — the guard cannot live in a Filter because
+    InferFiltersFromGenerate copies generate-derived predicates below
+    it (round 10). Matches DuckDB's empty list comprehension."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        spark_hashed_shingles_expr,
+        spark_shingles_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e")], "doc_id long, text string"
+    ).withColumn("toks", F.split("text", " "))
+    rows = {
+        r["doc_id"]: (r["s"], r["h"])
+        for r in df.select(
+            "doc_id",
+            F.expr(spark_shingles_expr("toks", 3)).alias("s"),
+            F.expr(spark_hashed_shingles_expr("toks", 3)).alias("h"),
+        ).collect()
+    }
+    assert rows[1] == ([], [])
+    assert rows[2][0] == ["a b c", "b c d", "c d e"]
+    assert len(rows[2][1]) == 3
+    # and the explode-after-filter composition that used to crash
+    n = (
+        df.where(F.expr("size(toks) >= 3"))
+        .select(F.explode(F.expr(spark_shingles_expr("toks", 3))))
+        .count()
+    )
+    assert n == 3
