@@ -1764,3 +1764,145 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     return _text.decontaminate(docs, bench)
+
+
+@register(
+    "q_local_clustering",
+    oracle=f"""
+        WITH pairs AS ({_dedup.minhash_pairs_oracle()}),
+        e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT id_a AS n FROM e
+                  UNION ALL SELECT id_b AS n FROM e)
+            GROUP BY n
+        ),
+        tris AS (
+            SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+            FROM e e1
+            JOIN e e2 ON e1.id_b = e2.id_a
+            JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ),
+        corners AS (SELECT unnest([a, b, c]) AS node FROM tris),
+        t AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS triangles
+            FROM corners GROUP BY node
+        )
+        SELECT deg.n AS node,
+               deg.d AS degree,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN deg.d < 2 THEN 0
+                    ELSE (2 * coalesce(t.triangles, 0) * 1000000)
+                         // (deg.d * (deg.d - 1)) END AS BIGINT)
+                   AS clustering_ppm
+        FROM deg LEFT JOIN t ON deg.n = t.node
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (X11c): PER-NODE triangle counts and local
+    clustering coefficient over the MinHash near-dup graph — the
+    node-granular complement of q_triangle_count's global census
+    (a doc whose neighborhood is triangle-dense sits inside a
+    boilerplate clique; a high-degree low-clustering doc is a hub
+    stitching unrelated near-dup groups — the classic curation
+    signal for template pages). Triangles are enumerated once from
+    the degree-oriented minimum corner (arboricity-bounded work, the
+    q_triangle_count orientation), then credit all three corners via
+    one explode; coefficients are ppm integer divisions, fully
+    engine-exact. See operators/graph.local_clustering."""
+    from kafka_streams_pipeline_spark.operators.graph import local_clustering
+
+    pairs = _dedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return local_clustering(pairs.select("id_a", "id_b"))
+
+
+def _drift_profile_sql(src: str, cols: list[str]) -> str:
+    """DuckDB table_profile twin over subquery ``src`` (exact form)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM {src}""")
+    return " UNION ALL ".join(parts)
+
+
+_DRIFT_NEW_SLICE = f"""(
+    SELECT doc_id,
+           CASE WHEN {md5_long_sql("'nulllang:' || CAST(doc_id AS VARCHAR)")} % 7 = 0
+                THEN NULL ELSE lang END AS lang,
+           source,
+           CASE WHEN {md5_long_sql("'grow:' || CAST(doc_id AS VARCHAR)")} % 11 = 0
+                THEN n_chars + 5000 ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE {md5_long_sql("'drop:' || CAST(doc_id AS VARCHAR)")} % 13 != 0
+)"""
+
+_DRIFT_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+@register(
+    "q_profile_drift",
+    oracle=f"""
+        WITH po AS ({_drift_profile_sql("(SELECT doc_id, lang, source, n_chars FROM documents)", _DRIFT_COLS)}),
+        pn AS ({_drift_profile_sql(_DRIFT_NEW_SLICE, _DRIFT_COLS)})
+        SELECT po.col_name,
+               po.n_rows AS rows_old, pn.n_rows AS rows_new,
+               po.n_nonnull AS nonnull_old, pn.n_nonnull AS nonnull_new,
+               po.n_distinct AS distinct_old, pn.n_distinct AS distinct_new,
+               CAST(abs((pn.n_nonnull * 1000000) // pn.n_rows
+                      - (po.n_nonnull * 1000000) // po.n_rows) AS BIGINT)
+                   AS nonnull_drift_ppm,
+               CAST((abs(pn.n_distinct - po.n_distinct) * 1000000)
+                    // po.n_distinct AS BIGINT) AS distinct_drift_ppm,
+               (po.min_value != pn.min_value OR po.max_value != pn.max_value)
+                   AS minmax_changed,
+               (abs((pn.n_nonnull * 1000000) // pn.n_rows
+                  - (po.n_nonnull * 1000000) // po.n_rows) >= 50000
+                OR (abs(pn.n_distinct - po.n_distinct) * 1000000)
+                   // po.n_distinct >= 50000
+                OR po.min_value != pn.min_value
+                OR po.max_value != pn.max_value) AS drifted
+        FROM po JOIN pn ON po.col_name = pn.col_name
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift detection (X10c): diff two per-column
+    profiles and flag the columns whose health moved — here between
+    the documents corpus and a deterministically degraded successor
+    snapshot (~1/13 of rows dropped, lang nulled for a 1/7 slice,
+    n_chars inflated for a 1/11 slice — simulating a broken upstream
+    between two ingest versions). The drift math is O(columns) ppm
+    integer arithmetic over two profile frames; neither snapshot is
+    rescanned. See operators/quality.profile_drift; pairs with
+    sources/versioned.read_corpus for version-to-version monitoring.
+    """
+    from kafka_streams_pipeline_spark.operators.quality import (
+        profile_drift,
+        table_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    h = lambda salt: md5_long(  # noqa: E731
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    )
+    degraded = (
+        docs.where(h("drop") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(h("nulllang") % 7 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ).alias("lang"),
+            "source",
+            F.when(h("grow") % 11 == 0, F.col("n_chars") + 5000).otherwise(
+                F.col("n_chars")
+            ).alias("n_chars"),
+        )
+    )
+    return profile_drift(table_profile(docs), table_profile(degraded))

@@ -1001,3 +1001,15 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified, not just the parts (q_sim_ann_ivf, q_pq_adc_topk).
     See operators/similarity.ivf_pq_topk."""
     return _sim.ivf_pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_maxsim_topk", oracle=_sim.maxsim_scores_oracle(0, 5))
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 late-interaction retrieval: ColBERT MaxSim top-5 — the
+    label groups of the embeddings table act as multi-vector
+    documents, label 0's full vector set is the query, and
+    score(Q,D) = Σ_q max_d cos(q,d) with every pairwise cosine
+    quantized to integer micro-units before max/sum so the score is
+    engine-exact. Query vectors broadcast; the corpus side never
+    self-joins. See operators/similarity.maxsim_scores."""
+    return _sim.maxsim_scores(_t(spark, sf_dir, "embeddings"), query_label=0, k=5)

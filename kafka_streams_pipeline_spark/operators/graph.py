@@ -363,3 +363,68 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + LOCAL clustering coefficient
+    (Watts–Strogatz) over an undirected ``(id_a, id_b)`` edge frame,
+    id_a < id_b, each edge once: (node, degree, triangles,
+    clustering_ppm) for every node, ascending node id.
+    clustering_ppm = 2·t(v)·10⁶ div (d(v)·(d(v)−1)) — engine-exact
+    integer division; degree-1 nodes report 0.
+
+    Same degree-oriented enumeration as :func:`triangle_count` (each
+    triangle found once from its minimum (degree, id) corner,
+    per-node join work arboricity-bounded); each found triangle then
+    credits its THREE corners via one explode before the per-node
+    aggregate, so the only corpus-scale shuffles are the orientation
+    degree joins and the final groupBy node."""
+    e, deg = _oriented_edges(edges)
+    x = e.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("d_dst").alias("dv"),
+    )
+    y = e.select(
+        F.col("src").alias("u2"),
+        F.col("dst").alias("w"),
+        F.col("d_dst").alias("dw"),
+    )
+    z = e.select(F.col("src").alias("v3"), F.col("dst").alias("w3"))
+    corners = (
+        x.join(
+            y,
+            (F.col("u") == F.col("u2"))
+            & (
+                (F.col("dv") < F.col("dw"))
+                | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+            ),
+        )
+        .join(z, (F.col("v3") == F.col("v")) & (F.col("w3") == F.col("w")))
+        .select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
+    )
+    t = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    return (
+        deg.join(t, deg["n"] == t["node"], "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.expr(
+                "CASE WHEN d < 2 THEN CAST(0 AS BIGINT) ELSE "
+                "(2 * coalesce(triangles, 0) * 1000000) div (d * (d - 1)) "
+                "END"
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+        .orderBy("node")
+    )

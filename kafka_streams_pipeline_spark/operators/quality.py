@@ -256,3 +256,79 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         F.col("violations").cast("long").alias("violations"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+DRIFT_DEFAULT_PPM = 50_000  # 5% — the alerting convention
+
+
+def profile_drift(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    threshold_ppm: int = DRIFT_DEFAULT_PPM,
+) -> DataFrame:
+    """Cross-snapshot DRIFT detection: join two ``table_profile``
+    outputs per column and flag columns whose health metrics moved —
+    the Deequ/whylogs anomaly-check pattern for continuously
+    ingested corpora (a version whose null fraction or distinct
+    cardinality jumps is a broken upstream, caught from two
+    column-count-sized profiles without rescanning either snapshot —
+    that is what makes drift monitoring O(columns), not O(rows), at
+    100 TB; pair with the versioned store's ``read_corpus`` to diff
+    any two committed versions).
+
+    Per column: old/new row, non-null and distinct counts; the
+    non-null FRACTION drift and the relative distinct drift in ppm
+    (integer divisions, engine-exact); whether min/max moved; and
+    ``drifted`` = any of (non-null fraction drift, distinct drift)
+    ≥ ``threshold_ppm`` OR a min/max change. Ascending col_name."""
+    o = old_profile.select(
+        "col_name",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_nonnull").alias("nonnull_old"),
+        F.col("n_distinct").alias("distinct_old"),
+        F.col("min_value").alias("min_old"),
+        F.col("max_value").alias("max_old"),
+    )
+    nw = new_profile.select(
+        "col_name",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nonnull").alias("nonnull_new"),
+        F.col("n_distinct").alias("distinct_new"),
+        F.col("min_value").alias("min_new"),
+        F.col("max_value").alias("max_new"),
+    )
+    return (
+        o.join(nw, "col_name")
+        .select(
+            "col_name",
+            "rows_old",
+            "rows_new",
+            "nonnull_old",
+            "nonnull_new",
+            "distinct_old",
+            "distinct_new",
+            F.expr(
+                "abs((nonnull_new * 1000000) div rows_new"
+                " - (nonnull_old * 1000000) div rows_old)"
+            )
+            .cast("long")
+            .alias("nonnull_drift_ppm"),
+            F.expr(
+                "(abs(distinct_new - distinct_old) * 1000000)"
+                " div distinct_old"
+            )
+            .cast("long")
+            .alias("distinct_drift_ppm"),
+            (
+                (F.col("min_old") != F.col("min_new"))
+                | (F.col("max_old") != F.col("max_new"))
+            ).alias("minmax_changed"),
+        )
+        .withColumn(
+            "drifted",
+            (F.col("nonnull_drift_ppm") >= threshold_ppm)
+            | (F.col("distinct_drift_ppm") >= threshold_ppm)
+            | F.col("minmax_changed"),
+        )
+        .orderBy("col_name")
+    )

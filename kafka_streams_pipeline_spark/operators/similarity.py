@@ -1482,3 +1482,82 @@ def ivf_pq_topk_oracle(
         ORDER BY sum(tbl.tdist), codes.vec_id
         LIMIT {k}
     """
+
+
+# --- MaxSim late interaction (ColBERT) --------------------------------------
+
+
+def maxsim_scores(
+    df: DataFrame, query_label: int = 0, k: int = 5
+) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval over multi-vector
+    documents: score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) (Khattab &
+    Zaharia 2020). Documents are the ``label`` groups of the
+    embeddings table (one row per token-level vector); the query is
+    the full vector set of ``query_label``. Returns the top-``k``
+    labels as (label, maxsim_micro, n_query_vecs), maxsim in
+    micro-units descending, label tiebreak.
+
+    Exactness: each pairwise cosine is quantized to an integer
+    micro-similarity BEFORE any cross-row aggregation (the repo's
+    fixed-point convention) — max and sum are then BIGINT-exact on
+    both engines, so the late-interaction score is bit-identical.
+
+    Scale shape: the query's vector set (tens of rows) broadcasts;
+    each corpus partition computes its |D|·|Q| pair block locally,
+    map-side-partials the per-(label, q) max, and only
+    register-sized (label, q_id, best) rows reach the two
+    aggregation exchanges. The corpus embeddings never self-join."""
+    q = df.where(F.col("label") == query_label).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    sim_micro = (
+        f"CAST(round(({_spark_dot('embedding', 'q_emb')} / "
+        f"({_spark_norm('embedding')} * q_norm)) * 1e6, 0) AS BIGINT)"
+    )
+    per_q = (
+        df.where(F.col("label") != query_label)
+        .crossJoin(F.broadcast(q))
+        .select("label", "q_id", F.expr(sim_micro).alias("s"))
+        .groupBy("label", "q_id")
+        .agg(F.max("s").alias("best"))
+    )
+    return (
+        per_q.groupBy("label")
+        .agg(
+            F.sum("best").cast("long").alias("maxsim_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_query_vecs"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "maxsim_micro",
+            "n_query_vecs",
+        )
+        .orderBy(F.col("maxsim_micro").desc(), "label")
+        .limit(k)
+    )
+
+
+def maxsim_scores_oracle(query_label: int = 0, k: int = 5) -> str:
+    sim_micro = (
+        f"CAST(round(({_duck_dot('e.embedding', 'q.embedding')} / "
+        f"({_duck_norm('e.embedding')} * {_duck_norm('q.embedding')})) "
+        f"* 1e6, 0) AS BIGINT)"
+    )
+    return f"""
+        WITH per_q AS (
+            SELECT e.label, q.vec_id AS q_id, max({sim_micro}) AS best
+            FROM embeddings e, embeddings q
+            WHERE q.label = {query_label} AND e.label != {query_label}
+            GROUP BY e.label, q.vec_id
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(sum(best) AS BIGINT) AS maxsim_micro,
+               CAST(count(*) AS BIGINT) AS n_query_vecs
+        FROM per_q
+        GROUP BY label
+        ORDER BY maxsim_micro DESC, label
+        LIMIT {k}
+    """

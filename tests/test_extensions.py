@@ -2001,3 +2001,40 @@ def test_shingle_exprs_total_on_short_docs(spark):
         .count()
     )
     assert n == 3
+
+
+def test_maxsim_hand_vectors(spark):
+    """MaxSim semantics on constructed vectors: with unit basis
+    vectors, each query vector's best corpus match is exact, the
+    per-doc score is the sum of the per-query maxima, and an
+    orthogonal doc scores 0."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        maxsim_scores,
+    )
+
+    def basis(i, dim=4):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [
+        # query doc (label 0): e0 and e1
+        (0, basis(0), 0),
+        (1, basis(1), 0),
+        # label 1: matches both query vectors exactly -> 2.0
+        (10, basis(0), 1),
+        (11, basis(1), 1),
+        # label 2: matches only e0 -> max for q0 = 1, q1 best = 0 -> 1.0
+        (20, basis(0), 2),
+        # label 3: orthogonal -> 0.0
+        (30, basis(2), 3),
+        (31, basis(3), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [
+        (r["label"], r["maxsim_micro"], r["n_query_vecs"])
+        for r in maxsim_scores(df, query_label=0, k=5).collect()
+    ]
+    assert got == [(1, 2_000_000, 2), (2, 1_000_000, 2), (3, 0, 2)]

@@ -215,3 +215,29 @@ def test_triangle_orientation_bounds_hot_node_work(spark):
     assert stats["mx"] <= 3, stats
     # candidate pairs are O(n), not O(n²)
     assert stats["candidates"] <= 3 * n, stats
+
+
+def test_local_clustering_hand_graph(spark):
+    """K4 plus a pendant node hanging off node 0: inside the clique
+    each node closes 3 of its 3 (or more) wedges; the pendant has
+    degree 1 → 0; node 0 (degree 4) touches 3 triangles of its 6
+    wedges → 500000 ppm."""
+    from kafka_streams_pipeline_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_ppm"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[0] == (4, 3, 500_000)
+    for v in (1, 2, 3):
+        assert got[v] == (3, 3, 1_000_000)
+    assert got[4] == (1, 0, 0)
+    # per-node triangle mass is 3x the census total
+    from kafka_streams_pipeline_spark.operators.graph import triangle_count
+
+    census = triangle_count(edges).collect()[0]
+    assert sum(t for _, t, _ in got.values()) == 3 * census["n_triangles"]

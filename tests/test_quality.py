@@ -126,3 +126,43 @@ def test_run_checks_unknown_kind_raises(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError):
         run_checks(df, [Check("x", "nonsense", "k")]).collect()
+
+
+def test_profile_drift_flags_moved_columns(spark):
+    """Drift semantics on constructed snapshots: a nulled-out column
+    crosses the non-null threshold, a collapsed-cardinality column
+    crosses the distinct threshold, a max shift flips
+    minmax_changed, and an untouched column reports zero drift."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        profile_drift,
+        table_profile,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i % 50, "x", 10) for i in range(100)],
+        "id long, card long, stable string, grows long",
+    )
+    new = spark.createDataFrame(
+        # id: 10% nulls now; card: collapsed to 5 values; stable:
+        # unchanged; grows: one row hits a new max
+        [
+            (None if i % 10 == 0 else i, i % 5, "x", 99 if i == 7 else 10)
+            for i in range(100)
+        ],
+        "id long, card long, stable string, grows long",
+    )
+    got = {
+        r["col_name"]: r
+        for r in profile_drift(
+            table_profile(old), table_profile(new)
+        ).collect()
+    }
+    assert got["id"]["nonnull_drift_ppm"] == 100_000
+    assert got["id"]["drifted"]
+    assert got["card"]["distinct_drift_ppm"] == 900_000
+    assert got["card"]["drifted"]
+    assert got["grows"]["minmax_changed"] and got["grows"]["drifted"]
+    assert got["stable"]["nonnull_drift_ppm"] == 0
+    assert got["stable"]["distinct_drift_ppm"] == 0
+    assert not got["stable"]["minmax_changed"]
+    assert not got["stable"]["drifted"]
