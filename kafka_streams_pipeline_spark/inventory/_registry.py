@@ -72,6 +72,10 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_gzip_source",
     # round-9: incremental histogram maintenance (temp store + checkpoint)
     "q_histogram_incremental",
+    # round-10: stream-static join replay (writes temp chunks)
+    "q_streaming_decontaminate",
+    # round-10: tag lifecycle (writes + vacuums a temp store)
+    "q_store_tags",
     # round-9: availableNow streaming histogram replay
     "q_streaming_histogram",
     # round-9: avro OCF round-trip (writes temp container files)

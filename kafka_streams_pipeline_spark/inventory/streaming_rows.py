@@ -3085,3 +3085,198 @@ def q_histogram_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_sketch_by(
         _t(spark, sf_dir, "documents"), "lang", "n_chars", 0, 1024, 32
     )
+
+
+def _decon_bench_pred_sql() -> str:
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long_sql
+
+    return (
+        f"{md5_long_sql(chr(39) + 'bench:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        " % 61 = 0"
+    )
+
+
+@register(
+    "q_streaming_decontaminate",
+    oracle=None,  # set right below (needs the operator's oracle builder)
+)
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest decontamination — the STREAM-STATIC broadcast
+    join leg of Structured Streaming (the one join mode the registry
+    didn't yet certify; stateless, append-safe, no watermark): live
+    documents explode to hashed 8-gram shingles inside the streaming
+    plan and join the STATIC benchmark n-gram frame, so contaminated
+    ingest is flagged at arrival time without any state store. The
+    replay writes the corpus as 4 time-ordered JSON chunks (one
+    micro-batch each); emissions are the matched (doc_id, n-gram,
+    eval_id) rows, re-aggregated batch-side to the same grain —
+    and the same oracle — as batch q_decontaminate. See
+    operators/text.decontaminate for the batch twin and scale
+    notes."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        spark_hashed_shingles_expr,
+    )
+    from kafka_streams_pipeline_spark.operators.text import DECON_N
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(
+        md5_long(F.concat(F.lit("bench:"), F.col("doc_id").cast("string")))
+        % 61
+        == 0
+    )
+    sh = spark_hashed_shingles_expr("toks", DECON_N)
+    bench_ngrams = (
+        bench.withColumn("toks", F.split("text", " "))
+        .where(F.expr(f"size(toks) >= {DECON_N}"))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.expr(sh)).alias("ng"),
+        )
+        .distinct()
+    )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-decon-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    n_chunks, m0 = 4, _time.time() - 86_400
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(p, (m0 + c, m0 + c))  # ascending mtimes (round-6 lesson)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    corpus_ngrams = (
+        stream.withColumn("toks", F.split("text", " "))
+        .where(F.expr(f"size(toks) >= {DECON_N}"))
+        .withColumn("ngs", F.expr(sh))
+        .select(
+            "doc_id",
+            F.expr("size(ngs)").cast("long").alias("total_ngrams"),
+            F.explode("ngs").alias("ng"),
+        )
+    )
+    hits = corpus_ngrams.join(F.broadcast(bench_ngrams), "ng")
+
+    emissions: list = []
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        emissions.extend(batch_df.collect())
+
+    q = (
+        hits.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("availableNow replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+
+    out = spark.createDataFrame(
+        emissions, "ng long, doc_id long, total_ngrams long, eval_id long"
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").cast("long").alias("matched_ngrams"),
+            F.countDistinct("eval_id").cast("long").alias("eval_docs_hit"),
+            F.max("total_ngrams").cast("long").alias("total_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "matched_ngrams",
+            "eval_docs_hit",
+            "total_ngrams",
+            F.expr("(matched_ngrams * 1000000) div total_ngrams")
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["q_streaming_decontaminate"] = _text.decontaminate_oracle(
+    _decon_bench_pred_sql()
+)
+
+
+@register(
+    "q_store_tags",
+    oracle="""
+        SELECT 'baseline' AS tag, 1 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'prod' AS tag, 2 AS version,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+    """,
+)
+def q_store_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (round 10): Iceberg/Delta-style TAGS over the
+    versioned store — immutable named pointers a training run pins
+    instead of raw version numbers, with RETENTION SAFETY: vacuum
+    refuses to drop a version a tag still references. Lifecycle
+    certified here: commit the even half (v1, tagged 'baseline'),
+    commit the rest (v2, tagged 'prod'), prove a vacuum below
+    'baseline' fails LOUDLY and leaves both tag reads bit-identical,
+    then read both tags back and bind (tag, version, count,
+    id-checksum) into the oracle. Retag without force must refuse;
+    the whole probe-and-write runs under the commit lock, so tags
+    can never race a vacuum. See sources/versioned.tag_corpus."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus_tag,
+        tag_corpus,
+        vacuum_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-tags-")
+    store = os.path.join(base, "corpus")
+    commit_corpus(docs.where(F.col("doc_id") % 2 == 0), store, "even half")
+    tag_corpus(store, "baseline")
+    commit_corpus(docs.where(F.col("doc_id") % 2 != 0), store, "odd half")
+    tag_corpus(store, "prod")
+    # retention safety: dropping v1 while 'baseline' pins it must fail
+    try:
+        vacuum_corpus(store, keep_from_version=2)
+        raise AssertionError("vacuum ignored a tag pin")
+    except ValueError:
+        pass
+    # immutability: silent retag must refuse
+    try:
+        tag_corpus(store, "baseline", version=2)
+        raise AssertionError("retag without force succeeded")
+    except ValueError:
+        pass
+    out_rows = []
+    for tag, version in (("baseline", 1), ("prod", 2)):
+        snap = read_corpus_tag(spark, store, tag).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).collect()[0]
+        out_rows.append((tag, version, snap["n_docs"], snap["id_checksum"]))
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows, "tag string, version int, n_docs long, id_checksum long"
+    )

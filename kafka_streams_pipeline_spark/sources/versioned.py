@@ -376,6 +376,22 @@ def vacuum_corpus(store_dir: str, keep_from_version: int) -> dict:
                 f"keep_from_version must be in [1, {latest}], "
                 f"got {keep_from_version}"
             )
+        # tags are PROMISES of reproducibility: refuse to drop a
+        # version a named ref still points at (checked inside the
+        # lock, so a concurrent tag_corpus of an old version either
+        # lands before this check or fails its own readability probe
+        # after the manifest is gone)
+        tagged_below = {
+            n: v
+            for n, v in list_tags(store_dir).items()
+            if v < keep_from_version
+        }
+        if tagged_below:
+            raise ValueError(
+                f"vacuum would drop versions still pinned by tags "
+                f"{tagged_below}; delete the tags first or raise "
+                "keep_from_version past them"
+            )
         keep: set[str] = set()
         for v in range(keep_from_version, latest + 1):
             with open(_manifest_path(store_dir, v)) as f:
@@ -705,3 +721,105 @@ def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_batches long, batches_added long, note string"
     )
+
+
+# --- Named refs (tags) ------------------------------------------------------
+# Iceberg/Delta-style TAGS: immutable named pointers into the version
+# log, so a training run can pin "corpus@prod-2024-q3" instead of a
+# raw version number — and retention cannot silently delete the data
+# a tag promises (vacuum refuses while a tag references a
+# to-be-dropped version).
+
+import re as _re
+
+_TAG_NAME = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _tag_path(store_dir: str, name: str) -> str:
+    return os.path.join(store_dir, _MANIFESTS, f"tag.{name}.json")
+
+
+def tag_corpus(
+    store_dir: str,
+    name: str,
+    version: int | None = None,
+    force: bool = False,
+) -> int:
+    """Point tag ``name`` at ``version`` (default: current latest)
+    and return the tagged version. Tags are immutable by default —
+    retagging an existing name raises unless ``force=True`` (moving
+    a ref a training job may already have resolved is a human
+    decision). The tag file is temp-written + atomically renamed,
+    same as manifests, and the readability probe + write happen
+    under the store's commit lock — a concurrent vacuum can
+    therefore never interleave between "version v is readable" and
+    the tag landing (vacuum checks tags inside the same lock)."""
+    if not _TAG_NAME.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    lock = _acquire_lock(store_dir, f"tag:{name}")
+    try:
+        latest = latest_version(store_dir)
+        v = latest if version is None else version
+        if not 1 <= v <= latest or not os.path.exists(
+            _manifest_path(store_dir, v)
+        ):
+            raise ValueError(
+                f"cannot tag version {v}: not a readable version of "
+                f"{store_dir!r} (latest = {latest})"
+            )
+        path = _tag_path(store_dir, name)
+        if os.path.exists(path) and not force:
+            raise ValueError(
+                f"tag {name!r} already exists (at version "
+                f"{list_tags(store_dir)[name]}); pass force=True to move it"
+            )
+        import time
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v, "ts": time.time()}, f)
+        os.replace(tmp, path)
+        return v
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def list_tags(store_dir: str) -> dict[str, int]:
+    """{tag name: version}, every tag of the store — O(tags)
+    metadata reads, no data scan."""
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    out: dict[str, int] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("tag.") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                rec = json.load(fh)
+            out[rec["name"]] = int(rec["version"])
+    return out
+
+
+def delete_tag(store_dir: str, name: str) -> None:
+    """Drop a tag (the version log itself is untouched)."""
+    try:
+        os.unlink(_tag_path(store_dir, name))
+    except FileNotFoundError:
+        raise ValueError(f"tag {name!r} does not exist") from None
+
+
+def read_corpus_tag(
+    spark: SparkSession, store_dir: str, name: str
+) -> DataFrame:
+    """Read the store AS OF the tagged version — bit-identical to
+    ``read_corpus(spark, store, version)`` for the version the tag
+    pins, forever (tags are immutable and vacuum-protected)."""
+    tags = list_tags(store_dir)
+    if name not in tags:
+        raise ValueError(
+            f"tag {name!r} does not exist on {store_dir!r}; "
+            f"known tags: {sorted(tags)}"
+        )
+    return read_corpus(spark, store_dir, tags[name])

@@ -1002,3 +1002,61 @@ def test_version_at_vacuumed_store_raises_valueerror(spark, tmp_path):
     assert version_at(store, 9999.0) == 3
     with pytest.raises(ValueError, match="no version"):
         version_at(store, 1500.0)  # predates oldest retained
+
+
+def test_store_tags_lifecycle(spark, sf_dir, tmp_path):
+    """Tags: immutable named refs with retention safety — tag reads
+    resolve bit-identically, retag refuses without force (moves with
+    it), vacuum refuses while a tag pins a to-be-dropped version and
+    proceeds once the tag is deleted, and reading a missing tag
+    names the known ones."""
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        delete_tag,
+        list_tags,
+        read_corpus,
+        read_corpus_tag,
+        tag_corpus,
+        vacuum_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    commit_corpus(docs.where(F.col("doc_id") < 100), store, "first")
+    assert tag_corpus(store, "baseline") == 1
+    commit_corpus(docs.where(F.col("doc_id") >= 100), store, "rest")
+    assert tag_corpus(store, "prod", version=2) == 2
+    assert list_tags(store) == {"baseline": 1, "prod": 2}
+
+    # resolution is exactly read_corpus at the pinned version
+    assert (
+        read_corpus_tag(spark, store, "baseline").count()
+        == read_corpus(spark, store, 1).count()
+    )
+    # immutable without force; movable with it
+    with pytest.raises(ValueError, match="already exists"):
+        tag_corpus(store, "baseline", version=2)
+    assert tag_corpus(store, "baseline", version=2, force=True) == 2
+    assert tag_corpus(store, "baseline", version=1, force=True) == 1
+
+    # invalid names and unreadable versions refuse
+    with pytest.raises(ValueError, match="invalid tag name"):
+        tag_corpus(store, "bad name!")
+    with pytest.raises(ValueError, match="not a readable version"):
+        tag_corpus(store, "future", version=9)
+
+    # retention safety: vacuum refuses while 'baseline' pins v1
+    with pytest.raises(ValueError, match="pinned by tags"):
+        vacuum_corpus(store, keep_from_version=2)
+    delete_tag(store, "baseline")
+    stats = vacuum_corpus(store, keep_from_version=2)
+    assert stats["manifests_removed"] == 1
+    # surviving tag still resolves after the vacuum
+    assert read_corpus_tag(spark, store, "prod").count() == docs.count()
+    with pytest.raises(ValueError, match="does not exist"):
+        read_corpus_tag(spark, store, "baseline")
+    with pytest.raises(ValueError, match="does not exist"):
+        delete_tag(store, "baseline")
