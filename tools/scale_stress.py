@@ -123,6 +123,7 @@ def run_sweep(spark, mults: list[int]) -> dict:
         lambda: tx.pack_sequences(wdocs).count(),
         lambda: tx.repeated_window_stats(wdocs).count(),
         lambda: tx.encode_documents(wdocs).count(),
+        lambda: tx.decontaminate(wdocs, wdocs.limit(5)).count(),
     ):
         fn()
     spark.catalog.clearCache()
@@ -222,6 +223,34 @@ def run_sweep(spark, mults: list[int]) -> dict:
         timed(
             "encode_documents",
             lambda: tx.encode_documents(docs).count(),
+        )
+        # decontamination (round 10): benchmark side is a FIXED
+        # ~1/61 salted slice of the BASE corpus (its n-gram set does
+        # not grow with the multiplier — matching real eval suites),
+        # so sweep time should track the corpus-side n-gram explode
+        # + broadcast probe linearly while output grows with the
+        # replicated benchmark docs' self-matches.
+        from pyspark.sql import functions as F
+
+        from kafka_streams_pipeline_spark.functions.hashing import (
+            md5_long,
+        )
+
+        bench = docs.where(
+            (F.col("doc_id") < STRIDE)
+            & (
+                md5_long(
+                    F.concat(
+                        F.lit("bench:"), F.col("doc_id").cast("string")
+                    )
+                )
+                % 61
+                == 0
+            )
+        )
+        timed(
+            "decontaminate",
+            lambda: tx.decontaminate(docs, bench).count(),
         )
         # LSH recall vs the exact inverted-index baseline (VERDICT r7
         # item 7: keep the recall certification recurring so banding
