@@ -3118,7 +3118,8 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from kafka_streams_pipeline_spark.operators.dedup import (
-        spark_hashed_shingles_expr,
+        _spark_hash,
+        spark_shingles_expr,
     )
     from kafka_streams_pipeline_spark.operators.text import DECON_N
 
@@ -3128,14 +3129,21 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 61
         == 0
     )
-    sh = spark_hashed_shingles_expr("toks", DECON_N)
+    # string shingles + post-explode codegen'd hash — same
+    # restructure as batch decontaminate (round 10)
+    sh = spark_shingles_expr("toks", DECON_N)
+    h = _spark_hash("ng_str")
+    target = spark.sparkContext.defaultParallelism
+    if bench.rdd.getNumPartitions() < target:
+        bench = bench.repartition(target)
     bench_ngrams = (
         bench.withColumn("toks", F.split("text", " "))
-        .where(F.expr(f"size(toks) >= {DECON_N}"))
         .select(
             F.col("doc_id").alias("eval_id"),
-            F.explode(F.expr(sh)).alias("ng"),
+            F.explode_outer(F.expr(sh)).alias("ng_str"),
         )
+        .where(F.col("ng_str").isNotNull())
+        .select("eval_id", F.expr(h).alias("ng"))
         .distinct()
     )
 
@@ -3159,13 +3167,14 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_ngrams = (
         stream.withColumn("toks", F.split("text", " "))
-        .where(F.expr(f"size(toks) >= {DECON_N}"))
         .withColumn("ngs", F.expr(sh))
         .select(
             "doc_id",
             F.expr("size(ngs)").cast("long").alias("total_ngrams"),
-            F.explode("ngs").alias("ng"),
+            F.explode_outer("ngs").alias("ng_str"),
         )
+        .where(F.col("ng_str").isNotNull())
+        .select("doc_id", "total_ngrams", F.expr(h).alias("ng"))
     )
     hits = corpus_ngrams.join(F.broadcast(bench_ngrams), "ng")
 

@@ -2180,27 +2180,57 @@ def decontaminate(
     contamination_ppm), contaminated docs only, ascending doc_id.
     """
     from kafka_streams_pipeline_spark.operators.dedup import (
-        spark_hashed_shingles_expr,
+        _spark_hash,
+        spark_shingles_expr,
     )
 
-    sh = spark_hashed_shingles_expr("toks", n)
+    # Hash AFTER the explode, not inside the shingle lambda (round
+    # 10, measured 2 ms/doc -> ~0.3 ms/doc): higher-order-function
+    # lambdas are interpreted, and InferFiltersFromGenerate copies
+    # the whole array expression into a scan-side Filter that
+    # re-evaluates it — md5-in-the-lambda therefore ran ~3x per doc
+    # in interpreted code. STRING shingles keep the lambda cheap;
+    # the md5 runs once per exploded row in a codegen'd projection.
+    # array_distinct on strings ≡ distinct on hashes (md5 is a
+    # function), so matched/total semantics are unchanged.
+    sh = spark_shingles_expr("toks", n)
+    h = _spark_hash("ng_str")
+    # n-gram hashing is CPU-bound per row; a small single-file
+    # parquet arrives as ONE partition, which would serialize the
+    # md5 work on one core (measured: the whole explode+hash leg on
+    # one task). Spread before the heavy map, same as
+    # minhash_signatures (no-op when the source already has splits).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    # explode_OUTER, then drop the NULL row an empty array yields:
+    # InferFiltersFromGenerate cannot derive a predicate from an
+    # outer generate, so the shingle array is never duplicated into
+    # a scan-side Filter BELOW the repartition (measured: that
+    # inferred filter rebuilt every doc's array on the ONE input
+    # partition — 4x the whole query).
+    bench_src = benchmark
+    if bench_src.rdd.getNumPartitions() < target:
+        bench_src = bench_src.repartition(target)
     corpus = (
         df.withColumn("toks", F.split(F.col(text_col), " "))
-        .where(F.expr(f"size(toks) >= {n}"))
         .withColumn("ngs", F.expr(sh))
         .select(
             "doc_id",
             F.expr("size(ngs)").cast("long").alias("total_ngrams"),
-            F.explode("ngs").alias("ng"),
+            F.explode_outer("ngs").alias("ng_str"),
         )
+        .where(F.col("ng_str").isNotNull())
+        .select("doc_id", "total_ngrams", F.expr(h).alias("ng"))
     )
     bench = (
-        benchmark.withColumn("toks", F.split(F.col(text_col), " "))
-        .where(F.expr(f"size(toks) >= {n}"))
+        bench_src.withColumn("toks", F.split(F.col(text_col), " "))
         .select(
             F.col("doc_id").alias("eval_id"),
-            F.explode(F.expr(sh)).alias("ng"),
+            F.explode_outer(F.expr(sh)).alias("ng_str"),
         )
+        .where(F.col("ng_str").isNotNull())
+        .select("eval_id", F.expr(h).alias("ng"))
         .distinct()
     )
     return (
@@ -2231,27 +2261,29 @@ def decontaminate_oracle(
     benchmark slice out of ``table`` (the registered query derives
     the benchmark deterministically from the same corpus)."""
     from kafka_streams_pipeline_spark.operators.dedup import (
-        duck_hashed_shingles_expr,
+        _duck_hash,
+        duck_shingles_expr,
     )
 
-    sh = duck_hashed_shingles_expr("toks", n)
+    sh = duck_shingles_expr("toks", n)
+    h = _duck_hash("ng_str")
     return f"""
         WITH corpus AS (
             SELECT doc_id, {sh} AS ngs
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM {table})
-            WHERE len(toks) >= {n}
         ),
         cng AS (
-            SELECT doc_id, len(ngs) AS total_ngrams, unnest(ngs) AS ng
-            FROM corpus
+            SELECT doc_id, CAST(len(ngs) AS BIGINT) AS total_ngrams,
+                   {h} AS ng
+            FROM (SELECT doc_id, ngs, unnest(ngs) AS ng_str FROM corpus)
         ),
         bench AS (
-            SELECT DISTINCT eval_id, ng FROM (
-                SELECT doc_id AS eval_id, unnest({sh}) AS ng
+            SELECT DISTINCT eval_id, {h} AS ng FROM (
+                SELECT doc_id AS eval_id,
+                       unnest({sh}) AS ng_str
                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
                       FROM {table} WHERE {bench_pred})
-                WHERE len(toks) >= {n}
             )
         )
         SELECT c.doc_id,
