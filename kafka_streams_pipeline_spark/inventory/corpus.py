@@ -1906,3 +1906,46 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return profile_drift(table_profile(docs), table_profile(degraded))
+
+
+@register(
+    "q_negative_sampling",
+    oracle=_corpus.negative_samples_oracle(),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 contrastive-training support: K deterministic pseudo-random
+    negatives per anchor — negative j of anchor a is the document at
+    dense index md5('neg:a:j') mod N, a pure function of ids, so
+    every engine/retry/rerun draws identical negatives (rand()-based
+    sampling loses this on any repartition). Self-collisions drop
+    (documented ≤ k per anchor). Ids-only dense index + one shuffle
+    join; payloads never move. See operators/corpus.negative_samples.
+    """
+    return _corpus.negative_samples(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS class_size,
+               (count(*) < 8) AS at_risk
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10e privacy audit: k-anonymity equivalence classes over the
+    (market segment, nation) quasi-identifiers of customer — class
+    sizes plus the at-risk flag at k=8 (chosen so the sf0.01 gate
+    exercises BOTH flag branches: class sizes there span 5..21).
+    One counter-only aggregate shuffle; the k_anonymize enforcement
+    twin (QI suppression via a broadcast class-size join, row count
+    preserved) is pytest-certified. See operators/quality.k_anonymity.
+    """
+    from kafka_streams_pipeline_spark.operators.quality import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    )
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=8)

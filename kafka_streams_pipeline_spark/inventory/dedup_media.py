@@ -1013,3 +1013,18 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact. Query vectors broadcast; the corpus side never
     self-joins. See operators/similarity.maxsim_scores."""
     return _sim.maxsim_scores(_t(spark, sf_dir, "embeddings"), query_label=0, k=5)
+
+
+@register(
+    "q_dedup_containment",
+    oracle=_dedup.containment_pairs_oracle(),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2j one-sided near-dup: shingle-set CONTAINMENT pairs — the
+    smaller document ≥80% contained in the other (integer ppm).
+    Catches quoted/wrapped copies that symmetric Jaccard scores near
+    zero (union dominated by the long side). Exact inverted-index
+    baseline, same honest small-scale label as q_dedup_ngram; the
+    100 TB refinement is the size-ordered prefix filter documented
+    on the operator. See operators/dedup.containment_pairs."""
+    return _dedup.containment_pairs(_t(spark, sf_dir, "documents"))

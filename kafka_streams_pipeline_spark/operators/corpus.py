@@ -633,3 +633,104 @@ def epoch_manifest_oracle(
                    ORDER BY k ASC, doc_id ASC, copy ASC) AS BIGINT) AS pos
         FROM keyed
     """
+
+
+# --- Deterministic negative sampling ----------------------------------------
+
+NEG_K = 4
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = NEG_K,
+    salt: str = "neg",
+) -> DataFrame:
+    """K pseudo-random NEGATIVES per anchor for contrastive training
+    (in-batch negatives' distributed cousin): draw j ∈ [0, k) maps
+    anchor ``a`` to the document at dense index
+    ``md5(salt:a:j) mod N`` — a pure function of (salt, a, j), so
+    every engine, retry, and re-run draws the identical negatives
+    (the property ``rand()`` sampling loses on re-partitioning).
+    Returns (anchor_id, j, negative_id), ascending; a draw that hits
+    its own anchor is DROPPED (documented: ≤ k negatives per anchor,
+    expected loss k/N — the contrastive-training convention is to
+    tolerate a short row rather than re-draw and correlate draws).
+
+    Scale shape: the dense index is one range-partitioned
+    ``row_number`` over the id frame (ids only — never payloads; at
+    100 TB the documented refinement is vocab_build's two-phase
+    rank); anchors explode ×k (integers), and the draw resolves with
+    ONE shuffle join of (hash mod N) against the indexed id frame.
+    Payload columns never move — join negatives' payloads on
+    ``negative_id`` afterwards, where the training job already
+    shuffles by example."""
+    n_total = df.count()  # 1-row scalar; also the mod base
+    ids = df.select(F.col(id_col).alias("nid"))
+    w = Window.orderBy(F.col("nid").asc())
+    indexed = ids.withColumn(
+        "idx", (F.row_number().over(w) - 1).cast("long")
+    )
+    draws = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .select(
+            "anchor_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))
+            ).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                md5_long(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % n_total
+            ).alias("idx"),
+        )
+    )
+    return (
+        draws.join(indexed, "idx")
+        .where(F.col("anchor_id") != F.col("nid"))
+        .select(
+            "anchor_id",
+            "j",
+            F.col("nid").alias("negative_id"),
+        )
+        .orderBy("anchor_id", "j")
+    )
+
+
+def negative_samples_oracle(
+    id_col: str = "doc_id",
+    k: int = NEG_K,
+    salt: str = "neg",
+    table: str = "documents",
+) -> str:
+    h = md5_long_sql(
+        f"'{salt}:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+        WITH n AS (SELECT count(*) AS n_total FROM {table}),
+        indexed AS (
+            SELECT {id_col} AS nid,
+                   CAST(row_number() OVER (ORDER BY {id_col} ASC) - 1
+                        AS BIGINT) AS idx
+            FROM {table}
+        ),
+        draws AS (
+            SELECT anchor_id, CAST(j AS BIGINT) AS j,
+                   {h} % n_total AS idx
+            FROM (SELECT {id_col} AS anchor_id FROM {table}),
+                 unnest(range(0, {k})) AS t(j), n
+        )
+        SELECT anchor_id, j, nid AS negative_id
+        FROM draws JOIN indexed USING (idx)
+        WHERE anchor_id != nid
+    """

@@ -753,6 +753,102 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAIN_THRESHOLD_PPM = 800_000  # 80% of the smaller doc's shingles
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = CONTAIN_THRESHOLD_PPM,
+) -> DataFrame:
+    """ONE-SIDED near-dup: pairs where the smaller document's shingle
+    set is ≥ threshold contained in the other's —
+    C(A,B) = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|). Catches what
+    symmetric Jaccard structurally cannot: a short document quoted
+    or wrapped inside a much longer one scores near-zero Jaccard
+    (the union is dominated by the long side) but containment ~1 —
+    the boilerplate-wrapper / embedded-quote dedup mode.
+
+    Returns (id_a, id_b, n_common, containment_ppm), id_a < id_b,
+    integer ppm (engine-exact; no float anywhere).
+
+    Scale posture: same inverted-index equi-join as
+    :func:`ngram_jaccard_pairs` and the same honest label — the
+    exact small-scale baseline. The 100 TB path for containment is
+    the prefix-filter family ORDERED BY SET SIZE (a set must share
+    ≥ threshold·|smaller| shingles, so indexing each doc's rarest
+    (1−t)·|S|+1 shingles preserves exactness — the
+    prefix_jaccard_join machinery with the containment bound), plus
+    the banded-LSH candidate generator which does NOT transfer:
+    MinHash estimates Jaccard, and high-containment/low-Jaccard
+    pairs are precisely the ones it misses."""
+    sig = minhash_signatures(df, text_col).select("doc_id", "shh")
+    inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = sig.select("doc_id", F.expr("size(shh)").alias("n_sh"))
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_common * 1000000) div least(n_a, n_b)").cast("long"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "n_common", "containment_ppm")
+    )
+
+
+def containment_pairs_oracle(
+    threshold_ppm: int = CONTAIN_THRESHOLD_PPM, table: str = "documents"
+) -> str:
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, {duck_hashed_shingles_expr('toks')} AS shh
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM {table})
+            WHERE len(toks) >= {SHINGLE_N}
+        ),
+        inv AS (SELECT doc_id, unnest(shh) AS shingle FROM sig),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_common,
+               CAST((n_common * 1000000)
+                    // least(len(sa.shh), len(sb.shh)) AS BIGINT)
+                   AS containment_ppm
+        FROM common
+        JOIN sig sa ON common.id_a = sa.doc_id
+        JOIN sig sb ON common.id_b = sb.doc_id
+        WHERE (n_common * 1000000) // least(len(sa.shh), len(sb.shh))
+              >= {threshold_ppm}
+    """
+
+
 # --- DuckDB oracle builders ------------------------------------------------
 
 

@@ -332,3 +332,70 @@ def profile_drift(
         )
         .orderBy("col_name")
     )
+
+
+K_ANON_DEFAULT = 5
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = K_ANON_DEFAULT
+) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier columns: one row
+    per QI equivalence class with its size and whether it is AT RISK
+    (size < k — an individual in such a class is re-identifiable by
+    the QI combination alone; Sweeney 2002). The classes are what a
+    privacy review reads; :func:`k_anonymize` is the enforcement.
+
+    One groupBy over the QI key (map-side partial counts — at 100 TB
+    the shuffle carries one counter per class per partition, not
+    rows). Ascending QI order."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+        .orderBy(*quasi_cols)
+    )
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: list[str], k: int = K_ANON_DEFAULT
+) -> DataFrame:
+    """ENFORCE k-anonymity by suppression: rows whose QI class has
+    fewer than ``k`` members get every quasi-identifier column
+    NULLed (full-domain suppression of the risky classes — the
+    baseline mechanism; generalization hierarchies are a policy
+    layer above this operator). Non-QI columns pass through
+    untouched, row count is preserved (suppression, never deletion —
+    dropping rare classes would bias the survivors).
+
+    Plan: the class-size aggregate (small) broadcast-joins back onto
+    the rows; each QI column becomes CASE WHEN size < k THEN NULL.
+    One aggregate shuffle + one broadcast join — rows never shuffle.
+    """
+    # the size frame derives from df itself — rename its QI columns
+    # so the join condition can never be ambiguous (self-join
+    # column-lineage hazard)
+    sizes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("__class_size"))
+        .select(
+            *[F.col(c).alias(f"__qi_{c}") for c in quasi_cols],
+            "__class_size",
+        )
+    )
+    joined = df.join(
+        F.broadcast(sizes),
+        on=[
+            F.col(c).eqNullSafe(F.col(f"__qi_{c}")) for c in quasi_cols
+        ],
+    )
+    risky = F.col("__class_size") < k
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(risky, F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

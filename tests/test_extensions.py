@@ -2038,3 +2038,33 @@ def test_maxsim_hand_vectors(spark):
         for r in maxsim_scores(df, query_label=0, k=5).collect()
     ]
     assert got == [(1, 2_000_000, 2), (2, 1_000_000, 2), (3, 0, 2)]
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc quoted verbatim inside a much longer one:
+    containment 100% (flagged) while Jaccard is far below any
+    near-dup threshold (structurally invisible to the symmetric
+    family) — plus an unrelated doc produces no pair."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(40))
+        + " " + short + " "
+        + " ".join(f"post{i}" for i in range(40))
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_ppm"]
+        for r in containment_pairs(df).collect()
+    }
+    assert got == {(1, 2): 1_000_000}
+    # the symmetric baseline cannot see it at any usable threshold
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0

@@ -166,3 +166,46 @@ def test_profile_drift_flags_moved_columns(spark):
     assert got["stable"]["distinct_drift_ppm"] == 0
     assert not got["stable"]["minmax_changed"]
     assert not got["stable"]["drifted"]
+
+
+def test_k_anonymize_suppresses_risky_classes(spark):
+    """Enforcement semantics: rows in QI classes smaller than k get
+    every QI column NULLed, larger classes pass through verbatim,
+    row count is preserved, and non-QI payload columns are never
+    touched — including for NULL-valued QI classes (eqNullSafe
+    join)."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        k_anonymity,
+        k_anonymize,
+    )
+
+    rows = (
+        [(i, "segA", 1, i * 10) for i in range(6)]  # class of 6: safe
+        + [(10, "segB", 2, 7)]  # singleton: suppressed
+        + [(11, None, 3, 8), (12, None, 3, 9)]  # NULL QI, class of 2
+    )
+    df = spark.createDataFrame(
+        rows, "id long, seg string, nat long, payload long"
+    )
+    audit = {
+        (r["seg"], r["nat"]): (r["class_size"], r["at_risk"])
+        for r in k_anonymity(df, ["seg", "nat"], k=3).collect()
+    }
+    assert audit[("segA", 1)] == (6, False)
+    assert audit[("segB", 2)] == (1, True)
+    assert audit[(None, 3)] == (2, True)
+
+    out = k_anonymize(df, ["seg", "nat"], k=3).collect()
+    assert len(out) == len(rows)
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["seg"] == "segA" and by_id[0]["nat"] == 1
+    assert by_id[10]["seg"] is None and by_id[10]["nat"] is None
+    assert by_id[10]["payload"] == 7  # payload untouched
+    assert by_id[11]["seg"] is None and by_id[11]["nat"] is None
+    # post-enforcement audit at the same k: no named class at risk
+    post = k_anonymity(
+        spark.createDataFrame(out, df.schema), ["seg", "nat"], k=3
+    ).collect()
+    assert all(
+        not r["at_risk"] for r in post if r["seg"] is not None
+    )
