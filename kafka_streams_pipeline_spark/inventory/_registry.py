@@ -76,6 +76,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_decontaminate",
     # round-10: tag lifecycle (writes + vacuums a temp store)
     "q_store_tags",
+    # round-10: per-micro-batch profile replay (writes temp chunks)
+    "q_streaming_drift",
     # round-9: availableNow streaming histogram replay
     "q_streaming_histogram",
     # round-9: avro OCF round-trip (writes temp container files)

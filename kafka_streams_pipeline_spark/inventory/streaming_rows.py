@@ -3289,3 +3289,141 @@ def q_store_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "tag string, version int, n_docs long, id_checksum long"
     )
+
+
+def _drift_slice_profile_sql(mod: int, cols: list[str]) -> str:
+    """Per-column exact profile of the documents slice
+    ``doc_id % 4 = mod`` (the deterministic micro-batch split the
+    streaming drift row replays)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM documents WHERE doc_id % 4 = {mod}""")
+    return " UNION ALL ".join(parts)
+
+
+_DRIFT_STREAM_COLS = ["lang", "source", "n_chars"]
+
+
+def _streaming_drift_oracle() -> str:
+    legs = []
+    for seq in (1, 2, 3):
+        legs.append(f"""
+        SELECT {seq} AS batch_seq, po.col_name,
+               po.n_rows AS rows_old, pn.n_rows AS rows_new,
+               CAST(abs((pn.n_nonnull * 1000000) // pn.n_rows
+                      - (po.n_nonnull * 1000000) // po.n_rows) AS BIGINT)
+                   AS nonnull_drift_ppm,
+               CAST((abs(pn.n_distinct - po.n_distinct) * 1000000)
+                    // po.n_distinct AS BIGINT) AS distinct_drift_ppm,
+               (po.min_value != pn.min_value
+                OR po.max_value != pn.max_value) AS minmax_changed
+        FROM ({_drift_slice_profile_sql(seq - 1, _DRIFT_STREAM_COLS)}) po
+        JOIN ({_drift_slice_profile_sql(seq, _DRIFT_STREAM_COLS)}) pn
+          ON po.col_name = pn.col_name""")
+    return " UNION ALL ".join(legs)
+
+
+@register("q_streaming_drift", oracle=_streaming_drift_oracle())
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DRIFT MONITOR (round 10): per-micro-batch column
+    profiles computed inside foreachBatch (each batch is one
+    O(columns) profile — the whylogs deployment shape), then
+    consecutive-batch drift via the same ppm arithmetic as
+    q_profile_drift. The replay splits documents into 4
+    deterministic micro-batches (doc_id mod 4, one file each,
+    ascending mtimes), so the oracle recomputes every batch's
+    profile and every drift row from the slices alone. Emits
+    (batch_seq, col_name, rows, non-null/distinct drift ppm,
+    min/max movement) for each consecutive pair. See
+    operators/quality.table_profile / profile_drift."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.quality import (
+        profile_drift,
+        table_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-sdrift-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    m0 = _time.time() - 86_400
+    for c in range(4):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                if r["doc_id"] % 4 == c:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "lang": r["lang"],
+                                "source": r["source"],
+                                "n_chars": r["n_chars"],
+                            }
+                        )
+                        + "\n"
+                    )
+        os.utime(p, (m0 + c, m0 + c))
+
+    profiles: list = []  # (batch_id, profile rows)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        prof = table_profile(
+            batch_df.select("lang", "source", "n_chars")
+        ).collect()
+        profiles.append((batch_id, prof))
+
+    q = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("availableNow replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+
+    profiles.sort(key=lambda t: t[0])
+    schema = (
+        "col_name string, n_rows long, n_nonnull long, n_distinct long,"
+        " min_value string, max_value string"
+    )
+    out = None
+    for seq in range(1, len(profiles)):
+        old = spark.createDataFrame(
+            [tuple(r) for r in profiles[seq - 1][1]], schema
+        )
+        new = spark.createDataFrame(
+            [tuple(r) for r in profiles[seq][1]], schema
+        )
+        leg = profile_drift(old, new).select(
+            F.lit(seq).cast("long").alias("batch_seq"),
+            "col_name",
+            "rows_old",
+            "rows_new",
+            "nonnull_drift_ppm",
+            "distinct_drift_ppm",
+            "minmax_changed",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("batch_seq", "col_name")
