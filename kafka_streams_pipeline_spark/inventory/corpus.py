@@ -1949,3 +1949,31 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")
     )
     return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=8)
+
+
+@register("q_dsir_select", oracle=_text.dsir_select_oracle())
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5u data selection via importance resampling (DSIR, Xie et
+    al. 2023): rank non-English candidate documents by how
+    English-target-like their hashed-bigram distribution is —
+    per-bucket integer-bits importance scores (Laplace-smoothed,
+    bit-length surprisal, no float log), length-normalized doc
+    weights, deterministic top-50 with doc_id tie-break where the
+    paper's Gumbel resampling would be irreproducible. Both models
+    collapse to ≤ 512 rows map-side and broadcast into the scoring
+    join; selection is TakeOrderedAndProject — no global sort. See
+    operators/text.dsir_select."""
+    return _text.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+@register("q_shard_balance", oracle=_corpus.shard_balance_oracle())
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5v balanced training-shard assignment: documents distributed
+    over 8 output shards with near-equal TOTAL characters via sorted
+    round-robin (deterministic LPT), the write-side balance step
+    that keeps 1000 downstream readers finishing together. Global
+    rank is two-phase (range repartition → parallel local ranks →
+    broadcast prefix offsets — no single-task sort); the certified
+    per-shard manifest pins membership via the id checksum. See
+    operators/corpus.shard_balance."""
+    return _corpus.shard_balance(_t(spark, sf_dir, "documents"))

@@ -677,3 +677,34 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("n_chars") >= 200),
         col="doc_id",
     )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=_sk.join_size_estimate_oracle(
+        "SELECT user_id FROM events WHERE event_type = 'view'",
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "user_id",
+        "user_id",
+    ),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7h sketch family: CMS inner-product JOIN-CARDINALITY
+    estimation — |views ⋈ purchases on user_id| predicted from two
+    constant-size sketches before any join runs (Cormode &
+    Muthukrishnan 2005 §4.2). The pre-join planning statistic behind
+    join ordering and shuffle sizing at 100 TB: each side is one
+    scan collapsing to ≤ d·w counters map-side, the estimate is a
+    768-row sketch-sketch join, and CMS linearity means per-day/
+    per-table sketches compose without rescans. One-sided invariant
+    (overcount ≥ 0) and the exact inner-product rider are both
+    inside the certified row — the estimate is bit-identical across
+    engines, not approximately equal. See
+    operators/sketches.join_size_estimate."""
+    ev = _t(spark, sf_dir, "events")
+    return _sk.join_size_estimate(
+        ev.where(F.col("event_type") == "view").select("user_id"),
+        ev.where(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        "user_id",
+    )

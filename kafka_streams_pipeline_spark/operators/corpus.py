@@ -734,3 +734,106 @@ def negative_samples_oracle(
         FROM draws JOIN indexed USING (idx)
         WHERE anchor_id != nid
     """
+
+
+SHARD_K = 8  # output shards for the certified balanced-write row
+
+
+def shard_balance(
+    df: DataFrame,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = SHARD_K,
+) -> DataFrame:
+    """X5 balanced training-shard assignment: distribute documents
+    over ``k`` output shards with near-equal TOTAL SIZE (not just
+    count), the write-side step that decides whether 1000 downstream
+    readers finish together or wait on one fat shard. Method is
+    sorted round-robin (the distributed-friendly determinization of
+    LPT greedy): global rank by (size DESC, id ASC), shard =
+    (rank - 1) mod k — every "round" hands each shard one of the k
+    next-largest documents, so shard totals differ by at most one
+    document of each round's spread and the assignment is a pure
+    function of the data (LPT's data-dependent argmin is inherently
+    sequential; the round-robin form loses ≤ one item's worth of
+    balance and keeps the plan shuffle-shaped).
+
+    The global rank is TWO-PHASE exactly like ``vocab_build``'s (no
+    single task ever sorts the corpus): range-repartition on the
+    rank key → per-partition row_number in parallel → offset by the
+    ≤ n_partitions-row exclusive prefix sum, broadcast back.
+
+    Certified output is the per-shard manifest: (shard, n_docs,
+    total_chars, id_checksum) — the checksum pins MEMBERSHIP, so a
+    rank or modulus drift anywhere flips the hash. Per-doc
+    assignment is the same frame before the final aggregate."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).cast("long").alias("sz"),
+    )
+    sliced = base.repartitionByRange(
+        n_parts, F.col("sz").desc(), F.col("id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    local = sliced.withColumn(
+        "_local_rank",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.col("sz").desc(), "id")
+        ),
+    )
+    sizes = sliced.groupBy("_pid").agg(F.count(F.lit(1)).alias("_psz"))
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_psz").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    assigned = local.join(F.broadcast(offsets), "_pid").select(
+        "id",
+        "sz",
+        (
+            (F.col("_offset") + F.col("_local_rank") - 1) % k
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("sz").cast("long").alias("total_chars"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_balance_oracle(
+    table: str = "documents",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = SHARD_K,
+) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col} AS id,
+                   CAST({size_col} AS BIGINT) AS sz,
+                   row_number() OVER (
+                       ORDER BY {size_col} DESC, {id_col} ASC
+                   ) AS rn
+            FROM {table}
+        )
+        SELECT CAST((rn - 1) % {k} AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sz) AS BIGINT) AS total_chars,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM ranked
+        GROUP BY 1
+        ORDER BY 1
+    """

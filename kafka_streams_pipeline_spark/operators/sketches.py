@@ -1054,3 +1054,139 @@ def histogram_sketch_by_sql(
         FROM {table} WHERE {col} IS NOT NULL
         GROUP BY 1, 2
     """
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """CMS inner-product join-cardinality estimation (Cormode &
+    Muthukrishnan 2005 §4.2, public literature): the equi-join size
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k) is the inner product of the two key
+    frequency vectors, and the sketch estimate is
+    min_i Σ_pos cmsA[i][pos]·cmsB[i][pos] — one-sided like the point
+    query (estimate ≥ exact, always; colliding keys only ADD cross
+    terms). This is the pre-join planning measurement behind join
+    reordering and shuffle-partition sizing: at 100 TB you want the
+    join's output cardinality BEFORE paying for the join, from two
+    independently-built constant-size sketches (each one scan with
+    map-side combine down to ≤ d·w counters; sketches of different
+    tables/days compose because CMS is linear).
+
+    Certified output is one row: ``est_join_size`` (the sketch
+    inner product), ``exact_join_size`` (the true Σ f_A·f_B rider,
+    computed by the per-key aggregate + join the sketch lets you
+    avoid), and ``overcount`` (≥ 0 — the one-sided invariant is
+    inside the hash). All BIGINT — counters are exact integers on
+    both engines, so the estimate is bit-identical, not approximately
+    equal.
+
+    Reference frame: the reference has no cross-stream cardinality
+    estimation; this extends its per-window counting aggregates
+    (ingestion/KafkaStreamsAggregator.java:103-105) with the
+    sketch-side planning statistic a distributed engine needs."""
+    a = cms_sketch(
+        left.select(F.col(left_key).cast("string").alias("k")), "k"
+    )
+    b = cms_sketch(
+        right.select(F.col(right_key).cast("string").alias("k")), "k"
+    )
+    ip = (
+        a.select("i", "pos", F.col("cnt").alias("cnt_a"))
+        .join(
+            b.select("i", "pos", F.col("cnt").alias("cnt_b")),
+            ["i", "pos"],
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("cnt_a") * F.col("cnt_b"))
+            .cast("long")
+            .alias("ip")
+        )
+    )
+    # a hash row whose cells never collide has inner product 0, and
+    # 0 must participate in the min — spine over all d rows so an
+    # empty/partial join cannot silently drop rows from the min
+    spine = left.sparkSession.range(CMS_D).select(
+        F.col("id").cast("int").alias("i")
+    )
+    est = (
+        spine.join(ip, "i", "left")
+        .select(F.coalesce(F.col("ip"), F.lit(0)).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
+    fa = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    fb = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+def join_size_estimate_oracle(
+    left_sql: str, right_sql: str, left_key: str, right_key: str
+) -> str:
+    """DuckDB twin of :func:`join_size_estimate` — identical CMS
+    construction (same Bloom affine family, same d×w geometry) over
+    the two key streams, identical min-of-inner-products estimate,
+    identical exact rider."""
+
+    def incr(src: str, key: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {i} AS i, {_cms_pos_duck(key, i)} AS pos "
+            f"FROM ({src}) WHERE {key} IS NOT NULL"
+            for i in range(CMS_D)
+        )
+
+    return f"""
+        WITH sa AS (
+            SELECT i, pos, CAST(count(*) AS BIGINT) AS cnt_a
+            FROM ({incr(left_sql, left_key)}) GROUP BY i, pos
+        ),
+        sb AS (
+            SELECT i, pos, CAST(count(*) AS BIGINT) AS cnt_b
+            FROM ({incr(right_sql, right_key)}) GROUP BY i, pos
+        ),
+        ip AS (
+            SELECT sa.i, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS ip
+            FROM sa JOIN sb ON sa.i = sb.i AND sa.pos = sb.pos
+            GROUP BY sa.i
+        ),
+        spine AS (SELECT i FROM unnest(range(0, {CMS_D})) AS t(i)),
+        est AS (
+            SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
+                       AS est_join_size
+            FROM spine LEFT JOIN ip ON spine.i = ip.i
+        ),
+        fa AS (
+            SELECT {left_key} AS k, CAST(count(*) AS BIGINT) AS ca
+            FROM ({left_sql}) WHERE {left_key} IS NOT NULL GROUP BY 1
+        ),
+        fb AS (
+            SELECT {right_key} AS k, CAST(count(*) AS BIGINT) AS cb
+            FROM ({right_sql}) WHERE {right_key} IS NOT NULL GROUP BY 1
+        ),
+        ex AS (
+            SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+                       AS exact_join_size
+            FROM fa JOIN fb USING (k)
+        )
+        SELECT est_join_size, exact_join_size,
+               CAST(est_join_size - exact_join_size AS BIGINT) AS overcount
+        FROM est, ex
+    """

@@ -2295,3 +2295,195 @@ def decontaminate_oracle(
         FROM cng c JOIN bench b ON c.ng = b.ng
         GROUP BY c.doc_id
     """
+
+
+DSIR_BUCKETS = 512  # hashed bigram feature space (paper uses 10k;
+# 512 keeps the sf0.01 gate's bucket tables dense enough that both
+# smoothing branches are exercised)
+DSIR_TOPK = 50
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str = "text",
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_TOPK,
+) -> DataFrame:
+    """X5 data selection via importance resampling (DSIR — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling", public literature), integer-exact: score each
+    CANDIDATE document (lang != target) by how target-like its
+    hashed-bigram feature distribution is, then keep the top-k.
+
+    Both bag-of-ngrams models use the paper's hashed-bigram
+    features: bucket = md5('dsir:' || prev || ' ' || cur) mod B over
+    the portable hash family. Per-bucket importance score, in
+    integer surprisal bits (no float log anywhere, same bit-length
+    convention as unigram_surprisal):
+
+        score(b) = bits_raw(b) - bits_target(b)
+        bits_m(b) = bitlen(N_m div (cnt_m(b) + 1)) + 1
+
+    with Laplace add-one smoothing (N_m = total_m + B) so unseen
+    buckets are defined under both models. A document's weight is
+    the sum of its bigram occurrences' scores (the log importance
+    ratio of the paper, up to the integer-bits quantization —
+    deterministic where the paper's Gumbel resampling is not);
+    selection ranks by the length-normalized fixed-point mean
+    (×10⁶) with doc_id tie-break, so the draw is reproducible
+    across engines, retries, and partitionings.
+
+    Scale shape: both models collapse to ≤ B rows with map-side
+    combine; scoring is one explode + a BROADCAST join against the
+    B-row score table + a per-doc aggregate; top-k is
+    TakeOrderedAndProject (no global sort). The raw model is built
+    over ALL documents (full feature support — every candidate
+    bucket is present), the target model left-joins onto it."""
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+
+    toks = df.select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.posexplode("ws").alias("pos0", "cur"),
+        F.expr(
+            "CASE WHEN pos0 >= 1 THEN element_at(ws, pos0) END"
+        ).alias("prev"),
+    )
+    feats = toks.where(F.col("prev").isNotNull()).select(
+        "doc_id",
+        "lang",
+        (
+            md5_long(
+                F.concat(
+                    F.lit("dsir:"),
+                    F.col("prev"),
+                    F.lit(" "),
+                    F.col("cur"),
+                )
+            )
+            % n_buckets
+        ).alias("bucket"),
+    )
+    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feats.where(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = (
+        raw.agg(F.sum("cr").cast("long").alias("sum_r"))
+        .crossJoin(
+            tgt.agg(F.sum("ct").cast("long").alias("sum_t"))
+        )
+        .select(
+            (F.col("sum_r") + n_buckets).alias("nr"),
+            (F.col("sum_t") + n_buckets).alias("nt"),
+        )
+    )
+    scores = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.expr(_spark_bitlen("(nr div (cr + 1))"))
+                - F.expr(
+                    _spark_bitlen("(nt div (coalesce(ct, 0) + 1))")
+                )
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    cand = feats.where(F.col("lang") != target_lang)
+    weighted = (
+        cand.join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("score").cast("long").alias("weight_bits"),
+            F.expr(
+                "CAST(sum(score) * 1000000L div count(1) AS BIGINT)"
+            ).alias("mean_fp"),
+        )
+    )
+    return weighted.orderBy(
+        F.col("mean_fp").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_select_oracle(
+    table: str = "documents",
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_TOPK,
+) -> str:
+    from kafka_streams_pipeline_spark.functions.hashing import (
+        md5_long_sql,
+    )
+
+    bucket = (
+        md5_long_sql("'dsir:' || prev || ' ' || cur") + f" % {n_buckets}"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+            FROM {table}
+        ),
+        tok AS (
+            SELECT doc_id, lang,
+                   unnest(ws) AS cur,
+                   generate_subscripts(ws, 1) AS pos1,
+                   ws
+            FROM t
+        ),
+        feats AS (
+            SELECT doc_id, lang, {bucket} AS bucket
+            FROM (
+                SELECT doc_id, lang, cur,
+                       CASE WHEN pos1 >= 2 THEN ws[pos1 - 1] END AS prev
+                FROM tok
+            )
+            WHERE prev IS NOT NULL
+        ),
+        raw AS (
+            SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket
+        ),
+        tgt AS (
+            SELECT bucket, count(*) AS ct FROM feats
+            WHERE lang = '{target_lang}' GROUP BY bucket
+        ),
+        totals AS (
+            SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw)
+                       + {n_buckets} AS nr,
+                   (SELECT CAST(sum(ct) AS BIGINT) FROM tgt)
+                       + {n_buckets} AS nt
+        ),
+        scores AS (
+            SELECT raw.bucket,
+                   CAST({_duck_bitlen('(nr // (cr + 1))')}
+                        - {_duck_bitlen('(nt // (coalesce(ct, 0) + 1))')}
+                        AS BIGINT) AS score
+            FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+            CROSS JOIN totals
+        ),
+        weighted AS (
+            SELECT f.doc_id, f.lang,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(score) AS BIGINT) AS weight_bits,
+                   CAST((sum(score) * 1000000) // count(*) AS BIGINT)
+                       AS mean_fp
+            FROM feats f JOIN scores s ON f.bucket = s.bucket
+            WHERE f.lang != '{target_lang}'
+            GROUP BY f.doc_id, f.lang
+        )
+        SELECT doc_id, lang, n_bigrams, weight_bits, mean_fp
+        FROM weighted
+        ORDER BY mean_fp DESC, doc_id ASC
+        LIMIT {k}
+    """

@@ -2068,3 +2068,81 @@ def test_containment_catches_embedded_quote(spark):
     assert got == {(1, 2): 1_000_000}
     # the symmetric baseline cannot see it at any usable threshold
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_join_size_estimate_exact_and_one_sided(spark):
+    """Hand-built key multisets: exact inner product is
+    Σ f_A(k)·f_B(k) over shared keys, the CMS estimate dominates it,
+    and disjoint key sets report exact 0 (with est ≥ 0)."""
+    from kafka_streams_pipeline_spark.operators import sketches
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+    )
+    row = sketches.join_size_estimate(a, b, "k", "k").collect()[0]
+    # f_A = {1:3, 2:2, 3:1}; f_B = {1:1, 2:3, 4:1} → 3·1 + 2·3 = 9
+    assert row["exact_join_size"] == 9
+    assert row["overcount"] >= 0
+    assert row["est_join_size"] == row["exact_join_size"] + row["overcount"]
+
+    disj = spark.createDataFrame([(100,), (200,)], "k long")
+    row2 = sketches.join_size_estimate(a, disj, "k", "k").collect()[0]
+    assert row2["exact_join_size"] == 0
+    assert row2["est_join_size"] >= 0
+
+
+def test_dsir_ranks_target_like_candidates_first(spark):
+    """A candidate doc written in the target's bigram distribution
+    must outrank a candidate full of bigrams the target never uses;
+    weights are deterministic integers."""
+    from kafka_streams_pipeline_spark.operators.text import dsir_select
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        # target model (lang = en)
+        (1, target_text, "en"),
+        (2, target_text, "en"),
+        (3, "the quick brown fox likes the lazy dog", "en"),
+        # candidate that reuses target bigrams verbatim
+        (10, "the quick brown fox jumps over the lazy dog", "fr"),
+        # candidate with bigrams unseen in the target
+        (11, "zz yy xx ww vv uu tt ss rr qq", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_select(df, k=10).collect()
+    assert [r["doc_id"] for r in out][:2] == [10, 11]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[10]["mean_fp"] > by_id[11]["mean_fp"]
+    assert by_id[10]["n_bigrams"] == 8
+    # re-run is bit-identical (pure function of the data)
+    out2 = dsir_select(df, k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_shard_balance_round_robin_and_bound(spark):
+    """Constructed sizes: rank order is (size desc, id asc), shard =
+    (rank-1) mod k, and the sorted-round-robin totals stay within
+    one max-item of each other on a skewed input."""
+    from kafka_streams_pipeline_spark.operators.corpus import shard_balance
+
+    rows = [(i, sz) for i, sz in enumerate([100, 90, 80, 70, 60, 50, 40, 30])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r["shard"]: r for r in shard_balance(df, k=2).collect()}
+    # ranks: 100,90,80,... → shard0 gets 100,80,60,40; shard1 gets 90,70,50,30
+    assert out[0]["total_chars"] == 280
+    assert out[1]["total_chars"] == 240
+    assert out[0]["id_checksum"] == 0 + 2 + 4 + 6
+    assert out[1]["id_checksum"] == 1 + 3 + 5 + 7
+
+    skewed = spark.createDataFrame(
+        [(i, 10000 if i == 0 else 7 + i % 11) for i in range(500)],
+        "doc_id long, n_chars long",
+    )
+    tots = [
+        r["total_chars"] for r in shard_balance(skewed, k=8).collect()
+    ]
+    assert len(tots) == 8
+    assert max(tots) - min(tots) <= 10000
