@@ -1028,3 +1028,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB refinement is the size-ordered prefix filter documented
     on the operator. See operators/dedup.containment_pairs."""
     return _dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("q_ivf_knn_join", oracle=_sim.ivf_knn_join_oracle())
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3e multi-query IVF ANN (round 10): the FAISS-shaped
+    production batch search — knn_join restricted to each query's
+    nprobe nearest coarse cells. Corpus assigned to cells ONCE
+    (broadcast centroids, partial/final argmax), candidates shrink
+    ~nprobe/N_CLUSTERS, corpus never self-joins; rank bound into the
+    rows certifies ordering. See operators/similarity.ivf_knn_join."""
+    return _sim.ivf_knn_join(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_ivf_recall", oracle=_sim.ivf_recall_oracle())
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f ANN quality certification (round 10): per-query recall@5
+    of the IVF search vs the exact kNN join — the trust-the-index
+    number, as exact ppm integers (mirrors q_dedup_recall for the
+    LSH family). A centroid/assignment/probing drift moves some
+    query's hit count and flips the hash. See
+    operators/similarity.ivf_recall."""
+    return _sim.ivf_recall(_t(spark, sf_dir, "embeddings"))

@@ -3427,3 +3427,92 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("batch_seq", "col_name")
+
+
+@register(
+    "q_store_text_index",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 8 = 3
+                        THEN lower(text) || ' takedownmark'
+                        ELSE lower(text) END AS ltext
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, n_chars FROM aug
+            WHERE list_contains(string_split(ltext, ' '), 'takedownmark')
+              AND list_contains(string_split(ltext, ' '), 'window')
+        ),
+        cand AS (
+            SELECT CAST(count(*) AS BIGINT) AS scanned FROM (
+                SELECT doc_id % 8 AS b,
+                       max(CASE WHEN list_contains(
+                               string_split(ltext, ' '), 'takedownmark')
+                           THEN 1 ELSE 0 END) AS h1,
+                       max(CASE WHEN list_contains(
+                               string_split(ltext, ' '), 'window')
+                           THEN 1 ELSE 0 END) AS h2
+                FROM aug GROUP BY 1
+            ) WHERE h1 = 1 AND h2 = 1
+        )
+        SELECT 'row' AS phase, doc_id AS a, n_chars AS b FROM m
+        UNION ALL
+        SELECT 'prune', scanned, CAST(8 AS BIGINT) FROM cand
+    """,
+)
+def q_store_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted text index over the versioned store (round 10): the
+    posting-list complement of the Bloom index — conjunctive term
+    search that never rescans text. documents land as 8 residue
+    batches with batch 3's text carrying a 'takedownmark' appendix
+    (the takedown-audit shape); the per-batch (token, doc_id)
+    postings are built once, incrementally, sorted by token. The
+    search AND('takedownmark', 'window') must (1) prune to exactly
+    the 1 batch whose index contains both terms — the decision is
+    recomputed by the oracle from the same tokenization, so scanning
+    8 batches OR the wrong 1 flips the hash — (2) resolve matching
+    doc_ids from postings alone, and (3) fetch payloads from the
+    candidate batch only. Incremental build asserted (second call
+    indexes 0 batches). See sources/text_index.py."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 8 == 3,
+            F.concat(F.lower(F.col("text")), F.lit(" takedownmark")),
+        )
+        .otherwise(F.lower(F.col("text")))
+        .alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-textidx-")
+    store = os.path.join(base, "corpus")
+    try:
+        for i in range(8):
+            commit_corpus(
+                docs.where(F.col("doc_id") % 8 == i), store, f"residue {i}"
+            )
+        n_built = build_text_index(spark, store, "text")
+        if n_built != 8 or build_text_index(spark, store, "text") != 0:
+            raise AssertionError("index build not incremental as claimed")
+        found, stats = search_text_index(
+            spark, store, ["takedownmark", "window"], "text"
+        )
+        rows = [
+            ("row", r["doc_id"], r["n_chars"])
+            for r in found.select("doc_id", "n_chars").collect()
+        ]
+        rows.append(
+            ("prune", stats["batches_scanned"], stats["batches_total"])
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

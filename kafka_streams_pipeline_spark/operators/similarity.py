@@ -1561,3 +1561,208 @@ def maxsim_scores_oracle(query_label: int = 0, k: int = 5) -> str:
         ORDER BY maxsim_micro DESC, label
         LIMIT {k}
     """
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """X3 multi-query IVF ANN: ``knn_join`` restricted to each
+    query's ``nprobe`` nearest coarse cells — the production batch
+    shape (FAISS IVF search over a query block) where
+    ``topk_cosine_ivf`` is the single-query teaching form. The
+    corpus is assigned to cells ONCE (broadcast centroid pass +
+    partial/final argmax, no window); each query probes its nprobe
+    cells; exact cosine re-ranks only candidates inside probed
+    cells. Candidate volume shrinks ~nprobe/N_CLUSTERS relative to
+    the exact knn_join's full |corpus|·|queries| scoring pass, and
+    the corpus never self-joins. Rank is bound into the output rows
+    like knn_join, so ordering is certified by the same
+    order-insensitive hash."""
+    from pyspark.sql.window import Window
+
+    cent = df.where(F.expr(_centroid_filter())).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(_spark_norm("embedding")).alias("c_norm"),
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            f"round({_spark_dot('embedding', 'c_emb')} / "
+            f"({_spark_norm('embedding')} * c_norm), 6)"
+        ).alias("score"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("cent_id")).alias("negc")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negc")).alias("cell"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    q_cells = (
+        scored.where(F.col("vec_id") < n_queries)
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell")
+        )
+    )
+    q = df.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    cand = (
+        df.join(assign, "vec_id")
+        .join(F.broadcast(q_cells), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_knn_join_oracle(
+    n_queries: int = 8, k: int = 5, nprobe: int = NPROBE
+) -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb,
+                   {_duck_norm('embedding')} AS c_norm
+            FROM embeddings WHERE {_centroid_filter()}
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round({_duck_dot('e.embedding', 'c.c_emb')} /
+                         ({_duck_norm('e.embedding')} * c.c_norm), 6)
+                       AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cent_id AS cell FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) = 1
+        ),
+        q_cells AS (
+            SELECT vec_id AS qid, cent_id AS cell FROM scored
+            WHERE vec_id < {n_queries}
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY score DESC, cent_id) <= {nprobe}
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS q_emb,
+                   {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        cand AS (
+            SELECT qc.qid, e.vec_id,
+                   round({_duck_dot('e.embedding', 'q.q_emb')} /
+                         ({_duck_norm('e.embedding')} * q.q_norm), 6)
+                       AS cos_sim
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN q_cells qc ON a.cell = qc.cell
+            JOIN q ON q.qid = qc.qid
+            WHERE e.vec_id != qc.qid
+        )
+        SELECT qid, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        FROM cand
+        QUALIFY rank <= {k}
+    """
+
+
+def ivf_recall(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """X3 quality certification: per-query recall@k of the IVF
+    search against the exact kNN join at the same k — the number an
+    ANN deployment must report before trusting nprobe at scale
+    (probing fewer cells trades recall for cost; this row pins the
+    trade). Per query: exact k, IVF hits among the exact top-k, and
+    recall as an exact ppm integer (no float division). A centroid,
+    assignment, or probing drift anywhere moves some query's hit
+    count and flips the hash."""
+    exact = knn_join(df, n_queries, k).select("qid", "vec_id")
+    approx = ivf_knn_join(df, n_queries, k, nprobe).select(
+        "qid", "vec_id"
+    )
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000L div n_exact "
+                "AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def ivf_recall_oracle(
+    n_queries: int = 8, k: int = 5, nprobe: int = NPROBE
+) -> str:
+    return f"""
+        WITH exact AS (
+            SELECT qid, vec_id FROM ({knn_join_oracle(n_queries, k)})
+        ),
+        approx AS (
+            SELECT qid, vec_id
+            FROM ({ivf_knn_join_oracle(n_queries, k, nprobe)})
+        ),
+        h AS (
+            SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits
+            FROM exact JOIN approx
+              ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+            GROUP BY exact.qid
+        ),
+        ex AS (
+            SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+            FROM exact GROUP BY qid
+        )
+        SELECT ex.qid, ex.n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) * 1000000 // ex.n_exact
+                    AS BIGINT) AS recall_ppm
+        FROM ex LEFT JOIN h ON ex.qid = h.qid
+    """

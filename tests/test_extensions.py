@@ -2146,3 +2146,20 @@ def test_shard_balance_round_robin_and_bound(spark):
     ]
     assert len(tots) == 8
     assert max(tots) - min(tots) <= 10000
+
+
+def test_ivf_recall_bounds_and_full_probe_exactness(spark, sf_dir):
+    """Recall invariants: hits never exceed exact k, ppm in [0, 1e6];
+    probing ALL cells makes IVF identical to the exact kNN join, so
+    recall must be exactly 1e6 for every query."""
+    from kafka_streams_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sim.ivf_recall(emb).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_exact"] == 5
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+
+    full = sim.ivf_recall(emb, nprobe=sim.N_CLUSTERS).collect()
+    assert all(r["recall_ppm"] == 1_000_000 for r in full)

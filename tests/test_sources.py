@@ -1060,3 +1060,71 @@ def test_store_tags_lifecycle(spark, sf_dir, tmp_path):
         read_corpus_tag(spark, store, "baseline")
     with pytest.raises(ValueError, match="does not exist"):
         delete_tag(store, "baseline")
+
+
+def test_store_text_index_search_prune_and_guards(spark, tmp_path):
+    """Inverted text index contract: conjunctive search returns
+    exactly the docs containing every term; batch pruning scans only
+    batches whose index holds all terms; terms are case-insensitive;
+    absent terms prune to zero batches with an intact empty schema;
+    a partial index fails loudly; incremental build after a new
+    commit indexes only the new batch."""
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    store = str(tmp_path / "store")
+    b1 = [(1, "alpha beta gamma"), (2, "alpha delta")]
+    b2 = [(3, "beta epsilon"), (4, "zeta alpha beta")]
+    for i, rows in enumerate((b1, b2)):
+        commit_corpus(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            store,
+            f"batch {i}",
+        )
+
+    # searching before the index exists fails loudly
+    with pytest.raises(ValueError, match="text index missing"):
+        search_text_index(spark, store, ["alpha"])
+    with pytest.raises(ValueError, match="empty term list"):
+        search_text_index(spark, store, [])
+
+    assert build_text_index(spark, store) == 2
+    assert build_text_index(spark, store) == 0  # idempotent
+
+    # AND semantics + case-insensitive terms: alpha AND beta
+    found, stats = search_text_index(spark, store, ["Alpha", "BETA"])
+    assert sorted(r["doc_id"] for r in found.collect()) == [1, 4]
+    assert stats == {"batches_total": 2, "batches_scanned": 2}
+
+    # gamma only lives in batch 1 → prune to 1 scanned batch
+    found_g, stats_g = search_text_index(spark, store, ["gamma"])
+    assert [r["doc_id"] for r in found_g.collect()] == [1]
+    assert stats_g == {"batches_total": 2, "batches_scanned": 1}
+
+    # a term in no batch → zero scanned, empty frame, schema intact
+    found_n, stats_n = search_text_index(spark, store, ["nosuchterm"])
+    assert found_n.count() == 0
+    assert set(found_n.columns) >= {"doc_id", "text"}
+    assert stats_n["batches_scanned"] == 0
+
+    # terms co-resident in a batch but never in one doc: batch is a
+    # candidate (necessary condition) yet no doc matches
+    found_c, stats_c = search_text_index(spark, store, ["gamma", "delta"])
+    assert found_c.count() == 0
+    assert stats_c["batches_scanned"] == 1
+
+    # incremental: a new commit indexes only the new batch
+    commit_corpus(
+        spark.createDataFrame([(5, "omega gamma")], "doc_id long, text string"),
+        store,
+        "batch 2",
+    )
+    assert build_text_index(spark, store) == 1
+    found2, stats2 = search_text_index(spark, store, ["gamma"])
+    assert sorted(r["doc_id"] for r in found2.collect()) == [1, 5]
+    assert stats2 == {"batches_total": 3, "batches_scanned": 2}
