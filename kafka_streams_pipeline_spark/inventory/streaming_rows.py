@@ -3516,3 +3516,131 @@ def q_store_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register(
+    "q_streaming_semi_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id, epoch_ms(p.ts) AS p_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        WHERE EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 10 MINUTE
+              AND c.ts <  p.ts
+        )
+    """,
+)
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join (round 10), completing the
+    streaming join family (inner = q_streaming_join, left outer =
+    q_streaming_outer_join): purchases that HAD a click from the
+    same user in the preceding 10 minutes, emitted ONCE with no
+    click payload — the streaming EXISTS. Same constructed
+    cross-batch property as the inner row: a micro-batch boundary is
+    cut right before each matched purchase, so every emission is
+    served from the buffered click STATE, and semi-join
+    at-most-once emission is certified by the oracle's DISTINCT
+    (EXISTS) shape — a double emission would flip the row count.
+    With time-ordered chunks nothing crosses the 24 h grace, so the
+    emitted set equals the batch semi join exactly."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string"
+    )
+    pp = ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    cc = ev_df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_ms").alias("c_ms")
+    )
+    matched = (
+        pp.join(
+            cc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ms") >= F.col("p_ms") - 600_000)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .select("p_id")
+        .distinct()
+        .collect()
+    )
+    matched_ids = {r["p_id"] for r in matched}
+    idx = {r["event_id"]: i for i, r in enumerate(rows)}
+    cuts = [idx[p] for p in matched_ids]
+    base = tempfile.mkdtemp(prefix="kspipeline-ssemi-")
+    src = os.path.join(base, "src")
+    _write_event_chunks(rows, src, cuts)
+
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_semi",
+    ).select(
+        "p_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+    )
+
+    batches: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("stream-stream semi join replay timed out")
+    shutil.rmtree(base, ignore_errors=True)
+    out = [
+        (r["p_id"], r["user_id"], r["p_ts_ms"])
+        for b in batches
+        for r in b
+    ]
+    return spark.createDataFrame(out, "p_id long, user_id long, p_ts_ms long")

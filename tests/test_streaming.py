@@ -951,3 +951,63 @@ def test_store_sink_ledger_namespaced_by_query(spark, tmp_path):
     notes = [r["note"] for r in store_history(spark, store).collect()]
     assert len(notes) == len(set(notes)) == 2
     assert all(n.startswith("ingest-q") for n in notes), notes
+
+
+def test_streaming_semi_join_emits_once_from_state(spark, tmp_path):
+    """Left-semi stream-stream join: a purchase matched by TWO
+    in-window clicks (both buffered in an earlier micro-batch) emits
+    exactly ONCE; an unmatched purchase never emits."""
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _write_event_chunks,
+    )
+    from kafka_streams_pipeline_spark.streaming.pipeline import await_replay
+
+    t0 = 1_700_000_000_000
+    rows = [
+        # two clicks for user 1 inside the 10-min window; none for user 2
+        {"event_id": 1, "ts_ms": t0, "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts_ms": t0 + 60_000, "user_id": 1,
+         "event_type": "click"},
+        {"event_id": 3, "ts_ms": t0 + 120_000, "user_id": 1,
+         "event_type": "purchase"},
+        {"event_id": 4, "ts_ms": t0 + 120_000, "user_id": 2,
+         "event_type": "purchase"},
+    ]
+    src = str(tmp_path / "src")
+    _write_event_chunks(rows, src, cuts=[2])  # clicks | purchases
+
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(F.col("event_id").alias("p_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_semi",
+    )
+    emitted: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_replay(q, 300)
+    assert [(r["p_id"], r["user_id"]) for r in emitted] == [(3, 1)]
