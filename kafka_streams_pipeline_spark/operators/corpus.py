@@ -657,19 +657,47 @@ def negative_samples(
     expected loss k/N — the contrastive-training convention is to
     tolerate a short row rather than re-draw and correlate draws).
 
-    Scale shape: the dense index is one range-partitioned
-    ``row_number`` over the id frame (ids only — never payloads; at
-    100 TB the documented refinement is vocab_build's two-phase
-    rank); anchors explode ×k (integers), and the draw resolves with
-    ONE shuffle join of (hash mod N) against the indexed id frame.
-    Payload columns never move — join negatives' payloads on
-    ``negative_id`` afterwards, where the training job already
-    shuffles by example."""
+    Scale shape: the dense index is a TWO-PHASE rank over the id
+    frame (ids only — never payloads), the same pattern as
+    ``shard_balance``/``vocab_build``: range-repartition on id →
+    per-partition ``row_number`` in parallel → offset by the
+    ≤ n_partitions-row exclusive prefix sum, broadcast back. No
+    Exchange SinglePartition anywhere — no single task ever sorts
+    the corpus's ids. Anchors explode ×k (integers), and the draw
+    resolves with ONE shuffle join of (hash mod N) against the
+    indexed id frame. Payload columns never move — join negatives'
+    payloads on ``negative_id`` afterwards, where the training job
+    already shuffles by example."""
+    spark = df.sparkSession
     n_total = df.count()  # 1-row scalar; also the mod base
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ids = df.select(F.col(id_col).alias("nid"))
-    w = Window.orderBy(F.col("nid").asc())
-    indexed = ids.withColumn(
-        "idx", (F.row_number().over(w) - 1).cast("long")
+    sliced = ids.repartitionByRange(
+        n_parts, F.col("nid").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    local = sliced.withColumn(
+        "_local_rank",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.col("nid").asc())
+        ),
+    )
+    sizes = sliced.groupBy("_pid").agg(F.count(F.lit(1)).alias("_psz"))
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_psz").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    indexed = local.join(F.broadcast(offsets), "_pid").select(
+        "nid",
+        (F.col("_offset") + F.col("_local_rank") - 1)
+        .cast("long")
+        .alias("idx"),
     )
     draws = (
         df.select(F.col(id_col).alias("anchor_id"))

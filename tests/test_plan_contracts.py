@@ -501,3 +501,21 @@ def test_mor_latest_prunes_columns_and_pushes_filters(spark, tmp_path):
     assert "a:" in read_schema and "k:" in read_schema
     assert "b:" not in read_schema and "c:" not in read_schema, read_schema
     assert "PushedFilters: [" in scan and "LessThan(k,100)" in scan, scan
+
+
+def test_negative_samples_has_no_global_id_rank(spark, sf_dir):
+    """negative_samples' dense index must be the two-phase rank
+    (range-repartition → per-partition row_number → broadcast prefix
+    offsets), never a no-partition row_number window that forces one
+    task to sort every corpus id. The only no-partition window
+    allowed is the ≤ n_partitions-row offset prefix sum over _pid."""
+    plan = _plan(spark, sf_dir, "q_negative_sampling")
+    assert not re.search(r"windowspecdefinition\(nid#\d+L? ASC", plan), (
+        "global row_number over corpus ids — single-task sort:\n" + plan
+    )
+    assert re.search(r"windowspecdefinition\(_pid#\d+L?, nid#\d+", plan), (
+        "expected per-partition local rank window:\n" + plan
+    )
+    # SinglePartition exchanges: only the tiny _pid prefix-sum may use one.
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= 1, f"{n_single} SinglePartition exchanges:\n{plan}"
