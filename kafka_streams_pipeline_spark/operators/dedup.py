@@ -760,6 +760,7 @@ def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     threshold_ppm: int = CONTAIN_THRESHOLD_PPM,
+    materialize: bool = True,
 ) -> DataFrame:
     """ONE-SIDED near-dup: pairs where the smaller document's shingle
     set is ≥ threshold contained in the other's —
@@ -772,16 +773,145 @@ def containment_pairs(
     Returns (id_a, id_b, n_common, containment_ppm), id_a < id_b,
     integer ppm (engine-exact; no float anywhere).
 
-    Scale posture: same inverted-index equi-join as
-    :func:`ngram_jaccard_pairs` and the same honest label — the
-    exact small-scale baseline. The 100 TB path for containment is
-    the prefix-filter family ORDERED BY SET SIZE (a set must share
-    ≥ threshold·|smaller| shingles, so indexing each doc's rarest
-    (1−t)·|S|+1 shingles preserves exactness — the
-    prefix_jaccard_join machinery with the containment bound), plus
-    the banded-LSH candidate generator which does NOT transfer:
+    Default path is the SIZE-ORDERED PREFIX FILTER (the containment
+    analogue of :func:`prefix_jaccard_join`'s SSJoin/PPJoin family):
+    for the pair ordered smaller-first, the required overlap is
+    α = ⌈t·|A|⌉, so by pigeonhole A must share one of its
+    |A| − α + 1 GLOBALLY RAREST shingles with B. Candidates are
+    therefore an equi-join of A-side PREFIX tokens (rarest-first,
+    ~(1−t)·|A| + 1 of them) against the B-side FULL inverted index
+    restricted to |B| ≥ |A| — a hot boilerplate shingle in m docs
+    sorts LAST in the rarest-first order, drops out of every prefix,
+    and contributes ~0·m candidate rows instead of the m² the naive
+    shared-shingle self-join pays (see
+    :func:`containment_pairs_bruteforce`). The PPJoin positional
+    filter tightens further: a collision at 0-based positions (i, j)
+    caps overlap at min(|A|−i, |B|−j), and the pair survives only if
+    that cap can still reach α (the earliest collision carries the
+    loosest cap, so no true match is lost). Exact verify
+    (array_intersect on the distinct candidate set) follows — output
+    is bit-identical to the brute-force join, which is what the
+    DuckDB oracle certifies. Banded LSH does NOT transfer here:
     MinHash estimates Jaccard, and high-containment/low-Jaccard
-    pairs are precisely the ones it misses."""
+    pairs are precisely the ones it misses.
+
+    All arithmetic is integer ppm: overlap ≥ ⌈t·n⌉ for integer
+    overlap is exactly overlap·10⁶ ≥ t_ppm·n — no float anywhere."""
+    sig, _cand, out = _containment_parts(df, text_col, threshold_ppm)
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
+
+
+def _containment_parts(
+    df: DataFrame, text_col: str, threshold_ppm: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """containment_pairs body, returning (persisted signature frame,
+    distinct candidate pairs pre-verify, verified lazy output) so the
+    sweep can count candidates separately from true pairs — the same
+    diagnostic split as :func:`_prefix_join_parts`."""
+    sig = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .where(F.expr("size(toks)") >= SHINGLE_N)
+        .withColumn("shh", F.expr(spark_hashed_shingles_expr("toks")))
+        .select("doc_id", "shh")
+        .persist()
+    )
+    inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    ordered = inv.join(freq, "shingle").groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dfreq, shingle))), "
+            "s -> s.shingle)"
+        ).alias("ordered"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+    )
+    # α = ⌈t·n⌉ in integer ppm; probe prefix = n − α + 1 rarest.
+    p_expr = (
+        f"cast(n_sh - (({threshold_ppm} * n_sh + 999999) div 1000000) "
+        "+ 1 as int)"
+    )
+    probe = ordered.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.expr(f"slice(ordered, 1, {p_expr})")).alias(
+            "pos", "shingle"
+        ),
+    )
+    index = ordered.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.col("ordered")).alias("pos", "shingle"),
+    )
+    a, b = probe.alias("a"), index.alias("b")
+    # Size order (smaller probes, larger is indexed; ties by id) and
+    # the positional cap: overlap ≤ min(|A|−i, |B|−j) must reach
+    # α = ⌈t·|A|⌉, i.e. cap·10⁶ ≥ t_ppm·|A| for integer cap.
+    smaller = (F.col("a.n_sh") < F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cap = F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & smaller
+            & (cap * 1_000_000 >= F.lit(threshold_ppm) * F.col("a.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+        )
+        .distinct()
+    )
+    ss = sig.select(
+        F.col("doc_id").alias("id_small"), F.col("shh").alias("shh_s")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_big"), F.col("shh").alias("shh_b")
+    )
+    out = (
+        cand.join(ss, "id_small")
+        .join(sb, "id_big")
+        .select(
+            "id_small",
+            "id_big",
+            F.expr("size(array_intersect(shh_s, shh_b))")
+            .cast("long")
+            .alias("n_common"),
+            F.expr("size(shh_s)").cast("long").alias("n_min"),
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_common * 1000000) div n_min").cast("long"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select(
+            F.least("id_small", "id_big").alias("id_a"),
+            F.greatest("id_small", "id_big").alias("id_b"),
+            "n_common",
+            "containment_ppm",
+        )
+    )
+    return sig, cand, out
+
+
+def containment_pairs_bruteforce(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = CONTAIN_THRESHOLD_PPM,
+) -> DataFrame:
+    """The naive shared-shingle self-join baseline the prefix path
+    replaced: a shingle appearing in m docs yields m² candidate rows
+    before the threshold filter. Kept for the sweep's candidate-count
+    comparison and as the differential twin of the DuckDB oracle."""
     sig = minhash_signatures(df, text_col).select("doc_id", "shh")
     inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -817,6 +947,33 @@ def containment_pairs(
         .where(F.col("containment_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "n_common", "containment_ppm")
     )
+
+
+def containment_scaling_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_ppm: int = CONTAIN_THRESHOLD_PPM,
+) -> dict:
+    """Sweep diagnostic: the prefix path's DISTINCT candidate count
+    (what the exact verify pays for) next to the brute-force
+    self-join's pre-aggregate candidate ROW count (what the old path
+    paid), plus true pairs — quantifies the hot-shingle m² → ~0·m
+    reduction on boilerplate-heavy corpora."""
+    sig, cand, out = _containment_parts(df, text_col, threshold_ppm)
+    inv = sig.select("doc_id", F.explode("shh").alias("shingle"))
+    brute_rows = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(F.sum(F.expr("m * (m - 1) div 2")).alias("s"))
+        .collect()[0]["s"]
+    )
+    stats = {
+        "n_candidates_prefix": cand.count(),
+        "n_candidate_rows_bruteforce": int(brute_rows or 0),
+        "n_true_pairs": out.count(),
+    }
+    sig.unpersist()
+    return stats
 
 
 def containment_pairs_oracle(

@@ -2070,6 +2070,40 @@ def test_containment_catches_embedded_quote(spark):
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
 
 
+def test_containment_prefix_filter_matches_bruteforce_and_prunes(spark):
+    """Boilerplate-heavy construction: every doc shares one hot
+    license-header shingle run, so the naive shared-shingle self-join
+    pays ~m²/2 candidate rows while the rarest-first prefix filter
+    excludes the hot shingles from every prefix. Pins (a) output
+    bit-equality between the prefix path and the brute-force join,
+    and (b) an order-of-magnitude candidate reduction."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_bruteforce,
+        containment_scaling_stats,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(8))  # shared by ALL docs
+    rows = []
+    for d in range(40):
+        body = " ".join(f"d{d}w{i}" for i in range(12))
+        rows.append((d, boiler + " " + body))
+    # one true containment pair: doc 100 is doc 0's text verbatim + tail
+    rows.append((100, rows[0][1] + " " + " ".join(f"t{i}" for i in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    key = lambda r: (r["id_a"], r["id_b"], r["n_common"], r["containment_ppm"])
+    got = sorted(key(r) for r in containment_pairs(df).collect())
+    want = sorted(key(r) for r in containment_pairs_bruteforce(df).collect())
+    assert got == want and any(a == 0 and b == 100 for a, b, *_ in got)
+
+    stats = containment_scaling_stats(df)
+    assert stats["n_true_pairs"] == len(got)
+    assert stats["n_candidates_prefix"] * 10 <= stats[
+        "n_candidate_rows_bruteforce"
+    ], stats
+
+
 def test_join_size_estimate_exact_and_one_sided(spark):
     """Hand-built key multisets: exact inner product is
     Σ f_A(k)·f_B(k) over shared keys, the CMS estimate dominates it,

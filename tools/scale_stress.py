@@ -114,6 +114,7 @@ def run_sweep(spark, mults: list[int]) -> dict:
     for fn in (
         lambda: dd.minhash_near_dup_pairs(wdocs).count(),
         lambda: dd.prefix_jaccard_join(wdocs).count(),
+        lambda: dd.containment_pairs(wdocs).count(),
         lambda: dd.dedup_components(wdocs).count(),
         lambda: sim.semantic_dedup(wembs).count(),
         lambda: sim.topk_cosine_lsh(wembs).count(),
@@ -184,6 +185,17 @@ def run_sweep(spark, mults: list[int]) -> dict:
         )
         row["ops"]["minhash_pairs"]["filter_stats"] = (
             dd.minhash_scaling_stats(docs)
+        )
+        # containment (round 11): the size-ordered prefix filter is
+        # now the default path; record its distinct-candidate count
+        # next to the brute-force self-join's candidate ROW count so
+        # the hot-shingle m² → ~0·m claim is measured, not asserted.
+        timed(
+            "containment",
+            lambda: dd.containment_pairs(docs).count(),
+        )
+        row["ops"]["containment"]["filter_stats"] = (
+            dd.containment_scaling_stats(docs)
         )
         timed(
             "ann_lsh",
