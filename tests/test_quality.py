@@ -209,3 +209,33 @@ def test_k_anonymize_suppresses_risky_classes(spark):
     assert all(
         not r["at_risk"] for r in post if r["seg"] is not None
     )
+
+
+def test_k_anonymize_unique_qi_no_forced_broadcast(spark):
+    """High-cardinality guard: with a near-unique QI combination the
+    class-size frame is row-count-sized, so the default plan must NOT
+    plant a broadcast hint (executor OOM at 100 TB) — AQE decides
+    from the aggregate's real output size at runtime. Correctness at
+    the extreme: every class is a singleton, so every QI value is
+    suppressed and row count/payloads are preserved.
+    ``force_broadcast=True`` is the opt-in for known-small QI."""
+    from kafka_streams_pipeline_spark.operators.quality import k_anonymize
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("uniq"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    out_df = k_anonymize(df, ["uniq"], k=2)
+    # no ResolvedHint/broadcast in the optimized logical plan
+    optimized = (
+        out_df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "broadcast" not in optimized.lower(), optimized
+    forced = k_anonymize(df, ["uniq"], k=2, force_broadcast=True)
+    f_plan = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in f_plan.lower(), f_plan
+    rows = out_df.collect()
+    assert len(rows) == 200
+    assert all(r["uniq"] is None for r in rows)
+    assert sorted(r["payload"] for r in rows) == [i * 3 for i in range(200)]
