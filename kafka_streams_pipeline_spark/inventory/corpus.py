@@ -1953,7 +1953,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dsir_select", oracle=_text.dsir_select_oracle())
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5u data selection via importance resampling (DSIR, Xie et
+    """X5ac data selection via importance resampling (DSIR, Xie et
     al. 2023): rank non-English candidate documents by how
     English-target-like their hashed-bigram distribution is —
     per-bucket integer-bits importance scores (Laplace-smoothed,
@@ -1968,7 +1968,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_shard_balance", oracle=_corpus.shard_balance_oracle())
 def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5v balanced training-shard assignment: documents distributed
+    """X5ad balanced training-shard assignment: documents distributed
     over 8 output shards with near-equal TOTAL characters via sorted
     round-robin (deterministic LPT), the write-side balance step
     that keeps 1000 downstream readers finishing together. Global

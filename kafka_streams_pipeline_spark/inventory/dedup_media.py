@@ -1032,7 +1032,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ivf_knn_join", oracle=_sim.ivf_knn_join_oracle())
 def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3e multi-query IVF ANN (round 10): the FAISS-shaped
+    """X3l multi-query IVF ANN (round 10): the FAISS-shaped
     production batch search — knn_join restricted to each query's
     nprobe nearest coarse cells. Corpus assigned to cells ONCE
     (broadcast centroids, partial/final argmax), candidates shrink
