@@ -29,31 +29,9 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # re-certified the head of this list; these 17 are now the stalest
 # rows and head the round-10 window tail — VERDICT r9 item 3):
 _CERTIFIED_R5: list[str] = [
-    "q_supplier_volume",
-    "q_quantiles",
-    "q_pivot",
-    "q_corr_stats",
-    "q_group_mode",
-    "q_hash_sample",
-    "q_dedup_exact",
-    "q_dedup_normalized",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_dedup_embed_lsh",
-    "q_sim_topk",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_array_stats",
 ]
 # Round-6 evidence (CORRECTNESS_r06.json residue):
 _CERTIFIED_R6: list[str] = [
-    "q_streaming_dedup",
-    "q_streaming_hll",
-    "q_bm25",
-    "q_knn_join",
-    "q_skew_report",
     "q_streaming_totals",
     "q_streaming_alerts",
     "q_csv_source",
@@ -109,11 +87,9 @@ _CERTIFIED_R7: list[str] = [
     "q_streaming_late_update",
     "q_streaming_late_drop",
     "q_pipeline_audit",
-    "q_dedup_recall",
     "q_vocab_build",
     "q_temperature_mixture",
     "q_term_stats",
-    "q_dedup_incremental",
     "q_range_band_join",
     "q_interval_join",
     "q_window_ntile",
@@ -207,7 +183,6 @@ _CERTIFIED_R9: list[str] = [
     "q_ivf_pq_topk",
     "q_tokenizer_pipeline",
     "q_epoch_shuffle",
-    "q_weighted_sample",
     "q_table_profile",
     "q_quality_checks",
     "q_textrank",
@@ -217,24 +192,16 @@ _CERTIFIED_R9: list[str] = [
     "q_cdc_chunk_dedup",
     "q_epoch_manifest",
     "q_kmv_set_ops",
-    "q_store_history",
     "q_streaming_outer_join",
-    "q_corpus_upsert",
     "q_zorder_layout",
     "q_hll_incremental",
     "q_store_bloom_index",
-    "q_streaming_store_ingest",
     "q_store_minmax_index",
     "q_cms_incremental",
     "q_gated_ingest",
     "q_gzip_source",
-    "q_histogram_incremental",
     "q_streaming_histogram",
     "q_avro_source",
-    "q_histogram_by_group",
-    "q_corpus_versioning",
-    "q_corpus_checkpoint",
-    "q_corpus_vacuum",
     "q_corpus_schema_evolution",
     "q_streaming_view",
     "q_asof_attribution",
@@ -254,9 +221,66 @@ _CERTIFIED_R9: list[str] = [
     "q_promo_share",
 ]
 
+# in window order: the 16 round-10 additions + q_streaming_semi_join,
+# the 11 _RECHECK re-certifications, then the 22 stalest r5/r6
+# re-certs (CORRECTNESS_r10.json, 50/50 green; derived by
+# tools/rotate.py).
+_CERTIFIED_R10: list[str] = [
+    "q_maxsim_topk",
+    "q_dedup_containment",
+    "q_ivf_knn_join",
+    "q_ivf_recall",
+    "q_decontaminate",
+    "q_local_clustering",
+    "q_profile_drift",
+    "q_negative_sampling",
+    "q_k_anonymity",
+    "q_dsir_select",
+    "q_shard_balance",
+    "q_join_size_estimate",
+    "q_streaming_decontaminate",
+    "q_store_tags",
+    "q_streaming_drift",
+    "q_store_text_index",
+    "q_streaming_semi_join",
+    "q_dedup_recall",
+    "q_dedup_incremental",
+    "q_corpus_versioning",
+    "q_corpus_checkpoint",
+    "q_corpus_vacuum",
+    "q_corpus_upsert",
+    "q_store_history",
+    "q_streaming_store_ingest",
+    "q_weighted_sample",
+    "q_histogram_by_group",
+    "q_histogram_incremental",
+    "q_supplier_volume",
+    "q_quantiles",
+    "q_pivot",
+    "q_corr_stats",
+    "q_group_mode",
+    "q_hash_sample",
+    "q_dedup_exact",
+    "q_dedup_normalized",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_sim_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_array_stats",
+    "q_streaming_dedup",
+    "q_streaming_hll",
+    "q_bm25",
+    "q_knn_join",
+    "q_skew_report",
+]
+
 DRIVER_CERTIFIED: list[str] = (
     _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
-    + _CERTIFIED_R9
+    + _CERTIFIED_R9 + _CERTIFIED_R10
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
@@ -272,27 +296,15 @@ _ON_DECK: list[str] = []
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping.
 _RECHECK: list[str] = [
-    # round-10 code changes (ADVICE r9): the commit-lock guard
-    # (flock'd reclaim serialization) + version_at vacuumed-store
-    # scan touch every versioned-store lifecycle row; the store
-    # sinks' query-id-namespaced idempotence ledger touches the
-    # streaming ingest rows; systematic_weighted_sample now fails
-    # loudly on non-positive weights (engine + oracle rewrite); the
-    # histogram bin is now integer floor division in the Spark plan;
-    # and the shared shingle expressions are now total on
-    # sub-n-token docs (safe-offsets filter), touching the
-    # minhash-path rows not already in the window head.
-    "q_dedup_recall",
-    "q_dedup_incremental",
-    "q_corpus_versioning",
-    "q_corpus_checkpoint",
-    "q_corpus_vacuum",
-    "q_corpus_upsert",
-    "q_store_history",
-    "q_streaming_store_ingest",
-    "q_weighted_sample",
-    "q_histogram_by_group",
-    "q_histogram_incremental",
+    # round-11 code changes (VERDICT r10 items 2, 3, 7):
+    # negative_samples' dense index is now the two-phase rank;
+    # containment_pairs defaults to the size-ordered prefix filter;
+    # the quality module's k_anonymize lost its forced broadcast
+    # (q_k_anonymity's audit path is untouched but shares the
+    # module — re-certify conservatively).
+    "q_negative_sampling",
+    "q_dedup_containment",
+    "q_k_anonymity",
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
