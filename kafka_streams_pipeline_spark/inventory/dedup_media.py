@@ -141,6 +141,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@register("q_dedup_hamming", oracle=_dedup.simhash_hamming_oracle())
+def q_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2m SimHash near-dup JOIN (round 11): all pairs within
+    Hamming distance 3 over a 64-bit signature (two seeded 32-bit
+    halves) via the Manku-Jain-Sarma multi-index pigeonhole —
+    candidates from an equi-join on 4×16-bit blocks, exact popcount
+    verify, output bit-identical to the oracle's brute-force
+    all-pairs scan. Completes the SimHash leg: q_dedup_simhash
+    certifies the signatures, this certifies the JOIN built on them.
+    See operators/dedup.simhash_hamming_pairs."""
+    return _dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register("q_dedup_embed", oracle=_sim.nearest_pairs_oracle(20))
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: embedding-cosine near-dup — top-20 closest vector pairs."""

