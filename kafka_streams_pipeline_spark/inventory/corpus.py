@@ -1977,3 +1977,18 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard manifest pins membership via the id checksum. See
     operators/corpus.shard_balance."""
     return _corpus.shard_balance(_t(spark, sf_dir, "documents"))
+
+
+@register("q_boilerplate_scrub", oracle=_text.boilerplate_scrub_oracle())
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5af boilerplate-span removal (round 11): every 3-token span
+    appearing in >=3 distinct docs is scrubbed from all docs, unique
+    remainder re-emitted in original order (the RefinedWeb/C4
+    line-dedup step for newline-free corpora — keeps the content
+    whole-doc dedup would discard with the wrapper). Positional
+    n-grams explode as integer rows (text never shuffles for the
+    frequency pass), one hash-keyed doc-frequency shuffle, AQE-sized
+    frequent-set join, covered-position lists ride the final
+    doc-keyed join instead of text. See
+    operators/text.boilerplate_scrub."""
+    return _text.boilerplate_scrub(_t(spark, sf_dir, "documents"))

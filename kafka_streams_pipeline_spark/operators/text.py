@@ -2487,3 +2487,151 @@ def dsir_select_oracle(
         ORDER BY mean_fp DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+SCRUB_N = 3  # span width; production corpora use 8-15-token spans —
+# 3 keeps the sf0.01 fixture's repeated-span population dense enough
+# that the removal branch is exercised (max 3-gram doc-freq is 7)
+SCRUB_MIN_DOCS = 3
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = SCRUB_N,
+    min_docs: int = SCRUB_MIN_DOCS,
+) -> DataFrame:
+    """X5 boilerplate-span removal (the RefinedWeb/C4 line-dedup
+    step re-expressed for newline-free corpora): any n-token span
+    appearing in ≥ ``min_docs`` DISTINCT documents is boilerplate
+    (license headers, navigation chrome, templated footers); every
+    token covered by at least one such span is REMOVED from every
+    document, and the cleaned text is re-emitted with original token
+    order preserved. Unlike whole-doc dedup this keeps the unique
+    remainder of each page — the content the dedup family would
+    throw away with the wrapper.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed), all docs,
+    ascending id. n_tokens is the ORIGINAL token count.
+
+    Scale shape: positional n-grams explode as (doc_id, pos,
+    md5-hash) integer rows — text never leaves its partition; the
+    doc-frequency aggregate is one shuffle keyed by the 8-byte hash;
+    the frequent-span set (boilerplate is by definition repeated, so
+    this is vocabulary-sized, not corpus-sized) joins back WITHOUT a
+    hint — AQE broadcasts it when small, same contract as
+    k_anonymize; covered START positions aggregate per doc (integer
+    lists, one doc-keyed shuffle) and the final join puts lists, not
+    text, on the wire. The rewrite itself is one codegen'd
+    higher-order filter over (position, token) pairs."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        _safe_offsets,
+        _spark_hash,
+    )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    toks = df.withColumn("toks", F.split(F.col(text_col), " "))
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"transform({_safe_offsets('toks', n)}, "
+                    f"i -> struct(i as pos, concat_ws(' ', {parts}) as g))"
+                )
+            ).alias("pg"),
+        )
+        .where(F.col("pg").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            F.expr(_spark_hash("pg.g")).alias("ng"),
+        )
+    )
+    grams = grams.persist()
+    freq = (
+        grams.select("doc_id", "ng")
+        .distinct()
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .where(F.col("dfreq") >= min_docs)
+        .select("ng")
+    )
+    starts = (
+        grams.join(freq, "ng")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    out = (
+        toks.join(starts, "doc_id", "left")
+        .withColumn(
+            "starts", F.coalesce(F.col("starts"), F.expr("array()"))
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(filter(transform("
+                "sequence(0, size(toks) - 1), "
+                "i -> struct(i as p, toks[i] as t)), "
+                f"s -> NOT exists(starts, st -> st <= s.p AND s.p <= st + {n - 1})"
+                "), s -> s.t), ' ')"
+            ).alias("clean_text"),
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "cast(size(filter(sequence(0, size(toks) - 1), "
+                f"p -> exists(starts, st -> st <= p AND p <= st + {n - 1})"
+                ")) as long)"
+            ).alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
+
+
+def boilerplate_scrub_oracle(
+    table: str = "documents", n: int = SCRUB_N, min_docs: int = SCRUB_MIN_DOCS
+) -> str:
+    from kafka_streams_pipeline_spark.operators.dedup import _duck_hash
+
+    gram = f"array_to_string(toks[i + 1:i + {n}], ' ')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM {table}
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos, {_duck_hash(gram)} AS ng
+            FROM (SELECT doc_id, toks,
+                         unnest([x FOR x IN range(0, greatest(len(toks) - {n - 1}, 0))])
+                             AS i
+                  FROM t)
+        ),
+        freq AS (
+            SELECT ng FROM (
+                SELECT ng, count(DISTINCT doc_id) AS dfreq
+                FROM grams GROUP BY ng
+            ) WHERE dfreq >= {min_docs}
+        ),
+        starts AS (
+            SELECT doc_id, list(DISTINCT pos) AS starts
+            FROM grams JOIN freq USING (ng)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(array_to_string(
+                   [toks[p + 1] FOR p IN range(0, len(toks))
+                    IF len(list_filter(coalesce(starts, []),
+                           st -> st <= p AND p <= st + {n - 1})) = 0],
+                   ' '), '') AS clean_text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len([p FOR p IN range(0, len(toks))
+                    IF len(list_filter(coalesce(starts, []),
+                           st -> st <= p AND p <= st + {n - 1})) > 0])
+                   AS BIGINT) AS n_removed
+        FROM t LEFT JOIN starts ON t.doc_id = starts.doc_id
+        ORDER BY t.doc_id
+    """

@@ -2244,3 +2244,33 @@ def test_simhash_hamming_join_pigeonhole_exact(spark):
     assert got == want
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_boilerplate_scrub_removes_shared_spans_only(spark):
+    """Hand-built corpus: a 4-token license header shared by three
+    docs is scrubbed from each (all positions covered by the two
+    overlapping frequent 3-grams), unique bodies survive verbatim
+    and in order, a doc without the header is untouched, and a
+    sub-n-token doc passes through whole."""
+    from kafka_streams_pipeline_spark.operators.text import (
+        boilerplate_scrub,
+    )
+
+    hdr = "copyright acme corp reserved"
+    rows = [
+        (1, hdr + " alpha beta gamma"),
+        (2, "delta " + hdr + " epsilon"),
+        (3, hdr),
+        (4, "zeta eta theta iota kappa"),
+        (5, "xy zz"),  # shorter than n: no n-grams, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in boilerplate_scrub(df, n=3, min_docs=3).collect()
+    }
+    assert got[1] == ("alpha beta gamma", 7, 4)
+    assert got[2] == ("delta epsilon", 6, 4)
+    assert got[3] == ("", 4, 4)
+    assert got[4] == ("zeta eta theta iota kappa", 5, 0)
+    assert got[5] == ("xy zz", 2, 0)
