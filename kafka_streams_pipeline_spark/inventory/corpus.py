@@ -1992,3 +1992,15 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed join instead of text. See
     operators/text.boilerplate_scrub."""
     return _text.boilerplate_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register("q_budget_select", oracle=_corpus.budget_select_oracle())
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5ag token-budget data selection (round 11): highest
+    quality-density docs kept until a 10k-token global budget is
+    exhausted (prefix rule over the engine-exact integer-ppm density
+    order). The global cumulative sum is two-phase like
+    shard_balance — range repartition, parallel local running
+    totals, broadcast prefix offsets; no single-task sort. See
+    operators/corpus.budget_select."""
+    return _corpus.budget_select(_t(spark, sf_dir, "documents"))

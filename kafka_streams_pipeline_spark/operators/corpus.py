@@ -865,3 +865,126 @@ def shard_balance_oracle(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+BUDGET_TOKENS = 10_000
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int = BUDGET_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X5 token-budget data selection: keep the highest
+    quality-density documents until a global token budget is
+    exhausted — the "best N billion tokens" cut every curriculum /
+    compute-limited pretraining run makes. Density is the
+    quality_score numerator per token in integer ppm:
+
+        score_ppm = (n·min(n,100) + 60·d + 4·min(L,10n)) · 10⁶
+                    div (200·n·n)
+
+    (n tokens, d distinct tokens, L chars) — pure BIGINT, so the
+    ORDER is engine-exact; ties break by ascending id. Selection is
+    the PREFIX rule: a doc is kept iff the cumulative token count
+    through it (in score order) is ≤ budget. The skip-and-continue
+    knapsack variant is inherently sequential (each decision depends
+    on every prior skip) — the prefix rule loses at most one
+    straddling document and stays one window expression, which is
+    why it is the distributed convention.
+
+    Scale shape: the global cumulative sum is TWO-PHASE like
+    shard_balance — range-repartition on (score DESC, id) →
+    per-partition running totals in parallel → broadcast exclusive
+    prefix offsets (≤ n_partitions rows). No single task ever sorts
+    or sums the corpus. Returns (doc_id, n_tokens, score_ppm,
+    cum_tokens), selected docs only, ascending id."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"""
+            (cast(size(split({text_col}, ' ')) as bigint) *
+                    least(size(split({text_col}, ' ')), 100)
+                  + 60L * size(array_distinct(split({text_col}, ' ')))
+                  + 4L * least(length({text_col})
+                               - size(split({text_col}, ' ')) + 1,
+                               10 * size(split({text_col}, ' '))))
+                 * 1000000L
+            div (200L * size(split({text_col}, ' '))
+                 * size(split({text_col}, ' ')))
+            """
+        ).alias("score_ppm"),
+        F.expr(f"cast(size(split({text_col}, ' ')) as bigint)").alias(
+            "n_tokens"
+        ),
+    )
+    sliced = base.repartitionByRange(
+        n_parts, F.col("score_ppm").desc(), F.col("id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    local = sliced.withColumn(
+        "_local_cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("_pid")
+            .orderBy(F.col("score_ppm").desc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sizes = sliced.groupBy("_pid").agg(F.sum("n_tokens").alias("_psz"))
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_psz").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_offset") + F.col("_local_cum")).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "score_ppm",
+            "cum_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def budget_select_oracle(
+    budget_tokens: int = BUDGET_TOKENS, table: str = "documents"
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST((len(toks) * least(len(toks), 100)
+                         + 60 * len(list_distinct(toks))
+                         + 4 * least(length(text) - len(toks) + 1,
+                                     10 * len(toks))) * 1000000 AS BIGINT)
+                       // (200 * len(toks) * len(toks)) AS score_ppm,
+                   CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM {table})
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens, score_ppm,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY score_ppm DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM base
+        )
+        SELECT doc_id, n_tokens, score_ppm, cum_tokens
+        FROM ranked WHERE cum_tokens <= {budget_tokens}
+        ORDER BY doc_id
+    """

@@ -2274,3 +2274,30 @@ def test_boilerplate_scrub_removes_shared_spans_only(spark):
     assert got[3] == ("", 4, 4)
     assert got[4] == ("zeta eta theta iota kappa", 5, 0)
     assert got[5] == ("xy zz", 2, 0)
+
+
+def test_budget_select_prefix_rule(spark):
+    """Hand-built corpus with a forced density order: selection is
+    the prefix of the (score DESC, id ASC) order whose cumulative
+    token count stays within budget — the straddling doc and
+    everything after it are excluded, even if a later shorter doc
+    would still fit (prefix rule, not skip-and-continue)."""
+    from kafka_streams_pipeline_spark.operators.corpus import (
+        budget_select,
+    )
+
+    # distinct-token docs: per-token density falls with n (the n²
+    # denominator), so SHORTER docs rank first; ids break ties.
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(40))),   # 40 tokens
+        (2, " ".join(f"b{i}" for i in range(40))),   # 40 tokens
+        (3, " ".join(f"c{i}" for i in range(30))),   # 30 tokens
+        (4, " ".join(f"d{i}" for i in range(4))),    # 4 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in budget_select(df, budget_tokens=85).collect()}
+    # order: 4 (cum 4), 3 (cum 34), 1 (cum 74), 2 (cum 114 > 85 →
+    # cut). Nothing after the first overflow is admitted (prefix
+    # rule, not skip-and-continue).
+    assert got == {4: 4, 3: 34, 1: 74}

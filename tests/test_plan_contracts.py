@@ -519,3 +519,14 @@ def test_negative_samples_has_no_global_id_rank(spark, sf_dir):
     # SinglePartition exchanges: only the tiny _pid prefix-sum may use one.
     n_single = plan.count("Exchange SinglePartition")
     assert n_single <= 1, f"{n_single} SinglePartition exchanges:\n{plan}"
+
+
+def test_budget_select_two_phase_prefix_sum(spark, sf_dir):
+    """budget_select's global cumulative token sum must be the
+    two-phase shape (range repartition → per-partition running sum →
+    broadcast offsets) — at most one SinglePartition exchange (the
+    ≤ n_partitions-row offset prefix sum), and the running-sum
+    window partitioned by _pid, never global."""
+    plan = _plan(spark, sf_dir, "q_budget_select")
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert re.search(r"windowspecdefinition\(_pid#\d+", plan), plan
