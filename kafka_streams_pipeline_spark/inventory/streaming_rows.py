@@ -3644,3 +3644,78 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in b
     ]
     return spark.createDataFrame(out, "p_id long, user_id long, p_ts_ms long")
+
+
+@register(
+    "q_store_version_diff",
+    oracle="""
+        WITH cls AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 3 != 0 AND doc_id % 7 = 0
+                       THEN 'removed'
+                     WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                          AND doc_id % 7 != 0
+                       THEN 'added'
+                     WHEN doc_id % 3 != 0 AND doc_id % 5 = 0
+                          AND doc_id % 7 != 0
+                       THEN 'changed'
+                     WHEN doc_id % 3 != 0 AND doc_id % 5 != 0
+                          AND doc_id % 7 != 0
+                       THEN 'unchanged'
+                   END AS change_type
+            FROM documents
+        )
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS key_checksum
+        FROM cls WHERE change_type IS NOT NULL
+        GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5ah store version diff (round 11): semantic added / removed /
+    changed / unchanged summary between two MoR store versions — v1
+    is the doc_id%3!=0 slice, v2 upserts every doc_id%5==0 doc with
+    lang rewritten to 'xx' (changing survivors, adding the %3==0
+    ones), v3 tombstones doc_id%7==0. Diff(v1, v3) resolves both
+    snapshots latest-wins and classifies via a full-outer join of
+    (key, partition-local md5 of non-key columns) — text never
+    crosses the wire; key_checksum pins per-class membership. The
+    oracle derives the same classes arithmetically from the modulus
+    construction. See sources/versioned.version_diff."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        upsert_corpus,
+        version_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="kspipeline-vdiff-")
+    store = os.path.join(base, "corpus")
+    upsert_corpus(
+        docs.where(F.col("doc_id") % 3 != 0), store, "doc_id", "base slice"
+    )
+    upsert_corpus(
+        docs.where(F.col("doc_id") % 5 == 0).withColumn("lang", F.lit("xx")),
+        store,
+        "doc_id",
+        "rescore fives",
+    )
+    upsert_corpus(
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("n_chars", F.lit(None).cast("long"))
+        .withColumn(TOMBSTONE, F.lit(True)),
+        store,
+        "doc_id",
+        "takedown sevens",
+    )
+    out = version_diff(spark, store, "doc_id", 1, 3)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -823,3 +823,72 @@ def read_corpus_tag(
             f"known tags: {sorted(tags)}"
         )
     return read_corpus(spark, store_dir, tags[name])
+
+
+def version_diff(
+    spark: SparkSession,
+    store_dir: str,
+    key: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Semantic diff between two store versions under MoR merge
+    semantics — the "what changed between Monday's corpus and
+    today's" audit (Delta CDF's version-range summary, computed from
+    snapshots instead of a change log, so it works across compaction
+    and checkpoint boundaries where per-batch CDC lineage resets).
+
+    Each version resolves via ``read_corpus_latest`` (latest-wins,
+    tombstones absent); keys are classified added / removed /
+    changed / unchanged by a FULL OUTER join of the two snapshots
+    reduced to (key, md5-of-non-key-columns) pairs — payload columns
+    hash PARTITION-LOCAL before the join, so the diff of a 100 TB
+    corpus ships 8-byte keys + 32-char digests, never text. Output
+    is the bounded summary (change_type, n_rows, key_checksum),
+    ascending change_type; key_checksum (sum of keys) pins
+    MEMBERSHIP per class, so one misclassified row flips the hash.
+    """
+    from pyspark.sql import functions as F
+
+    cols = None
+    frames = []
+    for v in (v_from, v_to):
+        snap = read_corpus_latest(spark, store_dir, key, v)
+        snap_cols = sorted(c for c in snap.columns if c not in (key, TOMBSTONE))
+        if cols is None:
+            cols = snap_cols
+        else:
+            cols = [c for c in cols if c in snap_cols]
+        frames.append(snap)
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(f"k_{side}"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in cols
+                    ],
+                )
+            ).alias(f"h_{side}"),
+        )
+    a = keyed(frames[0], "a")
+    b = keyed(frames[1], "b")
+    j = a.join(b, a["k_a"] == b["k_b"], "full")
+    return (
+        j.select(
+            F.when(F.col("k_a").isNull(), F.lit("added"))
+            .when(F.col("k_b").isNull(), F.lit("removed"))
+            .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            F.coalesce(F.col("k_a"), F.col("k_b")).alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )

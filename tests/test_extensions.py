@@ -2301,3 +2301,39 @@ def test_budget_select_prefix_rule(spark):
     # cut). Nothing after the first overflow is admitted (prefix
     # rule, not skip-and-continue).
     assert got == {4: 4, 3: 34, 1: 74}
+
+
+def test_version_diff_classifies_all_four_ways(spark, tmp_path):
+    """Tiny MoR store: one key per class — added, removed (tombstone),
+    changed (payload edit), unchanged, plus a NULL-payload row whose
+    NULL must hash stably (coalesce sentinel) rather than collapse
+    the concat."""
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        upsert_corpus,
+        version_diff,
+    )
+
+    store = str(tmp_path / "s")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "k long, payload string",
+    )
+    upsert_corpus(v1, store, "k", "base")
+    v2 = spark.createDataFrame(
+        [(2, "B"), (5, "new")], "k long, payload string"
+    )
+    upsert_corpus(v2, store, "k", "edit+add")
+    dele = spark.createDataFrame([(3, None, True)],
+                                 f"k long, payload string, {TOMBSTONE} boolean")
+    upsert_corpus(dele, store, "k", "drop 3")
+    got = {
+        r["change_type"]: (r["n_rows"], r["key_checksum"])
+        for r in version_diff(spark, store, "k", 1, 3).collect()
+    }
+    assert got == {
+        "added": (1, 5),
+        "removed": (1, 3),
+        "changed": (1, 2),
+        "unchanged": (2, 5),  # keys 1 and 4 (NULL payload stable)
+    }
