@@ -1063,3 +1063,14 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's hit count and flips the hash. See
     operators/similarity.ivf_recall."""
     return _sim.ivf_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q_hard_negatives", oracle=_sim.hard_negatives_oracle())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3m hard-negative mining (round 11): per anchor, top-5 corpus
+    vectors with cosine in [0.15, 0.93) — informative negatives below
+    the near-dup ceiling (false-negative guard), the DPR/ANCE mining
+    step; uniform complement is q_negative_sampling. One broadcast
+    scoring pass, band filter before the only shuffle. See
+    operators/similarity.hard_negatives."""
+    return _sim.hard_negatives(_t(spark, sf_dir, "embeddings"))

@@ -1766,3 +1766,95 @@ def ivf_recall_oracle(
                     AS BIGINT) AS recall_ppm
         FROM ex LEFT JOIN h ON ex.qid = h.qid
     """
+
+
+HARD_NEG_LO = 0.15   # easy-negative floor (below: uninformative)
+HARD_NEG_HI = 0.93   # near-dup ceiling (at/above: positive leakage)
+
+
+def hard_negatives(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    lo: float = HARD_NEG_LO,
+    hi: float = HARD_NEG_HI,
+) -> DataFrame:
+    """X3/X5 hard-negative mining for contrastive training: for each
+    anchor in a bounded query block, the top-k most similar corpus
+    vectors whose cosine lies in the BAND [lo, hi) — similar enough
+    to be informative (above the easy-negative floor), but below the
+    near-dup ceiling that would make them false negatives (the
+    standard retrieval-training mining step, e.g. DPR/ANCE-style;
+    complements corpus.negative_samples, which draws UNIFORM
+    negatives). Band predicates apply to the ROUNDED cosine
+    (round 6), so the cut is engine-exact.
+
+    Scale shape: identical to knn_join — the anchor block broadcasts,
+    the corpus streams through ONE broadcast scoring pass (never
+    self-joined), the band filter prunes before the only shuffle (the
+    per-anchor top-k window over (qid, vec_id, sim) triples). At
+    production scale the scoring pass composes with the IVF cell
+    restriction exactly as ivf_knn_join does; rank is bound into the
+    output so the driver hash certifies ordering."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+        .where((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    lo: float = HARD_NEG_LO,
+    hi: float = HARD_NEG_HI,
+) -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS q_emb,
+                   {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   round({_duck_dot('e.embedding', 'q.q_emb')} /
+                         ({_duck_norm('e.embedding')} * q.q_norm), 6)
+                       AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != q.qid
+        ),
+        banded AS (
+            SELECT * FROM scored
+            WHERE cos_sim >= {lo} AND cos_sim < {hi}
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+            FROM banded
+        )
+        SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
