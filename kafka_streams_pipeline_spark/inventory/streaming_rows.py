@@ -3719,3 +3719,221 @@ def q_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def _neardup_oracle_sql() -> str:
+    """Batch twin of the stream-static near-dup flagging: cross-split
+    band-collision candidates (stream = odd doc_ids, reference = even)
+    verified with the exact integer Jaccard predicate 5·∩ ≥ 4·∪."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        SHINGLE_N,
+        duck_band_keys_expr,
+        duck_hashed_shingles_expr,
+        duck_minhash_exprs,
+    )
+
+    mh_list = "[" + ", ".join(duck_minhash_exprs("shh")) + "]"
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, shh, {mh_list} AS mhs FROM (
+                SELECT doc_id, {duck_hashed_shingles_expr('toks')} AS shh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= {SHINGLE_N}
+            )
+        ),
+        bands AS (
+            SELECT doc_id, unnest({duck_band_keys_expr('mhs')}) AS bk
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT s.doc_id AS doc_id, r.doc_id AS ref_id
+            FROM bands s JOIN bands r ON s.bk = r.bk
+            WHERE s.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+        ),
+        verified AS (
+            SELECT cand.doc_id, cand.ref_id,
+                   len(list_intersect(a.shh, b.shh)) AS n_common,
+                   len(a.shh) + len(b.shh)
+                       - len(list_intersect(a.shh, b.shh)) AS n_union
+            FROM cand
+            JOIN sig a ON cand.doc_id = a.doc_id
+            JOIN sig b ON cand.ref_id = b.doc_id
+        ),
+        dups AS (
+            SELECT doc_id, ref_id,
+                   round(n_common * 1.0 / n_union, 6) AS jaccard,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(n_common * 1.0 / n_union, 6) DESC,
+                                ref_id ASC) AS rn
+            FROM verified WHERE 5 * n_common >= 4 * n_union
+        )
+        SELECT c.doc_id,
+               CAST(c.n_candidates AS BIGINT) AS n_candidates,
+               CAST(d.n_dups AS BIGINT) AS n_dups,
+               b.ref_id AS best_ref,
+               b.jaccard AS best_jaccard
+        FROM (SELECT doc_id, count(*) AS n_candidates
+              FROM cand GROUP BY doc_id) c
+        JOIN (SELECT doc_id, count(*) AS n_dups
+              FROM dups GROUP BY doc_id) d USING (doc_id)
+        JOIN (SELECT doc_id, ref_id, jaccard FROM dups WHERE rn = 1) b
+            USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+@register("q_streaming_neardup", oracle=None)  # set below
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7j streaming ingest near-dup flagging (round 11): incoming
+    documents (odd doc_ids, 4 time-ordered micro-batches) compute
+    MinHash band keys INSIDE the streaming plan and stream-static
+    join the reference corpus's band index (even doc_ids) — a
+    stateless, append-safe candidate generator (no watermark, no
+    state store; the in-stream plan is pure per-row expressions +
+    the static join, so arrival-time flagging never blocks). The
+    exact Jaccard verify runs batch-side on the emitted candidate
+    pairs (integer predicate 5·∩ ≥ 4·∪ — the LSH recall contract is
+    candidates ⊇ true pairs, certified by the batch oracle running
+    the identical band scheme). Output per flagged incoming doc:
+    candidate count, dup count, best reference and its Jaccard.
+
+    Scale: the reference band index is the store-maintained artifact
+    (sources/text_index analogue); each micro-batch shuffles only
+    (band-key, doc_id) pairs against it."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        SHINGLE_N,
+        minhash_signatures,
+        spark_band_keys_expr,
+        spark_hashed_shingles_expr,
+        spark_minhash_exprs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref_bands = (
+        minhash_signatures(docs.where(F.col("doc_id") % 2 == 0))
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk"),
+        )
+        .distinct()
+    )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-neardup-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    rows = docs.where(F.col("doc_id") % 2 == 1).collect()
+    n_chunks, m0 = 4, _time.time() - 86_400
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(
+                    _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+        os.utime(p, (m0 + c, m0 + c))  # ascending mtimes (round-6 lesson)
+
+    mh_array = "array(" + ", ".join(spark_minhash_exprs("shh")) + ")"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    stream_bands = (
+        stream.withColumn("toks", F.split("text", " "))
+        .where(F.expr("size(toks)") >= SHINGLE_N)
+        .withColumn("shh", F.expr(spark_hashed_shingles_expr("toks")))
+        .withColumn("mhs", F.expr(mh_array))
+        .select(
+            "doc_id",
+            F.explode(F.expr(spark_band_keys_expr("mhs"))).alias("bk"),
+        )
+    )
+    hits = stream_bands.join(ref_bands, "bk").select("doc_id", "ref_id")
+
+    emissions: list = []
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        emissions.extend(batch_df.collect())
+
+    q = (
+        hits.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("availableNow replay timed out after 300 s")
+    shutil.rmtree(base, ignore_errors=True)
+
+    cand = spark.createDataFrame(
+        emissions, "doc_id long, ref_id long"
+    ).distinct()
+    sig = minhash_signatures(docs).select("doc_id", "shh")
+    verified = (
+        cand.join(
+            sig.select(F.col("doc_id"), F.col("shh").alias("shh_a")),
+            "doc_id",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("ref_id"), F.col("shh").alias("shh_b")
+            ),
+            "ref_id",
+        )
+        .select(
+            "doc_id",
+            "ref_id",
+            F.expr("size(array_intersect(shh_a, shh_b))").alias("n_common"),
+            F.expr(
+                "size(shh_a) + size(shh_b) - size(array_intersect(shh_a, shh_b))"
+            ).alias("n_union"),
+        )
+    )
+    dups = verified.where(
+        F.col("n_common") * 5 >= F.col("n_union") * 4
+    ).select(
+        "doc_id",
+        "ref_id",
+        F.expr("round(n_common / n_union, 6)").alias("jaccard"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    best = (
+        dups.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy(
+                    F.col("jaccard").desc(), F.col("ref_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("ref_id").alias("best_ref"),
+                F.col("jaccard").alias("best_jaccard"))
+    )
+    n_cand = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    n_dups = dups.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups")
+    )
+    return (
+        n_cand.join(n_dups, "doc_id")
+        .join(best, "doc_id")
+        .select("doc_id", "n_candidates", "n_dups", "best_ref", "best_jaccard")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["q_streaming_neardup"] = _neardup_oracle_sql()
