@@ -2004,3 +2004,15 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, broadcast prefix offsets; no single-task sort. See
     operators/corpus.budget_select."""
     return _corpus.budget_select(_t(spark, sf_dir, "documents"))
+
+
+@register("q_ngram_diversity", oracle=_text.ngram_diversity_oracle())
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5ai per-source n-gram diversity audit (round 11): bigram
+    type-token ratio in integer ppm per source — the self-repetition
+    measure that flags template farms and mode-collapsed synthetic
+    data — with the exact distinct count and the per-group KMV
+    estimate side by side (the exact column is the certification
+    twin; KMV is the 100 TB path). See
+    operators/text.ngram_diversity."""
+    return _text.ngram_diversity(_t(spark, sf_dir, "documents"))

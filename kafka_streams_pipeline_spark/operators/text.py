@@ -2635,3 +2635,149 @@ def boilerplate_scrub_oracle(
         FROM t LEFT JOIN starts ON t.doc_id = starts.doc_id
         ORDER BY t.doc_id
     """
+
+
+DIVERSITY_N = 2   # bigram diversity (type-token ratio at n-gram level)
+DIVERSITY_K = 64  # KMV sketch size per group
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = DIVERSITY_N,
+    k: int = DIVERSITY_K,
+) -> DataFrame:
+    """X5 corpus diversity audit: per group (source/domain), the
+    n-gram type-token ratio — distinct n-grams over total n-gram
+    occurrences, in integer ppm — the self-repetition measure that
+    flags template farms, crawler traps, and mode-collapsed
+    synthetic data before they enter a training mix. Each row also
+    carries the KMV distinct ESTIMATE next to the exact count: at
+    100 TB the exact distinct is the one expensive shuffle (that
+    column is this row's certification twin), while the KMV column
+    is the production path — k smallest hashes per group merge
+    map-side and the estimate is one division.
+
+    Output: (group, total_ngrams, distinct_exact, distinct_kmv,
+    diversity_ppm), ascending group. All counting integer; the KMV
+    estimate is the repo's standard deterministic sketch (round 6),
+    so the whole row is engine-exact."""
+    from pyspark.sql.window import Window as _W
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        _safe_offsets,
+        _spark_hash,
+    )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode_outer(
+                F.expr(
+                    f"transform({_safe_offsets('toks', n)}, "
+                    f"i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select(
+            "grp",
+            F.expr(_spark_hash("g"))
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            .alias("h32"),
+        )
+    )
+    grams = grams.persist()
+    totals = grams.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("h32").cast("long").alias("distinct_exact"),
+    )
+    kept = (
+        grams.select("grp", "h32")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(_W.partitionBy("grp").orderBy("h32")),
+        )
+        .where(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+            F.max("h32").cast("long").alias("h_k"),
+        )
+    )
+    est = (
+        f"CASE WHEN n_used < {k} THEN CAST(n_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / h_k END"
+    )
+    out = (
+        totals.join(kept, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "total_ngrams",
+            "distinct_exact",
+            F.expr(f"round({est}, 6)").alias("distinct_kmv"),
+            F.expr("(distinct_exact * 1000000) div total_ngrams")
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+        .orderBy(group_col)
+    )
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
+
+
+def ngram_diversity_oracle(
+    table: str = "documents",
+    group_col: str = "source",
+    n: int = DIVERSITY_N,
+    k: int = DIVERSITY_K,
+) -> str:
+    from kafka_streams_pipeline_spark.operators.dedup import _duck_hash
+
+    gram = f"array_to_string(toks[i + 1:i + {n}], ' ')"
+    est = (
+        f"CASE WHEN n_used < {k} THEN CAST(n_used AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST(4294967296 AS DOUBLE) / h_k END"
+    )
+    return f"""
+        WITH grams AS (
+            SELECT {group_col} AS grp,
+                   ({_duck_hash(gram)} & {(1 << 32) - 1}) AS h32
+            FROM (SELECT {group_col}, toks,
+                         unnest([x FOR x IN
+                                 range(0, greatest(len(toks) - {n - 1}, 0))])
+                             AS i
+                  FROM (SELECT {group_col}, string_split(text, ' ') AS toks
+                        FROM {table}))
+        ),
+        totals AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS total_ngrams,
+                   CAST(count(DISTINCT h32) AS BIGINT) AS distinct_exact
+            FROM grams GROUP BY grp
+        ),
+        kept AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_used,
+                   CAST(max(h32) AS BIGINT) AS h_k
+            FROM (
+                SELECT grp, h32,
+                       row_number() OVER (
+                           PARTITION BY grp ORDER BY h32) AS rn
+                FROM (SELECT DISTINCT grp, h32 FROM grams)
+            ) WHERE rn <= {k}
+            GROUP BY grp
+        )
+        SELECT grp AS {group_col}, total_ngrams, distinct_exact,
+               round({est}, 6) AS distinct_kmv,
+               CAST((distinct_exact * 1000000) // total_ngrams AS BIGINT)
+                   AS diversity_ppm
+        FROM totals JOIN kept USING (grp)
+        ORDER BY grp
+    """
