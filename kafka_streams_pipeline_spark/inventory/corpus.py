@@ -1979,7 +1979,7 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.shard_balance(_t(spark, sf_dir, "documents"))
 
 
-@register("q_boilerplate_scrub", oracle=_text.boilerplate_scrub_oracle())
+@register("q_boilerplate_scrub", oracle=_text.boilerplate_scrub_oracle(), bench=True)
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5af boilerplate-span removal (round 11): every 3-token span
     appearing in >=3 distinct docs is scrubbed from all docs, unique

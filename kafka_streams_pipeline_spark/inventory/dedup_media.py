@@ -141,7 +141,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-@register("q_dedup_hamming", oracle=_dedup.simhash_hamming_oracle())
+@register("q_dedup_hamming", oracle=_dedup.simhash_hamming_oracle(), bench=True)
 def q_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2m SimHash near-dup JOIN (round 11): all pairs within
     Hamming distance 3 over a 64-bit signature (two seeded 32-bit
