@@ -2016,3 +2016,58 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; KMV is the 100 TB path). See
     operators/text.ngram_diversity."""
     return _text.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_group_quantile_filter",
+    oracle=None,  # set right below (quality module builder)
+)
+def q_group_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10g per-group quality-quantile gate (round 11, deferred to
+    the r12 window): within each language keep the top 1/4 of docs
+    by integer-ppm quality — the Gopher/MassiveText per-language
+    filtering convention (a global cutoff lets high-resource
+    languages wipe out low-resource groups). Float-free rank read
+    (rank·den ≤ n·num), id tie-break; per-group membership pinned by
+    checksum. See operators/quality.group_quantile_filter."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        group_quantile_filter,
+    )
+
+    return group_quantile_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ref_integrity",
+    oracle=None,  # set right below
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10h cross-table referential-integrity audit (round 11,
+    deferred to the r12 window): documents.doc_id vs
+    embeddings.vec_id matched / left_only / right_only with distinct
+    key counts and checksums (each side modulus-restricted so all
+    three classes appear at the sf0.01 gate) — the join-health scorecard before any
+    multimodal pairing job trains on silently-dropped rows. Both
+    sides reduce to distinct keys map-side; one full-outer hash
+    join. See operators/quality.ref_integrity."""
+    from kafka_streams_pipeline_spark.operators.quality import ref_integrity
+
+    return ref_integrity(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 != 0),
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 7 != 0),
+        "doc_id",
+        "vec_id",
+    )
+
+
+from kafka_streams_pipeline_spark.inventory._registry import ORACLES as _OR
+from kafka_streams_pipeline_spark.operators.quality import (
+    group_quantile_filter_oracle as _gqf_oracle,
+    ref_integrity_oracle as _ri_oracle,
+)
+
+_OR["q_group_quantile_filter"] = _gqf_oracle()
+_OR["q_ref_integrity"] = _ri_oracle(
+    left_table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+    right_table="(SELECT * FROM embeddings WHERE vec_id % 7 != 0)",
+)

@@ -309,7 +309,14 @@ _RECHECK: list[str] = [
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.
-_DEFERRED: list[str] = []
+_DEFERRED: list[str] = [
+    # round-11 late additions: the r11 window is exactly filled by
+    # the 7 headline registrations + 3 rechecks + 40 r6-vintage
+    # re-certs (VERDICT r10 item 5 freshness contract) — these two
+    # certify in the r12 window instead.
+    "q_group_quantile_filter",
+    "q_ref_integrity",
+]
 
 
 def driver_order() -> list[str]:

@@ -411,3 +411,184 @@ def k_anonymize(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+QUANTILE_NUM = 1  # keep the top num/den fraction per group (1/4)
+QUANTILE_DEN = 4
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    num: int = QUANTILE_NUM,
+    den: int = QUANTILE_DEN,
+) -> DataFrame:
+    """Per-group quality-quantile gate (the Gopher/MassiveText
+    per-language filtering convention): within each group, keep the
+    top num/den fraction of documents by quality — a GLOBAL cutoff
+    would let a high-resource language's distribution set the bar
+    and wipe out low-resource groups entirely.
+
+    Quality is the quality_score numerator in integer ppm
+    (qnum·10⁶ div (200·n)) — pure BIGINT, so ranks are engine-exact;
+    ties break by ascending doc_id. The keep rule is the float-free
+    rank read: keep iff rank_desc·den ≤ n_group·num (the
+    cum·den ≥ q·n convention — no percentile float ever computed).
+
+    Output per group: (group, n_docs, n_kept, kept_checksum,
+    cutoff_quality_ppm) — the checksum pins MEMBERSHIP of the kept
+    set, the cutoff is the lowest kept quality. Per-doc keep flags
+    are the same frame before the final aggregate.
+
+    Scale shape: one window partitioned by group (groups are
+    languages/domains — thousands at most, each internally large;
+    the per-group rank is the partitioned-window shuffle every
+    top-fraction filter pays) + one group aggregate."""
+    from pyspark.sql.window import Window as _W
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col("doc_id"),
+        F.expr(
+            f"""
+            (cast(size(split({text_col}, ' ')) as bigint) *
+                    least(size(split({text_col}, ' ')), 100)
+                  + 60L * size(array_distinct(split({text_col}, ' ')))
+                  + 4L * least(length({text_col})
+                               - size(split({text_col}, ' ')) + 1,
+                               10 * size(split({text_col}, ' '))))
+                 * 1000000L
+            div (200L * size(split({text_col}, ' ')))
+            """
+        ).alias("quality_ppm"),
+    )
+    ranked = base.withColumn(
+        "rnk",
+        F.row_number().over(
+            _W.partitionBy("grp").orderBy(
+                F.col("quality_ppm").desc(), F.col("doc_id").asc()
+            )
+        ),
+    ).withColumn("n_docs", F.count(F.lit(1)).over(_W.partitionBy("grp")))
+    kept = ranked.where(
+        F.col("rnk") * den <= F.col("n_docs") * num
+    )
+    return (
+        kept.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_checksum"),
+            F.min("quality_ppm").cast("long").alias("cutoff_quality_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def group_quantile_filter_oracle(
+    table: str = "documents",
+    group_col: str = "lang",
+    num: int = QUANTILE_NUM,
+    den: int = QUANTILE_DEN,
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS grp, doc_id,
+                   (CAST(len(toks) AS BIGINT) * least(len(toks), 100)
+                    + 60 * len(list_distinct(toks))
+                    + 4 * least(length(text) - len(toks) + 1,
+                                10 * len(toks))) * 1000000
+                   // (200 * len(toks)) AS quality_ppm
+            FROM (SELECT {group_col}, doc_id, text,
+                         string_split(text, ' ') AS toks
+                  FROM {table})
+        ),
+        ranked AS (
+            SELECT grp, doc_id, quality_ppm,
+                   row_number() OVER (
+                       PARTITION BY grp
+                       ORDER BY quality_ppm DESC, doc_id ASC) AS rnk,
+                   count(*) OVER (PARTITION BY grp) AS n_docs
+            FROM base
+        )
+        SELECT grp AS {group_col},
+               CAST(max(n_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS kept_checksum,
+               CAST(min(quality_ppm) AS BIGINT) AS cutoff_quality_ppm
+        FROM ranked WHERE rnk * {den} <= n_docs * {num}
+        GROUP BY grp ORDER BY grp
+    """
+
+
+def ref_integrity(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Cross-table referential-integrity audit (the Deequ
+    `isContainedIn`/FK check the profile/checks family lacked): how
+    many left keys have a right-side match, how many are orphans,
+    and vice versa — the join-health scorecard run before any
+    multimodal pairing job (documents ↔ embeddings, images ↔
+    captions) trains on silently-dropped rows.
+
+    Output: one row per class — matched / left_only / right_only —
+    with n_keys (DISTINCT keys) and key_checksum. NULL keys are
+    counted as left_only/right_only (a NULL FK can never match;
+    checksum treats them as 0).
+
+    Scale shape: both sides reduce to distinct keys map-side, one
+    full-outer hash join on the key — the minimum possible work for
+    an exact FK audit; payload columns are pruned at the scan."""
+    lk = left.select(F.col(left_key).alias("k")).distinct()
+    rk = right.select(F.col(right_key).alias("k")).distinct()
+    j = lk.withColumn("l", F.lit(1)).join(
+        rk.withColumn("r", F.lit(1)).withColumnRenamed("k", "k2"),
+        F.col("k").eqNullSafe(F.col("k2")),
+        "full",
+    )
+    return (
+        j.select(
+            F.when(
+                F.col("l").isNotNull() & F.col("r").isNotNull(), "matched"
+            )
+            .when(F.col("l").isNotNull(), "left_only")
+            .otherwise("right_only")
+            .alias("class"),
+            F.coalesce(F.col("k"), F.col("k2")).alias("key"),
+        )
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.coalesce(F.col("key"), F.lit(0)))
+            .cast("long")
+            .alias("key_checksum"),
+        )
+        .orderBy("class")
+    )
+
+
+def ref_integrity_oracle(
+    left_table: str = "documents",
+    right_table: str = "embeddings",
+    left_key: str = "doc_id",
+    right_key: str = "vec_id",
+) -> str:
+    return f"""
+        WITH lk AS (SELECT DISTINCT {left_key} AS k FROM {left_table}),
+        rk AS (SELECT DISTINCT {right_key} AS k2 FROM {right_table}),
+        j AS (
+            SELECT lk.k, rk.k2 FROM lk
+            FULL OUTER JOIN rk ON lk.k IS NOT DISTINCT FROM rk.k2
+        )
+        SELECT CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 'matched'
+                    WHEN k IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS class,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(coalesce(coalesce(k, k2), 0)) AS BIGINT)
+                   AS key_checksum
+        FROM j GROUP BY 1 ORDER BY 1
+    """

@@ -239,3 +239,46 @@ def test_k_anonymize_unique_qi_no_forced_broadcast(spark):
     assert len(rows) == 200
     assert all(r["uniq"] is None for r in rows)
     assert sorted(r["payload"] for r in rows) == [i * 3 for i in range(200)]
+
+
+def test_group_quantile_filter_float_free_rank(spark):
+    """Two groups of different sizes: exactly floor(n/4) kept per
+    group (rank·4 ≤ n), highest-quality docs win, id tie-break on
+    equal quality, and a group smaller than 4 keeps nothing (floor
+    quota — never a fractional doc)."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        group_quantile_filter,
+    )
+
+    rows = []
+    # group A: 8 docs with strictly increasing distinct-token count
+    # (quality rises with diversity) → top 2 kept = the 2 longest
+    for i in range(8):
+        rows.append((i, "aa", " ".join(f"a{i}x{j}" for j in range(10 + i))))
+    # group B: 3 docs → floor(3/4) = 0 kept
+    for i in range(3):
+        rows.append((100 + i, "bb", " ".join(f"b{j}" for j in range(5))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in group_quantile_filter(df).collect()}
+    assert set(got) == {"aa"}
+    assert got["aa"]["n_docs"] == 8 and got["aa"]["n_kept"] == 2
+    assert got["aa"]["kept_checksum"] == 6 + 7  # the two longest docs
+
+
+def test_ref_integrity_counts_nulls_as_orphans(spark):
+    """NULL FK values can never match: they land in left_only /
+    right_only (checksum counts them as 0), and the three-way class
+    split partitions the distinct key universe exactly."""
+    from kafka_streams_pipeline_spark.operators.quality import ref_integrity
+
+    left = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (3,)], "k long"
+    )
+    right = spark.createDataFrame([(2,), (3,), (9,)], "k2 long")
+    got = {r["class"]: (r["n_keys"], r["key_checksum"])
+           for r in ref_integrity(left, right, "k", "k2").collect()}
+    assert got == {
+        "matched": (2, 5),       # 2, 3 (distinct)
+        "left_only": (2, 1),     # 1 and NULL (as 0)
+        "right_only": (1, 9),
+    }
