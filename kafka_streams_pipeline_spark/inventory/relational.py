@@ -1250,3 +1250,60 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_home"),
     )
+
+
+RECURSE_SEED_MOD = 97   # seeds = doc_id % 97 == 0
+RECURSE_MAX_DEPTH = 6
+
+
+def _reach_sql(dialect: str) -> str:
+    """Shared recursive-CTE body for BFS reachability over the
+    deterministic functional graph edge(doc_id) =
+    md5('edge:'||doc_id) mod N — identical text modulo the md5→BIGINT
+    idiom, so the Spark and DuckDB runs are the same recursion."""
+    if dialect == "spark":
+        h = "cast(conv(substring(md5(concat('edge:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+        tbl = "recdocs"
+    else:
+        h = "('0x' || substr(md5('edge:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        tbl = "documents"
+    return f"""
+        WITH RECURSIVE
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM {tbl}),
+        edges AS (
+            SELECT doc_id AS src, CAST({h} % n_total AS BIGINT) AS dst
+            FROM {tbl}, n
+        ),
+        reach(root, node, depth) AS (
+            SELECT doc_id, doc_id, 0
+            FROM {tbl} WHERE doc_id % {RECURSE_SEED_MOD} = 0
+            UNION ALL
+            SELECT r.root, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON r.node = e.src
+            WHERE r.depth < {RECURSE_MAX_DEPTH}
+        )
+        SELECT root,
+               CAST(count(DISTINCT node) AS BIGINT) AS n_reachable,
+               CAST(sum(DISTINCT node) AS BIGINT) AS node_checksum,
+               CAST(max(depth) AS BIGINT) AS max_depth
+        FROM reach
+        GROUP BY root
+        ORDER BY root
+    """
+
+
+@register("q_recursive_reachability", oracle=_reach_sql("duck"))
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1e recursive-CTE reachability (round 11, deferred cert →
+    r12 window): bounded-depth BFS over a deterministic functional
+    graph (edge = md5-hash successor mod N) from modulus-selected
+    roots, written as WITH RECURSIVE — certifying Spark 4's
+    recursive-CTE SQL surface against DuckDB running the IDENTICAL
+    recursion. Per root: distinct reachable nodes, membership
+    checksum, max depth. Depth-bounded UNION ALL recursion; each
+    iteration is one equi-join of the frontier against the edge
+    table (hash-partitioned on the join key — the standard
+    distributed BFS step)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id").createOrReplaceTempView("recdocs")
+    return spark.sql(_reach_sql("spark"))

@@ -316,6 +316,7 @@ _DEFERRED: list[str] = [
     # certify in the r12 window instead.
     "q_group_quantile_filter",
     "q_ref_integrity",
+    "q_recursive_reachability",
 ]
 
 
