@@ -754,7 +754,10 @@ def simhash64_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    df: DataFrame, text_col: str = "text", radius: int = HAMMING_RADIUS
+    df: DataFrame,
+    text_col: str = "text",
+    radius: int = HAMMING_RADIUS,
+    materialize: bool = True,
 ) -> DataFrame:
     """X2: SimHash near-dup JOIN — all pairs within Hamming distance
     ``radius`` over the 64-bit signature, via the multi-index
@@ -821,6 +824,10 @@ def simhash_hamming_pairs(
         )
         .where(F.col("hamming") <= radius)
     )
+    # materialize=False returns the lazy plan for plan-contract
+    # inspection (the checkpoint would hide the candidate join shape)
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     sig.unpersist()
     return out

@@ -530,3 +530,29 @@ def test_budget_select_two_phase_prefix_sum(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_budget_select")
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert re.search(r"windowspecdefinition\(_pid#\d+", plan), plan
+
+
+def test_hamming_candidate_join_is_equijoin(spark, sf_dir):
+    """simhash_hamming_pairs' candidate stage must plan as a HASH
+    equi-join on the (block, value) keys with the id ordering as a
+    residual predicate — never a nested-loop/cartesian over the
+    exploded block rows."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_hamming_pairs(docs, materialize=False)
+    je = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
