@@ -197,6 +197,25 @@ def run_sweep(spark, mults: list[int]) -> dict:
         row["ops"]["containment"]["filter_stats"] = (
             dd.containment_scaling_stats(docs)
         )
+        # round-11 additions: the two-phase-rank family (VERDICT r10
+        # item 2's fix must hold at 20×, not just pass the gate) and
+        # the pigeonhole Hamming join (output-bound by design — the
+        # replica cliques make its result set grow quadratically in
+        # clique size, so time should track OUTPUT, not input²).
+        from kafka_streams_pipeline_spark.operators import corpus as cp
+
+        timed(
+            "negative_samples",
+            lambda: cp.negative_samples(docs).count(),
+        )
+        timed(
+            "budget_select",
+            lambda: cp.budget_select(docs).count(),
+        )
+        timed(
+            "hamming_join",
+            lambda: dd.simhash_hamming_pairs(docs).count(),
+        )
         timed(
             "ann_lsh",
             lambda: sim.topk_cosine_lsh(embs).count(),
