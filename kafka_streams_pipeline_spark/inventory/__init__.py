@@ -57,6 +57,7 @@ from kafka_streams_pipeline_spark.inventory import windows  # noqa: E402,F401
 from kafka_streams_pipeline_spark.inventory import corpus  # noqa: E402,F401
 from kafka_streams_pipeline_spark.inventory import sketches_caps  # noqa: E402,F401
 from kafka_streams_pipeline_spark.inventory import streaming_rows  # noqa: E402,F401
+from kafka_streams_pipeline_spark.inventory import timeseries  # noqa: E402,F401
 
 # Rotation bookkeeping re-exports (tools/rotate.py + contract tests).
 from kafka_streams_pipeline_spark.inventory.rotation import (  # noqa: E402,F401

@@ -317,6 +317,13 @@ _DEFERRED: list[str] = [
     "q_group_quantile_filter",
     "q_ref_integrity",
     "q_recursive_reachability",
+    # round-11 TSDB serving + retrieval-fusion batch (same rationale):
+    "q_counter_rate",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
+    "q_anomaly_mad",
+    "q_rrf_fusion",
+    "q_keyword_extract",
 ]
 
 

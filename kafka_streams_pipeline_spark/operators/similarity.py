@@ -1858,3 +1858,101 @@ def hard_negatives_oracle(
         )
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion (round 11) --------------------
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    vecs: DataFrame,
+    query_vec_id: int = 0,
+    k_each: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher, SIGIR'09 — public literature): fuse
+    the BM25 top-``k_each`` list over ``documents`` with the cosine
+    top-``k_each`` list over ``embeddings`` (doc_id ≡ vec_id where
+    both exist) by RRF(d) = Σ_lists 1/(rrf_k + rank_list(d)).
+
+    Engine-exact: each reciprocal is the integer fixed-point
+    ``1000000 div (rrf_k + rank)``, so the fused score is a BIGINT
+    sum — no float ordering anywhere. Ranks come from the two
+    already-certified primitives (text.bm25_topk binds its rank;
+    cosine ranks are a window over the rounded similarity with id
+    tiebreak). Missing-from-one-list contributes 0, the standard RRF
+    convention. Final top-``k`` orders by (score_fp DESC, id) with
+    rank bound into the output.
+
+    Scale shape: both input lists are top-k results (≤ k_each rows
+    each) — the fusion join/sort is constant-size regardless of
+    corpus scale; all heavy lifting stays inside the two certified
+    retrieval plans (one corpus scan each, no corpus self-join)."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_pipeline_spark.operators.text import bm25_topk
+
+    b = bm25_topk(docs, k=k_each).select(
+        F.col("doc_id").alias("b_id"), F.col("rank").alias("b_rank")
+    )
+    cw = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    c = (
+        topk_cosine(vecs, query_vec_id=query_vec_id, k=k_each)
+        .withColumn("c_rank", F.row_number().over(cw).cast("long"))
+        .select(F.col("vec_id").alias("c_id"), "c_rank")
+    )
+    fused = (
+        b.join(c, b.b_id == c.c_id, "full_outer")
+        .select(
+            F.coalesce("b_id", "c_id").alias("id"),
+            F.coalesce("b_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("c_rank", F.lit(0)).alias("cos_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({rrf_k} + b_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({rrf_k} + c_rank)"), F.lit(0)
+                )
+            ).alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_fp").desc(), "id")
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rrf_fusion_oracle(
+    query_vec_id: int = 0, k_each: int = 50, k: int = 10, rrf_k: int = 60
+) -> str:
+    from kafka_streams_pipeline_spark.operators.text import bm25_topk_oracle
+
+    return f"""
+        WITH b AS ({bm25_topk_oracle(k=k_each)}),
+        c0 AS ({topk_cosine_oracle(query_vec_id=query_vec_id, k=k_each)}),
+        c AS (
+            SELECT vec_id AS c_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                        AS BIGINT) AS c_rank
+            FROM c0
+        ),
+        fused AS (
+            SELECT coalesce(b.doc_id, c.c_id)       AS id,
+                   coalesce(b.rank, 0)              AS bm25_rank,
+                   coalesce(c.c_rank, 0)            AS cos_rank,
+                   coalesce(1000000 // ({rrf_k} + b.rank), 0)
+                   + coalesce(1000000 // ({rrf_k} + c.c_rank), 0)
+                                                    AS score_fp
+            FROM b FULL OUTER JOIN c ON b.doc_id = c.c_id
+        ),
+        top AS (
+            SELECT * FROM fused ORDER BY score_fp DESC, id LIMIT {k}
+        )
+        SELECT id, bm25_rank, cos_rank, CAST(score_fp AS BIGINT) AS score_fp,
+               CAST(row_number() OVER (ORDER BY score_fp DESC, id)
+                    AS BIGINT) AS rank
+        FROM top
+    """

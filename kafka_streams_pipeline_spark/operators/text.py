@@ -2781,3 +2781,95 @@ def ngram_diversity_oracle(
         FROM totals JOIN kept USING (grp)
         ORDER BY grp
     """
+
+
+# --- Per-document keyword extraction (round 11) -----------------------------
+
+
+def keyword_extract(
+    df: DataFrame,
+    k: int = 3,
+    doc_mod: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` keyword terms by a tf-idf-style rarity
+    weight — the per-doc companion of bm25_topk's corpus-level
+    scoring, used for tagging / routing / topic bucketing in curation
+    pipelines (Spärck Jones IDF, public literature).
+
+    Engine-exact scoring with NO float log: score_ppm =
+    ``tf · 1000000 div df`` — monotone increasing in term frequency,
+    decreasing in document frequency, pure BIGINT (both engines
+    truncate integral division identically). Ties break (score DESC,
+    term ASC) so the selected rowset is unique. ``doc_mod`` bounds
+    the emitted docs (every ``doc_mod``-th) — the scoring itself runs
+    corpus-wide. Real corpora would also drop head terms by a df cap;
+    the fixture's closed ~30-word vocabulary would empty under any
+    such cap, so the gate is left to callers and documented here.
+
+    Scale shape: tokenize → explode → (doc, term) count (one
+    shuffle), term df derived FROM the tf frame (vocab-sized second
+    aggregate), df joined back (vocab-sized side — AQE picks
+    broadcast), top-k per doc is a window partitioned by doc_id —
+    parallel across docs, no global sort."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .where(F.col("doc_id") % doc_mod == 0)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * 1000000 div df").alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def keyword_extract_oracle(k: int = 3, doc_mod: int = 20) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks WHERE term != ''
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score_ppm
+            FROM tf JOIN dfreq ON tf.term = dfreq.term
+            WHERE tf.doc_id % {doc_mod} = 0
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, df, score_ppm,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, score_ppm, rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -1,0 +1,332 @@
+"""Time-series serving operators over the event stream: counter-rate
+(reset-corrected increase), LOCF time-weighted average, OHLC bars,
+and MAD-based anomaly flagging.
+
+The reference pipeline is a sensor time-series aggregator — its one
+materialized shape is the per-cell hourly count/sum/avg WindowStore
+(ingestion/KafkaStreamsAggregator.java:103-105). These operators are
+the standard TSDB serving family one layer up from that view:
+monotone-counter rates (the PromQL ``increase`` semantic), duration-
+weighted averages for irregularly-sampled gauges (the TimescaleDB
+``time_weight`` semantic), per-bucket open/high/low/close rollups,
+and robust median/MAD outlier counts. All are engine-exact: values
+are summed as integer cents, durations as integer microseconds,
+medians doubled into integer lattices so interpolation at 0.5 is
+exact, and every comparison is integer-only — no cross-engine float
+drift anywhere (SURVEY.md §5.1 hash-compare discipline).
+
+Scale shape (100 TB): every operator is one hash-partitioned window
+or aggregate keyed by the series key (user_id / event_type×hour) —
+embarrassingly parallel across series, a single shuffle each, no
+global sort, no driver loop. The exact per-group median in
+``mad_outliers`` is the certification twin; the documented 100 TB
+path swaps ``percentile`` for ``approx_percentile`` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Synthetic monotone counter: running cents sum per user, wrapped at
+# this modulus so the fixture exhibits genuine counter resets (the
+# events table has no native counter column; both engines build the
+# IDENTICAL counter, so the reset-correction logic is what is
+# certified). 500.00 units in cents.
+RESET_MOD_CENTS = 50_000
+
+_CENTS = "cast(round(value * 100) as long)"
+_CENTS_DUCK = "CAST(round(value * 100) AS BIGINT)"
+
+
+def counter_rate(events: DataFrame) -> DataFrame:
+    """PromQL-style reset-corrected counter ``increase`` per series.
+
+    For consecutive samples of a monotone counter, the per-step
+    increase is ``cur - prev``; a decrease means the counter reset
+    (process restart) and the whole post-reset value ``cur`` counts
+    as increase — exactly Prometheus' ``increase()`` fold. Output per
+    user: sample count, reset count, total increase (cents).
+
+    Plan: one hash partition on user_id, one per-partition sort
+    feeding BOTH window passes (running sum + lag share the frame),
+    then a groupBy on the same key — Spark reuses the window's
+    Exchange, so the whole operator is a single shuffle. Integer
+    arithmetic end-to-end."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        events.select(
+            "user_id", "event_id", "ts", F.expr(_CENTS).alias("c")
+        )
+        .withColumn(
+            "counter",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            % RESET_MOD_CENTS,
+        )
+        .withColumn("prev", F.lag("counter").over(w))
+    )
+    stepped = run.select(
+        "user_id",
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("counter") >= F.col("prev"), F.col("counter") - F.col("prev"))
+        .otherwise(F.col("counter"))
+        .alias("step"),
+        (
+            F.col("prev").isNotNull() & (F.col("counter") < F.col("prev"))
+        ).cast("long").alias("is_reset"),
+    )
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("is_reset").alias("n_resets"),
+        F.sum("step").alias("increase_cents"),
+    )
+
+
+def counter_rate_oracle() -> str:
+    return f"""
+        WITH stepped AS (
+            SELECT user_id,
+                   CASE WHEN prev IS NULL THEN 0
+                        WHEN counter >= prev THEN counter - prev
+                        ELSE counter END AS step,
+                   CASE WHEN prev IS NOT NULL AND counter < prev
+                        THEN 1 ELSE 0 END AS is_reset
+            FROM (
+                SELECT user_id, counter,
+                       lag(counter) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           sum({_CENTS_DUCK}) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING
+                           ) % {RESET_MOD_CENTS} AS counter
+                    FROM events
+                )
+            )
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT)        AS n_samples,
+               CAST(sum(is_reset) AS BIGINT)   AS n_resets,
+               CAST(sum(step) AS BIGINT)       AS increase_cents
+        FROM stepped
+        GROUP BY user_id
+    """
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """LOCF time-weighted average per series (TimescaleDB
+    ``time_weight('LOCF', ...)`` semantic): each sample's value holds
+    until the next sample, so its weight is the duration to that next
+    sample; the final open-ended sample carries no weight. Output per
+    user: weighted-sample count, covered span (µs), and the
+    duration-weighted average.
+
+    Exactness: cents × integer-µs durations summed as BIGINT; the
+    only float ops are the two final divisions, written in identical
+    textual order on both engines (IEEE division is deterministic).
+    Plan: one shuffle on user_id (window sort + same-key groupBy)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    timed = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.expr(_CENTS).alias("c"),
+    ).withColumn("dur_us", F.lead("us").over(w) - F.col("us"))
+    weighted = timed.where(F.col("dur_us").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_weighted"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(F.col("c") * F.col("dur_us")).alias("_wsum"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_weighted",
+            "span_us",
+            F.round(
+                F.col("_wsum").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+def time_weighted_avg_oracle() -> str:
+    return f"""
+        WITH timed AS (
+            SELECT user_id,
+                   {_CENTS_DUCK} AS c,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dur_us
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT)          AS n_weighted,
+                   CAST(sum(dur_us) AS BIGINT)       AS span_us,
+                   CAST(sum(c * dur_us) AS BIGINT)   AS wsum
+            FROM timed WHERE dur_us IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_weighted, span_us,
+               round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE)
+                     / 100.0, 6) AS twa
+        FROM agg WHERE span_us > 0
+    """
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Per (event_type × hour) OHLC candle: open (first value in the
+    bucket), high, low, close (last value), volume — the canonical
+    downsampling shape for tick/metric series. First/last are picked
+    by (ts, event_id) row order, made single-sort by pairing an
+    ascending ``row_number`` with the partition row count (close =
+    the rn = n row) instead of a second descending sort. Cents
+    throughout — integer-exact.
+
+    Plan: one hash partition on (event_type, hour), ONE sort serving
+    both window columns, groupBy on the same key reuses the Exchange.
+    Buckets are bounded (≤ types × hours) and each is independent —
+    the shape is flat at any scale."""
+    w = Window.partitionBy("event_type", "hour_ms").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "hour_ms")
+    b = (
+        events.select(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "ts",
+            "event_id",
+            F.expr(_CENTS).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nrows", F.count(F.lit(1)).over(wp))
+    )
+    return b.groupBy("event_type", "hour_ms").agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("open_cents"),
+        F.max("c").alias("high_cents"),
+        F.min("c").alias("low_cents"),
+        F.max(F.when(F.col("rn") == F.col("nrows"), F.col("c"))).alias(
+            "close_cents"
+        ),
+    )
+
+
+def ohlc_bars_oracle() -> str:
+    return f"""
+        WITH b AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts))  AS hour_ms,
+                   {_CENTS_DUCK}                     AS c,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                   ) AS rn,
+                   count(*) OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                   ) AS nrows
+            FROM events
+        )
+        SELECT event_type, hour_ms,
+               CAST(count(*) AS BIGINT)                     AS volume,
+               CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+                                                            AS open_cents,
+               CAST(max(c) AS BIGINT)                       AS high_cents,
+               CAST(min(c) AS BIGINT)                       AS low_cents,
+               CAST(max(CASE WHEN rn = nrows THEN c END) AS BIGINT)
+                                                            AS close_cents
+        FROM b
+        GROUP BY event_type, hour_ms
+    """
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust per-series outlier census: median + MAD (median absolute
+    deviation), flagging samples with |x − med| > 3·1.4826·MAD — the
+    standard robust z-score gate (1.4826 ≈ 1/Φ⁻¹(¾) makes MAD a
+    consistent σ estimator; Hampel, public literature).
+
+    Engine-exact medians on an integer lattice: the 0.5-interpolated
+    percentile of EVEN integers is itself an integer, so the median
+    of ``2·cents`` (``med2``) and of ``2·|2c − med2|`` (``mad4``, in
+    quarter-cents) are exact BIGINTs in both engines. The outlier
+    test dev > 3·1.4826·mad becomes the pure-integer cross-multiply
+    20000·dev2 > 44478·mad4 — no float comparison anywhere.
+
+    Plan: two grouped exact percentiles over event_type (5 groups)
+    with broadcast joins back, then one counting aggregate. The exact
+    per-group percentile sorts within each group — fine at fixture
+    scale and the certification twin of the documented 100 TB path
+    (``approx_percentile``, identical plan otherwise)."""
+    c = events.select(
+        "event_type", F.expr(_CENTS).alias("c")
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("cast(round(percentile(2 * c, 0.5)) as long)").alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("cast(round(percentile(2 * dev2, 0.5)) as long)").alias("mad4")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med2").alias("med2"),
+        F.max("mad4").alias("mad4"),
+        F.sum(
+            (F.col("dev2") * 20000 > F.col("mad4") * 44478).cast("long")
+        ).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        "med2",
+        "mad4",
+        "n_outliers",
+        F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+    )
+
+
+def mad_outliers_oracle() -> str:
+    return f"""
+        WITH c AS (
+            SELECT event_type, {_CENTS_DUCK} AS c FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(2 * c, 0.5)) AS BIGINT) AS med2
+            FROM c GROUP BY event_type
+        ),
+        dev AS (
+            SELECT c.event_type, med2, abs(2 * c.c - med2) AS dev2
+            FROM c JOIN med ON c.event_type = med.event_type
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(2 * dev2, 0.5)) AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT)  AS n,
+               CAST(max(med2) AS BIGINT) AS med2,
+               CAST(max(mad4) AS BIGINT) AS mad4,
+               CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478
+                             THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS outlier_ppm
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type
+    """

@@ -1,0 +1,203 @@
+"""Unit tests for the round-11 TSDB serving + retrieval-fusion batch:
+constructed-frame semantics for counter_rate / time_weighted_avg /
+ohlc_bars / mad_outliers, plus rrf_fusion and keyword_extract
+ordering contracts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_pipeline_spark.operators.text import keyword_extract
+from kafka_streams_pipeline_spark.operators.similarity import rrf_fusion
+from kafka_streams_pipeline_spark.operators.timeseries import (
+    RESET_MOD_CENTS,
+    counter_rate,
+    mad_outliers,
+    ohlc_bars,
+    time_weighted_avg,
+)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, iso_ts, value) → events-shaped frame."""
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime.fromisoformat(ts), uid, "click", val, "{}")
+            for (eid, uid, ts, val) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_counter_rate_reset_fold(spark):
+    # One user; cents cumsum = 100, 300, 600 → all below the modulus,
+    # counter == cumsum, steps are the raw deltas, no resets.
+    e = _events(
+        spark,
+        [
+            (1, 7, "2024-01-01T00:00:00", 1.00),
+            (2, 7, "2024-01-01T00:01:00", 2.00),
+            (3, 7, "2024-01-01T00:02:00", 3.00),
+        ],
+    )
+    row = counter_rate(e).collect()[0]
+    assert row.n_samples == 3 and row.n_resets == 0
+    # steps: first sample contributes 0, then 200, 300
+    assert row.increase_cents == 500
+
+
+def test_counter_rate_wrap_counts_reset(spark):
+    # Push the cumsum over RESET_MOD_CENTS so the counter wraps once:
+    # the fold must count one reset and credit the post-reset value.
+    big = (RESET_MOD_CENTS - 100) / 100.0  # cents = MOD-100
+    e = _events(
+        spark,
+        [
+            (1, 9, "2024-01-01T00:00:00", big),   # counter = MOD-100
+            (2, 9, "2024-01-01T00:01:00", 5.00),  # cumsum = MOD+400 → 400
+        ],
+    )
+    row = counter_rate(e).collect()[0]
+    assert row.n_resets == 1
+    # first sample 0, then reset → credit counter value 400
+    assert row.increase_cents == 400
+
+
+def test_time_weighted_avg_locf(spark):
+    # value 1.00 holds 60 s, value 3.00 holds 30 s, last sample open:
+    # twa = (100*60 + 300*30) / 90 / 100 = 1.666667
+    e = _events(
+        spark,
+        [
+            (1, 5, "2024-01-01T00:00:00", 1.00),
+            (2, 5, "2024-01-01T00:01:00", 3.00),
+            (3, 5, "2024-01-01T00:01:30", 9.00),
+        ],
+    )
+    row = time_weighted_avg(e).collect()[0]
+    assert row.n_weighted == 2
+    assert row.span_us == 90_000_000
+    assert row.twa == 1.666667
+
+
+def test_time_weighted_avg_drops_single_sample_series(spark):
+    e = _events(spark, [(1, 5, "2024-01-01T00:00:00", 1.00)])
+    assert time_weighted_avg(e).count() == 0
+
+
+def test_ohlc_open_close_by_time_order(spark):
+    # Same hour, deliberately inserted out of event_id order relative
+    # to time: open/close must follow (ts, event_id), not insert or
+    # id order. high/low are independent of order.
+    e = _events(
+        spark,
+        [
+            (10, 1, "2024-01-01T05:50:00", 7.00),   # last → close
+            (11, 1, "2024-01-01T05:10:00", 2.00),   # first → open
+            (12, 1, "2024-01-01T05:30:00", 9.00),   # high
+            (13, 1, "2024-01-01T05:40:00", 1.00),   # low
+        ],
+    )
+    row = ohlc_bars(e).collect()[0]
+    assert (row.open_cents, row.high_cents, row.low_cents, row.close_cents) == (
+        200,
+        900,
+        100,
+        700,
+    )
+    assert row.volume == 4
+
+
+def test_ohlc_event_id_tiebreak_on_equal_ts(spark):
+    # Two samples at the identical timestamp: event_id breaks the tie
+    # for both open and close.
+    e = _events(
+        spark,
+        [
+            (2, 1, "2024-01-01T06:00:00", 5.00),
+            (1, 1, "2024-01-01T06:00:00", 3.00),
+        ],
+    )
+    row = ohlc_bars(e).collect()[0]
+    assert row.open_cents == 300 and row.close_cents == 500
+
+
+def test_mad_outliers_integer_gate(spark):
+    # 9 inliers at 10.00 and one far point: med = 1000 cents,
+    # MAD = 0 → ANY nonzero deviation is an outlier under the strict
+    # inequality (20000·dev2 > 0).
+    rows = [(i, 1, f"2024-01-01T00:0{i}:00", 10.00) for i in range(9)]
+    rows.append((9, 1, "2024-01-01T00:09:30", 99.00))
+    row = mad_outliers(_events(spark, rows)).collect()[0]
+    assert row.n == 10
+    assert row.med2 == 2 * 1000
+    assert row.mad4 == 0
+    assert row.n_outliers == 1
+    assert row.outlier_ppm == 100_000
+
+
+def test_mad_outliers_symmetric_spread_no_outliers(spark):
+    # Uniform 1..5: med=3.00, MAD=1.00 → max dev 2.00 < 4.4478·1.00,
+    # so nothing flags.
+    rows = [
+        (i, 1, f"2024-01-01T00:0{i}:00", float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5])
+    ]
+    row = mad_outliers(_events(spark, rows)).collect()[0]
+    assert row.med2 == 600 and row.mad4 == 400
+    assert row.n_outliers == 0
+
+
+def test_rrf_fusion_both_lists_beat_single_list(spark, sf_dir):
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = rrf_fusion(docs, vecs, k=10).collect()
+    assert len(out) == 10
+    # rank is dense 1..10 and score_fp is non-increasing
+    assert [r.rank for r in out] == list(range(1, 11))
+    scores = [r.score_fp for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every fused score is the exact integer recomputation
+    for r in out:
+        expect = 0
+        if r.bm25_rank > 0:
+            expect += 1_000_000 // (60 + r.bm25_rank)
+        if r.cos_rank > 0:
+            expect += 1_000_000 // (60 + r.cos_rank)
+        assert r.score_fp == expect
+    # a doc present in both lists must outrank one with an equal
+    # single-list rank only — verify the top row is double-listed if
+    # any double-listed doc exists in the top 10
+    if any(r.bm25_rank > 0 and r.cos_rank > 0 for r in out):
+        top = out[0]
+        assert top.score_fp >= max(
+            r.score_fp for r in out if r.bm25_rank == 0 or r.cos_rank == 0
+        ) if any(r.bm25_rank == 0 or r.cos_rank == 0 for r in out) else True
+
+
+def test_keyword_extract_prefers_rare_terms(spark):
+    # 3 docs; "rare" appears twice in doc 0 only; "common" appears in
+    # all docs. rare: tf=2, df=1 → 2e6 ppm; common tf=3, df=3 → 1e6.
+    docs = spark.createDataFrame(
+        [
+            (0, "rare rare common common common", "en", "s", 30),
+            (20, "common x y", "en", "s", 10),
+            (40, "common y z", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.score_ppm)
+        for r in keyword_extract(docs, k=3, doc_mod=20).collect()
+    }
+    assert out[(0, 1)] == ("rare", 2_000_000)
+    assert out[(0, 2)] == ("common", 1_000_000)
+    # ties broken by term ascending: doc 20 has common(333333), x, y
+    # all distinct scores; doc 40's y/z tie at tf=1 df=... y df=2, z df=1
+    assert out[(40, 1)][0] == "z"  # df=1 beats df=2 at equal tf
