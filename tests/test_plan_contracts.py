@@ -556,3 +556,42 @@ def test_hamming_candidate_join_is_equijoin(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_timeseries_window_ops_are_single_shuffle(spark, sf_dir):
+    """counter_rate / time_weighted_avg / ohlc_bars promise ONE data
+    shuffle: the series-key window Exchange must be reused by every
+    window pass AND the same-key groupBy — no second hash exchange,
+    no SinglePartition anywhere (a no-partition window here would be
+    the 100 TB single-task sort)."""
+    for name in ("q_counter_rate", "q_time_weighted_avg", "q_ohlc_bars"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan}"
+        n_hash = plan.count("Arguments: hashpartitioning")
+        assert n_hash == 1, f"{name}: {n_hash} hash exchanges:\n{plan}"
+        n_sort = len(re.findall(r"\(\d+\) Sort\b", plan))
+        assert n_sort == 1, f"{name}: {n_sort} sorts:\n{plan}"
+
+
+def test_mad_outliers_prunes_to_two_columns_no_single_partition(spark, sf_dir):
+    """mad_outliers scans only (event_type, value) — the percentile
+    passes must not drag other columns through the aggregate — and
+    the per-type medians join back via broadcast (never a
+    SinglePartition gather)."""
+    plan = _plan(spark, sf_dir, "q_anomaly_mad")
+    assert "Exchange SinglePartition" not in plan, plan
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in scan and "value" in scan, scan
+    assert "event_id" not in scan and "props" not in scan, scan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rrf_fusion_constant_size_tail(spark, sf_dir):
+    """rrf_fusion's heavy work stays inside the two retrieval plans;
+    the fusion itself is two ≤50-row lists — the final top-k must be
+    TakeOrderedAndProject (bounded), never a global Sort over a
+    corpus-sized frame, and no cartesian anywhere (the 1-row stats /
+    query-vector sides are broadcast crossJoins)."""
+    plan = _plan(spark, sf_dir, "q_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
