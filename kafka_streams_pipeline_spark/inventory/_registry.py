@@ -82,6 +82,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_histogram",
     # round-9: avro OCF round-trip (writes temp container files)
     "q_avro_source",
+    # round-11: availableNow stateful OHLC replay
+    "q_streaming_ohlc",
 })
 
 

@@ -324,6 +324,7 @@ _DEFERRED: list[str] = [
     "q_anomaly_mad",
     "q_rrf_fusion",
     "q_keyword_extract",
+    "q_streaming_ohlc",
 ]
 
 

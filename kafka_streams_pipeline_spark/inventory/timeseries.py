@@ -22,7 +22,7 @@ from kafka_streams_pipeline_spark.operators import timeseries as _ts
 
 @register("q_counter_rate", oracle=_ts.counter_rate_oracle())
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (TSDB serving): PromQL-style reset-corrected counter
+    """X12a (TSDB serving): PromQL-style reset-corrected counter
     increase per user series — running-sum counter with synthetic
     wrap resets, per-step delta fold that credits the post-reset
     value, integer cents end-to-end. One shuffle: the user_id window
@@ -33,7 +33,7 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_time_weighted_avg", oracle=_ts.time_weighted_avg_oracle())
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (TSDB serving): LOCF time-weighted average per user series
+    """X12b (TSDB serving): LOCF time-weighted average per user series
     (irregular sampling — each value holds until the next sample, so
     its weight is the inter-sample duration in integer µs). BIGINT
     cents×µs weighted sums; the only floats are two final divisions
@@ -44,7 +44,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ohlc_bars", oracle=_ts.ohlc_bars_oracle())
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (TSDB serving): per (event_type × hour) OHLC candle —
+    """X12c (TSDB serving): per (event_type × hour) OHLC candle —
     open/high/low/close/volume in integer cents, first/last picked by
     (ts, event_id) order with a single ascending sort (close = the
     rn = partition-count row). One hash partition on the bucket key;
@@ -55,7 +55,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_anomaly_mad", oracle=_ts.mad_outliers_oracle())
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (TSDB quality): robust median/MAD outlier census per
+    """X12d (TSDB quality): robust median/MAD outlier census per
     event_type — medians computed on an even-integer lattice so the
     0.5-interpolation is exact in both engines, and the
     |x−med| > 3·1.4826·MAD gate is the pure-integer cross-multiply
@@ -67,7 +67,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_rrf_fusion", oracle=_sim.rrf_fusion_oracle())
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 (hybrid retrieval): reciprocal-rank fusion of the certified
+    """X3n (hybrid retrieval): reciprocal-rank fusion of the certified
     BM25 lexical top-50 and cosine dense top-50 (doc_id ≡ vec_id),
     RRF score as integer fixed-point 1000000 div (60+rank) sums —
     no float ordering. Fusion is constant-size (two ≤50-row lists);
@@ -80,10 +80,90 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_keyword_extract", oracle=_text.keyword_extract_oracle())
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 (curation tagging): per-document top-3 keywords by the
+    """X5aj (curation tagging): per-document top-3 keywords by the
     integer rarity weight tf·1000000 div df (no float log — monotone
     tf-idf surrogate), ties broken by term so the rowset is unique.
     One explode + two aggregates; the df side is vocab-sized (AQE
     broadcast); per-doc top-k is a doc-partitioned window. See
     operators/text.py keyword_extract."""
     return _text.keyword_extract(_t(spark, sf_dir, "documents"))
+
+
+def _streaming_ohlc_oracle() -> str:
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events_sql,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        b AS (
+            SELECT substring(geohash, 1, 6)              AS gh,
+                   epoch_ms(date_trunc('hour', ts))      AS hour_ms,
+                   timestamp                             AS t_ms,
+                   sensorId                              AS sid,
+                   CAST(round(tempVal * 1000000) AS BIGINT) AS v_fp
+            FROM readings
+        ),
+        r AS (
+            SELECT gh, hour_ms, v_fp,
+                   row_number() OVER (
+                       PARTITION BY gh, hour_ms
+                       ORDER BY t_ms, sid, v_fp) AS rn,
+                   count(*) OVER (PARTITION BY gh, hour_ms) AS nrows
+            FROM b
+        )
+        SELECT gh, hour_ms,
+               CAST(count(*) AS BIGINT)                          AS volume,
+               CAST(max(CASE WHEN rn = 1 THEN v_fp END) AS BIGINT)
+                                                                 AS open_fp,
+               CAST(max(v_fp) AS BIGINT)                         AS high_fp,
+               CAST(min(v_fp) AS BIGINT)                         AS low_fp,
+               CAST(max(CASE WHEN rn = nrows THEN v_fp END) AS BIGINT)
+                                                                 AS close_fp
+        FROM r GROUP BY gh, hour_ms
+    """
+
+
+@register("q_streaming_ohlc", oracle=_streaming_ohlc_oracle())
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12e (streaming TSDB): per (geohash-6 cell × hour) OHLC candle
+    maintained across micro-batches via applyInPandasWithState — the
+    stateful streaming twin of q_ohlc_bars, replayed as a REAL
+    availableNow file stream (one file per micro-batch,
+    checkpointed). The state is a lattice fold (open/close carry the
+    full (t_ms, sensorId, v_fp) ordering key and fold by
+    lexicographic min/max), so the final emission per key is
+    batch-boundary-independent and the batch window oracle
+    recomputes it exactly. Duplicate injection OFF — candles count
+    physical rows. See streaming/stateful.py ohlc_cell_state."""
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _replay_readings_stream,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        ohlc_cell_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, ohlc_cell_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[(r["gh"], r["hour_ms"])] = r
+    rows = [
+        (
+            r["gh"],
+            r["hour_ms"],
+            r["volume"],
+            r["open_fp"],
+            r["high_fp"],
+            r["low_fp"],
+            r["close_fp"],
+        )
+        for r in final.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "gh string, hour_ms bigint, volume bigint, open_fp bigint, "
+        "high_fp bigint, low_fp bigint, close_fp bigint",
+    )

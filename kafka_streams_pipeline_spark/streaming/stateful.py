@@ -366,3 +366,93 @@ def histogram_cell_state(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming OHLC cell state (round 11) -----------------------------------
+
+OHLC_OUTPUT = (
+    "gh string, hour_ms bigint, volume bigint, open_fp bigint, "
+    "high_fp bigint, low_fp bigint, close_fp bigint"
+)
+OHLC_STATE = (
+    "volume bigint, open_t bigint, open_sid string, open_fp bigint, "
+    "close_t bigint, close_sid string, close_fp bigint, "
+    "high_fp bigint, low_fp bigint"
+)
+
+
+def ohlc_cell_state(readings: DataFrame) -> DataFrame:
+    """Per (geohash-6 cell × hour) streaming OHLC candle — the
+    stateful streaming twin of operators/timeseries.ohlc_bars, keyed
+    like the reference's hourly WindowStore
+    (ingestion/KafkaStreamsAggregator.java:103-105).
+
+    Order-independence by construction: the state is a lattice fold —
+    volume adds; high/low are value max/min; open/close carry the
+    full ordering key (t_ms, sensorId, v_fp) and fold by
+    lexicographic min/max — so the final state is identical for ANY
+    partition of the stream into micro-batches and any arrival order,
+    including ties on (t_ms, sensorId) (the value completes the total
+    order). That makes the last update-mode emission per key
+    batch-boundary-independent and exactly recomputable by a batch
+    window oracle ordered the same way.
+
+    Exactness: tempVal is rounded to micro-units in the JVM plan
+    (F.round — HALF_UP, matching SQL round; numpy would round
+    HALF_EVEN) before reaching pandas; everything in state is BIGINT
+    or string."""
+    b = readings.select(
+        F.substring("geohash", 1, 6).alias("gh"),
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        F.col("timestamp").alias("t_ms"),
+        F.col("sensorId").alias("sid"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (vol, ot, osid, ofp, ct, csid, cfp, hi, lo) = state.get
+        else:
+            vol = 0
+            ot = osid = ofp = ct = csid = cfp = hi = lo = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            srt = pdf.sort_values(["t_ms", "sid", "v_fp"])
+            first = srt.iloc[0]
+            last = srt.iloc[-1]
+            fkey = (int(first["t_ms"]), str(first["sid"]), int(first["v_fp"]))
+            lkey = (int(last["t_ms"]), str(last["sid"]), int(last["v_fp"]))
+            vol += len(pdf)
+            if ot is None or fkey < (ot, osid, ofp):
+                ot, osid, ofp = fkey
+            if ct is None or lkey > (ct, csid, cfp):
+                ct, csid, cfp = lkey
+            bhi = int(pdf["v_fp"].max())
+            blo = int(pdf["v_fp"].min())
+            hi = bhi if hi is None else max(hi, bhi)
+            lo = blo if lo is None else min(lo, blo)
+        state.update((vol, ot, osid, ofp, ct, csid, cfp, hi, lo))
+        yield pd.DataFrame(
+            {
+                "gh": [key[0]],
+                "hour_ms": [key[1]],
+                "volume": [vol],
+                "open_fp": [ofp],
+                "high_fp": [hi],
+                "low_fp": [lo],
+                "close_fp": [cfp],
+            }
+        )
+
+    return b.groupBy("gh", "hour_ms").applyInPandasWithState(
+        fn,
+        OHLC_OUTPUT,
+        OHLC_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

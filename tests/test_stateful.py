@@ -478,3 +478,62 @@ def test_streaming_histogram_matches_batch_sketch(spark, sf_dir):
         for r in b:
             final[r["gh"]] = (r["n_values"], r["chk1"], r["chk2"])
     assert final == cells
+
+
+def test_streaming_ohlc_equals_batch_window(
+    spark, sf_dir, reading_stream_dir, tmp_path
+):
+    """ohlc_cell_state's final per-key state must equal the batch
+    window computation over the same rows regardless of the 3-way
+    micro-batch split — the lattice-fold order-independence claim."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        ohlc_cell_state,
+    )
+
+    batches = _run_stream(
+        spark, reading_stream_dir, ohlc_cell_state, str(tmp_path / "ohlc-ckpt")
+    )
+    final = {}
+    for batch in batches:
+        for r in batch:
+            final[(r["gh"], r["hour_ms"])] = r
+
+    rows = sorted(
+        readings_from_events(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r["timestamp"],
+    )[: 3 * 334]  # the chunks the fixture wrote
+    b = spark.createDataFrame(rows, READING_SCHEMA).withColumn(
+        "ts", F.timestamp_millis(F.col("timestamp"))
+    )
+    proj = b.select(
+        F.substring("geohash", 1, 6).alias("gh"),
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        F.col("timestamp").alias("t_ms"),
+        F.col("sensorId").alias("sid"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+    )
+    w = Window.partitionBy("gh", "hour_ms").orderBy("t_ms", "sid", "v_fp")
+    wp = Window.partitionBy("gh", "hour_ms")
+    expected = {
+        (r["gh"], r["hour_ms"]): r
+        for r in proj.withColumn("rn", F.row_number().over(w))
+        .withColumn("nrows", F.count(F.lit(1)).over(wp))
+        .groupBy("gh", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("volume"),
+            F.max(F.when(F.col("rn") == 1, F.col("v_fp"))).alias("open_fp"),
+            F.max("v_fp").alias("high_fp"),
+            F.min("v_fp").alias("low_fp"),
+            F.max(
+                F.when(F.col("rn") == F.col("nrows"), F.col("v_fp"))
+            ).alias("close_fp"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        got = final[k]
+        for col in ("volume", "open_fp", "high_fp", "low_fp", "close_fp"):
+            assert got[col] == e[col], (k, col, got[col], e[col])
