@@ -325,6 +325,7 @@ _DEFERRED: list[str] = [
     "q_rrf_fusion",
     "q_keyword_extract",
     "q_streaming_ohlc",
+    "q_cusum_alarms",
 ]
 
 

@@ -167,3 +167,15 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gh string, hour_ms bigint, volume bigint, open_fp bigint, "
         "high_fp bigint, low_fp bigint, close_fp bigint",
     )
+
+
+@register("q_cusum_alarms", oracle=_ts.cusum_alarms_oracle())
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12f (TSDB anomaly): one-sided CUSUM changepoint alarms per
+    user series (Page's test) — the clamped recurrence
+    s_i = max(0, s_{i-1} + (x_i − k)) rewritten as the prefix-sum /
+    running-min identity s_i = P_i − min(0, min_{j≤i} P_j), so the
+    sequential detector becomes two unbounded-preceding window folds
+    over ONE sort, integer cents throughout. One shuffle on user_id.
+    See operators/timeseries.py cusum_alarms."""
+    return _ts.cusum_alarms(_t(spark, sf_dir, "events"))

@@ -330,3 +330,105 @@ def mad_outliers_oracle() -> str:
         FROM dev JOIN mad ON dev.event_type = mad.event_type
         GROUP BY dev.event_type
     """
+
+
+# --- CUSUM changepoint alarms (round 11) ------------------------------------
+
+# Allowance above which deviations accumulate (cents) and the alarm
+# threshold. k sits ABOVE the fixture's mean value (~4963 cents) so
+# the statistic decays under normal traffic and accumulates only
+# through genuine high-value bursts; h is ~4 high samples' worth of
+# excess.
+CUSUM_K_CENTS = 7_000
+CUSUM_H_CENTS = 20_000
+
+
+def cusum_alarms(
+    events: DataFrame,
+    k_cents: int = CUSUM_K_CENTS,
+    h_cents: int = CUSUM_H_CENTS,
+) -> DataFrame:
+    """One-sided upper CUSUM changepoint detection per series (Page
+    1954, public literature): s_i = max(0, s_{i-1} + (x_i − k)),
+    alarm while s_i > h — the sequential drift detector behind
+    data-quality burst monitoring.
+
+    The clamped recurrence LOOKS inherently sequential, but the
+    classic identity s_i = P_i − min(0, min_{j≤i} P_j) (P = running
+    sum of deviations) turns it into two unbounded-preceding window
+    folds over the SAME sort — so the whole detector is one
+    hash-partitioned window pass, embarrassingly parallel across
+    series, integer cents throughout. Output per user: sample count,
+    alarm-row count, users' max excursion, and whether the series
+    ends in alarm state.
+
+    Plan: single shuffle — user_id window sort feeds the running
+    sum, the running min, and the same-key groupBy."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.expr(_CENTS) - F.lit(k_cents)).alias("d"),
+    ).withColumn("P", F.sum("d").over(frame))
+    s = (
+        p.withColumn(
+            "cusum", F.col("P") - F.least(F.lit(0), F.min("P").over(frame))
+        )
+        .withColumn("rn_last", F.row_number().over(w))
+        .withColumn(
+            "n_part", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum((F.col("cusum") > h_cents).cast("long")).alias("n_alarms"),
+        F.max("cusum").alias("max_cusum"),
+        F.max(
+            F.when(
+                F.col("rn_last") == F.col("n_part"),
+                (F.col("cusum") > h_cents).cast("long"),
+            )
+        ).alias("ends_in_alarm"),
+    )
+
+
+def cusum_alarms_oracle(
+    k_cents: int = CUSUM_K_CENTS, h_cents: int = CUSUM_H_CENTS
+) -> str:
+    return f"""
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                   {_CENTS_DUCK} - {k_cents} AS d
+            FROM events
+        ),
+        p AS (
+            SELECT user_id, ts, event_id,
+                   sum(d) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS P
+            FROM d
+        ),
+        s AS (
+            SELECT user_id,
+                   P - least(0, min(P) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)) AS cusum,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM p
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN cusum > {h_cents} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarms,
+               CAST(max(cusum) AS BIGINT) AS max_cusum,
+               CAST(max(CASE WHEN rn = n
+                             THEN CASE WHEN cusum > {h_cents}
+                                       THEN 1 ELSE 0 END
+                        END) AS BIGINT) AS ends_in_alarm
+        FROM s
+        GROUP BY user_id
+    """

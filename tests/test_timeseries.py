@@ -201,3 +201,45 @@ def test_keyword_extract_prefers_rare_terms(spark):
     # ties broken by term ascending: doc 20 has common(333333), x, y
     # all distinct scores; doc 40's y/z tie at tf=1 df=... y df=2, z df=1
     assert out[(40, 1)][0] == "z"  # df=1 beats df=2 at equal tf
+
+
+def test_cusum_identity_matches_sequential_fold(spark):
+    """The prefix-sum/running-min identity must reproduce the clamped
+    recurrence s_i = max(0, s_{i-1} + (x_i − k)) exactly — including
+    repeated clamps at zero — on a hand-built series."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    vals = [1.0, 9.0, 9.0, 0.5, 0.5, 12.0, 3.0, 0.5, 20.0]
+    k_cents, h_cents = 500, 1000  # k=5.00, h=10.00
+    rows = [
+        (i, 3, f"2024-01-01T00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ]
+    got = cusum_alarms(
+        _events(spark, rows), k_cents=k_cents, h_cents=h_cents
+    ).collect()[0]
+
+    s, n_alarms, mx = 0, 0, 0
+    for v in vals:
+        s = max(0, s + int(round(v * 100)) - k_cents)
+        mx = max(mx, s)
+        if s > h_cents:
+            n_alarms += 1
+    assert got.n_samples == len(vals)
+    assert got.max_cusum == mx
+    assert got.n_alarms == n_alarms
+    assert got.ends_in_alarm == (1 if s > h_cents else 0)
+
+
+def test_cusum_plan_is_single_shuffle(spark, sf_dir):
+    from kafka_streams_pipeline_spark.inventory import QUERIES
+
+    df = QUERIES["q_cusum_alarms"](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
