@@ -42,7 +42,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.time_weighted_avg(_t(spark, sf_dir, "events"))
 
 
-@register("q_ohlc_bars", oracle=_ts.ohlc_bars_oracle())
+@register("q_ohlc_bars", bench=True, oracle=_ts.ohlc_bars_oracle())
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12c (TSDB serving): per (event_type × hour) OHLC candle —
     open/high/low/close/volume in integer cents, first/last picked by
@@ -65,7 +65,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.mad_outliers(_t(spark, sf_dir, "events"))
 
 
-@register("q_rrf_fusion", oracle=_sim.rrf_fusion_oracle())
+@register("q_rrf_fusion", bench=True, oracle=_sim.rrf_fusion_oracle())
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3n (hybrid retrieval): reciprocal-rank fusion of the certified
     BM25 lexical top-50 and cosine dense top-50 (doc_id ≡ vec_id),
@@ -169,7 +169,7 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_cusum_alarms", oracle=_ts.cusum_alarms_oracle())
+@register("q_cusum_alarms", bench=True, oracle=_ts.cusum_alarms_oracle())
 def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12f (TSDB anomaly): one-sided CUSUM changepoint alarms per
     user series (Page's test) — the clamped recurrence

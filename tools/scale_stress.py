@@ -442,15 +442,93 @@ def big_graph_check(spark) -> dict:
     }
 
 
+def timeseries_check(spark, mults: list[int]) -> dict:
+    """Round 11: the window-identity TSDB family (counter_rate,
+    cusum_alarms, ohlc_bars) at scaled EVENTS — series count grows
+    with the multiplier (user_id stride keeps replicas as new
+    series), so the single-shuffle/per-series-window claim predicts
+    near-linear time growth on a fixed 32-core box. Replicated
+    events get a deterministic per-replica µs jitter so timestamps
+    stay distinct within a series."""
+    from kafka_streams_pipeline_spark.operators import timeseries as ts
+
+    con = duckdb.connect()
+    ev = f"read_parquet('{SF_BASE}/events.parquet')"
+    out: dict = {}
+    warm = True
+    for mult in mults:
+        d = tempfile.mkdtemp(prefix=f"kspipeline-ts-{mult}x-")
+        path = os.path.join(d, "events.parquet")
+        con.execute(
+            f"""
+            COPY (
+                SELECT event_id + k * {STRIDE}      AS event_id,
+                       ts + to_microseconds(k * 37) AS ts,
+                       user_id + k * {STRIDE}       AS user_id,
+                       event_type, value, props
+                FROM {ev}, range({mult}) r(k)
+            ) TO '{path}' (FORMAT parquet)
+            """
+        )
+        events = spark.read.parquet(path).withColumn(
+            "ts", F_ts_cast(spark, "ts")
+        )
+        n = events.count()
+        row: dict = {"n_events": n, "ops": {}}
+        for name, fn in (
+            ("counter_rate", lambda: ts.counter_rate(events).count()),
+            ("cusum_alarms", lambda: ts.cusum_alarms(events).count()),
+            ("ohlc_bars", lambda: ts.ohlc_bars(events).count()),
+        ):
+            if warm:
+                fn()  # absorb one-time codegen cost at the smallest mult
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = fn()
+            row["ops"][name] = {
+                "sec": round(time.time() - t0, 3), "rows": rows
+            }
+            print(f"  ts {mult}x {name}: {row['ops'][name]['sec']}s"
+                  f" ({rows} rows)", flush=True)
+        warm = False
+        out[str(mult)] = row
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def F_ts_cast(spark, col):
+    """DuckDB COPY writes µs TIMESTAMP (read back as NTZ under the
+    nanosAsLong session conf) — normalize to TimestampType; session
+    tz is UTC so naive values are UTC instants (same convention as
+    sources/tables.load_table)."""
+    import pyspark.sql.functions as F
+
+    return F.col(col).cast("timestamp")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,2,5,10")
     ap.add_argument("--out", default="SCALE_SWEEP_r08.json")
+    ap.add_argument(
+        "--ts-only", action="store_true",
+        help="run only the timeseries events sweep and merge the "
+        "result into an EXISTING --out payload",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
     spark = get_spark(app_name="kspipeline-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.ts_only:
+        tsfam = timeseries_check(spark, mults)
+        with open(args.out) as f:
+            payload = json.load(f)
+        payload["timeseries_family"] = tsfam
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(json.dumps({"wrote": args.out, "ts_mults": list(tsfam)}))
+        return
     sweep = run_sweep(spark, mults)
     viewfam = view_family_check(spark, mults)
     big = big_graph_check(spark)
