@@ -84,6 +84,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_avro_source",
     # round-11: availableNow stateful OHLC replay
     "q_streaming_ohlc",
+    # round-11: availableNow stateful TWA replay
+    "q_streaming_twa",
 })
 
 

@@ -326,6 +326,7 @@ _DEFERRED: list[str] = [
     "q_keyword_extract",
     "q_streaming_ohlc",
     "q_cusum_alarms",
+    "q_streaming_twa",
 ]
 
 

@@ -179,3 +179,84 @@ def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ONE sort, integer cents throughout. One shuffle on user_id.
     See operators/timeseries.py cusum_alarms."""
     return _ts.cusum_alarms(_t(spark, sf_dir, "events"))
+
+
+def _streaming_twa_oracle() -> str:
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events_sql,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        t AS (
+            SELECT sensorId,
+                   CAST(round(tempVal * 1000000) AS BIGINT) AS v_fp,
+                   timestamp AS t_ms,
+                   lead(timestamp) OVER (
+                       PARTITION BY sensorId ORDER BY timestamp) AS nt
+            FROM readings
+        ),
+        agg AS (
+            SELECT sensorId AS sensor_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(nt - t_ms) FILTER (nt IS NOT NULL) AS BIGINT)
+                       AS span_ms,
+                   CAST(sum(v_fp * (nt - t_ms)) FILTER (nt IS NOT NULL)
+                        AS BIGINT) AS wsum
+            FROM t GROUP BY sensorId
+        )
+        SELECT sensor_id, n_samples, span_ms,
+               round(CAST(wsum AS DOUBLE) / CAST(span_ms AS DOUBLE)
+                     / 1000000.0, 6) AS twa
+        FROM agg WHERE span_ms > 0
+    """
+
+
+@register("q_streaming_twa", oracle=_streaming_twa_oracle())
+def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12g (streaming TSDB): per-sensor LOCF time-weighted average
+    maintained across micro-batches as SEQUENTIAL state (the held
+    value's weight settles when the next sample arrives — including
+    across batch boundaries), replayed availableNow. Emissions are
+    integer-only (micro-units × ms); the final division + HALF_UP
+    round happens HERE in the JVM plan, so the streaming result is
+    bit-identical to the batch lead()-window oracle. Duplicate
+    injection OFF. See streaming/stateful.py twa_sensor_state."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _replay_readings_stream,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        twa_sensor_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, twa_sensor_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = r
+    rows = [
+        (r["sensorId"], r["n_samples"], r["span_ms"], r["wsum"])
+        for r in final.values()
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "sensor_id string, n_samples bigint, span_ms bigint, wsum bigint",
+        )
+        .where(F.col("span_ms") > 0)
+        .select(
+            "sensor_id",
+            "n_samples",
+            "span_ms",
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("span_ms").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("twa"),
+        )
+    )

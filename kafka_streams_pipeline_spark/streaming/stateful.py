@@ -456,3 +456,73 @@ def ohlc_cell_state(readings: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming time-weighted average state (round 11) -----------------------
+
+TWA_OUTPUT = (
+    "sensorId string, n_samples bigint, span_ms bigint, wsum bigint"
+)
+TWA_STATE = (
+    "n bigint, last_t bigint, last_v bigint, wsum bigint, span_ms bigint"
+)
+
+
+def twa_sensor_state(readings: DataFrame) -> DataFrame:
+    """Per-sensor LOCF time-weighted-average accumulators maintained
+    across micro-batches — the streaming twin of
+    operators/timeseries.time_weighted_avg, as SEQUENTIAL state: the
+    held value's weight is the duration to the NEXT sample, so the
+    state carries the last (t, v) seen and each new sample settles
+    the previous one's weight (including across batch boundaries).
+
+    Determinism contract: micro-batches arrive in event-time order
+    (the replay writes time-sorted chunks with ascending mtimes) and
+    (sensorId, timestamp) is a total order per sensor in the fixture
+    (asserted — zero per-sensor ms collisions at every SF), so the
+    sequential fold equals the batch lead()-window computation
+    exactly. Emissions are INTEGER-only (micro-units × ms sums); the
+    final twa division happens JVM-side in the registered row so no
+    Python HALF_EVEN rounding can leak in."""
+    b = readings.select(
+        "sensorId",
+        F.col("timestamp").alias("t_ms"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (n, last_t, last_v, wsum, span) = state.get
+        else:
+            n, last_t, last_v, wsum, span = 0, None, None, 0, 0
+        for pdf in pdfs:
+            srt = pdf.sort_values(["t_ms", "v_fp"])
+            for t, v in zip(srt["t_ms"], srt["v_fp"]):
+                t, v = int(t), int(v)
+                if last_t is not None:
+                    dur = t - last_t
+                    wsum += last_v * dur
+                    span += dur
+                last_t, last_v = t, v
+                n += 1
+        state.update((n, last_t, last_v, wsum, span))
+        yield pd.DataFrame(
+            {
+                "sensorId": [key[0]],
+                "n_samples": [n],
+                "span_ms": [span],
+                "wsum": [wsum],
+            }
+        )
+
+    return b.groupBy("sensorId").applyInPandasWithState(
+        fn,
+        TWA_OUTPUT,
+        TWA_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

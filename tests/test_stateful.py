@@ -537,3 +537,63 @@ def test_streaming_ohlc_equals_batch_window(
         got = final[k]
         for col in ("volume", "open_fp", "high_fp", "low_fp", "close_fp"):
             assert got[col] == e[col], (k, col, got[col], e[col])
+
+
+def test_streaming_twa_settles_across_batch_boundary(
+    spark, sf_dir, reading_stream_dir, tmp_path
+):
+    """twa_sensor_state must equal the batch lead()-window TWA over
+    the replayed rows — in particular the LAST sample of each
+    micro-batch only acquires weight when the NEXT batch's first
+    sample for that sensor arrives (sequential state across the
+    boundary)."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        twa_sensor_state,
+    )
+
+    batches = _run_stream(
+        spark, reading_stream_dir, twa_sensor_state, str(tmp_path / "twa-ckpt")
+    )
+    final = _latest_per_key(batches, "sensorId")
+
+    rows = sorted(
+        readings_from_events(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r["timestamp"],
+    )[: 3 * 334]
+    b = spark.createDataFrame(rows, READING_SCHEMA)
+    w = Window.partitionBy("sensorId").orderBy("t_ms")
+    expected = {
+        r["sensorId"]: r
+        for r in b.select(
+            "sensorId",
+            F.col("timestamp").alias("t_ms"),
+            F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+        )
+        .withColumn("nt", F.lead("t_ms").over(w))
+        .groupBy("sensorId")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(
+                F.when(F.col("nt").isNotNull(), F.col("nt") - F.col("t_ms"))
+            ).alias("span_ms"),
+            F.sum(
+                F.when(
+                    F.col("nt").isNotNull(),
+                    F.col("v_fp") * (F.col("nt") - F.col("t_ms")),
+                )
+            ).alias("wsum"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    multi = 0
+    for k, e in expected.items():
+        got = final[k]
+        assert got["n_samples"] == e["n_samples"]
+        assert got["span_ms"] == (e["span_ms"] or 0)
+        assert got["wsum"] == (e["wsum"] or 0)
+        if e["n_samples"] > 1:
+            multi += 1
+    assert multi > 0  # the comparison actually exercised weighted spans
