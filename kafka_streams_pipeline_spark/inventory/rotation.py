@@ -327,6 +327,7 @@ _DEFERRED: list[str] = [
     "q_streaming_ohlc",
     "q_cusum_alarms",
     "q_streaming_twa",
+    "q_gapfill_locf",
 ]
 
 

@@ -260,3 +260,88 @@ def q_streaming_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
         )
     )
+
+
+def _gapfill_locf_oracle() -> str:
+    from kafka_streams_pipeline_spark.inventory._shared import VIEW_CTE
+
+    return VIEW_CTE + """
+    , spine AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-05 00:00:00',
+            TIMESTAMP '2024-01-07 23:00:00',
+            INTERVAL 1 HOUR)) AS hour_ts
+    ),
+    j AS (
+        SELECT spine.hour_ts, v.cnt, v.s
+        FROM spine
+        LEFT JOIN (SELECT * FROM v WHERE gh = 'u2fu1r') v
+               ON v.window_start = spine.hour_ts
+    )
+    SELECT epoch_ms(hour_ts) AS ts_ms,
+           CAST(coalesce(last_value(cnt IGNORE NULLS) OVER w, 0)
+                AS BIGINT)                                     AS cnt,
+           round(coalesce(last_value(s IGNORE NULLS) OVER w, 0.0), 6)
+                                                               AS sum_val,
+           CAST(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END
+                AS BIGINT)                                     AS filled
+    FROM j
+    WINDOW w AS (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)
+    """
+
+
+@register("q_gapfill_locf", oracle=_gapfill_locf_oracle())
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12h (TSDB serving): LOCF gap filling — the dense hourly spine
+    left-joins the sparse materialized view (same shape as
+    q_gapfill), but missing hours CARRY the last observation forward
+    (TimescaleDB ``locf()``) instead of zero-filling, with a
+    ``filled`` marker per synthesized row. The cell 'u2fu1r' is the
+    sparsest fixture cell, so real gaps exist at the gate SF and the
+    LOCF branch genuinely executes. The carry-forward is
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding row
+    frame — the spine is bounded by the requested hour count (72
+    rows), so the single-partition window is a constant-size tail,
+    same cost class as q_gapfill's broadcast. See q_gapfill for the
+    zero-fill twin and the spine/broadcast plan rationale."""
+    from kafka_streams_pipeline_spark.inventory._shared import _served_view
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = _served_view(spark, sf_dir).where(F.col("gh") == "u2fu1r")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-07 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts")
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(F.broadcast(v), v.window_start == spine.hour_ts, "left")
+        .select(
+            "hour_ts",
+            F.col("count").alias("cnt_raw"),
+            F.col("sum").alias("sum_raw"),
+        )
+        .select(
+            F.unix_millis("hour_ts").alias("ts_ms"),
+            F.coalesce(
+                F.last("cnt_raw", ignorenulls=True).over(w), F.lit(0)
+            ).alias("cnt"),
+            F.round(
+                F.coalesce(
+                    F.last("sum_raw", ignorenulls=True).over(w), F.lit(0.0)
+                ),
+                6,
+            ).alias("sum_val"),
+            F.when(F.col("cnt_raw").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("filled"),
+        )
+    )
