@@ -86,6 +86,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_ohlc",
     # round-11: availableNow stateful TWA replay
     "q_streaming_twa",
+    # round-11: availableNow stateful CUSUM replay
+    "q_streaming_cusum",
 })
 
 

@@ -328,6 +328,7 @@ _DEFERRED: list[str] = [
     "q_cusum_alarms",
     "q_streaming_twa",
     "q_gapfill_locf",
+    "q_streaming_cusum",
 ]
 
 

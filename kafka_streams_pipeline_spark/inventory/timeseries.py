@@ -345,3 +345,91 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("filled"),
         )
     )
+
+
+def _streaming_cusum_oracle() -> str:
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events_sql,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        CUSUM_H_FP,
+        CUSUM_K_FP,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        d AS (
+            SELECT sensorId, timestamp AS t_ms,
+                   CAST(round(tempVal * 1000000) AS BIGINT) - {CUSUM_K_FP}
+                       AS d
+            FROM readings
+        ),
+        p AS (
+            SELECT sensorId, t_ms,
+                   sum(d) OVER (
+                       PARTITION BY sensorId ORDER BY t_ms
+                       ROWS UNBOUNDED PRECEDING) AS P
+            FROM d
+        ),
+        s AS (
+            SELECT sensorId,
+                   P - least(0, min(P) OVER (
+                       PARTITION BY sensorId ORDER BY t_ms
+                       ROWS UNBOUNDED PRECEDING)) AS cusum,
+                   row_number() OVER (
+                       PARTITION BY sensorId ORDER BY t_ms) AS rn,
+                   count(*) OVER (PARTITION BY sensorId) AS n
+            FROM p
+        )
+        SELECT sensorId AS sensor_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN cusum > {CUSUM_H_FP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarms,
+               CAST(max(cusum) AS BIGINT) AS max_cusum,
+               CAST(max(CASE WHEN rn = n
+                             THEN CASE WHEN cusum > {CUSUM_H_FP}
+                                       THEN 1 ELSE 0 END END)
+                    AS BIGINT) AS in_alarm
+        FROM s
+        GROUP BY sensorId
+    """
+
+
+@register("q_streaming_cusum", oracle=_streaming_cusum_oracle())
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12i (streaming TSDB): per-sensor CUSUM changepoint state
+    across micro-batches — the clamped recurrence runs NATIVELY in
+    applyInPandasWithState (streaming deployment shape), certified
+    bit-identical to the batch prefix-sum/running-min window identity
+    the oracle computes (the same identity q_cusum_alarms certifies
+    batch-side). Duplicate injection OFF. See streaming/stateful.py
+    cusum_sensor_state."""
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _replay_readings_stream,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        cusum_sensor_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, cusum_sensor_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = r
+    rows = [
+        (
+            r["sensorId"],
+            r["n_samples"],
+            r["n_alarms"],
+            r["max_cusum"],
+            r["in_alarm"],
+        )
+        for r in final.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sensor_id string, n_samples bigint, n_alarms bigint, "
+        "max_cusum bigint, in_alarm bigint",
+    )

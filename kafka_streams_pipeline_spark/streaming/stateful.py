@@ -526,3 +526,72 @@ def twa_sensor_state(readings: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming CUSUM state (round 11) ---------------------------------------
+
+# µ-unit twins of operators/timeseries CUSUM_K/H (tempVal ≡ the
+# events value column, so the same "k above the series mean" rationale
+# holds: normal traffic decays the statistic, bursts accumulate).
+CUSUM_K_FP = 70_000_000
+CUSUM_H_FP = 200_000_000
+
+CUSUM_OUTPUT = (
+    "sensorId string, n_samples bigint, n_alarms bigint, "
+    "max_cusum bigint, in_alarm bigint"
+)
+CUSUM_STATE = "s bigint, n bigint, n_alarms bigint, max_s bigint"
+
+
+def cusum_sensor_state(readings: DataFrame) -> DataFrame:
+    """Per-sensor one-sided CUSUM (Page's test) maintained across
+    micro-batches: s ← max(0, s + (v − k)), alarm while s > h — the
+    STREAMING deployment shape of operators/timeseries.cusum_alarms
+    (where the batch form is the prefix-sum/running-min window
+    identity; here the recurrence runs natively in state).
+
+    Determinism contract: identical to twa_sensor_state — time-ordered
+    replay + the fixture's per-sensor (sensorId, timestamp) total
+    order make the sequential fold equal the batch window identity
+    exactly. Values are µ-unit BIGINTs rounded in the JVM plan."""
+    b = readings.select(
+        "sensorId",
+        F.col("timestamp").alias("t_ms"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (s, n, n_alarms, max_s) = state.get
+        else:
+            s, n, n_alarms, max_s = 0, 0, 0, 0
+        for pdf in pdfs:
+            srt = pdf.sort_values(["t_ms", "v_fp"])
+            for v in srt["v_fp"]:
+                s = max(0, s + int(v) - CUSUM_K_FP)
+                max_s = max(max_s, s)
+                if s > CUSUM_H_FP:
+                    n_alarms += 1
+                n += 1
+        state.update((s, n, n_alarms, max_s))
+        yield pd.DataFrame(
+            {
+                "sensorId": [key[0]],
+                "n_samples": [n],
+                "n_alarms": [n_alarms],
+                "max_cusum": [max_s],
+                "in_alarm": [1 if s > CUSUM_H_FP else 0],
+            }
+        )
+
+    return b.groupBy("sensorId").applyInPandasWithState(
+        fn,
+        CUSUM_OUTPUT,
+        CUSUM_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
