@@ -88,6 +88,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_twa",
     # round-11: availableNow stateful CUSUM replay
     "q_streaming_cusum",
+    # round-11: WARC shard round-trip (writes temp shard files)
+    "q_media_warc_shards",
 })
 
 

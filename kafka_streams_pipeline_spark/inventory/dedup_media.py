@@ -1074,3 +1074,71 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring pass, band filter before the only shuffle. See
     operators/similarity.hard_negatives."""
     return _sim.hard_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_media_warc_shards",
+    oracle="""
+        SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+               'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                   AS uri,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def q_media_warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k WARC shard ingestion (round 11): documents packed into
+    byte-deterministic WARC/1.0 shards (ISO 28500 — the Common Crawl
+    container, the raw-input format of web-scale text curation), 25
+    response records per shard behind a warcinfo record, written as
+    .warc files, read back via Spark's native binaryFile source and
+    exploded by the mapInPandas WARC walker — strict version-line /
+    Content-Length / CRLFCRLF framing, so a truncated or corrupted
+    shard fails loudly instead of yielding a silently partial
+    corpus. Every response record's (shard, target-uri, block
+    length, block md5) hash-binds against the oracle's recomputation
+    from source text. warcinfo records are consumed and skipped —
+    the oracle seeing ONLY the 200 response rows certifies the
+    type filter too. Payloads never shuffle (partition-local codec
+    boundary). See operators/multimodal.py build_warc_shard/
+    parse_warc_records/unwarc_records."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["doc_id"] // 25, []).append(
+            (
+                f"https://corpus.example/doc/{r['doc_id']}",
+                r["text"].encode(),
+            )
+        )
+    base = tempfile.mkdtemp(prefix="kspipeline-warcshard-")
+    try:
+        for sid, records in shards.items():
+            with open(
+                os.path.join(base, f"shard{sid:05d}.warc"), "wb"
+            ) as f:
+                f.write(_mm.build_warc_shard(records))
+        bf = spark.read.format("binaryFile").load(base + "/*.warc")
+        out = _mm.unwarc_records(
+            bf.select(
+                F.regexp_extract(F.col("path"), r"shard(\d{5})\.warc$", 1)
+                .cast("long")
+                .alias("shard_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

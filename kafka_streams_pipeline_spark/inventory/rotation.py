@@ -329,6 +329,7 @@ _DEFERRED: list[str] = [
     "q_streaming_twa",
     "q_gapfill_locf",
     "q_streaming_cusum",
+    "q_media_warc_shards",
 ]
 
 

@@ -2337,3 +2337,40 @@ def test_version_diff_classifies_all_four_ways(spark, tmp_path):
         "changed": (1, 2),
         "unchanged": (2, 5),  # keys 1 and 4 (NULL payload stable)
     }
+
+
+def test_warc_shard_roundtrip_and_fail_loud():
+    """WARC writer/parser pair: byte-deterministic round trip, the
+    warcinfo record is present-and-typed, corruption of the framing
+    (truncated terminator, broken Content-Length) raises instead of
+    yielding a partial corpus."""
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        build_warc_shard,
+        parse_warc_records,
+    )
+
+    records = [
+        ("https://x/1", b"hello"),
+        ("https://x/2", "café ☃".encode()),  # multibyte payload
+        ("https://x/3", b""),  # empty block is legal
+    ]
+    blob = build_warc_shard(records)
+    # deterministic bytes
+    assert build_warc_shard(records) == blob
+    parsed = parse_warc_records(blob)
+    assert parsed[0][0] == "warcinfo"
+    assert [(u, b) for t, u, b in parsed[1:]] == [
+        (u, p) for u, p in records
+    ]
+    # version line is the spec'd one
+    assert blob.startswith(b"WARC/1.0\r\n")
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_warc_records(blob[:-2])  # lost terminator bytes
+    with pytest.raises(ValueError):
+        parse_warc_records(
+            blob.replace(b"Content-Length", b"Content-Lxngth", 1)
+        )
+    with pytest.raises(ValueError):
+        parse_warc_records(b"NOT-WARC" + blob)
