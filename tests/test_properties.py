@@ -561,3 +561,114 @@ def test_morton_key_is_a_bijection(spark, xy):
             x |= ((r["z"] >> (2 * i)) & 1) << i
             y |= ((r["z"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["x"], r["y"]), r
+
+
+# --- round 11: TSDB window-identity folds vs sequential references ----------
+
+_series_s = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),  # ts offset seconds
+        st.integers(min_value=1, max_value=60_000),      # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(series=_series_s)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_cusum_window_identity_property(spark, series):
+    """For ANY series, the prefix-sum/running-min window identity in
+    cusum_alarms equals the clamped sequential recurrence — the
+    property the plan rewrite rests on. k/h chosen mid-range so both
+    branches (decay and accumulation) are exercised."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        cusum_alarms,
+    )
+
+    k_cents, h_cents = 30_000, 50_000
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            7,
+            "click",
+            c / 100.0,
+            "{}",
+        )
+        for i, (off, c) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = cusum_alarms(df, k_cents=k_cents, h_cents=h_cents).collect()[0]
+
+    ordered = [c for _, c in sorted(zip(
+        [(r[1], r[0]) for r in rows], [c for _, c in series]
+    ))]
+    s, alarms, mx = 0, 0, 0
+    for c in ordered:
+        s = max(0, s + c - k_cents)
+        mx = max(mx, s)
+        if s > h_cents:
+            alarms += 1
+    assert got.n_samples == len(series)
+    assert got.max_cusum == mx
+    assert got.n_alarms == alarms
+    assert got.ends_in_alarm == (1 if s > h_cents else 0)
+
+
+@given(series=_series_s)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_counter_rate_fold_property(spark, series):
+    """counter_rate's windowed reset fold equals the sequential
+    reference on any series (wrap resets included)."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        RESET_MOD_CENTS,
+        counter_rate,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), 7, "click", c / 100.0, "{}")
+        for i, (off, c) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = counter_rate(df).collect()[0]
+
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][1], rows[i][0]))
+    run, prev, inc, resets = 0, None, 0, 0
+    for i in order:
+        run += series[i][1]
+        counter = run % RESET_MOD_CENTS
+        if prev is not None:
+            if counter >= prev:
+                inc += counter - prev
+            else:
+                inc += counter
+                resets += 1
+        prev = counter
+    assert got.n_samples == len(series)
+    assert got.n_resets == resets
+    assert got.increase_cents == inc
