@@ -330,6 +330,7 @@ _DEFERRED: list[str] = [
     "q_gapfill_locf",
     "q_streaming_cusum",
     "q_media_warc_shards",
+    "q_sensor_scorecard",
 ]
 
 

@@ -433,3 +433,17 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sensor_id string, n_samples bigint, n_alarms bigint, "
         "max_cusum bigint, in_alarm bigint",
     )
+
+
+@register(
+    "q_sensor_scorecard", bench=True, oracle=_ts.sensor_scorecard_oracle()
+)
+def q_sensor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12j (TSDB serving, fused): counter increase + LOCF TWA +
+    CUSUM census for every series in ONE scan / ONE sort / ONE
+    shuffle — the dashboard plan composing the three standalone
+    operators would triple-scan and join. The oracle IS that
+    three-way join of the standalone oracles, so the row certifies
+    fusion ≡ composition. See operators/timeseries.py
+    sensor_scorecard."""
+    return _ts.sensor_scorecard(_t(spark, sf_dir, "events"))

@@ -432,3 +432,98 @@ def cusum_alarms_oracle(
         FROM s
         GROUP BY user_id
     """
+
+
+# --- Fused per-series scorecard (round 11) ----------------------------------
+
+
+def sensor_scorecard(
+    events: DataFrame,
+    k_cents: int = CUSUM_K_CENTS,
+    h_cents: int = CUSUM_H_CENTS,
+) -> DataFrame:
+    """The serving-dashboard form: counter increase, LOCF
+    time-weighted average, and CUSUM alarm census for every series in
+    ONE pass. Composing the three standalone operators would scan and
+    shuffle the events three times and join; at 100 TB the right plan
+    is one scan, one hash partition, ONE sort feeding every window
+    column (running sum, modular counter + lag, lead-duration,
+    deviation prefix sum + running min), then a single same-key
+    groupBy computing all aggregates — this operator builds exactly
+    that plan (plan-contract-pinned: 1 hash exchange, 1 sort).
+
+    Output per user (series with ≥2 samples, matching the inner join
+    of the standalone operators): sample/reset counts, total
+    increase, covered span + time-weighted average, alarm-row count
+    and max CUSUM excursion. The registry oracle is the JOIN of the
+    three standalone oracles — certifying the fusion is semantically
+    exactly the composition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_CENTS).alias("c"),
+        F.unix_micros("ts").alias("us"),
+    )
+    cols = (
+        base.withColumn(
+            "counter", F.sum("c").over(frame) % RESET_MOD_CENTS
+        )
+        .withColumn("prev", F.lag("counter").over(w))
+        .withColumn("dur_us", F.lead("us").over(w) - F.col("us"))
+        .withColumn("P", F.sum(F.col("c") - k_cents).over(frame))
+        .withColumn(
+            "cusum", F.col("P") - F.least(F.lit(0), F.min("P").over(frame))
+        )
+    )
+    agg = cols.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(
+            (
+                F.col("prev").isNotNull()
+                & (F.col("counter") < F.col("prev"))
+            ).cast("long")
+        ).alias("n_resets"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(0))
+            .when(
+                F.col("counter") >= F.col("prev"),
+                F.col("counter") - F.col("prev"),
+            )
+            .otherwise(F.col("counter"))
+        ).alias("increase_cents"),
+        F.sum("dur_us").alias("span_us"),
+        F.sum(F.col("c") * F.col("dur_us")).alias("_wsum"),
+        F.sum((F.col("cusum") > h_cents).cast("long")).alias("n_alarms"),
+        F.max("cusum").alias("max_cusum"),
+    )
+    return agg.where(F.col("span_us") > 0).select(
+        "user_id",
+        "n_samples",
+        "n_resets",
+        "increase_cents",
+        "span_us",
+        F.round(
+            F.col("_wsum").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twa"),
+        "n_alarms",
+        "max_cusum",
+    )
+
+
+def sensor_scorecard_oracle() -> str:
+    return f"""
+        WITH a AS ({counter_rate_oracle()}),
+        b AS ({time_weighted_avg_oracle()}),
+        c AS ({cusum_alarms_oracle()})
+        SELECT a.user_id, a.n_samples, a.n_resets, a.increase_cents,
+               b.span_us, b.twa, c.n_alarms, c.max_cusum
+        FROM a
+        JOIN b ON a.user_id = b.user_id
+        JOIN c ON c.user_id = a.user_id
+    """

@@ -595,3 +595,15 @@ def test_rrf_fusion_constant_size_tail(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_rrf_fusion")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sensor_scorecard_is_single_pass(spark, sf_dir):
+    """The fused scorecard must be ONE scan / ONE sort / ONE hash
+    exchange — if any of the five window columns or the groupBy
+    stops sharing the series-key partitioning, the fusion degrades
+    to the triple-scan composition it exists to avoid."""
+    plan = _plan(spark, sf_dir, "q_sensor_scorecard")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
