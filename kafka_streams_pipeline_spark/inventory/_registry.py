@@ -90,6 +90,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_cusum",
     # round-11: WARC shard round-trip (writes temp shard files)
     "q_media_warc_shards",
+    # round-11: positional index lifecycle (temp store + index build)
+    "q_store_phrase_search",
 })
 
 

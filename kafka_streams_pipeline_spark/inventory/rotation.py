@@ -331,6 +331,7 @@ _DEFERRED: list[str] = [
     "q_streaming_cusum",
     "q_media_warc_shards",
     "q_sensor_scorecard",
+    "q_store_phrase_search",
 ]
 
 

@@ -447,3 +447,117 @@ def q_sensor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion ≡ composition. See operators/timeseries.py
     sensor_scorecard."""
     return _ts.sensor_scorecard(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_store_phrase_search",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 16 = 5
+                        THEN lower(text) || ' retention notice'
+                        WHEN doc_id % 16 = 1
+                        THEN lower(text) || ' retention x notice'
+                        ELSE lower(text) END AS ltext
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, n_chars, ltext,
+                   string_split(ltext, ' ') AS toks
+            FROM aug
+        ),
+        m AS (
+            SELECT doc_id, n_chars FROM tok
+            WHERE (' ' || ltext || ' ') LIKE '% retention notice %'
+        ),
+        candd AS (
+            SELECT CAST(count(*) AS BIGINT) AS cd FROM tok
+            WHERE list_contains(toks, 'retention')
+              AND list_contains(toks, 'notice')
+        ),
+        prune AS (
+            SELECT CAST(count(*) AS BIGINT) AS scanned FROM (
+                SELECT doc_id % 8 AS b,
+                       max(CASE WHEN list_contains(toks, 'retention')
+                           THEN 1 ELSE 0 END) AS h1,
+                       max(CASE WHEN list_contains(toks, 'notice')
+                           THEN 1 ELSE 0 END) AS h2
+                FROM tok GROUP BY 1
+            ) WHERE h1 = 1 AND h2 = 1
+        )
+        SELECT 'row' AS phase, doc_id AS a, n_chars AS b FROM m
+        UNION ALL
+        SELECT 'prune', scanned, CAST(8 AS BIGINT) FROM prune
+        UNION ALL
+        SELECT 'verify', cd, (SELECT CAST(count(*) AS BIGINT) FROM m)
+        FROM candd
+    """,
+)
+def q_store_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5ak (store IR): exact PHRASE search through a positional
+    inverted index over the versioned store — the adjacency upgrade
+    of q_store_text_index's membership search. Construction makes
+    every stage's work REAL and oracle-checked: batch 5 docs
+    (doc_id % 16 = 5) carry the adjacent phrase 'retention notice',
+    batch 1 docs (% 16 = 1) carry 'retention x notice' — both words,
+    NOT adjacent — so (1) pruning must select exactly 2 of 8 batches
+    (both terms present), (2) the conjunctive candidate set counts
+    BOTH groups, (3) the positional semi-join chain (anchors on the
+    first term, each next term at anchor_pos + i) must eliminate the
+    non-adjacent group entirely, and (4) payloads come from the 2
+    candidate batches only. The 'verify' row binds candidate vs
+    matched counts into the hash — the adjacency filter's effect is
+    certified, not asserted. Incremental build asserted. See
+    sources/text_index.py build_positional_index/search_phrase."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.text_index import (
+        build_positional_index,
+        search_phrase,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import commit_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 16 == 5,
+            F.concat(F.lower(F.col("text")), F.lit(" retention notice")),
+        )
+        .when(
+            F.col("doc_id") % 16 == 1,
+            F.concat(F.lower(F.col("text")), F.lit(" retention x notice")),
+        )
+        .otherwise(F.lower(F.col("text")))
+        .alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-phraseidx-")
+    store = os.path.join(base, "corpus")
+    try:
+        for i in range(8):
+            commit_corpus(
+                docs.where(F.col("doc_id") % 8 == i), store, f"residue {i}"
+            )
+        n_built = build_positional_index(spark, store, "text")
+        if n_built != 8 or build_positional_index(spark, store, "text") != 0:
+            raise AssertionError("positional build not incremental")
+        found, stats = search_phrase(
+            spark, store, ["retention", "notice"], "text"
+        )
+        rows = [
+            ("row", r["doc_id"], r["n_chars"])
+            for r in found.select("doc_id", "n_chars").collect()
+        ]
+        rows.append(
+            ("prune", stats["batches_scanned"], stats["batches_total"])
+        )
+        rows.append(
+            ("verify", stats["candidate_docs"], stats["matched_docs"])
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

@@ -2374,3 +2374,45 @@ def test_warc_shard_roundtrip_and_fail_loud():
         )
     with pytest.raises(ValueError):
         parse_warc_records(b"NOT-WARC" + blob)
+
+
+def test_phrase_search_adjacency_and_duplicates(spark, tmp_path):
+    """search_phrase: adjacency required (conjunctive-but-separated
+    docs are rejected), repeated-token phrases need genuinely
+    repeated positions, partial index fails loudly."""
+    import pytest as _pytest
+
+    from kafka_streams_pipeline_spark.sources.text_index import (
+        build_positional_index,
+        search_phrase,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),     # phrase "alpha beta" ✓
+            (2, "alpha gamma beta"),     # both words, not adjacent ✗
+            (3, "echo echo delta"),      # "echo echo" ✓
+            (4, "echo delta echo"),      # two echoes, not adjacent ✗
+            (5, "beta alpha beta alpha beta"),  # "alpha beta" at 1 ✓
+        ],
+        "doc_id long, text string",
+    )
+    commit_corpus(docs, store, "seed")
+    assert build_positional_index(spark, store, "text") == 1
+    found, stats = search_phrase(spark, store, ["alpha", "beta"], "text")
+    assert sorted(r["doc_id"] for r in found.collect()) == [1, 5]
+    assert stats["candidate_docs"] == 3  # docs 1, 2, 5 hold both words
+    assert stats["matched_docs"] == 2
+    found2, _ = search_phrase(spark, store, ["echo", "echo"], "text")
+    assert sorted(r["doc_id"] for r in found2.collect()) == [3]
+    # absent term → zero candidate batches, empty result, no scan
+    found3, stats3 = search_phrase(spark, store, ["zz", "alpha"], "text")
+    assert found3.count() == 0 and stats3["batches_scanned"] == 0
+    # partial index fails loudly
+    commit_corpus(docs.limit(1), store, "second batch")
+    with _pytest.raises(ValueError, match="positional index missing"):
+        search_phrase(spark, store, ["alpha", "beta"], "text")
