@@ -332,6 +332,8 @@ _DEFERRED: list[str] = [
     "q_media_warc_shards",
     "q_sensor_scorecard",
     "q_store_phrase_search",
+    "q_winsorized_stats",
+    "q_ann_filtered",
 ]
 
 

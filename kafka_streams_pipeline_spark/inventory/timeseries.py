@@ -561,3 +561,27 @@ def q_store_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register("q_winsorized_stats", oracle=_ts.winsorized_stats_oracle())
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12k (robust stats): winsorized per-series statistics — clip
+    to the [p05, p95] DISCRETE percentiles (inverted-CDF on both
+    engines, so the cut points are actual BIGINT cents, never
+    interpolated floats), count the clipped tails, sum clipped
+    values exactly; the winsorized mean is one fixed-order division.
+    Same plan shape and approx_percentile 100 TB posture as
+    q_anomaly_mad. See operators/timeseries.py winsorized_stats."""
+    return _ts.winsorized_stats(_t(spark, sf_dir, "events"))
+
+
+@register("q_ann_filtered", oracle=_sim.filtered_topk_cosine_oracle())
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3o (filtered vector search): PRE-filtered exact top-k cosine
+    — the metadata-constrained search every vector store serves
+    (filter BEFORE ranking guarantees k results from the allowed
+    set; post-filtering a global top-k can come up short). The label
+    predicate reaches the parquet scan; query row broadcasts;
+    TakeOrderedAndProject tail. See operators/similarity.py
+    filtered_topk_cosine."""
+    return _sim.filtered_topk_cosine(_t(spark, sf_dir, "embeddings"))

@@ -1956,3 +1956,72 @@ def rrf_fusion_oracle(
                     AS BIGINT) AS rank
         FROM top
     """
+
+
+# --- Metadata-filtered ANN (round 11) ---------------------------------------
+
+
+def filtered_topk_cosine(
+    df: DataFrame, query_vec_id: int = 0, label: int = 2, k: int = 10
+) -> DataFrame:
+    """PRE-FILTERED exact vector search: top-k cosine neighbors of a
+    stored query among corpus vectors with a metadata constraint
+    (label equality) — the vector-DB staple where filtering BEFORE
+    ranking guarantees k results from the allowed set, where
+    post-filtering a global top-k can return fewer than k (or none).
+    The filter is a plain pushdown-able predicate on the scan; the
+    query row broadcasts; ordering on the rounded similarity with
+    vec_id tiebreak, rank bound into the output.
+
+    Scale shape: identical to topk_cosine (scan + broadcast +
+    TakeOrderedAndProject) with the label predicate reaching the
+    parquet scan; with the IVF index the same pre-filter composes by
+    intersecting the cell candidate list with the label partition."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"),
+        F.expr(_spark_norm("embedding")).alias("q_norm"),
+    )
+    out = (
+        df.where(
+            (F.col("label") == label) & (F.col("vec_id") != query_vec_id)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                f"round({_spark_dot('embedding', 'q_emb')} / "
+                f"({_spark_norm('embedding')} * q_norm), 6)"
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def filtered_topk_cosine_oracle(
+    query_vec_id: int = 0, label: int = 2, k: int = 10
+) -> str:
+    return f"""
+        WITH q AS (
+            SELECT embedding AS q_emb, {_duck_norm('embedding')} AS q_norm
+            FROM embeddings WHERE vec_id = {query_vec_id}
+        ),
+        top AS (
+            SELECT vec_id, label,
+                   round({_duck_dot('embedding', 'q_emb')} /
+                         ({_duck_norm('embedding')} * q_norm), 6) AS cos_sim
+            FROM embeddings, q
+            WHERE label = {label} AND vec_id != {query_vec_id}
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT {k}
+        )
+        SELECT vec_id, label, cos_sim,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM top
+    """

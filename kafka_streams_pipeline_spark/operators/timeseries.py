@@ -527,3 +527,99 @@ def sensor_scorecard_oracle() -> str:
         JOIN b ON a.user_id = b.user_id
         JOIN c ON c.user_id = a.user_id
     """
+
+
+# --- Winsorized robust stats (round 11) -------------------------------------
+
+
+def winsorized_stats(
+    events: DataFrame, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """Winsorized per-series statistics: clip values to the
+    [p_lo, p_hi] DISCRETE percentiles (inverted-CDF — both engines
+    pick the smallest actual value whose cumulative fraction ≥ q, so
+    the cut points are BIGINT cents, not interpolated floats), then
+    count the clipped tails and sum the clipped values exactly. The
+    robust-mean companion of mad_outliers: MAD flags tails,
+    winsorization bounds their influence.
+
+    Integer-exact end to end: discrete percentiles of integer cents
+    ARE integer cents; the winsorized mean is the single fixed-order
+    double division at the end. One percentile pass + broadcast join
+    back + one counting aggregate (same shape and 100 TB posture as
+    mad_outliers: approx_percentile is the documented scale path)."""
+    c = events.select("event_type", F.expr(_CENTS).alias("c"))
+    cuts = c.groupBy("event_type").agg(
+        F.expr(
+            f"cast(percentile_disc({lo_q}) within group (order by c) "
+            "as long)"
+        ).alias("p_lo"),
+        F.expr(
+            f"cast(percentile_disc({hi_q}) within group (order by c) "
+            "as long)"
+        ).alias("p_hi"),
+    )
+    clipped = c.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(F.col("c"), F.col("p_lo")), F.col("p_hi")).alias(
+            "w"
+        ),
+        (F.col("c") < F.col("p_lo")).cast("long").alias("is_lo"),
+        (F.col("c") > F.col("p_hi")).cast("long").alias("is_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_lo").alias("p_lo_cents"),
+        F.max("p_hi").alias("p_hi_cents"),
+        F.sum("is_lo").alias("n_clipped_low"),
+        F.sum("is_hi").alias("n_clipped_high"),
+        F.sum("w").alias("wsum_cents"),
+    ).select(
+        "event_type",
+        "n",
+        "p_lo_cents",
+        "p_hi_cents",
+        "n_clipped_low",
+        "n_clipped_high",
+        "wsum_cents",
+        F.round(
+            F.col("wsum_cents").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+def winsorized_stats_oracle(lo_q: float = 0.05, hi_q: float = 0.95) -> str:
+    return f"""
+        WITH c AS (
+            SELECT event_type, {_CENTS_DUCK} AS c FROM events
+        ),
+        cuts AS (
+            SELECT event_type,
+                   CAST(quantile_disc(c, {lo_q}) AS BIGINT) AS p_lo,
+                   CAST(quantile_disc(c, {hi_q}) AS BIGINT) AS p_hi
+            FROM c GROUP BY event_type
+        ),
+        clipped AS (
+            SELECT c.event_type, p_lo, p_hi,
+                   least(greatest(c.c, p_lo), p_hi) AS w,
+                   CASE WHEN c.c < p_lo THEN 1 ELSE 0 END AS is_lo,
+                   CASE WHEN c.c > p_hi THEN 1 ELSE 0 END AS is_hi
+            FROM c JOIN cuts ON c.event_type = cuts.event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)        AS n,
+               CAST(max(p_lo) AS BIGINT)       AS p_lo_cents,
+               CAST(max(p_hi) AS BIGINT)       AS p_hi_cents,
+               CAST(sum(is_lo) AS BIGINT)      AS n_clipped_low,
+               CAST(sum(is_hi) AS BIGINT)      AS n_clipped_high,
+               CAST(sum(w) AS BIGINT)          AS wsum_cents,
+               round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 100.0, 6)               AS winsorized_mean
+        FROM clipped
+        GROUP BY event_type
+    """
