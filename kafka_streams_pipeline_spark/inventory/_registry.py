@@ -92,6 +92,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_media_warc_shards",
     # round-11: positional index lifecycle (temp store + index build)
     "q_store_phrase_search",
+    # round-11: ZIP shard round-trip (writes temp shard files)
+    "q_media_zip_shards",
 })
 
 

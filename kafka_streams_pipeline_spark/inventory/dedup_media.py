@@ -1142,3 +1142,63 @@ def q_media_warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_media_zip_shards",
+    oracle="""
+        SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+               printf('%08d.txt', doc_id) AS name,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def q_media_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4l ZIP shard ingestion (round 11): documents packed into
+    byte-deterministic STORED zip shards (PKZIP APPNOTE — the other
+    container training corpora arrive in), read back via binaryFile
+    and exploded by the central-directory walker with per-member
+    CRC-32 verification (corruption raises, never a silently partial
+    shard; DEFLATE entries also supported read-side). Same
+    (shard, name, length, md5) oracle binding as the tar row. The
+    writer/parser pair is externally anchored BOTH directions
+    against Python's stdlib zipfile in pytest, including DEFLATE.
+    Payloads never shuffle. See operators/multimodal.py
+    build_zip_shard/parse_zip_members/unzip_members."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["doc_id"] // 25, []).append(
+            (f"{r['doc_id']:08d}.txt", r["text"].encode())
+        )
+    base = tempfile.mkdtemp(prefix="kspipeline-zipshard-")
+    try:
+        for sid, members in shards.items():
+            with open(
+                os.path.join(base, f"shard{sid:05d}.zip"), "wb"
+            ) as f:
+                f.write(_mm.build_zip_shard(members))
+        bf = spark.read.format("binaryFile").load(base + "/*.zip")
+        out = _mm.unzip_members(
+            bf.select(
+                F.regexp_extract(F.col("path"), r"shard(\d{5})\.zip$", 1)
+                .cast("long")
+                .alias("shard_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

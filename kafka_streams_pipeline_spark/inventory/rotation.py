@@ -334,6 +334,7 @@ _DEFERRED: list[str] = [
     "q_store_phrase_search",
     "q_winsorized_stats",
     "q_ann_filtered",
+    "q_media_zip_shards",
 ]
 
 

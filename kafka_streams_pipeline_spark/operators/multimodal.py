@@ -2721,3 +2721,160 @@ def unwarc_records(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+# --- ZIP shards (round 11) ---------------------------------------------------
+# PKZIP container (APPNOTE.TXT, public spec) — the other shard format
+# training corpora arrive in. Writer emits STORED (method 0) entries
+# with fixed DOS timestamps so identical members always produce
+# identical shard bytes; the parser walks the central directory (the
+# authoritative index per spec), supports STORED and DEFLATE (raw
+# zlib, window -15) entries, and verifies each member's CRC-32 —
+# corruption raises, never a silently partial shard. Externally
+# anchored both directions against Python's stdlib zipfile in pytest.
+
+_ZIP_LOCAL_SIG = b"PK\x03\x04"
+_ZIP_CDIR_SIG = b"PK\x01\x02"
+_ZIP_EOCD_SIG = b"PK\x05\x06"
+# fixed DOS date: 2024-01-01, time 00:00:00 (reproducible shards)
+_ZIP_DOS_DATE = ((2024 - 1980) << 9) | (1 << 5) | 1
+_ZIP_DOS_TIME = 0
+
+
+def build_zip_shard(members: list[tuple[str, bytes]]) -> bytes:
+    """Byte-deterministic ZIP: one STORED local-header entry per
+    member, central directory, EOCD. CRC-32 per member; fixed
+    timestamps; no data descriptors, no zip64 (shards here are
+    bounded well below 4 GiB — a size guard raises rather than
+    silently truncating offsets)."""
+    import struct
+    import zlib as _z
+
+    out = bytearray()
+    central = bytearray()
+    for name, payload in members:
+        nb = name.encode()
+        crc = _z.crc32(payload) & 0xFFFFFFFF
+        offset = len(out)
+        if offset > 0xFFFF_FFFF or len(payload) > 0xFFFF_FFFF:
+            raise ValueError("shard exceeds zip32 bounds")
+        local = struct.pack(
+            "<4sHHHHHIIIHH",
+            _ZIP_LOCAL_SIG,
+            20,  # version needed
+            0,   # flags
+            0,   # method: stored
+            _ZIP_DOS_TIME,
+            _ZIP_DOS_DATE,
+            crc,
+            len(payload),
+            len(payload),
+            len(nb),
+            0,
+        )
+        out += local + nb + payload
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            _ZIP_CDIR_SIG,
+            20,  # version made by
+            20,  # version needed
+            0,
+            0,
+            _ZIP_DOS_TIME,
+            _ZIP_DOS_DATE,
+            crc,
+            len(payload),
+            len(payload),
+            len(nb),
+            0,
+            0,
+            0,
+            0,
+            0,
+            offset,
+        ) + nb
+    cdir_off = len(out)
+    out += central
+    import struct as _s
+
+    out += _s.pack(
+        "<4sHHHHIIH",
+        _ZIP_EOCD_SIG,
+        0,
+        0,
+        len(members),
+        len(members),
+        len(central),
+        cdir_off,
+        0,
+    )
+    return bytes(out)
+
+
+def parse_zip_members(blob: bytes) -> list[tuple[str, bytes]]:
+    """Central-directory walk (the spec's authoritative index) →
+    [(name, payload)]. STORED and DEFLATE entries supported; every
+    member's CRC-32 is verified against the directory record — a
+    mismatch, a bad signature, or a truncated block raises."""
+    import struct
+    import zlib as _z
+
+    eocd_at = blob.rfind(_ZIP_EOCD_SIG)
+    if eocd_at < 0 or eocd_at + 22 > len(blob):
+        raise ValueError("zip EOCD record not found or truncated")
+    (_, _, _, n_here, n_total, cdir_len, cdir_off, _) = struct.unpack(
+        "<4sHHHHIIH", blob[eocd_at : eocd_at + 22]
+    )
+    members: list[tuple[str, bytes]] = []
+    off = cdir_off
+    for _i in range(n_total):
+        if blob[off : off + 4] != _ZIP_CDIR_SIG:
+            raise ValueError(f"zip central-dir signature missing at {off}")
+        (
+            _sig, _vmade, _vneed, _flags, method, _t, _d, crc,
+            csize, usize, nlen, xlen, clen, _dn, _ia, _ea, loff,
+        ) = struct.unpack("<4sHHHHHHIIIHHHHHII", blob[off : off + 46])
+        name = blob[off + 46 : off + 46 + nlen].decode()
+        off += 46 + nlen + xlen + clen
+        if blob[loff : loff + 4] != _ZIP_LOCAL_SIG:
+            raise ValueError(f"zip local signature missing at {loff}")
+        (lnlen, lxlen) = struct.unpack("<HH", blob[loff + 26 : loff + 30])
+        data_at = loff + 30 + lnlen + lxlen
+        raw = blob[data_at : data_at + csize]
+        if len(raw) != csize:
+            raise ValueError("zip member truncated")
+        if method == 0:
+            payload = raw
+        elif method == 8:
+            payload = _z.decompress(raw, -15)
+        else:
+            raise ValueError(f"unsupported zip method {method}")
+        if (_z.crc32(payload) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip CRC mismatch for member {name!r}")
+        members.append((name, payload))
+    return members
+
+
+def unzip_members(df: DataFrame) -> DataFrame:
+    """mapInPandas shard explosion: (shard_id, payload) → one row per
+    member with name, byte length, payload md5 — the same summary
+    contract as untar_members; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for name, data in parse_zip_members(bytes(payload)):
+                    rows.append(
+                        (
+                            int(shard_id),
+                            name,
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "name", "n_bytes", "payload_md5"]
+            )
+
+    return df.mapInPandas(run, TAR_MEMBER_SCHEMA)

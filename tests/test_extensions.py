@@ -2416,3 +2416,39 @@ def test_phrase_search_adjacency_and_duplicates(spark, tmp_path):
     commit_corpus(docs.limit(1), store, "second batch")
     with _pytest.raises(ValueError, match="positional index missing"):
         search_phrase(spark, store, ["alpha", "beta"], "text")
+
+
+def test_zip_shard_roundtrip_stdlib_anchor():
+    """ZIP writer/parser externally anchored against stdlib zipfile
+    in BOTH directions (our STORED writer → zipfile reader; zipfile
+    DEFLATE writer → our parser), with CRC corruption raising."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        build_zip_shard,
+        parse_zip_members,
+    )
+
+    members = [
+        ("a.txt", b"hello"),
+        ("dir/b.bin", bytes(range(256))),
+        ("empty.txt", b""),
+    ]
+    blob = build_zip_shard(members)
+    assert build_zip_shard(members) == blob  # deterministic bytes
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for n, p in members:
+            z.writestr(n, p)
+    assert parse_zip_members(buf.getvalue()) == members
+    bad = bytearray(blob)
+    bad[36] ^= 0xFF  # a payload byte — the CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_zip_members(bytes(bad))
+    with _pytest.raises(ValueError):
+        parse_zip_members(b"not a zip")
