@@ -94,6 +94,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_store_phrase_search",
     # round-11: ZIP shard round-trip (writes temp shard files)
     "q_media_zip_shards",
+    # round-11: availableNow stateful counter replay
+    "q_streaming_counter",
 })
 
 

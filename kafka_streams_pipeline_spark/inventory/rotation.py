@@ -335,6 +335,7 @@ _DEFERRED: list[str] = [
     "q_winsorized_stats",
     "q_ann_filtered",
     "q_media_zip_shards",
+    "q_streaming_counter",
 ]
 
 

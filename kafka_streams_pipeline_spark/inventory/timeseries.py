@@ -585,3 +585,80 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject tail. See operators/similarity.py
     filtered_topk_cosine."""
     return _sim.filtered_topk_cosine(_t(spark, sf_dir, "embeddings"))
+
+
+def _streaming_counter_oracle() -> str:
+    from kafka_streams_pipeline_spark.sources.readings import (
+        readings_from_events_sql,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        COUNTER_MOD_FP,
+    )
+
+    return f"""
+        WITH readings AS ({readings_from_events_sql('events')}),
+        run AS (
+            SELECT sensorId, timestamp AS t_ms,
+                   sum(CAST(round(tempVal * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY sensorId ORDER BY timestamp
+                       ROWS UNBOUNDED PRECEDING
+                   ) % {COUNTER_MOD_FP} AS counter
+            FROM readings
+        ),
+        stepped AS (
+            SELECT sensorId,
+                   CASE WHEN prev IS NULL THEN 0
+                        WHEN counter >= prev THEN counter - prev
+                        ELSE counter END AS step,
+                   CASE WHEN prev IS NOT NULL AND counter < prev
+                        THEN 1 ELSE 0 END AS is_reset
+            FROM (
+                SELECT sensorId, counter,
+                       lag(counter) OVER (
+                           PARTITION BY sensorId ORDER BY t_ms
+                       ) AS prev
+                FROM run
+            )
+        )
+        SELECT sensorId AS sensor_id,
+               CAST(count(*) AS BIGINT)      AS n_samples,
+               CAST(sum(is_reset) AS BIGINT) AS n_resets,
+               CAST(sum(step) AS BIGINT)     AS increase_fp
+        FROM stepped
+        GROUP BY sensorId
+    """
+
+
+@register("q_streaming_counter", oracle=_streaming_counter_oracle())
+def q_streaming_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12l (streaming TSDB): per-sensor reset-corrected counter
+    increase across micro-batches — the streaming twin of
+    q_counter_rate, sequential state (running sum + previous counter
+    carried across batch boundaries), certified bit-identical to the
+    batch window oracle. Completes the streaming TSDB family
+    (OHLC lattice fold, TWA and counter sequential folds, CUSUM
+    recurrence). Duplicate injection OFF. See streaming/stateful.py
+    counter_sensor_state."""
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        _replay_readings_stream,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        counter_sensor_state,
+    )
+
+    batches = _replay_readings_stream(
+        spark, sf_dir, counter_sensor_state, "update", inject_dups=False
+    )
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["sensorId"]] = r
+    rows = [
+        (r["sensorId"], r["n_samples"], r["n_resets"], r["increase_fp"])
+        for r in final.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sensor_id string, n_samples bigint, n_resets bigint, "
+        "increase_fp bigint",
+    )

@@ -595,3 +595,72 @@ def cusum_sensor_state(readings: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming counter-rate state (round 11) --------------------------------
+
+# µ-unit wrap modulus for the synthetic per-sensor counter (the
+# readings twin of operators/timeseries.RESET_MOD_CENTS).
+COUNTER_MOD_FP = 500_000_000
+
+COUNTER_OUTPUT = (
+    "sensorId string, n_samples bigint, n_resets bigint, "
+    "increase_fp bigint"
+)
+COUNTER_STATE = "run bigint, prev bigint, n bigint, resets bigint, inc bigint"
+
+
+def counter_sensor_state(readings: DataFrame) -> DataFrame:
+    """Per-sensor PromQL ``increase()`` maintained across
+    micro-batches — the streaming twin of
+    operators/timeseries.counter_rate: the running µ-unit sum wraps
+    at the modulus to synthesize resets, and each step credits the
+    delta (or the post-reset value) sequentially in state. Same
+    determinism contract as twa_sensor_state (time-ordered replay +
+    per-sensor (sensorId, timestamp) total order). Integer-only
+    state and emissions."""
+    b = readings.select(
+        "sensorId",
+        F.col("timestamp").alias("t_ms"),
+        F.round(F.col("tempVal") * 1000000).cast("long").alias("v_fp"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (run, prev, n, resets, inc) = state.get
+        else:
+            run, prev, n, resets, inc = 0, None, 0, 0, 0
+        for pdf in pdfs:
+            srt = pdf.sort_values(["t_ms", "v_fp"])
+            for v in srt["v_fp"]:
+                run += int(v)
+                counter = run % COUNTER_MOD_FP
+                if prev is not None:
+                    if counter >= prev:
+                        inc += counter - prev
+                    else:
+                        inc += counter
+                        resets += 1
+                prev = counter
+                n += 1
+        state.update((run, prev, n, resets, inc))
+        yield pd.DataFrame(
+            {
+                "sensorId": [key[0]],
+                "n_samples": [n],
+                "n_resets": [resets],
+                "increase_fp": [inc],
+            }
+        )
+
+    return b.groupBy("sensorId").applyInPandasWithState(
+        fn,
+        COUNTER_OUTPUT,
+        COUNTER_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
