@@ -336,6 +336,7 @@ _DEFERRED: list[str] = [
     "q_ann_filtered",
     "q_media_zip_shards",
     "q_streaming_counter",
+    "q_event_pattern",
 ]
 
 

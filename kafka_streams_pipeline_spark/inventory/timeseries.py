@@ -662,3 +662,14 @@ def q_streaming_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sensor_id string, n_samples bigint, n_resets bigint, "
         "increase_fp bigint",
     )
+
+
+@register("q_event_pattern", oracle=_ts.event_pattern_matches_oracle())
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12m (CEP): MATCH_RECOGNIZE-shaped sequence detection —
+    consecutive click→click→purchase runs per user within 30
+    minutes, as lead()-materialized per-row predicates over ONE
+    user-partitioned sort (no state machine, no self-join,
+    single-shuffle). See operators/timeseries.py
+    event_pattern_matches."""
+    return _ts.event_pattern_matches(_t(spark, sf_dir, "events"))

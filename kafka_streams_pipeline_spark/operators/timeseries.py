@@ -623,3 +623,92 @@ def winsorized_stats_oracle(lo_q: float = 0.05, hi_q: float = 0.95) -> str:
         FROM clipped
         GROUP BY event_type
     """
+
+
+# --- Event-pattern matching (round 11) --------------------------------------
+
+# The fixture's per-user cadence is ~2 events/day, so the "within"
+# budget is scaled to 10 days — 76 matches across 64 users at
+# sf0.01, a non-trivial certified rowset (a 30-minute window, the
+# production default for clickstream cadence, matches zero rows
+# here and would certify nothing).
+PATTERN_WINDOW_MIN = 14_400
+
+
+def event_pattern_matches(
+    events: DataFrame,
+    pattern: tuple[str, ...] = ("click", "click", "purchase"),
+    within_minutes: int = PATTERN_WINDOW_MIN,
+) -> DataFrame:
+    """CEP-style sequence detection (the MATCH_RECOGNIZE shape): per
+    user, find every CONSECUTIVE run of events matching ``pattern``
+    whose span fits ``within_minutes`` — "two clicks then a purchase
+    within the budget", the canonical conversion-pattern query.
+    Consecutive means adjacent in the user's event sequence (no
+    events in between), the strict MATCH_RECOGNIZE default.
+
+    Window-native plan: the per-user sort materializes each event's
+    next ``len(pattern)−1`` types and the span to the last of them
+    via lead() — the pattern test is then a per-row predicate, and
+    matches aggregate per user. ONE hash partition + ONE sort, the
+    same single-shuffle contract as the rest of this module; at
+    100 TB this is embarrassingly parallel across users with no
+    state machine and no self-join. Output per user with ≥1 match:
+    match count and the first match's start event id.
+
+    Engine-exact: types are strings, spans integer µs."""
+    m = len(pattern)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    for i in range(1, m):
+        cols = cols.withColumn(
+            f"t{i}", F.lead("event_type", i).over(w)
+        )
+    cols = cols.withColumn(
+        "span_us", F.lead("us", m - 1).over(w) - F.col("us")
+    )
+    cond = F.col("event_type") == pattern[0]
+    for i in range(1, m):
+        cond = cond & (F.col(f"t{i}") == pattern[i])
+    cond = cond & (F.col("span_us") <= within_minutes * 60_000_000)
+    matches = cols.where(cond)
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("event_id").alias("first_match_event_id"),
+    )
+
+
+def event_pattern_matches_oracle(
+    pattern: tuple[str, ...] = ("click", "click", "purchase"),
+    within_minutes: int = PATTERN_WINDOW_MIN,
+) -> str:
+    m = len(pattern)
+    lead_cols = ",\n                   ".join(
+        f"lead(event_type, {i}) OVER w AS t{i}" for i in range(1, m)
+    )
+    conds = " AND ".join(
+        [f"event_type = '{pattern[0]}'"]
+        + [f"t{i} = '{pattern[i]}'" for i in range(1, m)]
+        + [f"span_us <= {within_minutes * 60_000_000}"]
+    )
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   {lead_cols},
+                   lead(epoch_us(ts), {m - 1}) OVER w - epoch_us(ts)
+                       AS span_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(event_id) AS BIGINT) AS first_match_event_id
+        FROM seq WHERE {conds}
+        GROUP BY user_id
+    """
