@@ -96,6 +96,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_media_zip_shards",
     # round-11: availableNow stateful counter replay
     "q_streaming_counter",
+    # round-11: partition-evolution lifecycle (temp store writes)
+    "q_store_partition_evolution",
 })
 
 

@@ -337,6 +337,7 @@ _DEFERRED: list[str] = [
     "q_media_zip_shards",
     "q_streaming_counter",
     "q_event_pattern",
+    "q_store_partition_evolution",
 ]
 
 

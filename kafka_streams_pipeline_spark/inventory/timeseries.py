@@ -673,3 +673,93 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle). See operators/timeseries.py
     event_pattern_matches."""
     return _ts.event_pattern_matches(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_store_partition_evolution",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, n_chars, source, lang, doc_id % 8 AS b
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, n_chars FROM d
+            WHERE source = 'src1' AND lang = 'en'
+        ),
+        old_total AS (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT DISTINCT b, source FROM d WHERE b < 4)
+        ),
+        new_total AS (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT DISTINCT b, source, lang FROM d WHERE b >= 4)
+        ),
+        old_scan AS (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT DISTINCT b FROM d WHERE b < 4 AND source = 'src1')
+        ),
+        new_scan AS (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT DISTINCT b FROM d
+                WHERE b >= 4 AND source = 'src1' AND lang = 'en')
+        )
+        SELECT 'row' AS phase, doc_id AS a, n_chars AS b FROM m
+        UNION ALL
+        SELECT 'prune', old_scan.c + new_scan.c,
+               old_total.c + new_total.c
+        FROM old_scan, new_scan, old_total, new_total
+        UNION ALL
+        SELECT 'spec', CAST(4 AS BIGINT), CAST(8 AS BIGINT)
+    """,
+)
+def q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5al (lake): Iceberg-style PARTITION-SPEC EVOLUTION — batches
+    1-4 commit under spec (source), batches 5-8 under the evolved
+    spec (source, lang); no batch is ever rewritten, and the read
+    path prunes EACH batch under its own spec: a
+    source=src1 ∧ lang=en read scans one src1 directory per old
+    batch holding it (all langs inside — source is all the old spec
+    can prune) and exactly the (src1, en) leaf per new batch holding
+    it. The 'prune' row binds (dirs scanned, dirs total) into the
+    hash and the oracle recomputes both from the data's distinct
+    partition-value combinations — a wrong pruning decision OR a row
+    lost to pruning flips the certified hash. See
+    sources/versioned.py commit_corpus_partitioned /
+    read_corpus_pruned."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus_partitioned,
+        read_corpus_pruned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-partevo-")
+    store = os.path.join(base, "corpus")
+    try:
+        for i in range(8):
+            spec = ["source"] if i < 4 else ["source", "lang"]
+            commit_corpus_partitioned(
+                docs.where(F.col("doc_id") % 8 == i),
+                store,
+                spec,
+                f"residue {i}",
+            )
+        found, stats = read_corpus_pruned(
+            spark, store, {"source": "src1", "lang": "en"}
+        )
+        rows = [
+            ("row", r["doc_id"], r["n_chars"])
+            for r in found.select("doc_id", "n_chars").collect()
+        ]
+        rows.append(("prune", stats["dirs_scanned"], stats["dirs_total"]))
+        rows.append(("spec", 4, 8))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, a long, b long")

@@ -892,3 +892,151 @@ def version_diff(
         )
         .orderBy("change_type")
     )
+
+
+# --- Partition-spec evolution (round 11) ------------------------------------
+
+
+def commit_corpus_partitioned(
+    df: DataFrame,
+    store_dir: str,
+    partition_by: list[str],
+    note: str = "",
+) -> int:
+    """Append a batch written under a HIVE partition layout
+    (``partitionBy``) and record the batch's partition spec in the
+    manifest — Iceberg-style partition-spec EVOLUTION: each batch
+    carries its own spec, old batches are never rewritten, and the
+    read path prunes each batch by whatever spec it was written
+    under. Same locking/atomicity contract as commit_corpus (the
+    batch dir renames into place before the manifest publishes)."""
+    import shutil
+    import time
+
+    if not partition_by:
+        raise ValueError("partition_by must be non-empty; use "
+                         "commit_corpus for unpartitioned batches")
+    lock = _acquire_lock(store_dir, "commit")
+    try:
+        current = latest_version(store_dir)
+        version = current + 1
+        batch = f"b{version:06d}"
+        batch_dir = os.path.join(store_dir, _DATA, batch)
+        tmp_batch_dir = os.path.join(store_dir, _DATA, f".tmp-{batch}")
+        for debris in (tmp_batch_dir, batch_dir):
+            if os.path.exists(debris):
+                shutil.rmtree(debris)
+        (
+            df.write.mode("errorifexists")
+            .partitionBy(*partition_by)
+            .parquet(tmp_batch_dir)
+        )
+        os.rename(tmp_batch_dir, batch_dir)
+        prior: list[str] = []
+        prior_specs: dict[str, list[str]] = {}
+        if version > 1:
+            with open(_manifest_path(store_dir, version - 1)) as f:
+                pm = json.load(f)
+            prior = pm["batches"]
+            prior_specs = pm.get("specs", {})
+        manifest = {
+            "version": version,
+            "batches": prior + [batch],
+            "specs": {**prior_specs, batch: list(partition_by)},
+            "note": note,
+            "ts": time.time(),
+        }
+        tmp = _manifest_path(store_dir, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.link(tmp, _manifest_path(store_dir, version))
+        os.unlink(tmp)
+        return version
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def read_corpus_pruned(
+    spark: SparkSession,
+    store_dir: str,
+    filters: dict[str, str],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read a pinned version applying EQUALITY filters with per-batch
+    partition pruning under each batch's OWN spec: a batch written
+    under (source) prunes by source only (its matching directory
+    still holds every lang); a batch written under (source, lang)
+    prunes by both; an unpartitioned batch cannot prune. All filters
+    are ALSO applied in the plan (pruning is an IO reduction, never
+    the correctness mechanism), so the result equals the unpruned
+    filtered read exactly.
+
+    Returns (rows, stats) where stats counts leaf partition
+    directories total vs scanned — the pruning decision, exposed so
+    the registry oracle can recompute it from the data (a wrong
+    pruning decision flips the certified hash, same discipline as
+    the text/Bloom indexes)."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(store_dir)
+    with open(_manifest_path(store_dir, version)) as f:
+        manifest = json.load(f)
+    batches = manifest["batches"]
+    specs: dict[str, list[str]] = manifest.get("specs", {})
+
+    def leaf_dirs(base: str, spec: list[str]) -> list[str]:
+        dirs = [base]
+        for col in spec:
+            nxt: list[str] = []
+            for d in dirs:
+                for entry in sorted(os.listdir(d)):
+                    if entry.startswith(f"{col}="):
+                        nxt.append(os.path.join(d, entry))
+            dirs = nxt
+        return dirs
+
+    total = scanned = 0
+    frames: list[DataFrame] = []
+    for b in batches:
+        base = os.path.join(store_dir, _DATA, b)
+        spec = specs.get(b, [])
+        if not spec:
+            total += 1
+            scanned += 1
+            frames.append(spark.read.parquet(base))
+            continue
+        leaves = leaf_dirs(base, spec)
+        total += len(leaves)
+        keep = []
+        for leaf in leaves:
+            rel = os.path.relpath(leaf, base)
+            ok = True
+            for seg in rel.split(os.sep):
+                col, _, val = seg.partition("=")
+                if col in filters and filters[col] != val:
+                    ok = False
+                    break
+            if ok:
+                keep.append(leaf)
+        scanned += len(keep)
+        if keep:
+            frames.append(
+                spark.read.option("basePath", base).parquet(*keep)
+            )
+    stats = {
+        "batches": len(batches),
+        "dirs_total": total,
+        "dirs_scanned": scanned,
+    }
+    out = None
+    for fr in frames:
+        out = fr if out is None else out.unionByName(fr)
+    if out is None:
+        raise ValueError("empty store version")
+    for col, val in filters.items():
+        out = out.where(F.col(col) == val)
+    return out, stats

@@ -2452,3 +2452,49 @@ def test_zip_shard_roundtrip_stdlib_anchor():
         parse_zip_members(bytes(bad))
     with _pytest.raises(ValueError):
         parse_zip_members(b"not a zip")
+
+
+def test_partition_evolution_prunes_per_batch_spec(spark, tmp_path):
+    """commit_corpus_partitioned + read_corpus_pruned: each batch
+    prunes under its OWN spec; filters on columns outside a batch's
+    spec fall back to scanning that batch but never lose rows; the
+    pruned read equals the plain filtered read."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus_partitioned,
+        read_corpus_pruned,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [
+        (i, f"doc {i}", ["en", "de"][i % 2], f"src{i % 3}", 10 + i)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    commit_corpus_partitioned(
+        docs.where(F.col("doc_id") < 30), store, ["source"], "v1 spec"
+    )
+    commit_corpus_partitioned(
+        docs.where(F.col("doc_id") >= 30), store, ["source", "lang"],
+        "evolved spec",
+    )
+    found, stats = read_corpus_pruned(
+        spark, store, {"source": "src1", "lang": "en"}
+    )
+    expect = sorted(
+        r[0] for r in rows if r[3] == "src1" and r[2] == "en"
+    )
+    assert sorted(r["doc_id"] for r in found.collect()) == expect
+    # batch 1: 3 source dirs, 1 scanned; batch 2: 3*2 leaf dirs, 1 scanned
+    assert stats["dirs_total"] == 3 + 6
+    assert stats["dirs_scanned"] == 1 + 1
+    # filter on a column only the NEW spec carries: old batch cannot
+    # prune (all 3 dirs scanned) but still returns correct rows
+    found2, stats2 = read_corpus_pruned(spark, store, {"lang": "de"})
+    assert sorted(r["doc_id"] for r in found2.collect()) == sorted(
+        r[0] for r in rows if r[2] == "de"
+    )
+    assert stats2["dirs_scanned"] == 3 + 3  # old: all; new: the 3 lang=de
