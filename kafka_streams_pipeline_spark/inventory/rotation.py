@@ -30,48 +30,10 @@ from kafka_streams_pipeline_spark.inventory._registry import QUERIES
 # rows and head the round-10 window tail — VERDICT r9 item 3):
 _CERTIFIED_R5: list[str] = [
 ]
-# Round-6 evidence (CORRECTNESS_r06.json residue):
+# Round-6 evidence (CORRECTNESS_r06.json residue): empty — the whole
+# tier was re-certified in the round-11 window (CORRECTNESS_r11.json,
+# 50/50 green) and now lives in _CERTIFIED_R11.
 _CERTIFIED_R6: list[str] = [
-    "q_streaming_totals",
-    "q_streaming_alerts",
-    "q_csv_source",
-    "q_orc_source",
-    "q_disjunctive_revenue",
-    "q_top_supplier",
-    "q_profit_by_nation",
-    "q_component_sizes",
-    "q_hll_by_group",
-    "q_trailing_window",
-    "q_snapshot_ring",
-    "q_media_features",
-    "q_rag_chunks",
-    "q_embed_rp_reduce",
-    "q_join_full",
-    "q_join_cross",
-    "q_vocab_coverage",
-    "q_dedup_prefix_join",
-    "q_text_tokens",
-    "q_text_wordcount",
-    "q_lang_id",
-    "q_lang_stats",
-    "q_pii_scrub",
-    "q_doc_length_hist",
-    "q_quality_score",
-    "q_fingerprint",
-    "q_multimodal_meta",
-    "q_sliding_window",
-    "q_session_window",
-    "q_text_bigrams",
-    "q_dedup_edit",
-    "q_repetition_stats",
-    "q_heuristic_filter",
-    "q_hash_split",
-    "q_ivf_train",
-    "q_embed_quantize",
-    "q_corpus_stats",
-    "q_pack_sequences",
-    "q_mixture_sample",
-    "q_corpus_pipeline",
 ]
 # Round-7 evidence (CORRECTNESS_r07.json — all 50 window rows green,
 # listed in window order: the 2 round-7 additions, the 10 _ON_DECK
@@ -227,14 +189,11 @@ _CERTIFIED_R9: list[str] = [
 # tools/rotate.py).
 _CERTIFIED_R10: list[str] = [
     "q_maxsim_topk",
-    "q_dedup_containment",
     "q_ivf_knn_join",
     "q_ivf_recall",
     "q_decontaminate",
     "q_local_clustering",
     "q_profile_drift",
-    "q_negative_sampling",
-    "q_k_anonymity",
     "q_dsir_select",
     "q_shard_balance",
     "q_join_size_estimate",
@@ -278,46 +237,82 @@ _CERTIFIED_R10: list[str] = [
     "q_skew_report",
 ]
 
+# in window order: the 7 round-11 headline registrations, the 3
+# _RECHECK re-certifications (code changed in r11: two-phase
+# negative_samples rank, prefix-filtered containment default,
+# AQE-chosen k_anonymize join), then the full 40-row r6-vintage
+# re-cert tail (CORRECTNESS_r11.json, 50/50 green; derived by
+# tools/rotate.py).
+_CERTIFIED_R11: list[str] = [
+    "q_dedup_hamming",
+    "q_hard_negatives",
+    "q_boilerplate_scrub",
+    "q_budget_select",
+    "q_ngram_diversity",
+    "q_store_version_diff",
+    "q_streaming_neardup",
+    "q_negative_sampling",
+    "q_dedup_containment",
+    "q_k_anonymity",
+    "q_streaming_totals",
+    "q_streaming_alerts",
+    "q_csv_source",
+    "q_orc_source",
+    "q_disjunctive_revenue",
+    "q_top_supplier",
+    "q_profit_by_nation",
+    "q_component_sizes",
+    "q_hll_by_group",
+    "q_trailing_window",
+    "q_snapshot_ring",
+    "q_media_features",
+    "q_rag_chunks",
+    "q_embed_rp_reduce",
+    "q_join_full",
+    "q_join_cross",
+    "q_vocab_coverage",
+    "q_dedup_prefix_join",
+    "q_text_tokens",
+    "q_text_wordcount",
+    "q_lang_id",
+    "q_lang_stats",
+    "q_pii_scrub",
+    "q_doc_length_hist",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_multimodal_meta",
+    "q_sliding_window",
+    "q_session_window",
+    "q_text_bigrams",
+    "q_dedup_edit",
+    "q_repetition_stats",
+    "q_heuristic_filter",
+    "q_hash_split",
+    "q_ivf_train",
+    "q_embed_quantize",
+    "q_corpus_stats",
+    "q_pack_sequences",
+    "q_mixture_sample",
+    "q_corpus_pipeline",
+]
+
 DRIVER_CERTIFIED: list[str] = (
     _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
-    + _CERTIFIED_R9 + _CERTIFIED_R10
+    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
 _UNCERTIFIED_RED: list[str] = []
 _PENDING: list[str] = []
 # Queries added after the last driver window that should certify
-# before the stalest re-certs. Empty: round-8's two new queries
-# (q_bigram_surprisal_hashed, q_repeated_ngrams_hashed) are in no
-# bucket, so driver_order() already puts them at the window head.
-_ON_DECK: list[str] = []
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping.
-_RECHECK: list[str] = [
-    # round-11 code changes (VERDICT r10 items 2, 3, 7):
-    # negative_samples' dense index is now the two-phase rank;
-    # containment_pairs defaults to the size-ordered prefix filter;
-    # the quality module's k_anonymize lost its forced broadcast
-    # (q_k_anonymity's audit path is untouched but shares the
-    # module — re-certify conservatively).
-    "q_negative_sampling",
-    "q_dedup_containment",
-    "q_k_anonymity",
-]
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round.
-_DEFERRED: list[str] = [
-    # round-11 late additions: the r11 window is exactly filled by
-    # the 7 headline registrations + 3 rechecks + 40 r6-vintage
-    # re-certs (VERDICT r10 item 5 freshness contract) — these two
-    # certify in the r12 window instead.
+# before the stalest re-certs: the 23 round-11 continuation rows
+# rotated out of _DEFERRED for the round-12 window (VERDICT r11
+# item 1). All 23 were oracle-verified green by the r11 judge's own
+# check_oracle.py run; this rotation converts that into driver rows.
+_ON_DECK: list[str] = [
     "q_group_quantile_filter",
     "q_ref_integrity",
     "q_recursive_reachability",
-    # round-11 TSDB serving + retrieval-fusion batch (same rationale):
     "q_counter_rate",
     "q_time_weighted_avg",
     "q_ohlc_bars",
@@ -339,6 +334,15 @@ _DEFERRED: list[str] = [
     "q_event_pattern",
     "q_store_partition_evolution",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping.
+_RECHECK: list[str] = []
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:
