@@ -338,7 +338,16 @@ _ON_DECK: list[str] = [
 # since their last green driver row (ADVICE r4): list them here to
 # pull them to the window front for re-certification without losing
 # their certified status bookkeeping.
-_RECHECK: list[str] = []
+_RECHECK: list[str] = [
+    # round-12 code changes (VERDICT r11 items 4-5): containment_pairs
+    # gained the extended-prefix + suffix aggregate filter;
+    # prefix_jaccard_join and simhash_hamming_pairs changed persist
+    # ownership on the inspection path (materializing path unchanged,
+    # but re-certify conservatively — same module, shared helpers).
+    "q_dedup_containment",
+    "q_dedup_prefix_join",
+    "q_dedup_hamming",
+]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.

@@ -607,3 +607,25 @@ def test_sensor_scorecard_is_single_pass(spark, sf_dir):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_inspection_path_takes_no_persist(spark, sf_dir):
+    """VERDICT r11 item 5: the materialize=False plan-inspection form
+    of the pair-join operators must not persist() anything — with no
+    materializing branch to unpersist, a cache taken there is pinned
+    for the session (a slow bleed if the inspection form runs in a
+    loop). CacheManager registers a persist() at call time, so an
+    empty cache after building AND executing the lazy plans proves
+    no cache was taken."""
+    from kafka_streams_pipeline_spark.operators import dedup
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    for frame in (
+        dedup.simhash_hamming_pairs(docs, materialize=False),
+        dedup.containment_pairs(docs, materialize=False),
+        dedup.prefix_jaccard_join(docs, materialize=False),
+    ):
+        frame.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
