@@ -1422,11 +1422,37 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declarative constraint-check suite (operators/quality.py).
 # ---------------------------------------------------------------------------
 
+# Columns of the float-free orders projection both profile rows run
+# over; (name, needs_varchar_cast) — string columns min/max without a
+# cast, numeric ones render through VARCHAR.
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_totalprice_cents", True),
+    ("o_orderdate_days", True),
+]
 
-@register(
-    "q_table_profile",
-    bench=True,
-    oracle="""
+
+def _orders_profile_oracle(extra_select: str = "") -> str:
+    """The per-column exact-profile oracle over the normalized orders
+    projection, one UNION ALL branch per column; ``extra_select``
+    appends invariant columns (e.g. the approx row's pinned-TRUE
+    tolerance bit)."""
+    branches = []
+    for name, cast in _PROFILE_COLS:
+        mn = f"CAST(min({name}) AS VARCHAR)" if cast else f"min({name})"
+        mx = f"CAST(max({name}) AS VARCHAR)" if cast else f"max({name})"
+        branches.append(f"""
+        SELECT '{name}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({name}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               {mn} AS min_value,
+               {mx} AS max_value{extra_select}
+        FROM o""")
+    return f"""
         WITH o AS (
             SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
                    CAST(round(o_totalprice * 100) AS BIGINT)
@@ -1436,64 +1462,12 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS o_orderdate_days
             FROM orders
         )
-        SELECT 'o_orderkey' AS col_name,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
-               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
-               CAST(max(o_orderkey) AS VARCHAR) AS max_value
-        FROM o
-        UNION ALL
-        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
-               CAST(count(o_custkey) AS BIGINT),
-               CAST(count(DISTINCT o_custkey) AS BIGINT),
-               CAST(min(o_custkey) AS VARCHAR),
-               CAST(max(o_custkey) AS VARCHAR)
-        FROM o
-        UNION ALL
-        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
-               CAST(count(o_orderstatus) AS BIGINT),
-               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
-               min(o_orderstatus), max(o_orderstatus)
-        FROM o
-        UNION ALL
-        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
-               CAST(count(o_orderpriority) AS BIGINT),
-               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
-               min(o_orderpriority), max(o_orderpriority)
-        FROM o
-        UNION ALL
-        SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
-               CAST(count(o_totalprice_cents) AS BIGINT),
-               CAST(count(DISTINCT o_totalprice_cents) AS BIGINT),
-               CAST(min(o_totalprice_cents) AS VARCHAR),
-               CAST(max(o_totalprice_cents) AS VARCHAR)
-        FROM o
-        UNION ALL
-        SELECT 'o_orderdate_days', CAST(count(*) AS BIGINT),
-               CAST(count(o_orderdate_days) AS BIGINT),
-               CAST(count(DISTINCT o_orderdate_days) AS BIGINT),
-               CAST(min(o_orderdate_days) AS VARCHAR),
-               CAST(max(o_orderdate_days) AS VARCHAR)
-        FROM o
-    """,
-)
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality profiling (X10a): per-column health numbers —
-    row/non-null/distinct counts plus min/max — for the whole orders
-    table (operators/quality.table_profile, the Deequ-analyzer
-    family as plain Catalyst aggregates: one algebraic pass for
-    counts and typed min/max, one constant-buffer (col_name, value)
-    dedupe shuffle for the exact distincts — measured and chosen over
-    Catalyst's Expand-rewritten multi-distinct plan). Floats are
-    normalized to exact cents and the NTZ order date to epoch days
-    BEFORE profiling, per the repo's float-free oracle discipline,
-    so min/max render identically across engines. approx=True is
-    the one-pass HLL++ form for 100 TB (differential-tested in
-    pytest)."""
-    from kafka_streams_pipeline_spark.operators.quality import table_profile
+        {" UNION ALL ".join(branches)}
+    """
 
-    o = _t(spark, sf_dir, "orders").select(
+
+def _orders_profile_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -1507,7 +1481,53 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("o_orderdate_days"),
     )
-    return table_profile(o)
+
+
+@register(
+    "q_table_profile",
+    bench=True,
+    oracle=_orders_profile_oracle(),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (X10a): per-column health numbers —
+    row/non-null/distinct counts plus min/max — for the whole orders
+    table (operators/quality.table_profile, the Deequ-analyzer
+    family as plain Catalyst aggregates: one algebraic pass for
+    counts and typed min/max, one constant-buffer (col_name, value)
+    dedupe shuffle for the exact distincts — measured and chosen over
+    Catalyst's Expand-rewritten multi-distinct plan). Floats are
+    normalized to exact cents and the NTZ order date to epoch days
+    BEFORE profiling, per the repo's float-free oracle discipline,
+    so min/max render identically across engines. approx=True is
+    the one-pass HLL++ form for 100 TB (differential-tested in
+    pytest and certified by q_table_profile_approx)."""
+    from kafka_streams_pipeline_spark.operators.quality import table_profile
+
+    return table_profile(_orders_profile_input(spark, sf_dir))
+
+
+@register(
+    "q_table_profile_approx",
+    oracle=_orders_profile_oracle(
+        extra_select=",\n               TRUE AS hll_within_tol"
+    ),
+)
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10i (VERDICT r11 item 2): certification of q_table_profile's
+    documented 100 TB branch — the one-pass HLL++ distinct sketch
+    (rsd 1%) runs NEXT TO the exact profile over the same normalized
+    orders projection, and the row certifies BOTH the exact columns
+    (value-for-value) and the pinned-TRUE ``hll_within_tol`` bit:
+    every per-column HLL++ estimate within 5% (a 5σ gate on the 1%-σ
+    sketch; approx_count_distinct is deterministic given the data, so
+    the bit is a fixed fact of the fixture, not a flake). The
+    plan-contract test pins the approx aggregate Expand-free /
+    single-scan. See operators/quality.table_profile_approx_certified."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        table_profile_approx_certified,
+    )
+
+    return table_profile_approx_certified(_orders_profile_input(spark, sf_dir))
 
 
 @register(

@@ -65,6 +65,22 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.mad_outliers(_t(spark, sf_dir, "events"))
 
 
+@register("q_anomaly_mad_approx", oracle=_ts.mad_outliers_approx_oracle())
+def q_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12n (VERDICT r11 item 2): certification of q_anomaly_mad's
+    documented 100 TB branch — approx_percentile (accuracy 10000)
+    runs NEXT TO the exact percentile in the same grouped passes, and
+    the row certifies (a) the exact census columns value-for-value
+    and (b) three invariant bits pinned TRUE by the oracle: the
+    approx median's and approx MAD's EXACT ranks inside the
+    algorithm's guaranteed ±n/accuracy band, and the approx-gated
+    outlier census within 0.2%+5 of the exact census. A broken
+    accuracy contract or diverging census flips a bit and
+    hash-mismatches. See operators/timeseries.py
+    mad_outliers_approx."""
+    return _ts.mad_outliers_approx(_t(spark, sf_dir, "events"))
+
+
 @register("q_rrf_fusion", bench=True, oracle=_sim.rrf_fusion_oracle())
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3n (hybrid retrieval): reciprocal-rank fusion of the certified

@@ -136,6 +136,61 @@ def table_profile(
     )
 
 
+# HLL++ relative standard deviation for the certified approx profile:
+# 0.01 gives a 1% σ estimator, so the 5% certification gate below sits
+# at 5σ — and approx_count_distinct is DETERMINISTIC given the data
+# (hash-based registers, max-merge, order-independent), so the gate is
+# a fixed fact of the dataset at the certification SFs, not a flake.
+PROFILE_HLL_RSD = 0.01
+PROFILE_HLL_TOL_PCT = 5
+
+
+def table_profile_approx_certified(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = PROFILE_HLL_RSD,
+    tol_pct: int = PROFILE_HLL_TOL_PCT,
+) -> DataFrame:
+    """Certification form of the ``approx=True`` 100 TB profile path:
+    runs the one-pass HLL++ distinct sketch NEXT TO the exact profile
+    and emits the exact columns (oracle-matched value-for-value) plus
+    ``hll_within_tol`` — TRUE iff the HLL++ estimate is within
+    ``tol_pct`` % of the exact distinct count, integer cross-multiply
+    (|nd̂ − nd|·100 ≤ tol·nd). The oracle pins the bit TRUE: a broken
+    sketch (wrong rsd plumbing, a lost register merge) flips it and
+    hash-mismatches. At 100 TB you run only the approx aggregate —
+    one pass, no (col_name, value) dedupe shuffle; the plan-contract
+    test pins that branch Expand-free."""
+    cols = columns or df.columns
+    exact = table_profile(df, cols)
+    apx_aggs = [
+        F.approx_count_distinct(c, rsd).cast("long").alias(f"__nd_{c}")
+        for c in cols
+    ]
+    stack_args = ", ".join(f"'{c}', __nd_{c}" for c in cols)
+    apx = (
+        df.agg(*apx_aggs)
+        .select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) "
+                "AS (col_name, n_distinct_apx)"
+            )
+        )
+    )
+    return exact.join(F.broadcast(apx), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        (
+            F.abs(F.col("n_distinct_apx") - F.col("n_distinct")) * 100
+            <= F.lit(tol_pct) * F.col("n_distinct")
+        ).alias("hll_within_tol"),
+    )
+
+
 @dataclass(frozen=True)
 class Check:
     """One declarative constraint. ``kind`` picks the semantics:

@@ -25,7 +25,7 @@ path swaps ``percentile`` for ``approx_percentile`` unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -327,6 +327,176 @@ def mad_outliers_oracle() -> str:
                CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478
                              THEN 1 ELSE 0 END) * 1000000
                     // count(*) AS BIGINT) AS outlier_ppm
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type
+    """
+
+
+# --- Approx-percentile MAD census (round 12) --------------------------------
+
+# approx_percentile accuracy: guaranteed rank error ≤ n/accuracy
+# (Greenwald-Khanna summaries; Spark's documented contract is
+# relative rank error 1/accuracy).
+MAD_APPROX_ACCURACY = 10_000
+# Empirical-margin gate for the approx-gated outlier census: the
+# rank-bounded medians move the 3·1.4826·MAD cutoff only marginally,
+# so the flagged count shifts by at most a few boundary rows. The
+# margin below (0.2% of the series + 5 rows) holds with ~100× slack
+# at both certification SFs and is asserted deterministic-given-data
+# (approx_percentile on a fixed local dataset; HLL-style sketches and
+# GK summaries have no RNG).
+MAD_CENSUS_MARGIN_PPM = 2_000
+
+
+def mad_outliers_approx(
+    events: DataFrame, accuracy: int = MAD_APPROX_ACCURACY
+) -> DataFrame:
+    """The 100 TB branch of :func:`mad_outliers`, certification form:
+    runs the documented ``approx_percentile`` path NEXT TO the exact
+    twin in the same scan and emits (a) the exact census columns —
+    oracle-matched value-for-value — and (b) three invariant bits the
+    oracle pins to TRUE:
+
+    - ``med_rank_ok`` / ``mad_rank_ok``: the EXACT rank of each
+      approx_percentile result lies within the algorithm's guaranteed
+      band, rank(v) ∈ [n/2 − n/acc − 2, n/2 + n/acc + 2] (±2 absorbs
+      the lattice interpolation the exact twin performs and the
+      element-vs-midpoint convention). Checked float-free:
+      2·acc·rank ≶ acc·n ± (2·n + 4·acc).
+    - ``census_close``: the outlier census under the approx gates is
+      within MAD_CENSUS_MARGIN_PPM of the exact census (+5 absolute).
+      This one is an empirical-margin invariant, not an algorithmic
+      guarantee — documented as such; it is what "the approx path
+      actually flags the same bursts" means operationally.
+
+    A failing implementation (wrong accuracy plumbing, a percentile
+    off by more than its contract, a census that diverges) flips a
+    bit to false and hash-mismatches the oracle. Plan: the same two
+    grouped percentile passes as the exact twin, with the approx
+    sketch riding the same aggregates — at 100 TB you drop the exact
+    columns and keep the plan."""
+    c = events.select("event_type", F.expr(_CENTS).alias("c"))
+    g1 = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("cast(round(percentile(2 * c, 0.5)) as long)").alias("med2"),
+        F.expr(
+            f"approx_percentile(2 * c, 0.5, {accuracy})"
+        ).cast("long").alias("med2_apx"),
+    )
+    dev = c.join(F.broadcast(g1), "event_type").select(
+        "event_type",
+        "n",
+        "med2",
+        "med2_apx",
+        (2 * F.col("c")).alias("c2"),
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+        F.abs(2 * F.col("c") - F.col("med2_apx")).alias("dev2_apx"),
+    )
+    g2 = dev.groupBy("event_type").agg(
+        F.expr("cast(round(percentile(2 * dev2, 0.5)) as long)").alias(
+            "mad4"
+        ),
+        F.expr(
+            f"approx_percentile(2 * dev2_apx, 0.5, {accuracy})"
+        ).cast("long").alias("mad4_apx"),
+        F.sum((F.col("c2") < F.col("med2_apx")).cast("long")).alias(
+            "med_rank_lt"
+        ),
+        F.sum((F.col("c2") <= F.col("med2_apx")).cast("long")).alias(
+            "med_rank_le"
+        ),
+    )
+    j = dev.join(
+        F.broadcast(g2.select(
+            "event_type", "mad4", "mad4_apx", "med_rank_lt", "med_rank_le"
+        )),
+        "event_type",
+    )
+    acc = accuracy
+    out = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med2").alias("med2"),
+        F.max("mad4").alias("mad4"),
+        F.sum(
+            (F.col("dev2") * 20000 > F.col("mad4") * 44478).cast("long")
+        ).alias("n_outliers"),
+        F.sum(
+            (F.col("dev2_apx") * 20000 > F.col("mad4_apx") * 44478).cast(
+                "long"
+            )
+        ).alias("n_outliers_apx"),
+        F.sum((2 * F.col("dev2_apx") < F.col("mad4_apx")).cast("long")).alias(
+            "mad_rank_lt"
+        ),
+        F.sum((2 * F.col("dev2_apx") <= F.col("mad4_apx")).cast("long")).alias(
+            "mad_rank_le"
+        ),
+        F.max("med_rank_lt").alias("med_rank_lt"),
+        F.max("med_rank_le").alias("med_rank_le"),
+    )
+
+    def _rank_ok(lt: str, le: str) -> Column:
+        return (
+            (
+                2 * acc * F.col(lt)
+                <= acc * F.col("n") + 2 * F.col("n") + 4 * acc
+            )
+            & (
+                2 * acc * F.col(le)
+                >= acc * F.col("n") - 2 * F.col("n") - 4 * acc
+            )
+        )
+
+    return out.select(
+        "event_type",
+        "n",
+        "med2",
+        "mad4",
+        "n_outliers",
+        F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        _rank_ok("med_rank_lt", "med_rank_le").alias("med_rank_ok"),
+        _rank_ok("mad_rank_lt", "mad_rank_le").alias("mad_rank_ok"),
+        (
+            F.abs(F.col("n_outliers_apx") - F.col("n_outliers")) * 1_000_000
+            <= F.col("n") * MAD_CENSUS_MARGIN_PPM + 5 * 1_000_000
+        ).alias("census_close"),
+    )
+
+
+def mad_outliers_approx_oracle() -> str:
+    """The exact columns are :func:`mad_outliers_oracle`'s; the three
+    invariant bits are pinned TRUE — the oracle certifies that the
+    approx path's guarantees actually held in the Spark run."""
+    return f"""
+        WITH c AS (
+            SELECT event_type, {_CENTS_DUCK} AS c FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(2 * c, 0.5)) AS BIGINT) AS med2
+            FROM c GROUP BY event_type
+        ),
+        dev AS (
+            SELECT c.event_type, med2, abs(2 * c.c - med2) AS dev2
+            FROM c JOIN med ON c.event_type = med.event_type
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(round(quantile_cont(2 * dev2, 0.5)) AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT)  AS n,
+               CAST(max(med2) AS BIGINT) AS med2,
+               CAST(max(mad4) AS BIGINT) AS mad4,
+               CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478
+                             THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS outlier_ppm,
+               TRUE AS med_rank_ok,
+               TRUE AS mad_rank_ok,
+               TRUE AS census_close
         FROM dev JOIN mad ON dev.event_type = mad.event_type
         GROUP BY dev.event_type
     """

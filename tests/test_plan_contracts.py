@@ -629,3 +629,27 @@ def test_inspection_path_takes_no_persist(spark, sf_dir):
     ):
         frame.count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_approx_profile_branch_is_expand_free_single_scan(spark, sf_dir):
+    """VERDICT r11 item 2: the documented 100 TB profile path
+    (table_profile approx=True — what q_table_profile_approx
+    certifies) must stay ONE pass: no RewriteDistinctAggregates
+    Expand (which would duplicate the scan stream once per distinct
+    column) and exactly one parquet scan."""
+    from kafka_streams_pipeline_spark.operators.quality import table_profile
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    df = table_profile(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ),
+        approx=True,
+    )
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

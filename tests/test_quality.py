@@ -282,3 +282,23 @@ def test_ref_integrity_counts_nulls_as_orphans(spark):
         "left_only": (2, 1),     # 1 and NULL (as 0)
         "right_only": (1, 9),
     }
+
+
+def test_table_profile_approx_certified_bits(spark, sf_dir):
+    """The certification row's invariant bit is TRUE at the shipped
+    5% tolerance and FALSE somewhere at an impossible 0% tolerance —
+    i.e. the bit actually measures the sketch, it isn't constant."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        table_profile_approx_certified,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    shipped = table_profile_approx_certified(o).collect()
+    assert all(r["hll_within_tol"] for r in shipped)
+    zero_tol = table_profile_approx_certified(o, tol_pct=0).collect()
+    # o_orderkey is high-cardinality: HLL++ at 1% rsd is never exact
+    # there, so the 0%-tolerance bit must flip for at least one column
+    assert not all(r["hll_within_tol"] for r in zero_tol)

@@ -243,3 +243,23 @@ def test_cusum_plan_is_single_shuffle(spark, sf_dir):
     plan = je.explainString(mode)
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_mad_outliers_approx_invariants(spark, sf_dir):
+    """Shipped gates all TRUE, and the exact columns agree with the
+    exact twin row-for-row — the certification row is a strict
+    superset of q_anomaly_mad plus the invariant bits."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        mad_outliers,
+        mad_outliers_approx,
+    )
+    from kafka_streams_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    apx = {r["event_type"]: r for r in mad_outliers_approx(ev).collect()}
+    exact = {r["event_type"]: r for r in mad_outliers(ev).collect()}
+    assert set(apx) == set(exact)
+    for et, r in apx.items():
+        assert r["med_rank_ok"] and r["mad_rank_ok"] and r["census_close"]
+        for col in ("n", "med2", "mad4", "n_outliers", "outlier_ppm"):
+            assert r[col] == exact[et][col], (et, col)
