@@ -47,6 +47,7 @@ Arrow batch memory when payloads are large.
 from __future__ import annotations
 
 import functools
+import gzip
 import hashlib
 import struct
 import zlib
@@ -2601,48 +2602,81 @@ def _warc_record_id(seed: str) -> str:
     )
 
 
+def _warc_record_bytes(
+    warc_type: str, headers: list[tuple[str, str]], block: bytes
+) -> bytes:
+    """One serialized WARC/1.0 record: version line + named fields +
+    CRLF + Content-Length block + CRLFCRLF."""
+    out = bytearray()
+    out.extend(_WARC_VERSION)
+    all_headers = [("WARC-Type", warc_type)] + headers + [
+        ("WARC-Date", _WARC_DATE),
+        ("Content-Length", str(len(block))),
+    ]
+    for k, v in all_headers:
+        out.extend(f"{k}: {v}\r\n".encode())
+    out.extend(b"\r\n")
+    out.extend(block)
+    out.extend(b"\r\n\r\n")
+    return bytes(out)
+
+
+def _warc_shard_records(
+    records: list[tuple[str, bytes]],
+) -> list[bytes]:
+    """The shard's record serializations in order: one warcinfo, then
+    one response per (target-uri, payload) — shared by the plain and
+    gzip-member writers so both layouts carry identical record
+    bytes."""
+    info = b"software: kafka-streams-pipeline-spark\r\n"
+    recs = [
+        _warc_record_bytes(
+            "warcinfo",
+            [
+                ("WARC-Record-ID", _warc_record_id("warcinfo")),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info,
+        )
+    ]
+    for uri, payload in records:
+        recs.append(
+            _warc_record_bytes(
+                "response",
+                [
+                    ("WARC-Target-URI", uri),
+                    ("WARC-Record-ID", _warc_record_id(uri)),
+                    ("Content-Type", "text/plain"),
+                ],
+                payload,
+            )
+        )
+    return recs
+
+
 def build_warc_shard(records: list[tuple[str, bytes]]) -> bytes:
     """Byte-deterministic WARC/1.0 shard: one warcinfo record, then
-    one response record per (target-uri, payload). Every record is
-    version line + named fields + CRLF + Content-Length block +
-    CRLFCRLF; record ids derive from the uri (md5-as-uuid), date is
-    fixed — identical inputs always produce identical shard bytes
-    (reproducible shards = dedupable shards, same rule as the tar
-    writer)."""
-    out = bytearray()
+    one response record per (target-uri, payload). Record ids derive
+    from the uri (md5-as-uuid), date is fixed — identical inputs
+    always produce identical shard bytes (reproducible shards =
+    dedupable shards, same rule as the tar writer)."""
+    return b"".join(_warc_shard_records(records))
 
-    def emit(warc_type: str, headers: list[tuple[str, str]], block: bytes):
-        out.extend(_WARC_VERSION)
-        all_headers = [("WARC-Type", warc_type)] + headers + [
-            ("WARC-Date", _WARC_DATE),
-            ("Content-Length", str(len(block))),
-        ]
-        for k, v in all_headers:
-            out.extend(f"{k}: {v}\r\n".encode())
-        out.extend(b"\r\n")
-        out.extend(block)
-        out.extend(b"\r\n\r\n")
 
-    info = b"software: kafka-streams-pipeline-spark\r\n"
-    emit(
-        "warcinfo",
-        [
-            ("WARC-Record-ID", _warc_record_id("warcinfo")),
-            ("Content-Type", "application/warc-fields"),
-        ],
-        info,
+def build_warc_gz_shard(records: list[tuple[str, bytes]]) -> bytes:
+    """The compressed Common Crawl layout (.warc.gz): each WARC
+    record compressed as an INDEPENDENT gzip member (mtime 0, fixed
+    level — byte-deterministic), members concatenated. Per-record
+    members are what make web-scale WARC splittable/seekable: a
+    reader can start at any member boundary without inflating the
+    prefix, and record offsets in an index (CDX) address members
+    directly. Concatenation invariant: gunzip of the whole shard is
+    bit-identical to :func:`build_warc_shard` of the same records
+    (pinned in pytest)."""
+    return b"".join(
+        gzip.compress(rec, compresslevel=9, mtime=0)
+        for rec in _warc_shard_records(records)
     )
-    for uri, payload in records:
-        emit(
-            "response",
-            [
-                ("WARC-Target-URI", uri),
-                ("WARC-Record-ID", _warc_record_id(uri)),
-                ("Content-Type", "text/plain"),
-            ],
-            payload,
-        )
-    return bytes(out)
 
 
 def parse_warc_records(blob: bytes) -> list[tuple[str, str, bytes]]:
@@ -2693,6 +2727,102 @@ def parse_warc_records(blob: bytes) -> list[tuple[str, str, bytes]]:
             )
         )
     return records
+
+
+def parse_warc_gz_records(
+    blob: bytes,
+) -> list[tuple[int, str, str, bytes]]:
+    """Strict gzip-member WARC walk →
+    [(member_idx, warc_type, target_uri, block)]. Per the Common
+    Crawl layout each gzip member must inflate to EXACTLY ONE WARC
+    record; a missing gzip magic, a truncated member (no BFINAL/CRC
+    trailer), trailing garbage, or a member holding zero/multiple
+    records raises — the same fail-loud contract as the plain
+    walker, applied at both the member and the record layer."""
+    out: list[tuple[int, str, str, bytes]] = []
+    off = 0
+    n = len(blob)
+    member_idx = 0
+    while off < n:
+        if blob[off : off + 2] != b"\x1f\x8b":
+            raise ValueError(
+                f"gzip member magic missing at offset {off}"
+            )
+        d = zlib.decompressobj(wbits=31)
+        try:
+            inflated = d.decompress(blob[off:])
+        except zlib.error as e:
+            raise ValueError(
+                f"corrupt gzip member at offset {off}: {e}"
+            ) from e
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member at offset {off}"
+            )
+        off = n - len(d.unused_data)
+        recs = parse_warc_records(inflated)
+        if len(recs) != 1:
+            raise ValueError(
+                f"gzip member {member_idx} holds {len(recs)} WARC "
+                "records; the .warc.gz layout requires exactly one "
+                "per member"
+            )
+        wtype, uri, block = recs[0]
+        out.append((member_idx, wtype, uri, block))
+        member_idx += 1
+    return out
+
+
+WARC_GZ_RECORD_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("member_idx", LongType()),
+        StructField("uri", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def unwarc_gz_records(df: DataFrame) -> DataFrame:
+    """mapInPandas shard explosion for .warc.gz: (shard_id, payload)
+    → one row per RESPONSE record with its gzip MEMBER INDEX, target
+    uri, block byte length, and block md5 (warcinfo members are
+    consumed and skipped, but still advance the member index — the
+    emitted member_idx is the record's physical position in the
+    member chain, what a CDX index would address). Payloads never
+    shuffle — partition-local codec boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for midx, wtype, uri, block in parse_warc_gz_records(
+                    bytes(payload)
+                ):
+                    if wtype != "response":
+                        continue
+                    rows.append(
+                        (
+                            int(shard_id),
+                            midx,
+                            uri,
+                            len(block),
+                            hashlib.md5(block).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id",
+                    "member_idx",
+                    "uri",
+                    "n_bytes",
+                    "payload_md5",
+                ],
+            )
+
+    return df.mapInPandas(run, WARC_GZ_RECORD_SCHEMA)
 
 
 def unwarc_records(df: DataFrame) -> DataFrame:

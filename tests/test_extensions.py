@@ -2376,6 +2376,50 @@ def test_warc_shard_roundtrip_and_fail_loud():
         parse_warc_records(b"NOT-WARC" + blob)
 
 
+def test_warc_gz_shard_members_and_fail_loud():
+    """gzip-member WARC (.warc.gz, the Common Crawl layout):
+    byte-deterministic; gunzip of the whole shard is bit-identical
+    to the PLAIN shard of the same records (member concatenation
+    invariant — proves both layouts carry the same record bytes);
+    member indices are physical positions; and member-layer
+    corruption (bad magic, truncated member, a member holding two
+    records) raises."""
+    import gzip as _gz
+
+    import pytest
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        build_warc_gz_shard,
+        build_warc_shard,
+        parse_warc_gz_records,
+    )
+
+    records = [
+        ("https://x/1", b"hello"),
+        ("https://x/2", "café ☃".encode()),
+        ("https://x/3", b""),
+    ]
+    blob = build_warc_gz_shard(records)
+    assert build_warc_gz_shard(records) == blob
+    # external anchor: stdlib gunzip of concatenated members ==
+    # the plain-layout shard, byte for byte
+    assert _gz.decompress(blob) == build_warc_shard(records)
+    parsed = parse_warc_gz_records(blob)
+    assert [m for m, t, u, b in parsed] == [0, 1, 2, 3]
+    assert parsed[0][1] == "warcinfo"
+    assert [(u, b) for m, t, u, b in parsed[1:]] == records
+    with pytest.raises(ValueError):
+        parse_warc_gz_records(b"XX" + blob)  # magic missing
+    with pytest.raises(ValueError):
+        parse_warc_gz_records(blob[:-4])  # truncated final member
+    # a member holding TWO records violates the layout
+    two = _gz.compress(
+        build_warc_shard([("https://x/9", b"z")]), compresslevel=9, mtime=0
+    )
+    with pytest.raises(ValueError):
+        parse_warc_gz_records(two)
+
+
 def test_phrase_search_adjacency_and_duplicates(spark, tmp_path):
     """search_phrase: adjacency required (conjunctive-but-separated
     docs are rejected), repeated-token phrases need genuinely
