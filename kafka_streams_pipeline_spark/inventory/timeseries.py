@@ -691,6 +691,21 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.event_pattern_matches(_t(spark, sf_dir, "events"))
 
 
+@register("q_event_pattern_gaps", oracle=_ts.event_pattern_funnel_oracle())
+def q_event_pattern_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12o (CEP, VERDICT r11 item 6): the skip-gap form the strict
+    detector cannot express — click→click→purchase where steps may
+    be separated by arbitrary other events, within the same budget
+    (funnel/conversion semantics, MATCH_RECOGNIZE ``A ANY* B ANY*
+    C``). Exists-a-chain reduces to the greedy earliest-next-step
+    chain (minimal completion is monotone in step positions), so the
+    detector is m−1 reverse running-min window folds sharing ONE
+    per-user descending sort — still no state machine, no self-join,
+    single shuffle. See operators/timeseries.py
+    event_pattern_funnel."""
+    return _ts.event_pattern_funnel(_t(spark, sf_dir, "events"))
+
+
 @register(
     "q_store_partition_evolution",
     oracle="""

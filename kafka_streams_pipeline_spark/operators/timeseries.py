@@ -882,3 +882,120 @@ def event_pattern_matches_oracle(
         FROM seq WHERE {conds}
         GROUP BY user_id
     """
+
+
+# --- Skip-gap event patterns (round 12) --------------------------------------
+# The strict-consecutive detector above is the MATCH_RECOGNIZE
+# default; real funnel/conversion analytics need the "eventually
+# follows within budget" form — pattern elements separated by
+# arbitrary non-matching events (VERDICT r11 item 6).
+
+
+def event_pattern_funnel(
+    events: DataFrame,
+    pattern: tuple[str, ...] = ("click", "click", "purchase"),
+    within_minutes: int = PATTERN_WINDOW_MIN,
+) -> DataFrame:
+    """Skip-gap CEP: per user, count the start events from which the
+    pattern EVENTUALLY completes within the budget — steps must
+    appear in order but arbitrary other events may sit between them
+    (the SQL MATCH_RECOGNIZE ``A ANY* B ANY* C`` / funnel-analytics
+    form the strict detector cannot express).
+
+    No state machine and no self-join: "∃ a chain completing within
+    the budget" ⟺ "the GREEDY earliest-next-step chain completes
+    within the budget", because the minimal completion time is
+    monotone in each step's position (from an earlier step-k event,
+    every suffix available to a later one is still available — the
+    standard exchange argument). So compute, right-to-left over one
+    per-user DESCENDING sort, comp_k(row) = earliest completion of
+    the remaining pattern strictly after this row: a reverse
+    running-min window per pattern step
+    (min over rows AFTER the current of comp_{k+1}, restricted to
+    type p_{k+1}). All m−1 window folds share the ONE sort; the
+    final match test is a per-row predicate. Single shuffle, single
+    sort — same contract as the strict twin; embarrassingly parallel
+    across users at 100 TB.
+
+    Output per user with ≥1 matching start: match count + first
+    matching start's event id (same shape as the strict twin, so the
+    two certify side by side). Engine-exact: integer µs spans."""
+    m = len(pattern)
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cols = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    # comp_{m-1}: a last-step event completes at its own timestamp
+    cols = cols.withColumn(
+        f"comp{m - 1}",
+        F.when(F.col("event_type") == pattern[m - 1], F.col("us")),
+    )
+    for k in range(m - 2, -1, -1):
+        # earliest completion of steps k+1.. strictly after this row;
+        # comp{k+1} is null on non-p_{k+1} rows, so the min already
+        # ranges over exactly the candidate next-step events
+        cols = cols.withColumn(
+            f"comp{k}",
+            F.when(
+                F.col("event_type") == pattern[k],
+                F.min(F.col(f"comp{k + 1}")).over(w_desc),
+            ),
+        )
+    matches = cols.where(
+        F.col("comp0").isNotNull()
+        & (F.col("comp0") - F.col("us") <= within_minutes * 60_000_000)
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("event_id").alias("first_match_event_id"),
+    )
+
+
+def event_pattern_funnel_oracle(
+    pattern: tuple[str, ...] = ("click", "click", "purchase"),
+    within_minutes: int = PATTERN_WINDOW_MIN,
+) -> str:
+    """The identical right-to-left reverse-window recursion in DuckDB
+    (chained CTEs — one per pattern step, same window text)."""
+    m = len(pattern)
+    ctes = [
+        f"""
+        s{m - 1} AS (
+            SELECT user_id, event_id, ts, event_type,
+                   epoch_us(ts) AS us,
+                   CASE WHEN event_type = '{pattern[m - 1]}'
+                        THEN epoch_us(ts) END AS comp{m - 1}
+            FROM events
+        )"""
+    ]
+    for k in range(m - 2, -1, -1):
+        ctes.append(f"""
+        s{k} AS (
+            SELECT user_id, event_id, ts, event_type, us,
+                   CASE WHEN event_type = '{pattern[k]}'
+                        THEN min(comp{k + 1}) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                   END AS comp{k}
+            FROM s{k + 1}
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(event_id) AS BIGINT) AS first_match_event_id
+        FROM s0
+        WHERE comp0 IS NOT NULL
+          AND comp0 - us <= {within_minutes * 60_000_000}
+        GROUP BY user_id
+    """

@@ -653,3 +653,14 @@ def test_approx_profile_branch_is_expand_free_single_scan(spark, sf_dir):
     plan = je.explainString(mode)
     assert "Expand" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_event_pattern_funnel_is_single_shuffle(spark, sf_dir):
+    """The skip-gap CEP must keep the strict twin's contract: all
+    m−1 reverse window folds share ONE user-keyed hash exchange and
+    ONE descending sort — a per-step exchange or sort would make the
+    funnel m× the cost of the strict detector at 100 TB."""
+    plan = _plan(spark, sf_dir, "q_event_pattern_gaps")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan

@@ -263,3 +263,78 @@ def test_mad_outliers_approx_invariants(spark, sf_dir):
         assert r["med_rank_ok"] and r["mad_rank_ok"] and r["census_close"]
         for col in ("n", "med2", "mad4", "n_outliers", "outlier_ppm"):
             assert r[col] == exact[et][col], (et, col)
+
+
+def _typed_events(spark, rows):
+    """rows: (event_id, user_id, iso_ts, event_type) → events frame."""
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime.fromisoformat(ts), uid, et, 1.0, "{}")
+            for (eid, uid, ts, et) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_event_pattern_funnel_gaps_budget_and_greedy(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        event_pattern_funnel,
+    )
+
+    # user 1: a x b x c — strict-consecutive fails, skip-gap matches
+    # user 2: a b c but the completion exceeds the 10-minute budget
+    # user 3: a, b@+1m (whose own c is far), b@+8m, c@+9m — the
+    #         greedy chain through the EARLIEST b still completes at
+    #         the same minimal time (monotone completion), match
+    # user 4: c b a — order wrong, no match
+    e = _typed_events(
+        spark,
+        [
+            (10, 1, "2024-01-01T00:00:00", "a"),
+            (11, 1, "2024-01-01T00:01:00", "x"),
+            (12, 1, "2024-01-01T00:02:00", "b"),
+            (13, 1, "2024-01-01T00:03:00", "x"),
+            (14, 1, "2024-01-01T00:04:00", "c"),
+            (20, 2, "2024-01-01T00:00:00", "a"),
+            (21, 2, "2024-01-01T00:01:00", "b"),
+            (22, 2, "2024-01-01T00:30:00", "c"),
+            (30, 3, "2024-01-01T00:00:00", "a"),
+            (31, 3, "2024-01-01T00:01:00", "b"),
+            (32, 3, "2024-01-01T00:08:00", "b"),
+            (33, 3, "2024-01-01T00:09:00", "c"),
+            (40, 4, "2024-01-01T00:00:00", "c"),
+            (41, 4, "2024-01-01T00:01:00", "b"),
+            (42, 4, "2024-01-01T00:02:00", "a"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+        for r in event_pattern_funnel(
+            e, pattern=("a", "b", "c"), within_minutes=10
+        ).collect()
+    }
+    assert got == {1: (1, 10), 3: (1, 30)}
+
+
+def test_event_pattern_funnel_counts_every_matching_start(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        event_pattern_funnel,
+    )
+
+    # two a's share the same b,c completion: both starts count
+    # (same every-starting-row convention as the strict twin)
+    e = _typed_events(
+        spark,
+        [
+            (1, 7, "2024-01-01T00:00:00", "a"),
+            (2, 7, "2024-01-01T00:01:00", "a"),
+            (3, 7, "2024-01-01T00:02:00", "b"),
+            (4, 7, "2024-01-01T00:03:00", "c"),
+        ],
+    )
+    rows = event_pattern_funnel(
+        e, pattern=("a", "b", "c"), within_minutes=10
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_matches"], rows[0]["first_match_event_id"]) == (2, 1)
