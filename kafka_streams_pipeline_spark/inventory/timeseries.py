@@ -12,6 +12,7 @@ carry the proofs and the 100 TB plan shapes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streams_pipeline_spark.inventory._registry import register
 from kafka_streams_pipeline_spark.inventory._shared import _t
@@ -794,3 +795,159 @@ def q_store_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "phase string, a long, b long")
+
+
+@register(
+    "q_store_retention",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (
+            SELECT ((min(us) + (max(us) - min(us)) // 3)
+                    // 86400000000) * 86400000000           AS day_cut,
+                   ((min(us) + (2 * (max(us) - min(us))) // 3)
+                    // 3600000000) * 3600000000             AS hour_cut
+            FROM c
+        ),
+        g AS (
+            SELECT user_id, cents,
+                   CASE WHEN us < day_cut THEN 'day'
+                        WHEN us < hour_cut THEN 'hour'
+                        ELSE 'raw' END AS grain,
+                   CASE WHEN us < day_cut
+                            THEN (us // 86400000000) * 86400000000
+                        WHEN us < hour_cut
+                            THEN (us // 3600000000) * 3600000000
+                        ELSE us END AS bucket_us
+            FROM c, b
+        ),
+        per_bucket AS (
+            SELECT grain, user_id, bucket_us,
+                   count(*) AS n, sum(cents) AS s
+            FROM g GROUP BY 1, 2, 3
+        )
+        SELECT grain,
+               CAST(count(*) AS BIGINT)  AS n_buckets,
+               CAST(sum(n) AS BIGINT)    AS n_samples,
+               CAST(sum(s) AS BIGINT)    AS cents_checksum,
+               CAST(4 AS BIGINT)         AS batches_removed,
+               CAST(4 AS BIGINT)         AS manifests_removed,
+               TRUE                      AS vacuum_blocked,
+               TRUE                      AS rollup_idempotent,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS tag_rows
+        FROM per_bucket GROUP BY grain
+    """,
+)
+def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12p (TSDB lifecycle, VERDICT r11 item 7): the TimescaleDB
+    retention/downsampling policy over the versioned store — raw
+    samples commit in three age batches; samples older than 2/3 of
+    the time span roll to HOURLY aggregates, older than 1/3 to
+    DAILY (sources/versioned.retention_rollup: one aggregation pass,
+    algebraic measures, replace-history commit); a pinned tag at the
+    pre-rollup version BLOCKS the raw-batch vacuum loudly and keeps
+    the pre-rollup read bit-reproducible; deleting the tag lets
+    vacuum reclaim all four pre-rollup/rolled-over batches. The
+    certified row binds, per grain, the post-rollup bucket count /
+    sample count / cents checksum (conservation: sums are invariant
+    under rollup — the oracle recomputes them from raw events with
+    the same cutoff arithmetic), plus the lifecycle facts: vacuum
+    counts, the tag block, tag-read row count, and rollup IDEMPOTENCE
+    (second rollup == first, checked exceptAll both ways before the
+    vacuum). See sources/versioned.py retention_rollup /
+    vacuum_corpus / tag_corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        delete_tag,
+        read_corpus,
+        read_corpus_tag,
+        retention_rollup,
+        tag_corpus,
+        vacuum_corpus,
+    )
+
+    c = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("bucket_us"),
+        F.expr("cast(round(value * 100) as long)").alias("cents"),
+    )
+    tmin, tmax = c.agg(F.min("bucket_us"), F.max("bucket_us")).collect()[0]
+    span = tmax - tmin
+    day_cut = tmin + span // 3
+    hour_cut = tmin + (2 * span) // 3
+    raw = c.select(
+        "user_id",
+        "bucket_us",
+        F.lit("raw").alias("grain"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("cents").alias("sum_cents"),
+        F.col("cents").alias("min_cents"),
+        F.col("cents").alias("max_cents"),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-retention-")
+    store = os.path.join(base, "sensor")
+    try:
+        commit_corpus(
+            raw.where(F.col("bucket_us") < day_cut), store, "oldest third"
+        )
+        commit_corpus(
+            raw.where(
+                (F.col("bucket_us") >= day_cut)
+                & (F.col("bucket_us") < hour_cut)
+            ),
+            store,
+            "middle third",
+        )
+        v3 = commit_corpus(
+            raw.where(F.col("bucket_us") >= hour_cut), store, "newest third"
+        )
+        tag_corpus(store, "pre-rollup", v3)
+        v4 = retention_rollup(spark, store, hour_cut, day_cut)
+        v5 = retention_rollup(spark, store, hour_cut, day_cut)
+        a, b = read_corpus(spark, store, v4), read_corpus(spark, store, v5)
+        idempotent = (
+            a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        )
+        blocked = False
+        try:
+            vacuum_corpus(store, v5)
+        except ValueError:
+            blocked = True
+        tag_rows = read_corpus_tag(spark, store, "pre-rollup").count()
+        delete_tag(store, "pre-rollup")
+        stats = vacuum_corpus(store, v5)
+        out = (
+            read_corpus(spark, store, v5)
+            .groupBy("grain")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum("n").cast("long").alias("n_samples"),
+                F.sum("sum_cents").cast("long").alias("cents_checksum"),
+            )
+            .select(
+                "grain",
+                "n_buckets",
+                "n_samples",
+                "cents_checksum",
+                F.lit(stats["batches_removed"])
+                .cast("long")
+                .alias("batches_removed"),
+                F.lit(stats["manifests_removed"])
+                .cast("long")
+                .alias("manifests_removed"),
+                F.lit(blocked).alias("vacuum_blocked"),
+                F.lit(idempotent).alias("rollup_idempotent"),
+                F.lit(tag_rows).cast("long").alias("tag_rows"),
+            )
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

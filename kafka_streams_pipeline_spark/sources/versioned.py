@@ -687,6 +687,119 @@ def compact_corpus(
     )
 
 
+_US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 24 * _US_PER_HOUR
+_GRAIN_RANK = {"raw": 0, "hour": 1, "day": 2}
+
+
+def retention_rollup(
+    spark: SparkSession,
+    store_dir: str,
+    hour_cutoff_us: int,
+    day_cutoff_us: int,
+    series_col: str = "user_id",
+    note: str = "retention-rollup",
+) -> int:
+    """TimescaleDB-style retention/downsampling policy as a store
+    lifecycle operation (VERDICT r11 item 7) — the move a TSDB makes
+    above the reference's hourly view shape
+    (ingestion/KafkaStreamsAggregator.java:103-105): raw samples age
+    into hourly aggregates, hourly into daily, and the reclaimed raw
+    batches are vacuum's job afterwards.
+
+    Schema convention (multi-grain hypertable rows):
+    ``(series_col, bucket_us, grain, n, sum_cents, min_cents,
+    max_cents)`` with ``grain ∈ {raw, hour, day}`` — raw samples are
+    degenerate aggregates (n=1, sum=min=max). All four measures are
+    ALGEBRAIC, so hour→day is a re-aggregation of hour rows, never a
+    re-read of raw.
+
+    Policy: a row whose bucket start is older than ``day_cutoff_us``
+    must be at day grain; older than ``hour_cutoff_us`` at least
+    hour grain (``day_cutoff_us < hour_cutoff_us`` — the day
+    boundary is further in the past). A row never REFINES: the
+    target grain is the coarsest of its current grain and the
+    age-mandated one, which makes the operation IDEMPOTENT — rolling
+    an already-rolled store is the identity (pinned in pytest and in
+    the certified row's invariant column).
+
+    Plan: ONE aggregation pass over the pinned version — grain/bucket
+    reassignment is a per-row expression, then a single hash shuffle
+    on (series, grain, bucket). The result commits with
+    ``replace_history=True`` (the checkpoint lineage cut), so a
+    subsequent ``vacuum_corpus(keep_from_version=<returned>)``
+    reclaims every pre-rollup raw batch — and the vacuum's
+    pinned-tag guard applies unchanged: a tag still naming a
+    pre-rollup version blocks the reclaim loudly.
+
+    CHUNK ALIGNMENT: each cutoff is floor-aligned to its target
+    grain's boundary (day cutoff to a day start, hour cutoff to an
+    hour start — the TimescaleDB rule: retention drops whole chunks,
+    never partial ones). Without alignment the operation is not
+    idempotent: a sample just above the day cutoff can land in an
+    hour bucket whose START is below the cutoff, and the next rollup
+    would re-roll that hour into a day — aligned cutoffs make
+    "sample older than cutoff" and "bucket starts before cutoff"
+    the same predicate at every grain.
+
+    Returns the committed version number."""
+    from pyspark.sql import functions as F
+
+    if not day_cutoff_us < hour_cutoff_us:
+        raise ValueError(
+            "day_cutoff_us must be older (smaller) than hour_cutoff_us"
+        )
+    day_cutoff_us -= day_cutoff_us % _US_PER_DAY
+    hour_cutoff_us -= hour_cutoff_us % _US_PER_HOUR
+    pinned = latest_version(store_dir)
+    df = read_corpus(spark, store_dir, pinned)
+    rank = (
+        F.when(F.col("grain") == "day", 2)
+        .when(F.col("grain") == "hour", 1)
+        .otherwise(0)
+    )
+    mandated = (
+        F.when(F.col("bucket_us") < day_cutoff_us, 2)
+        .when(F.col("bucket_us") < hour_cutoff_us, 1)
+        .otherwise(0)
+    )
+    tgt = F.greatest(rank, mandated)
+    rolled = (
+        df.withColumn("__tgt", tgt)
+        .select(
+            series_col,
+            F.when(F.col("__tgt") == 2, F.lit("day"))
+            .when(F.col("__tgt") == 1, F.lit("hour"))
+            .otherwise(F.lit("raw"))
+            .alias("grain"),
+            F.when(
+                F.col("__tgt") == 2,
+                F.expr(f"(bucket_us div {_US_PER_DAY}) * {_US_PER_DAY}"),
+            )
+            .when(
+                F.col("__tgt") == 1,
+                F.expr(f"(bucket_us div {_US_PER_HOUR}) * {_US_PER_HOUR}"),
+            )
+            .otherwise(F.col("bucket_us"))
+            .alias("bucket_us"),
+            "n",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+        )
+        .groupBy(series_col, "grain", "bucket_us")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return commit_corpus(
+        rolled, store_dir, note, replace_history=True, expect_latest=pinned
+    )
+
+
 def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
     """The store's commit log as a queryable frame — the DESCRIBE
     HISTORY analogue: one row per READABLE version (vacuumed

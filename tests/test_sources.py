@@ -1128,3 +1128,90 @@ def test_store_text_index_search_prune_and_guards(spark, tmp_path):
     found2, stats2 = search_text_index(spark, store, ["gamma"])
     assert sorted(r["doc_id"] for r in found2.collect()) == [1, 5]
     assert stats2 == {"batches_total": 3, "batches_scanned": 2}
+
+
+def test_retention_rollup_aligned_idempotent_and_conserving(spark, tmp_path):
+    """retention_rollup: chunk-aligned grain assignment (a sample
+    just past an unaligned day cutoff must NOT land in an hour
+    bucket starting before it), measure conservation (sum of n /
+    sum_cents invariant), exact idempotence, and the replace-history
+    commit enabling vacuum of the raw batches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        retention_rollup,
+        vacuum_corpus,
+    )
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+    base_us = 400 * DAY  # day-aligned epoch base
+    # samples: 3 in day territory (two in the same day), 2 in hour
+    # territory (same hour), 2 raw
+    samples = [
+        (1, base_us + 5 * HOUR, 100),
+        (1, base_us + 6 * HOUR, 200),
+        (1, base_us + DAY + 1 * HOUR, 300),
+        (1, base_us + 10 * DAY + 30 * 60_000_000, 400),
+        (1, base_us + 10 * DAY + 45 * 60_000_000, 500),
+        (1, base_us + 20 * DAY, 600),
+        (1, base_us + 20 * DAY + HOUR, 700),
+    ]
+    raw = spark.createDataFrame(
+        [(u, us, "raw", 1, c, c, c) for (u, us, c) in samples],
+        "user_id long, bucket_us long, grain string, n long, "
+        "sum_cents long, min_cents long, max_cents long",
+    )
+    store = str(tmp_path / "sensor")
+    commit_corpus(raw, store, "raw")
+    # deliberately UNALIGNED cutoffs: +1 µs past the boundary
+    day_cut = base_us + 2 * DAY + 1
+    hour_cut = base_us + 11 * DAY + 1
+    v2 = retention_rollup(spark, store, hour_cut, day_cut)
+    got = {
+        (r["grain"], r["bucket_us"]): (r["n"], r["sum_cents"],
+                                       r["min_cents"], r["max_cents"])
+        for r in read_corpus(spark, store, v2).collect()
+    }
+    assert got == {
+        ("day", base_us): (2, 300, 100, 200),
+        ("day", base_us + DAY): (1, 300, 300, 300),
+        ("hour", base_us + 10 * DAY): (2, 900, 400, 500),
+        ("raw", base_us + 20 * DAY): (1, 600, 600, 600),
+        ("raw", base_us + 20 * DAY + HOUR): (1, 700, 700, 700),
+    }
+    # idempotence: second rollup with identical cutoffs is identity
+    v3 = retention_rollup(spark, store, hour_cut, day_cut)
+    a, b = read_corpus(spark, store, v2), read_corpus(spark, store, v3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # replace-history lineage: vacuum reclaims the raw + first-rollup
+    # batches, and the retained read is unchanged
+    stats = vacuum_corpus(store, v3)
+    assert stats == {"batches_removed": 2, "manifests_removed": 2}
+    assert read_corpus(spark, store, v3).count() == 5
+
+
+def test_retention_rollup_rejects_inverted_cutoffs(spark, tmp_path):
+    import pytest
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        retention_rollup,
+    )
+
+    store = str(tmp_path / "s")
+    commit_corpus(
+        spark.createDataFrame(
+            [(1, 0, "raw", 1, 1, 1, 1)],
+            "user_id long, bucket_us long, grain string, n long, "
+            "sum_cents long, min_cents long, max_cents long",
+        ),
+        store,
+        "x",
+    )
+    with pytest.raises(ValueError):
+        retention_rollup(spark, store, hour_cutoff_us=5, day_cutoff_us=9)
