@@ -951,3 +951,122 @@ def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_streaming_event_pattern", oracle=_ts.event_pattern_funnel_oracle()
+)
+def q_streaming_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12q (streaming CEP): the skip-gap funnel run NATIVELY as a
+    per-user NFA in applyInPandasWithState over a REAL availableNow
+    replay (one file per micro-batch, pending chains crossing batch
+    boundaries, event-time eviction bounding state to one budget
+    window per user) — certified against the SAME oracle as the
+    batch q_event_pattern_gaps: the NFA advance IS the greedy
+    earliest-next-step chain the batch reverse-window identity
+    computes, so the final emissions match the batch operator
+    value-for-value. Completes the batch/streaming twin discipline
+    for the CEP family (as view/streaming_view, cusum, counter,
+    TWA, OHLC before it). See streaming/stateful.py
+    funnel_user_state."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        funnel_user_state,
+    )
+
+    rows = sorted(
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+        .collect(),
+        key=lambda r: (r["us"], r["event_id"]),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-funnelrep-")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    n_chunks = 5
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    mtime0 = _time.time() - 86_400
+    for c in range(n_chunks):
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        # ascending mtimes: file-stream replay order is mtime order
+        os.utime(path, (mtime0 + c, mtime0 + c))
+    batches: list = []
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        funnel_user_state(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "availableNow funnel replay timed out after 300 s"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["user_id"]] = r
+    out = [
+        (r["user_id"], r["n_matches"], r["first_match_event_id"])
+        for r in final.values()
+        if r["n_matches"] > 0
+    ]
+    return spark.createDataFrame(
+        out,
+        "user_id long, n_matches bigint, first_match_event_id bigint",
+    )
+
+
+@register("q_sensor_gaps", oracle=_ts.sensor_gaps_oracle())
+def q_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12r (TSDB quality): dead-man / absent-data detection — per
+    user series, every inter-sample gap beyond the 36 h heartbeat
+    threshold, reported as a census (count, longest gap + the event
+    id opening it, summed gap time). The audit complement of
+    q_gapfill_locf's synthesis. One lag() over the per-user sort;
+    the groupBy reuses the window exchange — single shuffle. See
+    operators/timeseries.py sensor_gaps."""
+    return _ts.sensor_gaps(_t(spark, sf_dir, "events"))
+
+
+@register("q_percentile_binned", oracle=_ts.binned_percentiles_oracle())
+def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12s (TSDB serving): the MIRRORABLE approximate-percentile
+    path — fixed-width histogram bins + float-free cumulative rank
+    read (cum·100 ≥ q·n), p50/p95 per event_type with error bounded
+    by the bin width BY CONSTRUCTION. Unlike the GK-sketch path
+    (q_anomaly_mad_approx, certified by rank invariants), this
+    deterministic form hash-matches the oracle value-for-value. At
+    100 TB: one aggregate to (event_type × bin) — constant-size
+    groups, no per-group sort, no full-width percentile buffer. See
+    operators/timeseries.py binned_percentiles."""
+    return _ts.binned_percentiles(_t(spark, sf_dir, "events"))

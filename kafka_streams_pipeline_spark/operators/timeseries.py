@@ -999,3 +999,196 @@ def event_pattern_funnel_oracle(
           AND comp0 - us <= {within_minutes * 60_000_000}
         GROUP BY user_id
     """
+
+
+# --- Sensor gap detection (round 12) -----------------------------------------
+
+# Heartbeat threshold: the fixture's per-user cadence is ~2 events/
+# day, so 36 h marks genuine dead-air stretches while keeping the
+# flagged set non-trivial at the certification SFs.
+GAP_THRESHOLD_US = 36 * 3_600_000_000
+
+
+def sensor_gaps(
+    events: DataFrame, threshold_us: int = GAP_THRESHOLD_US
+) -> DataFrame:
+    """Dead-man / absent-data detection per series (the Prometheus
+    ``absent()`` / TSDB heartbeat question): flag every inter-sample
+    gap longer than ``threshold_us`` and report, per user, the gap
+    census — count, the longest gap, the summed gap time, and the
+    event id OPENING the longest gap (ties to the earliest). The
+    complement of q_gapfill_locf: that row synthesizes values into
+    gaps, this one audits where the gaps are.
+
+    Plan: one lag() over the per-user sort, then the same-key
+    groupBy reuses the window's exchange — ONE shuffle, ONE sort,
+    the module contract. Engine-exact integer µs."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).select(
+        "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+        F.lag("event_id").over(w).alias("opens_id"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum((F.col("gap_us") > threshold_us).cast("long"))
+            .alias("n_gaps"),
+            F.max(
+                F.when(F.col("gap_us") > threshold_us, F.col("gap_us"))
+            ).alias("max_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") > threshold_us, F.col("gap_us"))
+                .otherwise(0)
+            ).cast("long").alias("gap_us_total"),
+            # longest gap's opening event id, ties to the earliest:
+            # lexicographic struct-min over (−gap, opens_id)
+            F.min(
+                F.when(
+                    F.col("gap_us") > threshold_us,
+                    F.struct(
+                        (-F.col("gap_us")).alias("ng"),
+                        F.col("opens_id").alias("oid"),
+                    ),
+                )
+            ).getField("oid").alias("longest_gap_opens_id"),
+        )
+        .where(F.col("n_gaps") > 0)
+        .select(
+            "user_id",
+            "n_samples",
+            "n_gaps",
+            F.col("max_gap_us").cast("long").alias("max_gap_us"),
+            "gap_us_total",
+            F.col("longest_gap_opens_id").cast("long")
+            .alias("longest_gap_opens_id"),
+        )
+    )
+
+
+def sensor_gaps_oracle(threshold_us: int = GAP_THRESHOLD_US) -> str:
+    return f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+                   lag(event_id) OVER w AS opens_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        a AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(CASE WHEN gap_us > {threshold_us}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+                   CAST(max(CASE WHEN gap_us > {threshold_us}
+                                 THEN gap_us END) AS BIGINT) AS max_gap_us,
+                   CAST(sum(CASE WHEN gap_us > {threshold_us}
+                                 THEN gap_us ELSE 0 END) AS BIGINT)
+                       AS gap_us_total
+            FROM g GROUP BY user_id
+        )
+        SELECT a.user_id, n_samples, n_gaps, max_gap_us, gap_us_total,
+               CAST((SELECT min(opens_id) FROM g
+                     WHERE g.user_id = a.user_id
+                       AND g.gap_us = a.max_gap_us) AS BIGINT)
+                   AS longest_gap_opens_id
+        FROM a WHERE n_gaps > 0
+    """
+
+
+# --- Deterministic binned percentile (round 12) -------------------------------
+
+PCTL_BIN_CENTS = 50
+
+
+def binned_percentiles(
+    events: DataFrame, bin_cents: int = PCTL_BIN_CENTS
+) -> DataFrame:
+    """The MIRRORABLE approximate-percentile path: fixed-width
+    histogram binning with a float-free cumulative rank read — the
+    production pattern when the approx path itself must be
+    deterministic and engine-portable (unlike GK/KLL sketches, whose
+    merge order is engine-internal; q_anomaly_mad_approx certifies
+    that family by rank invariants instead). Error is bounded by the
+    bin width BY CONSTRUCTION, and both engines compute bit-identical
+    results, so the certification is a full value hash-match, not a
+    pinned invariant.
+
+    Per event_type: n, and the p50/p95 bin lower bounds (cents),
+    where pXX_bin = the smallest bin whose cumulative count reaches
+    the target rank — ``cum·100 ≥ q·n`` in pure integers (the
+    float-free rank read; VERDICT r9 learning).
+
+    Plan at 100 TB: ONE aggregate to (event_type × bin) — thousands
+    of constant-size groups, no per-group sort, no full-width
+    percentile buffer — then a bin-count-sized window. The exact
+    percentile needs the values; this needs the histogram."""
+    b = events.select(
+        "event_type",
+        F.expr(f"({_CENTS} div {bin_cents}) * {bin_cents}").alias("bin"),
+    )
+    hist = b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 50 * F.col("n"), F.col("bin"))
+            ).cast("long").alias("p50_bin_cents"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 95 * F.col("n"), F.col("bin"))
+            ).cast("long").alias("p95_bin_cents"),
+        )
+        .select("event_type", "n", "p50_bin_cents", "p95_bin_cents")
+    )
+
+
+def binned_percentiles_oracle(bin_cents: int = PCTL_BIN_CENTS) -> str:
+    return f"""
+        WITH b AS (
+            SELECT event_type,
+                   ({_CENTS_DUCK} // {bin_cents}) * {bin_cents} AS bin
+            FROM events
+        ),
+        hist AS (
+            SELECT event_type, bin, count(*) AS c
+            FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum * 100 >= 50 * n THEN bin END)
+                    AS BIGINT) AS p50_bin_cents,
+               CAST(min(CASE WHEN cum * 100 >= 95 * n THEN bin END)
+                    AS BIGINT) AS p95_bin_cents
+        FROM cum GROUP BY event_type
+    """

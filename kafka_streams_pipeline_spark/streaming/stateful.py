@@ -664,3 +664,105 @@ def counter_sensor_state(readings: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming skip-gap CEP (round 12) ---------------------------------------
+
+FUNNEL_OUTPUT = (
+    "user_id bigint, n_matches bigint, first_match_event_id bigint"
+)
+# pending chains per progress level (level j = steps 0..j matched,
+# waiting for step j+1), as parallel (start_us, start_event_id)
+# arrays — variable-length but WATERMARK-BOUNDED: a start older than
+# (current event time − budget) can never complete within the budget
+# (the greedy completion is minimal), so it is evicted on every
+# event. State size is therefore O(events inside one budget window
+# per user), not O(stream).
+FUNNEL_STATE = (
+    "p0us array<bigint>, p0id array<bigint>, "
+    "p1us array<bigint>, p1id array<bigint>, "
+    "n bigint, first bigint"
+)
+
+
+def funnel_user_state(
+    events: DataFrame,
+    pattern: tuple[str, str, str] = ("click", "click", "purchase"),
+    within_minutes: int = 14_400,
+) -> DataFrame:
+    """Streaming skip-gap CEP — the stateful twin of
+    operators/timeseries.event_pattern_funnel, as a per-user NFA run
+    NATIVELY in applyInPandasWithState (the deployment shape: match
+    funnels as events arrive, state crossing micro-batches).
+
+    Semantics are bit-tied to the batch reverse-window identity: a
+    start event matches iff the GREEDY earliest-next-step chain
+    completes within the budget, and the NFA advance IS that greedy
+    chain — on each event of type t, every pending chain at level
+    j−1 with pattern[j] == t advances (levels processed in
+    DESCENDING order so one event never serves two steps of the same
+    chain), completions are counted iff their span fits, and expired
+    starts are evicted (greedy completion is minimal, so an
+    over-budget completion proves no chain fits — same reason
+    eviction by event-time is lossless). Emissions per batch carry
+    the running census; the LAST batch's row per user equals the
+    batch operator's output.
+
+    Three-step patterns only (the state schema carries two pending
+    levels); generalizing is schema plumbing, not algorithm."""
+    budget_us = within_minutes * 60_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            p0us, p0id, p1us, p1id, n, first = state.get
+            p0 = [(int(u), int(i)) for u, i in zip(p0us, p0id)]
+            p1 = [(int(u), int(i)) for u, i in zip(p1us, p1id)]
+            n, first = int(n), int(first)
+        else:
+            p0, p1, n, first = [], [], 0, -1
+        for pdf in pdfs:
+            srt = pdf.sort_values(["us", "event_id"])
+            for us, eid, et in zip(
+                srt["us"], srt["event_id"], srt["event_type"]
+            ):
+                us, eid = int(us), int(eid)
+                horizon = us - budget_us
+                p0 = [s for s in p0 if s[0] >= horizon]
+                p1 = [s for s in p1 if s[0] >= horizon]
+                # NFA advance, descending level order
+                if et == pattern[2] and p1:
+                    for s_us, s_id in p1:
+                        if us - s_us <= budget_us:
+                            n += 1
+                            if first < 0 or s_id < first:
+                                first = s_id
+                    p1 = []
+                if et == pattern[1] and p0:
+                    p1 = p1 + p0
+                    p0 = []
+                if et == pattern[0]:
+                    p0 = p0 + [(us, eid)]
+        state.update((
+            [s[0] for s in p0], [s[1] for s in p0],
+            [s[0] for s in p1], [s[1] for s in p1],
+            n, first,
+        ))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_matches": [n],
+                "first_match_event_id": [first],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        FUNNEL_OUTPUT,
+        FUNNEL_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -597,3 +597,94 @@ def test_streaming_twa_settles_across_batch_boundary(
         if e["n_samples"] > 1:
             multi += 1
     assert multi > 0  # the comparison actually exercised weighted spans
+
+
+def test_funnel_state_matches_batch_across_boundaries(spark, tmp_path):
+    """Streaming skip-gap CEP == batch event_pattern_funnel on a
+    constructed sequence whose chains deliberately STRADDLE
+    micro-batch boundaries (start in chunk 0, middle step in chunk 1,
+    completion in chunk 2), plus an over-budget chain and an
+    eviction-era start."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        event_pattern_funnel,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        funnel_user_state,
+    )
+
+    MIN = 60_000_000
+    rows = [
+        # user 1: a(chunk0) → b(chunk1) → c(chunk2), within budget
+        {"user_id": 1, "event_id": 1, "us": 0 * MIN, "event_type": "a"},
+        {"user_id": 1, "event_id": 2, "us": 1 * MIN, "event_type": "x"},
+        {"user_id": 1, "event_id": 3, "us": 4 * MIN, "event_type": "b"},
+        {"user_id": 1, "event_id": 4, "us": 8 * MIN, "event_type": "c"},
+        # user 2: completion exceeds the 10-minute budget (evicted
+        # start — state must not keep it)
+        {"user_id": 2, "event_id": 5, "us": 0 * MIN, "event_type": "a"},
+        {"user_id": 2, "event_id": 6, "us": 5 * MIN, "event_type": "b"},
+        {"user_id": 2, "event_id": 7, "us": 30 * MIN, "event_type": "c"},
+        # user 3: two starts sharing one completion
+        {"user_id": 3, "event_id": 8, "us": 0 * MIN, "event_type": "a"},
+        {"user_id": 3, "event_id": 9, "us": 1 * MIN, "event_type": "a"},
+        {"user_id": 3, "event_id": 10, "us": 2 * MIN, "event_type": "b"},
+        {"user_id": 3, "event_id": 11, "us": 3 * MIN, "event_type": "c"},
+    ]
+    rows.sort(key=lambda r: (r["us"], r["event_id"]))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n_chunks = 3
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    m0 = _time.time() - 86_400
+    for c in range(n_chunks):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (m0 + c, m0 + c))
+    batches = []
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        funnel_user_state(
+            stream, pattern=("a", "b", "c"), within_minutes=10
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {}
+    for b in batches:
+        for r in b:
+            final[r["user_id"]] = (r["n_matches"], r["first_match_event_id"])
+    streaming = {u: v for u, v in final.items() if v[0] > 0}
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["us"], r["user_id"], r["event_type"]) for r in rows],
+        "event_id long, us long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    expected = {
+        r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+        for r in event_pattern_funnel(
+            batch_df, pattern=("a", "b", "c"), within_minutes=10
+        ).collect()
+    }
+    assert streaming == expected == {1: (1, 1), 3: (2, 8)}

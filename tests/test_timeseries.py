@@ -338,3 +338,54 @@ def test_event_pattern_funnel_counts_every_matching_start(spark):
     ).collect()
     assert len(rows) == 1
     assert (rows[0]["n_matches"], rows[0]["first_match_event_id"]) == (2, 1)
+
+
+def test_sensor_gaps_census(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        sensor_gaps,
+    )
+
+    # user 1: gaps of 2h and 5h around a 1h threshold → 2 gaps,
+    # longest 5h opened by event 12; user 2: dense, no gaps
+    e = _events(
+        spark,
+        [
+            (10, 1, "2024-01-01T00:00:00", 1.0),
+            (11, 1, "2024-01-01T02:00:00", 1.0),
+            (12, 1, "2024-01-01T02:30:00", 1.0),
+            (13, 1, "2024-01-01T07:30:00", 1.0),
+            (20, 2, "2024-01-01T00:00:00", 1.0),
+            (21, 2, "2024-01-01T00:30:00", 1.0),
+        ],
+    )
+    rows = {
+        r["user_id"]: r
+        for r in sensor_gaps(e, threshold_us=3_600_000_000).collect()
+    }
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r["n_samples"] == 4 and r["n_gaps"] == 2
+    assert r["max_gap_us"] == 5 * 3_600_000_000
+    assert r["gap_us_total"] == 7 * 3_600_000_000
+    assert r["longest_gap_opens_id"] == 12
+
+
+def test_binned_percentiles_rank_read(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        binned_percentiles,
+    )
+
+    # 20 samples 0.50..10.00 step 0.50 (cents 50..1000); bin width 50
+    # → each value its own bin start. p50: rank ceil(0.5*20)=10 →
+    # cum*100 >= 50*20 first at the 10th bin = 500; p95: 19th = 950.
+    e = _events(
+        spark,
+        [
+            (i, 1, f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00", 0.5 * (i + 1))
+            for i in range(20)
+        ],
+    )
+    row = binned_percentiles(e).collect()[0]
+    assert row["n"] == 20
+    assert row["p50_bin_cents"] == 500
+    assert row["p95_bin_cents"] == 950
