@@ -1217,6 +1217,75 @@ def q_media_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_warc_cdx",
+    oracle="""
+        SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,
+               CAST(doc_id % 25 + 1 AS BIGINT) AS member_idx,
+               'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+                   AS uri,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5,
+               TRUE AS seek_ok
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4n CDX random-access index over .warc.gz (round 12): the
+    Common Crawl access pattern — a CDX entry's (offset, length)
+    addresses one gzip member so a reader inflates ONE record via a
+    byte-range fetch. The certified row carries the index's
+    oracle-exact fields (shard, member position, uri, block length,
+    block md5) plus ``seek_ok``: each entry is VERIFIED by
+    re-slicing exactly payload[offset:offset+length], inflating that
+    slice alone, and md5-matching the block against the full-walk
+    record — offsets are not oracle-expressible (DuckDB cannot
+    gzip), so the round-trip proof is in the row where a wrong byte
+    range flips the pinned-TRUE bit. See operators/multimodal.py
+    warc_gz_cdx/_warc_gz_members."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        shards.setdefault(r["doc_id"] // 25, []).append(
+            (
+                f"https://corpus.example/doc/{r['doc_id']}",
+                r["text"].encode(),
+            )
+        )
+    base = tempfile.mkdtemp(prefix="kspipeline-warccdx-")
+    try:
+        for sid, records in shards.items():
+            with open(
+                os.path.join(base, f"shard{sid:05d}.warc.gz"), "wb"
+            ) as f:
+                f.write(_mm.build_warc_gz_shard(records))
+        bf = spark.read.format("binaryFile").load(base + "/*.warc.gz")
+        out = _mm.warc_gz_cdx(
+            bf.select(
+                F.regexp_extract(
+                    F.col("path"), r"shard(\d{5})\.warc\.gz$", 1
+                )
+                .cast("long")
+                .alias("shard_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "q_media_zip_shards",
     oracle="""
         SELECT CAST(doc_id // 25 AS BIGINT) AS shard_id,

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -2729,17 +2730,14 @@ def parse_warc_records(blob: bytes) -> list[tuple[str, str, bytes]]:
     return records
 
 
-def parse_warc_gz_records(
+def _warc_gz_members(
     blob: bytes,
-) -> list[tuple[int, str, str, bytes]]:
-    """Strict gzip-member WARC walk →
-    [(member_idx, warc_type, target_uri, block)]. Per the Common
-    Crawl layout each gzip member must inflate to EXACTLY ONE WARC
-    record; a missing gzip magic, a truncated member (no BFINAL/CRC
-    trailer), trailing garbage, or a member holding zero/multiple
-    records raises — the same fail-loud contract as the plain
-    walker, applied at both the member and the record layer."""
-    out: list[tuple[int, str, str, bytes]] = []
+) -> Iterator[tuple[int, int, int, bytes]]:
+    """Strict gzip-member walk → (member_idx, byte_offset,
+    byte_length, inflated). A missing gzip magic, a truncated member
+    (no BFINAL/CRC trailer), or corrupt deflate data raises — the
+    same fail-loud contract as the plain walker, applied at the
+    member layer."""
     off = 0
     n = len(blob)
     member_idx = 0
@@ -2759,7 +2757,23 @@ def parse_warc_gz_records(
             raise ValueError(
                 f"truncated gzip member at offset {off}"
             )
-        off = n - len(d.unused_data)
+        end = n - len(d.unused_data)
+        yield member_idx, off, end - off, inflated
+        off = end
+        member_idx += 1
+
+
+def parse_warc_gz_records(
+    blob: bytes,
+) -> list[tuple[int, str, str, bytes]]:
+    """Strict gzip-member WARC walk →
+    [(member_idx, warc_type, target_uri, block)]. Per the Common
+    Crawl layout each gzip member must inflate to EXACTLY ONE WARC
+    record; member-layer violations raise in
+    :func:`_warc_gz_members`, zero/multiple records per member
+    raise here."""
+    out: list[tuple[int, str, str, bytes]] = []
+    for member_idx, _off, _length, inflated in _warc_gz_members(blob):
         recs = parse_warc_records(inflated)
         if len(recs) != 1:
             raise ValueError(
@@ -2769,7 +2783,6 @@ def parse_warc_gz_records(
             )
         wtype, uri, block = recs[0]
         out.append((member_idx, wtype, uri, block))
-        member_idx += 1
     return out
 
 
@@ -2823,6 +2836,81 @@ def unwarc_gz_records(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, WARC_GZ_RECORD_SCHEMA)
+
+
+WARC_CDX_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("member_idx", LongType()),
+        StructField("uri", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("seek_ok", BooleanType()),
+    ]
+)
+
+
+def warc_gz_cdx(df: DataFrame) -> DataFrame:
+    """CDX-style random-access index over .warc.gz shards — the
+    Common Crawl access pattern: a CDX row's (offset, length)
+    addresses one gzip member, so a reader fetches and inflates a
+    single record without touching the rest of the shard (HTTP range
+    requests at web scale). Per RESPONSE record: shard, member
+    index, uri, block length, block md5, and ``seek_ok`` — the index
+    entry VERIFIED by actually re-slicing payload[offset:offset+len],
+    inflating that slice alone, and md5-matching its block against
+    the full-walk record (an index pointing at the wrong byte range
+    flips the bit). Offsets themselves are not oracle-expressible
+    (DuckDB cannot gzip), which is exactly why the round-trip proof
+    is part of the certified row. Payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_id, payload in zip(pdf["shard_id"], pdf["payload"]):
+                blob = bytes(payload)
+                for midx, off, length, inflated in _warc_gz_members(blob):
+                    recs = parse_warc_records(inflated)
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"member {midx}: {len(recs)} records"
+                        )
+                    wtype, uri, block = recs[0]
+                    if wtype != "response":
+                        continue
+                    # the seek: inflate ONLY the indexed byte range
+                    sliced = blob[off : off + length]
+                    d = zlib.decompressobj(wbits=31)
+                    seek_block = parse_warc_records(d.decompress(sliced))
+                    seek_ok = (
+                        d.eof
+                        and not d.unused_data
+                        and len(seek_block) == 1
+                        and seek_block[0][2] == block
+                    )
+                    rows.append(
+                        (
+                            int(shard_id),
+                            midx,
+                            uri,
+                            len(block),
+                            hashlib.md5(block).hexdigest(),
+                            bool(seek_ok),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id",
+                    "member_idx",
+                    "uri",
+                    "n_bytes",
+                    "payload_md5",
+                    "seek_ok",
+                ],
+            )
+
+    return df.mapInPandas(run, WARC_CDX_SCHEMA)
 
 
 def unwarc_records(df: DataFrame) -> DataFrame:

@@ -2542,3 +2542,41 @@ def test_partition_evolution_prunes_per_batch_spec(spark, tmp_path):
         r[0] for r in rows if r[2] == "de"
     )
     assert stats2["dirs_scanned"] == 3 + 3  # old: all; new: the 3 lang=de
+
+
+def test_warc_gz_cdx_offsets_address_single_members():
+    """_warc_gz_members yields (offset, length) ranges that tile the
+    shard exactly and each slice inflates standalone to its record;
+    a shifted range must NOT verify."""
+    import zlib as _z
+
+    from kafka_streams_pipeline_spark.operators.multimodal import (
+        _warc_gz_members,
+        build_warc_gz_shard,
+        parse_warc_records,
+    )
+
+    records = [("https://x/1", b"alpha"), ("https://x/2", b"beta")]
+    blob = build_warc_gz_shard(records)
+    members = list(_warc_gz_members(blob))
+    # ranges tile the shard: contiguous, full coverage
+    pos = 0
+    for midx, off, length, inflated in members:
+        assert off == pos
+        pos += length
+        # standalone inflate of exactly that slice reproduces the
+        # member
+        d = _z.decompressobj(wbits=31)
+        assert d.decompress(blob[off : off + length]) == inflated
+        assert d.eof and not d.unused_data
+        assert len(parse_warc_records(inflated)) == 1
+    assert pos == len(blob)
+    # a shifted range is not a valid member
+    _m, off1, len1, _b = members[1]
+    d = _z.decompressobj(wbits=31)
+    try:
+        d.decompress(blob[off1 - 1 : off1 - 1 + len1])
+        bad_ok = d.eof
+    except _z.error:
+        bad_ok = False
+    assert not bad_ok

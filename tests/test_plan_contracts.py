@@ -664,3 +664,25 @@ def test_event_pattern_funnel_is_single_shuffle(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_sensor_gaps_single_shuffle(spark, sf_dir):
+    """Gap census: the lag window and the same-key groupBy must share
+    one user-keyed exchange and one sort."""
+    plan = _plan(spark, sf_dir, "q_sensor_gaps")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_binned_percentiles_no_fullwidth_sort(spark, sf_dir):
+    """The binned percentile must aggregate to (event_type × bin)
+    BEFORE any sort — the whole point is that the row-width data
+    never sorts. The only sorts allowed are over the bin-count-sized
+    histogram (inside the cumulative window)."""
+    plan = _plan(spark, sf_dir, "q_percentile_binned")
+    # the scan feeds a hash aggregate, not a sort: the first Sort in
+    # the plan must sit ABOVE the partial aggregate output
+    scan_to_agg = plan.split("Sort")[0]
+    assert "HashAggregate" in scan_to_agg, plan
+    assert "percentile" not in plan.lower(), plan
