@@ -692,7 +692,11 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.event_pattern_matches(_t(spark, sf_dir, "events"))
 
 
-@register("q_event_pattern_gaps", oracle=_ts.event_pattern_funnel_oracle())
+@register(
+    "q_event_pattern_gaps",
+    bench=True,
+    oracle=_ts.event_pattern_funnel_oracle(),
+)
 def q_event_pattern_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12o (CEP, VERDICT r11 item 6): the skip-gap form the strict
     detector cannot express — click→click→purchase where steps may
@@ -1058,7 +1062,11 @@ def q_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.sensor_gaps(_t(spark, sf_dir, "events"))
 
 
-@register("q_percentile_binned", oracle=_ts.binned_percentiles_oracle())
+@register(
+    "q_percentile_binned",
+    bench=True,
+    oracle=_ts.binned_percentiles_oracle(),
+)
 def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12s (TSDB serving): the MIRRORABLE approximate-percentile
     path — fixed-width histogram bins + float-free cumulative rank
