@@ -351,7 +351,12 @@ _RECHECK: list[str] = [
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round.
-_DEFERRED: list[str] = []
+_DEFERRED: list[str] = [
+    # round-12 late addition: the r12 window is exactly filled by the
+    # 9 headline registrations + 23 on-deck + 3 rechecks + 15 r7
+    # re-certs — this one certifies in the r13 window instead.
+    "q_lttb_downsample",
+]
 
 
 def driver_order() -> list[str]:

@@ -1078,3 +1078,18 @@ def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, no per-group sort, no full-width percentile buffer. See
     operators/timeseries.py binned_percentiles."""
     return _ts.binned_percentiles(_t(spark, sf_dir, "events"))
+
+
+@register("q_lttb_downsample", oracle=_ts.lttb_downsample_oracle())
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12t (TSDB serving, round 12 — deferred cert → r13 window):
+    LTTB display downsampling (Steinarsson 2013) — per series keep
+    first/last plus the largest-triangle point per bucket against
+    the next bucket's centroid; selection is sequential across
+    buckets, so the per-series fold runs in applyInPandas (the
+    per-series-sequential contract of the streaming TSDB states;
+    ONE shuffle). Exact integer cross-multiplied areas (Python ints
+    Spark-side, HUGEINT oracle-side); the oracle unrolls the
+    recursion as chained CTEs since the bucket count is a constant.
+    See operators/timeseries.py lttb_downsample."""
+    return _ts.lttb_downsample(_t(spark, sf_dir, "events"))

@@ -25,6 +25,7 @@ path swaps ``percentile`` for ``approx_percentile`` unchanged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1191,4 +1192,170 @@ def binned_percentiles_oracle(bin_cents: int = PCTL_BIN_CENTS) -> str:
                CAST(min(CASE WHEN cum * 100 >= 95 * n THEN bin END)
                     AS BIGINT) AS p95_bin_cents
         FROM cum GROUP BY event_type
+    """
+
+
+# --- LTTB display downsampling (round 12) -------------------------------------
+
+LTTB_BUCKETS = 12
+
+
+def lttb_downsample(events: DataFrame, n_out: int = LTTB_BUCKETS) -> DataFrame:
+    """Largest-Triangle-Three-Buckets display downsampling
+    (Steinarsson 2013, public literature — the Grafana/TSDB
+    "downsample for plotting" default): per series keep the first
+    and last points plus, per middle bucket, the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the NEXT
+    bucket's centroid — the visually-dominant extremes survive where
+    naive striding drops them.
+
+    Selection is sequential ACROSS buckets (bucket k's pick depends
+    on bucket k−1's), so the per-series fold runs in applyInPandas —
+    the same per-series-sequential contract as the streaming TSDB
+    states; series are the parallel unit at 100 TB and each holds
+    bounded points. ONE shuffle (the groupBy key).
+
+    Engine-exact: areas compare as the cross-multiplied integer
+    |2·A·cnt_next| = |(x_a·cnt − Σx_next)·(y_b − y_a) −
+    (x_a − x_b)·(y_a·cnt − Σy_next)| over µs-recentred x (x = us −
+    series tmin) and integer cents y — Python ints Spark-side
+    (arbitrary precision), HUGEINT casts oracle-side; ties break to
+    the earlier point. Series with ≤ n_out points pass through
+    unchanged. Output: (user_id, sel_order, us, cents)."""
+    pts = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr(_CENTS).alias("y"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        uid = int(pdf["user_id"].iloc[0])
+        xs_abs = [int(v) for v in pdf["us"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(pdf)
+        if n <= n_out:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * n,
+                    "sel_order": list(range(n)),
+                    "us": xs_abs,
+                    "cents": ys,
+                }
+            )
+        tmin = xs_abs[0]
+        xs = [v - tmin for v in xs_abs]
+        B = n_out - 2
+        m = n - 2
+        # bucket k (1..B) holds 1-based idx 2..n-1; bucket B+1 is the
+        # final point — the uniform "next" target for bucket B
+        buckets: dict[int, list[int]] = {k: [] for k in range(1, B + 2)}
+        for idx in range(2, n):  # 1-based middle indices
+            buckets[((idx - 2) * B) // m + 1].append(idx - 1)
+        buckets[B + 1] = [n - 1]
+        sel = [0]  # python indices; first point always kept
+        for k in range(1, B + 1):
+            nxt = buckets[k + 1]
+            cnt = len(nxt)
+            sx = sum(xs[j] for j in nxt)
+            sy = sum(ys[j] for j in nxt)
+            a = sel[-1]
+            best, best_area = None, -1
+            for j in buckets[k]:
+                area = abs(
+                    (xs[a] * cnt - sx) * (ys[j] - ys[a])
+                    - (xs[a] - xs[j]) * (ys[a] * cnt - sy)
+                )
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+        sel.append(n - 1)
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sel),
+                "sel_order": list(range(len(sel))),
+                "us": [xs_abs[j] for j in sel],
+                "cents": [ys[j] for j in sel],
+            }
+        )
+
+    return pts.groupBy("user_id").applyInPandas(
+        fn, "user_id long, sel_order long, us long, cents long"
+    )
+
+
+def lttb_downsample_oracle(n_out: int = LTTB_BUCKETS) -> str:
+    """The identical selection unrolled as chained CTEs (one per
+    middle bucket — n_out is a constant, so the sequential recursion
+    needs no WITH RECURSIVE): each step picks argmax area against
+    the previous selection via QUALIFY row_number, HUGEINT casts
+    keep the cross-multiply exact."""
+    B = n_out - 2
+    ctes = [f"""
+        pts AS (
+            SELECT user_id, epoch_us(ts) AS us0,
+                   CAST(round(value * 100) AS BIGINT) AS y,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   min(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmin
+            FROM events
+        ),
+        p AS (
+            SELECT user_id, idx, n, us0, us0 - tmin AS x, y FROM pts
+        ),
+        small AS (
+            SELECT user_id, CAST(idx - 1 AS BIGINT) AS sel_order,
+                   us0, y
+            FROM p WHERE n <= {n_out}
+        ),
+        big AS (
+            SELECT *, CASE WHEN idx = 1 THEN 0
+                           WHEN idx = n THEN {B + 1}
+                           ELSE ((idx - 2) * {B}) // (n - 2) + 1
+                      END AS b
+            FROM p WHERE n > {n_out}
+        ),
+        agg AS (
+            SELECT user_id, b, count(*) AS cnt,
+                   sum(x) AS sx, sum(y) AS sy
+            FROM big GROUP BY 1, 2
+        ),
+        sel0 AS (
+            SELECT user_id, idx, us0, x, y FROM big WHERE b = 0
+        )"""]
+    for k in range(1, B + 1):
+        ctes.append(f"""
+        sel{k} AS (
+            SELECT s.user_id, c.idx, c.us0, c.x, c.y
+            FROM sel{k - 1} s
+            JOIN big c ON c.user_id = s.user_id AND c.b = {k}
+            JOIN agg t ON t.user_id = s.user_id AND t.b = {k + 1}
+            QUALIFY row_number() OVER (
+                PARTITION BY s.user_id
+                ORDER BY abs(CAST(s.x * t.cnt - t.sx AS HUGEINT)
+                               * CAST(c.y - s.y AS HUGEINT)
+                             - CAST(s.x - c.x AS HUGEINT)
+                               * CAST(s.y * t.cnt - t.sy AS HUGEINT))
+                         DESC, c.idx) = 1
+        )""")
+    sel_union = "\n            UNION ALL\n".join(
+        f"            SELECT user_id, {k} AS sel_order, us0, y FROM sel{k}"
+        for k in range(B + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)},
+        selected AS (
+{sel_union}
+            UNION ALL
+            SELECT user_id, {B + 1} AS sel_order, us0, y
+            FROM big WHERE b = {B + 1}
+        )
+        SELECT user_id, CAST(sel_order AS BIGINT) AS sel_order,
+               CAST(us0 AS BIGINT) AS us, CAST(y AS BIGINT) AS cents
+        FROM selected
+        UNION ALL
+        SELECT user_id, sel_order, CAST(us0 AS BIGINT), CAST(y AS BIGINT)
+        FROM small
     """

@@ -389,3 +389,27 @@ def test_binned_percentiles_rank_read(spark):
     assert row["n"] == 20
     assert row["p50_bin_cents"] == 500
     assert row["p95_bin_cents"] == 950
+
+
+def test_lttb_keeps_extremes_and_endpoints(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    # 30 flat samples with one huge spike mid-series: LTTB at 6
+    # output points must keep first, last, and the spike (naive
+    # striding at this rate would drop it)
+    rows = []
+    for i in range(30):
+        v = 100.0 if i == 17 else 1.0
+        rows.append((i, 1, f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00", v))
+    out = lttb_downsample(_events(spark, rows), n_out=6).collect()
+    assert len(out) == 6
+    cents = [r["cents"] for r in sorted(out, key=lambda r: r["sel_order"])]
+    assert cents[0] == 100 and cents[-1] == 100  # endpoints
+    assert 10000 in cents  # the spike survived
+    # short series pass through unchanged
+    short = lttb_downsample(
+        _events(spark, rows[:4]), n_out=6
+    ).collect()
+    assert len(short) == 4
