@@ -356,6 +356,7 @@ _DEFERRED: list[str] = [
     # 9 headline registrations + 23 on-deck + 3 rechecks + 15 r7
     # re-certs — this one certifies in the r13 window instead.
     "q_lttb_downsample",
+    "q_streaming_gaps",
 ]
 
 

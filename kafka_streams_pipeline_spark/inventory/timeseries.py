@@ -957,6 +957,77 @@ def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _replay_events_stream(
+    spark: SparkSession, sf_dir: str, op, n_chunks: int = 5
+) -> dict:
+    """Run ``op`` over an availableNow file stream of the events
+    table in (us, event_id) order (one file per micro-batch so state
+    genuinely crosses batch boundaries; ascending mtimes — the file
+    source replays in MODIFICATION-TIME order) and return the LAST
+    update-mode emission per user_id."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    rows = sorted(
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+        .collect(),
+        key=lambda r: (r["us"], r["event_id"]),
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-evreplay-")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    mtime0 = _time.time() - 86_400
+    for c in range(n_chunks):
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + c, mtime0 + c))
+    batches: list = []
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "availableNow events replay timed out after 300 s"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    final: dict = {}
+    for b in batches:
+        for r in b:
+            final[r["user_id"]] = r
+    return final
+
+
 @register(
     "q_streaming_event_pattern", oracle=_ts.event_pattern_funnel_oracle()
 )
@@ -973,72 +1044,11 @@ def q_streaming_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the CEP family (as view/streaming_view, cusum, counter,
     TWA, OHLC before it). See streaming/stateful.py
     funnel_user_state."""
-    import json as _json
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
     from kafka_streams_pipeline_spark.streaming.stateful import (
         funnel_user_state,
     )
 
-    rows = sorted(
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_micros("ts").alias("us"),
-            "event_type",
-        )
-        .collect(),
-        key=lambda r: (r["us"], r["event_id"]),
-    )
-    base = tempfile.mkdtemp(prefix="kspipeline-funnelrep-")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-    n_chunks = 5
-    per = (len(rows) + n_chunks - 1) // n_chunks
-    mtime0 = _time.time() - 86_400
-    for c in range(n_chunks):
-        path = os.path.join(src, f"chunk{c}.json")
-        with open(path, "w") as f:
-            for r in rows[c * per : (c + 1) * per]:
-                f.write(_json.dumps(r.asDict()) + "\n")
-        # ascending mtimes: file-stream replay order is mtime order
-        os.utime(path, (mtime0 + c, mtime0 + c))
-    batches: list = []
-
-    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
-        batches.append(batch_df.collect())
-
-    stream = (
-        spark.readStream.schema(
-            "user_id long, event_id long, us long, event_type string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .json(src)
-    )
-    q = (
-        funnel_user_state(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "availableNow funnel replay timed out after 300 s"
-            )
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    final: dict = {}
-    for b in batches:
-        for r in b:
-            final[r["user_id"]] = r
+    final = _replay_events_stream(spark, sf_dir, funnel_user_state)
     out = [
         (r["user_id"], r["n_matches"], r["first_match_event_id"])
         for r in final.values()
@@ -1047,6 +1057,41 @@ def q_streaming_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out,
         "user_id long, n_matches bigint, first_match_event_id bigint",
+    )
+
+
+@register("q_streaming_gaps", oracle=_ts.sensor_gaps_oracle())
+def q_streaming_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12u (streaming TSDB, round 12 — deferred cert → r13 window):
+    dead-man/heartbeat gap census maintained across micro-batches —
+    the stateful twin of q_sensor_gaps with O(1) per-user state
+    (last sample + running census), certified against the SAME batch
+    oracle over a real availableNow replay. The equal-max-gap
+    tie-break mirrors the batch lexicographic struct-min (smallest
+    opening event id), not first-processed. See
+    streaming/stateful.py gap_user_state."""
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        gap_user_state,
+    )
+
+    final = _replay_events_stream(spark, sf_dir, gap_user_state)
+    out = [
+        (
+            r["user_id"],
+            r["n_samples"],
+            r["n_gaps"],
+            r["max_gap_us"],
+            r["gap_us_total"],
+            r["longest_gap_opens_id"],
+        )
+        for r in final.values()
+        if r["n_gaps"] > 0
+    ]
+    return spark.createDataFrame(
+        out,
+        "user_id long, n_samples bigint, n_gaps bigint, "
+        "max_gap_us bigint, gap_us_total bigint, "
+        "longest_gap_opens_id bigint",
     )
 
 

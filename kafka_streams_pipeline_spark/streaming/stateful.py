@@ -766,3 +766,79 @@ def funnel_user_state(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming gap census (round 12) ------------------------------------------
+
+GAPS_OUTPUT = (
+    "user_id bigint, n_samples bigint, n_gaps bigint, max_gap_us bigint, "
+    "gap_us_total bigint, longest_gap_opens_id bigint"
+)
+GAPS_STATE = (
+    "last_us bigint, last_id bigint, n bigint, n_gaps bigint, "
+    "max_gap bigint, gap_total bigint, opens_id bigint"
+)
+
+
+def gap_user_state(
+    events: DataFrame, threshold_us: int = 36 * 3_600_000_000
+) -> DataFrame:
+    """Streaming dead-man/heartbeat detection — the stateful twin of
+    operators/timeseries.sensor_gaps (gap detection is inherently a
+    streaming deployment: the alert fires when the NEXT sample
+    finally arrives, or a timeout would fire it; this certified form
+    covers the arrival path). State per user is O(1): last sample
+    (us, id) + the running census. Tie-break mirrors the batch
+    lexicographic struct-min exactly: among equal max gaps, the
+    SMALLEST opening event id wins (not the first-processed one).
+    Emissions per batch carry the running census; the last batch's
+    row equals the batch operator's output."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, last_id, n, n_gaps, max_gap, gap_total, opens = (
+                int(v) if v is not None else None for v in state.get
+            )
+        else:
+            last_us = last_id = opens = None
+            n = n_gaps = max_gap = gap_total = 0
+        for pdf in pdfs:
+            srt = pdf.sort_values(["us", "event_id"])
+            for us, eid in zip(srt["us"], srt["event_id"]):
+                us, eid = int(us), int(eid)
+                if last_us is not None:
+                    gap = us - last_us
+                    if gap > threshold_us:
+                        n_gaps += 1
+                        gap_total += gap
+                        if gap > max_gap:
+                            max_gap, opens = gap, last_id
+                        elif gap == max_gap and last_id < opens:
+                            opens = last_id
+                last_us, last_id = us, eid
+                n += 1
+        state.update(
+            (last_us, last_id, n, n_gaps, max_gap, gap_total, opens)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_samples": [n],
+                "n_gaps": [n_gaps],
+                "max_gap_us": [max_gap if n_gaps else None],
+                "gap_us_total": [gap_total],
+                "longest_gap_opens_id": [opens],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        GAPS_OUTPUT,
+        GAPS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

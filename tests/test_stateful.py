@@ -688,3 +688,58 @@ def test_funnel_state_matches_batch_across_boundaries(spark, tmp_path):
         ).collect()
     }
     assert streaming == expected == {1: (1, 1), 3: (2, 8)}
+
+
+def test_gap_state_tiebreak_matches_batch(spark, tmp_path):
+    """Two EQUAL max gaps arriving in time order with descending
+    opening ids: the streaming census must pick the smallest opening
+    id (the batch struct-min convention), not the first-processed."""
+    import json as _json
+    import os
+    import time as _time
+
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        gap_user_state,
+    )
+
+    H = 3_600_000_000
+    # user 1: events at 0h, 10h (gap 10h opened by id 50), 11h,
+    # 21h (gap 10h opened by id 20) — equal max gaps, ids 50 then 20
+    rows = [
+        {"user_id": 1, "event_id": 50, "us": 0, "event_type": "x"},
+        {"user_id": 1, "event_id": 51, "us": 10 * H, "event_type": "x"},
+        {"user_id": 1, "event_id": 20, "us": 11 * H, "event_type": "x"},
+        {"user_id": 1, "event_id": 21, "us": 21 * H, "event_type": "x"},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    m0 = _time.time() - 86_400
+    for c, chunk in enumerate([rows[:2], rows[2:]]):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (m0 + c, m0 + c))
+    batches = []
+    q = (
+        gap_user_state(
+            spark.readStream.schema(
+                "user_id long, event_id long, us long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src),
+            threshold_us=5 * H,
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {r["user_id"]: r for b in batches for r in b}
+    r = final[1]
+    assert r["n_gaps"] == 2
+    assert r["max_gap_us"] == 10 * H
+    assert r["longest_gap_opens_id"] == 20
+    assert r["gap_us_total"] == 20 * H
