@@ -357,6 +357,7 @@ _DEFERRED: list[str] = [
     # re-certs — this one certifies in the r13 window instead.
     "q_lttb_downsample",
     "q_streaming_gaps",
+    "q_ivm_join",
 ]
 
 

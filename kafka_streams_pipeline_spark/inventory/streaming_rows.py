@@ -3937,3 +3937,131 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_streaming_neardup"] = _neardup_oracle_sql()
+
+
+@register(
+    "q_ivm_join",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, source, n_chars FROM documents
+        ),
+        b AS (SELECT vec_id, label FROM embeddings),
+        j AS (
+            SELECT a.source, a.doc_id, a.n_chars, b.label
+            FROM a JOIN b ON a.doc_id = b.vec_id
+        ),
+        counters AS (
+            SELECT CAST(sum(CASE WHEN doc_id % 10 >= 7
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_delta_a,
+                   (SELECT CAST(sum(CASE WHEN vec_id % 10 >= 5
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM b) AS n_delta_b,
+                   (SELECT CAST(sum(CASE WHEN j.doc_id % 10 >= 7
+                                          OR j.doc_id % 10 >= 5
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM j) AS n_delta_view
+            FROM a
+        )
+        SELECT j.source,
+               CAST(count(*) AS BIGINT)        AS n_rows,
+               CAST(sum(j.n_chars) AS BIGINT)  AS chars_checksum,
+               CAST(sum(j.doc_id) AS BIGINT)   AS id_checksum,
+               CAST(sum(j.label) AS BIGINT)    AS label_checksum,
+               counters.n_delta_a,
+               counters.n_delta_b,
+               counters.n_delta_view
+        FROM j, counters
+        GROUP BY j.source, counters.n_delta_a, counters.n_delta_b,
+                 counters.n_delta_view
+    """,
+)
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9a Incremental view maintenance for a JOIN (round 12 —
+    deferred cert → r13 window): the Materialize/DBSP delta-join rule
+    over the versioned store's CDC feed. Two base stores (documents
+    slice keyed doc_id; embeddings keyed vec_id = the FK) each take a
+    base commit and a delta commit; the JOIN view materializes once
+    from the bases, then the maintenance job computes the insert-only
+    delta rule  ΔJ = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB  (a disjoint
+    decomposition of A_new⋈B_new − A_old⋈B_old) reading the deltas
+    via read_corpus_changes — O(Δ) input on the changed side, never a
+    base re-read — and appends it as the view's v2. The certified
+    output aggregates the MAINTAINED view; the oracle recomputes the
+    FULL join from source tables, so maintained ≡ recomputed is the
+    hash match itself (no invariant bits), and the Δ-row counters
+    (n_delta_a/b/view) bind "the job only touched deltas" into the
+    hash via the modulus construction. See
+    sources/versioned.read_corpus_changes; same lifecycle discipline
+    as q_cms_incremental (sketch IVM) — this row extends IVM from
+    linear sketches to joins."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+        read_corpus_changes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    base = tempfile.mkdtemp(prefix="kspipeline-ivm-")
+    a_store = os.path.join(base, "a")
+    b_store = os.path.join(base, "b")
+    v_store = os.path.join(base, "view")
+    try:
+        commit_corpus(docs.where(F.col("doc_id") % 10 < 7), a_store, "A1")
+        commit_corpus(embs.where(F.col("vec_id") % 10 < 5), b_store, "B1")
+        a1 = read_corpus(spark, a_store, 1)
+        b1 = read_corpus(spark, b_store, 1)
+        j1 = a1.join(b1, a1["doc_id"] == b1["vec_id"]).select(
+            "source", "doc_id", "n_chars", "label"
+        )
+        commit_corpus(j1, v_store, "J1 = A1 join B1")
+        # deltas land
+        commit_corpus(docs.where(F.col("doc_id") % 10 >= 7), a_store, "dA")
+        commit_corpus(embs.where(F.col("vec_id") % 10 >= 5), b_store, "dB")
+        da = read_corpus_changes(spark, a_store, 1, 2).drop("_seq")
+        db = read_corpus_changes(spark, b_store, 1, 2).drop("_seq")
+        n_delta_a, n_delta_b = da.count(), db.count()
+        a2 = read_corpus(spark, a_store, 2)
+        # ΔJ = ΔA ⋈ B_new ∪ A_old ⋈ ΔB (insert-only delta-join rule)
+        dj = (
+            da.join(
+                read_corpus(spark, b_store, 2),
+                da["doc_id"] == F.col("vec_id"),
+            ).select("source", "doc_id", "n_chars", "label")
+        ).unionByName(
+            a1.join(db, a1["doc_id"] == db["vec_id"]).select(
+                "source", "doc_id", "n_chars", "label"
+            )
+        )
+        dj = dj.localCheckpoint(eager=True)
+        n_delta_view = dj.count()
+        commit_corpus(dj, v_store, "dJ maintenance")
+        out = (
+            read_corpus(spark, v_store, 2)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars_checksum"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+                F.sum("label").cast("long").alias("label_checksum"),
+            )
+            .select(
+                "source",
+                "n_rows",
+                "chars_checksum",
+                "id_checksum",
+                "label_checksum",
+                F.lit(n_delta_a).cast("long").alias("n_delta_a"),
+                F.lit(n_delta_b).cast("long").alias("n_delta_b"),
+                F.lit(n_delta_view).cast("long").alias("n_delta_view"),
+            )
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
