@@ -358,6 +358,7 @@ _DEFERRED: list[str] = [
     "q_lttb_downsample",
     "q_streaming_gaps",
     "q_ivm_join",
+    "q_ivm_join_retract",
 ]
 
 

@@ -4065,3 +4065,148 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_ivm_join_retract",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 10 IN (3, 4)
+                        THEN n_chars % 100 + 1000
+                        ELSE n_chars % 100 END AS score
+            FROM documents WHERE doc_id % 10 != 9
+        ),
+        b AS (SELECT vec_id, label FROM embeddings),
+        j AS (
+            SELECT a.source, a.doc_id, a.score, b.label
+            FROM a JOIN b ON a.doc_id = b.vec_id
+        ),
+        counters AS (
+            SELECT (SELECT CAST(sum(CASE WHEN doc_id % 10 IN (3, 4)
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM documents) AS n_rescored,
+                   (SELECT CAST(sum(CASE WHEN doc_id % 10 = 9
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM documents) AS n_takedowns,
+                   (SELECT CAST(count(*) AS BIGINT) FROM j
+                    WHERE doc_id % 10 IN (3, 4)) AS n_view_upserts
+        )
+        SELECT j.source,
+               CAST(count(*) AS BIGINT)       AS n_rows,
+               CAST(sum(j.score) AS BIGINT)   AS score_checksum,
+               CAST(sum(j.doc_id) AS BIGINT)  AS id_checksum,
+               CAST(sum(j.label) AS BIGINT)   AS label_checksum,
+               counters.n_rescored,
+               counters.n_takedowns,
+               counters.n_view_upserts
+        FROM j, counters
+        GROUP BY j.source, counters.n_rescored, counters.n_takedowns,
+                 counters.n_view_upserts
+    """,
+)
+def q_ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9b Retraction-aware join IVM (round 12 — deferred cert → r13
+    window): q_ivm_join handles insert-only streams; real curation
+    UPDATES and RETRACTS (re-scores, takedowns) — the Z-set/DBSP
+    weighted-delta case. Here the JOIN VIEW is itself a MoR store
+    keyed by the join key: base A (all docs, derived score) joins
+    static B into view v1; then A takes one upsert batch (re-scored
+    rows for doc_id%10∈{3,4}, tombstones for %10=9) and the
+    maintenance job turns the CDC feed into view upserts — changed
+    live keys re-join B (O(Δ)⋈B, base never re-read), tombstoned
+    keys become view tombstones (retraction = keyed delete, no old
+    row values needed because latest-wins resolution IS the
+    retraction semantics). Certified: the RESOLVED view
+    (read_corpus_latest) aggregates against the oracle's arithmetic
+    reconstruction of the post-update join, with the Δ counters
+    (rescored/takedowns/view-upserts) bound into the hash. See
+    sources/versioned.upsert_corpus/read_corpus_changes/
+    read_corpus_latest."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        commit_corpus,
+        read_corpus,
+        read_corpus_changes,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("n_chars") % 100).cast("long").alias("score")
+    )
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    base = tempfile.mkdtemp(prefix="kspipeline-ivmret-")
+    a_store = os.path.join(base, "a")
+    v_store = os.path.join(base, "view")
+    try:
+        commit_corpus(docs, a_store, "A base")
+        a1 = read_corpus(spark, a_store, 1)
+        j1 = a1.join(embs, a1["doc_id"] == embs["vec_id"]).select(
+            "doc_id", "source", "score", "label"
+        )
+        commit_corpus(j1, v_store, "view base")
+        # the curation pass: re-score %10∈{3,4}, take down %10=9
+        upsert_corpus(
+            docs.where(F.col("doc_id") % 10 == 9)
+            .select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("long").alias("score"),
+            )
+            .withColumn(TOMBSTONE, F.lit(True))
+            .unionByName(
+                docs.where((F.col("doc_id") % 10).isin(3, 4))
+                .withColumn("score", F.col("score") + 1000)
+                .withColumn(TOMBSTONE, F.lit(False))
+            ),
+            a_store,
+            "doc_id",
+            "curation pass",
+        )
+        da = read_corpus_changes(spark, a_store, 1, 2).drop("_seq")
+        n_rescored = da.where(~F.col(TOMBSTONE)).count()
+        n_takedowns = da.where(F.col(TOMBSTONE)).count()
+        # maintenance: changed live keys re-join B; tombstones pass
+        # through as view tombstones (latest-wins resolution is the
+        # retraction)
+        live = da.where(~F.col(TOMBSTONE))
+        dv_live = live.join(embs, live["doc_id"] == embs["vec_id"]).select(
+            "doc_id", "source", "score", "label"
+        ).withColumn(TOMBSTONE, F.lit(False))
+        dv_tomb = da.where(F.col(TOMBSTONE)).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("long").alias("score"),
+            F.lit(None).cast("int").alias("label"),
+            F.lit(True).alias(TOMBSTONE),
+        )
+        dv = dv_live.unionByName(dv_tomb).localCheckpoint(eager=True)
+        n_view_upserts = dv.where(~F.col(TOMBSTONE)).count()
+        upsert_corpus(dv, v_store, "doc_id", "view maintenance")
+        out = (
+            read_corpus_latest(spark, v_store, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("score").cast("long").alias("score_checksum"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+                F.sum("label").cast("long").alias("label_checksum"),
+            )
+            .select(
+                "source",
+                "n_rows",
+                "score_checksum",
+                "id_checksum",
+                "label_checksum",
+                F.lit(n_rescored).cast("long").alias("n_rescored"),
+                F.lit(n_takedowns).cast("long").alias("n_takedowns"),
+                F.lit(n_view_upserts).cast("long").alias("n_view_upserts"),
+            )
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
