@@ -148,8 +148,14 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     """The declared-query surface must stay JVM-side: BatchEvalPython
     (row-at-a-time Python UDF) may never appear. Arrow-batched nodes
     (MapInPandas/FlatMapGroupsInPandas) are the sanctioned slots and
-    appear only in the media/semantic queries."""
-    sanctioned = re.compile(r"q_media_|q_semantic_dedup|q_multimodal_meta")
+    appear only in the media/semantic queries plus the per-series
+    sequential folds that are applyInPandas BY DESIGN (LTTB's
+    selection depends on the previous bucket's pick; the WARC CDX
+    walks binary shards)."""
+    sanctioned = re.compile(
+        r"q_media_|q_semantic_dedup|q_multimodal_meta"
+        r"|q_lttb_downsample|q_warc_cdx"
+    )
     # Queries that EXECUTE inside the builder (streaming replays,
     # file-format round-trips, collect-and-rebuild operators) return a
     # LocalTableScan — running a full streaming job to inspect an
