@@ -1669,7 +1669,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangle_count",
     bench=True,
     oracle=f"""
-        WITH pairs AS ({_dedup.minhash_pairs_oracle()}),
+        WITH pairs AS MATERIALIZED ({_dedup.minhash_pairs_oracle()}),
         e AS (SELECT DISTINCT id_a, id_b FROM pairs),
         deg AS (
             SELECT n, CAST(count(*) AS BIGINT) AS d
@@ -1789,7 +1789,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_local_clustering",
     oracle=f"""
-        WITH pairs AS ({_dedup.minhash_pairs_oracle()}),
+        WITH pairs AS MATERIALIZED ({_dedup.minhash_pairs_oracle()}),
         e AS (SELECT DISTINCT id_a, id_b FROM pairs),
         deg AS (
             SELECT n, CAST(count(*) AS BIGINT) AS d
@@ -2091,3 +2091,37 @@ _OR["q_ref_integrity"] = _ri_oracle(
     left_table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
     right_table="(SELECT * FROM embeddings WHERE vec_id % 7 != 0)",
 )
+
+
+def _kcore_oracle() -> str:
+    from kafka_streams_pipeline_spark.operators.graph import (
+        kcore_oracle_tail,
+    )
+
+    return f"""
+        WITH pairs AS MATERIALIZED ({_dedup.simhash_hamming_oracle()}),
+        {kcore_oracle_tail().lstrip()}
+    """
+
+
+@register("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (X11e, round 12 — deferred cert → r13 window):
+    k-core decomposition over the SimHash Hamming near-dup graph
+    (the densest certified pair generator — its designed near-dup
+    cliques give a non-trivial 176-node core at the gate SF) — the
+    maximal subgraph of minimum degree ≥ 3, the standard flag for
+    template-farm duplicate clusters (dense cores) vs organic drift
+    (tree-ish components). Bounded peeling: exactly 8 rounds of
+    degree-filter + semi-join prune (localCheckpoint per round), the
+    oracle unrolling the IDENTICAL iterations as chained CTEs, with
+    ``converged`` = last round removed nothing (pinned TRUE at the
+    gate SFs, where fixed-rounds ≡ run-to-fixpoint). Completes the
+    graph family: components, centrality, triangles/clustering,
+    cores. See operators/graph.kcore."""
+    from kafka_streams_pipeline_spark.operators.graph import kcore
+
+    pairs = _dedup.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents")
+    ).select("id_a", "id_b")
+    return kcore(pairs)

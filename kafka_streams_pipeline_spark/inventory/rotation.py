@@ -359,6 +359,7 @@ _DEFERRED: list[str] = [
     "q_streaming_gaps",
     "q_ivm_join",
     "q_ivm_join_retract",
+    "q_kcore",
 ]
 
 

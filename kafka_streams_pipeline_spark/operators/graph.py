@@ -428,3 +428,101 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- k-core decomposition (round 12) ------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def kcore(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core decomposition by bounded iterative peeling (Seidman
+    1983, public literature): repeatedly delete nodes whose degree in
+    the SURVIVING subgraph is < k; the fixpoint is the maximal
+    subgraph with minimum degree ≥ k — the standard filter for
+    spammy, densely-interlinked near-dup clusters (a k-core inside
+    the duplicate graph is template farming; a tree-ish component is
+    organic drift).
+
+    Runs EXACTLY ``rounds`` peel rounds (a fixed constant, so the
+    DuckDB oracle can unroll the identical iterations as chained
+    CTEs — the bounded-recursion move of textrank/bpe/funnel) and
+    emits ``converged`` = (last round removed nothing). Once the
+    fixpoint is reached earlier, the remaining rounds are no-ops, so
+    fixed-rounds ≡ run-to-fixpoint whenever converged is TRUE —
+    which the certified row pins at the gate SFs.
+
+    Scale shape: each round is one degree aggregate + two semi-join
+    prunes over the surviving edge set, localCheckpoint-ed so the
+    plan stays constant-size (round-2 lesson); rounds are
+    corpus-size-independent. Input edges are undirected distinct
+    (id_a < id_b); output one row per surviving node with its core
+    degree."""
+    sym = (
+        edges.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = [sym.count()]
+    for _ in range(rounds):
+        good = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("s")
+        )
+        sym = (
+            sym.join(good, "s")
+            .join(good.withColumnRenamed("s", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(sym.count())
+    converged = counts[-1] == counts[-2]
+    return (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(
+            F.col("s").alias("node"),
+            "core_degree",
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
+def kcore_oracle_tail(
+    k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """The unrolled peel as SQL, expecting a CTE named ``pairs`` with
+    (id_a, id_b) in scope; returns the full statement TAIL (to be
+    appended after `WITH pairs AS (...)`)."""
+    ctes = ["""
+        e0 AS MATERIALIZED (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        n{r} AS MATERIALIZED (
+            SELECT s FROM e{r - 1} GROUP BY s HAVING count(*) >= {k}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.s, e.d FROM e{r - 1} e
+            JOIN n{r} a ON e.s = a.s
+            JOIN n{r} b ON e.d = b.s
+        )""")
+    return f"""
+        {", ".join(ctes)}
+        SELECT s AS node,
+               CAST(count(*) AS BIGINT) AS core_degree,
+               (SELECT count(*) FROM e{rounds})
+                   = (SELECT count(*) FROM e{rounds - 1}) AS converged
+        FROM e{rounds}
+        GROUP BY s
+    """

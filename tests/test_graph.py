@@ -241,3 +241,23 @@ def test_local_clustering_hand_graph(spark):
 
     census = triangle_count(edges).collect()[0]
     assert sum(t for _, t, _ in got.values()) == 3 * census["n_triangles"]
+
+
+def test_kcore_peels_tails_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (degree 3 inside), the chain peels away; converged TRUE."""
+    from kafka_streams_pipeline_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        # K4 on 1-4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         # pendant chain 4-5-6
+         (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r for r in kcore(edges, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r["core_degree"] == 3 for r in out.values())
+    assert all(r["converged"] for r in out.values())
+    # k=4: the K4 has min degree 3 < 4 — empty core
+    assert kcore(edges, k=4).count() == 0
