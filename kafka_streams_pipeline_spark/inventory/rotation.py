@@ -360,6 +360,7 @@ _DEFERRED: list[str] = [
     "q_ivm_join",
     "q_ivm_join_retract",
     "q_kcore",
+    "q_linear_attribution",
 ]
 
 

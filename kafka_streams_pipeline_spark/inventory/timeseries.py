@@ -1138,3 +1138,17 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion as chained CTEs since the bucket count is a constant.
     See operators/timeseries.py lttb_downsample."""
     return _ts.lttb_downsample(_t(spark, sf_dir, "events"))
+
+
+@register("q_linear_attribution", oracle=_ts.linear_attribution_oracle())
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12v (user journeys, round 12 — deferred cert → r13 window):
+    linear multi-touch attribution — each purchase splits one unit
+    of credit (10⁶ ppm) equally across the clicks in its preceding
+    budget window, each click sums the units of the purchases in its
+    following window; the windowed rewrite of the purchase×click
+    interval join (two RANGE frames over ONE per-user sort, single
+    shuffle). Complements last-touch q_asof_attribution.
+    Conservation checksum Σ_p n_p·(10⁶ div n_p) oracle-recomputed.
+    See operators/timeseries.py linear_attribution."""
+    return _ts.linear_attribution(_t(spark, sf_dir, "events"))

@@ -1359,3 +1359,122 @@ def lttb_downsample_oracle(n_out: int = LTTB_BUCKETS) -> str:
         SELECT user_id, sel_order, CAST(us0 AS BIGINT), CAST(y AS BIGINT)
         FROM small
     """
+
+
+# --- Multi-touch attribution (round 12) ----------------------------------------
+
+ATTRIB_WINDOW_MIN = PATTERN_WINDOW_MIN
+
+
+def linear_attribution(
+    events: DataFrame, within_minutes: int = ATTRIB_WINDOW_MIN
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes one
+    unit of credit (1,000,000 ppm) EQUALLY across the clicks in its
+    preceding budget window; every click accumulates credit from the
+    purchases in its following window — the marketing-analytics
+    complement of last-touch q_asof_attribution. Per user:
+    conversions that had ≥1 touch, credited clicks, and the summed
+    click credit (= Σ_p n_p·(10⁶ div n_p) — conservation up to the
+    integer-division remainder, recomputed identically by the
+    oracle).
+
+    Plan: TWO RANGE-frame window passes sharing ONE per-user sort on
+    the µs column (count preceding clicks per purchase; sum following
+    per-purchase credit units per click) — single shuffle, no
+    self-join, no explode; the classic windowed rewrite of the
+    purchase×click interval join. Integer ppm end-to-end."""
+    budget_us = within_minutes * 60_000_000
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-budget_us, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("us").rangeBetween(1, budget_us)
+    )
+    staged = e.withColumn(
+        "n_touch",
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).over(w_prev),
+    ).withColumn(
+        "unit",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("n_touch") > 0),
+            F.expr("1000000 div n_touch"),
+        ).otherwise(F.lit(0)),
+    )
+    credited = staged.withColumn(
+        "click_credit",
+        F.when(
+            F.col("event_type") == "click", F.sum("unit").over(w_next)
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.sum((F.col("unit") > 0).cast("long")).alias("n_conversions"),
+            F.sum(
+                (
+                    (F.col("event_type") == "click")
+                    & (F.col("click_credit") > 0)
+                ).cast("long")
+            ).alias("n_touches"),
+            F.sum("click_credit").cast("long").alias("credit_ppm_total"),
+        )
+        .where(F.col("n_conversions") > 0)
+        .select("user_id", "n_conversions", "n_touches", "credit_ppm_total")
+    )
+
+
+def linear_attribution_oracle(
+    within_minutes: int = ATTRIB_WINDOW_MIN,
+) -> str:
+    budget_us = within_minutes * 60_000_000
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        staged AS (
+            SELECT *,
+                   CASE WHEN event_type = 'purchase' AND n_touch > 0
+                        THEN 1000000 // n_touch ELSE 0 END AS unit
+            FROM (
+                SELECT *,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN {budget_us} PRECEDING
+                                     AND 1 PRECEDING) AS n_touch
+                FROM e
+            )
+        ),
+        credited AS (
+            SELECT *,
+                   CASE WHEN event_type = 'click'
+                        THEN sum(unit) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 1 FOLLOWING
+                                      AND {budget_us} FOLLOWING)
+                        ELSE 0 END AS click_credit
+            FROM staged
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN unit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conversions,
+               CAST(sum(CASE WHEN event_type = 'click'
+                              AND click_credit > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_touches,
+               CAST(sum(click_credit) AS BIGINT) AS credit_ppm_total
+        FROM credited
+        GROUP BY user_id
+        HAVING sum(CASE WHEN unit > 0 THEN 1 ELSE 0 END) > 0
+    """

@@ -413,3 +413,34 @@ def test_lttb_keeps_extremes_and_endpoints(spark):
         _events(spark, rows[:4]), n_out=6
     ).collect()
     assert len(short) == 4
+
+
+def test_linear_attribution_splits_and_windows(spark):
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        linear_attribution,
+    )
+
+    # user 1: 2 clicks then purchase within 10 min → 500000 each;
+    # user 2: click 20 min before purchase → outside budget, no row;
+    # user 3: 3 clicks, one purchase → 333333 each (conservation
+    # 999999, remainder lost to integer division)
+    e = _typed_events(
+        spark,
+        [
+            (1, 1, "2024-01-01T00:00:00", "click"),
+            (2, 1, "2024-01-01T00:01:00", "click"),
+            (3, 1, "2024-01-01T00:05:00", "purchase"),
+            (4, 2, "2024-01-01T00:00:00", "click"),
+            (5, 2, "2024-01-01T00:20:00", "purchase"),
+            (6, 3, "2024-01-01T00:00:00", "click"),
+            (7, 3, "2024-01-01T00:01:00", "click"),
+            (8, 3, "2024-01-01T00:02:00", "click"),
+            (9, 3, "2024-01-01T00:03:00", "purchase"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["n_conversions"], r["n_touches"],
+                       r["credit_ppm_total"])
+        for r in linear_attribution(e, within_minutes=10).collect()
+    }
+    assert got == {1: (1, 2, 1_000_000), 3: (1, 3, 999_999)}
