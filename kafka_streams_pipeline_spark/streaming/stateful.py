@@ -672,28 +672,29 @@ FUNNEL_OUTPUT = (
     "user_id bigint, n_matches bigint, first_match_event_id bigint"
 )
 # pending chains per progress level (level j = steps 0..j matched,
-# waiting for step j+1), as parallel (start_us, start_event_id)
-# arrays — variable-length but WATERMARK-BOUNDED: a start older than
+# waiting for step j+1), as nested (start_us, start_event_id) arrays
+# — one inner array per level, so ANY pattern length fits the same
+# schema. Variable-length but WATERMARK-BOUNDED: a start older than
 # (current event time − budget) can never complete within the budget
 # (the greedy completion is minimal), so it is evicted on every
 # event. State size is therefore O(events inside one budget window
 # per user), not O(stream).
 FUNNEL_STATE = (
-    "p0us array<bigint>, p0id array<bigint>, "
-    "p1us array<bigint>, p1id array<bigint>, "
+    "pus array<array<bigint>>, pid array<array<bigint>>, "
     "n bigint, first bigint"
 )
 
 
 def funnel_user_state(
     events: DataFrame,
-    pattern: tuple[str, str, str] = ("click", "click", "purchase"),
+    pattern: tuple[str, ...] = ("click", "click", "purchase"),
     within_minutes: int = 14_400,
 ) -> DataFrame:
     """Streaming skip-gap CEP — the stateful twin of
     operators/timeseries.event_pattern_funnel, as a per-user NFA run
     NATIVELY in applyInPandasWithState (the deployment shape: match
-    funnels as events arrive, state crossing micro-batches).
+    funnels as events arrive, state crossing micro-batches). Any
+    pattern length ≥ 2 (pending levels are a nested-array state).
 
     Semantics are bit-tied to the batch reverse-window identity: a
     start event matches iff the GREEDY earliest-next-step chain
@@ -706,10 +707,10 @@ def funnel_user_state(
     over-budget completion proves no chain fits — same reason
     eviction by event-time is lossless). Emissions per batch carry
     the running census; the LAST batch's row per user equals the
-    batch operator's output.
-
-    Three-step patterns only (the state schema carries two pending
-    levels); generalizing is schema plumbing, not algorithm."""
+    batch operator's output."""
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 steps")
     budget_us = within_minutes * 60_000_000
 
     def fn(
@@ -718,12 +719,15 @@ def funnel_user_state(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            p0us, p0id, p1us, p1id, n, first = state.get
-            p0 = [(int(u), int(i)) for u, i in zip(p0us, p0id)]
-            p1 = [(int(u), int(i)) for u, i in zip(p1us, p1id)]
+            pus, pid, n, first = state.get
+            pend = [
+                [(int(u), int(i)) for u, i in zip(us_l, id_l)]
+                for us_l, id_l in zip(pus, pid)
+            ]
             n, first = int(n), int(first)
         else:
-            p0, p1, n, first = [], [], 0, -1
+            pend = [[] for _ in range(m - 1)]
+            n, first = 0, -1
         for pdf in pdfs:
             srt = pdf.sort_values(["us", "event_id"])
             for us, eid, et in zip(
@@ -731,25 +735,29 @@ def funnel_user_state(
             ):
                 us, eid = int(us), int(eid)
                 horizon = us - budget_us
-                p0 = [s for s in p0 if s[0] >= horizon]
-                p1 = [s for s in p1 if s[0] >= horizon]
-                # NFA advance, descending level order
-                if et == pattern[2] and p1:
-                    for s_us, s_id in p1:
+                pend = [
+                    [s for s in lvl if s[0] >= horizon] for lvl in pend
+                ]
+                # NFA advance, descending level order: level j holds
+                # chains waiting for pattern[j+1]
+                if et == pattern[m - 1] and pend[m - 2]:
+                    for s_us, s_id in pend[m - 2]:
                         if us - s_us <= budget_us:
                             n += 1
                             if first < 0 or s_id < first:
                                 first = s_id
-                    p1 = []
-                if et == pattern[1] and p0:
-                    p1 = p1 + p0
-                    p0 = []
+                    pend[m - 2] = []
+                for j in range(m - 2, 0, -1):
+                    if et == pattern[j] and pend[j - 1]:
+                        pend[j] = pend[j] + pend[j - 1]
+                        pend[j - 1] = []
                 if et == pattern[0]:
-                    p0 = p0 + [(us, eid)]
+                    pend[0] = pend[0] + [(us, eid)]
         state.update((
-            [s[0] for s in p0], [s[1] for s in p0],
-            [s[0] for s in p1], [s[1] for s in p1],
-            n, first,
+            [[s[0] for s in lvl] for lvl in pend],
+            [[s[1] for s in lvl] for lvl in pend],
+            n,
+            first,
         ))
         yield pd.DataFrame(
             {

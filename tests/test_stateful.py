@@ -743,3 +743,79 @@ def test_gap_state_tiebreak_matches_batch(spark, tmp_path):
     assert r["max_gap_us"] == 10 * H
     assert r["longest_gap_opens_id"] == 20
     assert r["gap_us_total"] == 20 * H
+
+
+def test_funnel_state_four_step_pattern(spark, tmp_path):
+    """Generalized NFA: a 4-step pattern with a repeated type across
+    levels (a,b,b,c) matches across chunk boundaries and the repeated
+    'b' advances each chain exactly one level per event."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        event_pattern_funnel,
+    )
+    from kafka_streams_pipeline_spark.streaming.stateful import (
+        funnel_user_state,
+    )
+
+    MIN = 60_000_000
+    rows = [
+        {"user_id": 1, "event_id": 1, "us": 0 * MIN, "event_type": "a"},
+        {"user_id": 1, "event_id": 2, "us": 1 * MIN, "event_type": "b"},
+        {"user_id": 1, "event_id": 3, "us": 2 * MIN, "event_type": "b"},
+        {"user_id": 1, "event_id": 4, "us": 3 * MIN, "event_type": "c"},
+        # user 2: only one b — must NOT match (needs two)
+        {"user_id": 2, "event_id": 5, "us": 0 * MIN, "event_type": "a"},
+        {"user_id": 2, "event_id": 6, "us": 1 * MIN, "event_type": "b"},
+        {"user_id": 2, "event_id": 7, "us": 2 * MIN, "event_type": "c"},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    m0 = _time.time() - 86_400
+    per = 3
+    for c in range(3):
+        p = os.path.join(src, f"chunk{c}.json")
+        with open(p, "w") as f:
+            for r in rows[c * per : (c + 1) * per]:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (m0 + c, m0 + c))
+    batches = []
+    q = (
+        funnel_user_state(
+            spark.readStream.schema(
+                "user_id long, event_id long, us long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src),
+            pattern=("a", "b", "b", "c"),
+            within_minutes=10,
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+             for b in batches for r in b}
+    streaming = {u: v for u, v in final.items() if v[0] > 0}
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["us"], r["user_id"], r["event_type"])
+         for r in rows],
+        "event_id long, us long, user_id long, event_type string",
+    ).select(
+        "event_id", F.timestamp_micros("us").alias("ts"),
+        "user_id", "event_type",
+    )
+    expected = {
+        r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+        for r in event_pattern_funnel(
+            batch_df, pattern=("a", "b", "b", "c"), within_minutes=10
+        ).collect()
+    }
+    assert streaming == expected == {1: (1, 1)}
