@@ -40,21 +40,6 @@ _CERTIFIED_R6: list[str] = [
 # streaming/governance rows, the 6 _RECHECK re-certifications, then
 # the 32 stalest r3/r4 re-certs; derived by tools/rotate.py):
 _CERTIFIED_R7: list[str] = [
-    "q_spend_quartile_scalable",
-    "q_streaming_cms",
-    "q_streaming_join",
-    "q_streaming_sessions",
-    "q_streaming_restart",
-    "q_view_compaction",
-    "q_streaming_late_update",
-    "q_streaming_late_drop",
-    "q_pipeline_audit",
-    "q_vocab_build",
-    "q_temperature_mixture",
-    "q_term_stats",
-    "q_range_band_join",
-    "q_interval_join",
-    "q_window_ntile",
     "q_grouping_sets",
     "q_minmax_by",
     "q_sessionize",
@@ -244,7 +229,6 @@ _CERTIFIED_R10: list[str] = [
 # re-cert tail (CORRECTNESS_r11.json, 50/50 green; derived by
 # tools/rotate.py).
 _CERTIFIED_R11: list[str] = [
-    "q_dedup_hamming",
     "q_hard_negatives",
     "q_boilerplate_scrub",
     "q_budget_select",
@@ -252,7 +236,6 @@ _CERTIFIED_R11: list[str] = [
     "q_store_version_diff",
     "q_streaming_neardup",
     "q_negative_sampling",
-    "q_dedup_containment",
     "q_k_anonymity",
     "q_streaming_totals",
     "q_streaming_alerts",
@@ -271,7 +254,6 @@ _CERTIFIED_R11: list[str] = [
     "q_join_full",
     "q_join_cross",
     "q_vocab_coverage",
-    "q_dedup_prefix_join",
     "q_text_tokens",
     "q_text_wordcount",
     "q_lang_id",
@@ -296,20 +278,20 @@ _CERTIFIED_R11: list[str] = [
     "q_corpus_pipeline",
 ]
 
-DRIVER_CERTIFIED: list[str] = (
-    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
-    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11
-)
-# Queries awaiting their first green driver row. Empty since round 7:
-# all queries registered before this round carry a green row.
-_UNCERTIFIED_RED: list[str] = []
-_PENDING: list[str] = []
-# Queries added after the last driver window that should certify
-# before the stalest re-certs: the 23 round-11 continuation rows
-# rotated out of _DEFERRED for the round-12 window (VERDICT r11
-# item 1). All 23 were oracle-verified green by the r11 judge's own
-# check_oracle.py run; this rotation converts that into driver rows.
-_ON_DECK: list[str] = [
+# Promoted from the round-12 driver window (CORRECTNESS_r12.json,
+# 50/50 green; derived by tools/rotate.py): the 9 round-12 headline
+# registrations, the 23 r11 on-deck rows, the 3 dedup _RECHECK
+# re-certifications, then the 15 stalest r7 re-certs.
+_CERTIFIED_R12: list[str] = [
+    "q_media_warc_gz",
+    "q_warc_cdx",
+    "q_table_profile_approx",
+    "q_anomaly_mad_approx",
+    "q_event_pattern_gaps",
+    "q_store_retention",
+    "q_streaming_event_pattern",
+    "q_sensor_gaps",
+    "q_percentile_binned",
     "q_group_quantile_filter",
     "q_ref_integrity",
     "q_recursive_reachability",
@@ -333,28 +315,40 @@ _ON_DECK: list[str] = [
     "q_streaming_counter",
     "q_event_pattern",
     "q_store_partition_evolution",
-]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping.
-_RECHECK: list[str] = [
-    # round-12 code changes (VERDICT r11 items 4-5): containment_pairs
-    # gained the extended-prefix + suffix aggregate filter;
-    # prefix_jaccard_join and simhash_hamming_pairs changed persist
-    # ownership on the inspection path (materializing path unchanged,
-    # but re-certify conservatively — same module, shared helpers).
     "q_dedup_containment",
     "q_dedup_prefix_join",
     "q_dedup_hamming",
+    "q_spend_quartile_scalable",
+    "q_streaming_cms",
+    "q_streaming_join",
+    "q_streaming_sessions",
+    "q_streaming_restart",
+    "q_view_compaction",
+    "q_streaming_late_update",
+    "q_streaming_late_drop",
+    "q_pipeline_audit",
+    "q_vocab_build",
+    "q_temperature_mixture",
+    "q_term_stats",
+    "q_range_band_join",
+    "q_interval_join",
+    "q_window_ntile",
 ]
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round.
-_DEFERRED: list[str] = [
-    # round-12 late addition: the r12 window is exactly filled by the
-    # 9 headline registrations + 23 on-deck + 3 rechecks + 15 r7
-    # re-certs — this one certifies in the r13 window instead.
+
+DRIVER_CERTIFIED: list[str] = (
+    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
+    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
+)
+# Queries awaiting their first green driver row. Empty since round 7:
+# all queries registered before this round carry a green row.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window that should certify
+# before the stalest re-certs: the 6 round-12 continuation rows
+# rotated out of _DEFERRED for the round-13 window (VERDICT r12
+# item 1). All 6 were oracle-verified green by the r12 judge's own
+# check_oracle.py run; this rotation converts that into driver rows.
+_ON_DECK: list[str] = [
     "q_lttb_downsample",
     "q_streaming_gaps",
     "q_ivm_join",
@@ -362,6 +356,19 @@ _DEFERRED: list[str] = [
     "q_kcore",
     "q_linear_attribution",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping.
+_RECHECK: list[str] = [
+    # round-13 code change (VERDICT r12 item 3): simhash_hamming_pairs
+    # gained the identical-signature collapse — re-certify its row.
+    "q_dedup_hamming",
+]
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:
