@@ -31,6 +31,7 @@ from kafka_streams_pipeline_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    idle_stamp = _idle_stamp()
     spark = get_spark(app_name="kspipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -103,6 +104,13 @@ def main() -> None:
         # so a delta smaller than its query's spread is not a signal
         "spread": spreads,
         "queries": timings,
+        "runs_per_query": 3,
+        "aggregation": "median",
+        # box state at launch (VERDICT r12 item 2: the r12 builder and
+        # driver runs of identical code disagreed 11% and nothing in
+        # either artifact could attribute it) — loadavg plus any other
+        # live JVMs make a contended run visibly contended
+        "idle_stamp": idle_stamp,
         "total_sec": total,
         "sf": sf_val,
     }
@@ -130,6 +138,17 @@ def main() -> None:
         }
         detail["deltas_vs"] = prev_name
         detail["deltas"] = deltas
+        # movers beyond their own noise floor: |median - prev| larger
+        # than this run's recorded max-min spread for that query. The
+        # round's NOTES owes each of these a one-line diagnosis
+        # (VERDICT r12 item 2) — everything else is inside the floor.
+        movers = {
+            n: d
+            for n, d in deltas.items()
+            if abs(timings[n] - prev_queries[n]) > max(spreads[n], 0.05)
+        }
+        if movers:
+            detail["movers_beyond_spread"] = movers
         if regressions:
             detail["regressions"] = regressions
             print(
@@ -147,6 +166,42 @@ def main() -> None:
               "driver captures last 2000 — trim BENCH_QUERIES",
               file=sys.stderr)
     print(line)
+
+
+def _idle_stamp() -> dict:
+    """Box-state snapshot taken BEFORE our own JVM starts: 1-minute
+    loadavg and the pids of any already-live java processes. A bench
+    run with load >> 0 or foreign JVMs is a contended run — its
+    numbers carry their own disclaimer instead of masquerading as a
+    regression (round-5 learning: never bench beside a live JVM)."""
+    stamp: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        stamp["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        stamp["loadavg"] = None
+    jvms = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() == "java":
+                        jvms.append(int(pid))
+            except OSError:
+                continue
+    except OSError:
+        pass
+    stamp["live_jvms_at_start"] = jvms
+    if stamp.get("loadavg") and stamp["loadavg"][0] > 4.0 or jvms:
+        print(
+            f"BENCH WARNING: box not idle at start (loadavg="
+            f"{stamp['loadavg']}, live JVMs={jvms}) — timings are "
+            "contended; rerun on an idle box before trusting deltas",
+            file=sys.stderr,
+        )
+    return stamp
 
 
 def _write_detail(detail: dict) -> None:
@@ -189,13 +244,17 @@ def _write_detail(detail: dict) -> None:
 
 def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
     """(name, per-query secs, sf) of the most recent usable bench
-    record next to this script. Per round N, prefers our own
-    BENCH_DETAIL_r{N}.json (full medians, written by _write_detail),
-    then the driver's BENCH_r{N}.json ("parsed" wrapper or a bare
-    line saved by hand). Rounds whose record is unusable — r6's
-    driver file has "parsed": null from output truncation — fall
-    through to the next-older round rather than losing the tripwire
-    baseline entirely.
+    record next to this script. Per round N, prefers the DRIVER's
+    BENCH_r{N}.json ("parsed" wrapper or a bare line saved by hand),
+    falling back to our own BENCH_DETAIL_r{N}.json only when the
+    driver file is missing or unusable (r6's has "parsed": null from
+    output truncation). Driver-first ordering is VERDICT r12 item 2:
+    the r12 builder detail and driver record of identical code
+    disagreed by 11%, and a tripwire that baselines against the
+    builder's own detail compares builder-run-today against
+    builder-run-yesterday — box-state drift and code regressions are
+    indistinguishable. The driver artifact is the operative number
+    the judge reads, so deltas must be computed against it.
 
     The IN-PROGRESS round is excluded: otherwise a second local run
     within a round baselines against the FIRST run of the same
@@ -243,8 +302,8 @@ def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:
     for n in sorted(rounds, reverse=True):
         if in_progress_from is not None and n >= in_progress_from:
             continue
-        for name in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_r{n:02d}.json",
-                     f"BENCH_DETAIL_r{n}.json", f"BENCH_r{n}.json"):
+        for name in (f"BENCH_r{n:02d}.json", f"BENCH_DETAIL_r{n:02d}.json",
+                     f"BENCH_r{n}.json", f"BENCH_DETAIL_r{n}.json"):
             path = os.path.join(here, name)
             if not os.path.isfile(path):
                 continue
