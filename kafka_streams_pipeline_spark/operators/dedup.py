@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_streams_pipeline_spark.functions.hashing import (
     HEX_WIDTH,
@@ -771,21 +772,40 @@ def simhash_hamming_pairs(
     candidate set; output is bit-identical to the brute-force
     all-pairs scan, which is what the DuckDB oracle runs.
 
-    Returns (id_a, id_b, hamming), id_a < id_b. Scale shape: one
-    shuffle keyed by (block, value); a cluster of m IDENTICAL
-    signatures collapses to its C(m,2) true output pairs after the
-    candidate distinct — candidate cost is output-bound, not
-    hot-key-quadratic, because agreeing blocks imply the pair is (or
-    nearly is) a true match at these widths."""
+    Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape — identical-signature collapse (VERDICT r12 item 3):
+    docs are first grouped by EXACT 64-bit signature (one window pass,
+    gid = min doc_id per signature), and the pigeonhole candidate
+    equi-join runs over group REPRESENTATIVES only. Dup-heavy corpora
+    previously paid 4·C(m,2) candidate-join rows per m-sized identical
+    clique (all four blocks agree) before the distinct; the clique is
+    now ONE representative row in the join. True pairs are then
+    expanded arithmetically, both legs output-bound: within-group =
+    members⋈members on gid (hamming 0 by construction), cross-group =
+    matched group pairs ⋈ each side's members (the group-pair hamming
+    IS the member-pair hamming, since members share the signature
+    exactly). Output is bit-identical to the brute-force scan."""
     # Persist only on the materializing path: materialize=False is the
     # plan-inspection form, and a persist() there would pin the
-    # signature frame in executor memory with no unpersist owner
+    # frame in executor memory with no unpersist owner
     # (VERDICT r11 item 5 — the cached-frame leak).
     sig = simhash64_signatures(df, text_col)
-    if materialize:
-        sig = sig.persist()
-    blocks = sig.select(
+    grp_w = Window.partitionBy("sim_lo", "sim_hi")
+    mem = sig.select(
         "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.min("doc_id").over(grp_w).alias("gid"),
+    )
+    if materialize:
+        mem = mem.persist()
+    groups = mem.where(F.col("doc_id") == F.col("gid")).select(
+        "gid", "sim_lo", "sim_hi"
+    )
+    members = mem.select("doc_id", "gid")
+    blocks = groups.select(
+        "gid",
         F.posexplode(
             F.expr(
                 "array(sim_lo & 65535, shiftright(sim_lo, 16) & 65535, "
@@ -794,48 +814,70 @@ def simhash_hamming_pairs(
         ).alias("blk_i", "blk_v"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    gcand = (
         a.join(
             b,
             (F.col("a.blk_i") == F.col("b.blk_i"))
             & (F.col("a.blk_v") == F.col("b.blk_v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"),
+    ga = groups.select(
+        F.col("gid").alias("gid_a"),
         F.col("sim_lo").alias("lo_a"),
         F.col("sim_hi").alias("hi_a"),
     )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"),
+    gb = groups.select(
+        F.col("gid").alias("gid_b"),
         F.col("sim_lo").alias("lo_b"),
         F.col("sim_hi").alias("hi_b"),
     )
-    out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    gpairs = (
+        gcand.join(ga, "gid_a")
+        .join(gb, "gid_b")
         .select(
-            "id_a",
-            "id_b",
-            (
-                F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
-            )
+            "gid_a",
+            "gid_b",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
             .cast("long")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= radius)
     )
+    # cross-group expansion: each matched group pair × its two member
+    # sets; member ids interleave across groups, so re-normalize the
+    # (id_a < id_b) ordering with least/greatest (ids are distinct
+    # because the groups are).
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("xid"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("yid"))
+    cross = (
+        gpairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("xid", "yid").alias("id_a"),
+            F.greatest("xid", "yid").alias("id_b"),
+            "hamming",
+        )
+    )
+    wa, wb = members.alias("wa"), members.alias("wb")
+    within = wa.join(
+        wb,
+        (F.col("wa.gid") == F.col("wb.gid"))
+        & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+    ).select(
+        F.col("wa.doc_id").alias("id_a"),
+        F.col("wb.doc_id").alias("id_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    out = within.unionByName(cross)
     # materialize=False returns the lazy plan for plan-contract
     # inspection (the checkpoint would hide the candidate join shape)
     if not materialize:
         return out
     out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    mem.unpersist()
     return out
 
 
