@@ -1198,9 +1198,21 @@ def binned_percentiles_oracle(bin_cents: int = PCTL_BIN_CENTS) -> str:
 # --- LTTB display downsampling (round 12) -------------------------------------
 
 LTTB_BUCKETS = 12
+# Per-series point ceiling for the applyInPandas fold: one series is
+# one pandas frame in one task, so points-per-series IS the task's
+# memory bound (~100 B/point across the Arrow batch + Python int
+# lists → 4M ≈ 400 MB, inside a 1-2 GB task budget at 100 TB executor
+# shapes). Beyond it the guard fails LOUDLY in the JVM stage before
+# the batch ships to Python (VERDICT r12 item 5: a billion-point
+# series would otherwise OOM the task with no actionable error).
+LTTB_MAX_POINTS_PER_SERIES = 4_000_000
 
 
-def lttb_downsample(events: DataFrame, n_out: int = LTTB_BUCKETS) -> DataFrame:
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = LTTB_BUCKETS,
+    max_points_per_series: int = LTTB_MAX_POINTS_PER_SERIES,
+) -> DataFrame:
     """Largest-Triangle-Three-Buckets display downsampling
     (Steinarsson 2013, public literature — the Grafana/TSDB
     "downsample for plotting" default): per series keep the first
@@ -1227,6 +1239,33 @@ def lttb_downsample(events: DataFrame, n_out: int = LTTB_BUCKETS) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("us"),
         F.expr(_CENTS).alias("y"),
+    )
+    # Loud per-series size guard, evaluated JVM-side: the count window
+    # shares the user_id exchange the applyInPandas groupBy needs, and
+    # the assert is folded into the value column (coalesce forces
+    # evaluation; assert_true yields NULL on pass) so it fires in the
+    # window stage — BEFORE the oversized Arrow batch is built, which
+    # an in-function check could only do after the memory is spent.
+    n_w = Window.partitionBy("user_id")
+    pts = pts.withColumn(
+        "y",
+        F.coalesce(
+            F.assert_true(
+                F.count(F.lit(1)).over(n_w) <= F.lit(max_points_per_series),
+                F.concat(
+                    F.lit("lttb_downsample: series user_id="),
+                    F.col("user_id").cast("string"),
+                    F.lit(" exceeds max_points_per_series="),
+                    F.lit(str(max_points_per_series)),
+                    F.lit(
+                        " — one series is one task; pre-aggregate the"
+                        " series (e.g. per-bucket rollup) or raise the"
+                        " ceiling explicitly"
+                    ),
+                ),
+            ).cast("long"),
+            F.col("y"),
+        ),
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

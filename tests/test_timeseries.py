@@ -415,6 +415,33 @@ def test_lttb_keeps_extremes_and_endpoints(spark):
     assert len(short) == 4
 
 
+def test_lttb_oversized_series_guard_fires(spark):
+    """VERDICT r12 item 5: one series is one applyInPandas task, so a
+    series above max_points_per_series must fail LOUDLY in the JVM
+    stage (assert_true in the count window) instead of OOMing the
+    task — and the error must name the operator and the ceiling."""
+    import pytest
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    rows = [
+        (i, 1, f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00", float(i))
+        for i in range(30)
+    ]
+    with pytest.raises(Exception, match="max_points_per_series"):
+        lttb_downsample(
+            _events(spark, rows), n_out=6, max_points_per_series=10
+        ).collect()
+    # at exactly the ceiling the guard stays quiet and the fold output
+    # is the normal selection
+    ok = lttb_downsample(
+        _events(spark, rows), n_out=6, max_points_per_series=30
+    ).collect()
+    assert len(ok) == 6
+
+
 def test_linear_attribution_splits_and_windows(spark):
     from kafka_streams_pipeline_spark.operators.timeseries import (
         linear_attribution,
