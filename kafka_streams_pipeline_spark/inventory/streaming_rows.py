@@ -4210,3 +4210,214 @@ def q_ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_streaming_ivm_join",
+    oracle="""
+        WITH a AS (SELECT doc_id, source, n_chars FROM documents),
+        b AS (SELECT vec_id, label FROM embeddings),
+        j AS (
+            SELECT a.source, a.doc_id, a.n_chars, b.label
+            FROM a JOIN b ON a.doc_id = b.vec_id
+        ),
+        counters AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM a
+                    WHERE doc_id % 10 >= 5) AS n_delta_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b
+                    WHERE vec_id % 10 >= 3) AS n_delta_b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM j
+                    WHERE doc_id % 10 >= 3) AS n_delta_view
+        )
+        SELECT j.source,
+               CAST(count(*) AS BIGINT)       AS n_rows,
+               CAST(sum(j.n_chars) AS BIGINT) AS chars_checksum,
+               CAST(sum(j.doc_id) AS BIGINT)  AS id_checksum,
+               CAST(sum(j.label) AS BIGINT)   AS label_checksum,
+               counters.n_delta_a,
+               counters.n_delta_b,
+               counters.n_delta_view
+        FROM j, counters
+        GROUP BY j.source, counters.n_delta_a, counters.n_delta_b,
+                 counters.n_delta_view
+    """,
+)
+def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9c Streaming join-IVM twin (VERDICT r12 item 4): the SAME
+    delta-join rule q_ivm_join runs as batch maintenance calls, now
+    executed inside ``foreachBatch`` over a REAL availableNow CDC
+    replay — the deployment shape (the reference's entire ingest
+    topology IS a continuously-maintained view,
+    ingestion/KafkaStreamsAggregator.java:98-105), matching how every
+    sketch got its streaming twin.
+
+    Construction: stores A (documents slice, key doc_id) and B
+    (embeddings, key vec_id = the FK) take base commits; the view
+    materializes once as A1 ⋈ B1. Four CDC chunks then stream through
+    one file stream (side-tagged union rows, one file per micro-batch,
+    ascending mtimes): dA1 (%10 ∈ 5..6), dB1 (%10 ∈ 3..5), dA2
+    (%10 ≥ 7), dB2 (%10 ≥ 6). Each micro-batch applies the bilinear
+    delta rule  ΔJ = ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB  against the
+    stores' state BEFORE the batch, appends ΔJ to the view store, and
+    only then folds its own rows into the base stores — O(Δ) reads on
+    the changed side, never a base rescan. Cross-batch matching is
+    CONSTRUCTED, not hoped for (round-6 lesson): dB1's keys %10 = 5
+    only exist A-side via dA1 (the PREVIOUS micro-batch), and the
+    harness asserts that batch genuinely produced them.
+
+    Certified: the maintained view (all versions) aggregated per
+    source hash-matches the oracle's FULL recompute of the join, and
+    the Δ counters (n_delta_a/b/view = rows streamed per side / ΔJ
+    rows the maintenance emitted) bind "only deltas were touched"
+    into the hash via the modulus construction. Crash/replay
+    idempotence is q_streaming_store_ingest's row, not re-simulated
+    here."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        commit_corpus,
+        read_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-sivm-")
+    a_store = os.path.join(base, "a")
+    b_store = os.path.join(base, "b")
+    v_store = os.path.join(base, "view")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        commit_corpus(docs.where(F.col("doc_id") % 10 < 5), a_store, "A1")
+        commit_corpus(embs.where(F.col("vec_id") % 10 < 3), b_store, "B1")
+        a1 = read_corpus(spark, a_store, 1)
+        b1 = read_corpus(spark, b_store, 1)
+        commit_corpus(
+            a1.join(b1, a1["doc_id"] == b1["vec_id"]).select(
+                "source", "doc_id", "n_chars", "label"
+            ),
+            v_store,
+            "J1 = A1 join B1",
+        )
+        chunks = [
+            ("A", docs.where((F.col("doc_id") % 10 >= 5)
+                             & (F.col("doc_id") % 10 < 7))),
+            ("B", embs.where((F.col("vec_id") % 10 >= 3)
+                             & (F.col("vec_id") % 10 < 6))),
+            ("A", docs.where(F.col("doc_id") % 10 >= 7)),
+            ("B", embs.where(F.col("vec_id") % 10 >= 6)),
+        ]
+        mtime0 = _time.time() - 86_400
+        for i, (side, df) in enumerate(chunks):
+            path = os.path.join(src, f"cdc{i}.json")
+            with open(path, "w") as f:
+                for r in df.collect():
+                    d = {"side": side}
+                    d.update(r.asDict())
+                    f.write(_json.dumps(d) + "\n")
+            # back-to-back writes tie on mtime and the file-stream
+            # replay order is MTIME order (round-6 lesson)
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        stats: dict = {"batches": [], "n_delta_a": 0, "n_delta_b": 0,
+                       "n_delta_view": 0}
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            da = batch_df.where(F.col("side") == "A").select(
+                "doc_id", "source", "n_chars"
+            )
+            db = batch_df.where(F.col("side") == "B").select(
+                "vec_id", "label"
+            )
+            a_old = read_corpus(spark, a_store)
+            b_old = read_corpus(spark, b_store)
+            dj = (
+                da.join(b_old, da["doc_id"] == b_old["vec_id"])
+                .select("source", "doc_id", "n_chars", "label")
+                .unionByName(
+                    a_old.join(db, a_old["doc_id"] == db["vec_id"]).select(
+                        "source", "doc_id", "n_chars", "label"
+                    )
+                )
+                .unionByName(
+                    da.join(db, da["doc_id"] == db["vec_id"]).select(
+                        "source", "doc_id", "n_chars", "label"
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_da, n_db, n_dj = da.count(), db.count(), dj.count()
+            n_dj_key5 = dj.where(F.col("doc_id") % 10 == 5).count()
+            if n_dj:
+                commit_corpus(dj, v_store, "dJ maintenance")
+            if n_da:
+                commit_corpus(da, a_store, "dA fold-in")
+            if n_db:
+                commit_corpus(db, b_store, "dB fold-in")
+            stats["batches"].append((n_da, n_db, n_dj, n_dj_key5))
+            stats["n_delta_a"] += n_da
+            stats["n_delta_b"] += n_db
+            stats["n_delta_view"] += n_dj
+
+        q = (
+            spark.readStream.schema(
+                "side string, doc_id long, source string, n_chars long, "
+                "vec_id long, label long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("CDC IVM replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if len(stats["batches"]) != 4:
+            raise AssertionError(
+                f"CDC replay did not micro-batch per chunk: {stats}"
+            )
+        # constructed cross-batch property: dB1 (batch index 1) must
+        # have matched keys %10 = 5 that exist A-side only via dA1
+        # (batch index 0) — state genuinely crossed the batch boundary
+        if stats["batches"][1][3] < 1:
+            raise AssertionError(
+                f"no cross-batch delta match in dB1's micro-batch: {stats}"
+            )
+        out = (
+            read_corpus(spark, v_store)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars_checksum"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+                F.sum("label").cast("long").alias("label_checksum"),
+            )
+            .select(
+                "source",
+                "n_rows",
+                "chars_checksum",
+                "id_checksum",
+                "label_checksum",
+                F.lit(stats["n_delta_a"]).cast("long").alias("n_delta_a"),
+                F.lit(stats["n_delta_b"]).cast("long").alias("n_delta_b"),
+                F.lit(stats["n_delta_view"]).cast("long")
+                .alias("n_delta_view"),
+            )
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
