@@ -4421,3 +4421,252 @@ def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+_IVM_AGG_ORACLE_COUNTERS = """
+        counters AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 10 >= 8) AS n_inserts,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 10 = 3) AS n_retracts
+        )
+"""
+
+
+@register(
+    "q_ivm_agg",
+    oracle=f"""
+        WITH live AS (
+            SELECT source, doc_id, n_chars FROM documents
+            WHERE doc_id % 10 != 3
+        ),
+        {_IVM_AGG_ORACLE_COUNTERS}
+        SELECT live.source,
+               CAST(count(*) AS BIGINT)          AS n_rows,
+               CAST(sum(live.n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(live.doc_id) AS BIGINT)  AS id_sum,
+               counters.n_inserts, counters.n_retracts
+        FROM live, counters
+        GROUP BY live.source, counters.n_inserts, counters.n_retracts
+    """,
+)
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9d Aggregate view maintenance with retractions (round 13):
+    the LINEAR Z-set rule beside the join rows' bilinear one. A
+    per-source count/sum view materializes from the base corpus; one
+    CDC commit then lands inserts (doc_id %10 ≥ 8) AND retractions
+    (%10 = 3, as Debezium-style before-image tombstones — a linear
+    aggregate cannot be decremented from a key-only delete); the
+    maintenance job folds the delta into the view via
+    operators/ivm.agg_view_apply — O(Δ) on the feed, O(touched
+    groups) on the view, base never rescanned. Certified: the
+    MAINTAINED view hash-matches the oracle's full recompute of the
+    final live set, with the insert/retract counts bound in.
+    Reference anchor: ingestion/KafkaStreamsAggregator.java:98-105
+    (the per-record-maintained count/sum/avg view), generalized with
+    retractions."""
+    import shutil
+
+    from kafka_streams_pipeline_spark.operators.ivm import agg_view_apply
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        read_corpus_changes,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-ivmagg-")
+    a_store = os.path.join(base, "a")
+    v_store = os.path.join(base, "view")
+    try:
+        a1 = docs.where(F.col("doc_id") % 10 <= 7)
+        upsert_corpus(a1, a_store, "doc_id", "A1")
+        v1 = a1.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        upsert_corpus(v1, v_store, "source", "V1 = agg(A1)")
+        inserts = docs.where(F.col("doc_id") % 10 >= 8)
+        retracts = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+            TOMBSTONE, F.lit(True)
+        )
+        upsert_corpus(
+            inserts.withColumn(TOMBSTONE, F.lit(False)).unionByName(retracts),
+            a_store,
+            "doc_id",
+            "dA: inserts + takedowns",
+        )
+        cdc = read_corpus_changes(spark, a_store, 1, 2).drop("_seq")
+        n_inserts = cdc.where(~F.col(TOMBSTONE)).count()
+        n_retracts = cdc.where(F.col(TOMBSTONE)).count()
+        touched = agg_view_apply(
+            read_corpus_latest(spark, v_store, "source"),
+            cdc,
+            "source",
+            {"chars_sum": "n_chars", "id_sum": "doc_id"},
+        ).localCheckpoint(eager=True)
+        upsert_corpus(touched, v_store, "source", "dV maintenance")
+        out = read_corpus_latest(spark, v_store, "source").select(
+            "source",
+            "n_rows",
+            "chars_sum",
+            "id_sum",
+            F.lit(n_inserts).cast("long").alias("n_inserts"),
+            F.lit(n_retracts).cast("long").alias("n_retracts"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_streaming_ivm_agg",
+    oracle=f"""
+        WITH live AS (
+            SELECT source, doc_id, n_chars FROM documents
+            WHERE (doc_id % 10 != 3 AND doc_id % 10 != 8)
+               OR doc_id % 20 = 18
+        ),
+        counters AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 10 >= 8) AS n_inserts,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 10 = 3 OR doc_id % 20 = 8)
+                       AS n_retracts
+        )
+        SELECT live.source,
+               CAST(count(*) AS BIGINT)          AS n_rows,
+               CAST(sum(live.n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(live.doc_id) AS BIGINT)  AS id_sum,
+               counters.n_inserts, counters.n_retracts
+        FROM live, counters
+        GROUP BY live.source, counters.n_inserts, counters.n_retracts
+    """,
+)
+def q_streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9e Streaming twin of q_ivm_agg: the linear Z-set maintenance
+    rule inside ``foreachBatch`` over a REAL availableNow CDC replay —
+    three micro-batches (one file each, ascending mtimes): pure
+    inserts (%10 = 8), pure retractions (%10 = 3 before-images from
+    the base), then a MIXED batch (inserts %10 = 9 + retractions of
+    the %20 = 8 HALF of micro-batch 0's own inserts — the cross-batch
+    property is constructed: those keys never existed in the base, so
+    decrementing them correctly requires state carried across the
+    batch boundary, which the harness asserts). Each batch is one
+    O(Δ) aggregate + one O(touched-groups) view upsert via
+    operators/ivm.agg_view_apply. Certified against the same
+    full-recompute oracle shape as the batch row."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.ivm import agg_view_apply
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        TOMBSTONE,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-sivmagg-")
+    v_store = os.path.join(base, "view")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        # base = %10 <= 7 (includes the %10=3 rows batch 1 retracts)
+        a1 = docs.where(F.col("doc_id") % 10 <= 7)
+        v1 = a1.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        upsert_corpus(v1, v_store, "source", "V1 = agg(base)")
+        chunks = [
+            docs.where(F.col("doc_id") % 10 == 8).withColumn(
+                TOMBSTONE, F.lit(False)
+            ),
+            docs.where(F.col("doc_id") % 10 == 3).withColumn(
+                TOMBSTONE, F.lit(True)
+            ),
+            docs.where(F.col("doc_id") % 10 == 9)
+            .withColumn(TOMBSTONE, F.lit(False))
+            .unionByName(
+                docs.where(F.col("doc_id") % 20 == 8).withColumn(
+                    TOMBSTONE, F.lit(True)
+                )
+            ),
+        ]
+        mtime0 = _time.time() - 86_400
+        for i, df in enumerate(chunks):
+            path = os.path.join(src, f"cdc{i}.json")
+            with open(path, "w") as f:
+                for r in df.collect():
+                    f.write(_json.dumps(r.asDict()) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        stats: dict = {"batches": [], "n_inserts": 0, "n_retracts": 0}
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            n_ins = batch_df.where(~F.col(TOMBSTONE)).count()
+            n_ret = batch_df.where(F.col(TOMBSTONE)).count()
+            touched = agg_view_apply(
+                read_corpus_latest(spark, v_store, "source"),
+                batch_df,
+                "source",
+                {"chars_sum": "n_chars", "id_sum": "doc_id"},
+            ).localCheckpoint(eager=True)
+            upsert_corpus(touched, v_store, "source", "dV maintenance")
+            stats["batches"].append((n_ins, n_ret))
+            stats["n_inserts"] += n_ins
+            stats["n_retracts"] += n_ret
+
+        q = (
+            spark.readStream.schema(
+                "doc_id long, source string, n_chars long, _deleted boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("CDC agg-IVM replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if len(stats["batches"]) != 3:
+            raise AssertionError(
+                f"CDC replay did not micro-batch per chunk: {stats}"
+            )
+        # constructed cross-batch property: micro-batch 2 retracted
+        # rows that only ever existed via micro-batch 0's inserts
+        if stats["batches"][2][1] < 1:
+            raise AssertionError(
+                f"no cross-batch retraction in the mixed batch: {stats}"
+            )
+        out = read_corpus_latest(spark, v_store, "source").select(
+            "source",
+            "n_rows",
+            "chars_sum",
+            "id_sum",
+            F.lit(stats["n_inserts"]).cast("long").alias("n_inserts"),
+            F.lit(stats["n_retracts"]).cast("long").alias("n_retracts"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
