@@ -4670,3 +4670,174 @@ def q_streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_streaming_table_join",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER () AS n
+            FROM events
+        ),
+        chunked AS (
+            SELECT user_id, event_id, cents, (rn * 4) // n AS chunk
+            FROM ordered
+        ),
+        eff AS (
+            SELECT *, CASE
+                WHEN chunk >= 3 AND user_id % 4 = 0 THEN 4
+                WHEN chunk >= 2 AND user_id % 3 = 0 THEN 3
+                WHEN chunk >= 1 AND user_id % 2 = 0 THEN 2
+                ELSE 1 END AS v_eff
+            FROM chunked
+        )
+        SELECT CAST(chunk AS BIGINT) AS chunk,
+               CAST((user_id * 7 + v_eff * 13) % 100 AS BIGINT) AS tier,
+               CAST(count(*) AS BIGINT)       AS n_events,
+               CAST(sum(cents) AS BIGINT)     AS cents_sum,
+               CAST(sum(event_id) AS BIGINT)  AS id_checksum
+        FROM eff
+        GROUP BY 1, 2
+    """,
+)
+def q_streaming_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-TABLE temporal join (round 13) — the Kafka Streams
+    KStream ⋈ KTable enrichment the stream-stream rows don't cover:
+    each micro-batch of the event stream joins the dimension state
+    CURRENT AT PROCESSING TIME, while the dimension itself advances
+    between batches via MoR upserts (the changelog-backed KTable).
+    The broadcast on the dimension side is the GlobalKTable shape —
+    the dim ships to every task, the event stream never re-shuffles
+    for the join.
+
+    Temporal visibility is CONSTRUCTED and oracle-deterministic: the
+    stream replays in 4 time-ordered chunks (one micro-batch each);
+    after batch c the dimension takes version c+2 updating users with
+    user_id % (c+2) = 0, so an event in chunk c must see tier(u,
+    v_eff) where v_eff = max{v ≤ c+1 : v = 1 or u % v = 0} — a wrong
+    snapshot (too early, too late, or a full-table rather than
+    latest-wins read) flips the tier and the hash. Per-batch output
+    is aggregated per tier and tagged with the batch index, binding
+    WHICH batch saw WHICH dimension version into the certified rows.
+    Reference anchor: the reference's serving join of live aggregates
+    against rolling state (ingestion/KafkaStreamsAggregator.java:
+    98-105); semantics follow the Kafka Streams KTable join
+    (processing-time enrichment), re-expressed as foreachBatch +
+    broadcast over the versioned store."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    tier = (F.col("user_id") * 7 + F.col("v") * 13) % 100
+    events = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.expr("cast(round(value * 100) as long)").alias("cents"),
+        )
+        .orderBy("us", "event_id")
+    )
+    base = tempfile.mkdtemp(prefix="kspipeline-stj-")
+    dim_store = os.path.join(base, "dim")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        users = (
+            _t(spark, sf_dir, "events").select("user_id").distinct()
+        ).localCheckpoint(eager=True)
+        upsert_corpus(
+            users.withColumn("v", F.lit(1)).select("user_id", tier.alias("tier")),
+            dim_store,
+            "user_id",
+            "dim v1",
+        )
+        rows = events.collect()
+        n = len(rows)
+        mtime0 = _time.time() - 86_400
+        for c in range(4):
+            lo, hi = (n * c + 3) // 4, (n * (c + 1) + 3) // 4
+            # chunk boundaries mirror the oracle's (rn*4)//n split:
+            # row i belongs to chunk (i*4)//n, i.e. chunk c holds
+            # i in [ceil(n*c/4), ceil(n*(c+1)/4))
+            path = os.path.join(src, f"chunk{c}.json")
+            with open(path, "w") as f:
+                for r in rows[lo:hi]:
+                    f.write(_json.dumps(r.asDict()) + "\n")
+            os.utime(path, (mtime0 + c, mtime0 + c))
+
+        agg_rows: list = []
+
+        def enrich(batch_df: DataFrame, _epoch_id: int) -> None:
+            c = len(agg_rows)
+            dim = read_corpus_latest(spark, dim_store, "user_id")
+            got = (
+                batch_df.join(F.broadcast(dim), "user_id")
+                .groupBy("tier")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum("cents").cast("long").alias("cents_sum"),
+                    F.sum("event_id").cast("long").alias("id_checksum"),
+                )
+                .collect()
+            )
+            agg_rows.append(got)
+            v = c + 2  # dimension advances AFTER this batch
+            if v <= 4:
+                upsert_corpus(
+                    users.where(F.col("user_id") % v == 0)
+                    .withColumn("v", F.lit(v))
+                    .select("user_id", tier.alias("tier")),
+                    dim_store,
+                    "user_id",
+                    f"dim v{v}",
+                )
+
+        q = (
+            spark.readStream.schema(
+                "user_id long, event_id long, us long, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream-table replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if len(agg_rows) != 4:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {len(agg_rows)}"
+            )
+        if latest_version(dim_store) != 4:
+            raise AssertionError("dimension did not advance to v4")
+        out_rows = [
+            (c, r["tier"], r["n_events"], r["cents_sum"], r["id_checksum"])
+            for c, batch in enumerate(agg_rows)
+            for r in batch
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "chunk long, tier long, n_events long, cents_sum long, "
+        "id_checksum long",
+    )
