@@ -1140,6 +1140,21 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.lttb_downsample(_t(spark, sf_dir, "events"))
 
 
+@register("q_lttb_prereduced", oracle=_ts.lttb_downsample_oracle())
+def q_lttb_prereduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12t-scale (round 13, VERDICT r12 item 5): LTTB with the
+    per-bucket convex-hull candidate pre-reduction — the 100 TB form
+    whose per-task memory is bounded by a constant chunk size instead
+    of the series length, certified BIT-IDENTICAL against the same
+    unrolled-CTE oracle as the plain fold. chunk_size=4 here so the
+    gate-SF run genuinely exercises multi-chunk hull merging (the
+    fixture's per-series counts would otherwise fit one chunk).
+    See operators/timeseries.lttb_downsample_prereduced."""
+    return _ts.lttb_downsample_prereduced(
+        _t(spark, sf_dir, "events"), chunk_size=4
+    )
+
+
 @register("q_linear_attribution", oracle=_ts.linear_attribution_oracle())
 def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12v (user journeys, round 12 — deferred cert → r13 window):

@@ -1324,6 +1324,265 @@ def lttb_downsample(
     )
 
 
+def _hull_reduce_rows(rows: list) -> list:
+    """EXACT candidate reduction for one (series, bucket[, chunk])
+    slice, rows = [(x, y, idx, us)]: LTTB's per-bucket selection
+    maximizes |L(x, y)| for a linear functional L whose coefficients
+    depend on the previous pick and the next bucket's centroid —
+    unknown at reduction time, but for EVERY linear functional the
+    maximizer lies on the convex hull boundary. Keep: all
+    hull-boundary locations INCLUDING collinear edge points (ties
+    along an edge are real maxima), each location deduped to its min
+    row index (the fold's tie-break), plus the slice's min-index
+    point (the degenerate L ≡ 0 case, where the fold keeps the first
+    point scanned). Strictly-interior points can only tie in that
+    degenerate case, so dropping them is lossless. Composable:
+    hull(union) boundary ⊆ union of slice-hull boundaries (a point
+    interior to its slice hull is interior to the union hull), so
+    chunk-level then bucket-level application is exact."""
+    # dedup identical (x, y) locations keeping the smallest idx
+    best: dict = {}
+    for x, y, i, u in rows:
+        k = (x, y)
+        if k not in best or i < best[k][0]:
+            best[k] = (i, u)
+    locs = sorted(best)
+    if len(locs) <= 2:
+        keep = set(locs)
+    else:
+        def chain(pts: list) -> list:
+            res: list = []
+            for p in pts:
+                # pop ONLY on a strictly-wrong turn: collinear
+                # (cross == 0) boundary points must survive
+                while len(res) >= 2 and (
+                    (res[-1][0] - res[-2][0]) * (p[1] - res[-2][1])
+                    - (res[-1][1] - res[-2][1]) * (p[0] - res[-2][0])
+                ) < 0:
+                    res.pop()
+                res.append(p)
+            return res
+
+        keep = set(chain(locs)) | set(chain(locs[::-1]))
+    keep.add(min(locs, key=lambda k: best[k][0]))
+    return [
+        (k[0], k[1], best[k][0], best[k][1])
+        for k in sorted(keep, key=lambda k: best[k][0])
+    ]
+
+
+def _hull_groups_map(n_key: int):
+    """mapInPandas pass applying _hull_reduce_rows to each CONTIGUOUS
+    group run in the partition's Arrow-batch stream; the group key is
+    the first ``n_key`` of (user_id, b[, chunk]). The final run of
+    every batch may continue in the next batch, so its rows are
+    carried forward and reduced only when the key changes or the
+    stream ends. One output frame per input batch — per-group
+    DataFrame construction at series×bucket cardinality costs more
+    than the reduction itself. Requires groups contiguous within the
+    partition (repartition on the leading key + sortWithinPartitions)."""
+
+    def fn(it):
+        carry_key, carry_rows = None, []
+
+        def emit(out_rows: list) -> pd.DataFrame:
+            return pd.DataFrame(
+                out_rows,
+                columns=["user_id", "b", "x", "y", "idx", "us"],
+            )
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out: list = []
+            cols = zip(
+                (int(v) for v in pdf["user_id"]),
+                (int(v) for v in pdf["b"]),
+                (int(v) for v in pdf["chunk"]) if "chunk" in pdf
+                else (0 for _ in range(len(pdf))),
+                (int(v) for v in pdf["x"]),
+                (int(v) for v in pdf["y"]),
+                (int(v) for v in pdf["idx"]),
+                (int(v) for v in pdf["us"]),
+            )
+            for uid, b, ch, x, y, i, u in cols:
+                key = (uid, b, ch)[:n_key]
+                if key != carry_key:
+                    if carry_rows:
+                        ck = carry_key
+                        out.extend(
+                            (ck[0], ck[1], rx, ry, ri, ru)
+                            for rx, ry, ri, ru in _hull_reduce_rows(
+                                carry_rows
+                            )
+                        )
+                    carry_key, carry_rows = key, []
+                carry_rows.append((x, y, i, u))
+            if out:
+                yield emit(out)
+        if carry_rows:
+            ck = carry_key
+            yield emit(
+                [
+                    (ck[0], ck[1], rx, ry, ri, ru)
+                    for rx, ry, ri, ru in _hull_reduce_rows(carry_rows)
+                ]
+            )
+
+    return fn
+
+
+def lttb_downsample_prereduced(
+    events: DataFrame,
+    n_out: int = LTTB_BUCKETS,
+    chunk_size: int = 65_536,
+    max_points_per_series: int = LTTB_MAX_POINTS_PER_SERIES,
+) -> DataFrame:
+    """LTTB with per-bucket convex-hull pre-reduction (VERDICT r12
+    item 5's scale path): output BIT-IDENTICAL to lttb_downsample,
+    but no task ever holds a whole series. Stages:
+
+    1. JVM: per-series idx/n/tmin windows (one shuffle+sort), bucket
+       assignment as an expression, and EXACT full-bucket (cnt, Σx,
+       Σy) aggregates — decimal(38,0) sums, since Σ of µs-recentred
+       x over a multi-million-point bucket overflows BIGINT.
+    2. applyInPandas per (series, bucket, idx-chunk of ``chunk_size``
+       rows): hull-boundary candidate reduction (_hull_reduce) —
+       per-task memory is bounded by the CONSTANT chunk size.
+    3. Same reduction per (series, bucket) over the surviving chunk
+       candidates (hull-of-hulls is exact), then the sequential
+       cross-bucket fold runs per series over candidates only,
+       cogrouped with the exact bucket aggregates.
+
+    The one data shape the reduction cannot compress is a bucket
+    whose points are all hull-extreme (a perfect convex arc) — no
+    exact method can, since every point is some functional's argmax —
+    so the per-series guard stays armed on the candidate set. Series
+    with ≤ n_out points short-circuit JVM-side (no pandas at all)."""
+    B = n_out - 2
+    w_series = Window.partitionBy("user_id")
+    w_order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.expr(_CENTS).alias("y"),
+        )
+        .withColumn("idx", F.row_number().over(w_order))
+        .withColumn("n", F.count(F.lit(1)).over(w_series))
+        .withColumn("tmin", F.min("us").over(w_series))
+    )
+    small = base.where(F.col("n") <= n_out).select(
+        "user_id",
+        (F.col("idx") - 1).cast("long").alias("sel_order"),
+        "us",
+        F.col("y").cast("long").alias("cents"),
+    )
+    big = (
+        base.where(F.col("n") > n_out)
+        .withColumn("x", F.col("us") - F.col("tmin"))
+        .withColumn(
+            "b",
+            F.expr(
+                f"CASE WHEN idx = 1 THEN 0 WHEN idx = n THEN {B + 1} "
+                f"ELSE ((idx - 2) * {B}) div (n - 2) + 1 END"
+            ),
+        )
+    )
+    stats = big.groupBy("user_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.max("n").cast("long").alias("n"),
+    )
+    cand_schema = "user_id long, b long, x long, y long, idx long, us long"
+    # Both hull levels run as mapInPandas over ONE partition-sorted
+    # pass, not applyInPandas per group: (user_id, b, chunk) groups
+    # number series×buckets×chunks, and per-group Arrow conversion at
+    # that cardinality costs ~1.5 ms each (measured 20× the total JVM
+    # work at sf0.1). After repartition(user_id) + sortWithinPartitions
+    # every group is CONTIGUOUS inside its partition, so a single
+    # python pass per partition reduces group after group, carrying
+    # the last (possibly batch-straddling) group into the next Arrow
+    # batch. Level 2's input inherits that contiguity from level 1.
+    chunked = (
+        big.withColumn("chunk", F.expr(f"idx div {int(chunk_size)}"))
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "idx")
+    )
+    cand = chunked.mapInPandas(
+        _hull_groups_map(3), cand_schema
+    ).mapInPandas(_hull_groups_map(2), cand_schema)
+    # guard on the REDUCED candidate set (the convex-arc worst case)
+    cand = cand.withColumn(
+        "y",
+        F.coalesce(
+            F.assert_true(
+                F.count(F.lit(1)).over(w_series)
+                <= F.lit(max_points_per_series),
+                F.lit(
+                    "lttb_downsample_prereduced: hull candidates exceed "
+                    f"max_points_per_series={max_points_per_series} — "
+                    "the series is hull-degenerate (convex arc); raise "
+                    "the ceiling or coarsen upstream"
+                ),
+            ).cast("long"),
+            F.col("y"),
+        ),
+    )
+
+    def fold(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(lpdf["user_id"].iloc[0])
+        by_bucket: dict = {}
+        for x, y, i, u, b in zip(
+            (int(v) for v in lpdf["x"]),
+            (int(v) for v in lpdf["y"]),
+            (int(v) for v in lpdf["idx"]),
+            (int(v) for v in lpdf["us"]),
+            (int(v) for v in lpdf["b"]),
+        ):
+            by_bucket.setdefault(b, []).append((i, x, y, u))
+        for v in by_bucket.values():
+            v.sort()  # fold scans candidates in ascending idx order
+        st = {
+            int(r["b"]): (int(r["cnt"]), int(r["sx"]), int(r["sy"]))
+            for _, r in rpdf.iterrows()
+        }
+        sel = [by_bucket[0][0]]  # idx = 1: the first point
+        for k in range(1, B + 1):
+            cnt, sx, sy = st[k + 1]
+            _, x_a, y_a, _ = sel[-1]
+            best, best_area = None, -1
+            for cand_row in by_bucket[k]:
+                _, x_j, y_j, _ = cand_row
+                area = abs(
+                    (x_a * cnt - sx) * (y_j - y_a)
+                    - (x_a - x_j) * (y_a * cnt - sy)
+                )
+                if area > best_area:
+                    best, best_area = cand_row, area
+            sel.append(best)
+        sel.append(by_bucket[B + 1][0])  # idx = n: the last point
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sel),
+                "sel_order": list(range(len(sel))),
+                "us": [s[3] for s in sel],
+                "cents": [s[2] for s in sel],
+            }
+        )
+
+    folded = (
+        cand.groupBy("user_id")
+        .cogroup(stats.groupBy("user_id"))
+        .applyInPandas(
+            fold, "user_id long, sel_order long, us long, cents long"
+        )
+    )
+    return small.unionByName(folded)
+
+
 def lttb_downsample_oracle(n_out: int = LTTB_BUCKETS) -> str:
     """The identical selection unrolled as chained CTEs (one per
     middle bucket — n_out is a constant, so the sequential recursion

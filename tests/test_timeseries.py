@@ -415,6 +415,44 @@ def test_lttb_keeps_extremes_and_endpoints(spark):
     assert len(short) == 4
 
 
+def test_lttb_prereduced_bit_identical(spark):
+    """The convex-hull pre-reduction must reproduce the plain fold
+    EXACTLY — exercised on an adversarial small integer lattice
+    (duplicate locations, collinear runs, flat stretches: maximal tie
+    pressure on the hull's collinear-retention and min-idx dedup)
+    with chunk_size=4 so multi-chunk hull merging genuinely engages."""
+    import random
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        lttb_downsample,
+        lttb_downsample_prereduced,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        n_pts = rng.choice([3, 25, 60])  # short-series path too
+        for i in range(n_pts):
+            # lattice values force duplicates/collinearity; repeated
+            # timestamps within a second exercise the idx tie-break
+            ts_min = i // 3
+            rows.append(
+                (eid, uid, f"2024-01-01T00:{ts_min:02d}:{(i % 3) * 7:02d}",
+                 float(rng.randint(0, 4)))
+            )
+            eid += 1
+    e = _events(spark, rows)
+    plain = sorted(
+        tuple(r) for r in lttb_downsample(e, n_out=8).collect()
+    )
+    reduced = sorted(
+        tuple(r)
+        for r in lttb_downsample_prereduced(e, n_out=8, chunk_size=4).collect()
+    )
+    assert plain == reduced
+
+
 def test_lttb_oversized_series_guard_fires(spark):
     """VERDICT r12 item 5: one series is one applyInPandas task, so a
     series above max_points_per_series must fail LOUDLY in the JVM
