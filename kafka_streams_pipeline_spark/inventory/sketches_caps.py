@@ -708,3 +708,24 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "user_id",
     )
+
+
+@register(
+    "q_heavy_hitters_exact",
+    oracle=_sk.heavy_hitters_twopass_oracle(),
+)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 exact leg (round 13): two-pass exact heavy hitters over the
+    documents token stream — per-partition Misra-Gries candidate
+    generation (k bounded counters, mapInPandas) + an exact
+    broadcast-restricted verify pass, so the full token key space
+    never shuffles and the answer is exact and scan-order-independent
+    (unlike the candidate set itself). Complements q_cms_heavy_hitters
+    (approx one-pass) the way the approx/exact percentile twins pair.
+    See operators/sketches.heavy_hitters_twopass."""
+    return _sk.heavy_hitters_twopass(
+        _t(spark, sf_dir, "documents").select(
+            F.explode(F.split("text", " ")).alias("tok")
+        ),
+        "tok",
+    )

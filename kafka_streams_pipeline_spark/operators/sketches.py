@@ -1190,3 +1190,89 @@ def join_size_estimate_oracle(
                CAST(est_join_size - exact_join_size AS BIGINT) AS overcount
         FROM est, ex
     """
+
+
+# --- Two-pass exact heavy hitters (round 13) -----------------------------------
+
+HH_K = 200
+
+
+def heavy_hitters_twopass(
+    df: DataFrame, col: str, k: int = HH_K
+) -> DataFrame:
+    """X7 family, deterministic leg: EXACT frequent items (freq·k > n)
+    by the classic two-pass candidate scheme — Misra-Gries (1982,
+    public literature) summaries per partition generate a candidate
+    superset, an exact counting pass over candidates only verifies.
+
+    Guarantee chain: an item with global freq > n/k has freq_i >
+    n_i/k in at least one partition (else the sum contradicts), and a
+    k-counter Misra-Gries pass over partition i retains every item
+    with freq_i > n_i/k — so the union of per-partition survivors is
+    a SUPERSET of the true heavy hitters, and the verify pass makes
+    the final answer exact and partition-order-INDEPENDENT (the
+    candidate set varies with scan order; the filtered exact counts
+    cannot — which is what lets a DuckDB GROUP BY/HAVING oracle
+    hash-match this at all).
+
+    Scale shape vs the naive GROUP BY: two scans, but the only
+    shuffle is the candidate-restricted count (≤ k·partitions keys,
+    broadcast-joined) — the full key space never shuffles, and
+    per-task memory is k counters. The CMS row (cms_heavy_hitters)
+    is the approx/one-pass leg; this is the exact leg. Threshold
+    comparison is the float-free cross-multiply freq·k > n."""
+    toks = df.select(F.col(col).cast("string").alias("tok"))
+
+    def mg(it):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in it:
+            for v in pdf["tok"].tolist():
+                if v is None:
+                    continue
+                n += 1
+                c = counters.get(v)
+                if c is not None:
+                    counters[v] = c + 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drops ≤ 1 from every item's
+                    # count per inserted element, preserving the
+                    # freq_i > n_i/k survival guarantee
+                    for key in list(counters):
+                        if counters[key] == 1:
+                            del counters[key]
+                        else:
+                            counters[key] -= 1
+        out = [(v, 0) for v in counters]
+        out.append((None, n))  # partition element count
+        yield pd.DataFrame(out, columns=["tok", "part_n"])
+
+    first = toks.mapInPandas(mg, "tok string, part_n long").localCheckpoint(
+        eager=True
+    )
+    n_total = first.agg(F.sum("part_n")).collect()[0][0] or 0
+    cands = first.where(F.col("tok").isNotNull()).select("tok").distinct()
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(F.col("freq") * k > F.lit(n_total))
+    )
+
+
+def heavy_hitters_twopass_oracle(k: int = HH_K) -> str:
+    """Exact GROUP BY/HAVING recompute over the same token stream."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM toks, tot
+        GROUP BY tok, n
+        HAVING count(*) * {k} > n
+    """
