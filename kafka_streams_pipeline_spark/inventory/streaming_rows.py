@@ -4841,3 +4841,148 @@ def q_streaming_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk long, tier long, n_events long, cents_sum long, "
         "id_checksum long",
     )
+
+
+@register(
+    "q_streaming_full_join",
+    oracle="""
+        SELECT p.event_id AS p_id, c.event_id AS c_id,
+               p.user_id AS p_user, c.user_id AS c_user,
+               epoch_ms(p.ts) AS p_ts_ms, epoch_ms(c.ts) AS c_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+    """,
+)
+def q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM FULL OUTER join (round 13):
+    completes the streaming join family (inner r8, left outer r9,
+    semi r10) — BOTH unmatched legs now emit: purchases with no
+    preceding click once the watermark passes their window, and
+    clicks no future purchase can ever match once the watermark
+    passes c_ts + 10 min. Same constructed replay as the outer row:
+    cross-batch cuts before each matched purchase force matches
+    through the join state store, far-future sentinels on both sides
+    (filtered from the result) flush the tail evictions, and the one
+    batch FULL JOIN oracle certifies all three emission paths
+    (state-served matches, purchase-side NULLs, click-side NULLs)."""
+    import shutil
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    rows = sorted(
+        (r.asDict() for r in ev), key=lambda r: (r["ts_ms"], r["event_id"])
+    )
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string"
+    )
+    pp = ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    cc = ev_df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_ms").alias("c_ms")
+    )
+    matched = (
+        pp.join(
+            cc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ms") >= F.col("p_ms") - 600_000)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .select("p_id")
+        .distinct()
+        .collect()
+    )
+    matched_ids = {r["p_id"] for r in matched}
+    idx = {r["event_id"]: i for i, r in enumerate(rows)}
+    cuts = [idx[p] for p in matched_ids]
+    sentinel_ms = rows[-1]["ts_ms"] + 48 * 3_600_000
+    rows.append({"event_id": -1, "ts_ms": sentinel_ms,
+                 "user_id": -1, "event_type": "click"})
+    rows.append({"event_id": -2, "ts_ms": sentinel_ms,
+                 "user_id": -1, "event_type": "purchase"})
+    base = tempfile.mkdtemp(prefix="kspipeline-sfjoin-")
+    src = os.path.join(base, "src")
+    _write_event_chunks(rows, src, cuts)
+
+    schema = "event_id long, ts_ms long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .withWatermark("ts", "24 hours")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        "p_user",
+        "c_user",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        F.unix_millis("c_ts").alias("c_ts_ms"),
+    )
+
+    batches: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: batches.append(df.collect()))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "stream-stream full join replay timed out after 300 s"
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    out = [
+        (r["p_id"], r["c_id"], r["p_user"], r["c_user"],
+         r["p_ts_ms"], r["c_ts_ms"])
+        for b in batches
+        for r in b
+        if (r["p_id"] is None or r["p_id"] >= 0)
+        and (r["c_id"] is None or r["c_id"] >= 0)
+    ]
+    return spark.createDataFrame(
+        out,
+        "p_id long, c_id long, p_user long, c_user long, "
+        "p_ts_ms long, c_ts_ms long",
+    )
