@@ -154,7 +154,7 @@ def test_no_rowbased_python_udfs_in_declared_plans(spark, sf_dir):
     walks binary shards)."""
     sanctioned = re.compile(
         r"q_media_|q_semantic_dedup|q_multimodal_meta"
-        r"|q_lttb_downsample|q_warc_cdx"
+        r"|q_lttb_downsample|q_lttb_prereduced|q_warc_cdx"
     )
     # Queries that EXECUTE inside the builder (streaming replays,
     # file-format round-trips, collect-and-rebuild operators) return a

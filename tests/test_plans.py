@@ -69,7 +69,11 @@ def test_declared_queries_stay_jvm_side(spark, sf):
     NumPy matmul (round 8; its pair stage was always
     applyInPandas)."""
     MEDIA_DECODE = {n for n in QUERIES if n.startswith("q_media_")} | {
-        "q_semantic_dedup"
+        "q_semantic_dedup",
+        # round 13: the convex-hull pre-reduction levels are
+        # mapInPandas BY DESIGN (sequential monotone-chain scan per
+        # contiguous group run); sanctioned alongside the LTTB fold
+        "q_lttb_prereduced",
     }
     for name, fn in QUERIES.items():
         if name in ("q_dedup_components",):
