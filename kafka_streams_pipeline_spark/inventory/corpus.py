@@ -2125,3 +2125,31 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
     ).select("id_a", "id_b")
     return kcore(pairs)
+
+
+@register("q_span_dedup", oracle=_dedup.duplicated_spans_oracle())
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span leg (round 13): exact duplicated-SPAN detection — the
+    maximal token regions whose 8-grams each repeat in the corpus
+    (Lee et al. 2022 substring dedup, positional-n-gram form).
+    Doc-level dedup keeps or drops whole documents; this localizes
+    the repeated region so boilerplate can be excised from otherwise
+    unique documents. One gram-partitioned window count (single
+    shuffle of the gram stream) + a per-doc gaps-and-islands merge;
+    all-integer span arithmetic makes the DuckDB twin exact. See
+    operators/dedup.duplicated_spans."""
+    return _dedup.duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+@register("q_record_linkage", oracle=_dedup.record_linkage_oracle())
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 structured leg (round 13): blocked record linkage /
+    entity resolution over customer rows — deterministic blocking on
+    (nation, 16-char name prefix), candidate pairs only within
+    blocks, match decided by a field-level agreement vector (name
+    edit distance ≤ 1) with the agreement evidence in the output for
+    survivor rules. ONE shuffle on the composite blocking key; block
+    size is bounded by key design, which is what keeps pairwise
+    linkage linear-ish at 100 TB. See
+    operators/dedup.record_linkage_pairs."""
+    return _dedup.record_linkage_pairs(_t(spark, sf_dir, "customer"))

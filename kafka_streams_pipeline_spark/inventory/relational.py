@@ -17,6 +17,7 @@ from kafka_streams_pipeline_spark.inventory._shared import (
     _cents_sum,
     _t,
 )
+from kafka_streams_pipeline_spark.operators import pareto as _pareto
 
 # ---------------------------------------------------------------------------
 # Capability-rounding queries on the TPC-H-ish star schema (§2.4–§2.6)
@@ -1307,3 +1308,27 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     docs.select("doc_id").createOrReplaceTempView("recdocs")
     return spark.sql(_reach_sql("spark"))
+
+
+@register(
+    "q_skyline",
+    oracle=_pareto.skyline_2d_oracle(
+        "part",
+        "round(p_retailprice * 100)",
+        "p_size",
+        "p_partkey",
+    ),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 OLAP extension (round 13): Pareto frontier / SKYLINE OF
+    (Börzsönyi et al. 2001) over parts under (min retail price,
+    max size). Implemented as a bucketed prefix-max scan — per-band
+    windows stay parallel, the cross-band carry is a 256-row driver
+    fold — because the naive single ORDER BY window collapses to one
+    task and the NOT EXISTS form is quadratic. The quadratic
+    dominance oracle certifies the scan IS the frontier. See
+    operators/pareto.skyline_2d."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "price_cents", F.expr("cast(round(p_retailprice * 100) as long)")
+    )
+    return _pareto.skyline_2d(part, "price_cents", "p_size", "p_partkey")

@@ -1739,3 +1739,195 @@ def prefix_jaccard_join_oracle(
         WHERE n_common * {threshold_den}
               >= (len(sa.shh) + len(sb.shh) - n_common) * {threshold_num}
     """
+
+
+# --- Span-level exact substring dedup (X1 span leg) ------------------------
+
+SPAN_N = 8  # duplicated-span gram width, in whitespace tokens
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+) -> DataFrame:
+    """Span-level EXACT substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping whole near-duplicate documents, find the
+    duplicated *regions* — every maximal token span whose length-n
+    grams each occur more than once in the corpus — so a trainer can
+    excise repeated boilerplate while keeping the unique remainder.
+    The doc-level families (exact/minhash/simhash above) can't see a
+    paragraph pasted into otherwise-distinct documents; this can.
+
+    Plan: one pass builds positional n-grams per document (pure
+    per-row array arithmetic, codegen), ONE shuffle partitions by
+    gram to count occurrences (window count — no second scan, no
+    join-back), then a per-document gaps-and-islands pass (shuffle
+    by doc) merges consecutive duplicated positions into maximal
+    spans: an island [s..e] of gram starts covers tokens
+    [s, e+n-1], i.e. span_len = e-s+n. All arithmetic is integer
+    positions and the gram equality is string-exact, so the DuckDB
+    twin hash-matches bit-for-bit.
+
+    100 TB posture: the gram shuffle is the dominant cost and it
+    ships (doc_id, pos, gram) once; the standard refinement at scale
+    shuffles xxhash64(gram) (8 bytes, 2^-64 collision odds) or
+    re-verifies hash-bucket members — kept as strings here so the
+    certified row is collision-free by construction. The reference
+    has no span operator; this extends its doc-keyed dedup the way
+    suffix-array dedup extends hash dedup (reference semantics
+    anchor: ingestion/KafkaStreamsAggregator.java keys state by
+    record, never by region)."""
+    ws = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    # slice(sequence(1, max(k,1)), 1, max(k,0)) = [1..k] or empty —
+    # avoids sequence(1, 0), which Spark evaluates as DESCENDING.
+    grams = ws.select(
+        "doc_id",
+        F.expr(
+            f"""explode(transform(
+                    slice(sequence(1, greatest(size(ws) - {n - 1}, 1)),
+                          1, greatest(size(ws) - {n - 1}, 0)),
+                    i -> struct(i AS pos,
+                                array_join(slice(ws, i, {n}), ' ') AS gram)
+                ))"""
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_len"),
+    ).select("doc_id", "span_start", "span_len")
+
+
+def duplicated_spans_oracle(n: int = SPAN_N) -> str:
+    """Same gram/window/island pipeline in DuckDB; integer positions
+    and string grams make the hash comparison exact."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(ws[i:i + {n - 1}], ' ') AS gram
+            FROM w, UNNEST(range(1, greatest(len(ws) - {n - 1}, 0) + 1))
+                     AS t(i)
+        ),
+        d AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS cnt
+                FROM g
+            ) WHERE cnt > 1
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM d
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) - min(pos) + {n} AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, grp
+    """
+
+
+# --- Blocked record linkage (entity resolution on structured rows) ---------
+
+ER_PREFIX_LEN = 16  # blocking key: name prefix length
+ER_MAX_EDIT = 1  # match rule: name edit distance ceiling
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_col: str = "c_nationkey",
+    field_cols: tuple[str, ...] = ("c_mktsegment",),
+    prefix_len: int = ER_PREFIX_LEN,
+    max_edit: int = ER_MAX_EDIT,
+) -> DataFrame:
+    """Blocked record linkage (Fellegi-Sunter 1969 deterministic
+    form) over STRUCTURED entity rows — the MDM/entity-resolution
+    counterpart of the document near-dup family above: candidate
+    pairs come from an equality *blocking key* (here
+    (nation, name-prefix)), matches are decided by a field-level
+    agreement vector (name edit distance ≤ max_edit), and the
+    agreement evidence ships in the output so a downstream survivor
+    rule can pick golden records. Differs from edit_distance_pairs:
+    blocking is deterministic multi-field equality (no probabilistic
+    candidate stage to certify), and the unit is an entity row, not
+    free text.
+
+    Plan: ONE shuffle on the composite blocking key; the self-join
+    explodes only within blocks, whose size is bounded by the key
+    design (≤ 10^(18-prefix_len) names per nation here) — the
+    classic blocking guarantee that makes pairwise linkage feasible
+    at 100 TB where the unblocked cross product is n². Levenshtein
+    runs JVM-side (codegen) on candidate pairs only. Integer
+    distances and agreement counts keep the oracle hash exact."""
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(block_col).cast("long").alias("blk"),
+        F.substring(F.col(name_col), 1, prefix_len).alias("pfx"),
+        *[F.col(c) for c in field_cols],
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    n_agree = None
+    for c in field_cols:
+        term = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("long")
+        n_agree = term if n_agree is None else n_agree + term
+    return (
+        pairs.where(dist <= max_edit)
+        .select(
+            F.col("a.id").cast("long").alias("id_a"),
+            F.col("b.id").cast("long").alias("id_b"),
+            dist.cast("long").alias("name_dist"),
+            (n_agree if n_agree is not None else F.lit(0))
+            .cast("long")
+            .alias("fields_agree"),
+        )
+    )
+
+
+def record_linkage_oracle(
+    prefix_len: int = ER_PREFIX_LEN, max_edit: int = ER_MAX_EDIT
+) -> str:
+    return f"""
+        SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+               CAST(b.c_custkey AS BIGINT) AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                   AS name_dist,
+               CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                         THEN 1 ELSE 0 END AS BIGINT) AS fields_agree
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND substring(a.c_name, 1, {prefix_len})
+             = substring(b.c_name, 1, {prefix_len})
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {max_edit}
+    """

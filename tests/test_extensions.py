@@ -2580,3 +2580,135 @@ def test_warc_gz_cdx_offsets_address_single_members():
     except _z.error:
         bad_ok = False
     assert not bad_ok
+
+
+def test_duplicated_spans_islands_and_boundaries(spark):
+    """Constructed corpus: a 10-token paragraph pasted into two
+    otherwise-unique documents must surface as ONE maximal span per
+    document covering exactly the pasted region; a third document
+    with no repeated 8-gram yields no rows. Also pins the island
+    merge: consecutive duplicated gram starts coalesce (one span,
+    not per-gram rows) and span_len counts TOKENS, not grams."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),  # span at tokens 4..13
+            (2, shared + " b1 b2 b3 b4 b5 b6"),    # span at tokens 1..10
+            (3, " ".join(f"c{i}" for i in range(12))),  # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in duplicated_spans(docs).collect()
+    }
+    # 10 shared tokens → 3 duplicated 8-gram starts per doc, merged
+    # into one island of span_len 2 + 8 = 10
+    assert rows == {1: (4, 10), 2: (1, 10)}
+
+
+def test_duplicated_spans_short_doc_and_self_repeat(spark):
+    """Docs shorter than the gram width produce no grams (the
+    sequence guard, not a descending-sequence explosion); a document
+    repeating ITS OWN 8-gram counts as duplicated (corpus-frequency
+    semantics, matching the oracle)."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    rep = " ".join(["x1 x2 x3 x4 x5 x6 x7 x8"] * 2)  # same gram twice
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, rep)],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(docs).collect()
+    assert all(r["doc_id"] == 2 for r in rows)
+    # only gram@1 and gram@9 repeat (the 7 straddling grams are
+    # unique bridges), so the duplicated starts {1, 9} form TWO
+    # islands that happen to tile the document
+    got = sorted((r["span_start"], r["span_len"]) for r in rows)
+    assert got == [(1, 8), (9, 8)]
+
+
+def test_record_linkage_blocking_excludes_cross_block_pairs(spark):
+    """Names within edit distance 1 but in different nations (or
+    different prefixes) must NOT pair — blocking is the declared
+    recall tradeoff — while in-block near-equal names pair with the
+    agreement vector evaluated."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        record_linkage_pairs,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "Customer#000000001", 7, "AUTO"),
+            (2, "Customer#000000002", 7, "AUTO"),   # pairs with 1
+            (3, "Customer#000000003", 9, "AUTO"),   # other nation: no pair
+            (4, "Customer#000000011", 7, "HOUSE"),  # dist 1 to #1: pairs
+            (5, "Customer#000000099", 7, "AUTO"),   # dist 2 to #1: no pair
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["name_dist"], r["fields_agree"])
+        for r in record_linkage_pairs(rows).collect()
+    }
+    # (2, 4) is NOT a pair: #000000002 vs #000000011 differ in both
+    # trailing digits → edit distance 2
+    assert got == {
+        (1, 2): (1, 1),
+        (1, 4): (1, 0),
+    }
+
+
+def test_skyline_dominance_including_ties(spark):
+    """Known frontier under (min x, max y): duplicated skyline
+    points BOTH survive (neither dominates the other), a point
+    equal in x but smaller in y is dominated, and the cross-bucket
+    carry is exercised by forcing many buckets relative to the
+    spread."""
+    from kafka_streams_pipeline_spark.operators.pareto import skyline_2d
+
+    pts = spark.createDataFrame(
+        [
+            (1, 100, 50),
+            (2, 100, 50),   # exact tie of 1: both in skyline
+            (3, 100, 40),   # same x, smaller y: dominated
+            (4, 200, 60),   # more expensive but bigger: skyline
+            (5, 250, 55),   # dominated by 4 (cheaper AND bigger)
+            (6, 50, 10),    # cheapest: skyline
+            (7, 300, 60),   # same y as 4, pricier: dominated
+        ],
+        "key long, x long, y long",
+    )
+    got = sorted(r["key"] for r in skyline_2d(pts, "x", "y", "key").collect())
+    assert got == [1, 2, 4, 6]
+
+
+def test_skyline_matches_bruteforce_on_random_lattice(spark):
+    """The bucketed prefix-max scan equals the O(n^2) dominance
+    definition on a dense random lattice (many x collisions, every
+    bucket populated) — the property the DuckDB oracle certifies,
+    pinned here without an engine swap."""
+    import random
+
+    from kafka_streams_pipeline_spark.operators.pareto import skyline_2d
+
+    rng = random.Random(13)
+    pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40)) for i in range(300)]
+    expect = sorted(
+        k
+        for k, x, y in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for _, qx, qy in pts
+        )
+    )
+    df = spark.createDataFrame(pts, "key long, x long, y long")
+    got = sorted(
+        r["key"] for r in skyline_2d(df, "x", "y", "key", n_buckets=16).collect()
+    )
+    assert got == expect
