@@ -98,6 +98,29 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_counter",
     # round-11: partition-evolution lifecycle (temp store writes)
     "q_store_partition_evolution",
+    # rounds 11-13 backfill (gap caught in r13): every row below
+    # writes temp dirs / runs replays or store lifecycles during
+    # plan CONSTRUCTION, so the unauthenticated REST surface must
+    # exclude them exactly like their older siblings above.
+    "q_media_warc_gz",
+    "q_warc_cdx",
+    "q_store_text_index",
+    "q_streaming_semi_join",
+    "q_store_version_diff",
+    "q_streaming_neardup",
+    "q_ivm_join",
+    "q_ivm_join_retract",
+    "q_streaming_ivm_join",
+    "q_ivm_agg",
+    "q_streaming_ivm_agg",
+    "q_streaming_table_join",
+    "q_streaming_full_join",
+    "q_streaming_skyline",
+    "q_store_retention",
+    # round-13: the bucketed skyline scan executes its range
+    # aggregate + per-band summary jobs (the cross-band carry)
+    # inside the builder — small, but still server-side execution
+    "q_skyline",
 })
 
 

@@ -4986,3 +4986,136 @@ def q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_id long, c_id long, p_user long, c_user long, "
         "p_ts_ms long, c_ts_ms long",
     )
+
+
+@register(
+    "q_streaming_skyline",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(p_partkey AS BIGINT) AS key,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+                   CAST(p_size AS BIGINT) AS y
+            FROM part
+        )
+        SELECT key, x, y FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.x <= p.x AND q.y >= p.y
+              AND (q.x < p.x OR q.y > p.y)
+        )
+    """,
+)
+def q_streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_skyline (round 13): incremental Pareto-
+    frontier maintenance over an insert-only part stream — the
+    skyline is closed under the IVM fold skyline(F ∪ ΔB) because a
+    point dominated once can never re-enter (its dominator either
+    survives or is itself dominated; dominance is transitive), so
+    the maintained state is exactly the frontier: the OUTPUT-sized
+    invariant that makes streaming skyline cheap at 100 TB (state
+    never holds the corpus, only the current best tradeoffs). Four
+    availableNow micro-batches in DESCENDING price quartiles, so
+    later (cheaper) arrivals must EVICT earlier frontier members —
+    the cross-batch property is constructed batch-side before the
+    replay and asserted from the harness counters after it. Each
+    micro-batch folds via the same bucketed operators/pareto
+    .skyline_2d plan the batch row certifies; the final frontier
+    hash-matches the quadratic dominance oracle over ALL rows,
+    proving no eviction was wrong and no dominated point survived."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.pareto import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("key"),
+        F.expr("cast(round(p_retailprice * 100) as long)").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    pts = [(r["key"], r["x"], r["y"]) for r in part.collect()]
+    # descending-price chunks: batch 0 is the most expensive quartile,
+    # every later point is strictly cheaper than (or ties inside) it
+    pts.sort(key=lambda p: (-p[1], p[0]))
+    k = 4
+    n = len(pts)
+    chunks = [pts[i * n // k : (i + 1) * n // k] for i in range(k)]
+
+    def _dom(a, b):
+        return a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2])
+
+    sky0 = [
+        p for p in chunks[0] if not any(_dom(q, p) for q in chunks[0])
+    ]
+    later = [p for c in chunks[1:] for p in c]
+    if not any(_dom(q, p) for p in sky0 for q in later):
+        raise AssertionError(
+            "constructed eviction property does not hold: no later-batch "
+            "point dominates a batch-0 frontier member"
+        )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sskyline-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"pts{i}.json")
+            with open(path, "w") as f:
+                for key, x, y in chunk:
+                    f.write(_json.dumps({"key": key, "x": x, "y": y}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        state: dict = {"frontier": [], "evictions": 0, "batches": 0}
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_pts = [
+                (r["key"], r["x"], r["y"])
+                for r in batch_df.select("key", "x", "y").collect()
+            ]
+            uni = spark.createDataFrame(
+                state["frontier"] + batch_pts, "key long, x long, y long"
+            )
+            new_frontier = [
+                (r["key"], r["x"], r["y"])
+                for r in skyline_2d(uni, "x", "y", "key", n_buckets=32)
+                .collect()
+            ]
+            kept = {p[0] for p in new_frontier}
+            state["evictions"] += sum(
+                1 for p in state["frontier"] if p[0] not in kept
+            )
+            state["frontier"] = new_frontier
+            state["batches"] += 1
+
+        q = (
+            spark.readStream.schema("key long, x long, y long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("skyline replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if state["batches"] != k:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {state['batches']}"
+            )
+        if state["evictions"] < 1:
+            raise AssertionError(
+                "no cross-batch eviction despite the constructed property"
+            )
+        return spark.createDataFrame(
+            state["frontier"], "key long, x long, y long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -692,3 +692,15 @@ def test_binned_percentiles_no_fullwidth_sort(spark, sf_dir):
     scan_to_agg = plan.split("Sort")[0]
     assert "HashAggregate" in scan_to_agg, plan
     assert "percentile" not in plan.lower(), plan
+
+
+def test_skyline_windows_stay_band_partitioned(spark, sf_dir):
+    """The skyline scan exists BECAUSE the naive ORDER BY window
+    collapses to one task: its plan must contain no SinglePartition
+    exchange — every window is partitioned by the price band (plus
+    the equal-x frame), and the cross-band carry arrives as a
+    broadcast join of the 256-row driver fold, not a global sort."""
+    plan = _plan(spark, sf_dir, "q_skyline")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -253,3 +253,31 @@ def test_explain_route_returns_plan_without_executing(spark, sf_dir):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_materializing_set_covers_every_buildtime_executor():
+    """Round-13 regression guard: any registered query whose builder
+    writes temp dirs, runs a streaming replay, or executes a store
+    lifecycle during plan CONSTRUCTION must be listed in
+    inventory.MATERIALIZING, or the unauthenticated REST surface can
+    be made to pin the session for minutes (ADVICE r5). Rounds 11-13
+    added 15 such rows without extending the set; this test greps
+    the builder source for the execution markers so the next
+    addition fails loudly here instead of shipping servable."""
+    import inspect
+
+    from kafka_streams_pipeline_spark import inventory
+
+    missing = []
+    for name, fn in inventory.QUERIES.items():
+        src = inspect.getsource(fn)
+        executes = any(
+            marker in src
+            for marker in ("writeStream", "mkdtemp", "upsert_corpus", ".collect()")
+        )
+        if executes and name not in inventory.MATERIALIZING:
+            missing.append(name)
+    assert not missing, (
+        "builders that execute at construction time but are missing "
+        f"from MATERIALIZING: {missing}"
+    )
