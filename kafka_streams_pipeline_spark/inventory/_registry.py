@@ -121,6 +121,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     # aggregate + per-band summary jobs (the cross-band carry)
     # inside the builder — small, but still server-side execution
     "q_skyline",
+    # round-13: availableNow CDC replay (online entity resolution)
+    "q_streaming_record_linkage",
 })
 
 

@@ -5119,3 +5119,132 @@ def q_streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_record_linkage",
+    oracle=_dedup.record_linkage_oracle(),
+)
+def q_streaming_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_record_linkage (round 13): ONLINE entity
+    resolution over a customer CDC feed — each micro-batch emits
+    pairs(S ∪ Δ) − pairs(S) = (pairs within Δ) ∪ (Δ × S cross
+    pairs), the standard incremental-blocking delta rule, with S the
+    accumulated seen-record store (grown append-only after each
+    fold, so a pair is emitted exactly once, in the batch where its
+    LATER record arrives). Three availableNow micro-batches split by
+    custkey mod 3 — near-equal names land in different batches by
+    construction, so cross-batch pairs MUST flow through the Δ×S
+    leg (constructed batch-side, asserted from the harness counter).
+    Both legs reuse operators/dedup.record_linkage_pairs (the cross
+    leg via other=, disjoint id sets). The union of emissions
+    hash-matches the one-shot batch oracle over ALL customers:
+    incremental ≡ recomputed IS the certificate, matching the join-
+    IVM rows' method. At 100 TB the state side is a blocked store:
+    only Δ's blocks are ever read (block-key partition pruning)."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    rows = [r.asDict() for r in cust.collect()]
+    chunks = [[r for r in rows if r["c_custkey"] % 3 == i] for i in range(3)]
+
+    # constructed cross-batch property: at least one matched pair
+    # must straddle chunks (computed with the same block+edit rule)
+    import itertools
+
+    def _lev1(x: str, y: str) -> bool:
+        if x == y:
+            return True
+        if len(x) == len(y):
+            return sum(a != b for a, b in zip(x, y)) <= 1
+        return False  # equal-length names in this corpus
+
+    def _match(a: dict, b: dict) -> bool:
+        return (
+            a["c_nationkey"] == b["c_nationkey"]
+            and a["c_name"][:16] == b["c_name"][:16]
+            and _lev1(a["c_name"], b["c_name"])
+        )
+
+    straddle = any(
+        _match(a, b)
+        for i, j in itertools.combinations(range(3), 2)
+        for a in chunks[i]
+        for b in chunks[j]
+    )
+    if not straddle:
+        raise AssertionError(
+            "constructed property does not hold: no matched pair "
+            "straddles the custkey%3 batches"
+        )
+
+    base = tempfile.mkdtemp(prefix="kspipeline-slinkage-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"cust{i}.json")
+            with open(path, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        sink: dict = {"pairs": [], "cross": 0, "batches": 0}
+        schema = (
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_mktsegment string"
+        )
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.localCheckpoint(eager=True)
+            within = _dedup.record_linkage_pairs(delta)
+            emitted = [tuple(r) for r in within.collect()]
+            if sink["batches"] > 0:
+                state = spark.read.schema(schema).parquet(state_dir)
+                cross = _dedup.record_linkage_pairs(delta, other=state)
+                cross_rows = [tuple(r) for r in cross.collect()]
+                sink["cross"] += len(cross_rows)
+                emitted.extend(cross_rows)
+            sink["pairs"].extend(emitted)
+            delta.write.mode("append").parquet(state_dir)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("linkage replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if sink["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {sink['batches']}"
+            )
+        if sink["cross"] < 1:
+            raise AssertionError(
+                "no pair flowed through the Δ×state leg despite the "
+                "constructed straddle"
+            )
+        return spark.createDataFrame(
+            sink["pairs"],
+            "id_a long, id_b long, name_dist long, fields_agree long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

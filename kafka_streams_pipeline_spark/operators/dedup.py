@@ -1861,6 +1861,7 @@ def record_linkage_pairs(
     field_cols: tuple[str, ...] = ("c_mktsegment",),
     prefix_len: int = ER_PREFIX_LEN,
     max_edit: int = ER_MAX_EDIT,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked record linkage (Fellegi-Sunter 1969 deterministic
     form) over STRUCTURED entity rows — the MDM/entity-resolution
@@ -1881,21 +1882,30 @@ def record_linkage_pairs(
     at 100 TB where the unblocked cross product is n². Levenshtein
     runs JVM-side (codegen) on candidate pairs only. Integer
     distances and agreement counts keep the oracle hash exact."""
-    sel = df.select(
-        F.col(id_col).alias("id"),
-        F.col(name_col).alias("name"),
-        F.col(block_col).cast("long").alias("blk"),
-        F.substring(F.col(name_col), 1, prefix_len).alias("pfx"),
-        *[F.col(c) for c in field_cols],
-    )
+    def _sel(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("name"),
+            F.col(block_col).cast("long").alias("blk"),
+            F.substring(F.col(name_col), 1, prefix_len).alias("pfx"),
+            *[F.col(c) for c in field_cols],
+        )
+
+    sel = _sel(df)
+
     a = sel.alias("a")
-    b = sel.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.pfx") == F.col("b.pfx"))
-        & (F.col("a.id") < F.col("b.id")),
+    # other=None: self-linkage, id < id dedupes unordered pairs.
+    # other given: CROSS linkage A×B over DISJOINT id sets (the CDC/
+    # streaming delta rule ΔB×state) — each unordered pair appears
+    # exactly once, so the output is normalized with least/greatest
+    # instead of the inequality.
+    b = (_sel(other) if other is not None else sel).alias("b")
+    cond = (F.col("a.blk") == F.col("b.blk")) & (
+        F.col("a.pfx") == F.col("b.pfx")
     )
+    if other is None:
+        cond = cond & (F.col("a.id") < F.col("b.id"))
+    pairs = a.join(b, cond)
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     n_agree = None
     for c in field_cols:
@@ -1904,8 +1914,12 @@ def record_linkage_pairs(
     return (
         pairs.where(dist <= max_edit)
         .select(
-            F.col("a.id").cast("long").alias("id_a"),
-            F.col("b.id").cast("long").alias("id_b"),
+            F.least(F.col("a.id"), F.col("b.id"))
+            .cast("long")
+            .alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id"))
+            .cast("long")
+            .alias("id_b"),
             dist.cast("long").alias("name_dist"),
             (n_agree if n_agree is not None else F.lit(0))
             .cast("long")

@@ -2712,3 +2712,43 @@ def test_skyline_matches_bruteforce_on_random_lattice(spark):
         r["key"] for r in skyline_2d(df, "x", "y", "key", n_buckets=16).collect()
     )
     assert got == expect
+
+
+def test_record_linkage_cross_leg_disjoint_sets(spark):
+    """other= runs A×B linkage over disjoint id sets (the streaming
+    Δ×state delta rule): pairs appear exactly once with normalized
+    (least, greatest) ids regardless of which side holds which
+    record, and within-A / within-B pairs are NOT emitted."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        record_linkage_pairs,
+    )
+
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_mktsegment string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "Customer#000000001", 7, "AUTO"),
+            (11, "Customer#000000002", 7, "AUTO"),  # within-delta: excluded
+        ],
+        schema,
+    )
+    state = spark.createDataFrame(
+        [
+            (2, "Customer#000000011", 7, "HOUSE"),  # dist 1 to delta#10
+            (3, "Customer#000000001", 9, "AUTO"),   # other nation: no pair
+            (4, "Customer#000000012", 7, "AUTO"),   # dist 1 to delta#11
+        ],
+        schema,
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["name_dist"], r["fields_agree"])
+        for r in record_linkage_pairs(delta, other=state).collect()
+    }
+    # ids normalized least/greatest even though state ids < delta ids;
+    # state#2 vs delta#11 ("...002" vs "...011") is dist 2: no pair
+    assert got == {
+        (2, 10): (1, 0),
+        (4, 11): (1, 1),
+    }
