@@ -123,6 +123,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_skyline",
     # round-13: availableNow CDC replay (online entity resolution)
     "q_streaming_record_linkage",
+    # round-13: availableNow replay with retroactive span maintenance
+    "q_streaming_span_dedup",
 })
 
 

@@ -5248,3 +5248,170 @@ def q_streaming_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_span_dedup",
+    oracle=_dedup.duplicated_spans_oracle(),
+)
+def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_span_dedup (round 13): incremental
+    substring dedup over a GROWING corpus — the re-crawl shape,
+    where the interesting case is RETROACTIVE duplication: a gram
+    unique in micro-batch 0 becomes duplicated when a later batch
+    repeats it, so an already-ingested document's span set must
+    update after the fact (an insert-only corpus still produces an
+    UPSERT view — duplication is monotone per position, but spans
+    merge and grow). Delta rule per batch: only the grams PRESENT in
+    Δ are re-counted (old occurrences of affected grams + Δ
+    occurrences — at 100 TB the occurrence store is gram-bucketed so
+    this read is partition-pruned to Δ's buckets); newly-duplicated
+    positions mark affected docs; ONLY affected docs re-run the
+    island merge over their full duplicated-position set, and their
+    span rows are REPLACED in a MoR view keyed by doc_id. Three
+    availableNow micro-batches split by doc_id mod 3 (near-dup
+    cliques straddle batches by construction); the retroactive
+    1→≥2 crossing counter is asserted ≥1 in batches after the
+    first. Final maintained view hash-matches the one-shot batch
+    oracle over ALL documents: incremental ≡ recomputed."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        positional_grams,
+        positions_to_spans,
+    )
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        read_corpus_latest,
+        upsert_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="kspipeline-sspan-")
+    src = os.path.join(base, "src")
+    occ_dir = os.path.join(base, "occ")
+    dup_dir = os.path.join(base, "dup")
+    spans_store = os.path.join(base, "spans")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i in range(3):
+            chunk = docs.where(F.col("doc_id") % 3 == i)
+            path = os.path.join(src, f"docs{i}.json")
+            with open(path, "w") as f:
+                for r in chunk.collect():
+                    f.write(
+                        _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                        + "\n"
+                    )
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        stats: dict = {"batches": 0, "retro_crossings": 0}
+        occ_schema = "doc_id long, pos long, gram string"
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta_occ = positional_grams(batch_df).localCheckpoint(
+                eager=True
+            )
+            if stats["batches"] > 0:
+                old = spark.read.schema(occ_schema).parquet(occ_dir)
+                aff = delta_occ.select("gram").distinct()
+                # at scale: gram-bucketed store → this read prunes to
+                # Δ's buckets instead of scanning the corpus
+                old_aff = old.join(aff, "gram").localCheckpoint(eager=True)
+            else:
+                old_aff = spark.createDataFrame([], occ_schema)
+            comb = old_aff.unionByName(
+                delta_occ.select("doc_id", "pos", "gram")
+            )
+            tot = comb.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+            )
+            new_dups = (
+                tot.where(F.col("cnt") > 1)
+                .select("doc_id", "pos")
+                .localCheckpoint(eager=True)
+            )
+            # retroactive crossings: grams with exactly ONE occurrence
+            # before this batch and ≥2 after it
+            if stats["batches"] > 0:
+                crossings = (
+                    old_aff.groupBy("gram")
+                    .agg(F.count(F.lit(1)).alias("c_old"))
+                    .join(
+                        comb.groupBy("gram").agg(
+                            F.count(F.lit(1)).alias("c_tot")
+                        ),
+                        "gram",
+                    )
+                    .where((F.col("c_old") == 1) & (F.col("c_tot") >= 2))
+                    .count()
+                )
+                stats["retro_crossings"] += crossings
+            if new_dups.take(1):
+                new_dups.write.mode("append").parquet(dup_dir)
+                affected = new_dups.select("doc_id").distinct()
+                all_dups = (
+                    spark.read.schema("doc_id long, pos long")
+                    .parquet(dup_dir)
+                    .join(F.broadcast(affected), "doc_id")
+                    .distinct()
+                )
+                spans = positions_to_spans(all_dups)
+                spans_arr = spans.groupBy("doc_id").agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("span_start", "span_len")
+                        )
+                    ).alias("spans")
+                )
+                upsert_corpus(
+                    spans_arr,
+                    spans_store,
+                    "doc_id",
+                    f"span maintenance batch {stats['batches']}",
+                )
+            delta_occ.write.mode("append").parquet(occ_dir)
+            stats["batches"] += 1
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("span-dedup replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if stats["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {stats['batches']}"
+            )
+        if stats["retro_crossings"] < 1:
+            raise AssertionError(
+                "no retroactive 1→≥2 gram crossing despite the mod-3 "
+                "clique split"
+            )
+        out = (
+            read_corpus_latest(spark, spans_store, "doc_id")
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select(
+                "doc_id",
+                F.col("s.span_start").alias("span_start"),
+                F.col("s.span_len").alias("span_len"),
+            )
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1780,13 +1780,32 @@ def duplicated_spans(
     suffix-array dedup extends hash dedup (reference semantics
     anchor: ingestion/KafkaStreamsAggregator.java keys state by
     record, never by region)."""
+    grams = positional_grams(df, text_col, id_col, n)
+    dup = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
+    return positions_to_spans(dup, n)
+
+
+def positional_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+) -> DataFrame:
+    """(doc_id, pos, gram) for every length-n token window; 1-based
+    positions; docs shorter than n produce no rows."""
     ws = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
     )
     # slice(sequence(1, max(k,1)), 1, max(k,0)) = [1..k] or empty —
     # avoids sequence(1, 0), which Spark evaluates as DESCENDING.
-    grams = ws.select(
+    return ws.select(
         "doc_id",
         F.expr(
             f"""explode(transform(
@@ -1796,15 +1815,15 @@ def duplicated_spans(
                                 array_join(slice(ws, i, {n}), ' ') AS gram)
                 ))"""
         ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    dup = (
-        grams.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-        )
-        .where(F.col("cnt") > 1)
-        .select("doc_id", "pos")
+    ).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
     )
-    isl = dup.withColumn(
+
+
+def positions_to_spans(dup_positions: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram-start positions into
+    maximal spans: island [s..e] covers tokens [s, e+n-1]."""
+    isl = dup_positions.withColumn(
         "grp",
         F.col("pos")
         - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),

@@ -216,6 +216,15 @@ def run_sweep(spark, mults: list[int]) -> dict:
             "hamming_join",
             lambda: dd.simhash_hamming_pairs(docs).count(),
         )
+        # round-13: span-level substring dedup — the replica cliques
+        # make every gram's occurrence group grow with the
+        # multiplier, but the op aggregates counts instead of
+        # emitting pairs, so time should stay ~linear in input where
+        # hamming_join is output-quadratic in clique size
+        timed(
+            "span_dedup",
+            lambda: dd.duplicated_spans(docs).count(),
+        )
         timed(
             "ann_lsh",
             lambda: sim.topk_cosine_lsh(embs).count(),
