@@ -2153,3 +2153,14 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage linear-ish at 100 TB. See
     operators/dedup.record_linkage_pairs."""
     return _dedup.record_linkage_pairs(_t(spark, sf_dir, "customer"))
+
+
+@register("q_token_cooccurrence", oracle=_text.token_cooccurrence_oracle())
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 skip-gram co-occurrence (round 13): unordered token pairs
+    within ±3 positions, the word2vec/GloVe training statistic —
+    word_bigrams is one diagonal of this matrix. Per-row nested
+    array generation (no positional self-join), one map-side-partial
+    count aggregate, TakeOrdered top-150 tie-broken by pair text.
+    See operators/text.token_cooccurrence."""
+    return _text.token_cooccurrence(_t(spark, sf_dir, "documents"))

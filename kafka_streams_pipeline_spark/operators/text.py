@@ -2873,3 +2873,62 @@ def keyword_extract_oracle(k: int = 3, doc_mod: int = 20) -> str:
         SELECT doc_id, term, tf, df, score_ppm, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    top_n: int = 150,
+) -> DataFrame:
+    """X5 skip-gram co-occurrence counts (the word2vec/GloVe corpus
+    statistic; Mikolov et al. 2013 use exactly this ±window pair
+    stream): unordered token pairs within `window` positions,
+    normalized (least, greatest) so (a,b) and (b,a) accumulate
+    together, top `top_n` tie-broken by pair text. Distinct from
+    word_bigrams: adjacency is one diagonal of this matrix.
+
+    Plan: pair generation is PER-ROW nested array arithmetic
+    (flatten·transform — no self-join on position, which is the
+    naive formulation's shuffle), then one count aggregate with
+    map-side partials and a TakeOrdered top-N. At 100 TB the pair
+    stream is window·tokens rows feeding partial aggregation —
+    the same shape as the wordcount row, scaled by the window."""
+    inner = (
+        f"transform(sequence(i + 1, least(i + {window}, size(ws))), "
+        "j -> concat(least(element_at(ws, i), element_at(ws, j)), ' ', "
+        "greatest(element_at(ws, i), element_at(ws, j))))"
+    )
+    return (
+        df.withColumn("ws", F.split(F.lower(F.col(text_col)), " "))
+        .where(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, size(ws) - 1), i -> {inner}))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def token_cooccurrence_oracle(window: int = 3, top_n: int = 150) -> str:
+    return f"""
+        SELECT pair, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(flatten(
+                [[least(ws[i], ws[j]) || ' ' || greatest(ws[i], ws[j])
+                  FOR j IN range(i + 1, least(i + {window}, len(ws)) + 1)]
+                 FOR i IN range(1, len(ws))])) AS pair
+            FROM (SELECT string_split(lower(text), ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= 2
+        )
+        GROUP BY pair
+        ORDER BY freq DESC, pair ASC
+        LIMIT {top_n}
+    """

@@ -2752,3 +2752,24 @@ def test_record_linkage_cross_leg_disjoint_sets(spark):
         (2, 10): (1, 0),
         (4, 11): (1, 1),
     }
+
+
+def test_token_cooccurrence_window_and_normalization(spark):
+    """±window pairs with unordered normalization: 'a b c a' at
+    window 2 yields pairs (a,b),(a,c),(b,c),(a,b)... — (a,b) from
+    positions (1,2) and (3,4)-reversed must accumulate together, and
+    positions farther than the window apart must not pair."""
+    from kafka_streams_pipeline_spark.operators.text import (
+        token_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x y")], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["freq"]
+        for r in token_cooccurrence(docs, window=2, top_n=10).collect()
+    }
+    # pairs at window 2 over [a,b,c,a]: (1,2)=a b, (1,3)=a c,
+    # (2,3)=b c, (2,4)=a b (normalized), (3,4)=a c; plus doc 2's x y
+    assert got == {"a b": 2, "a c": 2, "b c": 1, "x y": 1}
