@@ -5325,12 +5325,17 @@ def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 old_aff = spark.createDataFrame([], occ_schema)
             comb = old_aff.unionByName(
                 delta_occ.select("doc_id", "pos", "gram")
-            )
-            tot = comb.withColumn(
-                "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+            ).localCheckpoint(eager=True)
+            # groupBy + join-back, not a count window over gram —
+            # same skew rationale as the batch operator (map-side
+            # partials + AQE-splittable verify join)
+            c_tot = comb.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("c_tot")
             )
             new_dups = (
-                tot.where(F.col("cnt") > 1)
+                comb.join(
+                    c_tot.where(F.col("c_tot") > 1).select("gram"), "gram"
+                )
                 .select("doc_id", "pos")
                 .localCheckpoint(eager=True)
             )
@@ -5340,12 +5345,7 @@ def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 crossings = (
                     old_aff.groupBy("gram")
                     .agg(F.count(F.lit(1)).alias("c_old"))
-                    .join(
-                        comb.groupBy("gram").agg(
-                            F.count(F.lit(1)).alias("c_tot")
-                        ),
-                        "gram",
-                    )
+                    .join(c_tot, "gram")
                     .where((F.col("c_old") == 1) & (F.col("c_tot") >= 2))
                     .count()
                 )

@@ -1762,32 +1762,41 @@ def duplicated_spans(
     paragraph pasted into otherwise-distinct documents; this can.
 
     Plan: one pass builds positional n-grams per document (pure
-    per-row array arithmetic, codegen), ONE shuffle partitions by
-    gram to count occurrences (window count — no second scan, no
-    join-back), then a per-document gaps-and-islands pass (shuffle
-    by doc) merges consecutive duplicated positions into maximal
-    spans: an island [s..e] of gram starts covers tokens
-    [s, e+n-1], i.e. span_len = e-s+n. All arithmetic is integer
-    positions and the gram equality is string-exact, so the DuckDB
-    twin hash-matches bit-for-bit.
+    per-row array arithmetic, codegen); duplicated grams come from a
+    groupBy with MAP-SIDE partial counts (a boilerplate gram's 10^9
+    occurrences collapse to per-task partials before the shuffle)
+    joined back to the positional stream (AQE-skew-splittable, which
+    a count window partitioned by gram is not — that form strands
+    each hot gram on one task); then a per-document gaps-and-islands
+    pass (shuffle by doc) merges consecutive duplicated positions
+    into maximal spans: an island [s..e] of gram starts covers
+    tokens [s, e+n-1], i.e. span_len = e-s+n. All arithmetic is
+    integer positions and the gram equality is string-exact, so the
+    DuckDB twin hash-matches bit-for-bit.
 
-    100 TB posture: the gram shuffle is the dominant cost and it
-    ships (doc_id, pos, gram) once; the standard refinement at scale
-    shuffles xxhash64(gram) (8 bytes, 2^-64 collision odds) or
-    re-verifies hash-bucket members — kept as strings here so the
-    certified row is collision-free by construction. The reference
-    has no span operator; this extends its doc-keyed dedup the way
-    suffix-array dedup extends hash dedup (reference semantics
-    anchor: ingestion/KafkaStreamsAggregator.java keys state by
-    record, never by region)."""
+    100 TB posture: the gram shuffles dominate and ship
+    (doc_id, pos, gram); the standard refinement at scale shuffles
+    xxhash64(gram) (8 bytes, 2^-64 collision odds) or re-verifies
+    hash-bucket members — kept as strings here so the certified row
+    is collision-free by construction. The reference has no span
+    operator; this extends its doc-keyed dedup the way suffix-array
+    dedup extends hash dedup (reference semantics anchor:
+    ingestion/KafkaStreamsAggregator.java keys state by record,
+    never by region)."""
     grams = positional_grams(df, text_col, id_col, n)
-    dup = (
-        grams.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-        )
+    # groupBy + join-back rather than a count window over gram: the
+    # window form puts EVERY occurrence of one gram on a single task
+    # — a boilerplate gram with 10^9 occurrences at 100 TB is an
+    # unsplittable straggler. The aggregate gets map-side partial
+    # counts (hot grams collapse before the shuffle) and the verify
+    # join is AQE-skew-splittable.
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") > 1)
-        .select("doc_id", "pos")
+        .select("gram")
     )
+    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
     return positions_to_spans(dup, n)
 
 
