@@ -2127,7 +2127,9 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(pairs)
 
 
-@register("q_span_dedup", oracle=_dedup.duplicated_spans_oracle())
+@register(
+    "q_span_dedup", oracle=_dedup.duplicated_spans_oracle(), bench=True
+)
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 span leg (round 13): exact duplicated-SPAN detection — the
     maximal token regions whose 8-grams each repeat in the corpus
@@ -2155,7 +2157,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.record_linkage_pairs(_t(spark, sf_dir, "customer"))
 
 
-@register("q_token_cooccurrence", oracle=_text.token_cooccurrence_oracle())
+@register(
+    "q_token_cooccurrence",
+    oracle=_text.token_cooccurrence_oracle(),
+    bench=True,
+)
 def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 skip-gram co-occurrence (round 13): unordered token pairs
     within ±3 positions, the word2vec/GloVe training statistic —

@@ -1312,6 +1312,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_skyline",
+    bench=True,
     oracle=_pareto.skyline_2d_oracle(
         "part",
         "round(p_retailprice * 100)",

@@ -5326,16 +5326,15 @@ def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             comb = old_aff.unionByName(
                 delta_occ.select("doc_id", "pos", "gram")
             ).localCheckpoint(eager=True)
-            # groupBy + join-back, not a count window over gram —
-            # same skew rationale as the batch operator (map-side
-            # partials + AQE-splittable verify join)
-            c_tot = comb.groupBy("gram").agg(
-                F.count(F.lit(1)).alias("c_tot")
-            )
+            # count window over gram, matching the batch operator's
+            # default (one shuffle of the checkpointed comb stream;
+            # comb is already restricted to Δ's grams)
             new_dups = (
-                comb.join(
-                    c_tot.where(F.col("c_tot") > 1).select("gram"), "gram"
+                comb.withColumn(
+                    "cnt",
+                    F.count(F.lit(1)).over(Window.partitionBy("gram")),
                 )
+                .where(F.col("cnt") > 1)
                 .select("doc_id", "pos")
                 .localCheckpoint(eager=True)
             )
@@ -5345,7 +5344,12 @@ def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 crossings = (
                     old_aff.groupBy("gram")
                     .agg(F.count(F.lit(1)).alias("c_old"))
-                    .join(c_tot, "gram")
+                    .join(
+                        comb.groupBy("gram").agg(
+                            F.count(F.lit(1)).alias("c_tot")
+                        ),
+                        "gram",
+                    )
                     .where((F.col("c_old") == 1) & (F.col("c_tot") >= 2))
                     .count()
                 )

@@ -1751,6 +1751,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = SPAN_N,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Span-level EXACT substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"):
@@ -1762,17 +1763,20 @@ def duplicated_spans(
     paragraph pasted into otherwise-distinct documents; this can.
 
     Plan: one pass builds positional n-grams per document (pure
-    per-row array arithmetic, codegen); duplicated grams come from a
-    groupBy with MAP-SIDE partial counts (a boilerplate gram's 10^9
-    occurrences collapse to per-task partials before the shuffle)
-    joined back to the positional stream (AQE-skew-splittable, which
-    a count window partitioned by gram is not — that form strands
-    each hot gram on one task); then a per-document gaps-and-islands
-    pass (shuffle by doc) merges consecutive duplicated positions
-    into maximal spans: an island [s..e] of gram starts covers
-    tokens [s, e+n-1], i.e. span_len = e-s+n. All arithmetic is
-    integer positions and the gram equality is string-exact, so the
-    DuckDB twin hash-matches bit-for-bit.
+    per-row array arithmetic, codegen), ONE shuffle partitions by
+    gram for the count window (the gram stream is computed and
+    shuffled exactly once — measured 3-7× faster than the
+    aggregate+join-back form at every sweep multiplier), then a
+    per-document gaps-and-islands pass (shuffle by doc) merges
+    consecutive duplicated positions into maximal spans: an island
+    [s..e] of gram starts covers tokens [s, e+n-1], i.e.
+    span_len = e-s+n. All arithmetic is integer positions and the
+    gram equality is string-exact, so the DuckDB twin hash-matches
+    bit-for-bit. ``skew_safe=True`` switches to the map-side-partial
+    + AQE-splittable join form for corpora with degenerate
+    boilerplate grams (the window form strands each gram's
+    occurrences on one task; equality of both forms is pinned by
+    pytest).
 
     100 TB posture: the gram shuffles dominate and ship
     (doc_id, pos, gram); the standard refinement at scale shuffles
@@ -1784,19 +1788,30 @@ def duplicated_spans(
     ingestion/KafkaStreamsAggregator.java keys state by record,
     never by region)."""
     grams = positional_grams(df, text_col, id_col, n)
-    # groupBy + join-back rather than a count window over gram: the
-    # window form puts EVERY occurrence of one gram on a single task
-    # — a boilerplate gram with 10^9 occurrences at 100 TB is an
-    # unsplittable straggler. The aggregate gets map-side partial
-    # counts (hot grams collapse before the shuffle) and the verify
-    # join is AQE-skew-splittable.
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gram")
-    )
-    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    if skew_safe:
+        # groupBy + join-back: map-side partial counts collapse a
+        # boilerplate gram's occurrences before the shuffle and the
+        # verify join is AQE-skew-splittable — but the gram stream
+        # is computed AND shuffled twice, measured 3-7× slower than
+        # the window form at every sweep multiplier on this corpus.
+        # The knob exists for corpora with genuinely degenerate hot
+        # grams (10^9-occurrence boilerplate), where the window
+        # form's one-task-per-gram grouping becomes the straggler.
+        dup_grams = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .select("gram")
+        )
+        dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    else:
+        dup = (
+            grams.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+            )
+            .where(F.col("cnt") > 1)
+            .select("doc_id", "pos")
+        )
     return positions_to_spans(dup, n)
 
 

@@ -2773,3 +2773,25 @@ def test_token_cooccurrence_window_and_normalization(spark):
     # pairs at window 2 over [a,b,c,a]: (1,2)=a b, (1,3)=a c,
     # (2,3)=b c, (2,4)=a b (normalized), (3,4)=a c; plus doc 2's x y
     assert got == {"a b": 2, "a c": 2, "b c": 1, "x y": 1}
+
+
+def test_duplicated_spans_skew_safe_form_identical(spark):
+    """skew_safe=True (map-side-partial + AQE-splittable join) must
+    produce the identical span set as the default window form — the
+    knob trades plan shape for hot-gram robustness, never results."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, shared + " b1 b2 b3 b4 b5 b6"),
+            (3, " ".join(["h1 h2 h3 h4 h5 h6 h7 h8"] * 4)),  # hot gram
+        ],
+        "doc_id long, text string",
+    )
+    fast = sorted(map(tuple, duplicated_spans(docs).collect()))
+    safe = sorted(map(tuple, duplicated_spans(docs, skew_safe=True).collect()))
+    assert fast == safe and len(fast) >= 3
