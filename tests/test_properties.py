@@ -672,3 +672,96 @@ def test_counter_rate_fold_property(spark, series):
     assert got.n_samples == len(series)
     assert got.n_resets == resets
     assert got.increase_cents == inc
+
+
+# --- round-13 operators ----------------------------------------------------
+
+points_s = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(pts=points_s, nb=st.integers(min_value=1, max_value=8))
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_skyline_matches_dominance_definition(spark, pts, nb):
+    """The bucketed prefix-max scan equals the O(n²) dominance
+    definition for ANY point multiset and bucket count — including
+    duplicate points (both survive) and degenerate single-bucket
+    collapses."""
+    from kafka_streams_pipeline_spark.operators.pareto import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expect = sorted(
+        k
+        for k, x, y in rows
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for _, qx, qy in rows
+        )
+    )
+    df = spark.createDataFrame(rows, "key long, x long, y long")
+    got = sorted(
+        r["key"]
+        for r in skyline_2d(df, "x", "y", "key", n_buckets=nb).collect()
+    )
+    assert got == expect
+
+
+docs_s = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=docs_s)
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_duplicated_spans_matches_python_reference(spark, texts):
+    """Span islands equal a direct python recompute for arbitrary
+    tiny-alphabet corpora (3-token grams force heavy gram reuse, so
+    island merging and corpus-frequency semantics are genuinely
+    exercised)."""
+    from collections import Counter
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    n = 3
+    grams: list[tuple[int, int, str]] = []
+    for d, text in enumerate(texts):
+        ws = text.split(" ") if text else []
+        for i in range(len(ws) - n + 1):
+            grams.append((d, i + 1, " ".join(ws[i : i + n])))
+    counts = Counter(g for _, _, g in grams)
+    expect = set()
+    for d in range(len(texts)):
+        dups = sorted(p for dd, p, g in grams if dd == d and counts[g] > 1)
+        run: list[int] = []
+        for p in dups:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expect.add((d, run[0], run[-1] - run[0] + n))
+                run = [p]
+        if run:
+            expect.add((d, run[0], run[-1] - run[0] + n))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, n=n).collect()
+    }
+    assert got == expect
