@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -29,10 +30,18 @@ def reading_stream_dir(spark, sf_dir, tmp_path_factory):
     )
     src = str(tmp_path_factory.mktemp("stateful") / "src")
     os.makedirs(src)
+    # ascending mtimes: file-stream replay order is MODIFICATION-TIME
+    # order and back-to-back writes tie (round-6 learning) — an
+    # arbitrary tie-break replays chunks out of order, which flips
+    # the order-sensitive ops (TWA spans; the r12 "lost name" flake
+    # was exactly this, finally caught by junitxml in r13)
+    mtime0 = time.time() - 86_400
     for c in range(3):
-        with open(os.path.join(src, f"chunk{c}.json"), "w") as f:
+        path = os.path.join(src, f"chunk{c}.json")
+        with open(path, "w") as f:
             for r in rows[c * 334 : (c + 1) * 334]:
                 f.write(json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + c, mtime0 + c))
     return src
 
 
@@ -298,10 +307,18 @@ def test_running_totals_survive_restart(spark, sf_dir, tmp_path):
     os.makedirs(src)
     third = len(rows) // 3
 
+    mtime0 = time.time() - 86_400
+
     def write_chunk(name, chunk_rows):
-        with open(os.path.join(src, name), "w") as f:
+        path = os.path.join(src, name)
+        with open(path, "w") as f:
             for r in chunk_rows:
                 f.write(json.dumps(r.asDict()) + "\n")
+        # ascending mtimes so the replay order is deterministic even
+        # for back-to-back writes (round-6 learning); totals are
+        # order-insensitive, but the harness shouldn't rely on that
+        off = int(name.removeprefix("chunk").removesuffix(".json"))
+        os.utime(path, (mtime0 + off, mtime0 + off))
 
     batches: list = []
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -39,10 +40,16 @@ def _write_chunks(rows, src_dir, n_chunks=3, disorder_block=50):
     for i in range(0, len(ordered), disorder_block):
         jumbled.extend(reversed(ordered[i : i + disorder_block]))
     per = (len(jumbled) + n_chunks - 1) // n_chunks
+    # ascending mtimes: back-to-back writes tie on mtime and the
+    # file-stream tie-break is arbitrary (round-6 learning; the r12
+    # lost-name flake was the stateful fixture missing exactly this)
+    mtime0 = time.time() - 86_400
     for c in range(n_chunks):
-        with open(os.path.join(src_dir, f"chunk{c}.json"), "w") as f:
+        path = os.path.join(src_dir, f"chunk{c}.json")
+        with open(path, "w") as f:
             for r in jumbled[c * per : (c + 1) * per]:
                 f.write(json.dumps(r.asDict()) + "\n")
+        os.utime(path, (mtime0 + c, mtime0 + c))
 
 
 def test_stream_matches_batch_view(spark, sf_dir, readings_rows, tmp_path_factory):
