@@ -125,6 +125,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_record_linkage",
     # round-13: availableNow replay with retroactive span maintenance
     "q_streaming_span_dedup",
+    # round-13 (deferred to r14 window): MG-merge replay + verify
+    "q_streaming_heavy_hitters",
 })
 
 

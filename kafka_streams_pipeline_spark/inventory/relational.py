@@ -1333,3 +1333,57 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents", F.expr("cast(round(p_retailprice * 100) as long)")
     )
     return _pareto.skyline_2d(part, "price_cents", "p_size", "p_partkey")
+
+
+@register(
+    "q_bipartite_cooccurrence",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS item
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    """,
+)
+def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 round 13 (deferred cert → r14 window): bipartite
+    projection / item-item co-engagement — the recommender
+    co-occurrence matrix (users × items projected onto item pairs
+    weighted by shared users, min-support 5). The per-user DISTINCT
+    item set bounds the self-join fan-out (the classic guarantee
+    that keeps projection quadratic only in per-user degree, never
+    corpus size; at 100 TB a per-user item cap is the standard
+    degree clamp). One distinct + one user-key equi-join + one
+    count aggregate; items parsed from the JSON props column
+    (integer-exact both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = ui.alias("a")
+    b = ui.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .where(F.col("n_users") >= 5)
+    )

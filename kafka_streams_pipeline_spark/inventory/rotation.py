@@ -367,8 +367,16 @@ _RECHECK: list[str] = [
 ]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
-# _ON_DECK next round.
-_DEFERRED: list[str] = []
+# _ON_DECK next round. The round-13 window was budgeted exactly: 14
+# new registrations + 6 on-deck + 1 recheck + 29 re-certs (the 28
+# r7-vintage rows + 1 r8) = 50, so these two late-round additions
+# are parked rather than displacing the staleness plan. Both were
+# oracle-verified green at sf0.001 / sf0.01 and under the vanilla-TZ
+# driver-sim before parking (NOTES_r13).
+_DEFERRED: list[str] = [
+    "q_bipartite_cooccurrence",
+    "q_streaming_heavy_hitters",
+]
 
 
 def driver_order() -> list[str]:

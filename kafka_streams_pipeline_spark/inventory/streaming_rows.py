@@ -5419,3 +5419,123 @@ def q_streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_heavy_hitters",
+    oracle=_sk.heavy_hitters_twopass_oracle(),
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_heavy_hitters_exact (round 13, deferred
+    cert → r14 window): EXACT frequent items over a document stream —
+    per micro-batch the executors reduce the token stream to
+    Misra-Gries candidate summaries (k bounded counters each, raw
+    tokens never leave the batch), the harness merges them into ONE
+    running MG state by the Agarwal et al. 2013 summed-counters +
+    k-th-largest-decrement rule (any item with TRUE global frequency
+    > n/k provably survives the merged summary), and a final exact
+    verify pass over the replayed corpus restricted to the surviving
+    candidates makes the answer exact and replay-order-independent.
+    Certified against the same GROUP BY/HAVING oracle as the batch
+    row: incremental candidates + exact verify ≡ one-shot recompute.
+    Invariant asserted: any merge whose combined candidate set
+    overflowed k-1 counters must have decremented (at small SFs the
+    vocabulary fits the summary and counts stay exact — also
+    legitimate)."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = _sk.HH_K
+    base = tempfile.mkdtemp(prefix="kspipeline-shh-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i in range(3):
+            chunk = docs.where(F.col("doc_id") % 3 == i)
+            path = os.path.join(src, f"docs{i}.json")
+            with open(path, "w") as f:
+                for r in chunk.collect():
+                    f.write(
+                        _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                        + "\n"
+                    )
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        state: dict = {}
+        stats: dict = {
+            "batches": 0,
+            "n_total": 0,
+            "decrement_rounds": 0,
+            "overflows": 0,
+        }
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            toks = batch_df.select(
+                F.explode(F.split("text", " ")).alias("tok")
+            )
+            rows = _sk.mg_summary_rows(toks, "tok", k)
+            pre = len(
+                set(state) | {r["tok"] for r in rows if r["tok"] is not None}
+            )
+            before = dict(state)
+            merged, n_batch = _sk.mg_merge(state, rows, k)
+            if pre > k - 1:
+                stats["overflows"] += 1
+            if any(
+                merged.get(t, 0) < c for t, c in before.items()
+            ) or any(t not in merged for t in before):
+                stats["decrement_rounds"] += 1
+            stats["n_total"] += n_batch
+            stats["batches"] += 1
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("heavy-hitter replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if stats["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {stats['batches']}"
+            )
+        # invariant, not vocabulary assumption: a merge whose combined
+        # candidate set exceeded k-1 counters MUST have decremented;
+        # a corpus whose vocabulary never overflows the summary keeps
+        # exact counts and legitimately never decrements (sf0.001)
+        if stats["overflows"] >= 1 and stats["decrement_rounds"] < 1:
+            raise AssertionError(
+                "MG summary overflowed k-1 counters without decrementing"
+            )
+        cands = spark.createDataFrame(
+            [(t,) for t in state], "tok string"
+        )
+        replayed = (
+            spark.read.schema("doc_id long, text string")
+            .json(src)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+        )
+        out = (
+            replayed.join(F.broadcast(cands), "tok")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .where(F.col("freq") * k > F.lit(stats["n_total"]))
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

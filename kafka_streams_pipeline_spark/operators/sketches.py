@@ -1276,3 +1276,63 @@ def heavy_hitters_twopass_oracle(k: int = HH_K) -> str:
         GROUP BY tok, n
         HAVING count(*) * {k} > n
     """
+
+
+def mg_summary_rows(df: DataFrame, col: str, k: int = HH_K) -> list:
+    """Per-partition Misra-Gries summaries collected to the driver as
+    (token, count) candidate rows plus the partition element total —
+    the mergeable form of heavy_hitters_twopass's first pass (≤
+    k·partitions rows; the raw stream never leaves the executors)."""
+    toks = df.select(F.col(col).cast("string").alias("tok"))
+
+    def mg(it):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in it:
+            for v in pdf["tok"].tolist():
+                if v is None:
+                    continue
+                n += 1
+                c = counters.get(v)
+                if c is not None:
+                    counters[v] = c + 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        if counters[key] == 1:
+                            del counters[key]
+                        else:
+                            counters[key] -= 1
+        out = [(v, c) for v, c in counters.items()]
+        out.append((None, n))
+        yield pd.DataFrame(out, columns=["tok", "cnt"])
+
+    return df.sparkSession.createDataFrame(
+        toks.mapInPandas(mg, "tok string, cnt long").collect(),
+        "tok string, cnt long",
+    ).collect()
+
+
+def mg_merge(state: dict, rows: list, k: int = HH_K) -> tuple[dict, int]:
+    """Merge Misra-Gries summaries (Agarwal et al. 2013 §3.2 /
+    Berinde et al. 2010): sum counters, then if more than k-1
+    survive, subtract the k-th largest count from every counter and
+    drop the non-positive — preserving the guarantee that any item
+    with TRUE frequency > n/k survives the merged summary. Returns
+    (merged counters, batch element count)."""
+    n_batch = 0
+    for r in rows:
+        if r["tok"] is None:
+            n_batch += r["cnt"]
+        else:
+            state[r["tok"]] = state.get(r["tok"], 0) + r["cnt"]
+    if len(state) > k - 1:
+        kth = sorted(state.values(), reverse=True)[k - 1]
+        for key in list(state):
+            state[key] -= kth
+            if state[key] <= 0:
+                del state[key]
+    return state, n_batch
