@@ -127,6 +127,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_span_dedup",
     # round-13 (deferred to r14 window): MG-merge replay + verify
     "q_streaming_heavy_hitters",
+    # round-13 (deferred): collects linkage pairs for the closure
+    "q_entity_golden",
 })
 
 

@@ -2170,3 +2170,17 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregate, TakeOrdered top-150 tie-broken by pair text.
     See operators/text.token_cooccurrence."""
     return _text.token_cooccurrence(_t(spark, sf_dir, "documents"))
+
+
+@register("q_entity_golden", oracle=_dedup.entity_golden_oracle())
+def q_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MDM completion (round 13, deferred cert → r14 window):
+    end-to-end entity resolution — blocked linkage pairs →
+    transitive closure (adaptive small-graph union-find, the same
+    min-id fixpoint as the distributed large-star/small-star
+    solver) → one entity_id per cluster → deterministic golden-record
+    survivorship. Total assignment: every customer row gets
+    (entity_id, is_survivor), singletons included. Recursive-CTE
+    closure oracle over the SAME blocked pairs. See
+    operators/dedup.entity_golden."""
+    return _dedup.entity_golden(_t(spark, sf_dir, "customer"))

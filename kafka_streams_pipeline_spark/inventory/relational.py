@@ -1387,3 +1387,54 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .where(F.col("n_users") >= 5)
     )
+
+
+@register(
+    "q_sliding_distinct",
+    oracle="""
+        WITH e AS (
+            SELECT epoch_ms(date_trunc('hour', ts)) AS h_ms, user_id
+            FROM events
+        ),
+        x AS (
+            SELECT h_ms - i * 3600000 AS window_ms, user_id
+            FROM e, UNNEST([0, 1, 2]) AS t(i)
+        )
+        SELECT window_ms,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY window_ms
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8/§2.3 round 13 (deferred cert → r14 window): EXACT
+    distinct users per 3-hour sliding window on a 1-hour grid — the
+    metric HLL sketches approximate (q_streaming_hll / X6), computed
+    exactly: each event expands to the ≤3 covering window starts
+    (per-row sequence, no self-join), then one distinct aggregate.
+    Spark plans count(DISTINCT) as the two-phase
+    dedupe-then-count (partial distinct map-side), which is the
+    100 TB shape; the ×window_count expansion is the standard cost
+    of exact sliding distinct and exactly what the sketch path
+    amortizes away. Window starts as epoch ms (integer-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
+        "user_id",
+    )
+    return (
+        base.select(
+            F.explode(F.expr("sequence(0, 2)")).alias("i"),
+            "h_ms",
+            "user_id",
+        )
+        .select(
+            (F.col("h_ms") - F.col("i") * 3600000).alias("window_ms"),
+            "user_id",
+        )
+        .groupBy("window_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

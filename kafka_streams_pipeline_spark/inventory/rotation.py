@@ -376,6 +376,8 @@ _RECHECK: list[str] = [
 _DEFERRED: list[str] = [
     "q_bipartite_cooccurrence",
     "q_streaming_heavy_hitters",
+    "q_entity_golden",
+    "q_sliding_distinct",
 ]
 
 

@@ -1988,3 +1988,77 @@ def record_linkage_oracle(
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= {max_edit}
     """
+
+
+def entity_golden(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_col: str = "c_nationkey",
+    prefix_len: int = ER_PREFIX_LEN,
+    max_edit: int = ER_MAX_EDIT,
+) -> DataFrame:
+    """End-to-end MDM resolution on top of record_linkage_pairs:
+    matched pairs → transitive closure → one entity_id per cluster
+    (the component minimum) → golden-record SURVIVORSHIP (the
+    deterministic min-key rule; real deployments swap in
+    recency/completeness scoring, the plumbing is identical). Output
+    one row per input record: (id, entity_id, is_survivor) —
+    singletons are their own entity and survivor, so the table is a
+    total assignment, not just the matched subset.
+
+    Scale shape: the pair graph lives INSIDE blocks (record linkage's
+    blocking guarantee bounds both edge count and component
+    diameter), so closure uses the same adaptive small-graph path as
+    dedup_components — collected union-find with the min-id fixpoint,
+    broadcast back; at edge counts beyond the driver cap the
+    alternating large-star/small-star solver substitutes with the
+    identical fixpoint (certified against the same recursive-CTE
+    oracle shape)."""
+    pairs = record_linkage_pairs(
+        df, id_col, name_col, block_col,
+        prefix_len=prefix_len, max_edit=max_edit,
+    )
+    edge_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    labels = _union_find_labels(edge_rows)
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).cast("long").alias("id"))
+    if labels:
+        lab = spark.createDataFrame(labels, "id long, comp long")
+        out = base.join(F.broadcast(lab), "id", "left")
+    else:
+        out = base.withColumn("comp", F.lit(None).cast("long"))
+    return out.select(
+        "id",
+        F.coalesce(F.col("comp"), F.col("id")).alias("entity_id"),
+    ).withColumn(
+        "is_survivor", (F.col("id") == F.col("entity_id")).cast("long")
+    )
+
+
+def entity_golden_oracle(
+    prefix_len: int = ER_PREFIX_LEN, max_edit: int = ER_MAX_EDIT
+) -> str:
+    """Min-reachable-id transitive closure over the SAME blocked
+    linkage pairs, as a recursive CTE."""
+    return f"""
+        WITH RECURSIVE pairs AS ({record_linkage_oracle(prefix_len, max_edit)}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+        SELECT CAST(c.c_custkey AS BIGINT) AS id,
+               CAST(coalesce(least(k.mn, c.c_custkey), c.c_custkey)
+                    AS BIGINT) AS entity_id,
+               CAST(CASE WHEN coalesce(least(k.mn, c.c_custkey),
+                                       c.c_custkey) = c.c_custkey
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+        FROM customer c LEFT JOIN comp k ON c.c_custkey = k.u
+    """
