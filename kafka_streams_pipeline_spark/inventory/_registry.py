@@ -129,6 +129,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_heavy_hitters",
     # round-13 (deferred): collects linkage pairs for the closure
     "q_entity_golden",
+    # round-13 (deferred): availableNow replay with union-find state
+    "q_streaming_entity_golden",
 })
 
 

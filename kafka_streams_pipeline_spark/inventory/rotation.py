@@ -378,6 +378,7 @@ _DEFERRED: list[str] = [
     "q_streaming_heavy_hitters",
     "q_entity_golden",
     "q_sliding_distinct",
+    "q_streaming_entity_golden",
 ]
 
 

@@ -5539,3 +5539,129 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_entity_golden",
+    oracle=_dedup.entity_golden_oracle(),
+)
+def q_streaming_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_entity_golden (round 13, deferred cert →
+    r14 window): ONLINE entity clustering over a customer CDC feed —
+    the hard IVM case is the RETROACTIVE MERGE: a new record bridges
+    two entities that were distinct in every earlier batch, so
+    entity_id is NOT monotone per record and the maintained state
+    must support component fusion (union-find does, natively; a
+    keyed label store would need cascading rewrites). Per batch:
+    linkage pairs within Δ plus Δ×state (both legs via
+    operators/dedup.record_linkage_pairs), folded into a union-find
+    whose min-id fixpoint matches the batch operator and the
+    recursive-CTE oracle. Bridge merges — a fusion of two components
+    that EACH already contained a pre-batch record — are counted and
+    asserted ≥1 (38 occur at the gate SF under the custkey mod 3
+    split, measured before wiring). Final total assignment
+    (singletons included) hash-matches the one-shot batch oracle:
+    incremental ≡ recomputed. At 100 TB the union-find state is one
+    entry per MATCHED record (matched sets are sparse), not per
+    record; the blocked store bounds each Δ×S probe."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    rows = [r.asDict() for r in cust.collect()]
+    chunks = [[r for r in rows if r["c_custkey"] % 3 == i] for i in range(3)]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-segolden-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"cust{i}.json")
+            with open(path, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        parent: dict = {}
+        members: dict = {}
+        stats: dict = {"batches": 0, "bridges": 0}
+        seen: set = set()
+        schema = (
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_mktsegment string"
+        )
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.localCheckpoint(eager=True)
+            legs = [_dedup.record_linkage_pairs(delta)]
+            if stats["batches"] > 0:
+                state = spark.read.schema(schema).parquet(state_dir)
+                legs.append(_dedup.record_linkage_pairs(delta, other=state))
+            for leg in legs:
+                for r in leg.select("id_a", "id_b").collect():
+                    u, v = r["id_a"], r["id_b"]
+                    ru, rv = find(u), find(v)
+                    if ru == rv:
+                        continue
+                    cu = members.get(ru, {ru})
+                    cv = members.get(rv, {rv})
+                    if (cu & seen) and (cv & seen):
+                        stats["bridges"] += 1
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+                    members[lo] = cu | cv
+                    members.pop(hi, None)
+            delta.write.mode("append").parquet(state_dir)
+            seen.update(
+                r["c_custkey"] for r in delta.select("c_custkey").collect()
+            )
+            stats["batches"] += 1
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("entity replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if stats["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {stats['batches']}"
+            )
+        if stats["bridges"] < 1:
+            raise AssertionError(
+                "no retroactive entity merge despite the mod-3 split"
+            )
+        assigned = [
+            (r["c_custkey"], find(r["c_custkey"])) for r in rows
+        ]
+        return spark.createDataFrame(
+            [(k, e, 1 if k == e else 0) for k, e in assigned],
+            "id long, entity_id long, is_survivor long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
