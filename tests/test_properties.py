@@ -765,3 +765,38 @@ def test_duplicated_spans_matches_python_reference(spark, texts):
         for r in duplicated_spans(df, n=n).collect()
     }
     assert got == expect
+
+
+@given(
+    stream=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=300
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=4),
+    k=st.integers(min_value=3, max_value=8),
+)
+@settings(max_examples=200)
+def test_mg_merge_preserves_heavy_hitter_superset(stream, cuts, k):
+    """The Agarwal summed-counters + k-th-largest-decrement merge must
+    keep every TRUE heavy hitter (freq·k > n) in the candidate set,
+    for ANY batch split and ANY per-batch summary order — the
+    guarantee q_streaming_heavy_hitters' exact verify pass relies on.
+    Per-batch summaries here are exact counts (a valid MG summary),
+    so the property isolates the MERGE rule itself."""
+    from collections import Counter
+
+    from kafka_streams_pipeline_spark.operators.sketches import mg_merge
+
+    bounds = sorted({0, len(stream), *[c % (len(stream) + 1) for c in cuts]})
+    state: dict = {}
+    n_total = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = stream[lo:hi]
+        rows = [
+            {"tok": t, "cnt": c} for t, c in Counter(batch).items()
+        ] + [{"tok": None, "cnt": len(batch)}]
+        state, n_batch = mg_merge(state, rows, k)
+        n_total += n_batch
+    assert n_total == len(stream)
+    true_counts = Counter(stream)
+    heavy = {t for t, c in true_counts.items() if c * k > len(stream)}
+    assert heavy <= set(state), (heavy, state, k)
