@@ -2795,3 +2795,72 @@ def test_duplicated_spans_skew_safe_form_identical(spark):
     fast = sorted(map(tuple, duplicated_spans(docs).collect()))
     safe = sorted(map(tuple, duplicated_spans(docs, skew_safe=True).collect()))
     assert fast == safe and len(fast) >= 3
+
+
+def test_skyline_degenerate_single_price(spark):
+    """All rows share one x: the frontier is exactly the max-y tie
+    group (equal points never dominate each other), and the bucket
+    machinery must survive the single-bucket collapse."""
+    from kafka_streams_pipeline_spark.operators.pareto import skyline_2d
+
+    pts = spark.createDataFrame(
+        [(1, 5, 3), (2, 5, 9), (3, 5, 9), (4, 5, 1)],
+        "key long, x long, y long",
+    )
+    got = sorted(r["key"] for r in skyline_2d(pts, "x", "y", "key").collect())
+    assert got == [2, 3]
+
+
+def test_entity_golden_no_matches_is_identity(spark):
+    """A corpus with no linkage pairs (distinct prefixes) must yield
+    the identity assignment — every record its own surviving entity —
+    exercising the empty-labels branch."""
+    from kafka_streams_pipeline_spark.operators.dedup import entity_golden
+
+    rows = spark.createDataFrame(
+        [
+            (1, "Aaaaaaaaaaaaaaaaa1", 7, "AUTO"),
+            (2, "Bbbbbbbbbbbbbbbbb2", 7, "AUTO"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    got = sorted(map(tuple, entity_golden(rows).collect()))
+    assert got == [(1, 1, 1), (2, 2, 1)]
+
+
+def test_entity_golden_chain_collapses_to_min(spark):
+    """A lev-1 chain a-b-c (a~b, b~c, a!~c) must still collapse to
+    ONE entity via transitive closure, rooted at the min key, with
+    exactly one survivor."""
+    from kafka_streams_pipeline_spark.operators.dedup import entity_golden
+
+    rows = spark.createDataFrame(
+        [
+            (10, "Customer#000000011", 7, "AUTO"),
+            (11, "Customer#000000012", 7, "AUTO"),  # dist 1 to both
+            (12, "Customer#000000022", 7, "AUTO"),  # dist 1 to 11 only
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    got = sorted(map(tuple, entity_golden(rows).collect()))
+    assert got == [(10, 10, 1), (11, 10, 0), (12, 10, 0)]
+
+
+def test_record_linkage_no_agreement_fields(spark):
+    """field_cols=() exercises the zero-agreement-vector branch:
+    pairs still form, fields_agree is constant 0."""
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        record_linkage_pairs,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "Customer#000000001", 7, "AUTO"),
+            (2, "Customer#000000002", 7, "HOUSE"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    got = record_linkage_pairs(rows, field_cols=()).collect()
+    assert [(r["id_a"], r["id_b"], r["fields_agree"]) for r in got] == [
+        (1, 2, 0)
+    ]
