@@ -1356,13 +1356,14 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 round 13 (deferred cert → r14 window): bipartite
     projection / item-item co-engagement — the recommender
     co-occurrence matrix (users × items projected onto item pairs
-    weighted by shared users, min-support 5). The per-user DISTINCT
-    item set bounds the self-join fan-out (the classic guarantee
-    that keeps projection quadratic only in per-user degree, never
-    corpus size; at 100 TB a per-user item cap is the standard
-    degree clamp). One distinct + one user-key equi-join + one
-    count aggregate; items parsed from the JSON props column
-    (integer-exact both engines)."""
+    weighted by shared users, min-support 5). Pairs expand PER ROW
+    from each user's sorted distinct-item array (collect_set +
+    nested transform) instead of a positional self-join: two
+    shuffles total (user key with map-side partials, then pair key)
+    vs the join form's three, and the quadratic blow-up is visibly
+    per-user degree — the quantity a per-user item cap clamps at
+    100 TB. Items parsed from the JSON props column (integer-exact
+    both engines)."""
     ev = _t(spark, sf_dir, "events")
     ui = (
         ev.select(
@@ -1370,19 +1371,30 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("item"),
         )
         .where(F.col("item").isNotNull())
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
-    a = ui.alias("a")
-    b = ui.alias("b")
+    # per-user pair expansion from the sorted item set — ONE shuffle
+    # on user_id (collect_set with map-side partials) + one on the
+    # pair key, where the naive positional self-join costs three
+    # (distinct, join re-partition, aggregate). The quadratic
+    # expansion is per-ROW over the user's item array — exactly the
+    # degree the per-user cap clamps at 100 TB.
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
+        ui.where(F.expr("size(items) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(items) - 1), "
+                    "i -> transform(sequence(i + 1, size(items)), "
+                    "j -> struct(element_at(items, i) AS item_a, "
+                    "element_at(items, j) AS item_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.item").alias("item_a"),
-            F.col("b.item").alias("item_b"),
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .where(F.col("n_users") >= 5)
