@@ -131,6 +131,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_entity_golden",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
+    # round-13 (deferred): chained stateful aggregation replay
+    "q_streaming_sliding_distinct",
 })
 
 

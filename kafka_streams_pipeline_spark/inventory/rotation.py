@@ -379,6 +379,7 @@ _DEFERRED: list[str] = [
     "q_entity_golden",
     "q_sliding_distinct",
     "q_streaming_entity_golden",
+    "q_streaming_sliding_distinct",
 ]
 
 

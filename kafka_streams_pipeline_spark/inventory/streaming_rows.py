@@ -5665,3 +5665,120 @@ def q_streaming_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_sliding_distinct",
+    oracle="""
+        WITH e AS (
+            SELECT epoch_ms(date_trunc('hour', ts)) AS h_ms, user_id
+            FROM events
+        ),
+        x AS (
+            SELECT h_ms - i * 3600000 AS window_ms, user_id
+            FROM e, UNNEST([0, 1, 2]) AS t(i)
+        )
+        SELECT window_ms,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY window_ms
+    """,
+)
+def q_streaming_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_sliding_distinct (round 13, deferred cert
+    → r14 window), certifying Spark 4's CHAINED STATEFUL AGGREGATION
+    surface (SPARK-40925 multiple stateful operators): a native
+    3-hour/1-hour sliding window groupBy(window, user) aggregate
+    feeding a SECOND stateful aggregate over the window column —
+    exact distinct users per sliding window with no sketch and no
+    manual window explosion. Append mode means a window emits
+    exactly once, when the watermark passes its close, so the replay
+    carries a far-future sentinel row (filtered from the result, its
+    windows excluded by time bound) to flush the tail — the same
+    pattern the session-window row pinned in round 11. Three
+    time-ordered micro-batches; every row is inside the 24 h grace.
+    Hash-matched against the SAME exact oracle as the batch row:
+    the two-level streaming state (per-(window,user) counts → per-
+    window distinct totals) reproduces the one-shot recompute."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("t_ms"), "user_id"
+    )
+    rows = sorted(
+        ((r["t_ms"], r["user_id"]) for r in ev.collect()), key=lambda x: x[0]
+    )
+    max_ms = rows[-1][0]
+    sentinel_ms = max_ms + 40 * 86_400_000  # far past every real window
+    base = tempfile.mkdtemp(prefix="kspipeline-ssdist-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        n = len(rows)
+        chunks = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+        chunks[2] = chunks[2] + [(sentinel_ms, -1)]
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"ev{i}.json")
+            with open(path, "w") as f:
+                for t_ms, uid in chunk:
+                    f.write(
+                        _json.dumps({"t_ms": t_ms, "user_id": uid}) + "\n"
+                    )
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        emitted: list = []
+
+        def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+            emitted.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema("t_ms long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.timestamp_millis(F.col("t_ms")))
+            .withWatermark("ts", "24 hours")
+        )
+        per_user = stream.groupBy(
+            F.window("ts", "3 hours", "1 hour").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        per_window = per_user.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cnt").cast("long").alias("n_events"),
+        )
+        q = (
+            per_window.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("sliding-distinct replay timed out")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        out = [
+            (
+                int(r["w"]["start"].timestamp() * 1000),
+                r["n_events"],
+                r["n_users"],
+            )
+            for r in emitted
+            if int(r["w"]["start"].timestamp() * 1000) <= max_ms
+        ]
+        if len(out) < 3:
+            raise AssertionError(f"too few emitted windows: {len(out)}")
+        return spark.createDataFrame(
+            out, "window_ms long, n_events long, n_users long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
