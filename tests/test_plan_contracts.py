@@ -704,3 +704,45 @@ def test_skyline_windows_stay_band_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_span_dedup_plan_has_no_join(spark, sf_dir):
+    """The default span-dedup form is ONE gram-window shuffle + the
+    island pass — no join anywhere (the skew_safe join-back variant
+    is opt-in precisely because it doubles the gram computation)."""
+    plan = _plan(spark, sf_dir, "q_span_dedup")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, node
+    assert "Window" in plan
+
+
+def test_token_cooccurrence_plan_no_join_topn(spark, sf_dir):
+    """Pair generation is per-row array arithmetic: no join; the
+    top-N must be a TakeOrdered, not a global sort materialization."""
+    plan = _plan(spark, sf_dir, "q_token_cooccurrence")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_record_linkage_plan_is_equijoin(spark, sf_dir):
+    """Blocking must reach the join as EQUALITY keys: the plan is a
+    hash/sort-merge equi-join, never a nested-loop/cartesian with
+    the block predicate as a filter (which would be the unblocked n²
+    the operator exists to avoid)."""
+    plan = _plan(spark, sf_dir, "q_record_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_bipartite_cooccurrence_plan_has_no_join(spark, sf_dir):
+    """The projection expands pairs per row from each user's item
+    array — the plan must contain NO join node at all (the naive
+    positional self-join costs a third shuffle)."""
+    plan = _plan(spark, sf_dir, "q_bipartite_cooccurrence")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, node
