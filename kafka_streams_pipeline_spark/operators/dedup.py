@@ -2018,16 +2018,28 @@ def entity_golden(
     pairs = record_linkage_pairs(
         df, id_col, name_col, block_col,
         prefix_len=prefix_len, max_edit=max_edit,
-    )
-    edge_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
-    labels = _union_find_labels(edge_rows)
+    ).select("id_a", "id_b")
     spark = df.sparkSession
     base = df.select(F.col(id_col).cast("long").alias("id"))
-    if labels:
-        lab = spark.createDataFrame(labels, "id long, comp long")
-        out = base.join(F.broadcast(lab), "id", "left")
+    # same adaptive probe as dedup_components: one short-circuiting
+    # limit() job either lands the whole (small) edge set on the
+    # driver for union-find, or proves the graph is big and the
+    # alternating large-star/small-star solver runs distributed —
+    # both converge to the identical min-id fixpoint the oracle CTE
+    # computes.
+    probe = pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
+    if len(probe) <= SMALL_COMPONENTS_MAX_EDGES:
+        labels = _union_find_labels([(r[0], r[1]) for r in probe])
+        if labels:
+            lab = spark.createDataFrame(labels, "id long, comp long")
+            out = base.join(F.broadcast(lab), "id", "left")
+        else:
+            out = base.withColumn("comp", F.lit(None).cast("long"))
     else:
-        out = base.withColumn("comp", F.lit(None).cast("long"))
+        lab = connected_components_alternating(
+            pairs.localCheckpoint(eager=True)
+        ).select(F.col("node").alias("id"), F.col("comp"))
+        out = base.join(lab, "id", "left")
     return out.select(
         "id",
         F.coalesce(F.col("comp"), F.col("id")).alias("entity_id"),

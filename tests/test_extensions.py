@@ -2864,3 +2864,26 @@ def test_record_linkage_no_agreement_fields(spark):
     assert [(r["id_a"], r["id_b"], r["fields_agree"]) for r in got] == [
         (1, 2, 0)
     ]
+
+
+def test_entity_golden_distributed_branch_same_fixpoint(spark, monkeypatch):
+    """Forcing the edge cap to 0 routes entity_golden through the
+    alternating large-star/small-star solver; the assignment must be
+    identical to the union-find path (same min-id fixpoint)."""
+    from kafka_streams_pipeline_spark.operators import dedup as dd
+
+    rows = spark.createDataFrame(
+        [
+            (10, "Customer#000000011", 7, "AUTO"),
+            (11, "Customer#000000012", 7, "AUTO"),
+            (12, "Customer#000000022", 7, "AUTO"),
+            (99, "Customer#000000999", 9, "AUTO"),  # singleton
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    small = sorted(map(tuple, dd.entity_golden(rows).collect()))
+    monkeypatch.setattr(dd, "SMALL_COMPONENTS_MAX_EDGES", 0)
+    big = sorted(map(tuple, dd.entity_golden(rows).collect()))
+    assert small == big == [
+        (10, 10, 1), (11, 10, 0), (12, 10, 0), (99, 99, 1)
+    ]
