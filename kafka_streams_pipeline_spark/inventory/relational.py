@@ -1335,18 +1335,47 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pareto.skyline_2d(part, "price_cents", "p_size", "p_partkey")
 
 
+#: Per-user item-degree clamp for the bipartite projection (the
+#: standard 100 TB degree clamp: a power-user with 10^5 items would
+#: otherwise generate C(10^5, 2) ≈ 5e9 pairs in one task's explode).
+#: Deterministic: the CAP smallest item ids survive. 48 clamps ~half
+#: the sf0.01 users (degrees run 38-67) so the truncated branch is
+#: exercised — and oracle-certified — on the driver fixture itself.
+BIPARTITE_MAX_ITEMS_PER_USER = 48
+
+
 @register(
     "q_bipartite_cooccurrence",
-    oracle="""
+    oracle=f"""
         WITH ui AS (
             SELECT DISTINCT user_id,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS item
+                   TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
             FROM events
-            WHERE json_extract(props, '$.k') IS NOT NULL
+            WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                  IS NOT NULL
+        ),
+        ranked AS (
+            SELECT user_id, item,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY item
+                   ) AS rn
+            FROM ui
+        ),
+        clamped AS (
+            SELECT user_id, item FROM ranked
+            WHERE rn <= {BIPARTITE_MAX_ITEMS_PER_USER}
+        ),
+        stat AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_clamped_users
+            FROM (
+                SELECT user_id FROM ui GROUP BY user_id
+                HAVING count(*) > {BIPARTITE_MAX_ITEMS_PER_USER}
+            )
         )
         SELECT a.item AS item_a, b.item AS item_b,
-               CAST(count(*) AS BIGINT) AS n_users
-        FROM ui a JOIN ui b
+               CAST(count(*) AS BIGINT) AS n_users,
+               (SELECT n_clamped_users FROM stat) AS n_clamped_users
+        FROM clamped a JOIN clamped b
           ON a.user_id = b.user_id AND a.item < b.item
         GROUP BY 1, 2
         HAVING count(*) >= 5
@@ -1360,11 +1389,17 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from each user's sorted distinct-item array (collect_set +
     nested transform) instead of a positional self-join: two
     shuffles total (user key with map-side partials, then pair key)
-    vs the join form's three, and the quadratic blow-up is visibly
-    per-user degree — the quantity a per-user item cap clamps at
-    100 TB. Items parsed from the JSON props column (integer-exact
-    both engines)."""
+    vs the join form's three. The quadratic blow-up is per-user
+    degree, so it is CLAMPED (VERDICT r13 item 2): each user
+    contributes at most BIPARTITE_MAX_ITEMS_PER_USER items
+    (deterministically the smallest item ids — documented bias
+    toward low ids), and the number of truncated users is reported
+    on every output row as n_clamped_users so the bias is loud, not
+    silent. Items parsed from the JSON props column with a
+    null-on-non-numeric cast in BOTH engines (Spark cast, DuckDB
+    TRY_CAST)."""
     ev = _t(spark, sf_dir, "events")
+    cap = BIPARTITE_MAX_ITEMS_PER_USER
     ui = (
         ev.select(
             "user_id",
@@ -1372,14 +1407,25 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("item").isNotNull())
         .groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .agg(F.array_sort(F.collect_set("item")).alias("all_items"))
+    )
+    # Degree clamp BEFORE expansion: slice keeps the cap smallest
+    # ids from the sorted set, so the per-row fan-out is bounded by
+    # C(cap, 2) regardless of the true degree distribution. The
+    # clamped-user count is a 1-row broadcast stat frame (the same
+    # loud-truncation pattern as the corpus caps).
+    ui = ui.select(
+        "user_id",
+        F.expr(f"slice(all_items, 1, {cap})").alias("items"),
+        (F.size("all_items") > cap).cast("long").alias("was_clamped"),
+    )
+    stat = ui.agg(
+        F.sum("was_clamped").cast("long").alias("n_clamped_users")
     )
     # per-user pair expansion from the sorted item set — ONE shuffle
     # on user_id (collect_set with map-side partials) + one on the
     # pair key, where the naive positional self-join costs three
-    # (distinct, join re-partition, aggregate). The quadratic
-    # expansion is per-ROW over the user's item array — exactly the
-    # degree the per-user cap clamps at 100 TB.
+    # (distinct, join re-partition, aggregate).
     return (
         ui.where(F.expr("size(items) >= 2"))
         .select(
@@ -1398,6 +1444,7 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .where(F.col("n_users") >= 5)
+        .crossJoin(F.broadcast(stat))
     )
 
 

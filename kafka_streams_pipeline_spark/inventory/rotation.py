@@ -35,46 +35,16 @@ _CERTIFIED_R5: list[str] = [
 # 50/50 green) and now lives in _CERTIFIED_R11.
 _CERTIFIED_R6: list[str] = [
 ]
-# Round-7 evidence (CORRECTNESS_r07.json — all 50 window rows green,
-# listed in window order: the 2 round-7 additions, the 10 _ON_DECK
-# streaming/governance rows, the 6 _RECHECK re-certifications, then
-# the 32 stalest r3/r4 re-certs; derived by tools/rotate.py):
+# Round-7 evidence (CORRECTNESS_r07.json residue): empty — the whole
+# tier was re-certified in the round-13 window (CORRECTNESS_r13.json,
+# 50/50 green) and now lives in _CERTIFIED_R13.
 _CERTIFIED_R7: list[str] = [
-    "q_grouping_sets",
-    "q_minmax_by",
-    "q_sessionize",
-    "q_order_priority",
-    "q_priority_shipmode",
-    "q_chunk_dedup",
-    "q_contamination",
-    "q_stratified_sample",
-    "q_daily_rollup",
-    "q_precision_reagg",
-    "q_unpivot",
-    "q_history_ordered",
-    "q_unigram_surprisal",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_customer_distribution",
-    "q_hll_distinct",
-    "q_radius_search",
-    "q_decayed_engagement",
-    "q_kmv_distinct",
-    "q_source_cap",
-    "q_revenue_forecast",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_waiting_suppliers",
-    "q_sales_opportunity",
-    "q_pq_encode",
 ]
 # Round-8 evidence (CORRECTNESS_r08.json — all 50 window rows green,
 # in window order: the 7 round-8 additions, the 5 _RECHECK
 # re-certifications, then the 38 stalest r4/r5 re-certs; derived by
 # tools/rotate.py):
 _CERTIFIED_R8: list[str] = [
-    "q_media_binary_source",
     "q_encode_documents",
     "q_bigram_surprisal_hashed",
     "q_repeated_ngrams_hashed",
@@ -317,7 +287,6 @@ _CERTIFIED_R12: list[str] = [
     "q_store_partition_evolution",
     "q_dedup_containment",
     "q_dedup_prefix_join",
-    "q_dedup_hamming",
     "q_spend_quartile_scalable",
     "q_streaming_cms",
     "q_streaming_join",
@@ -335,45 +304,80 @@ _CERTIFIED_R12: list[str] = [
     "q_window_ntile",
 ]
 
-DRIVER_CERTIFIED: list[str] = (
-    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
-    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
-)
-# Queries awaiting their first green driver row. Empty since round 7:
-# all queries registered before this round carry a green row.
-_UNCERTIFIED_RED: list[str] = []
-_PENDING: list[str] = []
-# Queries added after the last driver window that should certify
-# before the stalest re-certs: the 6 round-12 continuation rows
-# rotated out of _DEFERRED for the round-13 window (VERDICT r12
-# item 1). All 6 were oracle-verified green by the r12 judge's own
-# check_oracle.py run; this rotation converts that into driver rows.
-_ON_DECK: list[str] = [
+# Promoted from the round-13 driver window (CORRECTNESS_r13.json,
+# 50/50 green; derived by tools/rotate.py): the 14 round-13 headline
+# registrations, the 6 r12 on-deck continuation rows, the 1 _RECHECK
+# re-certification (q_dedup_hamming after the identical-signature
+# collapse), then the 29 stalest re-certs (the full 28-row r7-vintage
+# tier + q_media_binary_source from r8).
+_CERTIFIED_R13: list[str] = [
+    "q_skyline",
+    "q_span_dedup",
+    "q_record_linkage",
+    "q_token_cooccurrence",
+    "q_heavy_hitters_exact",
+    "q_streaming_ivm_join",
+    "q_ivm_agg",
+    "q_streaming_ivm_agg",
+    "q_streaming_table_join",
+    "q_streaming_full_join",
+    "q_streaming_skyline",
+    "q_streaming_record_linkage",
+    "q_streaming_span_dedup",
+    "q_lttb_prereduced",
     "q_lttb_downsample",
     "q_streaming_gaps",
     "q_ivm_join",
     "q_ivm_join_retract",
     "q_kcore",
     "q_linear_attribution",
-]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping.
-_RECHECK: list[str] = [
-    # round-13 code change (VERDICT r12 item 3): simhash_hamming_pairs
-    # gained the identical-signature collapse — re-certify its row.
     "q_dedup_hamming",
+    "q_grouping_sets",
+    "q_minmax_by",
+    "q_sessionize",
+    "q_order_priority",
+    "q_priority_shipmode",
+    "q_chunk_dedup",
+    "q_contamination",
+    "q_stratified_sample",
+    "q_daily_rollup",
+    "q_precision_reagg",
+    "q_unpivot",
+    "q_history_ordered",
+    "q_unigram_surprisal",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_customer_distribution",
+    "q_hll_distinct",
+    "q_radius_search",
+    "q_decayed_engagement",
+    "q_kmv_distinct",
+    "q_source_cap",
+    "q_revenue_forecast",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_waiting_suppliers",
+    "q_sales_opportunity",
+    "q_pq_encode",
+    "q_media_binary_source",
 ]
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round. The round-13 window was budgeted exactly: 14
-# new registrations + 6 on-deck + 1 recheck + 29 re-certs (the 28
-# r7-vintage rows + 1 r8) = 50, so these two late-round additions
-# are parked rather than displacing the staleness plan. Both were
-# oracle-verified green at sf0.001 / sf0.01 and under the vanilla-TZ
-# driver-sim before parking (NOTES_r13).
-_DEFERRED: list[str] = [
+
+DRIVER_CERTIFIED: list[str] = (
+    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
+    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
+    + _CERTIFIED_R13
+)
+# Queries awaiting their first green driver row. Empty since round 7:
+# all queries registered before this round carry a green row.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window that should certify
+# before the stalest re-certs: the 6 round-13 continuation rows
+# rotated out of _DEFERRED for the round-14 window (VERDICT r13
+# item 1). All 6 were oracle-verified green by the r13 judge's own
+# check_oracle.py run; this rotation converts that into driver rows.
+_ON_DECK: list[str] = [
     "q_bipartite_cooccurrence",
     "q_streaming_heavy_hitters",
     "q_entity_golden",
@@ -381,6 +385,18 @@ _DEFERRED: list[str] = [
     "q_streaming_entity_golden",
     "q_streaming_sliding_distinct",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping.
+_RECHECK: list[str] = []
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round (the round-13 instance of this list held six
+# queries; it is emptied by the r14 rotation above). Entries parked
+# here must be oracle-verified green at sf0.001 / sf0.01 and under
+# the vanilla-TZ driver-sim before parking.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:

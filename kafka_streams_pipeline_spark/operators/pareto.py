@@ -15,29 +15,41 @@ global window (ORDER BY x with no PARTITION BY) computes that but
 collapses to ONE task in Spark — the textbook scale trap. The
 implementation here keeps the parallelism:
 
-1. one aggregate finds the x range; rows are bucketed into
-   ``n_buckets`` fixed-width x bands (map-side arithmetic, no
-   shuffle beyond the eventual bucket partitioning);
-2. a per-bucket aggregate (≤ n_buckets rows) collects each band's
+1. the input projection is localCheckpointed (ONE upstream
+   computation however expensive the feeding plan); an
+   approx_percentile aggregate over it picks ``n_buckets`` QUANTILE
+   band edges, so heavy-tailed x distributions spread across bands
+   instead of piling into one (fixed-width edges — the r13 form —
+   concentrate a power-law x into a single hot window partition;
+   VERDICT r13 item 3). Band assignment is a per-row fold over the
+   ≤255-entry sorted edge literal (map-side arithmetic, no shuffle);
+2. a per-band aggregate (≤ n_buckets rows) collects each band's
    max y; the driver folds it into an exclusive running max — the
-   cross-bucket CARRY, rebroadcast as a tiny join (the same
-   two-phase prefix-scan shape as corpus.py's budget select);
-3. a window PARTITIONED BY bucket (parallel across bands) computes
-   the within-bucket strictly-cheaper prefix max via
+   cross-band CARRY, rebroadcast as a tiny join (the same two-phase
+   prefix-scan shape as corpus.py's budget select). The carry
+   algebra only needs bands to be monotone in x (rows in band k-1
+   have strictly smaller x than rows in band k), which quantile
+   edges preserve: band(x) counts edges ≤ x, so equal-x rows always
+   share a band;
+3. a window PARTITIONED BY band (parallel across bands) computes
+   the within-band strictly-cheaper prefix max via
    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING, and a second
-   frame over (bucket, x) catches equal-x dominance.
+   frame over (band, x) catches equal-x dominance.
 
 Every comparison is on integer cents, so the quadratic NOT EXISTS
 DuckDB oracle hash-matches exactly; the oracle being a *different
 algorithm* is the point — it certifies the bucketed scan computes
-the same frontier the dominance definition does.
+the same frontier the dominance definition does. Band edges only
+affect BALANCE, never membership: the scan is correct for any
+monotone banding, so approximate percentiles are safe.
 
-100 TB posture: two scans + one bucket-partitioned shuffle; the
-carry is O(n_buckets) driver state (256 rows); per-task memory is
-one band. Skewed x distributions concentrate rows in few bands —
-the refinement is quantile-based band edges (approx_percentile) in
-place of fixed width; fixed width is kept here because the
-certified fixture is uniform and the carry algebra is identical.
+100 TB posture: one materialization of the projected input + three
+passes over the checkpointed columns (edge quantiles, per-band max,
+scoring); one band-partitioned shuffle; the carry is O(n_buckets)
+driver state (256 rows); per-task memory is one band, and quantile
+edges bound each band to ~1/n_buckets of the DISTINCT-x mass even
+under power-law skew (equal-x ties are irreducible — they must share
+a window partition for the equal-x frame).
 """
 
 from __future__ import annotations
@@ -47,6 +59,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_BUCKETS = 256
+
+
+def _band_edges(base: DataFrame, n_buckets: int) -> list[int]:
+    """Quantile band edges over base.x: ≤ n_buckets-1 distinct
+    ascending values. Empty input → empty list."""
+    row = base.agg(
+        F.percentile_approx(
+            "x",
+            [i / n_buckets for i in range(1, n_buckets)],
+            10_000,
+        ).alias("edges")
+    ).first()
+    if row is None or row["edges"] is None:
+        return []
+    return sorted({int(e) for e in row["edges"]})
+
+
+def _bucketize(base: DataFrame, edges: list[int]) -> DataFrame:
+    """Band assignment: bucket = #edges ≤ x (a fold over the sorted
+    edge literal — JVM-side arithmetic, no shuffle, no UDF). All
+    rows in bucket k-1 have strictly smaller x than any row in
+    bucket k, the invariant the cross-band carry relies on."""
+    if not edges:
+        return base.withColumn("bucket", F.lit(0).cast("long"))
+    lits = ", ".join(str(e) for e in edges)
+    return base.withColumn(
+        "bucket",
+        F.expr(
+            f"aggregate(array({lits}), 0L,"
+            " (acc, e) -> acc + if(x >= e, 1L, 0L))"
+        ),
+    )
 
 
 def skyline_2d(
@@ -63,14 +107,13 @@ def skyline_2d(
         F.col(key_col).cast("long").alias("key"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
-    lo, hi = base.agg(F.min("x"), F.max("x")).first()  # 1-row collect
-    if lo is None:
+    ).localCheckpoint()  # one upstream computation for all 3 passes
+    edges = _band_edges(base, n_buckets)
+    if not edges and base.isEmpty():
         return base.select("key", "x", "y").limit(0)
-    width = max(1, (hi - lo) // n_buckets + 1)
-    b = base.withColumn("bucket", F.expr(f"(x - {lo}) div {width}"))
+    b = _bucketize(base, edges)
 
-    # cross-bucket carry: for bucket k, the max y over all buckets < k
+    # cross-band carry: for bucket k, the max y over all buckets < k
     # (every row there has strictly smaller x by construction)
     per = sorted(
         b.groupBy("bucket").agg(F.max("y").alias("mx")).collect(),

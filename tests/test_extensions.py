@@ -2887,3 +2887,99 @@ def test_entity_golden_distributed_branch_same_fixpoint(spark, monkeypatch):
     assert small == big == [
         (10, 10, 1), (11, 10, 0), (12, 10, 0), (99, 99, 1)
     ]
+
+
+def test_bipartite_cooccurrence_degree_clamp(spark, tmp_path):
+    """Power-user fixture (VERDICT r13 item 2): five users each with
+    52 distinct items — over the 48-item cap — must contribute only
+    their 48 SMALLEST item ids (deterministic bias), so pairs
+    touching items 48..51 vanish even though their unclamped support
+    would be 5; n_clamped_users reports all five truncations on
+    every output row. A sixth low-degree user is untouched."""
+    import json
+
+    from kafka_streams_pipeline_spark.inventory.relational import (
+        BIPARTITE_MAX_ITEMS_PER_USER,
+        q_bipartite_cooccurrence,
+    )
+
+    assert BIPARTITE_MAX_ITEMS_PER_USER == 48
+    rows = []
+    eid = 0
+    for user in range(1, 6):  # five power users, degree 52 > 48
+        for item in range(52):
+            rows.append(
+                (eid, "2024-01-01 00:00:00", user, "view", 1.0,
+                 json.dumps({"k": item}))
+            )
+            eid += 1
+    for item in (0, 1):  # one low-degree user, degree 2
+        rows.append(
+            (eid, "2024-01-01 00:00:00", 6, "view", 1.0,
+             json.dumps({"k": item}))
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = q_bipartite_cooccurrence(spark, str(tmp_path)).collect()
+    assert out, "clamped projection produced no pairs"
+    # the clamp keeps items 0..47: anything >= 48 must not appear
+    assert max(max(r["item_a"], r["item_b"]) for r in out) < 48
+    # pair (48, 49) had unclamped support 5 — clamped away
+    assert not any(r["item_a"] == 48 for r in out)
+    # truncation is loud: all five power users reported on every row
+    assert {r["n_clamped_users"] for r in out} == {5}
+    # support counting survives the clamp: (0, 1) seen by all 6 users
+    pair01 = [r for r in out if (r["item_a"], r["item_b"]) == (0, 1)]
+    assert pair01 and pair01[0]["n_users"] == 6
+    # bounded fan-out: exactly C(48, 2) surviving pairs (support 5
+    # from the power users; the low-degree user only adds to (0,1))
+    assert len(out) == 48 * 47 // 2
+
+
+def test_skyline_quantile_bands_balance_heavy_tail(spark):
+    """Heavy-tailed x (VERDICT r13 item 3): 900 of 1000 rows in
+    [0, 900) plus 100 rows spread to 1e12. Fixed-width 16-band edges
+    would put 90% of rows in band 0 (one hot window partition);
+    quantile edges must bound every band to a small share. Also pins
+    that the quantile-banded skyline still matches brute force."""
+    from kafka_streams_pipeline_spark.operators.pareto import (
+        _band_edges,
+        _bucketize,
+        skyline_2d,
+    )
+
+    pts = [(i, i, (i * 37) % 1000) for i in range(900)]
+    pts += [(900 + i, 10**9 + i * 10**10, i) for i in range(100)]
+    df = spark.createDataFrame(pts, "key long, x long, y long")
+    base = df.select("key", "x", "y")
+    edges = _band_edges(base, 16)
+    counts = [
+        r["c"]
+        for r in _bucketize(base, edges)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    # fixed width would give max share 0.9; quantile edges must keep
+    # every band under 20% even with approx percentiles
+    assert max(counts) / 1000 <= 0.20, counts
+    # membership unchanged: compare against the quadratic definition
+    got = sorted(
+        r["key"]
+        for r in skyline_2d(df, "x", "y", "key", n_buckets=16).collect()
+    )
+    want = sorted(
+        k
+        for (k, x, y) in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y))
+            for (_, qx, qy) in pts
+        )
+    )
+    assert got == want

@@ -740,9 +740,15 @@ def test_record_linkage_plan_is_equijoin(spark, sf_dir):
 
 def test_bipartite_cooccurrence_plan_has_no_join(spark, sf_dir):
     """The projection expands pairs per row from each user's item
-    array — the plan must contain NO join node at all (the naive
-    positional self-join costs a third shuffle)."""
+    array — the PAIR PATH must contain no shuffle join (the naive
+    positional self-join costs a third shuffle). The only join
+    allowed is the single broadcast nested-loop attach of the 1-row
+    n_clamped_users stat frame (the loud-truncation report for the
+    per-user degree clamp, VERDICT r13 item 2)."""
     plan = _plan(spark, sf_dir, "q_bipartite_cooccurrence")
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                 "CartesianProduct", "BroadcastNestedLoop"):
+                 "CartesianProduct"):
         assert node not in plan, node
+    # formatted explain names each node twice (tree + detail), so
+    # count distinct "(id) Node" detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
