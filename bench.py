@@ -66,7 +66,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    query_load: dict[str, float] = {}
+    foreign_jvms: dict[str, int] = {}
     for name in BENCH_QUERIES:
+        # per-query box state (VERDICT r13 item 4: the r13 driver
+        # artifact's one "regression" was recorded at loadavg 12.5
+        # and unattributable): stamp the 1-minute loadavg and the
+        # count of java processes NOT parented by this bench run at
+        # the moment each query's timed runs start, so every mover
+        # carries the contention it ran under.
+        try:
+            query_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+        foreign_jvms[name] = _foreign_jvm_count()
         # median of 3 runs (VERDICT r5 item 5): single-pair min
         # swung up to 2x on this box for sub-2s queries, which is
         # larger than most real deltas — the median rejects one
@@ -111,6 +124,9 @@ def main() -> None:
         # either artifact could attribute it) — loadavg plus any other
         # live JVMs make a contended run visibly contended
         "idle_stamp": idle_stamp,
+        # per-query contention stamps (VERDICT r13 item 4)
+        "loadavg1_at_run": query_load,
+        "foreign_jvms_at_run": foreign_jvms,
         "total_sec": total,
         "sf": sf_val,
     }
@@ -142,11 +158,33 @@ def main() -> None:
         # than this run's recorded max-min spread for that query. The
         # round's NOTES owes each of these a one-line diagnosis
         # (VERDICT r12 item 2) — everything else is inside the floor.
-        movers = {
-            n: d
-            for n, d in deltas.items()
-            if abs(timings[n] - prev_queries[n]) > max(spreads[n], 0.05)
-        }
+        # Each mover is annotated with the loadavg + foreign-JVM
+        # count captured when ITS runs started, and flagged
+        # load_suspect when the box was visibly contended (start
+        # stamp not idle, foreign JVMs live, or loadavg beyond our
+        # own expected contribution) — so a loaded-box artifact can
+        # never print an unqualified regression (VERDICT r13 item 4).
+        start_not_idle = bool(
+            (idle_stamp.get("loadavg") or [0])[0] > 4.0
+            or idle_stamp.get("live_jvms_at_start")
+        )
+        movers = {}
+        for n, d in deltas.items():
+            if abs(timings[n] - prev_queries[n]) <= max(spreads[n], 0.05):
+                continue
+            la = query_load.get(n)
+            movers[n] = {
+                "delta": d,
+                "loadavg1_at_run": la,
+                "foreign_jvms_at_run": foreign_jvms.get(n, 0),
+                "load_suspect": bool(
+                    start_not_idle
+                    or foreign_jvms.get(n, 0) > 0
+                    # our own 8/32-thread JVM accounts for < ~cpus of
+                    # load; anything far past that is foreign work
+                    or (la is not None and la > 1.5 * os.cpu_count())
+                ),
+            }
         if movers:
             detail["movers_beyond_spread"] = movers
         if regressions:
@@ -166,6 +204,31 @@ def main() -> None:
               "driver captures last 2000 — trim BENCH_QUERIES",
               file=sys.stderr)
     print(line)
+
+
+def _foreign_jvm_count() -> int:
+    """Java processes NOT spawned by this bench run (our own gateway
+    JVM is a direct child of this python process; anything else is
+    foreign contention). Best-effort /proc scan — 0 on failure."""
+    me = os.getpid()
+    count = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid = int(f.read().split(")")[-1].split()[1])
+                if ppid != me:
+                    count += 1
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        pass
+    return count
 
 
 def _idle_stamp() -> dict:

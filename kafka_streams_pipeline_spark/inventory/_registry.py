@@ -129,10 +129,35 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_heavy_hitters",
     # round-13 (deferred): collects linkage pairs for the closure
     "q_entity_golden",
+    # round-14: forced-distributed closure (checkpoints the pair set)
+    "q_entity_golden_alt",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay
     "q_streaming_sliding_distinct",
+    # round-14 (ADVICE r13 item 1): the guard now scans ONE level into
+    # called operators, surfacing builders that execute via them —
+    # the cached-per-sf_dir temp view-store build (_served_view)...
+    "q_history",
+    "q_history_ordered",
+    "q_history_interval",
+    "q_snapshot",
+    "q_snapshot_ring",
+    "q_daily_rollup",
+    "q_gapfill",
+    "q_precision_reagg",
+    # ...iterative/bounded-collect operators (each runs real jobs at
+    # plan construction even though every collect is bounded)...
+    "q_dedup_components",
+    "q_dedup_components_alt",
+    "q_dedup_best_keeper",
+    "q_component_sizes",
+    "q_semantic_dedup",
+    "q_bpe_train",
+    "q_heavy_hitters_exact",
+    # ...and availableNow replay helpers reached indirectly.
+    "q_streaming_event_pattern",
+    "q_streaming_gaps",
 })
 
 

@@ -2184,3 +2184,19 @@ def q_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure oracle over the SAME blocked pairs. See
     operators/dedup.entity_golden."""
     return _dedup.entity_golden(_t(spark, sf_dir, "customer"))
+
+
+@register("q_entity_golden_alt", oracle=_dedup.entity_golden_oracle())
+def q_entity_golden_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MDM, distributed branch (round 14, VERDICT r13 item 7): the
+    same entity resolution as q_entity_golden with the transitive
+    closure FORCED through the alternating large-star/small-star
+    solver — the branch every 100 TB deployment takes (the adaptive
+    probe routes fixture-sized graphs through driver union-find, so
+    without this row the distributed leg would never earn its own
+    driver certification). Identical recursive-CTE oracle: the
+    driver proves both closure strategies reach the same min-id
+    fixpoint, mirroring q_dedup_components_alt."""
+    return _dedup.entity_golden(
+        _t(spark, sf_dir, "customer"), algorithm="alternating"
+    )

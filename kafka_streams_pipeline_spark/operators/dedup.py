@@ -1997,6 +1997,7 @@ def entity_golden(
     block_col: str = "c_nationkey",
     prefix_len: int = ER_PREFIX_LEN,
     max_edit: int = ER_MAX_EDIT,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """End-to-end MDM resolution on top of record_linkage_pairs:
     matched pairs → transitive closure → one entity_id per cluster
@@ -2015,6 +2016,8 @@ def entity_golden(
     alternating large-star/small-star solver substitutes with the
     identical fixpoint (certified against the same recursive-CTE
     oracle shape)."""
+    if algorithm not in ("auto", "alternating"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     pairs = record_linkage_pairs(
         df, id_col, name_col, block_col,
         prefix_len=prefix_len, max_edit=max_edit,
@@ -2026,8 +2029,14 @@ def entity_golden(
     # driver for union-find, or proves the graph is big and the
     # alternating large-star/small-star solver runs distributed —
     # both converge to the identical min-id fixpoint the oracle CTE
-    # computes.
-    probe = pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
+    # computes. algorithm="alternating" skips the probe and forces
+    # the distributed branch (its own driver row, VERDICT r13 item 7,
+    # mirroring q_dedup_components_alt).
+    probe = (
+        [None] * (SMALL_COMPONENTS_MAX_EDGES + 1)
+        if algorithm == "alternating"
+        else pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
+    )
     if len(probe) <= SMALL_COMPONENTS_MAX_EDGES:
         labels = _union_find_labels([(r[0], r[1]) for r in probe])
         if labels:

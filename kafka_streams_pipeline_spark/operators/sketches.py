@@ -1310,10 +1310,7 @@ def mg_summary_rows(df: DataFrame, col: str, k: int = HH_K) -> list:
         out.append((None, n))
         yield pd.DataFrame(out, columns=["tok", "cnt"])
 
-    return df.sparkSession.createDataFrame(
-        toks.mapInPandas(mg, "tok string, cnt long").collect(),
-        "tok string, cnt long",
-    ).collect()
+    return toks.mapInPandas(mg, "tok string, cnt long").collect()
 
 
 def mg_merge(state: dict, rows: list, k: int = HH_K) -> tuple[dict, int]:

@@ -142,6 +142,37 @@ ROCKSDB_PROVIDER = (
     "RocksDBStateStoreProvider"
 )
 
+# Standing state-key cardinality of the view topology: distinct
+# geohash cells × live 1-hour windows inside the 24 h grace at the
+# gate scale factor (~120 cells × 24 windows ≈ 2,880 — measured, and
+# flat across sf0.01/sf0.1 because the cell grid, not the event
+# volume, bounds it). The state-partition default derives from THIS,
+# not from data volume: every micro-batch commits every state
+# partition whether or not a key hashed into it, so partitions ≫
+# standing keys buy nothing and pay a per-batch commit each
+# (STREAM_THROUGHPUT_r13: 3.0k events/s at the session's 200 vs 5.7k
+# at 8 — a 1.9× default-knob waste, VERDICT r13 item 5).
+VIEW_TOPOLOGY_STANDING_KEYS = 2880
+# Target standing keys per state partition. Each partition's
+# per-batch fixed cost (task launch + store open/commit/snapshot) is
+# amortized over its keys; a few hundred keys per partition keeps the
+# fixed cost noise while single partitions stay trivially small
+# (state rows are ~100 B — 400 keys ≈ 40 KB, nowhere near memory
+# pressure even at 1000× the cell grid).
+KEYS_PER_STATE_PARTITION = 400
+
+
+def default_state_partitions(
+    standing_keys: int = VIEW_TOPOLOGY_STANDING_KEYS,
+) -> int:
+    """State/shuffle partition count for a stateful streaming query,
+    derived from its standing key cardinality: one partition per
+    KEYS_PER_STATE_PARTITION keys, floored at 8 (keep a multi-core
+    box busy), capped at 200 (the stock Spark default — beyond it
+    the per-batch commit fan-out is pure overhead for any topology
+    this engine ships)."""
+    return max(8, min(200, -(-standing_keys // KEYS_PER_STATE_PARTITION)))
+
 
 def start_file_stream_pipeline(
     spark: SparkSession,
@@ -170,7 +201,11 @@ def start_file_stream_pipeline(
     volume — the two differ by orders of magnitude. Fixed at the
     stream's FIRST start and pinned by the checkpoint thereafter
     (Spark refuses to restart with a different value). Default None
-    keeps the session's ``spark.sql.shuffle.partitions``.
+    derives it from the view topology's standing key cardinality via
+    ``default_state_partitions`` (VERDICT r13 item 5: the session's
+    200 wasted a measured 1.9× of micro-batch throughput against
+    ~2,880 standing keys); results are partition-count-independent,
+    only the per-batch fixed cost moves.
 
     ``rocksdb_state``: use the RocksDB state-store provider with
     changelog checkpointing (per-batch delta uploads instead of full
@@ -203,8 +238,9 @@ def start_file_stream_pipeline(
     # confs below into the query; restoring afterwards keeps the
     # caller's session untouched.
     overrides: dict[str, str | None] = {}
-    if state_partitions is not None:
-        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if state_partitions is None:
+        state_partitions = default_state_partitions()
+    overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
     if rocksdb_state:
         overrides["spark.sql.streaming.stateStore.providerClass"] = (
             ROCKSDB_PROVIDER

@@ -264,20 +264,63 @@ def test_materializing_set_covers_every_buildtime_executor():
     added 15 such rows without extending the set; this test greps
     the builder source for the execution markers so the next
     addition fails loudly here instead of shipping servable."""
+    import ast
     import inspect
+    import textwrap
 
     from kafka_streams_pipeline_spark import inventory
 
+    markers = (
+        "writeStream", "mkdtemp", "upsert_corpus", ".collect()",
+        ".first()", ".isEmpty()",
+    )
+
+    def called_operator_sources(fn) -> list[str]:
+        """Sources of package functions the builder calls — ONE level
+        of recursion (ADVICE r13: builders that execute via called
+        operators, e.g. q_skyline's collect inside pareto.skyline_2d,
+        were invisible to the own-source grep)."""
+        try:
+            src = textwrap.dedent(inspect.getsource(fn))
+            tree = ast.parse(src)
+        except (OSError, SyntaxError):
+            return []
+        out = []
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            target = None
+            if isinstance(f, ast.Name):
+                target = fn.__globals__.get(f.id)
+            elif isinstance(f, ast.Attribute) and isinstance(
+                f.value, ast.Name
+            ):
+                mod = fn.__globals__.get(f.value.id)
+                target = getattr(mod, f.attr, None)
+            if (
+                callable(target)
+                and str(getattr(target, "__module__", "")).startswith(
+                    "kafka_streams_pipeline_spark"
+                )
+            ):
+                try:
+                    out.append(inspect.getsource(target))
+                except (OSError, TypeError):
+                    continue
+        return out
+
     missing = []
     for name, fn in inventory.QUERIES.items():
-        src = inspect.getsource(fn)
+        sources = [inspect.getsource(fn)]
+        sources.extend(called_operator_sources(fn))
         executes = any(
-            marker in src
-            for marker in ("writeStream", "mkdtemp", "upsert_corpus", ".collect()")
+            marker in src for src in sources for marker in markers
         )
         if executes and name not in inventory.MATERIALIZING:
             missing.append(name)
     assert not missing, (
-        "builders that execute at construction time but are missing "
-        f"from MATERIALIZING: {missing}"
+        "builders that execute at construction time (directly or via "
+        "a called operator) but are missing from MATERIALIZING: "
+        f"{missing}"
     )

@@ -1018,3 +1018,19 @@ def test_streaming_semi_join_emits_once_from_state(spark, tmp_path):
     )
     await_replay(q, 300)
     assert [(r["p_id"], r["user_id"]) for r in emitted] == [(3, 1)]
+
+
+def test_default_state_partitions_derivation():
+    """State-partition default derives from standing key cardinality
+    (VERDICT r13 item 5): one partition per ~400 keys, floor 8,
+    cap 200 — and the view topology's ~2,880 standing keys land on
+    8, the measured 1.9x-throughput knob."""
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        VIEW_TOPOLOGY_STANDING_KEYS,
+        default_state_partitions,
+    )
+
+    assert default_state_partitions(VIEW_TOPOLOGY_STANDING_KEYS) == 8
+    assert default_state_partitions(1) == 8          # floor
+    assert default_state_partitions(400 * 50) == 50  # linear middle
+    assert default_state_partitions(10**9) == 200    # cap

@@ -133,18 +133,19 @@ def main() -> None:
     payload = {
         "sf_dir": SF_DIR,
         "bulk": run_mode(spark, rows, 1, "bulk"),
+        # "micro" runs the DEFAULT knobs — which as of r14 derive the
+        # state-partition count from the view topology's standing key
+        # cardinality (default_state_partitions() = 8 for ~2,880
+        # keys; VERDICT r13 item 5). The legacy-200 leg records what
+        # the stock Spark shuffle default costs on the same replay.
         "micro": run_mode(spark, rows, args.chunks, "micro"),
-        # VERDICT r8 item 3: attack the ~1.6 s/batch fixed cost.
-        # Every batch commits EVERY state partition, so shrinking the
-        # state-partition count to the standing key cardinality is
-        # the first lever; RocksDB changelog checkpointing replaces
-        # per-batch full snapshots with delta uploads.
-        "micro_state8": run_mode(
-            spark, rows, args.chunks, "micro_state8", state_partitions=8
+        "micro_legacy200": run_mode(
+            spark, rows, args.chunks, "micro_legacy200",
+            state_partitions=200,
         ),
         "micro_rocksdb": run_mode(
             spark, rows, args.chunks, "micro_rocksdb",
-            state_partitions=8, rocksdb_state=True,
+            rocksdb_state=True,
         ),
         "note": (
             "full topology incl. checkpoint + per-batch parquet view "
