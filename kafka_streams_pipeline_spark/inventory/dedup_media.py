@@ -1343,3 +1343,24 @@ def q_media_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register("q_cosine_pairs", oracle=_sim.cosine_pairs_oracle())
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 sparse all-pairs similarity (round 14): every document
+    pair with trigram-shingle TF-IDF cosine ≥ 0.5, candidates from
+    an INVERTED-INDEX equi-join on shingle (Bayardo et al., WWW
+    2007; exact — non-shared shingles contribute 0 to the dot
+    product) — the sparse-text complement of q_dedup_embed's dense
+    cosine and the WEIGHTED complement of q_dedup_ngram's unweighted
+    Jaccard. Integer rarity weights (tf·10⁶ div df, the
+    keyword_extract convention) keep dot products and norms exact;
+    the threshold is the pure-integer gate dot²·q² ≥ p²·|a|²·|b|² in
+    DECIMAL(38,0), so the identical-definition DuckDB oracle
+    hash-matches. Shingling (not unigrams) is the scale valve: the
+    fixture's 31-word vocabulary makes every unigram a stopword
+    (224M candidate posting-pairs at sf0.1) while its 27k-shingle
+    vocabulary has max df 25 (1.4M, 160×); the df cap bounds
+    boilerplate shingles at corpus scale. See
+    operators/similarity.cosine_pairs."""
+    return _sim.cosine_pairs(_t(spark, sf_dir, "documents"))

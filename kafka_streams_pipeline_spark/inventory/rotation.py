@@ -392,11 +392,17 @@ _ON_DECK: list[str] = [
 _RECHECK: list[str] = []
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
-# _ON_DECK next round (the round-13 instance of this list held six
-# queries; it is emptied by the r14 rotation above). Entries parked
-# here must be oracle-verified green at sf0.001 / sf0.01 and under
-# the vanilla-TZ driver-sim before parking.
-_DEFERRED: list[str] = []
+# _ON_DECK next round. Entries parked here must be oracle-verified
+# green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
+# before parking. The round-14 window is budgeted: 1 new
+# registration (q_entity_golden_alt — VERDICT r13 item 7 wants its
+# driver row THIS round) + 6 on-deck + 43 r8-vintage re-certs = 50,
+# so the two other round-14 additions park here (both verified green
+# at sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r14).
+_DEFERRED: list[str] = [
+    "q_cosine_pairs",
+    "q_acf",
+]
 
 
 def driver_order() -> list[str]:

@@ -1167,3 +1167,19 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conservation checksum Σ_p n_p·(10⁶ div n_p) oracle-recomputed.
     See operators/timeseries.py linear_attribution."""
     return _ts.linear_attribution(_t(spark, sf_dir, "events"))
+
+
+@register("q_acf", oracle=_ts.acf_by_series_oracle())
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 (TSDB diagnostics, round 14): exact sample autocorrelation
+    at lags 1-3 of each event_type's hourly value series — the
+    Box-Jenkins periodicity/trend diagnostic. Float-free: hourly
+    cents are mean-centered at scale n (d = n·c − S), lag products
+    and Σd² run in DECIMAL(38,0), and the ratio is reported as
+    sign-split truncating fixed-point micro units so Spark div and
+    DuckDB // agree on negative numerators. One hourly pre-aggregate
+    bounds each series to its hour count regardless of event volume;
+    the series-keyed Exchange is reused by the lag windows, the den
+    window and the final aggregate. See
+    operators/timeseries.acf_by_series."""
+    return _ts.acf_by_series(_t(spark, sf_dir, "events"))

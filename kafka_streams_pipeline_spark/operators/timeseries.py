@@ -1776,3 +1776,144 @@ def linear_attribution_oracle(
         GROUP BY user_id
         HAVING sum(CASE WHEN unit > 0 THEN 1 ELSE 0 END) > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) per series — the classic Box-Jenkins
+# diagnostic (is this series periodic / mean-reverting / trending?),
+# computed EXACTLY in integer arithmetic so the oracle hash-matches.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def acf_by_series(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Sample autocorrelation at lags 1..max_lag of each event_type's
+    hourly value series (hour buckets that OCCUR, ordered — the
+    observed-sequence convention; both engines apply it identically).
+
+    Float-free construction: with hourly cents c_i, n = series
+    length, S = Σc, the mean-centered terms scale by n to stay
+    integral: d_i = n·c_i − S. Then
+
+        num_k = Σ d_i·d_{i−k}   (pairs via window lag)
+        den   = Σ d_i²          (same partition, constant per series)
+
+    and acf = num_k/den exactly; reported as acf_micro =
+    trunc(num·10⁶/den) with an explicit sign-split so Spark's
+    truncating `div` and DuckDB's flooring `//` agree on negative
+    numerators. |num_k| ≤ den by Cauchy-Schwarz, so acf_micro fits
+    comfortably in BIGINT; the d products run in DECIMAL(38,0)
+    (n·c ≈ 10⁵·10⁷ → d² ≈ 10²⁴). A zero-variance series has
+    num = den = 0 and acf_micro = NULL — integer 0 div 0 is NULL in
+    BOTH engines (verified), the conventional "ACF undefined"
+    answer.
+
+    Plan: one hourly pre-aggregate (map-side partials) bounds the
+    series to its hour count regardless of event volume, then ONE
+    hash partition per event_type feeds the window lags, the den
+    window and the final groupBy — Spark reuses the Exchange, so the
+    whole operator is two shuffles (hour agg + series key) at any
+    scale. Lags unpivot per-row (stack), never a self-join."""
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
+            F.expr(
+                "CAST(round(value * 100) AS DECIMAL(38,0))"
+            ).alias("c"),
+        )
+        .groupBy("event_type", "h_ms")
+        .agg(F.sum("c").alias("c"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("h_ms")
+    d = (
+        hourly.withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("s", F.sum("c").over(wp))
+        .withColumn("d", F.col("n") * F.col("c") - F.col("s"))
+        .withColumn("den", F.sum(F.col("d") * F.col("d")).over(wp))
+    )
+    lagged = d.select(
+        "event_type",
+        "d",
+        "den",
+        *[
+            F.lag("d", k).over(wo).alias(f"d_lag{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "den",
+        F.expr(
+            "stack("
+            + str(max_lag)
+            + ", "
+            + ", ".join(
+                f"{k}L, d * d_lag{k}" for k in range(1, max_lag + 1)
+            )
+            + ") AS (lag, prod)"
+        ),
+    )
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.sum("prod").alias("num"),
+        F.count("prod").cast("long").alias("n_pairs"),
+        F.max("den").alias("den"),
+    )
+    # trunc-toward-zero division, identical in both engines: the
+    # sign splits off, the magnitudes are non-negative so div == //
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den "
+            "ELSE -((-num * 1000000) div den) END AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+
+
+def acf_by_series_oracle(max_lag: int = ACF_MAX_LAG) -> str:
+    lag_exprs = ", ".join(
+        f"lag(d, {k}) OVER (PARTITION BY event_type ORDER BY h_ms)"
+        f" AS d_lag{k}"
+        for k in range(1, max_lag + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT event_type, den, CAST({k} AS BIGINT) AS lag,"
+        f" d * d_lag{k} AS prod FROM lagged"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        centered AS (
+            SELECT event_type, h_ms,
+                   count(*) OVER (PARTITION BY event_type) * c
+                   - sum(c) OVER (PARTITION BY event_type) AS d
+            FROM hourly
+        ),
+        withden AS (
+            SELECT event_type, h_ms, d,
+                   sum(d * d) OVER (PARTITION BY event_type) AS den
+            FROM centered
+        ),
+        lagged AS (
+            SELECT event_type, h_ms, d, den, {lag_exprs}
+            FROM withden
+        ),
+        stacked AS ({unions})
+        SELECT event_type, lag,
+               CAST(count(prod) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN sum(prod) >= 0
+                         THEN (sum(prod) * 1000000) // max(den)
+                         ELSE -((-sum(prod) * 1000000) // max(den))
+                    END AS BIGINT) AS acf_micro
+        FROM stacked
+        GROUP BY 1, 2
+    """

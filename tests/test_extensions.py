@@ -2983,3 +2983,34 @@ def test_skyline_quantile_bands_balance_heavy_tail(spark):
         )
     )
     assert got == want
+
+
+def test_cosine_pairs_identical_and_disjoint(spark):
+    """Identical documents must pair at cosine exactly 1 (the
+    integer gate holds with equality: dot² = |a|²·|b|²); documents
+    sharing no trigram shingle never become candidates
+    (inverted-index exactness); a low-overlap pair is excluded by
+    the pure-integer τ=0.5 gate; sub-trigram documents produce no
+    shingles (the sequence guard, not a descending-sequence
+    explosion)."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),      # identical -> cos 1
+            (3, "epsilon zeta eta theta"),      # disjoint from 1/2
+            (4, "alpha beta gamma iota"),       # shares one shingle
+            (5, "too short"),                   # < 3 tokens: no rows
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in cosine_pairs(docs).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p or 5 in p for p in got)
+    # doc 4 vs 1 share only "alpha beta gamma" (df=3, weight 333333)
+    # against per-doc norms dominated by their rarer second shingle
+    # -> cos ≈ 0.18 < 0.5
+    assert (1, 4) not in got and (2, 4) not in got

@@ -752,3 +752,28 @@ def test_bipartite_cooccurrence_plan_has_no_join(spark, sf_dir):
     # formatted explain names each node twice (tree + detail), so
     # count distinct "(id) Node" detail headers
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_cosine_pairs_plan_is_equijoin_no_python(spark, sf_dir):
+    """Candidate generation must reach the join as shingle EQUALITY
+    keys (inverted index), never a nested-loop/cartesian with the
+    similarity as a filter (the n² the operator exists to avoid);
+    the whole pipeline stays JVM-side."""
+    plan = _plan(spark, sf_dir, "q_cosine_pairs")
+    for node in ("CartesianProduct", "BroadcastNestedLoop",
+                 "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+
+
+def test_acf_plan_two_exchanges_no_join(spark, sf_dir):
+    """ACF is windows + aggregates over ONE series partitioning (the
+    hourly pre-agg is the other exchange): no join of any kind, no
+    Python, and exactly two shuffles — the lag windows, the den
+    window and the final aggregate all reuse the series-keyed
+    Exchange."""
+    plan = _plan(spark, sf_dir, "q_acf")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop",
+                 "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2

@@ -509,3 +509,39 @@ def test_linear_attribution_splits_and_windows(spark):
         for r in linear_attribution(e, within_minutes=10).collect()
     }
     assert got == {1: (1, 2, 1_000_000), 3: (1, 3, 999_999)}
+
+
+def test_acf_known_series_and_zero_variance(spark):
+    """Constructed hourly series pin the ACF algebra: a strictly
+    alternating series has lag-1 ACF -> -1 and lag-2 ACF -> +1
+    (boundary terms make it slightly off ±1e6); a constant series
+    has zero variance and NULL acf (0 div 0 in both engines — the
+    conventional 'undefined')."""
+    import datetime as dt
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        acf_by_series,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    n = 40
+    for i in range(n):
+        ts = base + dt.timedelta(hours=i)
+        rows.append((i, ts, 1, "alt", 10.0 if i % 2 == 0 else -10.0, "{}"))
+        rows.append((1000 + i, ts, 1, "flat", 5.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf_micro"])
+        for r in acf_by_series(ev, max_lag=2).collect()
+    }
+    assert got[("flat", 1)][1] is None and got[("flat", 2)][1] is None
+    assert got[("alt", 1)][0] == n - 1 and got[("alt", 2)][0] == n - 2
+    # exact rational ACF of a centered alternating series of even
+    # length: num_1 = -(n-1)·d², num_2 = (n-2)·d², den = n·d²
+    assert got[("alt", 1)][1] == -((n - 1) * 10**6) // n
+    assert got[("alt", 2)][1] == ((n - 2) * 10**6) // n
