@@ -402,6 +402,7 @@ _RECHECK: list[str] = []
 _DEFERRED: list[str] = [
     "q_cosine_pairs",
     "q_acf",
+    "q_streaming_cosine_pairs",
 ]
 
 

@@ -5782,3 +5782,98 @@ def q_streaming_sliding_distinct(
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_cosine_pairs",
+    oracle=_sim.tf_cosine_pairs_oracle(),
+)
+def q_streaming_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the all-pairs similarity family (round 14):
+    incremental INVERTED-INDEX cosine over a growing corpus. Per
+    micro-batch, pairs(S ∪ Δ) − pairs(S) = (within Δ) ∪ (Δ × S) —
+    both legs reuse operators/similarity.tf_cosine_pairs, the cross
+    leg via other= over disjoint id sets — and the state store grows
+    append-only AFTER the fold, so each pair is emitted exactly
+    once, in the batch where its LATER document arrives. The
+    weighting is deliberately PURE TF (df-free): TF-IDF's global df
+    re-weights every existing pair whenever the corpus grows (the
+    retroactive-update problem X1g's span store solves with a
+    gram-bucketed view), while tf-cosine pair scores are static once
+    both docs exist — which is what makes append-only emission ≡
+    one-shot recompute an EXACT certificate; the batch row
+    q_cosine_pairs certifies the TF-IDF weighting. Three availableNow
+    micro-batches split by doc_id mod 3; the Δ×S counter is asserted
+    ≥ 1 so the cross-batch leg provably executed. At 100 TB the
+    state side is shingle-keyed postings: only Δ's shingles are ever
+    joined (inverted-index partition pruning)."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [r.asDict() for r in docs.collect()]
+    chunks = [[r for r in rows if r["doc_id"] % 3 == i] for i in range(3)]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-scospairs-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"docs{i}.json")
+            with open(path, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        sink: dict = {"pairs": [], "cross": 0, "batches": 0}
+        schema = "doc_id long, text string"
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.localCheckpoint(eager=True)
+            within = _sim.tf_cosine_pairs(delta)
+            emitted = [tuple(r) for r in within.collect()]
+            if sink["batches"] > 0:
+                state = spark.read.schema(schema).parquet(state_dir)
+                cross = _sim.tf_cosine_pairs(delta, other=state)
+                cross_rows = [tuple(r) for r in cross.collect()]
+                sink["cross"] += len(cross_rows)
+                emitted.extend(cross_rows)
+            sink["pairs"].extend(emitted)
+            delta.write.mode("append").parquet(state_dir)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("cosine replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if sink["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {sink['batches']}"
+            )
+        if sink["cross"] < 1:
+            raise AssertionError(
+                "no cross-batch pair despite mod-3 split — the Δ×S "
+                "leg never executed"
+            )
+        return spark.createDataFrame(
+            sink["pairs"], "doc_a long, doc_b long, dot long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -2215,3 +2215,149 @@ def cosine_pairs_oracle(
           AND CAST(dot AS HUGEINT) * dot * {q * q}
               >= CAST(na.n2 AS HUGEINT) * nb.n2 * {p * p}
     """
+
+
+def _shingle_tf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf) postings over word-trigram shingles — the
+    shared tokenization of cosine_pairs and tf_cosine_pairs."""
+    w_sh = COSINE_SHINGLE_W
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ts) >= {w_sh} THEN "
+                f"transform(sequence(1, size(ts) - {w_sh - 1}), i -> "
+                + "concat_ws(' ', "
+                + ", ".join(
+                    f"element_at(ts, i + {j})" for j in range(w_sh)
+                )
+                + ")) ELSE array() END"
+            )
+        ).alias("term"),
+    )
+    return shingles.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    other: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: tuple[int, int] = COSINE_PAIRS_TAU,
+) -> DataFrame:
+    """Document pairs with PURE-TF trigram-shingle cosine ≥ tau —
+    the df-FREE weighting whose pair scores are static once both
+    documents exist, which is exactly what makes the streaming twin
+    an exact append-only IVM: TF-IDF's global df re-weights every
+    existing pair when the corpus grows (a retroactive-update
+    problem, cf. the X1g span-dedup store), while tf-cosine deltas
+    commute. ``other=None`` is the one-shot batch form (pairs within
+    df, doc_a < doc_b); with ``other`` the pairs are the CROSS leg
+    delta×state over disjoint id sets (output normalized to
+    doc_a < doc_b) — together the two legs are the standard
+    incremental rule pairs(S∪Δ) − pairs(S) = within-Δ ∪ Δ×S.
+    Same inverted-index exactness and integer gate as cosine_pairs."""
+    p, q = tau
+    wa = _shingle_tf(df, text_col, id_col)
+    wb = _shingle_tf(other, text_col, id_col) if other is not None else wa
+    na = wa.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS BIGINT)"
+        ).alias("n2")
+    )
+    nb = (
+        wb.groupBy("doc_id").agg(
+            F.expr(
+                "CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS BIGINT)"
+            ).alias("n2")
+        )
+        if other is not None
+        else na
+    )
+    a, b = wa.alias("a"), wb.alias("b")
+    joined = a.join(b, "term")
+    if other is None:
+        joined = joined.where(F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        joined = joined.where(F.col("a.doc_id") != F.col("b.doc_id"))
+    dots = joined.groupBy(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(a.tf AS DECIMAL(38,0)) * b.tf) AS BIGINT)"
+        ).alias("dot")
+    )
+    gated = (
+        dots.join(
+            na.select(F.col("doc_id").alias("id_a"),
+                      F.col("n2").alias("na2")),
+            "id_a",
+        )
+        .join(
+            nb.select(F.col("doc_id").alias("id_b"),
+                      F.col("n2").alias("nb2")),
+            "id_b",
+        )
+        .where(
+            F.expr(
+                f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q}"
+                f" >= CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
+            )
+        )
+    )
+    return gated.select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        "dot",
+    )
+
+
+def tf_cosine_pairs_oracle(
+    tau: tuple[int, int] = COSINE_PAIRS_TAU,
+) -> str:
+    p, q = tau
+    w_sh = COSINE_SHINGLE_W
+    concat = " || ' ' || ".join(f"ts[i + {j}]" for j in range(w_sh))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ts
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, {concat} AS term
+            FROM toks, UNNEST(range(1, len(ts) - {w_sh - 2})) AS t(i)
+        ),
+        w AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM sh GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT doc_id,
+                   CAST(sum(CAST(tf AS HUGEINT) * tf) AS BIGINT) AS n2
+            FROM w GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(CAST(a.tf AS HUGEINT) * b.tf) AS BIGINT)
+                   AS dot
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, dot
+        FROM dots
+        JOIN norms na ON dots.doc_a = na.doc_id
+        JOIN norms nb ON dots.doc_b = nb.doc_id
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * {q * q}
+              >= CAST(na.n2 AS HUGEINT) * nb.n2 * {p * p}
+    """

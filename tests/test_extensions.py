@@ -3014,3 +3014,36 @@ def test_cosine_pairs_identical_and_disjoint(spark):
     # against per-doc norms dominated by their rarer second shingle
     # -> cos ≈ 0.18 < 0.5
     assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_tf_cosine_pairs_cross_leg_disjoint_sets(spark):
+    """The Δ×S cross leg must emit pairs normalized to
+    doc_a < doc_b regardless of which side holds the smaller id,
+    never pair a document with itself across sides, and must agree
+    with the one-shot form on the same union."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        tf_cosine_pairs,
+    )
+
+    delta = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    state = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta epsilon"),   # dup, smaller id
+            (20, "alpha beta gamma delta epsilon"),  # dup, larger id
+            (7, "zeta eta theta iota kappa"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    cross = sorted(
+        (r["doc_a"], r["doc_b"]) for r in
+        tf_cosine_pairs(delta, other=state).collect()
+    )
+    assert cross == [(3, 10), (10, 20)]
+    batch = sorted(
+        (r["doc_a"], r["doc_b"]) for r in
+        tf_cosine_pairs(delta.union(state)).collect()
+    )
+    assert batch == [(3, 10), (3, 20), (10, 20)]
