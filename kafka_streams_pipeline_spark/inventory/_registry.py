@@ -133,6 +133,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_entity_golden_alt",
     # round-14: availableNow replay (incremental all-pairs cosine)
     "q_streaming_cosine_pairs",
+    # round-14: availableNow replay (sufficient-statistics ACF)
+    "q_streaming_acf",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay

@@ -403,6 +403,7 @@ _DEFERRED: list[str] = [
     "q_cosine_pairs",
     "q_acf",
     "q_streaming_cosine_pairs",
+    "q_streaming_acf",
 ]
 
 

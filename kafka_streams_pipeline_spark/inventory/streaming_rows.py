@@ -27,6 +27,7 @@ from kafka_streams_pipeline_spark.operators import similarity as _sim
 from kafka_streams_pipeline_spark.operators import sketches as _sk
 from kafka_streams_pipeline_spark.operators import skew as _skew
 from kafka_streams_pipeline_spark.operators import text as _text
+from kafka_streams_pipeline_spark.operators import timeseries as _ts_ops
 from kafka_streams_pipeline_spark.operators.view import build_view
 from kafka_streams_pipeline_spark.sources.readings import (
     EVENT_TYPE_GEOHASH,
@@ -5874,6 +5875,160 @@ def q_streaming_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return spark.createDataFrame(
             sink["pairs"], "doc_a long, doc_b long, dot long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_acf",
+    oracle=_ts_ops.acf_by_series_oracle(),
+)
+def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_acf (round 14): autocorrelation maintained
+    from O(1) SUFFICIENT STATISTICS per series — the third IVM lens
+    beside append-only deltas (X3q) and retroactive stores (X1g).
+    ACF's mean-centering makes naive emission retroactive (the global
+    mean moves with every batch), but the centered sums decompose
+    algebraically over raw mergeable stats:
+
+        n²·num_k = n²·P_k − n·S·(2S − head_k − tail_k) + (n−k)·S²
+        n²·den   = n²·SS − n·S²
+
+    where P_k = Σ c_i·c_{i−k}, SS = Σ c², S = Σ c, and head_k/tail_k
+    are the first/last k values — so per-series state is
+    (n, S, SS, P_1..P_3, first-3, last-3): constant size however
+    long the series grows, updated per appended hour in O(max_lag).
+    The replay feeds 3 hour-contiguous availableNow chunks (hourly
+    sums never straddle a batch); the final table is computed from
+    the folded stats alone and hash-matches the SAME batch-window
+    oracle as q_acf: maintained ≡ recomputed. Cross-batch lag
+    products (P_k touching two chunks) asserted ≥ 1."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    max_lag = _ts_ops.ACF_MAX_LAG
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
+            F.expr("CAST(round(value * 100) AS DECIMAL(38,0))").alias("c"),
+        )
+        .groupBy("event_type", "h_ms")
+        .agg(F.sum("c").alias("c"))
+        .orderBy("h_ms", "event_type")
+    )
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sacf-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        state: dict = {}
+        sink = {"batches": 0, "cross_products": 0}
+
+        def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch = sorted(
+                ((r["event_type"], r["h_ms"], r["c"])
+                 for r in batch_df.collect()),
+                key=lambda t: (t[1], t[0]),
+            )
+            for et, _h, c in batch:
+                st = state.setdefault(
+                    et,
+                    {"n": 0, "S": 0, "SS": 0,
+                     "P": [0] * (max_lag + 1),
+                     "head": [], "tail": []},
+                )
+                for k in range(1, max_lag + 1):
+                    if len(st["tail"]) >= k:
+                        prev = st["tail"][-k]
+                        st["P"][k] += c * prev
+                        # the value k back was folded in an earlier
+                        # batch -> this product crosses batches
+                        if st["n"] - k < sink["start_n"].get(et, 0):
+                            sink["cross_products"] += 1
+                st["n"] += 1
+                st["S"] += c
+                st["SS"] += c * c
+                if len(st["head"]) < max_lag:
+                    st["head"].append(c)
+                st["tail"] = (st["tail"] + [c])[-max_lag:]
+            sink["batches"] += 1
+            sink["start_n"] = {et: st["n"] for et, st in state.items()}
+
+        sink["start_n"] = {}
+        q = (
+            spark.readStream.schema("event_type string, h_ms long, c long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("acf replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if sink["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {sink['batches']}"
+            )
+        if sink["cross_products"] < 1:
+            raise AssertionError(
+                "no lag product crossed a batch boundary — the "
+                "sufficient-stat fold never exercised cross-batch state"
+            )
+
+        out = []
+        for et, st in state.items():
+            n, S, SS = st["n"], st["S"], st["SS"]
+            den = n * n * SS - n * S * S
+            for k in range(1, max_lag + 1):
+                if n <= k:
+                    continue
+                head_k = sum(st["head"][:k])
+                tail_k = sum(st["tail"][-k:])
+                num = (
+                    n * n * st["P"][k]
+                    - n * S * (2 * S - head_k - tail_k)
+                    + (n - k) * S * S
+                )
+                if den == 0:
+                    acf = None
+                else:
+                    mag = (abs(num) * 1_000_000) // den
+                    acf = mag if num >= 0 else -mag
+                out.append((et, k, n - k, acf))
+        return spark.createDataFrame(
+            out, "event_type string, lag long, n_pairs long, acf_micro long"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
