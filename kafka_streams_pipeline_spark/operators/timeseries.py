@@ -1805,9 +1805,11 @@ def acf_by_series(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
     numerators. |num_k| ≤ den by Cauchy-Schwarz, so acf_micro fits
     comfortably in BIGINT; the d products run in DECIMAL(38,0)
     (n·c ≈ 10⁵·10⁷ → d² ≈ 10²⁴). A zero-variance series has
-    num = den = 0 and acf_micro = NULL — integer 0 div 0 is NULL in
-    BOTH engines (verified), the conventional "ACF undefined"
-    answer.
+    num = den = 0 and acf_micro = NULL via an EXPLICIT den = 0
+    branch — the conventional "ACF undefined" answer (explicit
+    because Spark 4's ANSI mode makes bare 0 div 0 THROW while
+    DuckDB's // returns NULL; relying on the engine default would be
+    both non-portable and session-config-dependent).
 
     Plan: one hourly pre-aggregate (map-side partials) bounds the
     series to its hour count regardless of event volume, then ONE
@@ -1868,7 +1870,8 @@ def acf_by_series(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
         "lag",
         "n_pairs",
         F.expr(
-            "CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den "
+            "CAST(CASE WHEN den = 0 THEN NULL "
+            "WHEN num >= 0 THEN (num * 1000000) div den "
             "ELSE -((-num * 1000000) div den) END AS BIGINT)"
         ).alias("acf_micro"),
     )
@@ -1910,7 +1913,8 @@ def acf_by_series_oracle(max_lag: int = ACF_MAX_LAG) -> str:
         stacked AS ({unions})
         SELECT event_type, lag,
                CAST(count(prod) AS BIGINT) AS n_pairs,
-               CAST(CASE WHEN sum(prod) >= 0
+               CAST(CASE WHEN max(den) = 0 THEN NULL
+                         WHEN sum(prod) >= 0
                          THEN (sum(prod) * 1000000) // max(den)
                          ELSE -((-sum(prod) * 1000000) // max(den))
                     END AS BIGINT) AS acf_micro

@@ -116,6 +116,7 @@ def run_sweep(spark, mults: list[int]) -> dict:
         lambda: dd.prefix_jaccard_join(wdocs).count(),
         lambda: dd.containment_pairs(wdocs).count(),
         lambda: dd.dedup_components(wdocs).count(),
+        lambda: sim.cosine_pairs(wdocs).count(),
         lambda: sim.semantic_dedup(wembs).count(),
         lambda: sim.topk_cosine_lsh(wembs).count(),
         lambda: sim.topk_cosine_ivf(wembs).count(),
@@ -164,6 +165,14 @@ def run_sweep(spark, mults: list[int]) -> dict:
         timed(
             "components_auto",
             lambda: dd.dedup_components(docs).count(),
+        )
+        timed(
+            # round 14: inverted-index all-pairs cosine — candidates
+            # bounded by shingle df (the replicated cliques grow the
+            # TRUE output, so growth here is output-bound like
+            # prefix_join/hamming, never corpus-quadratic)
+            "cosine_pairs",
+            lambda: sim.cosine_pairs(docs).count(),
         )
         timed(
             "semantic_dedup",
