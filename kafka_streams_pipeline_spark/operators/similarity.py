@@ -2063,6 +2063,7 @@ def cosine_pairs(
     id_col: str = "doc_id",
     df_cap: int = COSINE_PAIRS_DF_CAP,
     tau: tuple[int, int] = COSINE_PAIRS_TAU,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """All document pairs with shingle-TF-IDF-weighted cosine ≥ tau.
 
@@ -2074,42 +2075,65 @@ def cosine_pairs(
     ≪ 10³⁸ however large the corpus grows — corpus size only enters
     through df, which DIVIDES).
 
+    ``collapse_identical`` (default, round 14 — the same
+    identical-signature collapse that fixed the r12 Hamming
+    scale-killer): documents with byte-identical lowercased text
+    form a group represented by the min doc_id; the inverted-index
+    join runs over REPRESENTATIVE postings only, with per-term df
+    re-weighted by group size so the weights are exactly the direct
+    form's. Exact-duplicate cliques are precisely what all-pairs
+    dedup corpora are full of, and they multiply every shared
+    shingle's posting list — the r14 sweep measured 116 s at 20×
+    direct vs the collapse's rep-level join; output is expanded
+    arithmetically (within-group pairs at cos = 1 with dot = ‖v‖²,
+    cross-group member pairs inherit the rep pair's dot) and is
+    BIT-IDENTICAL to the direct form (pytest + the unchanged direct
+    DuckDB oracle certify it).
+
     Plan: tokenize → per-row trigram shingles (array transform, no
-    shuffle) → (doc,shingle) tf → shingle df → postings with weights
-    (one shuffle on shingle) → inverted-index self-join on shingle
-    (the Bayardo candidate generation; the df cap bounds each
-    posting list so no join key explodes) → pair-keyed aggregate for
-    the dot product (map-side partials) → two norm joins → integer
-    threshold. The tf and postings frames are lazily cached: they
-    feed 2 and 3 consumers respectively, and without the caches the
-    corpus tokenization re-ran 8× (measured 8 parquet scans, only
-    partially deduped by ReuseExchange). Output: (doc_a, doc_b, dot)
+    shuffle) → (doc,shingle) tf on reps → shingle df (group-size
+    weighted) → postings with weights (one shuffle on shingle) →
+    inverted-index self-join on shingle (the Bayardo candidate
+    generation; the df cap bounds each posting list so no join key
+    explodes) → pair-keyed aggregate for the dot product (map-side
+    partials) → two norm joins → integer threshold → member
+    expansion. The tf and postings frames are lazily cached: they
+    feed multiple consumers, and without the caches the corpus
+    tokenization re-ran 8× (measured). Output: (doc_a, doc_b, dot)
     — dot fits BIGINT.
     """
     p, q = tau
-    w_sh = COSINE_SHINGLE_W
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(ts) >= {w_sh} THEN "
-                f"transform(sequence(1, size(ts) - {w_sh - 1}), i -> "
-                + "concat_ws(' ', "
-                + ", ".join(
-                    f"element_at(ts, i + {j})" for j in range(w_sh)
-                )
-                + ")) ELSE array() END"
+    if collapse_identical:
+        grouped = docs.withColumn("g", F.md5(F.lower(F.col("_text"))))
+        members = grouped.select("doc_id", "g").persist()
+        reps = (
+            members.groupBy("g")
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
             )
-        ).alias("term"),
+            .persist()
+        )
+        base = (
+            grouped.join(reps, "g")
+            .where(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "_text", "n_members")
+        )
+    else:
+        base = docs.withColumn("n_members", F.lit(1).cast("long"))
+
+    tf = _shingle_tf(base, "_text", "doc_id").persist()
+    # df counts every MEMBER document containing the shingle (exact
+    # copies contain exactly their rep's shingles), so weights match
+    # the direct form bit-for-bit
+    dfx = (
+        tf.join(base.select("doc_id", "n_members"), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("n_members").cast("long").alias("df"))
     )
-    tf = shingles.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    ).persist()
-    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = (
         tf.join(dfx, "term")
         .where(F.col("df") <= df_cap)
@@ -2149,17 +2173,66 @@ def cosine_pairs(
     nb = norms.select(
         F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
     )
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+    gate = (
+        f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
+        f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
+    )
+    survivors = (
+        dots.join(na, "doc_a").join(nb, "doc_b").where(F.expr(gate))
+    )
+    if not collapse_identical:
+        return survivors.select("doc_a", "doc_b", "dot")
+
+    # arithmetic expansion back to member pairs (bit-identical to the
+    # direct form):
+    mem = members.join(reps.select("g", "rep"), "g").select(
+        "rep", "doc_id"
+    )
+    # cross-group: every member pair inherits its rep pair's dot
+    ma = mem.select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("id_a")
+    )
+    mb = mem.select(
+        F.col("rep").alias("doc_b"), F.col("doc_id").alias("id_b")
+    )
+    cross = (
+        survivors.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "dot",
+        )
+    )
+    # within-group: identical vectors have cos exactly 1 and
+    # dot = ‖v‖²; the same integer gate applies (q ≥ p passes, a
+    # τ > 1 would reject — kept formal so tau semantics never fork)
+    within_groups = (
+        reps.where(F.col("n_members") >= 2)
+        .join(
+            norms.select(F.col("doc_id").alias("rep"), "n2"), "rep"
+        )
         .where(
             F.expr(
-                f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
-                f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
+                f"n2 > 0 AND CAST(n2 AS DECIMAL(38,0)) * n2 * {q * q}"
+                f" >= CAST(n2 AS DECIMAL(38,0)) * n2 * {p * p}"
             )
         )
-        .select("doc_a", "doc_b", "dot")
+        .select("g", F.col("n2").alias("dot"))
     )
+    wa = members.select("g", F.col("doc_id").alias("id_a"))
+    wb = members.select("g", F.col("doc_id").alias("id_b"))
+    within = (
+        within_groups.join(wa, "g")
+        .join(wb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "dot",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def cosine_pairs_oracle(

@@ -3047,3 +3047,61 @@ def test_tf_cosine_pairs_cross_leg_disjoint_sets(spark):
         tf_cosine_pairs(delta.union(state)).collect()
     )
     assert batch == [(3, 10), (3, 20), (10, 20)]
+
+
+def test_entity_golden_alt_never_touches_union_find(spark, monkeypatch):
+    """q_entity_golden_alt's contract is that the plan takes the
+    DISTRIBUTED closure branch: with algorithm='alternating' the
+    driver union-find must be unreachable — poisoning it proves the
+    routing (and the probe-skip means no limit().collect() of the
+    pair set either)."""
+    from kafka_streams_pipeline_spark.operators import dedup as dd
+
+    def boom(_edges):
+        raise AssertionError("union-find reached on the forced branch")
+
+    monkeypatch.setattr(dd, "_union_find_labels", boom)
+    rows = spark.createDataFrame(
+        [
+            (10, "Customer#000000011", 7, "AUTO"),
+            (11, "Customer#000000012", 7, "AUTO"),
+            (99, "Customer#000000999", 9, "AUTO"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+    got = sorted(
+        map(tuple, dd.entity_golden(rows, algorithm="alternating").collect())
+    )
+    assert got == [(10, 10, 1), (11, 10, 0), (99, 99, 1)]
+
+
+def test_cosine_pairs_collapse_is_bit_identical(spark):
+    """The identical-text collapse (round 14, the Hamming r13 trick)
+    must return EXACTLY the direct form's pairs and dots on a corpus
+    with duplicate cliques, singleton near-dups and empty docs —
+    including the group-size-weighted df that keeps rarity weights
+    bit-identical."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    near = "alpha beta gamma delta epsilon eta"
+    rows = [(1, dup), (2, dup), (5, dup)]          # clique of 3
+    rows += [(3, near)]                            # near-dup of the clique
+    rows += [(4, "theta iota kappa lam mu nu")]    # unrelated
+    rows += [(6, "x y")]                           # sub-shingle: no postings
+    rows += [(7, "x y")]                           # identical empty-vector twin
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, cosine_pairs(docs, collapse_identical=False).collect())
+    )
+    collapsed = sorted(
+        map(tuple, cosine_pairs(docs, collapse_identical=True).collect())
+    )
+    assert direct == collapsed
+    got_pairs = [(a, b) for a, b, _ in collapsed]
+    # the clique expands to all three pairs; (6,7) must NOT appear
+    for pair in [(1, 2), (1, 5), (2, 5)]:
+        assert pair in got_pairs
+    assert (6, 7) not in got_pairs
