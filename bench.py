@@ -57,6 +57,22 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).collect()
     release_blocks()
 
+    def calibrate() -> float:
+        """Fixed pure-JVM compute (no IO, no shuffle): the box's
+        EFFECTIVE speed at this moment. Guest loadavg misses
+        host-level contention entirely (r14: identical HEAD measured
+        46.2 s and 68.8 s within one day, loadavg ~1 both times,
+        steal 0 at idle) — so every artifact carries this number and
+        cross-run deltas should be read against the calibration
+        ratio before anything else."""
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr(
+            "sum(xxhash64(id) & 1023) AS h"  # masked: ANSI-safe sum
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib = sorted(calibrate() for _ in range(3))[1]
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev = _latest_recorded_bench()
     prev_queries = (
@@ -124,6 +140,10 @@ def main() -> None:
         # either artifact could attribute it) — loadavg plus any other
         # live JVMs make a contended run visibly contended
         "idle_stamp": idle_stamp,
+        # median of 3 fixed-JVM-compute timings: the box's effective
+        # speed this run — normalize cross-run deltas by this before
+        # believing them (VERDICT r13 item 4's calibration leg)
+        "calibration_sec": calib,
         # per-query contention stamps (VERDICT r13 item 4)
         "loadavg1_at_run": query_load,
         "foreign_jvms_at_run": foreign_jvms,
