@@ -226,12 +226,12 @@ def main() -> None:
     print(line)
 
 
-def _foreign_jvm_count() -> int:
-    """Java processes NOT spawned by this bench run (our own gateway
-    JVM is a direct child of this python process; anything else is
-    foreign contention). Best-effort /proc scan — 0 on failure."""
-    me = os.getpid()
-    count = 0
+def _java_procs() -> list[tuple[int, int]]:
+    """(pid, ppid) of every live java process — the ONE /proc scan
+    behind both contention stamps (idle-stamp pids + per-query
+    foreign counts), so a fix to the scan cannot diverge between
+    them. Best-effort: empty on failure."""
+    out: list[tuple[int, int]] = []
     try:
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -242,13 +242,20 @@ def _foreign_jvm_count() -> int:
                         continue
                 with open(f"/proc/{pid}/stat") as f:
                     ppid = int(f.read().split(")")[-1].split()[1])
-                if ppid != me:
-                    count += 1
+                out.append((int(pid), ppid))
             except (OSError, ValueError, IndexError):
                 continue
     except OSError:
         pass
-    return count
+    return out
+
+
+def _foreign_jvm_count() -> int:
+    """Java processes NOT spawned by this bench run (our own gateway
+    JVM is a direct child of this python process; anything else is
+    foreign contention)."""
+    me = os.getpid()
+    return sum(1 for _pid, ppid in _java_procs() if ppid != me)
 
 
 def _idle_stamp() -> dict:
@@ -263,19 +270,7 @@ def _idle_stamp() -> dict:
         stamp["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
     except OSError:
         stamp["loadavg"] = None
-    jvms = []
-    try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/comm") as f:
-                    if f.read().strip() == "java":
-                        jvms.append(int(pid))
-            except OSError:
-                continue
-    except OSError:
-        pass
+    jvms = [pid for pid, _ppid in _java_procs()]
     stamp["live_jvms_at_start"] = jvms
     if stamp.get("loadavg") and stamp["loadavg"][0] > 4.0 or jvms:
         print(

@@ -1403,7 +1403,13 @@ def q_bipartite_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = (
         ev.select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            # try_cast, not cast: under Spark 4's default ANSI mode a
+            # plain cast THROWS on a non-numeric $.k while the
+            # oracle's TRY_CAST nulls it — try_cast makes both
+            # engines drop such rows identically (r14 review)
+            F.expr(
+                "try_cast(get_json_object(props, '$.k') AS long)"
+            ).alias("item"),
         )
         .where(F.col("item").isNotNull())
         .groupBy("user_id")

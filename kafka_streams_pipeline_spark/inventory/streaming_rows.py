@@ -5909,17 +5909,9 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     max_lag = _ts_ops.ACF_MAX_LAG
-    hourly = (
+    hourly = _ts_ops.hourly_cents_series(
         _t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
-            F.expr("CAST(round(value * 100) AS DECIMAL(38,0))").alias("c"),
-        )
-        .groupBy("event_type", "h_ms")
-        .agg(F.sum("c").alias("c"))
-        .orderBy("h_ms", "event_type")
-    )
+    ).orderBy("h_ms", "event_type")
     rows = [
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
@@ -6013,6 +6005,12 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             den = n * n * SS - n * S * S
             for k in range(1, max_lag + 1):
                 if n <= k:
+                    # the batch form's stack still emits the group
+                    # for short series: (n_pairs=0, acf NULL) —
+                    # dropping it would hash-mismatch the shared
+                    # oracle on any <= max_lag-hour series (r14
+                    # review finding)
+                    out.append((et, k, 0, None))
                     continue
                 head_k = sum(st["head"][:k])
                 tail_k = sum(st["tail"][-k:])

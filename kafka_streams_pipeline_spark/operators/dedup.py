@@ -2029,15 +2029,15 @@ def entity_golden(
     # driver for union-find, or proves the graph is big and the
     # alternating large-star/small-star solver runs distributed —
     # both converge to the identical min-id fixpoint the oracle CTE
-    # computes. algorithm="alternating" skips the probe and forces
-    # the distributed branch (its own driver row, VERDICT r13 item 7,
-    # mirroring q_dedup_components_alt).
-    probe = (
-        [None] * (SMALL_COMPONENTS_MAX_EDGES + 1)
-        if algorithm == "alternating"
-        else pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
-    )
-    if len(probe) <= SMALL_COMPONENTS_MAX_EDGES:
+    # computes. algorithm="alternating" skips the probe entirely and
+    # forces the distributed branch (its own driver row, VERDICT r13
+    # item 7, mirroring q_dedup_components_alt).
+    small_graph = False
+    probe: list = []
+    if algorithm != "alternating":
+        probe = pairs.limit(SMALL_COMPONENTS_MAX_EDGES + 1).collect()
+        small_graph = len(probe) <= SMALL_COMPONENTS_MAX_EDGES
+    if small_graph:
         labels = _union_find_labels([(r[0], r[1]) for r in probe])
         if labels:
             lab = spark.createDataFrame(labels, "id long, comp long")

@@ -66,6 +66,22 @@ from pyspark.sql.window import Window
 
 N_BUCKETS = 256
 
+# Frames persisted by the PREVIOUS skyline_2d call, released at the
+# next call's entry (r14 review): the returned frame is lazy, so the
+# bucketized cache cannot be unpersisted before the caller executes
+# it — this self-cleaning handoff bounds the session to ONE call's
+# cached frames instead of accumulating one per build (the round-2
+# eviction-thrash failure mode bench.py documents).
+_PREV_CACHED: list = []
+
+
+def _release_previous() -> None:
+    while _PREV_CACHED:
+        try:
+            _PREV_CACHED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def _band_edges(base: DataFrame, n_buckets: int) -> list[int]:
     """Quantile band edges over base.x: ≤ n_buckets-1 distinct
@@ -114,6 +130,7 @@ def skyline_2d(
     """Rows not dominated under (min x_col, max y_col); x_col and
     y_col must already be exact integers (cents / counts). Output:
     (key, x, y) for every skyline member."""
+    _release_previous()
     base = df.select(
         F.col(key_col).cast("long").alias("key"),
         F.col(x_col).cast("long").alias("x"),
@@ -127,10 +144,13 @@ def skyline_2d(
     base = base.persist()
     edges = _band_edges(base, n_buckets)
     if not edges and base.isEmpty():
+        base.unpersist()
         return base.select("key", "x", "y").limit(0)
     # persist the BUCKETIZED frame: the O(n_buckets)-per-row edge
-    # fold would otherwise run again in the scoring pass
+    # fold would otherwise run again in the scoring pass; released
+    # at the NEXT call (the returned frame reads it lazily)
     b = _bucketize(base, edges).persist()
+    _PREV_CACHED.append(b)
 
     # cross-band carry: for bucket k, the max y over all buckets < k
     # (every row there has strictly smaller x by construction)

@@ -2056,6 +2056,23 @@ COSINE_PAIRS_DF_CAP = 100_000
 COSINE_PAIRS_TAU = (1, 2)
 COSINE_SHINGLE_W = 3
 
+# Frames persisted by the PREVIOUS cosine_pairs call, released at the
+# next call's entry (r14 review): the returned frame is lazy, so the
+# postings caches cannot be unpersisted before the caller executes it
+# — this self-cleaning handoff bounds the session to ONE call's
+# cached frames instead of pinning another corpus-postings copy per
+# build (q_cosine_pairs is NOT gated by MATERIALIZING, so the REST
+# registry surface may build it repeatedly).
+_PREV_CACHED: list = []
+
+
+def _release_previous() -> None:
+    while _PREV_CACHED:
+        try:
+            _PREV_CACHED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def cosine_pairs(
     df: DataFrame,
@@ -2103,12 +2120,14 @@ def cosine_pairs(
     — dot fits BIGINT.
     """
     p, q = tau
+    _release_previous()
     docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
     if collapse_identical:
         grouped = docs.withColumn("g", F.md5(F.lower(F.col("_text"))))
         members = grouped.select("doc_id", "g").persist()
+        _PREV_CACHED.append(members)
         reps = (
             members.groupBy("g")
             .agg(
@@ -2117,6 +2136,7 @@ def cosine_pairs(
             )
             .persist()
         )
+        _PREV_CACHED.append(reps)
         base = (
             grouped.join(reps, "g")
             .where(F.col("doc_id") == F.col("rep"))
@@ -2126,6 +2146,7 @@ def cosine_pairs(
         base = docs.withColumn("n_members", F.lit(1).cast("long"))
 
     tf = _shingle_tf(base, "_text", "doc_id").persist()
+    _PREV_CACHED.append(tf)
     # df counts every MEMBER document containing the shingle (exact
     # copies contain exactly their rep's shingles), so weights match
     # the direct form bit-for-bit
@@ -2148,6 +2169,7 @@ def cosine_pairs(
         .where(F.col("w") > 0)
         .persist()
     )
+    _PREV_CACHED.append(w)
     norms = w.groupBy("doc_id").agg(
         F.expr(
             "CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS BIGINT)"

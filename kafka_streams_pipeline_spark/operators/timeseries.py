@@ -1787,6 +1787,26 @@ def linear_attribution_oracle(
 ACF_MAX_LAG = 3
 
 
+def hourly_cents_series(events: DataFrame) -> DataFrame:
+    """(event_type, h_ms, c): each event_type's hourly value series
+    in exact integer cents (epoch-ms hour buckets) — the ONE
+    definition shared by the batch ACF, its oracle convention, and
+    the streaming sufficient-statistics twin, so a change to the
+    scale/rounding/bucket rule cannot silently fork them (r14
+    review)."""
+    return (
+        events.select(
+            "event_type",
+            F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
+            F.expr(
+                "CAST(round(value * 100) AS DECIMAL(38,0))"
+            ).alias("c"),
+        )
+        .groupBy("event_type", "h_ms")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def acf_by_series(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
     """Sample autocorrelation at lags 1..max_lag of each event_type's
     hourly value series (hour buckets that OCCUR, ordered — the
@@ -1817,17 +1837,7 @@ def acf_by_series(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
     window and the final groupBy — Spark reuses the Exchange, so the
     whole operator is two shuffles (hour agg + series key) at any
     scale. Lags unpivot per-row (stack), never a self-join."""
-    hourly = (
-        events.select(
-            "event_type",
-            F.expr("unix_millis(date_trunc('hour', ts))").alias("h_ms"),
-            F.expr(
-                "CAST(round(value * 100) AS DECIMAL(38,0))"
-            ).alias("c"),
-        )
-        .groupBy("event_type", "h_ms")
-        .agg(F.sum("c").alias("c"))
-    )
+    hourly = hourly_cents_series(events)
     wp = Window.partitionBy("event_type")
     wo = wp.orderBy("h_ms")
     d = (

@@ -1034,3 +1034,47 @@ def test_default_state_partitions_derivation():
     assert default_state_partitions(1) == 8          # floor
     assert default_state_partitions(400 * 50) == 50  # linear middle
     assert default_state_partitions(10**9) == 200    # cap
+
+
+def test_streaming_acf_short_series_rows_match_batch(spark, tmp_path):
+    """A series with fewer hours than the max lag must still emit
+    its (event_type, lag) rows as (n_pairs=0, acf NULL) — the batch
+    stack form does, and the streaming sufficient-stat fold must
+    match it row-for-row or the shared oracle hash-mismatches (r14
+    review finding)."""
+    import datetime as dt
+
+    from kafka_streams_pipeline_spark.inventory.streaming_rows import (
+        q_streaming_acf,
+    )
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        acf_by_series,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(2):  # "tiny": 2 hours < max_lag 3
+        rows.append((i, base + dt.timedelta(hours=i), 1, "tiny",
+                     5.0 + i, "{}"))
+    for i in range(9):  # "long": plenty of lag pairs
+        rows.append((100 + i, base + dt.timedelta(hours=i), 1, "long",
+                     float((i * 7) % 5), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    batch = sorted(map(tuple, acf_by_series(ev).collect()))
+    streamed = sorted(
+        map(tuple, q_streaming_acf(spark, str(tmp_path)).collect())
+    )
+    assert streamed == batch
+    # the short series' rows exist with 0 pairs and NULL acf (and
+    # the 2-point series' one lag-1 pair is exactly -1/2:
+    # num = -d², den = 2d²)
+    tiny = [t for t in streamed if t[0] == "tiny"]
+    assert [(t[1], t[2], t[3]) for t in tiny] == [
+        (1, 1, -500_000), (2, 0, None), (3, 0, None),
+    ]
