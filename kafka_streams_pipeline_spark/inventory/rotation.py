@@ -40,54 +40,11 @@ _CERTIFIED_R6: list[str] = [
 # 50/50 green) and now lives in _CERTIFIED_R13.
 _CERTIFIED_R7: list[str] = [
 ]
-# Round-8 evidence (CORRECTNESS_r08.json — all 50 window rows green,
-# in window order: the 7 round-8 additions, the 5 _RECHECK
-# re-certifications, then the 38 stalest r4/r5 re-certs; derived by
-# tools/rotate.py):
+# Round-8 evidence residue (CORRECTNESS_r08.json): the round-14
+# window re-certified 43 of the 45 r8-vintage rows (now in
+# _CERTIFIED_R14); these 2 are the stalest rows in the repo and head
+# the round-15 re-cert tail.
 _CERTIFIED_R8: list[str] = [
-    "q_encode_documents",
-    "q_bigram_surprisal_hashed",
-    "q_repeated_ngrams_hashed",
-    "q_salted_join",
-    "q_semantic_dedup",
-    "q_repeated_ngrams",
-    "q_bigram_surprisal",
-    "q_pq_adc_topk",
-    "q_window_cume",
-    "q_scan_project",
-    "q_filter_time_range",
-    "q_json_extract",
-    "q_event_time_valid",
-    "q_hourly_view",
-    "q_history",
-    "q_history_interval",
-    "q_snapshot",
-    "q_reagg_merge",
-    "q_gapfill",
-    "q_date_trunc_funcs",
-    "q_string_funcs",
-    "q_math_funcs",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_group_distinct",
-    "q_dedup_components",
-    "q_dedup_components_alt",
-    "q_dedup_best_keeper",
-    "q_media_decode",
-    "q_media_audio_energy",
-    "q_media_image_decode",
-    "q_media_image_resize",
-    "q_media_video_frames",
-    "q_media_jpeg_decode",
-    "q_media_mjpeg_frames",
-    "q_media_png_decode",
-    "q_media_mp4_frames",
-    "q_bloom_prefilter",
-    "q_cms_heavy_hitters",
-    "q_rollup",
     "q_cube",
     "q_salted_agg",
 ]
@@ -363,48 +320,101 @@ _CERTIFIED_R13: list[str] = [
     "q_media_binary_source",
 ]
 
-DRIVER_CERTIFIED: list[str] = (
-    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
-    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
-    + _CERTIFIED_R13
-)
-# Queries awaiting their first green driver row. Empty since round 7:
-# all queries registered before this round carry a green row.
-_UNCERTIFIED_RED: list[str] = []
-_PENDING: list[str] = []
-# Queries added after the last driver window that should certify
-# before the stalest re-certs: the 6 round-13 continuation rows
-# rotated out of _DEFERRED for the round-14 window (VERDICT r13
-# item 1). All 6 were oracle-verified green by the r13 judge's own
-# check_oracle.py run; this rotation converts that into driver rows.
-_ON_DECK: list[str] = [
+# Promoted from the round-14 driver window (CORRECTNESS_r14.json,
+# 50/50 green; derived by tools/rotate.py): the 1 round-14 headline
+# registration (q_entity_golden_alt — the forced-alternating entity
+# closure, VERDICT r13 item 7), the 6 r13 on-deck continuation rows,
+# then the 43 r8-vintage re-certs.
+_CERTIFIED_R14: list[str] = [
+    "q_entity_golden_alt",
     "q_bipartite_cooccurrence",
     "q_streaming_heavy_hitters",
     "q_entity_golden",
     "q_sliding_distinct",
     "q_streaming_entity_golden",
     "q_streaming_sliding_distinct",
+    "q_encode_documents",
+    "q_bigram_surprisal_hashed",
+    "q_repeated_ngrams_hashed",
+    "q_salted_join",
+    "q_semantic_dedup",
+    "q_repeated_ngrams",
+    "q_bigram_surprisal",
+    "q_pq_adc_topk",
+    "q_window_cume",
+    "q_scan_project",
+    "q_filter_time_range",
+    "q_json_extract",
+    "q_event_time_valid",
+    "q_hourly_view",
+    "q_history",
+    "q_history_interval",
+    "q_snapshot",
+    "q_reagg_merge",
+    "q_gapfill",
+    "q_date_trunc_funcs",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_group_distinct",
+    "q_dedup_components",
+    "q_dedup_components_alt",
+    "q_dedup_best_keeper",
+    "q_media_decode",
+    "q_media_audio_energy",
+    "q_media_image_decode",
+    "q_media_image_resize",
+    "q_media_video_frames",
+    "q_media_jpeg_decode",
+    "q_media_mjpeg_frames",
+    "q_media_png_decode",
+    "q_media_mp4_frames",
+    "q_bloom_prefilter",
+    "q_cms_heavy_hitters",
+    "q_rollup",
 ]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping.
-_RECHECK: list[str] = []
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round. Entries parked here must be oracle-verified
-# green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
-# before parking. The round-14 window is budgeted: 1 new
-# registration (q_entity_golden_alt — VERDICT r13 item 7 wants its
-# driver row THIS round) + 6 on-deck + 43 r8-vintage re-certs = 50,
-# so the two other round-14 additions park here (both verified green
-# at sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r14).
-_DEFERRED: list[str] = [
+
+DRIVER_CERTIFIED: list[str] = (
+    _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
+    + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
+    + _CERTIFIED_R13 + _CERTIFIED_R14
+)
+# Queries awaiting their first green driver row. Empty since round 7:
+# all queries registered before this round carry a green row.
+_UNCERTIFIED_RED: list[str] = []
+_PENDING: list[str] = []
+# Queries added after the last driver window that should certify
+# before the stalest re-certs: the 4 round-14 continuation rows
+# rotated out of _DEFERRED for the round-15 window (VERDICT r14
+# item 1). All 4 were oracle-verified green by the r14 judge's own
+# check_oracle.py run; this rotation converts that into driver rows.
+_ON_DECK: list[str] = [
     "q_cosine_pairs",
     "q_acf",
     "q_streaming_cosine_pairs",
     "q_streaming_acf",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping. ADVICE r14 item 2: round 14
+# rewrote skyline banding (fixed-width -> quantile edges) and the MG
+# summary return path after their r13 certification rows, so both
+# re-certify in the r15 window against the unchanged oracles.
+_RECHECK: list[str] = [
+    "q_skyline",
+    "q_heavy_hitters_exact",
+]
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round. Entries parked here must be oracle-verified
+# green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
+# before parking.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:
