@@ -78,6 +78,20 @@ def main() -> None:
     prev_queries = (
         prev[1] if prev is not None and prev[2] == sf_val else {}
     )
+    # calibration of the baseline round (VERDICT r14 item 2): the
+    # driver's compact BENCH_r{N} line carries no calibration, but the
+    # same bench process wrote BENCH_DETAIL_r{N}.json with it — so the
+    # prior stamp is keyed off the baseline artifact's round number.
+    prev_calib = _calibration_for(prev[0]) if prev is not None else None
+    # ratio > 1 means THIS run's box is slower than the baseline's;
+    # dividing raw deltas by it removes uniform host drift (r13
+    # loadavg 12.5 and r14 loadavg 7.6 both printed unqualified
+    # "regressions" on code-untouched queries — two rounds of noise).
+    calib_ratio = (
+        round(calib / prev_calib, 3)
+        if prev_calib and prev_calib > 0
+        else None
+    )
 
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
@@ -150,73 +164,21 @@ def main() -> None:
         "total_sec": total,
         "sf": sf_val,
     }
-    # Regression tripwire (VERDICT r3 item 7): compare per-query
-    # against the most recent recorded round so a round-2-style
-    # drift is caught in-round, not by the judge. Regressions
-    # > 1.5x shout on stderr (before the final JSON line, so they
-    # can never truncate it). Exit code stays 0 — the driver's
-    # bench recording must never be broken by its own tripwire.
     if prev is not None and prev[2] == payload["sf"]:
-        prev_name = prev[0]
-        deltas = {
-            n: round(timings[n] / prev_queries[n], 2)
-            for n in timings
-            if n in prev_queries and prev_queries[n] > 0
-        }
-        # both a ratio AND an absolute floor: sub-second queries are
-        # plan/JVM-overhead dominated and swing ±60% run-to-run on a
-        # shared box — a 0.25s query "regressing" 1.6× is noise, a
-        # 2s query doing it is a plan change
-        regressions = {
-            n: d
-            for n, d in deltas.items()
-            if d > 1.5 and timings[n] - prev_queries[n] > 0.4
-        }
-        detail["deltas_vs"] = prev_name
-        detail["deltas"] = deltas
-        # movers beyond their own noise floor: |median - prev| larger
-        # than this run's recorded max-min spread for that query. The
-        # round's NOTES owes each of these a one-line diagnosis
-        # (VERDICT r12 item 2) — everything else is inside the floor.
-        # Each mover is annotated with the loadavg + foreign-JVM
-        # count captured when ITS runs started, and flagged
-        # load_suspect when the box was visibly contended (start
-        # stamp not idle, foreign JVMs live, or loadavg beyond our
-        # own expected contribution) — so a loaded-box artifact can
-        # never print an unqualified regression (VERDICT r13 item 4).
-        start_not_idle = bool(
-            (idle_stamp.get("loadavg") or [0])[0] > 4.0
-            or idle_stamp.get("live_jvms_at_start")
+        updates, notes = _tripwire(
+            timings=timings,
+            spreads=spreads,
+            prev_name=prev[0],
+            prev_queries=prev_queries,
+            calib_ratio=calib_ratio,
+            prev_calib=prev_calib,
+            idle_stamp=idle_stamp,
+            query_load=query_load,
+            foreign_jvms=foreign_jvms,
         )
-        movers = {}
-        for n, d in deltas.items():
-            if abs(timings[n] - prev_queries[n]) <= max(spreads[n], 0.05):
-                continue
-            la = query_load.get(n)
-            movers[n] = {
-                "delta": d,
-                "loadavg1_at_run": la,
-                "foreign_jvms_at_run": foreign_jvms.get(n, 0),
-                "load_suspect": bool(
-                    start_not_idle
-                    or foreign_jvms.get(n, 0) > 0
-                    # our own 8/32-thread JVM accounts for < ~cpus of
-                    # load; anything far past that is foreign work
-                    or (la is not None and la > 1.5 * os.cpu_count())
-                ),
-            }
-        if movers:
-            detail["movers_beyond_spread"] = movers
-        if regressions:
-            detail["regressions"] = regressions
-            print(
-                f"BENCH REGRESSION vs {prev_name}: "
-                + ", ".join(
-                    f"{n} {prev_queries[n]}s -> {timings[n]}s ({d}x)"
-                    for n, d in sorted(regressions.items())
-                ),
-                file=sys.stderr,
-            )
+        detail.update(updates)
+        for line in notes:
+            print(line, file=sys.stderr)
     _write_detail(detail)
     line = json.dumps(payload)
     if len(line) > 1900:  # hard driver-capture budget; medians only
@@ -224,6 +186,131 @@ def main() -> None:
               "driver captures last 2000 — trim BENCH_QUERIES",
               file=sys.stderr)
     print(line)
+
+
+def _tripwire(
+    *,
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    prev_name: str,
+    prev_queries: dict[str, float],
+    calib_ratio: float | None,
+    prev_calib: float | None,
+    idle_stamp: dict,
+    query_load: dict[str, float],
+    foreign_jvms: dict[str, int],
+) -> tuple[dict, list[str]]:
+    """Regression tripwire (VERDICT r3 item 7, r14 item 2): compare
+    per-query against the most recent recorded round so a
+    round-2-style drift is caught in-round, not by the judge.
+
+    Deltas are CALIBRATION-NORMALIZED: each raw delta is divided by
+    the box-speed ratio (this run's fixed-compute calibration over
+    the baseline round's) so uniform host drift reads ~1.0x and only
+    genuine per-query movement survives — the r13 (loadavg 12.5) and
+    r14 (loadavg 7.6) driver windows both printed unqualified
+    "regressions" on code-untouched queries, which is exactly the
+    failure this removes. When either round lacks the stamp the
+    normalized view degrades to raw (ratio treated as 1.0), recorded
+    as such so the artifact is honest about it.
+
+    Movers beyond their own noise floor (|median − prev·ratio| >
+    this run's max−min spread) split into two lists: CLEAN movers —
+    the round's NOTES owes each a one-line diagnosis (VERDICT r12
+    item 2) — and LOAD-SUSPECT movers (start stamp not idle, foreign
+    JVMs live, or loadavg beyond our own expected contribution),
+    quarantined into a separate annotated list so a loaded box can
+    never print — or record — an unqualified regression.
+
+    Pure function of its inputs (unit-tested in
+    tests/test_driver_contract.py); returns (detail-record updates,
+    stderr lines). Regressions shout on stderr BEFORE the final JSON
+    line so they can never truncate it; exit code stays 0 — the
+    driver's bench recording must never be broken by its own
+    tripwire."""
+    updates: dict = {}
+    notes: list[str] = []
+    deltas = {
+        n: round(timings[n] / prev_queries[n], 2)
+        for n in timings
+        if n in prev_queries and prev_queries[n] > 0
+    }
+    eff_ratio = calib_ratio if calib_ratio else 1.0
+    deltas_norm = {n: round(d / eff_ratio, 2) for n, d in deltas.items()}
+    # both a ratio AND an absolute floor, BOTH against the
+    # calibration-scaled baseline: sub-second queries are
+    # plan/JVM-overhead dominated and swing ±60% run-to-run on a
+    # shared box — a 0.25s query "regressing" 1.6× is noise, a 2s
+    # query doing it is a plan change
+    regressions_all = {
+        n: dn
+        for n, dn in deltas_norm.items()
+        if dn > 1.5 and timings[n] - prev_queries[n] * eff_ratio > 0.4
+    }
+    updates["deltas_vs"] = prev_name
+    updates["deltas"] = deltas
+    updates["calibration_sec_prev"] = prev_calib
+    updates["calibration_ratio_vs_prev"] = calib_ratio
+    updates["deltas_normalized"] = deltas_norm
+    start_not_idle = bool(
+        (idle_stamp.get("loadavg") or [0])[0] > 4.0
+        or idle_stamp.get("live_jvms_at_start")
+    )
+    movers: dict = {}
+    movers_suspect: dict = {}
+    for n, d in deltas.items():
+        expected = prev_queries[n] * eff_ratio
+        if abs(timings[n] - expected) <= max(spreads[n], 0.05):
+            continue
+        la = query_load.get(n)
+        suspect = bool(
+            start_not_idle
+            or foreign_jvms.get(n, 0) > 0
+            # our own 8/32-thread JVM accounts for < ~cpus of load;
+            # anything far past that is foreign work
+            or (la is not None and la > 1.5 * os.cpu_count())
+        )
+        entry = {
+            "delta": d,
+            "delta_normalized": deltas_norm[n],
+            "loadavg1_at_run": la,
+            "foreign_jvms_at_run": foreign_jvms.get(n, 0),
+            "load_suspect": suspect,
+        }
+        (movers_suspect if suspect else movers)[n] = entry
+    if movers:
+        updates["movers_beyond_spread"] = movers
+    if movers_suspect:
+        updates["movers_load_suspect"] = movers_suspect
+    clean_regressions = {
+        n: dn for n, dn in regressions_all.items() if n not in movers_suspect
+    }
+    suspect_regressions = {
+        n: dn for n, dn in regressions_all.items() if n in movers_suspect
+    }
+    if clean_regressions:
+        updates["regressions"] = clean_regressions
+        norm_note = (
+            f" (normalized by calibration ratio {calib_ratio})"
+            if calib_ratio
+            else " (no calibration stamp on baseline — raw)"
+        )
+        notes.append(
+            f"BENCH REGRESSION vs {prev_name}{norm_note}: "
+            + ", ".join(
+                f"{n} {prev_queries[n]}s -> {timings[n]}s ({dn}x)"
+                for n, dn in sorted(clean_regressions.items())
+            )
+        )
+    if suspect_regressions:
+        updates["regressions_load_suspect"] = suspect_regressions
+        notes.append(
+            f"BENCH NOTE: {len(suspect_regressions)} load-suspect "
+            f"mover(s) beyond 1.5x vs {prev_name} quarantined "
+            f"(box contended at their runs): "
+            + ", ".join(sorted(suspect_regressions))
+        )
+    return updates, notes
 
 
 def _java_procs() -> list[tuple[int, int]]:
@@ -318,6 +405,36 @@ def _write_detail(detail: dict) -> None:
     except OSError as exc:  # diagnostics must never fail the record
         print(f"BENCH WARNING: detail write failed: {exc}",
               file=sys.stderr)
+
+
+def _calibration_for(baseline_name: str) -> float | None:
+    """calibration_sec recorded for the round the baseline artifact
+    belongs to. The driver's compact BENCH_r{N}.json carries only the
+    medians payload, but the SAME bench process wrote
+    BENCH_DETAIL_r{N}.json with the fixed-compute stamp — so the
+    baseline's calibration is read from the detail file of the same
+    round (VERDICT r14 item 2). None when the round predates the
+    stamp (r13 and earlier) or the detail file is unreadable."""
+    import re
+
+    m = re.match(r"BENCH(?:_DETAIL)?_r(\d+)\.json$", baseline_name)
+    if not m:
+        return None
+    n = int(m.group(1))
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in (f"BENCH_DETAIL_r{n:02d}.json", f"BENCH_DETAIL_r{n}.json"):
+        path = os.path.join(here, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            calib = rec.get("calibration_sec")
+            if isinstance(calib, (int, float)) and calib > 0:
+                return float(calib)
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def _latest_recorded_bench() -> tuple[str, dict[str, float], object] | None:

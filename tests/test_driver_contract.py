@@ -178,3 +178,112 @@ def test_registry_md_matches_generated():
         "REGISTRY.md is stale — run `python tools/gen_registry.py` "
         "and commit the result"
     )
+
+
+def test_bench_tripwire_calibration_normalizes_uniform_drift():
+    """VERDICT r14 item 2: a uniformly 1.5x-slower host window with
+    the calibration stamp showing the same 1.5x must produce ~1.0x
+    normalized deltas, no regressions, and no clean movers."""
+    import bench
+
+    prev = {"q_a": 1.0, "q_b": 2.0, "q_c": 0.6}
+    now = {n: v * 1.5 for n, v in prev.items()}
+    updates, notes = bench._tripwire(
+        timings=now,
+        spreads={n: 0.02 for n in now},
+        prev_name="BENCH_r14.json",
+        prev_queries=prev,
+        calib_ratio=1.5,  # calib_now / calib_prev — box 1.5x slower
+        prev_calib=0.14,
+        idle_stamp={"loadavg": [0.5, 0.5, 0.5], "live_jvms_at_start": []},
+        query_load={n: 0.5 for n in now},
+        foreign_jvms={n: 0 for n in now},
+    )
+    assert updates["calibration_ratio_vs_prev"] == 1.5
+    assert all(dn == 1.0 for dn in updates["deltas_normalized"].values())
+    assert "regressions" not in updates
+    assert "movers_beyond_spread" not in updates
+    assert notes == []
+
+
+def test_bench_tripwire_flags_genuine_regression_after_normalization():
+    """A real 2x mover on an otherwise same-speed box survives
+    normalization and prints an annotated regression line."""
+    import bench
+
+    prev = {"q_a": 1.0, "q_b": 2.0}
+    now = {"q_a": 1.0, "q_b": 4.0}
+    updates, notes = bench._tripwire(
+        timings=now,
+        spreads={n: 0.02 for n in now},
+        prev_name="BENCH_r14.json",
+        prev_queries=prev,
+        calib_ratio=1.0,
+        prev_calib=0.14,
+        idle_stamp={"loadavg": [0.5, 0.5, 0.5], "live_jvms_at_start": []},
+        query_load={n: 0.5 for n in now},
+        foreign_jvms={n: 0 for n in now},
+    )
+    assert updates["regressions"] == {"q_b": 2.0}
+    assert "q_b" in updates["movers_beyond_spread"]
+    assert any("BENCH REGRESSION" in ln and "normalized" in ln
+               for ln in notes)
+
+
+def test_bench_tripwire_quarantines_load_suspect_movers():
+    """A >1.5x mover recorded while foreign JVMs were live goes to
+    the quarantined list — never an unqualified regression."""
+    import bench
+
+    prev = {"q_a": 1.0, "q_b": 2.0}
+    now = {"q_a": 1.0, "q_b": 4.0}
+    updates, notes = bench._tripwire(
+        timings=now,
+        spreads={n: 0.02 for n in now},
+        prev_name="BENCH_r14.json",
+        prev_queries=prev,
+        calib_ratio=1.0,
+        prev_calib=0.14,
+        idle_stamp={"loadavg": [0.5, 0.5, 0.5], "live_jvms_at_start": []},
+        query_load={"q_a": 0.5, "q_b": 0.5},
+        foreign_jvms={"q_a": 0, "q_b": 2},
+    )
+    assert "regressions" not in updates
+    assert updates["regressions_load_suspect"] == {"q_b": 2.0}
+    assert updates["movers_load_suspect"]["q_b"]["load_suspect"] is True
+    assert any("quarantined" in ln for ln in notes)
+    assert not any("BENCH REGRESSION" in ln for ln in notes)
+
+
+def test_bench_tripwire_degrades_to_raw_without_stamp():
+    """Baseline rounds before the calibration stamp (r13 and earlier)
+    fall back to raw deltas, recorded as such."""
+    import bench
+
+    prev = {"q_a": 2.0}
+    now = {"q_a": 4.0}
+    updates, notes = bench._tripwire(
+        timings=now,
+        spreads={"q_a": 0.02},
+        prev_name="BENCH_r13.json",
+        prev_queries=prev,
+        calib_ratio=None,
+        prev_calib=None,
+        idle_stamp={"loadavg": [0.5, 0.5, 0.5], "live_jvms_at_start": []},
+        query_load={"q_a": 0.5},
+        foreign_jvms={"q_a": 0},
+    )
+    assert updates["calibration_ratio_vs_prev"] is None
+    assert updates["deltas_normalized"] == {"q_a": 2.0}
+    assert any("no calibration stamp" in ln for ln in notes)
+
+
+def test_bench_prev_calibration_lookup():
+    """_calibration_for reads the baseline round's DETAIL stamp; the
+    r14 detail on disk carries one."""
+    import bench
+
+    calib = bench._calibration_for("BENCH_r14.json")
+    assert calib is not None and calib > 0
+    assert bench._calibration_for("BENCH_r01.json") is None
+    assert bench._calibration_for("not-a-bench-name") is None
