@@ -25,7 +25,9 @@ implementation here keeps the parallelism:
    ≤255-entry sorted edge literal (map-side arithmetic, no shuffle);
 2. a per-band aggregate (≤ n_buckets rows) collects each band's
    max y; the driver folds it into an exclusive running max — the
-   cross-band CARRY, rebroadcast as a tiny join (the same two-phase
+   cross-band CARRY, attached back as a LITERAL map lookup
+   (element_at over a ≤ n_buckets-entry map constant — no
+   createDataFrame job, no broadcast exchange; the same two-phase
    prefix-scan shape as corpus.py's budget select). The carry
    algebra only needs bands to be monotone in x (rows in band k-1
    have strictly smaller x than rows in band k), which quantile
@@ -83,6 +85,18 @@ def _release_previous() -> None:
             pass
 
 
+def release() -> None:
+    """Release the caches pinned by the LAST skyline_2d call.
+
+    The next-call handoff alone leaks the final call's pins for the
+    session's lifetime (VERDICT r14 item 5) — a long-lived session
+    that builds one skyline holds its bucketized frame's blocks
+    forever. Call after the returned frame has been materialized;
+    the frame stays valid (Spark recomputes from lineage if read
+    again), only the pinned blocks are freed."""
+    _release_previous()
+
+
 def _band_edges(base: DataFrame, n_buckets: int) -> list[int]:
     """Quantile band edges over base.x: ≤ n_buckets-1 distinct
     ascending values. Empty input → empty list. Accuracy 1,000 is
@@ -129,13 +143,18 @@ def skyline_2d(
 ) -> DataFrame:
     """Rows not dominated under (min x_col, max y_col); x_col and
     y_col must already be exact integers (cents / counts). Output:
-    (key, x, y) for every skyline member."""
+    (key, x, y) for every skyline member. Rows with NULL x are
+    outside the dominance order and are filtered out up front
+    (ADVICE r14: with quantile banding, an all-NULL-x frame produced
+    edges == [] and fell through the scoring windows instead of
+    hitting the old fixed-width lo-is-None guard — the filter
+    restores the empty-skyline degenerate behavior)."""
     _release_previous()
     base = df.select(
         F.col(key_col).cast("long").alias("key"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    ).where(F.col("x").isNotNull())
     # one upstream computation for all 3 passes (ADVICE r13: the
     # un-persisted subtree was recomputed per pass); persist() beats
     # an eager localCheckpoint here — it materializes lazily inside
@@ -143,7 +162,10 @@ def skyline_2d(
     # (r14 profile: 0.48 s of pure checkpoint overhead at sf0.1)
     base = base.persist()
     edges = _band_edges(base, n_buckets)
-    if not edges and base.isEmpty():
+    if not edges:
+        # the NULL-x filter above makes edges == [] equivalent to an
+        # EMPTY input (percentile_approx over ≥1 non-null row always
+        # yields edges), so no separate isEmpty probe job is needed
         base.unpersist()
         return base.select("key", "x", "y").limit(0)
     # persist the BUCKETIZED frame: the O(n_buckets)-per-row edge
@@ -162,12 +184,26 @@ def skyline_2d(
     # needed (scoring reads b) — release it so long sessions don't
     # accumulate pinned blocks
     base.unpersist()
-    carry_rows, running = [], None
+    entries: list[str] = []
+    running = None
     for r in per:
-        carry_rows.append((r["bucket"], running))
-        running = r["mx"] if running is None else max(running, r["mx"])
-    spark = df.sparkSession
-    carry = spark.createDataFrame(carry_rows, "bucket long, carry long")
+        if running is not None:
+            entries.append(f"{r['bucket']}L, {running}L")
+        if r["mx"] is not None:
+            running = r["mx"] if running is None else max(running, r["mx"])
+    # the carry rides as a LITERAL map lookup (≤ n_buckets entries,
+    # O(n_buckets) driver state exactly as before): element_at
+    # returns NULL for the carry-less first band(s) — the same NULL
+    # the old 256-row broadcast join produced — while removing that
+    # join's createDataFrame job and broadcast exchange (r15: the
+    # sf0.1 row's cost is fixed per-job overhead, not data; one job
+    # and one exchange fewer is the fusion VERDICT r14 item 3 asked
+    # for)
+    carry_col = (
+        F.expr(f"element_at(map({', '.join(entries)}), bucket)")
+        if entries
+        else F.lit(None).cast("long")
+    )
 
     w_cheaper = (
         Window.partitionBy("bucket")
@@ -176,7 +212,7 @@ def skyline_2d(
     )
     w_equal = Window.partitionBy("bucket", "x")
     scored = (
-        b.join(F.broadcast(carry), "bucket")
+        b.withColumn("carry", carry_col)
         .withColumn("m_in", F.max("y").over(w_cheaper))
         .withColumn("m_cheaper", F.greatest(F.col("carry"), F.col("m_in")))
         .withColumn("m_equal", F.max("y").over(w_equal))

@@ -2942,6 +2942,39 @@ def test_bipartite_cooccurrence_degree_clamp(spark, tmp_path):
     assert len(out) == 48 * 47 // 2
 
 
+def test_skyline_null_x_degenerate_and_release(spark):
+    """ADVICE r14: an all-NULL-x frame must return an EMPTY skyline
+    (quantile banding's edges==[] path fell through to the scoring
+    windows and produced rows); NULL-x rows in a mixed frame are
+    outside the dominance order and ignored. Also pins VERDICT r14
+    item 5: after the consumer materializes the result, an explicit
+    release() leaves no persisted blocks behind."""
+    from kafka_streams_pipeline_spark.operators import pareto
+
+    all_null = spark.createDataFrame(
+        [(1, None, 5), (2, None, 7)], "key long, x long, y long"
+    )
+    assert pareto.skyline_2d(all_null, "x", "y", "key").count() == 0
+
+    mixed = spark.createDataFrame(
+        [(1, None, 99), (2, 10, 5), (3, 20, 7)],
+        "key long, x long, y long",
+    )
+    got = sorted(
+        r["key"] for r in pareto.skyline_2d(mixed, "x", "y", "key").collect()
+    )
+    # key 1 (NULL x, huge y) must NOT appear and must NOT dominate
+    assert got == [2, 3]
+
+    # end-of-session pin leak: consumer materialized above; release()
+    # must leave zero persisted RDDs (clear other tests' leftovers
+    # first so the assertion is about THIS operator's pins)
+    pareto.release()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_skyline_quantile_bands_balance_heavy_tail(spark):
     """Heavy-tailed x (VERDICT r13 item 3): 900 of 1000 rows in
     [0, 900) plus 100 rows spread to 1e12. Fixed-width 16-band edges

@@ -699,11 +699,16 @@ def test_skyline_windows_stay_band_partitioned(spark, sf_dir):
     collapses to one task: its plan must contain no SinglePartition
     exchange — every window is partitioned by the price band (plus
     the equal-x frame), and the cross-band carry arrives as a
-    broadcast join of the 256-row driver fold, not a global sort."""
+    LITERAL map lookup of the ≤256-row driver fold (r15: the old
+    broadcast join cost a createDataFrame job + an exchange per
+    call), so the plan carries no join of any kind and no global
+    sort."""
     plan = _plan(spark, sf_dir, "q_skyline")
     assert "SinglePartition" not in plan
     assert "Window" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, node
 
 
 def test_span_dedup_plan_has_no_join(spark, sf_dir):
