@@ -1078,3 +1078,27 @@ def test_streaming_acf_short_series_rows_match_batch(spark, tmp_path):
     assert [(t[1], t[2], t[3]) for t in tiny] == [
         (1, 1, -500_000), (2, 0, None), (3, 0, None),
     ]
+
+
+def test_resolve_state_partitions_hint(tmp_path):
+    """ADVICE r14: the derived state-partition count must honor a
+    per-call standing-keys hint (the bare view-topology default
+    pinned 8 into every caller's checkpoint regardless of its real
+    key cardinality); an explicit count always wins."""
+    from kafka_streams_pipeline_spark.streaming.pipeline import (
+        _resolve_state_partitions,
+        default_state_partitions,
+    )
+
+    ckpt = str(tmp_path / "ckpt-not-yet")
+    # explicit wins
+    assert _resolve_state_partitions(64, 1_000_000, ckpt) == 64
+    # hint drives the derivation: 40k keys / 400 per partition = 100
+    assert _resolve_state_partitions(None, 40_000, ckpt) == 100
+    # huge hint caps at 200, tiny floors at 8
+    assert _resolve_state_partitions(None, 10_000_000, ckpt) == 200
+    assert _resolve_state_partitions(None, 100, ckpt) == 8
+    # no hint: the view topology default (~2,880 keys -> 8)
+    assert _resolve_state_partitions(None, None, ckpt) == (
+        default_state_partitions()
+    )
