@@ -133,6 +133,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_entity_golden_alt",
     # round-14: availableNow replay (incremental all-pairs cosine)
     "q_streaming_cosine_pairs",
+    # round-15: availableNow replay (epoch-boundary TF-IDF refresh)
+    "q_streaming_cosine_refresh",
     # round-14: availableNow replay (sufficient-statistics ACF)
     "q_streaming_acf",
     # round-13 (deferred): availableNow replay with union-find state

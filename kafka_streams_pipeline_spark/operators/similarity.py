@@ -2419,6 +2419,89 @@ def cosine_pairs_overlong(
     )
 
 
+def tfidf_pairs_from_postings(
+    tf: DataFrame,
+    df_cap: int = COSINE_PAIRS_DF_CAP,
+    tau: tuple[int, int] = COSINE_PAIRS_TAU,
+) -> DataFrame:
+    """Epoch-boundary TF-IDF refresh over ACCUMULATED POSTINGS state
+    (VERDICT r14 item 7): the exact direct-form all-pairs set,
+    recomputed from a (doc_id, term, tf) frame in O(postings) — the
+    expensive per-document work (tokenization + shingling) happened
+    exactly once, in each document's arrival batch; the refresh only
+    re-derives df (one aggregate over postings), re-weights, and
+    re-joins. This is the documented production pattern for giving
+    the TF-IDF weighting a streaming story: the live path maintains
+    PURE-TF pairs append-only (tf_cosine_pairs — df-free deltas
+    commute), and at epoch boundaries this refresh re-emits the
+    TF-IDF pair set whose global df re-weighting is inherently
+    retroactive. Arithmetic is identical to cosine_pairs (weights
+    tf·10⁶ div df, the overlong-norm guard, the pure-integer
+    DECIMAL(38,0) gate), so a final-epoch refresh hash-matches the
+    SAME DuckDB oracle as the batch row."""
+    p, q = tau
+    _release_previous()
+    dfx = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w_all = (
+        tf.join(dfx, "term")
+        .where(F.col("df") <= df_cap)
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .persist()
+    )
+    _PREV_CACHED.append(w_all)
+    n2_bound = _max_n2(tau)
+    norms_dec = w_all.groupBy("doc_id").agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
+    )
+    overlong = norms_dec.where(
+        F.col("n2dec") > F.lit(n2_bound)
+    ).select("doc_id")
+    norms = norms_dec.where(F.col("n2dec") <= F.lit(n2_bound)).select(
+        "doc_id", F.col("n2dec").cast("long").alias("n2")
+    )
+    w = w_all.join(F.broadcast(overlong), "doc_id", "left_anti")
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(a.w AS DECIMAL(38,0)) * b.w) AS BIGINT)"
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
+    )
+    gate = (
+        f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
+        f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(F.expr(gate))
+        .select("doc_a", "doc_b", "dot")
+    )
+
+
 def cosine_pairs_scaling_stats(
     df: DataFrame,
     text_col: str = "text",
