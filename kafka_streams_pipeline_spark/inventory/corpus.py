@@ -1971,6 +1971,43 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=8)
 
 
+@register(
+    "q_l_diversity",
+    oracle="""
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                    AS BIGINT) AS n_distinct_sensitive,
+               (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5)
+                   AS at_risk
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10f privacy audit (round 15): distinct l-diversity over the
+    same (market segment, nation) quasi-identifiers as q_k_anonymity,
+    with the account-balance thousand-bucket as the sensitive
+    attribute — the homogeneity-attack successor criterion
+    (Machanavajjhala et al. 2007): a k-anonymous class whose members
+    share one sensitive value still leaks it. l=5 is chosen so the
+    sf0.01 gate exercises BOTH at-risk branches (distinct counts
+    there span 4..10; at sf0.001 every class is at risk — the gate
+    SF carries the discriminating evidence). One distinct-count
+    aggregate shuffle, bounded by the sensitive domain per class.
+    See operators/quality.l_diversity."""
+    from kafka_streams_pipeline_spark.operators.quality import l_diversity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_k"),
+    )
+    return l_diversity(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_k", l_threshold=5
+    )
+
+
 @register("q_dsir_select", oracle=_text.dsir_select_oracle())
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5ac data selection via importance resampling (DSIR, Xie et

@@ -413,8 +413,16 @@ _RECHECK: list[str] = [
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round. Entries parked here must be oracle-verified
 # green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
-# before parking.
-_DEFERRED: list[str] = []
+# before parking. The round-15 window is budgeted: 1 new
+# registration (q_streaming_cosine_refresh — VERDICT r14 item 7
+# wants its driver row) + 4 on-deck + 2 _RECHECK + 43 stalest
+# re-certs = 50, so the two other round-15 additions park here (both
+# verified green at sf0.001 + sf0.01 + vanilla-TZ sim before
+# parking, NOTES_r15).
+_DEFERRED: list[str] = [
+    "q_ccf",
+    "q_l_diversity",
+]
 
 
 def driver_order() -> list[str]:

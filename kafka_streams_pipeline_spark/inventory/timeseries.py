@@ -1183,3 +1183,21 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the final aggregate. See
     operators/timeseries.acf_by_series."""
     return _ts.acf_by_series(_t(spark, sf_dir, "events"))
+
+
+@register("q_ccf", oracle=_ts.ccf_by_series_oracle())
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12z (TSDB diagnostics, round 15): sample CROSS-correlation
+    between every ordered pair of event_type hourly series at lags
+    −3..+3 — the lead/lag detector completing the ACF family (q_acf
+    measures a series against itself; this answers "does type A's
+    hourly spend move k hours ahead of type B's?"). Co-occurring
+    hour buckets pair via ONE equi-join on the lag-shifted hour key
+    (x side explodes ×7 shifted hours map-side — no per-lag join);
+    the five moments accumulate as exact DECIMAL(38,0) integers over
+    hourly cents and Pearson r is a single deterministic double
+    expression (the q_corr_stats discipline), NULL on zero variance
+    via an explicit branch. Hourly pre-agg bounds the join to hour
+    counts regardless of event volume. See
+    operators/timeseries.ccf_by_series."""
+    return _ts.ccf_by_series(_t(spark, sf_dir, "events"))

@@ -647,3 +647,44 @@ def ref_integrity_oracle(
                    AS key_checksum
         FROM j GROUP BY 1 ORDER BY 1
     """
+
+
+L_DIVERSITY_DEFAULT = 3
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = L_DIVERSITY_DEFAULT,
+) -> DataFrame:
+    """Distinct l-diversity audit over the quasi-identifier columns
+    (Machanavajjhala et al., TKDD 2007 — the successor criterion to
+    k-anonymity): one row per QI equivalence class with its size,
+    the number of DISTINCT sensitive values it contains, and whether
+    it is AT RISK (fewer than ``l_threshold`` distinct values — a
+    k-anonymous class whose members all share one sensitive value
+    still leaks it; homogeneity attack). NULL sensitive values are
+    not counted as a value (count(DISTINCT) semantics, identical in
+    both engines); a class of only-NULL sensitive rows has
+    n_distinct_sensitive = 0 and is at risk for any l ≥ 1.
+
+    One groupBy over the QI key with a distinct-count (map-side
+    partial distinct — at 100 TB the shuffle carries per-partition
+    distinct sets per class, bounded by the sensitive domain, not
+    row count). Ascending QI order. The enforcement mechanism is
+    :func:`k_anonymize`'s suppression join with this audit's at-risk
+    classes as the predicate source."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col)
+            .cast("long")
+            .alias("n_distinct_sensitive"),
+        )
+        .withColumn(
+            "at_risk", F.col("n_distinct_sensitive") < l_threshold
+        )
+        .orderBy(*quasi_cols)
+    )

@@ -1931,3 +1931,133 @@ def acf_by_series_oracle(max_lag: int = ACF_MAX_LAG) -> str:
         FROM stacked
         GROUP BY 1, 2
     """
+
+
+CCF_MAX_LAG = 3
+HOUR_MS = 3_600_000
+
+
+def ccf_by_series(events: DataFrame, max_lag: int = CCF_MAX_LAG) -> DataFrame:
+    """Sample cross-correlation between every ordered pair of
+    event_type hourly series at lags −max_lag..max_lag — the
+    lead/lag detector completing the ACF family (X12x measures a
+    series against itself; this measures series against each other:
+    "does type A's spend move 2 hours ahead of type B's?").
+
+    At lag k the pairing is x_t with y_{t−k} over the hours where
+    BOTH buckets occur (the co-occurring-buckets convention — the
+    cross-series analogue of ACF's observed-sequence convention;
+    both engines apply it identically via the same equi-join).
+    Positive k pairs x's present with y's PAST (y leads x); negative
+    k pairs x's present with y's future (x leads y) — pinned by the
+    shifted-copy pytest.
+
+    Exactness follows the q_corr_stats discipline: the five moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL(38,0)
+    integers over hourly cents (order-independent — c ≈ 10⁹ cents
+    per bucket keeps n·Σxy ≈ 10⁴·10²² well inside 38 digits), and
+    Pearson r is ONE deterministic double expression at the end:
+    num and the two variance terms are computed EXACTLY in decimal,
+    cast to double once (a single IEEE rounding, identical for
+    Spark DECIMAL and DuckDB HUGEINT), then divided and rounded to
+    6. Zero variance on either side → NULL via an explicit branch
+    (portable; double x/0 is Inf/NaN in both engines, never NULL).
+
+    Plan: the shared hourly pre-aggregate (map-side partials) bounds
+    each series to its HOUR count regardless of event volume; the x
+    side explodes ×(2·max_lag+1) shifted hours (array transform, no
+    shuffle), then ONE equi-join on the shifted hour key against the
+    y side (hour keys are dense and bounded — never skewed), and one
+    (et_x, et_y, lag) aggregate. No per-lag join, no window over a
+    global sort."""
+    hourly = hourly_cents_series(events)
+    lags = list(range(-max_lag, max_lag + 1))
+    x = hourly.select(
+        F.col("event_type").alias("et_x"),
+        F.col("c").alias("cx"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        (F.col("h_ms") - F.lit(k * HOUR_MS)).alias(
+                            "h_y"
+                        ),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("kk"),
+    ).select("et_x", "cx", F.col("kk.lag").alias("lag"), F.col("kk.h_y").alias("h_y"))
+    y = hourly.select(
+        F.col("event_type").alias("et_y"),
+        F.col("h_ms").alias("h_y"),
+        F.col("c").alias("cy"),
+    )
+    m = (
+        x.join(y, "h_y")
+        .where(F.col("et_x") < F.col("et_y"))
+        .groupBy("et_x", "et_y", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cx").alias("sx"),
+            F.sum("cy").alias("sy"),
+            F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+            F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+            F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        )
+    )
+    return m.select(
+        "et_x",
+        "et_y",
+        "lag",
+        "n_pairs",
+        F.expr(
+            "CASE WHEN n_pairs * sxx - sx * sx = 0"
+            "       OR n_pairs * syy - sy * sy = 0 THEN NULL"
+            " ELSE round("
+            "   CAST(n_pairs * sxy - sx * sy AS DOUBLE) /"
+            "   (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *"
+            "    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)"
+            " END"
+        ).alias("ccf_r"),
+    )
+
+
+def ccf_by_series_oracle(max_lag: int = CCF_MAX_LAG) -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS (
+            SELECT CAST(k AS BIGINT) AS lag
+            FROM UNNEST(range(-{max_lag}, {max_lag + 1})) AS t(k)
+        ),
+        x AS (
+            SELECT event_type AS et_x, c AS cx, lag,
+                   h_ms - lag * {HOUR_MS} AS h_y
+            FROM hourly CROSS JOIN lags
+        ),
+        m AS (
+            SELECT et_x, y.event_type AS et_y, lag,
+                   count(*) AS n_pairs,
+                   sum(cx) AS sx, sum(y.c) AS sy,
+                   sum(cx * y.c) AS sxy,
+                   sum(cx * cx) AS sxx, sum(y.c * y.c) AS syy
+            FROM x JOIN hourly y ON x.h_y = y.h_ms
+            WHERE et_x < y.event_type
+            GROUP BY 1, 2, 3
+        )
+        SELECT et_x, et_y, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CASE WHEN n_pairs * sxx - sx * sx = 0
+                      OR n_pairs * syy - sy * sy = 0 THEN NULL
+                    ELSE round(
+                      CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+               END AS ccf_r
+        FROM m
+    """

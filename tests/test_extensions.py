@@ -3217,3 +3217,72 @@ def test_cosine_pairs_collapse_is_bit_identical(spark):
     for pair in [(1, 2), (1, 5), (2, 5)]:
         assert pair in got_pairs
     assert (6, 7) not in got_pairs
+
+
+def test_ccf_shifted_copy_and_zero_variance(spark):
+    """CCF lead/lag sign convention pinned with a shifted copy: series
+    B equals series A delayed by one hour, so at lag −1 (x's present
+    against y's FUTURE — x leads) the cross-correlation is exactly
+    1.0, and at other lags it is below 1. A constant series has zero
+    variance and must yield NULL (explicit branch, not Inf/NaN)."""
+    from datetime import datetime, timezone
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        ccf_by_series,
+    )
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = []
+    for i, v in enumerate(vals):
+        t = base.replace(hour=i)
+        rows.append(("A", t, v))
+        # B = A delayed one hour (B's bucket i+1 holds A's value i)
+        rows.append(("B", t.replace(hour=i + 1), v))
+        rows.append(("C", t, 7.0))  # constant: zero variance
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["et_x"], r["et_y"], r["lag"]): r["ccf_r"]
+        for r in ccf_by_series(df).collect()
+    }
+    assert got[("A", "B", -1)] == 1.0
+    for k in (-3, -2, 0, 1, 2, 3):
+        assert got[("A", "B", k)] is None or got[("A", "B", k)] < 1.0
+    # constant C: every (A, C) and (B, C) row is NULL
+    for (ex, ey, k), v in got.items():
+        if "C" in (ex, ey):
+            assert v is None, (ex, ey, k, v)
+
+
+def test_l_diversity_homogeneity_and_nulls(spark):
+    """A k-anonymous-but-homogeneous class must be at risk (the
+    attack l-diversity exists to catch); a diverse class is safe;
+    NULL sensitive values are not counted as a value, so an all-NULL
+    class has 0 distinct and is at risk at any l >= 1."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        l_diversity,
+    )
+
+    rows = [
+        # class (a, 1): large but all share sensitive 9 -> at risk
+        *[("a", 1, 9) for _ in range(10)],
+        # class (a, 2): 3 members, 3 distinct -> safe at l=3
+        ("a", 2, 1), ("a", 2, 2), ("a", 2, 3),
+        # class (b, 1): sensitive all NULL -> 0 distinct, at risk
+        ("b", 1, None), ("b", 1, None),
+        # class (b, 2): 2 distinct + NULLs -> 2 < 3, at risk
+        ("b", 2, 5), ("b", 2, 6), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "seg string, nat long, sens long")
+    got = {
+        (r["seg"], r["nat"]): (
+            r["class_size"], r["n_distinct_sensitive"], r["at_risk"]
+        )
+        for r in l_diversity(df, ["seg", "nat"], "sens", 3).collect()
+    }
+    assert got[("a", 1)] == (10, 1, True)
+    assert got[("a", 2)] == (3, 3, False)
+    assert got[("b", 1)] == (2, 0, True)
+    assert got[("b", 2)] == (3, 2, True)
