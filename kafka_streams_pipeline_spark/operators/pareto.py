@@ -161,11 +161,14 @@ def skyline_2d(
     # the edge-quantile job instead of paying a separate write job
     # (r14 profile: 0.48 s of pure checkpoint overhead at sf0.1)
     base = base.persist()
-    edges = _band_edges(base, n_buckets)
-    if not edges:
-        # the NULL-x filter above makes edges == [] equivalent to an
-        # EMPTY input (percentile_approx over ≥1 non-null row always
-        # yields edges), so no separate isEmpty probe job is needed
+    # n_buckets == 1 has no interior quantiles (empty percentage
+    # list) — everything lands in bucket 0 and the empty-input case
+    # falls out of the empty scoring frame; only n_buckets ≥ 2 can
+    # use edges == [] as the emptiness signal (the NULL-x filter
+    # above makes it exact: percentile_approx over ≥ 1 non-null row
+    # always yields edges — hypothesis caught the nb=1 hole in r15)
+    edges = _band_edges(base, n_buckets) if n_buckets >= 2 else []
+    if n_buckets >= 2 and not edges:
         base.unpersist()
         return base.select("key", "x", "y").limit(0)
     # persist the BUCKETIZED frame: the O(n_buckets)-per-row edge

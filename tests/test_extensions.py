@@ -2942,14 +2942,28 @@ def test_bipartite_cooccurrence_degree_clamp(spark, tmp_path):
     assert len(out) == 48 * 47 // 2
 
 
+def _pinned_rdd_ids(spark) -> set:
+    """Ids of currently persisted RDDs (includes localCheckpoint
+    blocks other tests may have left behind in the shared session —
+    release assertions must therefore compare against a BEFORE
+    snapshot, never against global zero)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def test_skyline_null_x_degenerate_and_release(spark):
     """ADVICE r14: an all-NULL-x frame must return an EMPTY skyline
     (quantile banding's edges==[] path fell through to the scoring
     windows and produced rows); NULL-x rows in a mixed frame are
     outside the dominance order and ignored. Also pins VERDICT r14
     item 5: after the consumer materializes the result, an explicit
-    release() leaves no persisted blocks behind."""
+    release() leaves no NEW persisted blocks behind."""
     from kafka_streams_pipeline_spark.operators import pareto
+
+    before = _pinned_rdd_ids(spark)
 
     all_null = spark.createDataFrame(
         [(1, None, 5), (2, None, 7)], "key long, x long, y long"
@@ -2967,12 +2981,10 @@ def test_skyline_null_x_degenerate_and_release(spark):
     assert got == [2, 3]
 
     # end-of-session pin leak: consumer materialized above; release()
-    # must leave zero persisted RDDs (clear other tests' leftovers
-    # first so the assertion is about THIS operator's pins)
+    # must leave no pins beyond what predated this operator's calls
     pareto.release()
-    spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    leaked = _pinned_rdd_ids(spark) - before
+    assert not leaked, f"skyline pins left after release(): {leaked}"
 
 
 def test_skyline_quantile_bands_balance_heavy_tail(spark):
@@ -3095,11 +3107,13 @@ def test_cosine_pairs_overlong_doc_guard(spark):
 
 def test_cosine_pairs_release_and_scaling_stats(spark):
     """VERDICT r14 item 5: after the consumer materializes the pair
-    set, an explicit release() must leave zero persisted blocks.
+    set, an explicit release() must leave no NEW persisted blocks.
     Also pins the sweep's filter_stats shape (VERDICT r14 item 4):
     candidate posting pairs, df-cap drops, group-collapse stats and
     overlong exclusions are all reported."""
     from kafka_streams_pipeline_spark.operators import similarity as sim
+
+    before = _pinned_rdd_ids(spark)
 
     docs = spark.createDataFrame(
         [
@@ -3123,9 +3137,8 @@ def test_cosine_pairs_release_and_scaling_stats(spark):
     assert stats["n_terms_total"] == 5  # 2 + 3 distinct trigrams
 
     sim.release()
-    spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    leaked = _pinned_rdd_ids(spark) - before
+    assert not leaked, f"cosine pins left after release(): {leaked}"
 
 
 def test_tf_cosine_pairs_cross_leg_disjoint_sets(spark):
