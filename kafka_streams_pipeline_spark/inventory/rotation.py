@@ -422,6 +422,7 @@ _RECHECK: list[str] = [
 _DEFERRED: list[str] = [
     "q_ccf",
     "q_l_diversity",
+    "q_theil_sen",
 ]
 
 

@@ -1185,6 +1185,22 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.acf_by_series(_t(spark, sf_dir, "events"))
 
 
+@register("q_theil_sen", oracle=_ts.theil_sen_trend_oracle())
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12aa (TSDB robustness, round 15): Theil-Sen robust trend per
+    event_type hourly series — the median of all pairwise
+    Δcents/Δhours slopes, tolerant of up to ~29% corrupted buckets
+    where q_revenue_forecast's least-squares slope moves with one.
+    Completes the robustness family beside the MAD anomaly gate and
+    CUSUM. Each slope is ONE double division of exact integers
+    (IEEE-identical in both engines), the median is rank-selected
+    (even count: mean of the two middle slopes), rounded once at the
+    end; the pair self-join is series-local on the hourly pre-agg —
+    pair count is bounded by the TIME RANGE squared, never event
+    volume. See operators/timeseries.theil_sen_trend."""
+    return _ts.theil_sen_trend(_t(spark, sf_dir, "events"))
+
+
 @register("q_ccf", oracle=_ts.ccf_by_series_oracle())
 def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12z (TSDB diagnostics, round 15): sample CROSS-correlation

@@ -2061,3 +2061,110 @@ def ccf_by_series_oracle(max_lag: int = CCF_MAX_LAG) -> str:
                END AS ccf_r
         FROM m
     """
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event_type hourly series: the
+    MEDIAN of all pairwise slopes (Δcents/Δhours over every hour
+    pair i<j) — the classic outlier-robust alternative to
+    least-squares trend (up to ~29% contamination tolerance),
+    completing the TSDB robustness family beside the MAD anomaly
+    gate and CUSUM: q_revenue_forecast's least-squares slope moves
+    with one corrupted bucket, this doesn't.
+
+    Determinism follows the q_corr_stats discipline: Δc and Δt are
+    exact integers (hourly cents; hour-truncated epoch-ms divide
+    exactly by 3,600,000), each slope is ONE double division of
+    exactly-representable integers (IEEE correctly rounded —
+    bit-identical in both engines), the median picks the middle
+    element(s) by rank (even count: mean of the two middle doubles,
+    again one deterministic expression), rounded to 6 at the end.
+
+    Plan: the shared hourly pre-aggregate bounds each series to its
+    HOUR count; the pair self-join is an equi-join on event_type
+    (series-local pairs — the join exchange is reused by the rank
+    window and the final filter, so the operator is two shuffles).
+    Pair count is hours²/2 per series — bounded by the TIME RANGE,
+    never by event volume (a year of hours is 8.8k → 38M pairs per
+    series, a shuffle not a wall); for longer horizons the
+    documented production valve is windowed Theil-Sen (trend per
+    retention window), not a silent subsample."""
+    hourly = hourly_cents_series(events)
+    a = hourly.select(
+        "event_type",
+        F.col("h_ms").alias("h_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = hourly.select(
+        "event_type",
+        F.col("h_ms").alias("h_b"),
+        F.col("c").alias("c_b"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("h_a") < F.col("h_b"))
+        .select(
+            "event_type",
+            "h_a",
+            "h_b",
+            F.expr(
+                "CAST(c_b - c_a AS DOUBLE) /"
+                " CAST((h_b - h_a) div 3600000 AS DOUBLE)"
+            ).alias("slope"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("slope", "h_a", "h_b")
+    ranked = pairs.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    # odd n: the (n+1)/2-th slope; even n: mean of the n/2-th and
+    # (n/2+1)-th — one filter + avg so both parities share the
+    # aggregate (avg of ONE element is that element)
+    mid = ranked.where(
+        F.expr(
+            "IF(n % 2 = 1, rn * 2 = n + 1,"
+            " rn * 2 = n OR rn * 2 = n + 2)"
+        )
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("slope_cents_per_hour"),
+        )
+        .select("event_type", "n_pairs", "slope_cents_per_hour")
+    )
+
+
+def theil_sen_trend_oracle() -> str:
+    return """
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, a.h_ms AS h_a, b.h_ms AS h_b,
+                   CAST(b.c - a.c AS DOUBLE) /
+                   CAST((b.h_ms - a.h_ms) // 3600000 AS DOUBLE)
+                       AS slope
+            FROM hourly a JOIN hourly b
+              ON a.event_type = b.event_type AND a.h_ms < b.h_ms
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY slope, h_a, h_b) AS rn
+            FROM pairs
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+               round(avg(slope), 6) AS slope_cents_per_hour
+        FROM ranked
+        WHERE CASE WHEN n % 2 = 1 THEN rn * 2 = n + 1
+                   ELSE rn * 2 = n OR rn * 2 = n + 2 END
+        GROUP BY event_type
+    """

@@ -3299,3 +3299,40 @@ def test_l_diversity_homogeneity_and_nulls(spark):
     assert got[("a", 2)] == (3, 3, False)
     assert got[("b", 1)] == (2, 0, True)
     assert got[("b", 2)] == (3, 2, True)
+
+
+def test_theil_sen_robust_to_outlier_and_parity(spark):
+    """A clean slope-10 series with ONE corrupted bucket must still
+    report slope 10 (the median of pairwise slopes ignores the
+    outlier pairs) where least squares would move; the even-count
+    median branch (mean of the two middle slopes) is exercised by a
+    4-point series with C(4,2)=6 pairs."""
+    from datetime import datetime, timezone
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = []
+    # series A: value = 0.1*i dollars -> 10*i cents (slope 10), with
+    # bucket 7 corrupted to 10,000 cents; 11 points -> 55 pairs, 10
+    # of them touch the outlier -> median still 10.0
+    for i in range(11):
+        v = 100.0 if i == 7 else 0.1 * i
+        rows.append(("A", base.replace(hour=i), v))
+    # series B: cents 0,100,200,700 at hours 0,1,2,3 -> pairwise
+    # slopes sorted [100,100,100,700/3,300,500]; even count -> mean
+    # of the two middle = (100 + 233.333…)/2 = 166.666667 after the
+    # single end round
+    for i, cents in enumerate([0, 100, 200, 700]):
+        rows.append(("B", base.replace(hour=i), cents / 100.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: (r["n_pairs"], r["slope_cents_per_hour"])
+        for r in theil_sen_trend(df).collect()
+    }
+    assert got["A"] == (55, 10.0)
+    assert got["B"] == (6, 166.666667)
