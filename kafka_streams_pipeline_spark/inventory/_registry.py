@@ -137,6 +137,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_cosine_refresh",
     # round-14: availableNow replay (sufficient-statistics ACF)
     "q_streaming_acf",
+    # round-15: availableNow replay (append-only pair-delta Theil-Sen)
+    "q_streaming_theil_sen",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay

@@ -423,6 +423,7 @@ _DEFERRED: list[str] = [
     "q_ccf",
     "q_l_diversity",
     "q_theil_sen",
+    "q_streaming_theil_sen",
 ]
 
 

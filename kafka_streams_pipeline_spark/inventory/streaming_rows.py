@@ -5982,6 +5982,150 @@ def q_streaming_cosine_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_streaming_theil_sen",
+    oracle=_ts_ops.theil_sen_trend_oracle(),
+)
+def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_theil_sen (round 15): robust trend
+    maintained via APPEND-ONLY PAIR DELTAS — the X3q lens applied to
+    the TSDB family. Pairwise slopes are static once both hour
+    buckets exist (like tf-cosine pair scores), so per micro-batch
+    the new pairs are exactly (within Δ) ∪ (Δ × state) — the
+    expensive O(n²) pair generation is incremental, each pair
+    computed once in the batch where its LATER hour arrives — while
+    the median itself is rank-selected over the accumulated slope
+    store at read time (medians don't merge; the store is the
+    sufficient state). Hour-contiguous availableNow chunks (hourly
+    buckets never straddle a batch — the q_streaming_acf replay
+    convention), all state hours precede all delta hours by
+    construction; the Δ×state counter is asserted ≥ 1 and the final
+    median hash-matches the SAME oracle as the batch row via the
+    shared theil_sen_median. At 100 TB the slope store is
+    series-partitioned parquet and each batch's work is bounded by
+    Δ-hours × state-hours, never recomputed from scratch."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-stheilsen-")
+    src = os.path.join(base, "src")
+    buckets_dir = os.path.join(base, "buckets")
+    slopes_dir = os.path.join(base, "slopes")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        sink = {"batches": 0, "cross_pairs": 0}
+        bucket_schema = "event_type string, h_ms long, c long"
+        slope_expr = (
+            "CAST(c_b - c_a AS DOUBLE) /"
+            " CAST((h_b - h_a) div 3600000 AS DOUBLE)"
+        )
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.localCheckpoint(eager=True)
+            da = delta.select(
+                "event_type",
+                F.col("h_ms").alias("h_a"),
+                F.col("c").alias("c_a"),
+            )
+            db = delta.select(
+                "event_type",
+                F.col("h_ms").alias("h_b"),
+                F.col("c").alias("c_b"),
+            )
+            within = (
+                da.join(db, "event_type")
+                .where(F.col("h_a") < F.col("h_b"))
+                .selectExpr(
+                    "event_type", "h_a", "h_b", f"{slope_expr} AS slope"
+                )
+            )
+            new_pairs = within
+            if sink["batches"] > 0:
+                state = spark.read.schema(bucket_schema).parquet(
+                    buckets_dir
+                )
+                # hour-contiguous chunks: every state hour precedes
+                # every delta hour, so the cross leg is state×Δ with
+                # (h_a, h_b) = (state.h, delta.h) — no normalization
+                sa = state.select(
+                    "event_type",
+                    F.col("h_ms").alias("h_a"),
+                    F.col("c").alias("c_a"),
+                )
+                cross = sa.join(db, "event_type").selectExpr(
+                    "event_type", "h_a", "h_b", f"{slope_expr} AS slope"
+                )
+                sink["cross_pairs"] += cross.count()
+                new_pairs = within.unionByName(cross)
+            new_pairs.write.mode("append").parquet(slopes_dir)
+            delta.write.mode("append").parquet(buckets_dir)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema(bucket_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("theil-sen replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if sink["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {sink['batches']}"
+            )
+        if sink["cross_pairs"] < 1:
+            raise AssertionError(
+                "no Δ×state pair despite hour-contiguous chunking — "
+                "the cross-batch leg never executed"
+            )
+        pairs = spark.read.schema(
+            "event_type string, h_a long, h_b long, slope double"
+        ).parquet(slopes_dir)
+        out = [tuple(r) for r in _ts_ops.theil_sen_median(pairs).collect()]
+        return spark.createDataFrame(
+            out,
+            "event_type string, n_pairs bigint,"
+            " slope_cents_per_hour double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "q_streaming_acf",
     oracle=_ts_ops.acf_by_series_oracle(),
 )

@@ -2113,6 +2113,16 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
             ).alias("slope"),
         )
     )
+    return theil_sen_median(pairs)
+
+
+def theil_sen_median(pairs: DataFrame) -> DataFrame:
+    """Rank-selected per-series median over a
+    (event_type, h_a, h_b, slope) pair frame — shared by the batch
+    operator and the streaming twin's append-only pair store so the
+    median convention (deterministic (slope, h_a, h_b) order; even
+    count: mean of the two middle doubles; one end round) can never
+    fork between them."""
     wp = Window.partitionBy("event_type")
     wo = wp.orderBy("slope", "h_a", "h_b")
     ranked = pairs.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
