@@ -139,6 +139,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_acf",
     # round-15: availableNow replay (append-only pair-delta Theil-Sen)
     "q_streaming_theil_sen",
+    # round-15: availableNow replay (bounded-window join-state CCF)
+    "q_streaming_ccf",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay

@@ -424,6 +424,7 @@ _DEFERRED: list[str] = [
     "q_l_diversity",
     "q_theil_sen",
     "q_streaming_theil_sen",
+    "q_streaming_ccf",
 ]
 
 

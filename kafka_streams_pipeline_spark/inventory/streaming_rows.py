@@ -6126,6 +6126,179 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_streaming_ccf",
+    oracle=_ts_ops.ccf_by_series_oracle(),
+)
+def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ccf (round 15): cross-correlation
+    maintained from BOUNDED-WINDOW JOIN STATE + additive moments —
+    a fourth IVM shape beside append-only pair deltas (X3q/Theil-
+    Sen), O(1) sufficient statistics (ACF), and retroactive stores
+    (X1g). At lag k the matched pair (x_h, y_{h−k}) completes when
+    the LATER of the two hour buckets arrives, and |k| ≤ 3 bounds
+    how far back the earlier one can live — so per-series state is
+    only the last max_lag hours of buckets (a sliding join window),
+    while the per-(pair, lag) moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate additively and never revisit history. Hour-contiguous
+    availableNow chunks (the q_streaming_acf convention); matched
+    pairs whose earlier bucket was folded in a PREVIOUS batch are
+    counted and asserted ≥ 1; the final table computed from the
+    folded moments alone hash-matches the SAME oracle as the batch
+    q_ccf (maintained ≡ recomputed). At 100 TB the window state is
+    max_lag hours × series — independent of stream length."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    max_lag = _ts_ops.CCF_MAX_LAG
+    hour_ms = _ts_ops.HOUR_MS
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sccf-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        # recent[(et, h_ms)] = (c, batch_folded_in); pruned below
+        # current_hour − max_lag once per fold step
+        recent: dict = {}
+        moments: dict = {}
+        sink = {"batches": 0, "cross_pairs": 0}
+
+        def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch = sorted(
+                ((r["event_type"], r["h_ms"], r["c"])
+                 for r in batch_df.collect()),
+                key=lambda t: (t[1], t[0]),
+            )
+            for et, h, c in batch:
+                for (et2, h2), (c2, b2) in list(recent.items()):
+                    if et2 == et or abs(h2 - h) > max_lag * hour_ms:
+                        continue
+                    # pair key is (lexicographic min, max); lag k
+                    # pairs x_t with y_{t−k}: k = (x hour − y hour)
+                    # in whole hours, where x is the name-min series
+                    if et < et2:
+                        ka = (h - h2) // hour_ms
+                        cx, cy = c, c2
+                    else:
+                        ka = (h2 - h) // hour_ms
+                        cx, cy = c2, c
+                    key = (min(et, et2), max(et, et2), ka)
+                    m = moments.setdefault(
+                        key, [0, 0, 0, 0, 0, 0]
+                    )  # n, sx, sy, sxy, sxx, syy
+                    m[0] += 1
+                    m[1] += cx
+                    m[2] += cy
+                    m[3] += cx * cy
+                    m[4] += cx * cx
+                    m[5] += cy * cy
+                    if b2 < sink["batches"]:
+                        sink["cross_pairs"] += 1
+                recent[(et, h)] = (c, sink["batches"])
+                # prune the sliding join window: anything older than
+                # max_lag hours can never match a future arrival
+                # (arrivals are hour-ordered)
+                for (et2, h2) in [
+                    k for k in recent if k[1] < h - max_lag * hour_ms
+                ]:
+                    del recent[(et2, h2)]
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema("event_type string, h_ms long, c long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("ccf replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        if sink["batches"] != 3:
+            raise AssertionError(
+                f"replay did not micro-batch per chunk: {sink['batches']}"
+            )
+        if sink["cross_pairs"] < 1:
+            raise AssertionError(
+                "no matched pair crossed a batch boundary — the "
+                "sliding join window never carried state across"
+            )
+
+        # the final table is computed IN SPARK with the identical
+        # expression to the batch operator/oracle (Python's pow/round
+        # conventions differ — pow(x,.5) is not IEEE sqrt and round()
+        # is half-even where both engines are HALF_UP): exact integer
+        # moments travel as strings -> DECIMAL(38,0), one double
+        # division, NULL on zero variance
+        mrows = [
+            (ex, ey, int(k), n, str(sx), str(sy), str(sxy),
+             str(sxx), str(syy))
+            for (ex, ey, k), (n, sx, sy, sxy, sxx, syy)
+            in moments.items()
+        ]
+        mdf = spark.createDataFrame(
+            mrows,
+            "et_x string, et_y string, lag bigint, n_pairs bigint,"
+            " sx string, sy string, sxy string, sxx string, syy string",
+        )
+        return mdf.selectExpr(
+            "et_x",
+            "et_y",
+            "lag",
+            "n_pairs",
+            """CASE WHEN n_pairs * CAST(sxx AS DECIMAL(38,0))
+                      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) = 0
+                     OR n_pairs * CAST(syy AS DECIMAL(38,0))
+                      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) = 0
+                    THEN NULL
+               ELSE round(
+                 CAST(n_pairs * CAST(sxy AS DECIMAL(38,0))
+                      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                      AS DOUBLE) /
+                 (sqrt(CAST(n_pairs * CAST(sxx AS DECIMAL(38,0))
+                       - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                       AS DOUBLE)) *
+                  sqrt(CAST(n_pairs * CAST(syy AS DECIMAL(38,0))
+                       - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                       AS DOUBLE))), 6)
+               END AS ccf_r""",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "q_streaming_acf",
     oracle=_ts_ops.acf_by_series_oracle(),
 )
