@@ -256,37 +256,44 @@ def _tripwire(
         (idle_stamp.get("loadavg") or [0])[0] > 4.0
         or idle_stamp.get("live_jvms_at_start")
     )
-    movers: dict = {}
-    movers_suspect: dict = {}
-    for n, d in deltas.items():
-        expected = prev_queries[n] * eff_ratio
-        if abs(timings[n] - expected) <= max(spreads[n], 0.05):
-            continue
+
+    def _suspect(n: str) -> bool:
         la = query_load.get(n)
-        suspect = bool(
+        return bool(
             start_not_idle
             or foreign_jvms.get(n, 0) > 0
             # our own 8/32-thread JVM accounts for < ~cpus of load;
             # anything far past that is foreign work
             or (la is not None and la > 1.5 * os.cpu_count())
         )
+
+    movers: dict = {}
+    movers_suspect: dict = {}
+    for n, d in deltas.items():
+        expected = prev_queries[n] * eff_ratio
+        if abs(timings[n] - expected) <= max(spreads[n], 0.05):
+            continue
         entry = {
             "delta": d,
             "delta_normalized": deltas_norm[n],
-            "loadavg1_at_run": la,
+            "loadavg1_at_run": query_load.get(n),
             "foreign_jvms_at_run": foreign_jvms.get(n, 0),
-            "load_suspect": suspect,
+            "load_suspect": _suspect(n),
         }
-        (movers_suspect if suspect else movers)[n] = entry
+        (movers_suspect if _suspect(n) else movers)[n] = entry
     if movers:
         updates["movers_beyond_spread"] = movers
     if movers_suspect:
         updates["movers_load_suspect"] = movers_suspect
+    # quarantine is decided per QUERY, not per mover: a regression
+    # candidate whose |median − expected| sits inside its own spread
+    # never enters the mover loop, but a contended box must still
+    # not print it unqualified (r15 review finding)
     clean_regressions = {
-        n: dn for n, dn in regressions_all.items() if n not in movers_suspect
+        n: dn for n, dn in regressions_all.items() if not _suspect(n)
     }
     suspect_regressions = {
-        n: dn for n, dn in regressions_all.items() if n in movers_suspect
+        n: dn for n, dn in regressions_all.items() if _suspect(n)
     }
     if clean_regressions:
         updates["regressions"] = clean_regressions

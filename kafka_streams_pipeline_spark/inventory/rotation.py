@@ -416,8 +416,8 @@ _RECHECK: list[str] = [
 # before parking. The round-15 window is budgeted: 1 new
 # registration (q_streaming_cosine_refresh — VERDICT r14 item 7
 # wants its driver row) + 4 on-deck + 2 _RECHECK + 43 stalest
-# re-certs = 50, so the two other round-15 additions park here (both
-# verified green at sf0.001 + sf0.01 + vanilla-TZ sim before
+# re-certs = 50, so the FIVE other round-15 additions park here
+# (each verified green at sf0.001 + sf0.01 + vanilla-TZ sim before
 # parking, NOTES_r15).
 _DEFERRED: list[str] = [
     "q_ccf",

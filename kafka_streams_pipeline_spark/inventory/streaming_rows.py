@@ -5897,11 +5897,12 @@ def q_streaming_cosine_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh (operators/similarity.tfidf_pairs_from_postings —
     identical weights, overlong guard, and integer gate to
     cosine_pairs) hash-matches the SAME DuckDB oracle as the batch
-    TF-IDF row. The replay asserts every batch appended postings and
-    that the refresh consumed the store, never the source table. At
-    100 TB the postings state is shingle-keyed parquet and the
-    refresh is a scan + one aggregate + the same bounded
-    inverted-index join the batch row runs."""
+    TF-IDF row. The replay asserts every batch appended postings,
+    and the source chunks are DELETED before the refresh runs — so
+    consuming the store (never the source) is enforced by
+    construction. At 100 TB the postings state is shingle-keyed
+    parquet and the refresh is a scan + one aggregate + the same
+    bounded inverted-index join the batch row runs."""
     import json as _json
     import shutil
     import time as _time
@@ -5965,7 +5966,11 @@ def q_streaming_cosine_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"a micro-batch appended no postings: {sink['appended']}"
             )
         # epoch boundary: df refresh + pair regeneration from the
-        # postings STATE (the source chunks are gone by contract)
+        # postings STATE. The source chunks are DELETED first, so
+        # "the refresh consumed the store, never the source" is
+        # enforced by construction, not just documented (r15 review:
+        # the docstring claimed a check that didn't exist)
+        shutil.rmtree(src)
         state = spark.read.schema(
             "doc_id long, term string, tf long"
         ).parquet(postings_dir)
@@ -6077,8 +6082,17 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("h_ms").alias("h_a"),
                     F.col("c").alias("c_a"),
                 )
-                cross = sa.join(db, "event_type").selectExpr(
-                    "event_type", "h_a", "h_b", f"{slope_expr} AS slope"
+                # localCheckpoint so the state×Δ join (the dominant
+                # per-batch cost) runs ONCE for both the assertion
+                # counter and the store append (r15 review: count +
+                # write re-evaluated the join and re-scanned state)
+                cross = (
+                    sa.join(db, "event_type")
+                    .selectExpr(
+                        "event_type", "h_a", "h_b",
+                        f"{slope_expr} AS slope",
+                    )
+                    .localCheckpoint(eager=True)
                 )
                 sink["cross_pairs"] += cross.count()
                 new_pairs = within.unionByName(cross)

@@ -143,18 +143,21 @@ def skyline_2d(
 ) -> DataFrame:
     """Rows not dominated under (min x_col, max y_col); x_col and
     y_col must already be exact integers (cents / counts). Output:
-    (key, x, y) for every skyline member. Rows with NULL x are
-    outside the dominance order and are filtered out up front
+    (key, x, y) for every skyline member. Rows with NULL x or NULL y
+    are outside the dominance order and are filtered out up front
     (ADVICE r14: with quantile banding, an all-NULL-x frame produced
     edges == [] and fell through the scoring windows instead of
     hitting the old fixed-width lo-is-None guard — the filter
-    restores the empty-skyline degenerate behavior)."""
+    restores the empty-skyline degenerate behavior; NULL y was
+    already non-member/non-dominating implicitly via the NULL-
+    propagating score filter and the NULL-skipping window max, the
+    explicit filter makes it one rule, mirrored in the oracle)."""
     _release_previous()
     base = df.select(
         F.col(key_col).cast("long").alias("key"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    ).where(F.col("x").isNotNull())
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     # one upstream computation for all 3 passes (ADVICE r13: the
     # un-persisted subtree was recomputed per pass); persist() beats
     # an eager localCheckpoint here — it materializes lazily inside
@@ -230,13 +233,23 @@ def skyline_2d_oracle(
     table: str, x_sql: str, y_sql: str, key_sql: str
 ) -> str:
     """Quadratic dominance NOT EXISTS — deliberately a different
-    algorithm from the bucketed scan it certifies."""
+    algorithm from the bucketed scan it certifies. NULL-coordinate
+    rows are filtered exactly like the operator (r15 review: NULL
+    comparisons make NOT EXISTS vacuously TRUE, so an unfiltered
+    oracle would RETURN NULL-x/NULL-y rows the operator drops —
+    latent fork for any nullable certified column; NULL rows can
+    never dominate in either form, so filtering the candidate set is
+    the only semantic alignment needed)."""
     return f"""
-        WITH pts AS (
+        WITH pts_raw AS (
             SELECT CAST({key_sql} AS BIGINT) AS key,
                    CAST({x_sql} AS BIGINT) AS x,
                    CAST({y_sql} AS BIGINT) AS y
             FROM {table}
+        ),
+        pts AS (
+            SELECT * FROM pts_raw
+            WHERE x IS NOT NULL AND y IS NOT NULL
         )
         SELECT key, x, y FROM pts p
         WHERE NOT EXISTS (

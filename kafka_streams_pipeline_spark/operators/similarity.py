@@ -2112,6 +2112,91 @@ def _max_n2(tau: tuple[int, int]) -> int:
     return math.isqrt(10**38 // max(p * p, q * q)) // 2
 
 
+def _rarity_weights(
+    tf: DataFrame, dfx: DataFrame, df_cap: int
+) -> DataFrame:
+    """(doc_id, term, w) integer rarity postings — w = tf·10⁶ div df,
+    df-capped, zero-weight rows dropped. The ONE definition of the
+    weighting shared by cosine_pairs, tfidf_pairs_from_postings,
+    cosine_pairs_overlong and the scaling stats (r15 review: the
+    expression was hand-copied in three places that must stay
+    bit-identical to the DuckDB oracle)."""
+    return (
+        tf.join(dfx, "term")
+        .where(F.col("df") <= df_cap)
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+
+
+def _norms_dec(w: DataFrame) -> DataFrame:
+    """(doc_id, n2dec) squared norms in DECIMAL(38,0) — summed WIDE
+    so the overlong filter sees the exact value before any BIGINT
+    cast could overflow."""
+    return w.groupBy("doc_id").agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
+    )
+
+
+def _gated_pairs_and_norms(
+    w_all: DataFrame, tau: tuple[int, int]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared spine of the TF-IDF pair family: overlong-norm split
+    (ADVICE r14 — docs whose |v|² exceeds _max_n2(tau) are excluded
+    before any DECIMAL product computes), inverted-index dots over
+    the guarded postings, pure-integer threshold gate. Returns
+    (survivors(doc_a, doc_b, dot), norms(doc_id, n2)); ``w_all``
+    should be persisted by the caller (it feeds three consumers)."""
+    p, q = tau
+    n2_bound = _max_n2(tau)
+    norms_dec = _norms_dec(w_all)
+    overlong = norms_dec.where(
+        F.col("n2dec") > F.lit(n2_bound)
+    ).select("doc_id")
+    norms = norms_dec.where(F.col("n2dec") <= F.lit(n2_bound)).select(
+        "doc_id", F.col("n2dec").cast("long").alias("n2")
+    )
+    # drop overlong docs' postings before the inverted-index join so
+    # their (potentially DECIMAL-overflowing) dot sums never compute;
+    # the overlong set is tiny by construction — broadcast anti-join
+    w = w_all.join(F.broadcast(overlong), "doc_id", "left_anti")
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(a.w AS DECIMAL(38,0)) * b.w) AS BIGINT)"
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
+    )
+    gate = (
+        f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
+        f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
+    )
+    survivors = (
+        dots.join(na, "doc_a").join(nb, "doc_b").where(F.expr(gate))
+    )
+    return survivors, norms
+
+
 def cosine_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -2197,71 +2282,12 @@ def cosine_pairs(
         .groupBy("term")
         .agg(F.sum("n_members").cast("long").alias("df"))
     )
-    w_all = (
-        tf.join(dfx, "term")
-        .where(F.col("df") <= df_cap)
-        .select(
-            "doc_id",
-            "term",
-            F.expr(
-                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
-                " AS BIGINT)"
-            ).alias("w"),
-        )
-        .where(F.col("w") > 0)
-        .persist()
-    )
+    w_all = _rarity_weights(tf, dfx, df_cap).persist()
     _PREV_CACHED.append(w_all)
-    # overlong-doc guard (ADVICE r14): norms are summed in
-    # DECIMAL(38,0) and FILTERED against the tau-derived bound
-    # BEFORE the BIGINT cast and before pair generation — a doc
-    # whose |v|² exceeds _max_n2(tau) would overflow the threshold
-    # gate's na2·nb2 product (decimal overflow NULLs the comparison
-    # and silently drops the pair, or throws under ANSI). Such docs
-    # are excluded from pairing entirely (cosine_pairs_overlong
-    # reports them; the DuckDB oracle applies the IDENTICAL filter;
-    # the scale sweep records the count per step).
-    n2_bound = _max_n2(tau)
-    norms_dec = w_all.groupBy("doc_id").agg(
-        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
-    )
-    overlong = norms_dec.where(
-        F.col("n2dec") > F.lit(n2_bound)
-    ).select("doc_id")
-    norms = norms_dec.where(F.col("n2dec") <= F.lit(n2_bound)).select(
-        "doc_id", F.col("n2dec").cast("long").alias("n2")
-    )
-    # drop overlong docs' postings before the inverted-index join so
-    # their (potentially DECIMAL-overflowing) dot sums never compute;
-    # the overlong set is tiny by construction — broadcast anti-join
-    w = w_all.join(F.broadcast(overlong), "doc_id", "left_anti")
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b, "term")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(a.w AS DECIMAL(38,0)) * b.w) AS BIGINT)"
-            ).alias("dot")
-        )
-    )
-    na = norms.select(
-        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
-    )
-    nb = norms.select(
-        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
-    )
-    gate = (
-        f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
-        f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
-    )
-    survivors = (
-        dots.join(na, "doc_a").join(nb, "doc_b").where(F.expr(gate))
-    )
+    # overlong-doc guard + inverted-index join + integer gate: the
+    # shared spine (_gated_pairs_and_norms) — identical for the
+    # epoch-refresh path and mirrored in the DuckDB oracle
+    survivors, norms = _gated_pairs_and_norms(w_all, tau)
     if not collapse_identical:
         return survivors.select("doc_a", "doc_b", "dot")
 
@@ -2400,23 +2426,8 @@ def cosine_pairs_overlong(
     )
     tf = _shingle_tf(base, "_text", "doc_id")
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    w = (
-        tf.join(dfx, "term")
-        .where(F.col("df") <= df_cap)
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
-                " AS BIGINT)"
-            ).alias("w"),
-        )
-        .where(F.col("w") > 0)
-    )
-    return (
-        w.groupBy("doc_id")
-        .agg(F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec"))
-        .where(F.col("n2dec") > F.lit(_max_n2(tau)))
-    )
+    w = _rarity_weights(tf, dfx, df_cap)
+    return _norms_dec(w).where(F.col("n2dec") > F.lit(_max_n2(tau)))
 
 
 def tfidf_pairs_from_postings(
@@ -2439,67 +2450,14 @@ def tfidf_pairs_from_postings(
     tf·10⁶ div df, the overlong-norm guard, the pure-integer
     DECIMAL(38,0) gate), so a final-epoch refresh hash-matches the
     SAME DuckDB oracle as the batch row."""
-    p, q = tau
     _release_previous()
     dfx = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    w_all = (
-        tf.join(dfx, "term")
-        .where(F.col("df") <= df_cap)
-        .select(
-            "doc_id",
-            "term",
-            F.expr(
-                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
-                " AS BIGINT)"
-            ).alias("w"),
-        )
-        .where(F.col("w") > 0)
-        .persist()
-    )
+    w_all = _rarity_weights(tf, dfx, df_cap).persist()
     _PREV_CACHED.append(w_all)
-    n2_bound = _max_n2(tau)
-    norms_dec = w_all.groupBy("doc_id").agg(
-        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
-    )
-    overlong = norms_dec.where(
-        F.col("n2dec") > F.lit(n2_bound)
-    ).select("doc_id")
-    norms = norms_dec.where(F.col("n2dec") <= F.lit(n2_bound)).select(
-        "doc_id", F.col("n2dec").cast("long").alias("n2")
-    )
-    w = w_all.join(F.broadcast(overlong), "doc_id", "left_anti")
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b, "term")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(a.w AS DECIMAL(38,0)) * b.w) AS BIGINT)"
-            ).alias("dot")
-        )
-    )
-    na = norms.select(
-        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
-    )
-    nb = norms.select(
-        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
-    )
-    gate = (
-        f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot * {q * q} >= "
-        f"CAST(na2 AS DECIMAL(38,0)) * nb2 * {p * p}"
-    )
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(F.expr(gate))
-        .select("doc_a", "doc_b", "dot")
-    )
+    survivors, _norms = _gated_pairs_and_norms(w_all, tau)
+    return survivors.select("doc_a", "doc_b", "dot")
 
 
 def cosine_pairs_scaling_stats(
@@ -2547,24 +2505,8 @@ def cosine_pairs_scaling_stats(
     )
     n_terms_total = dfx.count()
     n_terms_df_capped = dfx.where(F.col("df") > df_cap).count()
-    w = (
-        tf.join(dfx, "term")
-        .where(F.col("df") <= df_cap)
-        .select(
-            "doc_id",
-            "term",
-            F.expr(
-                "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 div df"
-                " AS BIGINT)"
-            ).alias("w"),
-        )
-        .where(F.col("w") > 0)
-        .persist()
-    )
-    norms_dec = w.groupBy("doc_id").agg(
-        F.expr("sum(CAST(w AS DECIMAL(38,0)) * w)").alias("n2dec")
-    )
-    overlong = norms_dec.where(
+    w = _rarity_weights(tf, dfx, df_cap).persist()
+    overlong = _norms_dec(w).where(
         F.col("n2dec") > F.lit(_max_n2(tau))
     ).select("doc_id").persist()
     n_overlong = overlong.count()

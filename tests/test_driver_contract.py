@@ -287,3 +287,29 @@ def test_bench_prev_calibration_lookup():
     assert calib is not None and calib > 0
     assert bench._calibration_for("BENCH_r01.json") is None
     assert bench._calibration_for("not-a-bench-name") is None
+
+
+def test_bench_tripwire_quarantines_inside_spread_regression():
+    """r15 review: a regression candidate whose |median - expected|
+    sits INSIDE its own spread never enters the mover loop — the
+    quarantine must still apply per query, not per mover, so a
+    contended box cannot print it unqualified."""
+    import bench
+
+    prev = {"q_a": 2.0}
+    now = {"q_a": 3.1}  # 1.55x, diff 1.1 > 0.4, spread 1.2 > diff
+    updates, notes = bench._tripwire(
+        timings=now,
+        spreads={"q_a": 1.2},
+        prev_name="BENCH_r14.json",
+        prev_queries=prev,
+        calib_ratio=1.0,
+        prev_calib=0.14,
+        idle_stamp={"loadavg": [0.5, 0.5, 0.5], "live_jvms_at_start": []},
+        query_load={"q_a": 0.5},
+        foreign_jvms={"q_a": 3},
+    )
+    assert "movers_beyond_spread" not in updates
+    assert "regressions" not in updates
+    assert updates["regressions_load_suspect"] == {"q_a": 1.55}
+    assert not any("BENCH REGRESSION" in ln for ln in notes)
