@@ -44,56 +44,11 @@ _CERTIFIED_R7: list[str] = [
 # window re-certified 43 of the 45 r8-vintage rows (now in
 # _CERTIFIED_R14); these 2 are the stalest rows in the repo and head
 # the round-15 re-cert tail.
-_CERTIFIED_R8: list[str] = [
-    "q_cube",
-    "q_salted_agg",
-]
+_CERTIFIED_R8: list[str] = []
 # in window order: the 30 round-9 additions (auto-head), the 5
 # _RECHECK re-certifications, then the stalest r5/r6 re-certs
 # (CORRECTNESS_r09.json, 50/50 green).
-_CERTIFIED_R9: list[str] = [
-    "q_media_gif_frames",
-    "q_media_tar_shards",
-    "q_ivf_pq_topk",
-    "q_tokenizer_pipeline",
-    "q_epoch_shuffle",
-    "q_table_profile",
-    "q_quality_checks",
-    "q_textrank",
-    "q_bpe_train",
-    "q_triangle_count",
-    "q_decode_documents",
-    "q_cdc_chunk_dedup",
-    "q_epoch_manifest",
-    "q_kmv_set_ops",
-    "q_streaming_outer_join",
-    "q_zorder_layout",
-    "q_hll_incremental",
-    "q_store_bloom_index",
-    "q_store_minmax_index",
-    "q_cms_incremental",
-    "q_gated_ingest",
-    "q_gzip_source",
-    "q_streaming_histogram",
-    "q_avro_source",
-    "q_corpus_schema_evolution",
-    "q_streaming_view",
-    "q_asof_attribution",
-    "q_window_rank",
-    "q_window_lag",
-    "q_retention",
-    "q_funnel",
-    "q_latest_by_key",
-    "q_scd2_intervals",
-    "q_rolling_zscore",
-    "q_set_ops",
-    "q_union",
-    "q_topk_limit",
-    "q_tpch_pricing",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_promo_share",
-]
+_CERTIFIED_R9: list[str] = []
 
 # in window order: the 16 round-10 additions + q_streaming_semi_join,
 # the 11 _RECHECK re-certifications, then the 22 stalest r5/r6
@@ -268,11 +223,9 @@ _CERTIFIED_R12: list[str] = [
 # collapse), then the 29 stalest re-certs (the full 28-row r7-vintage
 # tier + q_media_binary_source from r8).
 _CERTIFIED_R13: list[str] = [
-    "q_skyline",
     "q_span_dedup",
     "q_record_linkage",
     "q_token_cooccurrence",
-    "q_heavy_hitters_exact",
     "q_streaming_ivm_join",
     "q_ivm_agg",
     "q_streaming_ivm_agg",
@@ -377,11 +330,69 @@ _CERTIFIED_R14: list[str] = [
     "q_cms_heavy_hitters",
     "q_rollup",
 ]
+# in window order: the r15 registration q_streaming_cosine_refresh
+# (headed the window per VERDICT r14 item 7), the 4 r14 on-deck
+# continuation rows, the 2 _RECHECK re-certifications (skyline
+# literal-map carry fusion, MG summary return path), then the 43
+# stalest re-certs (r8 residue + 41 of the r9 stratum)
+# (CORRECTNESS_r15.json, 50/50 green).
+_CERTIFIED_R15: list[str] = [
+    "q_streaming_cosine_refresh",
+    "q_cosine_pairs",
+    "q_acf",
+    "q_streaming_cosine_pairs",
+    "q_streaming_acf",
+    "q_skyline",
+    "q_heavy_hitters_exact",
+    "q_cube",
+    "q_salted_agg",
+    "q_media_gif_frames",
+    "q_media_tar_shards",
+    "q_ivf_pq_topk",
+    "q_tokenizer_pipeline",
+    "q_epoch_shuffle",
+    "q_table_profile",
+    "q_quality_checks",
+    "q_textrank",
+    "q_bpe_train",
+    "q_triangle_count",
+    "q_decode_documents",
+    "q_cdc_chunk_dedup",
+    "q_epoch_manifest",
+    "q_kmv_set_ops",
+    "q_streaming_outer_join",
+    "q_zorder_layout",
+    "q_hll_incremental",
+    "q_store_bloom_index",
+    "q_store_minmax_index",
+    "q_cms_incremental",
+    "q_gated_ingest",
+    "q_gzip_source",
+    "q_streaming_histogram",
+    "q_avro_source",
+    "q_corpus_schema_evolution",
+    "q_streaming_view",
+    "q_asof_attribution",
+    "q_window_rank",
+    "q_window_lag",
+    "q_retention",
+    "q_funnel",
+    "q_latest_by_key",
+    "q_scd2_intervals",
+    "q_rolling_zscore",
+    "q_set_ops",
+    "q_union",
+    "q_topk_limit",
+    "q_tpch_pricing",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_promo_share",
+]
 
 DRIVER_CERTIFIED: list[str] = (
     _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
     + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
-    + _CERTIFIED_R13 + _CERTIFIED_R14
+    + _CERTIFIED_R13 + _CERTIFIED_R14 + _CERTIFIED_R15
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
@@ -393,10 +404,11 @@ _PENDING: list[str] = []
 # item 1). All 4 were oracle-verified green by the r14 judge's own
 # check_oracle.py run; this rotation converts that into driver rows.
 _ON_DECK: list[str] = [
-    "q_cosine_pairs",
-    "q_acf",
-    "q_streaming_cosine_pairs",
-    "q_streaming_acf",
+    "q_ccf",
+    "q_l_diversity",
+    "q_theil_sen",
+    "q_streaming_theil_sen",
+    "q_streaming_ccf",
 ]
 # Certified queries whose backing operator code changed materially
 # since their last green driver row (ADVICE r4): list them here to
@@ -405,10 +417,7 @@ _ON_DECK: list[str] = [
 # rewrote skyline banding (fixed-width -> quantile edges) and the MG
 # summary return path after their r13 certification rows, so both
 # re-certify in the r15 window against the unchanged oracles.
-_RECHECK: list[str] = [
-    "q_skyline",
-    "q_heavy_hitters_exact",
-]
+_RECHECK: list[str] = []
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round. Entries parked here must be oracle-verified
@@ -419,13 +428,7 @@ _RECHECK: list[str] = [
 # re-certs = 50, so the FIVE other round-15 additions park here
 # (each verified green at sf0.001 + sf0.01 + vanilla-TZ sim before
 # parking, NOTES_r15).
-_DEFERRED: list[str] = [
-    "q_ccf",
-    "q_l_diversity",
-    "q_theil_sen",
-    "q_streaming_theil_sen",
-    "q_streaming_ccf",
-]
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:

@@ -129,6 +129,17 @@ def main() -> None:
     for rnd, n in stale[:10]:
         print(f"    r{rnd}  {n}")
 
+    # VERDICT r15 item 2: the certified column must never lag a
+    # round's landed artifact — regenerate REGISTRY.md (evidence-
+    # derived since r16) whenever the rotation report runs.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gen_registry  # noqa: E402
+
+    out = os.path.join(repo, "REGISTRY.md")
+    with open(out, "w") as f:
+        f.write(gen_registry.render())
+    print(f"\nregenerated {out} from evidence artifacts")
+
 
 if __name__ == "__main__":
     main()
