@@ -235,8 +235,17 @@ def _tripwire(
         for n in timings
         if n in prev_queries and prev_queries[n] > 0
     }
-    eff_ratio = calib_ratio if calib_ratio else 1.0
-    deltas_norm = {n: round(d / eff_ratio, 2) for n, d in deltas.items()}
+    # ADVICE r15: normalize from the UNROUNDED timings and round
+    # once (round(round(raw,2)/ratio,2) could flip a borderline
+    # gate decision by ~0.005x), and test the stamp against None
+    # explicitly so a computed ratio that rounds to 0.0 isn't
+    # silently treated as a missing stamp.
+    eff_ratio = calib_ratio if calib_ratio is not None and calib_ratio > 0 else 1.0
+    deltas_norm = {
+        n: round(timings[n] / (prev_queries[n] * eff_ratio), 2)
+        for n in timings
+        if n in prev_queries and prev_queries[n] > 0
+    }
     # both a ratio AND an absolute floor, BOTH against the
     # calibration-scaled baseline: sub-second queries are
     # plan/JVM-overhead dominated and swing ±60% run-to-run on a

@@ -679,6 +679,26 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_kll_quantiles", oracle=_sk.kll_quantiles_oracle())
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6h (sketch family, round 16 — VERDICT r15 item 4): mergeable
+    guaranteed-error quantile sketch, the domain-free member the
+    trio lacked (HLL = distincts, CMS = frequencies,
+    histogram_sketch needs a declared bin domain; GK in
+    q_anomaly_mad_approx is engine-internal). KLL-style level
+    lists over per-event integer cents per event_type: compaction
+    sorts a level and keeps md5-seeded alternating positions at
+    doubled weight, so the state is a pure deterministic function of
+    the inserted multiset — engine-reproducible — and the exact
+    accumulated error bound B = Σ m_l·2^l rides with it.
+    Certification is the X12n pattern: exact n and med2 are
+    value-matched while the oracle pins TRUE four rank-window bits
+    (each percentile estimate's exact rank within ±B of target,
+    float-free), weight conservation (ΣW = n) and the theorem bound
+    B·k ≤ (maxlev+1)·n. See operators/sketches.kll_quantiles."""
+    return _sk.kll_quantiles(_t(spark, sf_dir, "events"))
+
+
 @register(
     "q_join_size_estimate",
     oracle=_sk.join_size_estimate_oracle(

@@ -5930,9 +5930,15 @@ def q_streaming_cosine_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
             # per-batch work is the EXPENSIVE per-doc part only:
-            # shingle the delta once and append its postings
+            # shingle the delta once and append its postings.
+            # localCheckpoint so the shingle transform runs ONCE for
+            # both the counter and the store append (ADVICE r15:
+            # count + write re-evaluated it, unlike the theil-sen
+            # cross leg which already had this fix).
             delta = batch_df.localCheckpoint(eager=True)
-            postings = _sim._shingle_tf(delta, "text", "doc_id")
+            postings = _sim._shingle_tf(
+                delta, "text", "doc_id"
+            ).localCheckpoint(eager=True)
             n = postings.count()
             postings.write.mode("append").parquet(postings_dir)
             sink["appended"].append(n)
@@ -6085,9 +6091,15 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # localCheckpoint so the state×Δ join (the dominant
                 # per-batch cost) runs ONCE for both the assertion
                 # counter and the store append (r15 review: count +
-                # write re-evaluated the join and re-scanned state)
+                # write re-evaluated the join and re-scanned state).
+                # The h_a < h_b guard backs the hour-contiguity
+                # invariant (ADVICE r15): if chunking ever produced
+                # an equal/reversed hour pair, the row drops and the
+                # oracle row-count mismatches loudly instead of a
+                # silent ±Inf slope skewing the median.
                 cross = (
                     sa.join(db, "event_type")
+                    .where(F.col("h_a") < F.col("h_b"))
                     .selectExpr(
                         "event_type", "h_a", "h_b",
                         f"{slope_expr} AS slope",
@@ -6459,6 +6471,134 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((et, k, n - k, acf))
         return spark.createDataFrame(
             out, "event_type string, lag long, n_pairs long, acf_micro long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_kll",
+    oracle=_sk.kll_quantiles_oracle(),
+)
+def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_kll_quantiles (round 16 — VERDICT r15
+    item 4): the KLL level lists maintained ACROSS micro-batches as
+    a mergeable-summary fold — each batch inserts its events at
+    level 0 into the persisted (event_type, level, v) state and
+    re-compacts to capacity (merge IS level-list union + the shared
+    kll_compact, which is exactly what makes the sketch mergeable),
+    while the compaction log (m_l per series/level) accumulates so
+    the exact error bound B = Σ m_l·2^l covers the WHOLE history,
+    batches included. Four time-ordered availableNow chunks (one
+    file per micro-batch, checkpointed, ascending mtimes); the final
+    census — computed from the folded state alone via the shared
+    kll_quantile_census — hash-matches the SAME oracle as the batch
+    row: exact n and med2 value-matched, rank-window/weight/theorem
+    bits pinned TRUE. Streaming B is larger than the batch build's
+    (each batch triggers its own cascade) but remains covered by the
+    same tracked accounting, which is the point: guaranteed error
+    under incremental maintenance. At 100 TB the state is
+    O(k·levels) per series — independent of stream length — and the
+    per-batch work is one level-partitioned compaction cascade over
+    Δ ∪ state. See operators/sketches.kll_compact."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as long)").alias("c"),
+            "ts",
+            "event_id",
+        )
+        .orderBy("ts", "event_id")
+    )
+    rows = [(r["event_type"], int(r["c"])) for r in ev.collect()]
+    n_total = len(rows)
+    n_chunks = 4
+    chunks = [
+        rows[(i * n_total) // n_chunks : ((i + 1) * n_total) // n_chunks]
+        for i in range(n_chunks)
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-skll-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"vals{i}.json")
+            with open(path, "w") as f:
+                for et, c in chunk:
+                    f.write(_json.dumps({"event_type": et, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        counts: dict = {}
+        sink: dict = {"batches": 0, "state_rows": []}
+        item_schema = "event_type string, level int, v long"
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.select(
+                "event_type",
+                F.lit(0).cast("int").alias("level"),
+                F.col("c").cast("long").alias("v"),
+            )
+            if sink["batches"] > 0:
+                prior = spark.read.schema(item_schema).parquet(state_dir)
+                merged = prior.unionByName(delta)
+            else:
+                merged = delta
+            # kll_compact localCheckpoints every pass, so the
+            # returned frame is materialized and safe to overwrite
+            # the state dir it may have been read from
+            state = _sk.kll_compact(merged, counts)
+            state.write.mode("overwrite").parquet(state_dir)
+            sink["state_rows"].append(state.count())
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema("event_type string, c long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("streaming KLL replay timed out")
+        assert sink["batches"] == n_chunks, sink
+        # the fold genuinely crossed batches: once any compaction
+        # fired, the state is strictly smaller than the input (at
+        # tiny SFs where no cell ever exceeds k the sketch is
+        # legitimately exact and keeps everything — B = 0)
+        if counts:
+            assert sink["state_rows"][-1] < n_total, sink
+        else:
+            assert sink["state_rows"][-1] == n_total, sink
+
+        shutil.rmtree(src)
+        state = spark.read.schema(item_schema).parquet(state_dir)
+        values = _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.expr("cast(round(value * 100) as long)").alias("c"),
+        )
+        out = [
+            tuple(r)
+            for r in _sk.kll_quantile_census(
+                spark, values, state, counts
+            ).collect()
+        ]
+        return spark.createDataFrame(
+            out,
+            "event_type string, n bigint, med2 bigint,"
+            " weight_ok boolean, bound_ok boolean, q10_ok boolean,"
+            " q50_ok boolean, q90_ok boolean, q99_ok boolean",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

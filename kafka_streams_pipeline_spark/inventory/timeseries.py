@@ -1201,6 +1201,27 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.theil_sen_trend(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "q_theil_sen_windowed",
+    oracle=_ts.theil_sen_trend_windowed_oracle(),
+)
+def q_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12ad (TSDB robustness, round 16): WINDOWED Theil-Sen trend —
+    the median of pairwise slopes restricted to hour pairs ≤ 24h
+    apart, the documented long-horizon valve for q_theil_sen
+    (VERDICT r15 item 3): the full estimator's pair count grows with
+    the time range SQUARED (~38M pairs/series on a year of hours);
+    this one is hours × W, linear in the range. Pairs come from a
+    map-side lag enumeration (sequence+transform, codegen) feeding
+    ONE equi-join on (event_type, shifted hour) — the ccf_by_series
+    shape, a hash join at any scale where the theta form
+    (h_b BETWEEN …) degrades to broadcast-nested-loop. Median is the
+    shared rank-selected theil_sen_median, so the convention cannot
+    fork from the full estimator's. See
+    operators/timeseries.theil_sen_trend_windowed."""
+    return _ts.theil_sen_trend_windowed(_t(spark, sf_dir, "events"))
+
+
 @register("q_ccf", oracle=_ts.ccf_by_series_oracle())
 def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12z (TSDB diagnostics, round 15): sample CROSS-correlation

@@ -26,7 +26,7 @@ implementation here keeps the parallelism:
 2. a per-band aggregate (≤ n_buckets rows) collects each band's
    max y; the driver folds it into an exclusive running max — the
    cross-band CARRY, attached back as a LITERAL map lookup
-   (element_at over a ≤ n_buckets-entry map constant — no
+   (try_element_at over a ≤ n_buckets-entry map constant — no
    createDataFrame job, no broadcast exchange; the same two-phase
    prefix-scan shape as corpus.py's budget select). The carry
    algebra only needs bands to be monotone in x (rows in band k-1
@@ -204,9 +204,12 @@ def skyline_2d(
     # join's createDataFrame job and broadcast exchange (r15: the
     # sf0.1 row's cost is fixed per-job overhead, not data; one job
     # and one exchange fewer is the fusion VERDICT r14 item 3 asked
-    # for)
+    # for). try_element_at, not element_at: pinned to NULL on a
+    # missing map key regardless of ANSI mode/Spark version (plain
+    # element_at under 3.x ANSI throws MAP_KEY_DOES_NOT_EXIST —
+    # ADVICE r15).
     carry_col = (
-        F.expr(f"element_at(map({', '.join(entries)}), bucket)")
+        F.expr(f"try_element_at(map({', '.join(entries)}), bucket)")
         if entries
         else F.lit(None).cast("long")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_streams_pipeline_spark.functions.hashing import (
     md5_long,
@@ -1333,3 +1334,275 @@ def mg_merge(state: dict, rows: list, k: int = HH_K) -> tuple[dict, int]:
             if state[key] <= 0:
                 del state[key]
     return state, n_batch
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (VERDICT r15 item 4)
+# ---------------------------------------------------------------------------
+
+KLL_K = 256  # per-level capacity
+KLL_QS = (10, 50, 90, 99)  # certified quantile probes (percent)
+_KLL_CENTS = "cast(round(value * 100) as long)"
+_KLL_CENTS_DUCK = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _kll_parity(event_type: str, level: int, n_prior: int) -> int:
+    """Seeded compaction choice: the low bit of
+    md5('<et>|<level>|<compaction-index>') decides whether a
+    compaction keeps the odd or even positions of the sorted level.
+    Deterministic from (series, level, history) — never from
+    partitioning, wall clock, or RNG state — so the sketch is a pure
+    function of the inserted multiset and the batch boundaries, and
+    any engine replaying the same insertions reproduces it bit-for-
+    bit (the X12n 'engine-reproducible state' discipline; Karnin-
+    Lang-Liberty FOCS'16 uses a fair coin here — de-randomizing
+    keeps the per-compaction error bound, which is worst-case ±w_l
+    regardless of the coin)."""
+    import hashlib
+
+    h = hashlib.md5(f"{event_type}|{level}|{n_prior}".encode()).hexdigest()
+    return int(h[:8], 16) & 1
+
+
+def kll_compact(
+    state: DataFrame, counts: dict, k: int = KLL_K
+) -> DataFrame:
+    """Compact a (event_type, level, v) item frame until every
+    (series, level) cell holds ≤ k items, updating `counts`
+    ((event_type, level) → compactions performed) in place.
+
+    One compaction takes a whole over-capacity level, sorts it by
+    value, pairs adjacent positions, keeps one element of each pair
+    (parity from :func:`_kll_parity`) at level+1 — weight 2^level
+    doubles, total weight is conserved exactly — and leaves an odd
+    straggler in place. For any threshold x the weighted
+    count-below-x moves by at most w_l = 2^level per compaction, so
+    the tracked error bound is B = Σ m_l · 2^l (exact integer,
+    per series).
+
+    Ties need no tiebreak: keeping alternating POSITIONS of a run of
+    equal values yields the same multiset whichever physical rows
+    row_number picked, so the result is deterministic even though
+    the sort is not total.
+
+    Plan: each pass is one (event_type, level)-partitioned window
+    over only the still-over-capacity cells; passes halve the data,
+    so total rows windowed ≈ 2n across ~log2(n/k) passes. At 100 TB
+    the same state layout pre-sketches per partition (mapInPandas)
+    and merges by level union + this compactor — merge IS union
+    here, which is what makes the sketch mergeable; the global form
+    below is the deterministic certification twin."""
+    while True:
+        state = state.localCheckpoint(eager=True)
+        over = (
+            state.groupBy("event_type", "level")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > k)
+            .collect()
+        )
+        if not over:
+            return state
+        entries: list = []
+        for r in over:
+            key = (r["event_type"], r["level"])
+            m = counts.get(key, 0)
+            counts[key] = m + 1
+            entries.append(
+                (f"{key[0]}|{key[1]}", _kll_parity(key[0], key[1], m))
+            )
+        pmap = F.create_map(
+            *[F.lit(x) for kv in entries for x in kv]
+        )
+        keyed = state.withColumn(
+            "par",
+            F.try_element_at(
+                pmap,
+                F.concat_ws(
+                    "|", "event_type", F.col("level").cast("string")
+                ),
+            ),
+        )
+        rest = keyed.where(F.col("par").isNull()).select(
+            "event_type", "level", "v"
+        )
+        cell = Window.partitionBy("event_type", "level")
+        comp = (
+            keyed.where(F.col("par").isNotNull())
+            .withColumn("rn", F.row_number().over(cell.orderBy("v")))
+            .withColumn("cnt", F.count(F.lit(1)).over(cell))
+        )
+        paired = F.col("rn") <= F.col("cnt") - F.col("cnt") % 2
+        promoted = comp.where(
+            paired & (F.col("rn") % 2 == F.col("par"))
+        ).select(
+            "event_type", (F.col("level") + 1).alias("level"), "v"
+        )
+        leftover = comp.where(~paired).select("event_type", "level", "v")
+        state = rest.unionByName(promoted).unionByName(leftover)
+
+
+def kll_build(
+    values: DataFrame, k: int = KLL_K
+) -> tuple[DataFrame, dict]:
+    """Batch-insert a (event_type, c) frame at level 0 and compact to
+    capacity. Returns (sketch item frame, compaction counts)."""
+    counts: dict = {}
+    state = values.select(
+        "event_type",
+        F.lit(0).cast("int").alias("level"),
+        F.col("c").cast("long").alias("v"),
+    )
+    return kll_compact(state, counts, k), counts
+
+
+def kll_error_bounds(counts: dict) -> dict:
+    """event_type → B = Σ m_l · 2^l, the sketch's exact accumulated
+    rank-error bound (deterministic — the de-randomized compaction
+    makes ±2^l a worst case, not a variance)."""
+    out: dict = {}
+    for (et, lvl), m in counts.items():
+        out[et] = out.get(et, 0) + m * (1 << lvl)
+    return out
+
+
+def kll_quantile_census(
+    spark,
+    values: DataFrame,
+    sketch: DataFrame,
+    counts: dict,
+    k: int = KLL_K,
+    qs: tuple = KLL_QS,
+) -> DataFrame:
+    """Certification form (the X12n pattern): exact columns the
+    oracle value-matches (n, med2) next to invariant bits it pins
+    TRUE:
+
+    - ``q{q}_ok``: the EXACT rank window of the sketch's q-th
+      percentile estimate intersects [r_q − B, r_q + B] where
+      r_q = ceil(q·n/100) and B is the tracked bound — checked
+      float-free ((rank_le + B)·1 ≥ r_q and rank_lt + 1 ≤ r_q + B;
+      the predecessor-gap argument holds on the integer-cents
+      lattice via x = est−1).
+    - ``weight_ok``: the sketch's total weight equals n exactly
+      (compaction conserves weight) — a broken promotion weight
+      flips it.
+    - ``bound_ok``: B·k ≤ (max_level + 1)·n — the theorem bound
+      (m_l ≤ inflow_l / k, inflow halves per level), so a
+      miscounted m_l or over-eager compaction flips it.
+
+    A sketch whose real error exceeded its accounting breaks a rank
+    bit and hash-mismatches the oracle."""
+    bounds = kll_error_bounds(counts)
+    items = sketch.withColumn(
+        "wt", F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+    )
+    perv = items.groupBy("event_type", "v").agg(
+        F.sum("wt").alias("wt")
+    )
+    wser = Window.partitionBy("event_type")
+    cum = (
+        perv.withColumn(
+            "cw",
+            F.sum("wt").over(
+                wser.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("W", F.sum("wt").over(wser))
+    )
+    qlits = F.array(*[F.lit(int(q)) for q in qs])
+    ests = (
+        cum.select(
+            "event_type", "v", "cw", "W", F.explode(qlits).alias("q")
+        )
+        .where(F.col("cw") * 100 >= F.col("q") * F.col("W"))
+        .groupBy("event_type")
+        .agg(
+            F.max("W").alias("W"),
+            *[
+                F.min(F.when(F.col("q") == int(q), F.col("v"))).alias(
+                    f"est{q}"
+                )
+                for q in qs
+            ],
+        )
+    )
+    maxlev = sketch.groupBy("event_type").agg(
+        F.max("level").alias("maxlev")
+    )
+    bframe = spark.createDataFrame(
+        [(et, int(b)) for et, b in bounds.items()] or [("", 0)],
+        "event_type string, B long",
+    )
+    side = ests.join(maxlev, "event_type").join(
+        bframe, "event_type", "left"
+    ).withColumn("B", F.coalesce("B", F.lit(0)))
+    j = values.join(F.broadcast(side), "event_type")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("cast(round(percentile(2 * c, 0.5)) as long)").alias(
+            "med2"
+        ),
+        F.max("W").alias("W"),
+        F.max("B").alias("B"),
+        F.max("maxlev").alias("maxlev"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.sum((F.col("c") < F.col(f"est{q}")).cast("long")).alias(
+                f"lt{q}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("c") <= F.col(f"est{q}")).cast("long")).alias(
+                f"le{q}"
+            )
+        )
+    g = j.groupBy("event_type").agg(*aggs)
+    cols = [
+        F.col("event_type"),
+        F.col("n"),
+        F.col("med2"),
+        (F.col("W") == F.col("n")).alias("weight_ok"),
+        (
+            F.col("B") * k <= (F.col("maxlev") + 1) * F.col("n")
+        ).alias("bound_ok"),
+    ]
+    for q in qs:
+        r_q = f"(({q} * n + 99) div 100)"
+        cols.append(
+            F.expr(
+                f"le{q} + B >= {r_q} AND lt{q} + 1 <= {r_q} + B"
+            ).alias(f"q{q}_ok")
+        )
+    return g.select(*cols)
+
+
+def kll_quantiles(events: DataFrame, k: int = KLL_K) -> DataFrame:
+    """Batch KLL row: build the sketch over per-event integer cents
+    per event_type, then emit the certification census."""
+    values = events.select(
+        "event_type", F.expr(_KLL_CENTS).alias("c")
+    )
+    sketch, counts = kll_build(values, k)
+    return kll_quantile_census(
+        events.sparkSession, values, sketch, counts, k
+    )
+
+
+def kll_quantiles_oracle(qs: tuple = KLL_QS) -> str:
+    bits = ",\n               ".join(
+        f"TRUE AS q{q}_ok" for q in qs
+    )
+    return f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(quantile_cont(2 * {_KLL_CENTS_DUCK}, 0.5))
+                    AS BIGINT) AS med2,
+               TRUE AS weight_ok,
+               TRUE AS bound_ok,
+               {bits}
+        FROM events
+        GROUP BY event_type
+    """

@@ -2178,3 +2178,125 @@ def theil_sen_trend_oracle() -> str:
                    ELSE rn * 2 = n OR rn * 2 = n + 2 END
         GROUP BY event_type
     """
+
+
+TS_WINDOW_HOURS = 24
+
+
+def theil_sen_trend_windowed(
+    events: DataFrame, window_hours: int = TS_WINDOW_HOURS
+) -> DataFrame:
+    """Windowed Theil-Sen trend per event_type hourly series: the
+    median of pairwise slopes restricted to hour pairs at most
+    `window_hours` apart — the standard long-horizon valve for the
+    full estimator (VERDICT r15 item 3): q_theil_sen's all-pairs
+    count grows with the TIME RANGE squared (~38M pairs/series on a
+    year of hours), while the windowed form is hours × W — linear in
+    the range, so a year at W=24 is ~210k pairs/series. Same
+    robustness rationale (median of slopes), same determinism
+    discipline as theil_sen_trend: each slope is one double division
+    of exact integers, the median is rank-selected via the shared
+    theil_sen_median.
+
+    Plan shape mirrors ccf_by_series, NOT the h_a < h_b theta join:
+    each bucket explodes its W candidate partner hours MAP-SIDE
+    (sequence + transform — whole-stage codegen, no shuffle), then
+    ONE equi-join on (event_type, h_b) keeps exactly the existing
+    buckets within the window. A theta join (h_b BETWEEN h_a+1 AND
+    h_a+W) would fall to a broadcast-nested-loop at scale; the
+    enumeration keeps it a hash join whose build side is the hourly
+    pre-agg — bounded by hour counts regardless of event volume."""
+    hourly = hourly_cents_series(events)
+    x = hourly.select(
+        "event_type",
+        F.col("h_ms").alias("h_a"),
+        F.col("c").alias("c_a"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {int(window_hours)}),"
+                f" k -> h_ms + CAST(k AS BIGINT) * {HOUR_MS})"
+            )
+        ).alias("h_b"),
+    )
+    b = hourly.select(
+        "event_type",
+        F.col("h_ms").alias("h_b"),
+        F.col("c").alias("c_b"),
+    )
+    pairs = x.join(b, ["event_type", "h_b"]).select(
+        "event_type",
+        "h_a",
+        "h_b",
+        F.expr(
+            "CAST(c_b - c_a AS DOUBLE) /"
+            " CAST((h_b - h_a) div 3600000 AS DOUBLE)"
+        ).alias("slope"),
+    )
+    return theil_sen_median(pairs)
+
+
+def theil_sen_trend_windowed_oracle(
+    window_hours: int = TS_WINDOW_HOURS,
+) -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, a.h_ms AS h_a, b.h_ms AS h_b,
+                   CAST(b.c - a.c AS DOUBLE) /
+                   CAST((b.h_ms - a.h_ms) // 3600000 AS DOUBLE)
+                       AS slope
+            FROM hourly a JOIN hourly b
+              ON a.event_type = b.event_type
+             AND b.h_ms > a.h_ms
+             AND b.h_ms <= a.h_ms + {int(window_hours)} * {HOUR_MS}
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY slope, h_a, h_b) AS rn
+            FROM pairs
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+               round(avg(slope), 6) AS slope_cents_per_hour
+        FROM ranked
+        WHERE CASE WHEN n % 2 = 1 THEN rn * 2 = n + 1
+                   ELSE rn * 2 = n OR rn * 2 = n + 2 END
+        GROUP BY event_type
+    """
+
+
+def theil_sen_windowed_scaling_stats(
+    events: DataFrame, window_hours: int = TS_WINDOW_HOURS
+) -> dict:
+    """Pair-count evidence for the windowed-vs-full claim (VERDICT
+    r15 item 3's sweep row): per run, the hour-bucket count, the
+    FULL estimator's pair count (Σ n_h·(n_h−1)/2 per series) and the
+    WINDOWED pair count actually joined — the sweep shows the latter
+    bounded by hours × W while the former grows quadratically."""
+    hourly = hourly_cents_series(events)
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    full_pairs = per.select(
+        F.sum(
+            (F.col("n_hours") * (F.col("n_hours") - 1) / 2).cast("long")
+        ).alias("p")
+    ).collect()[0]["p"]
+    windowed_pairs = theil_sen_trend_windowed(
+        events, window_hours
+    )  # n_pairs per series is already in the result
+    w = windowed_pairs.agg(F.sum("n_pairs").alias("p")).collect()[0]["p"]
+    n_hours = hourly.count()
+    return {
+        "window_hours": int(window_hours),
+        "n_hour_buckets": int(n_hours),
+        "full_pairs": int(full_pairs or 0),
+        "windowed_pairs": int(w or 0),
+    }

@@ -3336,3 +3336,150 @@ def test_theil_sen_robust_to_outlier_and_parity(spark):
     }
     assert got["A"] == (55, 10.0)
     assert got["B"] == (6, 166.666667)
+
+
+def test_theil_sen_windowed_restricts_pairs(spark):
+    """Windowed Theil-Sen only pairs hours ≤ W apart: with W=2 and
+    hourly buckets 0..4, pairs are (0,1)(0,2)(1,2)(1,3)(2,3)(2,4)
+    (3,4) = 7, vs the full estimator's 10; a gap wider than W
+    contributes nothing."""
+    import datetime as dt
+
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+        theil_sen_trend_windowed,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    # linear series: cents 0,100,200,300,400 at hours 0..4
+    rows = [
+        ("A", base.replace(hour=i), i * 1.0) for i in range(5)
+    ]
+    # series B: two buckets 10 hours apart — no pair within W=2
+    rows += [
+        ("B", base.replace(hour=0), 1.0),
+        ("B", base.replace(hour=10), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    full = {
+        r["event_type"]: r["n_pairs"]
+        for r in theil_sen_trend(df).collect()
+    }
+    win = {
+        r["event_type"]: (r["n_pairs"], r["slope_cents_per_hour"])
+        for r in theil_sen_trend_windowed(df, window_hours=2).collect()
+    }
+    assert full["A"] == 10 and win["A"] == (7, 100.0)
+    assert full["B"] == 1 and "B" not in win
+
+
+def _kll_exact_rank_check(vals, sketch_rows, counts, qs):
+    """Shared assertion: every q-th percentile estimate read from the
+    sketch has exact rank within ±B of target."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_error_bounds,
+    )
+
+    b = kll_error_bounds(counts).get("a", 0)
+    items = sorted((r["v"], 1 << r["level"]) for r in sketch_rows)
+    w_total = sum(w for _, w in items)
+    n = len(vals)
+    assert w_total == n
+    svals = sorted(vals)
+    for q in qs:
+        target = -(-q * n // 100)  # ceil
+        cw = 0
+        est = None
+        for v, w in items:
+            cw += w
+            if cw * 100 >= q * w_total:
+                est = v
+                break
+        rank_lt = sum(1 for x in svals if x < est)
+        rank_le = sum(1 for x in svals if x <= est)
+        assert rank_le + b >= target, (q, est, rank_le, target, b)
+        assert rank_lt + 1 <= target + b, (q, est, rank_lt, target, b)
+
+
+def test_kll_partition_independent_and_bound(spark):
+    """The sketch multiset and compaction log are pure functions of
+    the inserted multiset — identical under 1-partition and
+    7-partition layouts — and EVERY percentile 1..99 honors the
+    tracked bound on a skew-heavy input (long run of one value plus
+    outlier tails)."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_build,
+    )
+
+    vals = [500] * 3000 + list(range(1000)) + [10**9] * 50
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, c long"
+    )
+    out = {}
+    for parts in (1, 7):
+        counts: dict = {}
+        sketch, counts = kll_build(df.repartition(parts))
+        rows = sketch.collect()
+        out[parts] = (
+            sorted((r["level"], r["v"]) for r in rows),
+            dict(counts),
+        )
+    assert out[1] == out[7]
+    sketch_rows = [
+        {"level": lv, "v": v} for lv, v in out[1][0]
+    ]
+    _kll_exact_rank_check(
+        vals, sketch_rows, out[1][1], list(range(1, 100))
+    )
+
+
+def test_kll_merge_is_union_plus_compact(spark):
+    """Mergeability: sketching two halves separately then
+    union+compact yields a sketch whose merged error accounting
+    still covers every percentile — the property the streaming twin
+    rests on."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_build,
+        kll_compact,
+    )
+
+    vals_a = [i * 3 % 2000 for i in range(2500)]
+    vals_b = [i * 7 % 5000 for i in range(1500)]
+    da = spark.createDataFrame(
+        [("a", v) for v in vals_a], "event_type string, c long"
+    )
+    db = spark.createDataFrame(
+        [("a", v) for v in vals_b], "event_type string, c long"
+    )
+    sa, ca = kll_build(da)
+    sb, cb = kll_build(db)
+    merged_counts = dict(ca)
+    for k, m in cb.items():
+        merged_counts[k] = merged_counts.get(k, 0) + m
+    merged = kll_compact(sa.unionByName(sb), merged_counts)
+    _kll_exact_rank_check(
+        vals_a + vals_b,
+        merged.collect(),
+        merged_counts,
+        list(range(1, 100)),
+    )
+
+
+def test_kll_small_input_is_exact(spark):
+    """n ≤ k: no compaction fires, B = 0, and the sketch read IS the
+    exact discrete quantile."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_build,
+        kll_error_bounds,
+    )
+
+    vals = list(range(100))
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, c long"
+    )
+    sketch, counts = kll_build(df)
+    assert counts == {} and kll_error_bounds(counts) == {}
+    assert sketch.count() == 100
+    _kll_exact_rank_check(vals, sketch.collect(), counts, [10, 50, 90])
