@@ -6602,3 +6602,163 @@ def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _streaming_privacy_oracle() -> str:
+    legs = []
+    for seq in range(4):
+        legs.append(f"""
+        SELECT CAST({seq} AS BIGINT) AS batch_seq,
+               c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                    AS BIGINT) AS n_distinct_sensitive,
+               (count(*) < 10) AS k_at_risk,
+               (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5)
+                   AS l_at_risk
+        FROM customer WHERE c_custkey % 4 <= {seq}
+        GROUP BY c_mktsegment, c_nationkey""")
+    return " UNION ALL ".join(legs)
+
+
+@register("q_streaming_privacy", oracle=_streaming_privacy_oracle())
+def q_streaming_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PRIVACY MONITOR (round 16 — VERDICT r15 item 8):
+    per-micro-batch k-anonymity + distinct-l-diversity audit over
+    the same (market segment, nation) quasi-identifiers and
+    balance-thousand sensitive bucket as the batch q_k_anonymity /
+    q_l_diversity rows, maintained in the foreachBatch drift
+    pattern. The sufficient state is (class, sensitive-bucket,
+    count) — DOMAIN-bounded, never row-bounded — so each batch's
+    work is one Δ-upsert plus an audit recomputed from state alone;
+    raw history is never rescanned. Emits the full audit per batch
+    (4 deterministic custkey-mod slices, cumulative by
+    construction); the oracle recomputes every batch's audit from
+    the cumulative slices. Driver-asserted monotonicity: in an
+    append-only stream a class's at-risk flags can only CLEAR as
+    diversity accrues, never re-arm — the property that makes the
+    monitor's alerts actionable (an at-risk alert is definitive for
+    the data seen so far). At 100 TB the state is classes ×
+    sensitive domain and the audit is O(state). See
+    operators/quality.l_diversity / k_anonymity."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    K_T, L_T = 10, 5
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_k"),
+    )
+    rows = cust.collect()
+    base = tempfile.mkdtemp(prefix="kspipeline-sprivacy-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        m0 = _time.time() - 86_400
+        for c in range(4):
+            p = os.path.join(src, f"chunk{c}.json")
+            with open(p, "w") as f:
+                for r in rows:
+                    if r["c_custkey"] % 4 == c:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "seg": r["c_mktsegment"],
+                                    "nat": r["c_nationkey"],
+                                    "bal_k": r["bal_k"],
+                                }
+                            )
+                            + "\n"
+                        )
+            os.utime(p, (m0 + c, m0 + c))
+
+        sink: dict = {"batches": 0, "audits": []}
+        state_schema = "seg string, nat long, bal_k long, cnt long"
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.groupBy("seg", "nat", "bal_k").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            )
+            if sink["batches"] > 0:
+                prior = spark.read.schema(state_schema).parquet(state_dir)
+                merged = (
+                    prior.unionByName(delta)
+                    .groupBy("seg", "nat", "bal_k")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                merged = delta
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(state_dir)
+            # audit from STATE alone: class_size = Σcnt, diversity =
+            # state rows per class (one row per distinct bucket)
+            # diversity = state rows per class with a NON-NULL
+            # bucket (count(DISTINCT) semantics — the NULL-sensitive
+            # pin the batch q_l_diversity certifies; an all-NULL
+            # class must read 0, not 1)
+            audit = (
+                merged.groupBy("seg", "nat")
+                .agg(
+                    F.sum("cnt").alias("class_size"),
+                    F.count("bal_k")
+                    .cast("long")
+                    .alias("n_distinct_sensitive"),
+                )
+                .collect()
+            )
+            sink["audits"].append(audit)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema("seg string, nat long, bal_k long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("streaming privacy replay timed out")
+        assert sink["batches"] == 4, sink
+
+        out = []
+        prev_risk: dict = {}
+        for seq, audit in enumerate(sink["audits"]):
+            for r in audit:
+                k_risk = r["class_size"] < K_T
+                l_risk = r["n_distinct_sensitive"] < L_T
+                key = (r["seg"], r["nat"])
+                if key in prev_risk:
+                    pk, pl = prev_risk[key]
+                    # append-only monotonicity: cleared flags never
+                    # re-arm (class_size and diversity only grow)
+                    assert not (k_risk and not pk), (seq, key)
+                    assert not (l_risk and not pl), (seq, key)
+                prev_risk[key] = (k_risk, l_risk)
+                out.append(
+                    (
+                        seq,
+                        r["seg"],
+                        r["nat"],
+                        r["class_size"],
+                        r["n_distinct_sensitive"],
+                        k_risk,
+                        l_risk,
+                    )
+                )
+        return spark.createDataFrame(
+            out,
+            "batch_seq bigint, c_mktsegment string, c_nationkey bigint,"
+            " class_size bigint, n_distinct_sensitive bigint,"
+            " k_at_risk boolean, l_at_risk boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
