@@ -504,6 +504,12 @@ def timeseries_check(spark, mults: list[int]) -> dict:
             ("counter_rate", lambda: ts.counter_rate(events).count()),
             ("cusum_alarms", lambda: ts.cusum_alarms(events).count()),
             ("ohlc_bars", lambda: ts.ohlc_bars(events).count()),
+            # round 16 (VERDICT r15 item 5): the r15 additions under
+            # scaled EVENT VOLUME — both ride the hourly pre-agg, so
+            # time should grow ~linearly with the scan while their
+            # join sizes stay FLAT (bounded by hour counts)
+            ("ccf", lambda: ts.ccf_by_series(events).count()),
+            ("theil_sen", lambda: ts.theil_sen_trend(events).count()),
         ):
             if warm:
                 fn()  # absorb one-time codegen cost at the smallest mult
@@ -519,6 +525,98 @@ def timeseries_check(spark, mults: list[int]) -> dict:
         out[str(mult)] = row
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def theil_sen_range_check(spark, mults: list[int]) -> dict:
+    """Round 16 (VERDICT r15 item 3's sweep evidence): scale the TIME
+    RANGE, not the volume — replica k's events shift k × the base
+    span, so the hourly series gets m× the buckets. The full
+    Theil-Sen's pair count must grow ~quadratically with the range
+    while the windowed form stays ~linear (bounded by hours × W) —
+    measured via theil_sen_windowed_scaling_stats, not asserted."""
+    from kafka_streams_pipeline_spark.operators import timeseries as ts
+
+    con = duckdb.connect()
+    ev = f"read_parquet('{SF_BASE}/events.parquet')"
+    span_us = con.execute(
+        f"SELECT CAST(ceil(date_part('epoch', max(ts) - min(ts))"
+        f" / 3600 + 1) AS BIGINT) * 3600 * 1000000 FROM {ev}"
+    ).fetchone()[0]
+    out: dict = {}
+    warm = True
+    for mult in mults:
+        d = tempfile.mkdtemp(prefix=f"kspipeline-tsrange-{mult}x-")
+        path = os.path.join(d, "events.parquet")
+        con.execute(
+            f"""
+            COPY (
+                SELECT event_id + k * {STRIDE}            AS event_id,
+                       ts + to_microseconds(k * {span_us}) AS ts,
+                       user_id, event_type, value, props
+                FROM {ev}, range({mult}) r(k)
+            ) TO '{path}' (FORMAT parquet)
+            """
+        )
+        events = spark.read.parquet(path).withColumn(
+            "ts", F_ts_cast(spark, "ts")
+        )
+        if warm:
+            ts.theil_sen_trend_windowed(events).count()
+            warm = False
+        spark.catalog.clearCache()
+        stats = ts.theil_sen_windowed_scaling_stats(events)
+        t0 = time.time()
+        rows = ts.theil_sen_trend_windowed(events).count()
+        sec_w = round(time.time() - t0, 3)
+        row = dict(stats)
+        row["windowed_sec"] = sec_w
+        row["windowed_rows"] = rows
+        # the full estimator for contrast — skip past 10× (its pair
+        # count is the thing growing quadratically; the point is the
+        # recorded counts, not waiting on the join)
+        if mult <= 10:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            ts.theil_sen_trend(events).count()
+            row["full_sec"] = round(time.time() - t0, 3)
+        print(
+            f"  tsrange {mult}x: buckets {row['n_hour_buckets']}"
+            f" full_pairs {row['full_pairs']}"
+            f" windowed_pairs {row['windowed_pairs']}"
+            f" ({sec_w}s)",
+            flush=True,
+        )
+        out[str(mult)] = row
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def cosine_ceiling_check(spark, mult: int = 50) -> dict:
+    """Round 16 (VERDICT r15 item 5): one cosine_pairs run above the
+    standard sweep ceiling, with filter_stats, to substantiate the
+    SURVEY X3p shingle-vocabulary-growth claim at 50×."""
+    from kafka_streams_pipeline_spark.operators import similarity as sim
+
+    d = tempfile.mkdtemp(prefix=f"kspipeline-cos-{mult}x-")
+    try:
+        generate(SF_BASE, d, mult)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_docs = docs.count()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = sim.cosine_pairs(docs).count()
+        sec = round(time.time() - t0, 3)
+        stats = sim.cosine_pairs_scaling_stats(docs)
+        print(f"  cosine {mult}x: {sec}s ({n} rows)", flush=True)
+        return {
+            "mult": mult,
+            "n_docs": n_docs,
+            "sec": sec,
+            "rows": n,
+            "filter_stats": stats,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def F_ts_cast(spark, col):
@@ -540,6 +638,13 @@ def main() -> None:
         help="run only the timeseries events sweep and merge the "
         "result into an EXISTING --out payload",
     )
+    ap.add_argument(
+        "--extras-only", action="store_true",
+        help="run only the round-16 additions (timeseries family, "
+        "theil-sen range sweep, cosine 50x ceiling) and merge into "
+        "an EXISTING --out payload",
+    )
+    ap.add_argument("--cosine-mult", type=int, default=50)
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -554,9 +659,25 @@ def main() -> None:
             json.dump(payload, f, indent=2)
         print(json.dumps({"wrote": args.out, "ts_mults": list(tsfam)}))
         return
+    if args.extras_only:
+        tsfam = timeseries_check(spark, mults)
+        tsrange = theil_sen_range_check(spark, mults)
+        cos = cosine_ceiling_check(spark, args.cosine_mult)
+        with open(args.out) as f:
+            payload = json.load(f)
+        payload["timeseries_family"] = tsfam
+        payload["theil_sen_range"] = tsrange
+        payload["cosine_ceiling"] = cos
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(json.dumps({"wrote": args.out, "extras": True}))
+        return
     sweep = run_sweep(spark, mults)
     viewfam = view_family_check(spark, mults)
     big = big_graph_check(spark)
+    tsfam = timeseries_check(spark, mults)
+    tsrange = theil_sen_range_check(spark, mults)
+    cos = cosine_ceiling_check(spark, args.cosine_mult)
 
     # growth factors vs the smallest multiplier (sub-quadratic = the
     # time ratio stays well under the square of the size ratio)
@@ -584,6 +705,9 @@ def main() -> None:
         "growth_vs_smallest": growth,
         "view_family": viewfam,
         "big_graph_alternating": big,
+        "timeseries_family": tsfam,
+        "theil_sen_range": tsrange,
+        "cosine_ceiling": cos,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
