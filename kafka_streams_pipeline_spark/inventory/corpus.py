@@ -2008,6 +2008,77 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_t_closeness",
+    oracle="""
+        WITH base AS (
+            SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS s
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        gdist AS (SELECT s, count(*) AS gq FROM base GROUP BY s),
+        tot AS (SELECT count(*) AS N, count(DISTINCT s) AS m FROM base),
+        cls AS (
+            SELECT seg, nat, count(*) AS n_c FROM base GROUP BY seg, nat
+        ),
+        cell AS (
+            SELECT seg, nat, s, count(*) AS cp
+            FROM base GROUP BY seg, nat, s
+        ),
+        grid AS (
+            SELECT c.seg, c.nat, c.n_c, g.s, g.gq,
+                   COALESCE(cell.cp, 0) AS cp
+            FROM cls c CROSS JOIN gdist g
+            LEFT JOIN cell ON cell.seg = c.seg AND cell.nat = c.nat
+                          AND cell.s = g.s
+        ),
+        cum AS (
+            SELECT seg, nat, n_c, s,
+                   sum(cp) OVER (PARTITION BY seg, nat ORDER BY s) AS cpc,
+                   sum(gq) OVER (PARTITION BY seg, nat ORDER BY s) AS gqc
+            FROM grid
+        )
+        SELECT seg AS c_mktsegment, nat AS c_nationkey,
+               CAST(max(n_c) AS BIGINT) AS class_size,
+               CAST((SELECT m FROM tot) AS BIGINT) AS domain_size,
+               CAST(sum(abs(CAST(cpc AS HUGEINT) * (SELECT N FROM tot)
+                          - CAST(gqc AS HUGEINT) * n_c)) AS BIGINT)
+                   AS emd_num,
+               (sum(abs(CAST(cpc AS HUGEINT) * (SELECT N FROM tot)
+                      - CAST(gqc AS HUGEINT) * n_c)) * 12
+                > 1 * ((SELECT m FROM tot) - 1)
+                    * CAST(max(n_c) AS HUGEINT) * (SELECT N FROM tot))
+                   AS at_risk
+        FROM cum GROUP BY seg, nat
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10g privacy audit (round 16): t-closeness over the same
+    (market segment, nation) quasi-identifiers as q_k_anonymity /
+    q_l_diversity with the balance-thousand bucket as the ORDERED
+    sensitive attribute — the skewness-attack successor criterion
+    (Li et al., ICDE 2007): a diverse class whose distribution sits
+    far from the global one still leaks. Ordered-domain EMD held as
+    exact integers (|cpc*N - gqc*n_c| per domain step, threshold by
+    cross-multiply at t = 1/12 - chosen so the sf0.01 gate
+    exercises BOTH branches: 46/125 classes close there, while at
+    sf0.1 concentration pulls every class within t; the gate SF
+    carries the discriminating evidence). Domain-bounded plan: two
+    map-side-partial groupBys, a broadcast classes x domain grid,
+    per-class <= m-row cum windows. See
+    operators/quality.t_closeness."""
+    from kafka_streams_pipeline_spark.operators.quality import t_closeness
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_k"),
+    )
+    return t_closeness(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_k"
+    )
+
+
 @register("q_dsir_select", oracle=_text.dsir_select_oracle())
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5ac data selection via importance resampling (DSIR, Xie et

@@ -422,13 +422,16 @@ _RECHECK: list[str] = []
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round. Entries parked here must be oracle-verified
 # green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
-# before parking. The round-15 window is budgeted: 1 new
-# registration (q_streaming_cosine_refresh — VERDICT r14 item 7
-# wants its driver row) + 4 on-deck + 2 _RECHECK + 43 stalest
-# re-certs = 50, so the FIVE other round-15 additions park here
-# (each verified green at sf0.001 + sf0.01 + vanilla-TZ sim before
-# parking, NOTES_r15).
-_DEFERRED: list[str] = []
+# before parking. The round-16 window is budgeted: 4 new
+# registrations (q_theil_sen_windowed, q_kll_quantiles,
+# q_streaming_kll, q_streaming_privacy — VERDICT r15 items 3/4/8
+# want driver rows) + 5 on-deck + 41 stalest re-certs = 50, so the
+# TWO other round-16 additions park here (each verified green at
+# sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r16).
+_DEFERRED: list[str] = [
+    "q_t_closeness",
+    "q_streaming_theil_sen_windowed",
+]
 
 
 def driver_order() -> list[str]:

@@ -6762,3 +6762,161 @@ def q_streaming_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_theil_sen_windowed",
+    oracle=_ts_ops.theil_sen_trend_windowed_oracle(),
+)
+def q_streaming_theil_sen_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_theil_sen_windowed (round 16): the
+    long-horizon valve under incremental maintenance. Where the full
+    streaming Theil-Sen (q_streaming_theil_sen) must keep EVERY seen
+    hour bucket as join state (pair partners reach arbitrarily far
+    back), the W-hour pair restriction makes the state a BOUNDED
+    SLIDING WINDOW — only buckets within W hours of the stream head
+    can ever pair with a future arrival, so state is ≤ (W+1) hours ×
+    series regardless of stream length (asserted per batch after
+    pruning; the q_streaming_ccf shape at TSDB-trend semantics).
+    Each batch emits exactly the pairs whose LATER hour just
+    arrived: (state ∪ Δ) buckets explode their ≤ W candidate partner
+    hours map-side and one equi-join against Δ keeps real arrivals
+    — the batch operator's lag-enumeration, so no pair is ever
+    computed twice and the h_a < h_b ordering is built into the
+    enumeration (k ≥ 1), not guarded after. Slopes append to the
+    store; the final rank-selected median via the shared
+    theil_sen_median hash-matches the SAME oracle as the batch
+    windowed row."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    W = _ts_ops.TS_WINDOW_HOURS
+    HOUR = _ts_ops.HOUR_MS
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+    n_series = len({et for et, _, _ in rows})
+
+    base = tempfile.mkdtemp(prefix="kspipeline-stheilsenw-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    slopes_dir = os.path.join(base, "slopes")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        sink = {"batches": 0, "cross_pairs": 0, "max_state": 0}
+        bucket_schema = "event_type string, h_ms long, c long"
+        slope_expr = (
+            "CAST(c_b - c_a AS DOUBLE) /"
+            " CAST((h_b - h_a) div 3600000 AS DOUBLE)"
+        )
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.localCheckpoint(eager=True)
+            if sink["batches"] > 0:
+                state = spark.read.schema(bucket_schema).parquet(
+                    state_dir
+                )
+                all_b = state.withColumn(
+                    "from_state", F.lit(True)
+                ).unionByName(
+                    delta.withColumn("from_state", F.lit(False))
+                )
+            else:
+                all_b = delta.withColumn("from_state", F.lit(False))
+            x = all_b.select(
+                "event_type",
+                F.col("h_ms").alias("h_a"),
+                F.col("c").alias("c_a"),
+                "from_state",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, {W}),"
+                        f" k -> h_ms + CAST(k AS BIGINT) * {HOUR})"
+                    )
+                ).alias("h_b"),
+            )
+            db = delta.select(
+                "event_type",
+                F.col("h_ms").alias("h_b"),
+                F.col("c").alias("c_b"),
+            )
+            pairs = (
+                x.join(db, ["event_type", "h_b"])
+                .selectExpr(
+                    "event_type", "h_a", "h_b",
+                    f"{slope_expr} AS slope", "from_state",
+                )
+                .localCheckpoint(eager=True)
+            )
+            sink["cross_pairs"] += pairs.where("from_state").count()
+            pairs.drop("from_state").write.mode("append").parquet(
+                slopes_dir
+            )
+            # prune to the sliding window: only buckets within W
+            # hours of the head can pair with a future arrival
+            head = all_b.agg(F.max("h_ms")).collect()[0][0]
+            new_state = (
+                all_b.where(F.col("h_ms") >= head - W * HOUR)
+                .select("event_type", "h_ms", "c")
+                .localCheckpoint(eager=True)
+            )
+            n_state = new_state.count()
+            sink["max_state"] = max(sink["max_state"], n_state)
+            assert n_state <= (W + 1) * n_series, (n_state, W, n_series)
+            new_state.write.mode("overwrite").parquet(state_dir)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema(bucket_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError(
+                "streaming windowed theil-sen replay timed out"
+            )
+        assert sink["batches"] == 3, sink
+        assert sink["cross_pairs"] >= 1, sink
+
+        pairs = spark.read.schema(
+            "event_type string, h_a long, h_b long, slope double"
+        ).parquet(slopes_dir)
+        out = [
+            tuple(r) for r in _ts_ops.theil_sen_median(pairs).collect()
+        ]
+        return spark.createDataFrame(
+            out,
+            "event_type string, n_pairs bigint,"
+            " slope_cents_per_hour double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

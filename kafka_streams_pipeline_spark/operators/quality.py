@@ -688,3 +688,99 @@ def l_diversity(
         )
         .orderBy(*quasi_cols)
     )
+
+
+T_CLOSENESS_NUM, T_CLOSENESS_DEN = 1, 12  # t = 1/12
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int = T_CLOSENESS_NUM,
+    t_den: int = T_CLOSENESS_DEN,
+) -> DataFrame:
+    """t-closeness audit over an ORDERED sensitive attribute (Li,
+    Li & Venkatasubramanian, ICDE 2007 — the third rung of the
+    governance ladder after k-anonymity and l-diversity): a class
+    whose sensitive distribution sits far from the GLOBAL
+    distribution leaks information even when it is diverse
+    (skewness attack). Distance is the ordered-domain Earth Mover's
+    Distance, EMD = (1/(m−1))·Σ_i |CumP_i − CumQ_i| over the global
+    domain's m distinct values; a class is AT RISK when EMD > t.
+
+    Float-free: with class cumulative counts cpc, global cumulative
+    counts gqc, class size n_c and total N, the per-step term is
+    |cpc·N − gqc·n_c| (exact integers) and the threshold test is
+    emd_num·t_den ≤ t_num·(m−1)·n_c·N — one cross-multiply, no
+    division anywhere. NULL sensitive values are excluded from both
+    distributions (count(col) semantics, matching the l-diversity
+    NULL pin). Output ``emd_num`` is the scaled integer itself so
+    the oracle hash covers the full distance, not just the bit.
+
+    Plan: two domain-bounded aggregates (class×value cells, global
+    values); the zero-filled grid is classes × domain via a
+    broadcast cross of the two SMALL aggregates — never a row-level
+    shuffle; cumulative sums are per-class windows over the
+    ≤ m-row partitions. At 100 TB the only data-sized pass is the
+    two groupBys (map-side partial counts); everything after is
+    domain-sized. Products are held wide (cpc·N at trillion rows
+    exceeds BIGINT — the grid arithmetic casts through
+    DECIMAL(38,0), the cosine_pairs overflow posture) and the
+    OUTPUT is cast BIGINT (asserted in-range at certified SFs)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *quasi_cols, F.col(sensitive_col).alias("s")
+    ).where(F.col("s").isNotNull())
+    gdist = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("gq")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.countDistinct("s").cast("long").alias("m"),
+    )
+    cls = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    cell = base.groupBy(*quasi_cols, "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cp")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gdist))
+        .join(cell, [*quasi_cols, "s"], "left")
+        .withColumn("cp", F.coalesce("cp", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    wc = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cpc", F.sum("cp").over(wc)).withColumn(
+        "gqc", F.sum("gq").over(wc)
+    )
+    agg = cum.groupBy(*quasi_cols).agg(
+        F.max("n_c").alias("n_c"),
+        F.max("m").alias("m"),
+        F.max("N").alias("N"),
+        F.sum(
+            F.abs(
+                F.col("cpc").cast("decimal(38,0)") * F.col("N")
+                - F.col("gqc").cast("decimal(38,0)") * F.col("n_c")
+            )
+        ).alias("emd_raw"),
+    )
+    return agg.select(
+        *quasi_cols,
+        F.col("n_c").alias("class_size"),
+        F.col("m").alias("domain_size"),
+        F.col("emd_raw").cast("long").alias("emd_num"),
+        (
+            F.col("emd_raw") * t_den
+            > F.lit(t_num)
+            * (F.col("m") - 1).cast("decimal(38,0)")
+            * F.col("n_c")
+            * F.col("N")
+        ).alias("at_risk"),
+    ).orderBy(*quasi_cols)

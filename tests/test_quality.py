@@ -302,3 +302,38 @@ def test_table_profile_approx_certified_bits(spark, sf_dir):
     # o_orderkey is high-cardinality: HLL++ at 1% rsd is never exact
     # there, so the 0%-tolerance bit must flip for at least one column
     assert not all(r["hll_within_tol"] for r in zero_tol)
+
+
+def test_t_closeness_hand_emd_and_nulls(spark):
+    """Hand-checked ordered EMD: global {0:2, 1:2, NULL excluded};
+    class A={0,0} and B={1,1} each sit at EMD 1/2 (at risk at
+    t=1/12), class C={0,1} matches the global distribution exactly
+    (EMD 0, close). emd_num is the scaled integer
+    Σ|cpc·N − gqc·n_c|."""
+    from kafka_streams_pipeline_spark.operators.quality import (
+        t_closeness,
+    )
+
+    rows = [
+        ("A", 0), ("A", 0),
+        ("B", 1), ("B", 1),
+        ("C", 0), ("C", 1),
+        ("C", None),  # NULL sensitive: excluded from BOTH dists
+    ]
+    # N = 6 non-null, m = 2; class C n_c = 2 (null row dropped)
+    df = spark.createDataFrame(rows, "cls string, s long")
+    got = {
+        r["cls"]: (
+            r["class_size"],
+            r["domain_size"],
+            r["emd_num"],
+            r["at_risk"],
+        )
+        for r in t_closeness(df, ["cls"], "s").collect()
+    }
+    # A: s=0 -> |2*6 - 3*2| = 6; s=1 -> |12-12| = 0  => 6
+    #    EMD = 6 / ((m-1)*n_c*N) = 6/12 = 1/2 > 1/12 -> at risk
+    assert got["A"] == (2, 2, 6, True)
+    assert got["B"] == (2, 2, 6, True)
+    # C: s=0 -> |1*6 - 3*2| = 0 => EMD 0 -> close
+    assert got["C"] == (2, 2, 0, False)
