@@ -782,3 +782,29 @@ def test_acf_plan_two_exchanges_no_join(spark, sf_dir):
                  "BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_theil_sen_windowed_plan_is_equijoin(spark, sf_dir):
+    """The windowed Theil-Sen's pair generation must reach the join
+    as (series, shifted-hour) EQUALITY keys from the map-side lag
+    enumeration — never the theta form (h_b BETWEEN …) that plans as
+    a broadcast-nested-loop and dies at scale; everything JVM-side."""
+    plan = _plan(spark, sf_dir, "q_theil_sen_windowed")
+    for node in ("CartesianProduct", "BroadcastNestedLoop",
+                 "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                     plan), "expected a hash/merge equi-join"
+
+
+def test_t_closeness_plan_domain_bounded(spark, sf_dir):
+    """t-closeness must never shuffle rows after the two groupBy
+    passes: the classes × domain grid comes from BROADCAST joins of
+    two domain-sized aggregates (a shuffled grid join would mean the
+    operator rescans data per domain value at 100 TB); JVM-side
+    throughout."""
+    plan = _plan(spark, sf_dir, "q_t_closeness")
+    for node in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                 "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
