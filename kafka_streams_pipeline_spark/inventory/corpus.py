@@ -2010,6 +2010,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_t_closeness",
+    bench=True,
     oracle="""
         WITH base AS (
             SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,

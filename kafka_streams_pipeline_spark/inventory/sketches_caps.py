@@ -679,7 +679,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kll_quantiles", oracle=_sk.kll_quantiles_oracle())
+@register("q_kll_quantiles", bench=True, oracle=_sk.kll_quantiles_oracle())
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6h (sketch family, round 16 — VERDICT r15 item 4): mergeable
     guaranteed-error quantile sketch, the domain-free member the

@@ -1203,6 +1203,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_theil_sen_windowed",
+    bench=True,
     oracle=_ts.theil_sen_trend_windowed_oracle(),
 )
 def q_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
