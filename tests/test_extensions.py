@@ -3483,3 +3483,27 @@ def test_kll_small_input_is_exact(spark):
     assert counts == {} and kll_error_bounds(counts) == {}
     assert sketch.count() == 100
     _kll_exact_rank_check(vals, sketch.collect(), counts, [10, 50, 90])
+
+
+def test_kll_edge_distributions(spark):
+    """Degenerate shapes the compactor must survive: all-equal
+    values (every estimate IS that value), exactly two distinct
+    values at skewed mass, and negative values (the integer-lattice
+    predecessor argument must hold below zero)."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_build,
+    )
+
+    cases = [
+        [42] * 2000,
+        [0] * 1900 + [1] * 100,
+        [-(10**6)] * 600 + list(range(-500, 500)) + [10**6] * 600,
+    ]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [("a", v) for v in vals], "event_type string, c long"
+        )
+        sketch, counts = kll_build(df)
+        _kll_exact_rank_check(
+            vals, sketch.collect(), counts, [1, 10, 50, 90, 99]
+        )
