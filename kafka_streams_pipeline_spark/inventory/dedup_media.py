@@ -73,6 +73,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_leakage_safe_split",
+    oracle=_dedup.leakage_safe_split_oracle(0.8),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2m (round 16): leakage-safe train/val/test split — the split
+    is a deterministic md5 function of the NEAR-DUP COMPONENT
+    (8/1/1), so a test document's near-copy can never sit in train
+    (the eval-contamination failure mode of doc-level hash splits;
+    Lee et al. 2022). One row per split with doc/component counts
+    and an id-checksum; every row also carries the value-matched
+    naive_leaky_components diagnostic (how many components a
+    DOC-level md5 split would straddle — the leak prevented) and
+    the leakage_free implementation invariant recomputed from the
+    doc-level assignment. Components via the certified LSH →
+    exact-verify → components path; the split itself is a pure
+    projection + component-keyed aggregates on top. See
+    operators/dedup.leakage_safe_split."""
+    return _dedup.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
     "q_dedup_best_keeper",
     oracle=f"""
         WITH comp AS ({{COMPONENTS}}),

@@ -426,11 +426,12 @@ _RECHECK: list[str] = []
 # registrations (q_theil_sen_windowed, q_kll_quantiles,
 # q_streaming_kll, q_streaming_privacy — VERDICT r15 items 3/4/8
 # want driver rows) + 5 on-deck + 41 stalest re-certs = 50, so the
-# TWO other round-16 additions park here (each verified green at
+# THREE other round-16 additions park here (each verified green at
 # sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r16).
 _DEFERRED: list[str] = [
     "q_t_closeness",
     "q_streaming_theil_sen_windowed",
+    "q_leakage_safe_split",
 ]
 
 

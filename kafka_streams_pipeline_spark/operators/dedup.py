@@ -31,7 +31,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2082,4 +2082,155 @@ def entity_golden_oracle(
                                        c.c_custkey) = c.c_custkey
                          THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
         FROM customer c LEFT JOIN comp k ON c.c_custkey = k.u
+    """
+
+
+SPLIT_BUCKETS = (8, 9)  # train < 8 ≤ val < 9 ≤ test, of 10
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split is a deterministic function of the NEAR-DUP
+    COMPONENT (md5 of the component label, 8/1/1 buckets), so every
+    member of a clique lands in the same split by construction —
+    the corpus-hygiene step that stops eval contamination when a
+    test document's near-copy sits in train (the failure mode
+    doc-level hash splits have; Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" documents the
+    effect).
+
+    Output: one row per split with doc/component counts and an
+    id-checksum (membership certified, not just sizes), plus two
+    GLOBAL diagnostics on every row: ``naive_leaky_components`` —
+    how many components a DOC-level md5 split would have straddled
+    across splits (the leak this operator exists to prevent,
+    value-matched against the oracle's own recomputation) — and
+    ``leakage_free``, the implementation invariant max(distinct
+    splits per component) = 1 recomputed from the doc-level
+    assignment (a buggy join that hashed doc ids instead of
+    component labels flips it).
+
+    Plan: components come from the certified LSH → verify →
+    components path (the corpus never self-joins); after that
+    everything is component-keyed aggregates — one groupBy per
+    diagnostic, splits derived map-side from md5. At 100 TB the
+    split column is a pure projection over the components output;
+    no new shuffle shape beyond dedup_components itself."""
+    from kafka_streams_pipeline_spark.functions.hashing import md5_long
+
+    comp = dedup_components(
+        df, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+
+    def bucket(col: Column) -> Column:
+        return (
+            md5_long(F.concat(F.lit("split:"), col.cast("string"))) % 10
+        )
+
+    def to_split(b: Column) -> Column:
+        return (
+            F.when(b < SPLIT_BUCKETS[0], "train")
+            .when(b < SPLIT_BUCKETS[1], "val")
+            .otherwise("test")
+        )
+
+    base = comp.select(
+        F.col(id_col),
+        "component",
+        to_split(bucket(F.col("component"))).alias("split"),
+        to_split(bucket(F.col(id_col))).alias("naive_split"),
+    )
+    per_comp = base.groupBy("component").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.countDistinct("naive_split").alias("n_naive"),
+    )
+    diag = per_comp.agg(
+        (F.max("n_splits") == 1).alias("leakage_free"),
+        F.sum((F.col("n_naive") > 1).cast("long")).alias(
+            "naive_leaky_components"
+        ),
+    )
+    per_split = base.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+        F.sum(id_col).cast("long").alias("doc_checksum"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(diag))
+        .select(
+            "split",
+            "n_docs",
+            "n_components",
+            "doc_checksum",
+            "naive_leaky_components",
+            "leakage_free",
+        )
+        .orderBy("split")
+    )
+
+
+def leakage_safe_split_oracle(threshold: float = 0.8) -> str:
+    from kafka_streams_pipeline_spark.functions.hashing import (
+        md5_long_sql,
+    )
+
+    b_comp = md5_long_sql("'split:' || CAST(component AS VARCHAR)")
+    b_doc = md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH RECURSIVE pairs AS ({minhash_pairs_oracle(threshold)}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+        assign AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(least(c.mn, d.doc_id), d.doc_id)
+                        AS BIGINT) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        ),
+        lab AS (
+            SELECT doc_id, component,
+                   CASE WHEN {b_comp} % 10 < {SPLIT_BUCKETS[0]}
+                        THEN 'train'
+                        WHEN {b_comp} % 10 < {SPLIT_BUCKETS[1]}
+                        THEN 'val' ELSE 'test' END AS split,
+                   CASE WHEN {b_doc} % 10 < {SPLIT_BUCKETS[0]}
+                        THEN 'train'
+                        WHEN {b_doc} % 10 < {SPLIT_BUCKETS[1]}
+                        THEN 'val' ELSE 'test' END AS naive_split
+            FROM assign
+        ),
+        per_comp AS (
+            SELECT component,
+                   count(DISTINCT split) AS n_splits,
+                   count(DISTINCT naive_split) AS n_naive
+            FROM lab GROUP BY component
+        ),
+        diag AS (
+            SELECT (max(n_splits) = 1) AS leakage_free,
+                   CAST(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS naive_leaky_components
+            FROM per_comp
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+               CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+               (SELECT naive_leaky_components FROM diag)
+                   AS naive_leaky_components,
+               (SELECT leakage_free FROM diag) AS leakage_free
+        FROM lab
+        GROUP BY split
     """

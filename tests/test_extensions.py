@@ -3507,3 +3507,62 @@ def test_kll_edge_distributions(spark):
         _kll_exact_rank_check(
             vals, sketch.collect(), counts, [1, 10, 50, 90, 99]
         )
+
+
+def test_leakage_safe_split_clique_cohesion(spark):
+    """A constructed near-dup clique must land ENTIRELY in one split
+    (leakage_free TRUE), and naive_leaky_components must equal the
+    hand-computed count of cliques whose members' DOC-level md5
+    buckets straddle splits."""
+    import hashlib
+
+    from kafka_streams_pipeline_spark.operators.dedup import (
+        SPLIT_BUCKETS,
+        leakage_safe_split,
+    )
+
+    def bucket(x: int) -> int:
+        return int(
+            hashlib.md5(f"split:{x}".encode()).hexdigest()[:8], 16
+        ) % 10
+
+    def split_of(b: int) -> str:
+        if b < SPLIT_BUCKETS[0]:
+            return "train"
+        if b < SPLIT_BUCKETS[1]:
+            return "val"
+        return "test"
+
+    # 3 cliques, each with its OWN identical text (certain near-dups
+    # within a clique, disjoint across cliques) + isolated singletons
+    rows = []
+    cliques = [(1, 2, 3), (10, 11), (20, 21, 22, 23)]
+    for c, ids in enumerate(cliques):
+        text = f"clique{c} " + " ".join(
+            f"w{c}x{j}" for j in range(40)
+        )
+        for i in ids:
+            rows.append((i, text))
+    singles = [100, 101]
+    for i in singles:
+        rows.append((i, f"unique text number {i} " + "filler " * 40))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["split"]: r for r in leakage_safe_split(df).collect()
+    }
+    assert all(r["leakage_free"] for r in out.values())
+    # component label = min doc_id of the clique; expected split
+    # membership from the same md5 arithmetic
+    expected_naive_leaky = sum(
+        1
+        for ids in cliques
+        if len({split_of(bucket(i)) for i in ids}) > 1
+    )
+    got_leaky = next(iter(out.values()))["naive_leaky_components"]
+    assert got_leaky == expected_naive_leaky
+    # clique cohesion: each clique's docs all in split_of(min id)
+    total_docs = sum(r["n_docs"] for r in out.values())
+    assert total_docs == len(rows)
+    for ids in cliques:
+        s = split_of(bucket(min(ids)))
+        assert out[s]["n_docs"] >= len(ids)
