@@ -141,6 +141,12 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_theil_sen",
     # round-15: availableNow replay (bounded-window join-state CCF)
     "q_streaming_ccf",
+    # round-16: availableNow replay (mergeable KLL level-list fold)
+    "q_streaming_kll",
+    # round-16: availableNow replay (state-bounded privacy audit)
+    "q_streaming_privacy",
+    # round-16: availableNow replay (sliding-window windowed Theil-Sen)
+    "q_streaming_theil_sen_windowed",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay

@@ -1360,7 +1360,9 @@ def _kll_parity(event_type: str, level: int, n_prior: int) -> int:
     regardless of the coin)."""
     import hashlib
 
-    h = hashlib.md5(f"{event_type}|{level}|{n_prior}".encode()).hexdigest()
+    h = hashlib.md5(
+        f"{event_type}\x1f{level}\x1f{n_prior}".encode()
+    ).hexdigest()
     return int(h[:8], 16) & 1
 
 
@@ -1407,8 +1409,13 @@ def kll_compact(
             key = (r["event_type"], r["level"])
             m = counts.get(key, 0)
             counts[key] = m + 1
+            # \x1f separator: a series name containing "|" must not
+            # collide two (series, level) cells into one parity key
             entries.append(
-                (f"{key[0]}|{key[1]}", _kll_parity(key[0], key[1], m))
+                (
+                    f"{key[0]}\x1f{key[1]}",
+                    _kll_parity(key[0], key[1], m),
+                )
             )
         pmap = F.create_map(
             *[F.lit(x) for kv in entries for x in kv]
@@ -1418,7 +1425,7 @@ def kll_compact(
             F.try_element_at(
                 pmap,
                 F.concat_ws(
-                    "|", "event_type", F.col("level").cast("string")
+                    "\x1f", "event_type", F.col("level").cast("string")
                 ),
             ),
         )
