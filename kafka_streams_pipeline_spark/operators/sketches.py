@@ -1588,11 +1588,13 @@ def kll_quantile_census(
 
 def kll_quantiles(events: DataFrame, k: int = KLL_K) -> DataFrame:
     """Batch KLL row: build the sketch over per-event integer cents
-    per event_type, then emit the certification census."""
+    per event_type (closed-form single-pass build — pytest-pinned
+    identical to the kll_compact loop), then emit the certification
+    census."""
     values = events.select(
         "event_type", F.expr(_KLL_CENTS).alias("c")
     )
-    sketch, counts = kll_build(values, k)
+    sketch, counts = kll_build_closed(values, k)
     return kll_quantile_census(
         events.sparkSession, values, sketch, counts, k
     )
@@ -1613,3 +1615,101 @@ def kll_quantiles_oracle(qs: tuple = KLL_QS) -> str:
         FROM events
         GROUP BY event_type
     """
+
+
+def _kll_batch_plan(n: int, et: str, k: int) -> tuple:
+    """Closed-form of the batch cascade for one series of n sorted
+    values: alternating-halving round l keeps positions p ≡ c_l
+    (mod 2) of the surviving sequence, so after H rounds the
+    final-level survivors sit at ORIGINAL positions
+    p = 2^H·j − C (arithmetic progression, stride 2^H), where C
+    accumulates the parity choices, and each odd-count round parks
+    one leftover at its level. Returns
+    (H, C, leftovers=[(level, original_position)], counts_chain)."""
+    counts = []
+    lvl, cnt, c_acc, leftovers = 0, n, 0, []
+    # position map: round l element j sits at original position
+    # stride*j - c_acc  (stride = 2^lvl)
+    while cnt > k:
+        par = _kll_parity(et, lvl, 0)
+        m = cnt // 2
+        if cnt % 2 == 1:
+            # element at round position cnt stays at this level
+            leftovers.append((lvl, (1 << lvl) * cnt - c_acc))
+        # par==1 keeps odd round positions (j -> 2j-1), par==0 keeps
+        # even (j -> 2j). The affine map original_p = s·q − c (s =
+        # 2^lvl) composes to p = 2s·j − (s·d + c) with d = par, so
+        # the offset accumulates c += 2^lvl · d (stride doubles
+        # implicitly via lvl)
+        if par == 1:
+            c_acc += 1 << lvl
+        counts.append(cnt)
+        cnt = m
+        lvl += 1
+    return lvl, c_acc, leftovers, counts
+
+
+def kll_build_closed(
+    values: DataFrame, k: int = KLL_K
+) -> tuple[DataFrame, dict]:
+    """Single-pass batch KLL build: produces the IDENTICAL sketch
+    and compaction log as :func:`kll_build`'s level-by-level loop
+    (pytest-pinned equality), but as ONE series-partitioned window +
+    a literal position filter — no driver loop, no per-pass jobs.
+    The batch cascade compacts each level at most once (no further
+    inflow below), so the whole level structure is a closed-form
+    function of each series' count n: survivors of the final level
+    H sit at sorted positions ≡ C (mod 2^H) and each odd-count
+    round parks one leftover at its level. At 100 TB this is one
+    shuffle on the series key — the plan the loop form approximates
+    with log(n/k) passes; streaming/merge still use kll_compact
+    (state is not single-level there)."""
+    spark = values.sparkSession
+    per = {
+        r["event_type"]: r["n"]
+        for r in values.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts: dict = {}
+    conds: list = []  # ordered (condition, level) — one flat chain
+    for et, n in per.items():
+        h, c_acc, leftovers, chain = _kll_batch_plan(int(n), et, k)
+        for lvl, cnt in enumerate(chain):
+            counts[(et, lvl)] = 1
+        et_col = F.col("event_type") == et
+        # leftover exact-position branches must precede the modular
+        # survivor branch for the SAME series (a leftover's rn can
+        # coincidentally satisfy the mod condition); across series
+        # the et guard keeps conditions disjoint
+        for lvl, pos in leftovers:
+            conds.append((et_col & (F.col("rn") == pos), lvl))
+        conds.append(
+            (et_col & (((F.col("rn") + c_acc) % (1 << h)) == 0), h)
+        )
+    level_expr = None
+    for cond, lvl in conds:
+        level_expr = (
+            F.when(cond, lvl)
+            if level_expr is None
+            else level_expr.when(cond, lvl)
+        )
+    if level_expr is None:
+        return (
+            values.select(
+                "event_type",
+                F.lit(0).cast("int").alias("level"),
+                F.col("c").cast("long").alias("v"),
+            ),
+            counts,
+        )
+    ranked = values.select(
+        "event_type", F.col("c").cast("long").alias("v")
+    ).withColumn("rn", F.row_number().over(Window.partitionBy(
+        "event_type").orderBy("v")))
+    out = (
+        ranked.withColumn("level", level_expr.cast("int"))
+        .where(F.col("level").isNotNull())
+        .select("event_type", "level", "v")
+    )
+    return out, counts

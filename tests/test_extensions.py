@@ -3566,3 +3566,36 @@ def test_leakage_safe_split_clique_cohesion(spark):
     for ids in cliques:
         s = split_of(bucket(min(ids)))
         assert out[s]["n_docs"] >= len(ids)
+
+
+def test_kll_closed_form_equals_loop_build(spark):
+    """The single-pass closed-form batch build must produce the
+    IDENTICAL sketch multiset and compaction log as the
+    level-by-level loop, across sizes that exercise zero rounds,
+    odd leftovers at several levels, and multi-series inputs."""
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        kll_build,
+        kll_build_closed,
+    )
+
+    datasets = [
+        [("a", v) for v in range(100)],  # n <= k: no compaction
+        [("a", v * 7 % 5000) for v in range(2001)],  # odd chains
+        [("a", v % 37) for v in range(3000)]
+        + [("b", v * 3 % 997) for v in range(1537)]
+        + [("c", 5) for _ in range(641)],
+    ]
+    for rows in datasets:
+        df = spark.createDataFrame(rows, "event_type string, c long")
+        s_loop, c_loop = kll_build(df)
+        s_closed, c_closed = kll_build_closed(df)
+        loop = sorted(
+            (r["event_type"], r["level"], r["v"])
+            for r in s_loop.collect()
+        )
+        closed = sorted(
+            (r["event_type"], r["level"], r["v"])
+            for r in s_closed.collect()
+        )
+        assert loop == closed, (len(rows), loop[:5], closed[:5])
+        assert c_loop == c_closed, (c_loop, c_closed)
