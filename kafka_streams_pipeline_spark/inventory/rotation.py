@@ -432,6 +432,9 @@ _DEFERRED: list[str] = [
     "q_t_closeness",
     "q_streaming_theil_sen_windowed",
     "q_leakage_safe_split",
+    "q_seasonal_decompose",
+    "q_streaming_seasonal",
+    "q_streaming_t_closeness",
 ]
 
 

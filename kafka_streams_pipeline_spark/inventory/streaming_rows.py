@@ -6920,3 +6920,361 @@ def q_streaming_theil_sen_windowed(
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_seasonal",
+    oracle=_ts_ops.seasonal_decompose_oracle(),
+)
+def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12ag (round 16): streaming twin of q_seasonal_decompose —
+    classical additive decomposition maintained incrementally. The
+    centered 2x24 MA makes naive emission look retroactive (a row's
+    trend needs 12 FUTURE hours), but the window is BOUNDED: state
+    per series is (a) the tail buffer of the last <= 25 hourly rows
+    and (b) the per-hour-of-day additive moments (n, s1 = sum dt,
+    s2 = sum dt^2) — each appended hour completes exactly the window
+    centered 12 rows back, folds one dt into its hod's moments, and
+    retires the oldest buffer row. Constant state per series however
+    long the stream runs; the remainder leg needs NO raw history
+    because n^2*sum((dt - mean)^2) = n^2*s2 - n*s1^2 (the moment
+    identity documented on the batch operator). Replay: 3
+    hour-contiguous availableNow chunks of the shared
+    hourly_cents_series (hourly sums never straddle a batch — the
+    q_streaming_acf convention, ascending mtimes); the final table
+    is computed from the folded moments alone and hash-matches the
+    SAME oracle as the batch row: maintained == recomputed.
+    Completions whose 25-row window spans rows folded in an EARLIER
+    batch are counted and asserted >= 1, so the cross-batch buffer
+    hand-off is genuinely exercised. See
+    operators/timeseries.seasonal_decompose."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    period = _ts_ops.SEASONAL_PERIOD
+    half = period // 2
+    full = period + 1
+    scale = 2 * period
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sseas-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        mtime0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (mtime0 + i, mtime0 + i))
+
+        state: dict = {}
+        sink = {"batches": 0, "cross_windows": 0, "start_n": {}}
+
+        def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch = sorted(
+                ((r["event_type"], r["h_ms"], r["c"])
+                 for r in batch_df.collect()),
+                key=lambda t: (t[1], t[0]),
+            )
+            for et, h, c in batch:
+                st = state.setdefault(
+                    et, {"n": 0, "buf": [], "hod": {}}
+                )
+                st["n"] += 1
+                st["buf"].append((h, c))
+                if len(st["buf"]) == full:
+                    # window centered at the row 12 back completes
+                    ch, cc = st["buf"][half]
+                    trend = (
+                        st["buf"][0][1]
+                        + st["buf"][-1][1]
+                        + 2 * sum(v for _, v in st["buf"][1:-1])
+                    )
+                    dtv = scale * cc - trend
+                    hod = (ch // 3_600_000) % 24
+                    m = st["hod"].setdefault(hod, [0, 0, 0])
+                    m[0] += 1
+                    m[1] += dtv
+                    m[2] += dtv * dtv
+                    # oldest window row's 1-based position is
+                    # n - 24; folded in an earlier batch iff it
+                    # precedes this batch's starting count
+                    if st["n"] - period <= sink["start_n"].get(et, 0):
+                        sink["cross_windows"] += 1
+                    st["buf"] = st["buf"][1:]
+            sink["batches"] += 1
+            sink["start_n"] = {
+                et: st["n"] for et, st in state.items()
+            }
+
+        q = (
+            spark.readStream.schema(
+                "event_type string, h_ms long, c long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "seasonal replay timed out after 300 s"
+            )
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        assert sink["batches"] == 3, sink
+        assert sink["cross_windows"] >= 1, (
+            "no completed window spanned a batch boundary — the "
+            "tail-buffer hand-off was never exercised"
+        )
+
+        out = []
+        for et, st in state.items():
+            for hod, (n, s1, s2) in st["hod"].items():
+                mag = (abs(s1) * 1000) // (n * scale)
+                seasonal = mag if s1 >= 0 else -mag
+                msr = (n * s2 - s1 * s1) // (
+                    scale * scale * n * n
+                )
+                out.append((et, hod, n, seasonal, msr))
+        return spark.createDataFrame(
+            out,
+            "event_type string, hod long, n_obs long,"
+            " seasonal_milli long, msr_cents2 long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _streaming_t_closeness_oracle() -> str:
+    legs = []
+    for seq in range(4):
+        legs.append(f"""
+        SELECT CAST({seq} AS BIGINT) AS batch_seq, *
+        FROM (
+            WITH base AS (
+                SELECT c_mktsegment AS seg,
+                       CAST(c_nationkey AS BIGINT) AS nat,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS s
+                FROM customer
+                WHERE c_acctbal IS NOT NULL AND c_custkey % 4 <= {seq}
+            ),
+            gdist AS (SELECT s, count(*) AS gq FROM base GROUP BY s),
+            tot AS (SELECT count(*) AS N, count(DISTINCT s) AS m
+                    FROM base),
+            cls AS (
+                SELECT seg, nat, count(*) AS n_c FROM base
+                GROUP BY seg, nat
+            ),
+            cell AS (
+                SELECT seg, nat, s, count(*) AS cp
+                FROM base GROUP BY seg, nat, s
+            ),
+            grid AS (
+                SELECT c.seg, c.nat, c.n_c, g.s, g.gq,
+                       COALESCE(cell.cp, 0) AS cp
+                FROM cls c CROSS JOIN gdist g
+                LEFT JOIN cell ON cell.seg = c.seg AND cell.nat = c.nat
+                              AND cell.s = g.s
+            ),
+            cum AS (
+                SELECT seg, nat, n_c, s,
+                       sum(cp) OVER (PARTITION BY seg, nat
+                                     ORDER BY s) AS cpc,
+                       sum(gq) OVER (PARTITION BY seg, nat
+                                     ORDER BY s) AS gqc
+                FROM grid
+            )
+            SELECT seg AS c_mktsegment, nat AS c_nationkey,
+                   CAST(max(n_c) AS BIGINT) AS class_size,
+                   CAST((SELECT m FROM tot) AS BIGINT) AS domain_size,
+                   CAST(sum(abs(CAST(cpc AS HUGEINT)
+                              * (SELECT N FROM tot)
+                              - CAST(gqc AS HUGEINT) * n_c))
+                        AS BIGINT) AS emd_num,
+                   (sum(abs(CAST(cpc AS HUGEINT) * (SELECT N FROM tot)
+                          - CAST(gqc AS HUGEINT) * n_c)) * 12
+                    > 1 * ((SELECT m FROM tot) - 1)
+                        * CAST(max(n_c) AS HUGEINT)
+                        * (SELECT N FROM tot)) AS at_risk
+            FROM cum GROUP BY seg, nat
+        )""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "q_streaming_t_closeness", oracle=_streaming_t_closeness_oracle()
+)
+def q_streaming_t_closeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X10i (round 16): streaming t-closeness monitor — the third
+    rung of the governance ladder (after q_streaming_privacy's
+    k-anonymity + l-diversity) under incremental maintenance. The
+    sufficient state is the JOINT distribution (class, sensitive
+    bucket, count) — domain-bounded, exactly the q_streaming_privacy
+    state — because the ordered-domain EMD is a pure function of the
+    joint: the global distribution, class sizes and totals all
+    derive from it by aggregation. Each batch is one Δ-upsert plus
+    an audit recomputed from state alone via the SHARED
+    quality.t_closeness_from_cells (the batch row reduces its rows
+    to the same cells and calls the same function, so the distance
+    convention cannot fork). Unlike k/l flags, t-closeness is NOT
+    monotone under appends — a class can drift toward or away from
+    the global distribution as data accrues — so the monitor's
+    per-batch re-audit is the exact semantics, and the replay
+    asserts the EMD genuinely MOVED for at least one class between
+    batches (state is live, not replayed from scratch). Oracle
+    recomputes every batch's audit from cumulative custkey-mod
+    slices — exact hash match on all 4 batches. At 100 TB the state
+    is classes × sensitive domain; per-batch work is O(state), raw
+    history never rescanned."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from kafka_streams_pipeline_spark.operators.quality import (
+        t_closeness_from_cells,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr(
+            "CAST(floor(c_acctbal / 1000) AS BIGINT)"
+        ).alias("bal_k"),
+    ).where(F.col("bal_k").isNotNull())
+    rows = cust.collect()
+    base = tempfile.mkdtemp(prefix="kspipeline-stclose-")
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        m0 = _time.time() - 86_400
+        for c in range(4):
+            p = os.path.join(src, f"chunk{c}.json")
+            with open(p, "w") as f:
+                for r in rows:
+                    if r["c_custkey"] % 4 == c:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "seg": r["c_mktsegment"],
+                                    "nat": r["c_nationkey"],
+                                    "bal_k": r["bal_k"],
+                                }
+                            )
+                            + "\n"
+                        )
+            os.utime(p, (m0 + c, m0 + c))
+
+        sink: dict = {"batches": 0, "audits": []}
+        state_schema = "seg string, nat long, bal_k long, cnt long"
+
+        def maintain(batch_df: DataFrame, _epoch_id: int) -> None:
+            delta = batch_df.groupBy("seg", "nat", "bal_k").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            )
+            if sink["batches"] > 0:
+                prior = spark.read.schema(state_schema).parquet(
+                    state_dir
+                )
+                merged = (
+                    prior.unionByName(delta)
+                    .groupBy("seg", "nat", "bal_k")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                merged = delta
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(state_dir)
+            audit = t_closeness_from_cells(
+                merged.select(
+                    "seg",
+                    "nat",
+                    F.col("bal_k").alias("s"),
+                    F.col("cnt").alias("cp"),
+                ),
+                ["seg", "nat"],
+            ).collect()
+            sink["audits"].append(audit)
+            sink["batches"] += 1
+
+        q = (
+            spark.readStream.schema(
+                "seg string, nat long, bal_k long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError(
+                "streaming t-closeness replay timed out"
+            )
+        assert sink["batches"] == 4, sink
+
+        # the audit must be maintained, not constant: some class's
+        # EMD moved between consecutive batches (new rows shift the
+        # class AND global distributions)
+        moved = False
+        for a, b in zip(sink["audits"], sink["audits"][1:]):
+            pa = {(r["seg"], r["nat"]): r["emd_num"] for r in a}
+            for r in b:
+                k = (r["seg"], r["nat"])
+                if k in pa and pa[k] != r["emd_num"]:
+                    moved = True
+        assert moved, "EMD never moved across batches"
+
+        out = []
+        for seq, audit in enumerate(sink["audits"]):
+            for r in audit:
+                out.append(
+                    (
+                        seq,
+                        r["seg"],
+                        r["nat"],
+                        r["class_size"],
+                        r["domain_size"],
+                        r["emd_num"],
+                        r["at_risk"],
+                    )
+                )
+        return spark.createDataFrame(
+            out,
+            "batch_seq bigint, c_mktsegment string,"
+            " c_nationkey bigint, class_size bigint,"
+            " domain_size bigint, emd_num bigint, at_risk boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

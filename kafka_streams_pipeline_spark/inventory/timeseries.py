@@ -1239,3 +1239,25 @@ def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts regardless of event volume. See
     operators/timeseries.ccf_by_series."""
     return _ts.ccf_by_series(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=_ts.seasonal_decompose_oracle(),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12af (TSDB diagnostics, round 16): classical additive
+    seasonal decomposition of each event_type's hourly series,
+    period 24 — trend via the textbook 2x24 centered moving average,
+    per-hour-of-day seasonal indices, and the remainder's mean
+    square, all integer-exact (the acf_by_series lattice
+    discipline: detrended values scaled x48, sign-split trunc
+    division, remainder from the moment identity n*s2 - s1^2 so no
+    second pass over the data). The reference materializes exactly
+    this hourly window (KafkaStreamsAggregator.java:103-105);
+    decomposition is the standard diagnostic one layer up — "is the
+    daily cycle real, and how big is it per hour-of-day?". One
+    hourly pre-agg + one series-keyed window partition + a 24-key
+    groupBy per series; no self-join, no global sort. See
+    operators/timeseries.seasonal_decompose."""
+    return _ts.seasonal_decompose(_t(spark, sf_dir, "events"))

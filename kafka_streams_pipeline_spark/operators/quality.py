@@ -728,24 +728,42 @@ def t_closeness(
     exceeds BIGINT — the grid arithmetic casts through
     DECIMAL(38,0), the cosine_pairs overflow posture) and the
     OUTPUT is cast BIGINT (asserted in-range at certified SFs)."""
-    from pyspark.sql.window import Window
-
     base = df.select(
         *quasi_cols, F.col(sensitive_col).alias("s")
     ).where(F.col("s").isNotNull())
-    gdist = base.groupBy("s").agg(
-        F.count(F.lit(1)).cast("long").alias("gq")
-    )
-    tot = base.agg(
-        F.count(F.lit(1)).cast("long").alias("N"),
-        F.countDistinct("s").cast("long").alias("m"),
-    )
-    cls = base.groupBy(*quasi_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
-    )
     cell = base.groupBy(*quasi_cols, "s").agg(
         F.count(F.lit(1)).cast("long").alias("cp")
     )
+    return t_closeness_from_cells(cell, quasi_cols, t_num, t_den)
+
+
+def t_closeness_from_cells(
+    cell: DataFrame,
+    quasi_cols: list[str],
+    t_num: int = T_CLOSENESS_NUM,
+    t_den: int = T_CLOSENESS_DEN,
+) -> DataFrame:
+    """The t-closeness audit computed from (quasi…, s, cp) CELL
+    COUNTS — the joint distribution itself — rather than row-level
+    data. This is the ONE shared EMD/threshold path: the batch
+    :func:`t_closeness` reduces its rows to cells and calls this,
+    and the streaming monitor's persisted state IS this cell table,
+    so the distance convention cannot fork between the two (the
+    hourly_cents_series discipline). Everything downstream of the
+    cells is domain-sized: gdist/cls/tot all derive from the cells
+    by map-side-partial aggregates."""
+    from pyspark.sql.window import Window
+
+    # NULL sensitive values are excluded from BOTH distributions —
+    # the batch path filters them before building cells; a caller
+    # passing raw state cells gets the identical semantics here
+    cell = cell.where(F.col("s").isNotNull())
+    gdist = cell.groupBy("s").agg(F.sum("cp").alias("gq"))
+    tot = cell.agg(
+        F.sum("cp").alias("N"),
+        F.countDistinct("s").cast("long").alias("m"),
+    )
+    cls = cell.groupBy(*quasi_cols).agg(F.sum("cp").alias("n_c"))
     grid = (
         cls.crossJoin(F.broadcast(gdist))
         .join(cell, [*quasi_cols, "s"], "left")

@@ -2300,3 +2300,146 @@ def theil_sen_windowed_scaling_stats(
         "full_pairs": int(full_pairs or 0),
         "windowed_pairs": int(w or 0),
     }
+
+
+# Classical additive seasonal decomposition: period = 24 hourly
+# buckets (the daily cycle of the reference's sensor domain —
+# ingestion/KafkaStreamsAggregator.java:103-105 materializes hourly
+# windows; decomposition is the standard diagnostic one layer up).
+SEASONAL_PERIOD = 24
+
+
+def seasonal_decompose(
+    events: DataFrame, period: int = SEASONAL_PERIOD
+) -> DataFrame:
+    """Classical additive decomposition of each event_type's hourly
+    cents series (Box-Jenkins "classical decomposition", period 24):
+    trend via the standard 2x24 centered moving average, seasonal
+    index per hour-of-day as the mean of the detrended values, and
+    the remainder's mean square — all on the integer lattice.
+
+    Float-free construction (the acf_by_series discipline): with
+    hourly cents c_j over the observed-sequence rows of a series,
+    the 2xm MA at center j scales by 2m to stay integral:
+
+        trend48_j = c_{j-12} + c_{j+12} + 2*sum(c_{j-11}..c_{j+11})
+        dt_j      = 48*c_j - trend48_j          (detrended, x48)
+
+    defined only on FULL 25-row windows (count == 2m+1), exactly as
+    the textbook estimator drops m edge points per side. Hour-of-day
+    is (h_ms div 3600000) % 24 — pure epoch integer arithmetic,
+    timezone-free in both engines. Per (series, hod) the additive
+    moments (n, s1 = sum dt, s2 = sum dt^2) determine both outputs:
+
+        seasonal_milli = trunc(s1*1000 / (n*48))   (milli-cents,
+                         sign-split so div == // on negatives)
+        msr_cents2     = (n*s2 - s1^2) div (2304*n^2)
+                         (mean-square remainder about the hod mean,
+                         cents^2; non-negative by Cauchy-Schwarz so
+                         trunc == floor)
+
+    The seasonal indices are the per-hod detrended means, reported
+    uncentered (grand-mean centering is a presentation-time constant
+    shift; both engines apply the identical definition). The moment
+    identity n^2*sum((dt - s1/n)^2) = n^2*s2 - n*s1^2 is what makes
+    the remainder leg derivable from (n, s1, s2) alone — the same
+    sufficient statistics the streaming twin maintains additively.
+
+    Plan: one hourly pre-aggregate (map-side partials) bounds the
+    series to its hour count regardless of event volume, then ONE
+    hash partition per event_type feeds the count guard, the MA
+    windows and the lag/lead — Spark reuses the Exchange — and the
+    final (event_type, hod) groupBy is a partial-aggregated shuffle
+    on 24 keys per series. No self-join, no global sort; the d
+    products run in DECIMAL(38,0) (dt ~ 48*c ~ 1e10 at sf0.1,
+    dt^2*rows ~ 1e23 << 1e38)."""
+    half = period // 2  # 12
+    full = period + 1  # 25-row full window
+    hourly = hourly_cents_series(events)
+    wo = Window.partitionBy("event_type").orderBy("h_ms")
+    w_inner = wo.rowsBetween(-(half - 1), half - 1)
+    w_full = wo.rowsBetween(-half, half)
+    win = (
+        hourly.withColumn("cnt", F.count(F.lit(1)).over(w_full))
+        .withColumn(
+            "trend48",
+            F.lag("c", half).over(wo)
+            + F.lead("c", half).over(wo)
+            + F.lit(2) * F.sum("c").over(w_inner),
+        )
+        .where(F.col("cnt") == full)
+    )
+    dt = win.select(
+        "event_type",
+        F.expr(
+            "CAST((h_ms div 3600000) % 24 AS BIGINT)"
+        ).alias("hod"),
+        (F.lit(2 * period) * F.col("c") - F.col("trend48")).alias("dt"),
+    )
+    agg = dt.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dt").alias("s1"),
+        F.sum(F.col("dt") * F.col("dt")).alias("s2"),
+    )
+    scale = 2 * period  # 48
+    sq = scale * scale  # 2304
+    return agg.select(
+        "event_type",
+        "hod",
+        F.col("n").alias("n_obs"),
+        F.expr(
+            "CAST(CASE WHEN s1 >= 0 THEN (s1 * 1000) div (n * "
+            f"{scale}) ELSE -((-s1 * 1000) div (n * {scale})) END "
+            "AS BIGINT)"
+        ).alias("seasonal_milli"),
+        F.expr(
+            f"CAST((n * s2 - s1 * s1) div ({sq} * n * n) AS BIGINT)"
+        ).alias("msr_cents2"),
+    )
+
+
+def seasonal_decompose_oracle(period: int = SEASONAL_PERIOD) -> str:
+    half = period // 2
+    full = period + 1
+    scale = 2 * period
+    sq = scale * scale
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, h_ms, c,
+                   count(*) OVER w_full AS cnt,
+                   lag(c, {half}) OVER wo + lead(c, {half}) OVER wo
+                     + 2 * sum(c) OVER w_inner AS trend48
+            FROM hourly
+            WINDOW wo AS (PARTITION BY event_type ORDER BY h_ms),
+                   w_inner AS (PARTITION BY event_type ORDER BY h_ms
+                       ROWS BETWEEN {half - 1} PRECEDING
+                                AND {half - 1} FOLLOWING),
+                   w_full AS (PARTITION BY event_type ORDER BY h_ms
+                       ROWS BETWEEN {half} PRECEDING
+                                AND {half} FOLLOWING)
+        ),
+        dt AS (
+            SELECT event_type,
+                   CAST((h_ms // 3600000) % 24 AS BIGINT) AS hod,
+                   {scale} * c - trend48 AS dt
+            FROM win WHERE cnt = {full}
+        ),
+        agg AS (
+            SELECT event_type, hod, count(*) AS n,
+                   sum(dt) AS s1, sum(dt * dt) AS s2
+            FROM dt GROUP BY 1, 2
+        )
+        SELECT event_type, hod, CAST(n AS BIGINT) AS n_obs,
+               CAST(CASE WHEN s1 >= 0 THEN (s1 * 1000) // (n * {scale})
+                         ELSE -((-s1 * 1000) // (n * {scale}))
+                    END AS BIGINT) AS seasonal_milli,
+               CAST((n * s2 - s1 * s1) // ({sq} * n * n)
+                    AS BIGINT) AS msr_cents2
+        FROM agg
+    """

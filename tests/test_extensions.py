@@ -3599,3 +3599,87 @@ def test_kll_closed_form_equals_loop_build(spark):
         )
         assert loop == closed, (len(rows), loop[:5], closed[:5])
         assert c_loop == c_closed, (c_loop, c_closed)
+
+
+def _seasonal_events(spark, cents_by_pos, event_type="a"):
+    """One event per consecutive hour position j with the given
+    integer-cent value (ts exactly on the hour, UTC session)."""
+    rows = [
+        (event_type, j, c / 100.0) for j, c in enumerate(cents_by_pos)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, j long, value double")
+    return df.select(
+        "event_type",
+        F.timestamp_seconds(F.col("j") * 3600).alias("ts"),
+        "value",
+    )
+
+
+def test_seasonal_decompose_linear_trend_is_pure_trend(spark):
+    """A series linear in row position has dt == 0 at every full
+    window (the 2x24 centered MA reproduces a linear signal
+    EXACTLY), so every hod reads seasonal 0 and remainder 0 — the
+    integer-lattice analogue of the textbook MA-exactness
+    property."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = _seasonal_events(spark, [1000 + 7 * j for j in range(72)])
+    out = {
+        (r["hod"]): (r["n_obs"], r["seasonal_milli"], r["msr_cents2"])
+        for r in seasonal_decompose(ev).collect()
+    }
+    assert len(out) == 24
+    # 72 rows -> 48 full-window centers (positions 12..59), 2 per hod
+    for hod, (n, seasonal, msr) in out.items():
+        assert n == 2, (hod, n)
+        assert seasonal == 0, (hod, seasonal)
+        assert msr == 0, (hod, msr)
+
+
+def test_seasonal_decompose_recovers_period24_signal(spark):
+    """A pure period-24 additive signal (base + s[hod], no trend)
+    decomposes EXACTLY: the 2x24 MA of a period-24 series is the
+    constant daily mean, so dt = 48*s[hod] - 2*sum(s) and the
+    reported index is the centered seasonal trunc(1000*(s[hod] -
+    mean(s))); the remainder is identically zero."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    s = [((11 * h) % 24) * 100 - 700 for h in range(24)]  # cents
+    stot = sum(s)
+    ev = _seasonal_events(
+        spark, [50_000 + s[j % 24] for j in range(24 * 4)]
+    )
+    out = {
+        r["hod"]: (r["n_obs"], r["seasonal_milli"], r["msr_cents2"])
+        for r in seasonal_decompose(ev).collect()
+    }
+    assert len(out) == 24
+    for hod, (n, seasonal, msr) in out.items():
+        dt = 48 * s[hod] - 2 * stot
+        mag = (abs(dt) * 1000) // 48
+        expect = mag if dt >= 0 else -mag
+        assert seasonal == expect, (hod, seasonal, expect)
+        assert msr == 0, (hod, msr)
+
+
+def test_seasonal_decompose_short_series_emits_nothing(spark):
+    """A series with fewer than 25 hourly rows has no full centered
+    window — the operator emits zero rows for it (the textbook
+    estimator drops m edge points per side), while a co-resident
+    long series still decomposes."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    short = _seasonal_events(spark, [100 * j for j in range(24)], "s")
+    long = _seasonal_events(spark, [100] * 30, "l")
+    out = seasonal_decompose(short.unionByName(long)).collect()
+    assert {r["event_type"] for r in out} == {"l"}
+    # 30 rows -> 6 centers; constant series: seasonal 0, msr 0
+    assert sum(r["n_obs"] for r in out) == 6
+    assert all(r["seasonal_milli"] == 0 and r["msr_cents2"] == 0
+               for r in out)

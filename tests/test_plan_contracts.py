@@ -808,3 +808,19 @@ def test_t_closeness_plan_domain_bounded(spark, sf_dir):
                  "BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_seasonal_decompose_plan_two_exchanges_no_join(spark, sf_dir):
+    """Seasonal decomposition is windows + aggregates over ONE
+    series partitioning (the hourly pre-agg is the other exchange):
+    the MA windows, the full-window count guard AND the final
+    (event_type, hod) groupBy all reuse the series-keyed Exchange —
+    HashPartitioning(event_type) satisfies the clustered
+    distribution of the (event_type, hod) aggregate, so no third
+    shuffle. No join, no Python."""
+    plan = _plan(spark, sf_dir, "q_seasonal_decompose")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop",
+                 "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
