@@ -435,6 +435,8 @@ _DEFERRED: list[str] = [
     "q_seasonal_decompose",
     "q_streaming_seasonal",
     "q_streaming_t_closeness",
+    "q_changepoint_amoc",
+    "q_ewma",
 ]
 
 

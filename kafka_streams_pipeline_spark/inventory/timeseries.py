@@ -1243,6 +1243,7 @@ def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_seasonal_decompose",
+    bench=True,
     oracle=_ts.seasonal_decompose_oracle(),
 )
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,3 +1262,40 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy per series; no self-join, no global sort. See
     operators/timeseries.seasonal_decompose."""
     return _ts.seasonal_decompose(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_changepoint_amoc",
+    oracle=_ts.changepoint_amoc_oracle(),
+)
+def q_changepoint_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12ah (TSDB diagnostics, round 16): offline at-most-one-
+    changepoint detection per series — argmax of the absolute
+    centered CUSUM (Page's statistic scaled by n to stay integral:
+    stat_j = n*P_j − j*S), earliest-hour tie-break, with the exact
+    before/after segment means riding in the hash so the detected
+    shift's size and direction are certified, not just its
+    location. The retrospective complement to q_cusum_alarms'
+    online alarms. ACF plan shape: hourly pre-agg + ONE series-keyed
+    Exchange reused by every window and the argmax; two shuffles,
+    no join. See operators/timeseries.changepoint_amoc."""
+    return _ts.changepoint_amoc(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_ewma",
+    oracle=_ts.ewma_by_series_oracle(),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12ai (TSDB smoothing, round 16): exponentially weighted
+    moving average per series — alpha = 1/2 truncated at W = 16
+    dyadic terms (2^-16 is below the milli-cent output lattice, so
+    truncation is the EXACTNESS valve: powers-of-two weights +
+    difference-of-powers renormalization keep every quantity
+    integral, where the untruncated recurrence needs unbounded
+    denominators) and renormalized over the terms present, so the
+    smoother is exact from the first row. ACF plan shape: hourly
+    pre-agg + ONE series-keyed Exchange feeding all W lag windows;
+    two shuffles, no join, W-term codegen dot product per row. See
+    operators/timeseries.ewma_by_series."""
+    return _ts.ewma_by_series(_t(spark, sf_dir, "events"))

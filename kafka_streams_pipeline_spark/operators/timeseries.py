@@ -2443,3 +2443,205 @@ def seasonal_decompose_oracle(period: int = SEASONAL_PERIOD) -> str:
                     AS BIGINT) AS msr_cents2
         FROM agg
     """
+
+
+def changepoint_amoc(events: DataFrame) -> DataFrame:
+    """At-most-one-changepoint (AMOC) detection per event_type
+    hourly series: the classic offline CUSUM estimator — the split
+    point maximizing the absolute centered cumulative sum (Page's
+    statistic; binary segmentation's first step). Complements the
+    STREAMING CUSUM alarms (cusum_alarms): that one answers "did the
+    level just shift?", this one answers "where in the history did
+    the level shift, and by how much?".
+
+    Float-free: with n rows, total S and prefix sums P_j, the
+    centered cusum scales by n to stay integral:
+
+        stat_j = n*P_j - j*S     (j = 1..n-1; stat_n == 0 trivially)
+
+    The changepoint is argmax |stat_j| with the EARLIEST hour as the
+    deterministic tie-break. Reported alongside: the exact segment
+    means as sign-split trunc milli-cents (before = P_j/j, after =
+    (S-P_j)/(n-j)) so the detected shift's direction and size ride
+    in the certified hash, not just the location. Products run in
+    DECIMAL(38,0) (n*P ~ 1e13 at sf0.1), outputs cast BIGINT.
+
+    Plan: hourly pre-agg (map-side partials) then ONE series-keyed
+    Exchange reused by the count/total windows, the ordered prefix
+    window, and the argmax row_number — the acf_by_series shape:
+    two shuffles total, no join, no Python, series-parallel at any
+    scale."""
+    hourly = hourly_cents_series(events)
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("h_ms")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        hourly.withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("s", F.sum("c").over(wp))
+        .withColumn("j", F.row_number().over(wo))
+        .withColumn("p", F.sum("c").over(wcum))
+        .where(F.col("j") < F.col("n"))
+        .withColumn(
+            "stat", F.col("n") * F.col("p") - F.col("j") * F.col("s")
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            wp.orderBy(F.abs(F.col("stat")).desc(), F.col("h_ms"))
+        ),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "event_type",
+        F.col("h_ms").alias("cp_h_ms"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.abs(F.col("stat")).cast("long").alias("cusum_abs"),
+        F.expr(
+            "CAST(CASE WHEN p >= 0 THEN (p * 1000) div j "
+            "ELSE -((-p * 1000) div j) END AS BIGINT)"
+        ).alias("mean_before_milli"),
+        F.expr(
+            "CAST(CASE WHEN s - p >= 0 THEN ((s - p) * 1000) div (n - j) "
+            "ELSE -((-(s - p) * 1000) div (n - j)) END AS BIGINT)"
+        ).alias("mean_after_milli"),
+    )
+
+
+def changepoint_amoc_oracle() -> str:
+    return """
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, h_ms,
+                   count(*) OVER wp AS n,
+                   sum(c) OVER wp AS s,
+                   row_number() OVER wo AS j,
+                   sum(c) OVER wcum AS p
+            FROM hourly
+            WINDOW wp AS (PARTITION BY event_type),
+                   wo AS (PARTITION BY event_type ORDER BY h_ms),
+                   wcum AS (PARTITION BY event_type ORDER BY h_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+        ),
+        stats AS (
+            SELECT event_type, h_ms, n, s, j, p,
+                   n * p - j * s AS stat
+            FROM scored WHERE j < n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(stat) DESC, h_ms) AS rn
+            FROM stats
+        )
+        SELECT event_type, h_ms AS cp_h_ms,
+               CAST(n AS BIGINT) AS n_hours,
+               CAST(abs(stat) AS BIGINT) AS cusum_abs,
+               CAST(CASE WHEN p >= 0 THEN (p * 1000) // j
+                         ELSE -((-p * 1000) // j)
+                    END AS BIGINT) AS mean_before_milli,
+               CAST(CASE WHEN s - p >= 0
+                         THEN ((s - p) * 1000) // (n - j)
+                         ELSE -((-(s - p) * 1000) // (n - j))
+                    END AS BIGINT) AS mean_after_milli
+        FROM ranked WHERE rn = 1
+    """
+
+
+# Truncated dyadic EWMA: alpha = 1/2, window W = 16 terms. At k = 16
+# the dyadic weight is 2^-16 ~ 1.5e-5 — below the milli-cent output
+# lattice for any realistic cents magnitude, so the truncation is the
+# documented exactness valve, not an approximation knob: it is what
+# makes the smoother EXACT on an integer lattice (the untruncated
+# recurrence needs unbounded denominators 2^j).
+EWMA_W = 16
+
+
+def ewma_by_series(events: DataFrame, w: int = EWMA_W) -> DataFrame:
+    """Exponentially weighted moving average of each event_type's
+    hourly cents series — alpha = 1/2, truncated at W = 16 dyadic
+    terms and renormalized over the terms PRESENT, so the smoother
+    is exact from the series' very first row (no spin-up NULLs, no
+    biased zero-padding):
+
+        m_j   = min(j, W)                     (terms available)
+        num_j = sum_{k=0..m-1} c_{j-k} * 2^(W-1-k)
+        den_j = 2^W - 2^(W-m)                 (= sum of the weights)
+        ewma_milli_j = trunc(1000 * num_j / den_j)   (sign-split)
+
+    Every quantity is integral: the weights are powers of two, the
+    renormalizing denominator is a difference of powers of two, and
+    the single division is the sign-split trunc the whole timeseries
+    family uses (div == // on the magnitudes). The W lag terms
+    unpivot per-row exactly like acf_by_series' lags — missing lags
+    at the series head are simply absent terms (coalesce 0), which
+    the shrinking den_j accounts for exactly.
+
+    Plan: hourly pre-agg then ONE series-keyed Exchange feeding all
+    W lag windows and the row_number — the ACF shape: two shuffles,
+    no join, no Python; per-row work is a W-term integer dot product
+    in whole-stage codegen."""
+    hourly = hourly_cents_series(events)
+    wo = Window.partitionBy("event_type").orderBy("h_ms")
+    lagged = hourly.withColumn("j", F.row_number().over(wo))
+    num = F.col("c").cast("decimal(38,0)") * F.lit(1 << (w - 1))
+    for k in range(1, w):
+        lagged = lagged.withColumn(
+            f"l{k}", F.lag("c", k).over(wo)
+        )
+        num = num + F.coalesce(
+            F.col(f"l{k}").cast("decimal(38,0)"), F.lit(0)
+        ) * F.lit(1 << (w - 1 - k))
+    out = (
+        lagged.withColumn("num", num)
+        .withColumn(
+            "den",
+            F.expr(
+                f"{1 << w} - shiftleft(1L, {w} - least(j, {w}))"
+            ),
+        )
+        .select(
+            "event_type",
+            "h_ms",
+            F.expr(
+                "CAST(CASE WHEN num >= 0 THEN (num * 1000) div den "
+                "ELSE -((-num * 1000) div den) END AS BIGINT)"
+            ).alias("ewma_milli"),
+        )
+    )
+    return out
+
+
+def ewma_by_series_oracle(w: int = EWMA_W) -> str:
+    terms = [f"c * {1 << (w - 1)}"]
+    for k in range(1, w):
+        terms.append(
+            f"COALESCE(lag(c, {k}) OVER wo, 0) * {1 << (w - 1 - k)}"
+        )
+    num = " + ".join(terms)
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, h_ms,
+                   {num} AS num,
+                   {1 << w} - (1 << ({w} - least(
+                       row_number() OVER wo, {w}))) AS den
+            FROM hourly
+            WINDOW wo AS (PARTITION BY event_type ORDER BY h_ms)
+        )
+        SELECT event_type, h_ms,
+               CAST(CASE WHEN num >= 0 THEN (num * 1000) // den
+                         ELSE -((-num * 1000) // den)
+                    END AS BIGINT) AS ewma_milli
+        FROM lagged
+    """

@@ -3683,3 +3683,69 @@ def test_seasonal_decompose_short_series_emits_nothing(spark):
     assert sum(r["n_obs"] for r in out) == 6
     assert all(r["seasonal_milli"] == 0 and r["msr_cents2"] == 0
                for r in out)
+
+
+def test_changepoint_amoc_finds_level_shift(spark):
+    """A series with one clean level shift must locate the
+    changepoint at the LAST hour of the old level (the centered
+    CUSUM peaks at the segment boundary) and report the exact
+    segment means in milli-cents."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        changepoint_amoc,
+    )
+
+    # 40 hours at 100 cents, then 40 at 900 — shift after pos 40
+    ev = _seasonal_events(spark, [100] * 40 + [900] * 40, "x")
+    [r] = changepoint_amoc(ev).collect()
+    assert r["n_hours"] == 80
+    assert r["cp_h_ms"] == 39 * 3_600_000  # hour index 39 (0-based)
+    assert r["mean_before_milli"] == 100_000
+    assert r["mean_after_milli"] == 900_000
+    # stat at the boundary: n*P_j - j*S = 80*4000 - 40*40000
+    assert r["cusum_abs"] == abs(80 * 40 * 100 - 40 * (40 * 100 + 40 * 900))
+
+
+def test_ewma_matches_pure_python_fold(spark):
+    """Every row of the truncated dyadic EWMA must equal the pure
+    Python evaluation of the declared formula — constant series stay
+    exactly constant (renormalization), steps converge toward the
+    new level, negatives split signs correctly."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        EWMA_W,
+        ewma_by_series,
+    )
+
+    series = {
+        "const": [500] * 30,
+        "step": [100] * 20 + [2100] * 20,
+        "neg": [(-1) ** j * (37 * j + 5) for j in range(40)],
+    }
+    rows = []
+    for et, cs in series.items():
+        rows += [(et, j, c / 100.0) for j, c in enumerate(cs)]
+    df = spark.createDataFrame(
+        rows, "event_type string, j long, value double"
+    ).select(
+        "event_type",
+        F.timestamp_seconds(F.col("j") * 3600).alias("ts"),
+        "value",
+    )
+    got = {
+        (r["event_type"], r["h_ms"]): r["ewma_milli"]
+        for r in ewma_by_series(df).collect()
+    }
+    w = EWMA_W
+    for et, cs in series.items():
+        for j in range(len(cs)):
+            m = min(j + 1, w)
+            num = sum(
+                cs[j - k] * (1 << (w - 1 - k)) for k in range(m)
+            )
+            den = (1 << w) - (1 << (w - m))
+            mag = (abs(num) * 1000) // den
+            expect = mag if num >= 0 else -mag
+            key = (et, j * 3_600_000)
+            assert got[key] == expect, (et, j, got[key], expect)
+    assert all(
+        got[("const", j * 3_600_000)] == 500_000 for j in range(30)
+    )
