@@ -437,6 +437,7 @@ _DEFERRED: list[str] = [
     "q_streaming_t_closeness",
     "q_changepoint_amoc",
     "q_ewma",
+    "q_streaming_ewma",
 ]
 
 

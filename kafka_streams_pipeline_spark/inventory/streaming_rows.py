@@ -7278,3 +7278,122 @@ def q_streaming_t_closeness(
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register("q_streaming_ewma", oracle=_ts_ops.ewma_by_series_oracle())
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12aj (round 16): streaming twin of q_ewma — the truncated
+    dyadic smoother is DESIGNED for incremental maintenance: each
+    arriving hourly row's output depends on exactly the last
+    W = 16 values, so per-series state is a bounded (W−1)-deep
+    buffer and the emission is APPEND-ONLY (a row's ewma never
+    revises — the truncation that buys integer exactness also buys
+    emission finality; the untruncated recurrence would need no
+    buffer but could never be exact). Replay: 3 hour-contiguous
+    availableNow chunks of the shared hourly_cents_series; each
+    batch emits one (series, h_ms, ewma_milli) row per appended
+    hour computed from buffer + new value via the SAME
+    renormalized-dyadic formula; emissions whose window spans rows
+    buffered in an EARLIER batch are counted and asserted ≥ 1. The
+    union of all emissions hash-matches the batch oracle: maintained
+    ≡ recomputed. At 100 TB: O(W) state per series, O(W) work per
+    event. See operators/timeseries.ewma_by_series."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    w = _ts_ops.EWMA_W
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    chunks = [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sewma-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        m0 = _time.time() - 86_400
+        for i, chunk in enumerate(chunks):
+            path = os.path.join(src, f"hours{i}.json")
+            with open(path, "w") as f:
+                for et, h, c in chunk:
+                    f.write(_json.dumps(
+                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
+            os.utime(path, (m0 + i, m0 + i))
+
+        state: dict = {}
+        sink: dict = {"batches": 0, "emit": [], "cross": 0,
+                      "start_n": {}}
+
+        def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch = sorted(
+                ((r["event_type"], r["h_ms"], r["c"])
+                 for r in batch_df.collect()),
+                key=lambda t: (t[1], t[0]),
+            )
+            for et, h, c in batch:
+                st = state.setdefault(et, {"n": 0, "buf": []})
+                st["n"] += 1
+                vals = (st["buf"] + [c])[-w:]
+                m = len(vals)
+                num = sum(
+                    vals[m - 1 - k] * (1 << (w - 1 - k))
+                    for k in range(m)
+                )
+                den = (1 << w) - (1 << (w - m))
+                mag = (abs(num) * 1000) // den
+                sink["emit"].append(
+                    (et, h, mag if num >= 0 else -mag)
+                )
+                # the emission used a value buffered in an earlier
+                # batch iff the window reaches past this batch's
+                # starting count
+                if st["n"] - m < sink["start_n"].get(et, 0):
+                    sink["cross"] += 1
+                st["buf"] = vals[-(w - 1):]
+            sink["batches"] += 1
+            sink["start_n"] = {
+                et: st["n"] for et, st in state.items()
+            }
+
+        q = (
+            spark.readStream.schema(
+                "event_type string, h_ms long, c long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("ewma replay timed out after 300 s")
+        for _ in range(100):
+            if all(aq.id != q.id for aq in spark.streams.active):
+                break
+            _time.sleep(0.1)
+
+        assert sink["batches"] == 3, sink
+        assert sink["cross"] >= 1, (
+            "no emission's window spanned a batch boundary — the "
+            "buffer hand-off was never exercised"
+        )
+        return spark.createDataFrame(
+            sink["emit"],
+            "event_type string, h_ms long, ewma_milli long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

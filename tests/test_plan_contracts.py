@@ -824,3 +824,19 @@ def test_seasonal_decompose_plan_two_exchanges_no_join(spark, sf_dir):
                  "BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_changepoint_and_ewma_plans_two_exchanges_no_join(spark, sf_dir):
+    """Both round-16 TSDB additions are windows over ONE series
+    partitioning above the hourly pre-agg (the ACF shape): two
+    exchanges, no join of any kind, no Python — the W-term EWMA dot
+    product and the CUSUM argmax both stay in whole-stage codegen."""
+    for name in ("q_changepoint_amoc", "q_ewma"):
+        plan = _plan(spark, sf_dir, name)
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoop", "BatchEvalPython",
+                     "ArrowEvalPython"):
+            assert node not in plan, (name, node)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= 2, (name, n_ex)

@@ -510,6 +510,12 @@ def timeseries_check(spark, mults: list[int]) -> dict:
             # join sizes stay FLAT (bounded by hour counts)
             ("ccf", lambda: ts.ccf_by_series(events).count()),
             ("theil_sen", lambda: ts.theil_sen_trend(events).count()),
+            # round 16 additions: all three ride the hourly pre-agg
+            # — work above the scan is bounded by hour counts, so
+            # time should track the scan while output stays flat
+            ("seasonal", lambda: ts.seasonal_decompose(events).count()),
+            ("changepoint", lambda: ts.changepoint_amoc(events).count()),
+            ("ewma", lambda: ts.ewma_by_series(events).count()),
         ):
             if warm:
                 fn()  # absorb one-time codegen cost at the smallest mult
