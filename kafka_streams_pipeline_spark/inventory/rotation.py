@@ -438,6 +438,7 @@ _DEFERRED: list[str] = [
     "q_changepoint_amoc",
     "q_ewma",
     "q_streaming_ewma",
+    "q_seasonal_naive_backtest",
 ]
 
 

@@ -1299,3 +1299,23 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffles, no join, W-term codegen dot product per row. See
     operators/timeseries.ewma_by_series."""
     return _ts.ewma_by_series(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q_seasonal_naive_backtest",
+    oracle=_ts.seasonal_naive_backtest_oracle(),
+)
+def q_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X12ak (TSDB forecasting, round 16): seasonal-naive forecast
+    backtest — ŷ_t = y_{t−24} evaluated against the one-step naive
+    baseline over a SHARED eval set, reported as exact integer MAEs
+    plus the MASE-style ratio (Hyndman & Koehler 2006; < 1000 milli
+    ⇒ the daily cycle is worth exploiting). The counts cancel
+    because both MAEs share one eval set, so the only division is
+    the final trunc; a zero naive error NULLs the ratio via an
+    explicit branch (the acf den = 0 discipline). ACF plan shape:
+    two shuffles, no join. See
+    operators/timeseries.seasonal_naive_backtest."""
+    return _ts.seasonal_naive_backtest(_t(spark, sf_dir, "events"))

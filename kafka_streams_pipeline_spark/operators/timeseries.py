@@ -2645,3 +2645,83 @@ def ewma_by_series_oracle(w: int = EWMA_W) -> str:
                     END AS BIGINT) AS ewma_milli
         FROM lagged
     """
+
+
+def seasonal_naive_backtest(
+    events: DataFrame, period: int = SEASONAL_PERIOD
+) -> DataFrame:
+    """Forecast backtest per event_type hourly series: the
+    seasonal-naive forecaster (ŷ_t = y_{t−24}) evaluated against the
+    one-step naive baseline (ŷ_t = y_{t−1}) over every row where
+    BOTH lags exist (row position > period, observed-sequence
+    convention), reported as exact integer MAEs and their
+    MASE-style ratio (Hyndman & Koehler 2006 — the scale-free "is
+    the daily cycle worth exploiting?" answer; ratio < 1000 milli
+    means the seasonal forecaster beats the naive baseline):
+
+        mae_seasonal_num = Σ |c_t − c_{t−24}|      (integer cents·n)
+        mae_naive_num    = Σ |c_t − c_{t−1}|
+        mase_milli       = (mae_seasonal_num · 1000)
+                             div mae_naive_num     (NULL when the
+                             naive error is 0 — a constant series
+                             makes the ratio undefined, explicit
+                             branch exactly as acf's den = 0)
+
+    Both MAEs share ONE eval set, so the counts cancel and the
+    ratio needs no division by n — everything stays integral; the
+    only division is the final sign-free trunc (both numerators are
+    non-negative, so div == //).
+
+    Plan: hourly pre-agg + ONE series-keyed Exchange feeding both
+    lag windows and the final per-series aggregate — the ACF shape;
+    two shuffles, no join."""
+    hourly = hourly_cents_series(events)
+    wo = Window.partitionBy("event_type").orderBy("h_ms")
+    lagged = (
+        hourly.withColumn("l1", F.lag("c", 1).over(wo))
+        .withColumn("lp", F.lag("c", period).over(wo))
+        .where(F.col("lp").isNotNull())
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("c") - F.col("lp"))).alias("mae_s"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).alias("mae_n"),
+    )
+    return agg.select(
+        "event_type",
+        "n_eval",
+        F.col("mae_s").cast("long").alias("mae_seasonal_num"),
+        F.col("mae_n").cast("long").alias("mae_naive_num"),
+        F.expr(
+            "CAST(CASE WHEN mae_n = 0 THEN NULL "
+            "ELSE (mae_s * 1000) div mae_n END AS BIGINT)"
+        ).alias("mase_milli"),
+    )
+
+
+def seasonal_naive_backtest_oracle(period: int = SEASONAL_PERIOD) -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS h_ms,
+                   sum(CAST(round(value * 100) AS HUGEINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, c,
+                   lag(c, 1) OVER wo AS l1,
+                   lag(c, {period}) OVER wo AS lp
+            FROM hourly
+            WINDOW wo AS (PARTITION BY event_type ORDER BY h_ms)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(abs(c - lp)) AS BIGINT) AS mae_seasonal_num,
+               CAST(sum(abs(c - l1)) AS BIGINT) AS mae_naive_num,
+               CAST(CASE WHEN sum(abs(c - l1)) = 0 THEN NULL
+                         ELSE (sum(abs(c - lp)) * 1000)
+                              // sum(abs(c - l1))
+                    END AS BIGINT) AS mase_milli
+        FROM lagged WHERE lp IS NOT NULL
+        GROUP BY event_type
+    """

@@ -3749,3 +3749,37 @@ def test_ewma_matches_pure_python_fold(spark):
     assert all(
         got[("const", j * 3_600_000)] == 500_000 for j in range(30)
     )
+
+
+def test_seasonal_naive_backtest_exact_on_period24_signal(spark):
+    """On a pure period-24 signal the seasonal-naive forecaster is
+    PERFECT (mae_seasonal = 0, mase = 0) while the naive baseline
+    pays the full hod-to-hod steps; on a linear-trend series the
+    seasonal error is exactly 24x the naive error (mase 24000)."""
+    from kafka_streams_pipeline_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    s = [((7 * h) % 24) * 100 for h in range(24)]
+    periodic = _seasonal_events(
+        spark, [s[j % 24] for j in range(24 * 3)], "p"
+    )
+    trend = _seasonal_events(
+        spark, [10 * j for j in range(24 * 3)], "t"
+    )
+    out = {
+        r["event_type"]: r
+        for r in seasonal_naive_backtest(
+            periodic.unionByName(trend)
+        ).collect()
+    }
+    assert out["p"]["n_eval"] == 48
+    assert out["p"]["mae_seasonal_num"] == 0
+    assert out["p"]["mase_milli"] == 0
+    assert out["p"]["mae_naive_num"] == sum(
+        abs(s[j % 24] - s[(j - 1) % 24]) for j in range(24, 72)
+    )
+    # linear 10/j-step: seasonal err = 240 per row, naive err = 10
+    assert out["t"]["mae_seasonal_num"] == 48 * 240
+    assert out["t"]["mae_naive_num"] == 48 * 10
+    assert out["t"]["mase_milli"] == 24000
