@@ -147,6 +147,12 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_privacy",
     # round-16: availableNow replay (sliding-window windowed Theil-Sen)
     "q_streaming_theil_sen_windowed",
+    # round-16: availableNow replay (bounded tail-buffer seasonal IVM)
+    "q_streaming_seasonal",
+    # round-16: availableNow replay (joint-distribution t-closeness)
+    "q_streaming_t_closeness",
+    # round-16: availableNow replay (bounded-buffer EWMA emission)
+    "q_streaming_ewma",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay
