@@ -417,7 +417,12 @@ _ON_DECK: list[str] = [
 # rewrote skyline banding (fixed-width -> quantile edges) and the MG
 # summary return path after their r13 certification rows, so both
 # re-certify in the r15 window against the unchanged oracles.
-_RECHECK: list[str] = []
+# Round-16 review refactor: the six hourly-series replays now share
+# ONE chunk writer (_write_hour_chunks — byte-identical behavior,
+# re-oracle-checked at sf0.01). Of the six, q_streaming_acf is the
+# only one already driver-certified whose cert predates the change;
+# pull it forward for re-certification.
+_RECHECK: list[str] = ["q_streaming_acf"]
 # New queries deliberately parked at the BACK of the rotation for one
 # round so the current window's composition is preserved; moved to
 # _ON_DECK next round. Entries parked here must be oracle-verified

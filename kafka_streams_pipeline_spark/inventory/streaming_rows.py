@@ -36,6 +36,40 @@ from kafka_streams_pipeline_spark.sources.readings import (
 )
 from kafka_streams_pipeline_spark.sources.sinks import read_view, write_view
 
+
+def _hour_chunk_split(rows: list) -> list:
+    """Split (event_type, h_ms, c) hourly rows into 3 hour-contiguous
+    replay chunks: hourly sums never straddle a micro-batch (the
+    q_streaming_acf convention every hourly-series replay shares)."""
+    hours = sorted({h for _, h, _ in rows})
+    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+    return [
+        [r for r in rows if r[1] < cut1],
+        [r for r in rows if cut1 <= r[1] < cut2],
+        [r for r in rows if cut2 <= r[1]],
+    ]
+
+
+def _write_hour_chunks(rows: list, src: str) -> None:
+    """Write the 3 hour-contiguous chunks as JSONL replay files with
+    ASCENDING mtimes — file-stream replay order is mtime order, and
+    back-to-back writes tie (the round-6 lesson: an arbitrary
+    tie-break advances the watermark and silently late-drops earlier
+    chunks). ONE shared writer so a fix to the replay discipline
+    cannot miss a copy (review finding, round 16)."""
+    import json as _json
+    import time as _time
+
+    mtime0 = _time.time() - 86_400
+    for i, chunk in enumerate(_hour_chunk_split(rows)):
+        path = os.path.join(src, f"hours{i}.json")
+        with open(path, "w") as f:
+            for et, h, c in chunk:
+                f.write(_json.dumps(
+                    {"event_type": et, "h_ms": h, "c": c}) + "\n")
+        os.utime(path, (mtime0 + i, mtime0 + i))
+
+
 # --- Streaming driver rows (VERDICT r4 item 8) -----------------------------
 # The two extension rows certified only by pytest bit-exact
 # differentials (X2g streaming dedup, X7d streaming HLL state) gain
@@ -6025,13 +6059,6 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
 
     base = tempfile.mkdtemp(prefix="kspipeline-stheilsen-")
     src = os.path.join(base, "src")
@@ -6040,14 +6067,7 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        mtime0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (mtime0 + i, mtime0 + i))
+        _write_hour_chunks(rows, src)
 
         sink = {"batches": 0, "cross_pairs": 0}
         bucket_schema = "event_type string, h_ms long, c long"
@@ -6185,27 +6205,13 @@ def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
 
     base = tempfile.mkdtemp(prefix="kspipeline-sccf-")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        mtime0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (mtime0 + i, mtime0 + i))
+        _write_hour_chunks(rows, src)
 
         # recent[(et, h_ms)] = (c, batch_folded_in); pruned below
         # current_hour − max_lag once per fold step
@@ -6360,27 +6366,13 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
 
     base = tempfile.mkdtemp(prefix="kspipeline-sacf-")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        mtime0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (mtime0 + i, mtime0 + i))
+        _write_hour_chunks(rows, src)
 
         state: dict = {}
         sink = {"batches": 0, "cross_products": 0}
@@ -6802,13 +6794,6 @@ def q_streaming_theil_sen_windowed(
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
     n_series = len({et for et, _, _ in rows})
 
     base = tempfile.mkdtemp(prefix="kspipeline-stheilsenw-")
@@ -6818,14 +6803,7 @@ def q_streaming_theil_sen_windowed(
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        mtime0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (mtime0 + i, mtime0 + i))
+        _write_hour_chunks(rows, src)
 
         sink = {"batches": 0, "cross_pairs": 0, "max_state": 0}
         bucket_schema = "event_type string, h_ms long, c long"
@@ -6963,27 +6941,13 @@ def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
 
     base = tempfile.mkdtemp(prefix="kspipeline-sseas-")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        mtime0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (mtime0 + i, mtime0 + i))
+        _write_hour_chunks(rows, src)
 
         state: dict = {}
         sink = {"batches": 0, "cross_windows": 0, "start_n": {}}
@@ -7041,10 +7005,6 @@ def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "seasonal replay timed out after 300 s"
             )
-        for _ in range(100):
-            if all(aq.id != q.id for aq in spark.streams.active):
-                break
-            _time.sleep(0.1)
 
         assert sink["batches"] == 3, sink
         assert sink["cross_windows"] >= 1, (
@@ -7239,7 +7199,7 @@ def q_streaming_t_closeness(
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise AssertionError(
+            raise RuntimeError(
                 "streaming t-closeness replay timed out"
             )
         assert sink["batches"] == 4, sink
@@ -7310,27 +7270,13 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_type"], int(r["h_ms"]), int(r["c"]))
         for r in hourly.collect()
     ]
-    hours = sorted({h for _, h, _ in rows})
-    cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
-    chunks = [
-        [r for r in rows if r[1] < cut1],
-        [r for r in rows if cut1 <= r[1] < cut2],
-        [r for r in rows if cut2 <= r[1]],
-    ]
 
     base = tempfile.mkdtemp(prefix="kspipeline-sewma-")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
     try:
-        m0 = _time.time() - 86_400
-        for i, chunk in enumerate(chunks):
-            path = os.path.join(src, f"hours{i}.json")
-            with open(path, "w") as f:
-                for et, h, c in chunk:
-                    f.write(_json.dumps(
-                        {"event_type": et, "h_ms": h, "c": c}) + "\n")
-            os.utime(path, (m0 + i, m0 + i))
+        _write_hour_chunks(rows, src)
 
         state: dict = {}
         sink: dict = {"batches": 0, "emit": [], "cross": 0,
@@ -7381,10 +7327,6 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("ewma replay timed out after 300 s")
-        for _ in range(100):
-            if all(aq.id != q.id for aq in spark.streams.active):
-                break
-            _time.sleep(0.1)
 
         assert sink["batches"] == 3, sink
         assert sink["cross"] >= 1, (
