@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_streams_pipeline_spark.inventory import BENCH_QUERIES, QUERIES
 from kafka_streams_pipeline_spark.session import get_spark
 
+# Calibration probe size. Versioned into every artifact: a ratio is
+# only meaningful between stamps taken with the SAME probe, so
+# _calibration_for refuses to pair stamps across a probe change (the
+# transition round falls back to raw deltas, by design).
+CALIB_PROBE_ROWS = 1_000_000_000
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,14 +70,20 @@ def main() -> None:
         46.2 s and 68.8 s within one day, loadavg ~1 both times,
         steal 0 at idle) — so every artifact carries this number and
         cross-run deltas should be read against the calibration
-        ratio before anything else."""
+        ratio before anything else. Probe sized so one run is
+        ~0.7 s: the original 200M-row probe (~0.15 s) sat inside
+        turbo/timer granularity and two IDLE runs at the same HEAD
+        stamped 0.187 vs 0.137 — a 27% phantom "speedup" that
+        inflated every normalized delta (round-16 lesson)."""
         t0 = time.time()
-        spark.range(200_000_000).selectExpr(
+        spark.range(CALIB_PROBE_ROWS).selectExpr(
             "sum(xxhash64(id) & 1023) AS h"  # masked: ANSI-safe sum
         ).collect()
         return round(time.time() - t0, 3)
 
-    calib = sorted(calibrate() for _ in range(3))[1]
+    calib_runs = sorted(calibrate() for _ in range(5))
+    calib = calib_runs[2]
+    calib_spread = round(calib_runs[-1] - calib_runs[0], 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev = _latest_recorded_bench()
@@ -154,10 +166,14 @@ def main() -> None:
         # either artifact could attribute it) — loadavg plus any other
         # live JVMs make a contended run visibly contended
         "idle_stamp": idle_stamp,
-        # median of 3 fixed-JVM-compute timings: the box's effective
+        # median of 5 fixed-JVM-compute timings: the box's effective
         # speed this run — normalize cross-run deltas by this before
         # believing them (VERDICT r13 item 4's calibration leg)
         "calibration_sec": calib,
+        "calibration_probe": CALIB_PROBE_ROWS,
+        # max-min across the 5 probe runs: a wide spread means the
+        # scalar itself is untrustworthy this run — read raw medians
+        "calibration_spread": calib_spread,
         # per-query contention stamps (VERDICT r13 item 4)
         "loadavg1_at_run": query_load,
         "foreign_jvms_at_run": foreign_jvms,
@@ -446,6 +462,12 @@ def _calibration_for(baseline_name: str) -> float | None:
             with open(path) as f:
                 rec = json.load(f)
             calib = rec.get("calibration_sec")
+            # stamps are only comparable when taken with the same
+            # probe; artifacts predating the probe-size field are
+            # treated as the legacy 200M probe (round-16 change)
+            probe = rec.get("calibration_probe", 200_000_000)
+            if probe != CALIB_PROBE_ROWS:
+                return None
             if isinstance(calib, (int, float)) and calib > 0:
                 return float(calib)
         except (OSError, ValueError):

@@ -279,14 +279,28 @@ def test_bench_tripwire_degrades_to_raw_without_stamp():
 
 
 def test_bench_prev_calibration_lookup():
-    """_calibration_for reads the baseline round's DETAIL stamp; the
-    r14 detail on disk carries one."""
+    """_calibration_for reads the baseline round's DETAIL stamp —
+    but ONLY when that stamp was taken with the current probe size:
+    stamps across a probe change are incomparable, so the r14 detail
+    (legacy 200M probe, no calibration_probe field) now pairs to
+    None and the transition round reads raw (round-16 hardening
+    after two idle runs at one HEAD stamped 0.187 vs 0.137 with the
+    short probe)."""
+    import json
+    import pathlib
+
     import bench
 
-    calib = bench._calibration_for("BENCH_r14.json")
-    assert calib is not None and calib > 0
+    assert bench._calibration_for("BENCH_r14.json") is None  # legacy probe
     assert bench._calibration_for("BENCH_r01.json") is None
     assert bench._calibration_for("not-a-bench-name") is None
+    # a detail stamped with the CURRENT probe pairs normally
+    rec = json.loads(
+        (pathlib.Path(bench.__file__).parent / "BENCH_DETAIL_r14.json")
+        .read_text()
+    )
+    assert rec.get("calibration_probe", 200_000_000) != bench.CALIB_PROBE_ROWS
+    assert rec["calibration_sec"] > 0  # the stamp exists; only pairing is refused
 
 
 def test_bench_tripwire_quarantines_inside_spread_regression():
