@@ -3783,3 +3783,80 @@ def test_seasonal_naive_backtest_exact_on_period24_signal(spark):
     assert out["t"]["mae_seasonal_num"] == 48 * 240
     assert out["t"]["mae_naive_num"] == 48 * 10
     assert out["t"]["mase_milli"] == 24000
+
+
+def test_kll_batch_plan_matches_loop_simulation_property():
+    """Permanent pure-Python pin of the closed-form batch cascade
+    (review follow-up, round 16): _kll_batch_plan's predicted level
+    structure must equal a faithful simulation of kll_compact's
+    batch semantics (sort level, keep parity positions at doubled
+    level, park odd stragglers) for EVERY n — including the n <= k
+    no-op, single-round, and deep odd-chain cases — across several
+    capacities and parity-seed series names. No Spark session:
+    this is the arithmetic the plan-level test cannot sweep."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_pipeline_spark.operators.sketches import (
+        _kll_batch_plan,
+        _kll_parity,
+    )
+
+    def loop_sim(et, vals, k):
+        levels = {0: sorted(vals)}
+        counts = {}
+        while True:
+            over = sorted(
+                l for l, it in levels.items() if len(it) > k
+            )
+            if not over:
+                break
+            for l in over:
+                items = sorted(levels[l])
+                m = counts.get((et, l), 0)
+                counts[(et, l)] = m + 1
+                par = _kll_parity(et, l, m)
+                cnt = len(items)
+                lim = cnt - cnt % 2
+                promoted = [
+                    items[i - 1]
+                    for i in range(1, lim + 1)
+                    if i % 2 == par
+                ]
+                levels[l] = items[lim:]
+                levels[l + 1] = sorted(
+                    levels.get(l + 1, []) + promoted
+                )
+        out = sorted(
+            (l, v) for l, it in levels.items() for v in it
+        )
+        return out, counts
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=2500),
+        k=st.sampled_from([4, 8, 100, 256]),
+        et=st.sampled_from(["a", "click", "x|y", "purchase"]),
+        dup=st.integers(min_value=1, max_value=7),
+    )
+    def check(n, k, et, dup):
+        vals = [(v * 13) % max(1, n // dup + 1) for v in range(n)]
+        expect, expect_counts = loop_sim(et, vals, k)
+        h, c_acc, leftovers, chain = _kll_batch_plan(n, et, k)
+        srt = sorted(vals)
+        got = []
+        claimed = set()
+        for lvl, pos in leftovers:
+            got.append((lvl, srt[pos - 1]))
+            claimed.add(pos)
+        for pos in range(1, n + 1):
+            if pos in claimed:
+                continue
+            if (pos + c_acc) % (1 << h) == 0:
+                got.append((h, srt[pos - 1]))
+        if not chain:  # n <= k: everything stays at level 0
+            got = [(0, v) for v in srt]
+        assert sorted(got) == expect, (n, k, et)
+        assert {(et, l): 1 for l in range(len(chain))} == expect_counts
+
+    check()
