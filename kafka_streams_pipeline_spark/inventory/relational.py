@@ -1503,3 +1503,107 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_asof_tolerance",
+    oracle="""
+        SELECT event_id, user_id, ts_ms,
+               CASE WHEN ts_ms - back_ms <= 1800000
+                    THEN back_id END AS back_click_id,
+               CASE WHEN ts_ms - back_ms <= 1800000
+                    THEN ts_ms - back_ms END AS back_gap_ms,
+               CASE WHEN fwd_ms - ts_ms <= 600000
+                    THEN fwd_id END AS fwd_click_id,
+               CASE WHEN fwd_ms - ts_ms <= 600000
+                    THEN fwd_ms - ts_ms END AS fwd_gap_ms
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN CAST(epoch_ms(ts) AS BIGINT) END
+                              IGNORE NULLS) OVER wback AS back_ms,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN event_id END
+                              IGNORE NULLS) OVER wback AS back_id,
+                   first_value(CASE WHEN event_type = 'click'
+                                    THEN CAST(epoch_ms(ts) AS BIGINT) END
+                               IGNORE NULLS) OVER wfwd AS fwd_ms,
+                   first_value(CASE WHEN event_type = 'click'
+                                    THEN event_id END
+                               IGNORE NULLS) OVER wfwd AS fwd_id
+            FROM events
+            WINDOW wback AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wfwd AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4o (round 16): TOLERANCE-BOUNDED bidirectional as-of join —
+    the `ASOF JOIN ... WITHIN`/kdb `wj` semantics q_asof_attribution
+    lacks: for every purchase, the nearest strictly-preceding click
+    WITHIN 30 min (backward) and the nearest strictly-following
+    click WITHIN 10 min (forward), each carrying the matched
+    EVENT IDENTITY, with misses beyond tolerance reading NULL
+    instead of an arbitrarily-stale match. Same scalable
+    formulation as the unbounded row: both directions are window
+    frames over ONE (user, ts, event_id) sort — one shuffle, no
+    range-join explosion, and the id/ts pair per direction is
+    consistent by construction (both last()/first() reads resolve
+    to the same physical row of the ordered frame). The tolerance
+    is applied as a post-filter on the matched gap, which preserves
+    the single-pass plan (a pre-filtered range join would be the
+    non-scalable theta form). Strictness: a click at the purchase's
+    exact timestamp counts as preceding/following by the
+    (ts, event_id) row order — documented, and identical in both
+    engines."""
+    e = _t(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_click = F.col("event_type") == "click"
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.last(
+            F.when(is_click, F.unix_millis("ts")), ignorenulls=True
+        ).over(wb).alias("back_ms"),
+        F.last(
+            F.when(is_click, F.col("event_id")), ignorenulls=True
+        ).over(wb).alias("back_id"),
+        F.first(
+            F.when(is_click, F.unix_millis("ts")), ignorenulls=True
+        ).over(wf).alias("fwd_ms"),
+        F.first(
+            F.when(is_click, F.col("event_id")), ignorenulls=True
+        ).over(wf).alias("fwd_id"),
+    ).where(F.col("event_type") == "purchase")
+    back_ok = F.col("ts_ms") - F.col("back_ms") <= 1_800_000
+    fwd_ok = F.col("fwd_ms") - F.col("ts_ms") <= 600_000
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.when(back_ok, F.col("back_id")).alias("back_click_id"),
+        F.when(back_ok, F.col("ts_ms") - F.col("back_ms")).alias(
+            "back_gap_ms"
+        ),
+        F.when(fwd_ok, F.col("fwd_id")).alias("fwd_click_id"),
+        F.when(fwd_ok, F.col("fwd_ms") - F.col("ts_ms")).alias(
+            "fwd_gap_ms"
+        ),
+    )

@@ -444,6 +444,7 @@ _DEFERRED: list[str] = [
     "q_ewma",
     "q_streaming_ewma",
     "q_seasonal_naive_backtest",
+    "q_asof_tolerance",
 ]
 
 

@@ -3860,3 +3860,47 @@ def test_kll_batch_plan_matches_loop_simulation_property():
         assert {(et, l): 1 for l in range(len(chain))} == expect_counts
 
     check()
+
+
+def test_asof_tolerance_semantics(spark):
+    """Constructed user timelines pin the tolerance semantics: a
+    click 10 min before matches backward (gap carried), one 40 min
+    before is beyond the 30-min tolerance (NULL, not stale), a click
+    5 min after matches forward, 20 min after misses the 10-min
+    forward bound; nearest click wins and the matched IDENTITY rides
+    with the gap."""
+    from kafka_streams_pipeline_spark.inventory.relational import (
+        q_asof_tolerance,
+    )
+    import pathlib
+    import tempfile
+
+    M = 60_000
+    rows = [
+        # u1: click 40min before p1 (miss), click 10min before (hit)
+        (1, 100, "click", 0), (2, 100, "click", 30 * M),
+        (3, 100, "purchase", 40 * M),
+        # u1: next click 5min after p1 (fwd hit)
+        (4, 100, "click", 45 * M),
+        # u2: only a click 20min after the purchase (fwd miss, back none)
+        (5, 200, "purchase", 0), (6, 200, "click", 20 * M),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, ms / 1000.0) for i, u, t, ms in rows],
+        "event_id long, user_id long, event_type string, sec double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(str(pathlib.Path(d) / "events.parquet"))
+        out = {
+            r["event_id"]: r for r in q_asof_tolerance(spark, d).collect()
+        }
+    p1 = out[3]
+    assert p1["back_click_id"] == 2 and p1["back_gap_ms"] == 10 * M
+    assert p1["fwd_click_id"] == 4 and p1["fwd_gap_ms"] == 5 * M
+    p2 = out[5]
+    assert p2["back_click_id"] is None and p2["back_gap_ms"] is None
+    assert p2["fwd_click_id"] is None and p2["fwd_gap_ms"] is None
