@@ -41,6 +41,11 @@ def _hour_chunk_split(rows: list) -> list:
     """Split (event_type, h_ms, c) hourly rows into 3 hour-contiguous
     replay chunks: hourly sums never straddle a micro-batch (the
     q_streaming_acf convention every hourly-series replay shares)."""
+    if not rows:
+        raise ValueError(
+            "no hourly rows to replay — the events slice produced "
+            "an empty hourly series"
+        )
     hours = sorted({h for _, h, _ in rows})
     cut1, cut2 = hours[len(hours) // 3], hours[2 * len(hours) // 3]
     return [
@@ -6048,9 +6053,7 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared theil_sen_median. At 100 TB the slope store is
     series-partitioned parquet and each batch's work is bounded by
     Δ-hours × state-hours, never recomputed from scratch."""
-    import json as _json
     import shutil
-    import time as _time
 
     hourly = _ts_ops.hourly_cents_series(
         _t(spark, sf_dir, "events")
@@ -6144,10 +6147,6 @@ def q_streaming_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("theil-sen replay timed out after 300 s")
-        for _ in range(100):
-            if all(aq.id != q.id for aq in spark.streams.active):
-                break
-            _time.sleep(0.1)
 
         if sink["batches"] != 3:
             raise AssertionError(
@@ -6192,9 +6191,7 @@ def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded moments alone hash-matches the SAME oracle as the batch
     q_ccf (maintained ≡ recomputed). At 100 TB the window state is
     max_lag hours × series — independent of stream length."""
-    import json as _json
     import shutil
-    import time as _time
 
     max_lag = _ts_ops.CCF_MAX_LAG
     hour_ms = _ts_ops.HOUR_MS
@@ -6272,10 +6269,6 @@ def q_streaming_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("ccf replay timed out after 300 s")
-        for _ in range(100):
-            if all(aq.id != q.id for aq in spark.streams.active):
-                break
-            _time.sleep(0.1)
 
         if sink["batches"] != 3:
             raise AssertionError(
@@ -6354,9 +6347,7 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the folded stats alone and hash-matches the SAME batch-window
     oracle as q_acf: maintained ≡ recomputed. Cross-batch lag
     products (P_k touching two chunks) asserted ≥ 1."""
-    import json as _json
     import shutil
-    import time as _time
 
     max_lag = _ts_ops.ACF_MAX_LAG
     hourly = _ts_ops.hourly_cents_series(
@@ -6420,10 +6411,6 @@ def q_streaming_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("acf replay timed out after 300 s")
-        for _ in range(100):
-            if all(aq.id != q.id for aq in spark.streams.active):
-                break
-            _time.sleep(0.1)
 
         if sink["batches"] != 3:
             raise AssertionError(
@@ -6781,9 +6768,7 @@ def q_streaming_theil_sen_windowed(
     store; the final rank-selected median via the shared
     theil_sen_median hash-matches the SAME oracle as the batch
     windowed row."""
-    import json as _json
     import shutil
-    import time as _time
 
     W = _ts_ops.TS_WINDOW_HOURS
     HOUR = _ts_ops.HOUR_MS
@@ -6926,9 +6911,7 @@ def q_streaming_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch are counted and asserted >= 1, so the cross-batch buffer
     hand-off is genuinely exercised. See
     operators/timeseries.seasonal_decompose."""
-    import json as _json
     import shutil
-    import time as _time
 
     period = _ts_ops.SEASONAL_PERIOD
     half = period // 2
@@ -7258,9 +7241,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of all emissions hash-matches the batch oracle: maintained
     ≡ recomputed. At 100 TB: O(W) state per series, O(W) work per
     event. See operators/timeseries.ewma_by_series."""
-    import json as _json
     import shutil
-    import time as _time
 
     w = _ts_ops.EWMA_W
     hourly = _ts_ops.hourly_cents_series(

@@ -372,3 +372,29 @@ def test_bench_tripwire_single_rounding_and_zero_ratio():
         foreign_jvms={"q_a": 0},
     )
     assert updates0["deltas_normalized"]["q_a"] == 2.0  # raw fallback
+
+
+def test_bench_calibration_pairs_with_current_probe(tmp_path, monkeypatch):
+    """The POSITIVE pairing path (review follow-up, round 16): a
+    detail artifact stamped with the CURRENT probe must pair and
+    return its stamp — every artifact on disk is legacy-probe, so
+    without this case a writer/reader field mismatch would silently
+    disable calibration normalization for all future rounds while
+    the suite stayed green."""
+    import json
+
+    import bench
+
+    rec = {
+        "calibration_sec": 0.642,
+        "calibration_probe": bench.CALIB_PROBE_ROWS,
+    }
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(
+        bench, "__file__", str(tmp_path / "bench.py")
+    )
+    assert bench._calibration_for("BENCH_r99.json") == 0.642
+    # and the same stamp with a foreign probe refuses to pair
+    rec["calibration_probe"] = 123
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(rec))
+    assert bench._calibration_for("BENCH_r99.json") is None
