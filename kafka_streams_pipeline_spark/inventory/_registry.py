@@ -153,6 +153,8 @@ MATERIALIZING: frozenset[str] = frozenset({
     "q_streaming_t_closeness",
     # round-16: availableNow replay (bounded-buffer EWMA emission)
     "q_streaming_ewma",
+    # round-16: availableNow replay (rolling-origin backtest moments)
+    "q_streaming_backtest",
     # round-13 (deferred): availableNow replay with union-find state
     "q_streaming_entity_golden",
     # round-13 (deferred): chained stateful aggregation replay

@@ -445,6 +445,7 @@ _DEFERRED: list[str] = [
     "q_streaming_ewma",
     "q_seasonal_naive_backtest",
     "q_asof_tolerance",
+    "q_streaming_backtest",
 ]
 
 

@@ -7320,3 +7320,115 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_streaming_backtest",
+    oracle=_ts_ops.seasonal_naive_backtest_oracle(),
+)
+def q_streaming_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12ak-s (round 16): streaming twin of the seasonal-naive
+    forecast backtest — the rolling-origin evaluation every
+    production forecaster actually runs: as each hour arrives, score
+    yesterday's same-hour value (seasonal-naive) and the previous
+    hour's value (naive baseline) against it, and fold the absolute
+    errors. Per-series state is a bounded 24-deep value buffer plus
+    the three additive moments (n_eval, Σ|err_seasonal|, Σ|err_naive|)
+    — constant size at any stream length, O(1) work per hour. The
+    final per-series table computed from the folded moments alone
+    hash-matches the SAME oracle as the batch row (maintained ≡
+    recomputed); evaluations whose 24-back value was buffered in an
+    EARLIER batch are counted and asserted ≥ 1. See
+    operators/timeseries.seasonal_naive_backtest."""
+    import shutil
+
+    period = _ts_ops.SEASONAL_PERIOD
+    hourly = _ts_ops.hourly_cents_series(
+        _t(spark, sf_dir, "events")
+    ).orderBy("h_ms", "event_type")
+    rows = [
+        (r["event_type"], int(r["h_ms"]), int(r["c"]))
+        for r in hourly.collect()
+    ]
+
+    base = tempfile.mkdtemp(prefix="kspipeline-sbacktest-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        _write_hour_chunks(rows, src)
+
+        state: dict = {}
+        sink: dict = {"batches": 0, "cross_evals": 0, "start_n": {}}
+
+        def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch = sorted(
+                ((r["event_type"], r["h_ms"], r["c"])
+                 for r in batch_df.collect()),
+                key=lambda t: (t[1], t[0]),
+            )
+            for et, _h, c in batch:
+                st = state.setdefault(
+                    et,
+                    {"n": 0, "buf": [], "n_eval": 0,
+                     "mae_s": 0, "mae_n": 0},
+                )
+                st["n"] += 1
+                if len(st["buf"]) == period:
+                    # both lags exist: buf[0] is 24 back, buf[-1]
+                    # is the previous hour
+                    st["n_eval"] += 1
+                    st["mae_s"] += abs(c - st["buf"][0])
+                    st["mae_n"] += abs(c - st["buf"][-1])
+                    # the 24-back value's 1-based position is
+                    # n - 24; folded in an earlier batch iff it
+                    # precedes this batch's starting count
+                    if st["n"] - period <= sink["start_n"].get(et, 0):
+                        sink["cross_evals"] += 1
+                st["buf"] = (st["buf"] + [c])[-period:]
+            sink["batches"] += 1
+            sink["start_n"] = {
+                et: st["n"] for et, st in state.items()
+            }
+
+        q = (
+            spark.readStream.schema(
+                "event_type string, h_ms long, c long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "backtest replay timed out after 300 s"
+            )
+        assert sink["batches"] == 3, sink
+        assert sink["cross_evals"] >= 1, (
+            "no evaluation's 24-back value crossed a batch "
+            "boundary — the buffer hand-off was never exercised"
+        )
+
+        out = []
+        for et, st in state.items():
+            if st["n_eval"] == 0:
+                continue
+            mase = (
+                None
+                if st["mae_n"] == 0
+                else (st["mae_s"] * 1000) // st["mae_n"]
+            )
+            out.append(
+                (et, st["n_eval"], st["mae_s"], st["mae_n"], mase)
+            )
+        return spark.createDataFrame(
+            out,
+            "event_type string, n_eval long, mae_seasonal_num long,"
+            " mae_naive_num long, mase_milli long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
