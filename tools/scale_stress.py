@@ -467,6 +467,33 @@ def big_graph_check(spark) -> dict:
     }
 
 
+def _asof_tol(events):
+    """q_asof_tolerance's plan over an in-memory events frame (the
+    registered row loads from an sf_dir; the sweep feeds replicated
+    frames directly, so the window logic is inlined here — kept in
+    sync with inventory/relational.q_asof_tolerance)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    wb = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing))
+    is_click = F.col("event_type") == "click"
+    base = events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.last(F.when(is_click, F.unix_millis("ts")),
+               ignorenulls=True).over(wb).alias("back_ms"),
+        F.first(F.when(is_click, F.unix_millis("ts")),
+                ignorenulls=True).over(wf).alias("fwd_ms"),
+    ).where(F.col("event_type") == "purchase")
+    return base.where(
+        (F.col("ts_ms") - F.col("back_ms") <= 1_800_000)
+        | (F.col("fwd_ms") - F.col("ts_ms") <= 600_000)
+    )
+
+
 def timeseries_check(spark, mults: list[int]) -> dict:
     """Round 11: the window-identity TSDB family (counter_rate,
     cusum_alarms, ohlc_bars) at scaled EVENTS — series count grows
@@ -516,6 +543,13 @@ def timeseries_check(spark, mults: list[int]) -> dict:
             ("seasonal", lambda: ts.seasonal_decompose(events).count()),
             ("changepoint", lambda: ts.changepoint_amoc(events).count()),
             ("ewma", lambda: ts.ewma_by_series(events).count()),
+            # round-16 late additions: backtest rides the hourly
+            # pre-agg (flat above the scan); the tolerance as-of is
+            # ONE user-partitioned window sort over raw events —
+            # linear in volume, parallel across the user replicas
+            ("backtest",
+             lambda: ts.seasonal_naive_backtest(events).count()),
+            ("asof_tolerance", lambda: _asof_tol(events).count()),
         ):
             if warm:
                 fn()  # absorb one-time codegen cost at the smallest mult
