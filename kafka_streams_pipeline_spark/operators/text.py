@@ -1932,10 +1932,9 @@ def bpe_train(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    merges: list[tuple] = []
-    for k in range(1, num_merges + 1):
-        best = (
-            seq.select(
+    def _argmax(s: DataFrame) -> DataFrame:
+        return (
+            s.select(
                 "freq",
                 F.explode(
                     F.expr(
@@ -1948,8 +1947,30 @@ def bpe_train(
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .collect()
+            .select(F.lit("argmax").alias("phase"), "a", "b", "cnt")
         )
+
+    def _after(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("long").alias("cnt")
+        ).select(
+            F.lit("after").alias("phase"),
+            F.lit(None).cast("string").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            "cnt",
+        )
+
+    # One action per round (r16 optimization — the loop previously ran
+    # three: eager checkpoint, argmax collect, after-count collect).
+    # Round k's survivor count and round k+1's argmax both aggregate
+    # the SAME merged table, so they ship as one two-branch union over
+    # the lazily-checkpointed seq: the first branch's execution
+    # materializes the checkpoint blocks, the second reads them, and
+    # the collect returns both scalars. Selection, application, and
+    # tie-breaks are untouched — the merge table is bit-identical.
+    merges: list[tuple] = []
+    best = _argmax(seq).collect()
+    for k in range(1, num_merges + 1):
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
@@ -1963,12 +1984,13 @@ def bpe_train(
         )
         seq = seq.select(
             "freq", F.expr(fold).alias("syms")
-        ).localCheckpoint(eager=True)
-        after = int(
-            seq.agg(
-                F.sum(F.col("freq") * F.size("syms")).cast("long")
-            ).collect()[0][0]
-        )
+        ).localCheckpoint(eager=False)
+        census = _after(seq)
+        if k < num_merges:
+            census = census.unionByName(_argmax(seq))
+        rows = {r["phase"]: r for r in census.collect()}
+        after = int(rows["after"]["cnt"])
+        best = [rows["argmax"]] if "argmax" in rows else []
         merges.append((k, a, b, cnt, after))
     spark = df.sparkSession
     return spark.createDataFrame(
