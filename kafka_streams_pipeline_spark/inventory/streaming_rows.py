@@ -2263,7 +2263,11 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = final.unionByName(asof).unionByName(changes).collect()
 
     compact_corpus(spark, store, "doc_id")
-    head = store_history(spark, store).orderBy(F.col("version").desc()).first()
+    # history is an O(versions) metadata frame — take the head row via
+    # a driver max over one collect instead of a range-sort shuffle
+    head = max(
+        store_history(spark, store).collect(), key=lambda r: r["version"]
+    )
     if head["n_batches"] != 1:
         shutil.rmtree(base, ignore_errors=True)
         raise AssertionError(
@@ -2273,7 +2277,10 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_corpus_latest(spark, store, "doc_id"), "compacted"
     ).collect()
     shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
         [tuple(r) for r in rows],
         "phase string, bucket long, n_docs long, chars_sum long, id_sum long",
     )

@@ -471,8 +471,12 @@ def dedup_components(
             id_type = next(
                 f for f in pairs.schema.fields if f.name == "id_a"
             ).dataType.simpleString()
-            connected = df.sparkSession.createDataFrame(
-                rows, schema=f"{id_col} {id_type}, component {id_type}"
+            from kafka_streams_pipeline_spark.session import local_rows_df
+
+            connected = local_rows_df(
+                df.sparkSession,
+                rows,
+                f"{id_col} {id_type}, component {id_type}",
             )
             return df.select(id_col).join(
                 F.broadcast(connected), id_col, "left"
@@ -2042,7 +2046,9 @@ def entity_golden(
     if small_graph:
         labels = _union_find_labels([(r[0], r[1]) for r in probe])
         if labels:
-            lab = spark.createDataFrame(labels, "id long, comp long")
+            from kafka_streams_pipeline_spark.session import local_rows_df
+
+            lab = local_rows_df(spark, labels, "id long, comp long")
             out = base.join(F.broadcast(lab), "id", "left")
         else:
             out = base.withColumn("comp", F.lit(None).cast("long"))

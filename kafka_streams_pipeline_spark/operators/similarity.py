@@ -643,7 +643,9 @@ def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
     # the fixed-point vector cache, rebuild the tiny frame locally.
     rows = out.collect()
     fp.unpersist()
-    return df.sparkSession.createDataFrame(rows, schema=out.schema)
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(df.sparkSession, rows, out.schema)
 
 
 def ivf_train_oracle(iters: int = 2, dim: int = 64) -> str:

@@ -983,8 +983,10 @@ def histogram_quantile_bins(
     cum = state.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(state.agg(F.sum("cnt").cast("long").alias("n")))
     )
-    qdf = state.sparkSession.createDataFrame(
-        [(q,) for q in qs], "q long"
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
+    qdf = local_rows_df(
+        state.sparkSession, [(q,) for q in qs], "q long"
     )
     # cum >= ceil(q*n/denom)  <=>  cum*denom >= q*n  (positive ints
     # only — keeps the rank comparison float-free on both engines)
@@ -1533,8 +1535,11 @@ def kll_quantile_census(
         side_rows.append(
             (et, w_total, *ests, maxlev[et], int(bounds.get(et, 0)))
         )
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
     est_cols = ", ".join(f"est{q} long" for q in qs)
-    side = spark.createDataFrame(
+    side = local_rows_df(
+        spark,
         side_rows or [(None, 0, *[0] * len(qs), 0, 0)],
         f"event_type string, W long, {est_cols}, maxlev int, B long",
     ).where(F.col("event_type").isNotNull())

@@ -1992,8 +1992,10 @@ def bpe_train(
         after = int(rows["after"]["cnt"])
         best = [rows["argmax"]] if "argmax" in rows else []
         merges.append((k, a, b, cnt, after))
-    spark = df.sparkSession
-    return spark.createDataFrame(
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(
+        df.sparkSession,
         merges,
         "merge_idx int, left_sym string, right_sym string, "
         "pair_freq long, corpus_symbols_after long",

@@ -68,3 +68,35 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Rows-per-slice for driver-built frames: small enough that genuinely
+# large label lists still pickle in parallel, large enough that a
+# metadata frame is ONE task instead of defaultParallelism near-empty
+# tasks (local[32] today; thousands on a real cluster).
+_LOCAL_ROWS_PER_SLICE = 65_536
+
+
+def local_rows_df(spark: SparkSession, rows, schema):
+    """``createDataFrame`` for DRIVER-BUILT row lists with slice count
+    derived from the data instead of ``defaultParallelism``.
+
+    ``spark.createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` slices regardless of size, so every tiny
+    metadata/summary frame (store history, quantile literals, collected
+    terminal rows) schedules 32 local tasks — or thousands of cluster
+    tasks — to move a handful of rows. Every action on such a frame
+    pays that scheduling tax again. Slices here scale with ``len(rows)``
+    (1 per 64Ki rows), so metadata frames are one task while bounded-
+    but-large lists (e.g. union-find label maps up to ~2M rows) keep
+    parallel pickling."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    slices = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        len(rows) // _LOCAL_ROWS_PER_SLICE + 1,
+    ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )

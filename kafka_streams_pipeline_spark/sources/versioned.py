@@ -831,8 +831,12 @@ def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
             len(set(batches) - set(prev)) if prev is not None else len(batches)
         )
         rows.append((v, len(batches), added, manifest.get("note", "")))
-    return spark.createDataFrame(
-        rows, "version int, n_batches long, batches_added long, note string"
+    from kafka_streams_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
+        rows,
+        "version int, n_batches long, batches_added long, note string",
     )
 
 
