@@ -2198,9 +2198,7 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOMBSTONE,
         commit_corpus,
         compact_corpus,
-        read_corpus_changes,
         read_corpus_latest,
-        store_history,
         upsert_corpus,
     )
 
@@ -2246,32 +2244,84 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         ).select(F.lit(phase).alias("phase"), "*")
 
-    def _totals(df: DataFrame, phase: str) -> DataFrame:
-        return df.agg(
+    # The three pre-compaction reads (merged head, merged AS OF v2,
+    # CDC v1→v3) all resolve over the SAME v3 batch log, so compute
+    # them in ONE pass: one log scan, one key-hash window shuffle
+    # annotating each row with the newest _seq per key (overall and
+    # within the v2 prefix), then each row emits the (phase, bucket)
+    # groups it belongs to and a single aggregation produces all
+    # phase rows. A union of the three per-read API calls costs
+    # three scans and two key shuffles for the same answer (Catalyst
+    # re-plans each branch separately — measured, not assumed).
+    # Equal to the per-read API calls because (a) keys are unique
+    # within every batch here, so "_seq == max(_seq) over key" IS
+    # the window top-1, and (b) v2's batch list is a prefix of v3's,
+    # so the as-of merge is the same max over the _seq <= 1 sub-log
+    # and the CDC feed is _seq >= 1.
+    from pyspark.sql import Window
+
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        _SEQ,
+        read_corpus_log,
+    )
+
+    log = read_corpus_log(spark, store)
+    kw = Window.partitionBy("doc_id")
+    live = ~F.coalesce(F.col(TOMBSTONE), F.lit(False))
+    ann = log.withColumn("m_all", F.max(_SEQ).over(kw)).withColumn(
+        "m_v2",
+        F.max(F.when(F.col(_SEQ) <= 1, F.col(_SEQ))).over(kw),
+    )
+    phase_groups = F.array_compact(
+        F.array(
+            F.when(
+                (F.col(_SEQ) == F.col("m_all")) & live,
+                F.struct(
+                    F.lit("final").alias("phase"),
+                    (F.col("doc_id") % 3).cast("long").alias("bucket"),
+                ),
+            ),
+            F.when(
+                F.col(_SEQ) == F.col("m_v2"),
+                F.struct(
+                    F.lit("asof_v2").alias("phase"),
+                    F.lit(-1).cast("long").alias("bucket"),
+                ),
+            ),
+            F.when(
+                F.col(_SEQ) >= 1,
+                F.struct(
+                    F.lit("changes_v1_v3").alias("phase"),
+                    F.lit(-1).cast("long").alias("bucket"),
+                ),
+            ),
+        )
+    )
+    rows = (
+        ann.select(
+            "doc_id", "n_chars", F.explode(phase_groups).alias("pb")
+        )
+        .groupBy(F.col("pb.phase").alias("phase"), F.col("pb.bucket").alias("bucket"))
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("chars_sum"),
             F.sum("doc_id").cast("long").alias("id_sum"),
-        ).select(
-            F.lit(phase).alias("phase"),
-            F.lit(-1).cast("long").alias("bucket"),
-            "*",
         )
-
-    final = _bucketed(read_corpus_latest(spark, store, "doc_id"), "final")
-    asof = _totals(read_corpus_latest(spark, store, "doc_id", 2), "asof_v2")
-    changes = _totals(read_corpus_changes(spark, store, 1, 3), "changes_v1_v3")
-    rows = final.unionByName(asof).unionByName(changes).collect()
+        .collect()
+    )
 
     compact_corpus(spark, store, "doc_id")
-    # history is an O(versions) metadata frame — take the head row via
-    # a driver max over one collect instead of a range-sort shuffle
-    head = max(
-        store_history(spark, store).collect(), key=lambda r: r["version"]
+    # the lineage-length assertion is a manifest fact — read it on
+    # the driver instead of collecting a one-row Spark frame
+    from kafka_streams_pipeline_spark.sources.versioned import (
+        store_history_rows,
     )
-    if head["n_batches"] != 1:
+
+    head = max(store_history_rows(store), key=lambda r: r[0])
+    if head[1] != 1:
         shutil.rmtree(base, ignore_errors=True)
         raise AssertionError(
-            f"compact_corpus left {head['n_batches']} batches in lineage"
+            f"compact_corpus left {head[1]} batches in lineage"
         )
     rows += _bucketed(
         read_corpus_latest(spark, store, "doc_id"), "compacted"

@@ -609,12 +609,26 @@ def read_corpus_latest(
     log = read_corpus_log(spark, store_dir, version)
     if key not in log.columns:
         raise ValueError(f"store batches have no key column {key!r}")
-    w = Window.partitionBy(key).orderBy(F.col(_SEQ).desc())
-    out = (
-        log.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", _SEQ)
-    )
+    if version is None:
+        version = latest_version(store_dir)
+    with open(_manifest_path(store_dir, version)) as f:
+        n_batches = len(json.load(f)["batches"])
+    if n_batches == 1:
+        # MoR → CoW degeneration (the docstring's promise, now the
+        # plan's shape): a single-batch lineage — fresh store, or
+        # anything after compact/checkpoint — has exactly one row
+        # per key by the same within-batch-unique-key contract the
+        # windowed path's arbitrary _SEQ tie-break already assumes,
+        # so latest-wins is the identity and the merged read is a
+        # plain scan + tombstone filter: no exchange, no sort.
+        out = log.drop(_SEQ)
+    else:
+        w = Window.partitionBy(key).orderBy(F.col(_SEQ).desc())
+        out = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", _SEQ)
+        )
     if TOMBSTONE in out.columns:
         out = out.where(
             ~F.coalesce(F.col(TOMBSTONE), F.lit(False))
@@ -800,19 +814,12 @@ def retention_rollup(
     )
 
 
-def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The store's commit log as a queryable frame — the DESCRIBE
-    HISTORY analogue: one row per READABLE version (vacuumed
-    versions are absent, exactly as their manifests are) with the
-    manifest's batch count, the number of batches the version added
-    over its predecessor's lineage (an append and a checkpoint both
-    add exactly one; a checkpoint is the row whose ``n_batches``
-    RESETS to 1 while its predecessor's lineage was longer), and the
-    commit note. Driver-side work is one manifest-directory listing
-    + one small JSON read per version — O(versions) metadata, never
-    data — then a
-    ``createDataFrame`` of the summary rows, so the result composes
-    with any query (join against audit tables, filter by note)."""
+def store_history_rows(store_dir: str) -> list[tuple]:
+    """Driver-only leg of ``store_history``: the (version, n_batches,
+    batches_added, note) tuples, straight from the manifests with no
+    Spark job. Callers that only need a history FACT (an assertion on
+    the head row, a lineage-length probe) should use this and skip
+    the DataFrame round-trip entirely."""
     mdir = os.path.join(store_dir, _MANIFESTS)
     versions = sorted(
         int(f[1:7])
@@ -831,11 +838,27 @@ def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
             len(set(batches) - set(prev)) if prev is not None else len(batches)
         )
         rows.append((v, len(batches), added, manifest.get("note", "")))
+    return rows
+
+
+def store_history(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The store's commit log as a queryable frame — the DESCRIBE
+    HISTORY analogue: one row per READABLE version (vacuumed
+    versions are absent, exactly as their manifests are) with the
+    manifest's batch count, the number of batches the version added
+    over its predecessor's lineage (an append and a checkpoint both
+    add exactly one; a checkpoint is the row whose ``n_batches``
+    RESETS to 1 while its predecessor's lineage was longer), and the
+    commit note. Driver-side work is one manifest-directory listing
+    + one small JSON read per version — O(versions) metadata, never
+    data — then a
+    ``createDataFrame`` of the summary rows, so the result composes
+    with any query (join against audit tables, filter by note)."""
     from kafka_streams_pipeline_spark.session import local_rows_df
 
     return local_rows_df(
         spark,
-        rows,
+        store_history_rows(store_dir),
         "version int, n_batches long, batches_added long, note string",
     )
 
