@@ -1598,6 +1598,19 @@ def _prefix_join_parts(
             "pos", "shingle"
         ),
     )
+    if persist:
+        # Both sides of the candidate self-join (and, through it,
+        # the verify stage) consume `prefixes`; left lazy, the
+        # executed plan re-derives the explode→dfreq→collect_list
+        # chain once per consumer — measured 12 InMemoryTableScans
+        # of the signature cache for one q_dedup_prefix_join run at
+        # sf0.1, because the sf-small broadcast joins replicate the
+        # subtree instead of reusing an exchange. One eager
+        # localCheckpoint of this narrow (doc_id, n_sh, pos,
+        # shingle) frame caps the chain at a single computation at
+        # every scale; persist=False keeps the fully lazy plan the
+        # plan-contract tests inspect.
+        prefixes = prefixes.localCheckpoint(eager=True)
     a, b = prefixes.alias("a"), prefixes.alias("b")
     num, den = threshold_num, threshold_den
     # Candidate pruning (PPJoin, Xiao et al. 2008 — both filters only
