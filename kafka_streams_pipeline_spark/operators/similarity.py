@@ -1905,19 +1905,43 @@ def rrf_fusion(
         .withColumn("c_rank", F.row_number().over(cw).cast("long"))
         .select(F.col("vec_id").alias("c_id"), "c_rank")
     )
+    # Union + per-id max instead of a full-outer join: both lists
+    # carry unique ids, so grouping the tagged union by id is the
+    # same merge with ONE small exchange where the full-outer form
+    # plans two sort-merge sides. Ranks are 1-based, so max() with
+    # the 0 filler reproduces coalesce(rank, 0) exactly and a rank
+    # contributes to the score only when > 0.
     fused = (
-        b.join(c, b.b_id == c.c_id, "full_outer")
+        b.select(
+            F.col("b_id").alias("id"),
+            F.col("b_rank").alias("bm25_rank"),
+            F.lit(0).cast("long").alias("cos_rank"),
+        )
+        .unionByName(
+            c.select(
+                F.col("c_id").alias("id"),
+                F.lit(0).cast("long").alias("bm25_rank"),
+                F.col("c_rank").alias("cos_rank"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.max("bm25_rank").alias("bm25_rank"),
+            F.max("cos_rank").alias("cos_rank"),
+        )
         .select(
-            F.coalesce("b_id", "c_id").alias("id"),
-            F.coalesce("b_rank", F.lit(0)).alias("bm25_rank"),
-            F.coalesce("c_rank", F.lit(0)).alias("cos_rank"),
+            "id",
+            "bm25_rank",
+            "cos_rank",
             (
-                F.coalesce(
-                    F.expr(f"1000000 div ({rrf_k} + b_rank)"), F.lit(0)
-                )
-                + F.coalesce(
-                    F.expr(f"1000000 div ({rrf_k} + c_rank)"), F.lit(0)
-                )
+                F.when(
+                    F.col("bm25_rank") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + bm25_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("cos_rank") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + cos_rank)"),
+                ).otherwise(F.lit(0))
             ).alias("score_fp"),
         )
         .orderBy(F.col("score_fp").desc(), "id")

@@ -1352,6 +1352,12 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # `base` (tokenize + per-term tf counts — the expensive pass over
+    # the text) feeds both the corpus-stats aggregate and the scoring
+    # projection; left lazy it runs twice per query. Materialize the
+    # narrow (doc_id, dl, tf_*) frame once — ~50 bytes/doc vs
+    # re-splitting every document's text a second time.
+    base = base.localCheckpoint(eager=True)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total"),
