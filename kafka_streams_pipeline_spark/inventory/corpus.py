@@ -380,7 +380,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_ids = (
         _text.heuristic_filter(docs).where(F.col("keep")).select("doc_id")
     )
-    kept = docs.join(kept_ids, "doc_id")
+    # `kept` feeds both the exact-dedup grouping (needs text) and the
+    # survivor join (needs lang/tokens); left lazy the full-text
+    # heuristic-filter pass re-runs per consumer (4 parquet scans in
+    # the before plan). Materialize the filtered corpus once — the
+    # stage boundary a production pipeline would checkpoint anyway.
+    kept = docs.join(kept_ids, "doc_id").localCheckpoint(eager=True)
     keepers = _dedup.exact_dedup(kept).select(F.col("keeper").alias("doc_id"))
     survivors = kept.join(keepers, "doc_id")
     bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
@@ -1399,7 +1404,9 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_ids = (
         _text.heuristic_filter(docs).where(F.col("keep")).select("doc_id")
     )
-    kept = docs.join(kept_ids, "doc_id")
+    # same shared-subtree materialization as q_corpus_pipeline: the
+    # attrition report takes several actions over `kept`
+    kept = docs.join(kept_ids, "doc_id").localCheckpoint(eager=True)
     keepers = _dedup.exact_dedup(kept).select(F.col("keeper").alias("doc_id"))
     bucket = md5_long(
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))

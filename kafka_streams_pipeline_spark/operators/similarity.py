@@ -621,6 +621,12 @@ def ivf_train(df: DataFrame, iters: int = 2) -> DataFrame:
             )
             .select(F.col("cell").alias("cent_id"), "cf")
         )
+        # Materialize the N_CLUSTERS-row centroid frame each round:
+        # left lazy, every consumer (the next round's broadcast, the
+        # final assignment AND the l1 fingerprint) re-evaluates the
+        # whole join+aggregate iteration subtree — and the lineage
+        # nests per round, so the re-evaluation grows with iters.
+        cents = cents.localCheckpoint(eager=True)
     final = assign(cents)
     l1 = cents.select(
         F.col("cent_id").alias("cell"),

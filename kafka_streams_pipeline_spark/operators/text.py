@@ -926,7 +926,11 @@ def tokenizer_pipeline(
     documents per language."""
     from pyspark.sql.window import Window
 
-    vocab = vocab_build(df, text_col, min_count)
+    # vocab feeds BOTH the broadcast encode join and the vocab_size
+    # scalar; left lazy, the corpus-wide tokenize + count aggregate
+    # behind it runs twice. The vocabulary is min-count-pruned and
+    # corpus-bounded (tens of MB at worst), so materialize it once.
+    vocab = vocab_build(df, text_col, min_count).localCheckpoint(eager=True)
     enc = encode_documents(df, text_col, min_count, vocab=vocab)
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
     w = Window.partitionBy("lang").orderBy("doc_id")
