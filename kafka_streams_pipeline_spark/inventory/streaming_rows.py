@@ -2282,7 +2282,11 @@ def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
             F.when(
-                F.col(_SEQ) == F.col("m_v2"),
+                # & live: the read API's tombstone filter applies to
+                # the as-of merge too (a no-op on this fixture — the
+                # v2 prefix holds no true tombstones — but the fused
+                # form must not silently assume that)
+                (F.col(_SEQ) == F.col("m_v2")) & live,
                 F.struct(
                     F.lit("asof_v2").alias("phase"),
                     F.lit(-1).cast("long").alias("bucket"),

@@ -1520,6 +1520,10 @@ def kll_quantile_census(
         vw[r["v"]] = vw.get(r["v"], 0) + wt
         if et not in maxlev or r["level"] > maxlev[et]:
             maxlev[et] = int(r["level"])
+    # the crossing search below only terminates for percentile ranks;
+    # a q > 100 would leave ests shorter than qs and mis-align the
+    # side_rows tuple with its schema (opaque arity error downstream)
+    assert all(0 < int(q) <= 100 for q in qs), qs
     side_rows = []
     for et, vw in per.items():
         items = sorted(vw.items())

@@ -602,15 +602,26 @@ def read_corpus_latest(
     long, ``compact_corpus`` folds it into a single base batch and
     the merged read degenerates to a plain scan. Composes with time
     travel: ``version=N`` merges exactly the batches manifest N
-    pins, so pre-correction snapshots replay bit-identically."""
+    pins, so pre-correction snapshots replay bit-identically.
+
+    Contract note: keys are assumed unique WITHIN each batch (the
+    ``upsert_corpus`` contract). On contract-violating single-batch
+    stores the plain-scan path surfaces the duplicate keys as-is,
+    where the windowed path returned one arbitrary row per key —
+    enforce uniqueness at commit time if that matters upstream."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Pin the version BEFORE reading the log: resolving latest twice
+    # (once inside read_corpus_log, once for the manifest check) lets
+    # a commit/compact land between the calls, making n_batches
+    # describe a different manifest than the one the log was read
+    # from — the fast path could then return a raw multi-batch log.
+    if version is None:
+        version = latest_version(store_dir)
     log = read_corpus_log(spark, store_dir, version)
     if key not in log.columns:
         raise ValueError(f"store batches have no key column {key!r}")
-    if version is None:
-        version = latest_version(store_dir)
     with open(_manifest_path(store_dir, version)) as f:
         n_batches = len(json.load(f)["batches"])
     if n_batches == 1:
