@@ -125,6 +125,21 @@ def spark_hashed_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
     )
 
 
+def spark_xxh_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
+    """Distinct xxhash64-hashed n-token shingles (BIGINT array) — the
+    cheap engine-native twin of :func:`spark_hashed_shingles_expr`
+    for operators whose OUTPUT is hash-representation-independent
+    (prefix_jaccard_join: any injective shingle→int map yields the
+    same verified pairs and jaccards). Never use it where hash
+    values shape the result (minhash signatures, KMV sketches) —
+    those stay md5 for oracle parity."""
+    parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
+    return (
+        f"array_distinct(transform({_safe_offsets(tokens, n)}, "
+        f"i -> xxhash64(concat_ws(' ', {parts}))))"
+    )
+
+
 def duck_hashed_shingles_expr(tokens: str = "toks", n: int = SHINGLE_N) -> str:
     h = _duck_hash(f"array_to_string({tokens}[i:i + {n - 1}], ' ')")
     return (
@@ -737,24 +752,54 @@ def simhash64_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     single 64-bit fold would leave bits 32-63 degenerate; two
     independently-seeded 32-bit signatures give 64 genuinely
     informative bits while every intermediate stays positive BIGINT
-    on both engines (no 1<<63 overflow anywhere). Per-row,
-    shuffle-free."""
+    on both engines (no 1<<63 overflow anywhere).
+
+    Execution shape (r17): explode distinct tokens and run ONE
+    doc-keyed aggregation with 64 codegen'd bit-count sums instead
+    of the 32-passes-per-half interpreted higher-order fold (HOF
+    lambdas bypass whole-stage codegen; the fold was ~2/3 of the
+    signature stage at sf0.1, the md5s ~1/3). Bit-exact by algebra:
+    the majority bit ``sum(±1) > 0`` over n tokens is ``2·cnt₁ > n``.
+    Tokens of one doc never split across partitions, so the partial
+    aggregate collapses fully map-side and the exchange ships one
+    66-long row per document — the doc-keyed shuffle the downstream
+    grouping window pays anyway."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    return (
-        df.withColumn(
-            "toks", F.expr(f"array_distinct(split({text_col}, ' '))")
+    # explode_outer: a NULL text must still yield a signature row
+    # (all-zero, as the old fold produced), not vanish
+    ex = df.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(f"array_distinct(split({text_col}, ' '))")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        F.expr(_spark_hash("tok")).alias("h1"),
+        F.expr(_spark_hash("tok", 1)).alias("h2"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(SIMHASH_BITS):
+        aggs.append(
+            F.sum(F.expr(f"(h1 >> {i}) & 1")).alias(f"a{i}")
         )
-        .withColumn("th1", F.expr(f"transform(toks, x -> {_spark_hash('x')})"))
-        .withColumn(
-            "th2", F.expr(f"transform(toks, x -> {_spark_hash('x', 1)})")
+        aggs.append(
+            F.sum(F.expr(f"(h2 >> {i}) & 1")).alias(f"b{i}")
         )
-        .select(
-            "doc_id",
-            F.expr(spark_simhash_expr("th1")).alias("sim_lo"),
-            F.expr(spark_simhash_expr("th2")).alias("sim_hi"),
-        )
+    per = ex.groupBy("doc_id").agg(*aggs)
+    lo = " + ".join(
+        f"(case when 2 * a{i} > n then shiftleft(1L, {i}) else 0L end)"
+        for i in range(SIMHASH_BITS)
+    )
+    hi = " + ".join(
+        f"(case when 2 * b{i} > n then shiftleft(1L, {i}) else 0L end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return per.select(
+        "doc_id",
+        F.expr(lo).alias("sim_lo"),
+        F.expr(hi).alias("sim_hi"),
     )
 
 
@@ -1503,6 +1548,7 @@ def edit_distance_pairs_oracle(
 def prefix_jaccard_join(
     df: DataFrame, text_col: str = "text", threshold_num: int = 4,
     threshold_den: int = 5, materialize: bool = True,
+    checkpoint_prefixes: bool = True,
 ) -> DataFrame:
     """X2 exact-at-scale alternative to LSH: the prefix-filter
     similarity join (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008
@@ -1530,7 +1576,8 @@ def prefix_jaccard_join(
     rarest-first order). Frequent-shingle skew therefore prunes
     itself — the opposite of the LSH bucket-cap trade."""
     sig, _cand, out = _prefix_join_parts(
-        df, text_col, threshold_num, threshold_den, persist=materialize
+        df, text_col, threshold_num, threshold_den, persist=materialize,
+        checkpoint_prefixes=checkpoint_prefixes,
     )
     # Materialize the (candidate-bounded) result so the signature
     # cache is released on return rather than pinned for the session.
@@ -1550,6 +1597,7 @@ def _prefix_join_parts(
     threshold_num: int,
     threshold_den: int,
     persist: bool = True,
+    checkpoint_prefixes: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """prefix_jaccard_join body, returning (signature frame — persisted
     iff ``persist``, in which case the CALLER owns the unpersist —
@@ -1558,13 +1606,22 @@ def _prefix_join_parts(
     pairs (VERDICT r6 item 6) without duplicating the construction."""
     # The signature subplan feeds FOUR consumers (document-frequency
     # aggregate, prefix ordering, both verify sides); without persist
-    # the md5 shingle hashing recomputes per consumer — measured 4×
+    # the shingle hashing recomputes per consumer — measured 4×
     # wall-clock at sf0.1. At cluster scale this intermediate is the
     # thing you'd checkpoint to a table.
+    #
+    # xxhash64 shingles, not md5 (r17): the output is
+    # hash-representation-independent — the prefix filter is correct
+    # under ANY consistent global shingle order, the verify is exact
+    # set arithmetic over the hashed sets, and no hash value survives
+    # into the result — so the cheap engine hash replaces the
+    # md5+substring+conv string round-trip while the brute-force
+    # DuckDB oracle keeps md5 (identical pairs/jaccards absent a
+    # collision; oracle-exact on all fixture SFs).
     sig = (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .where(F.expr("size(toks)") >= SHINGLE_N)
-        .withColumn("shh", F.expr(spark_hashed_shingles_expr("toks")))
+        .withColumn("shh", F.expr(spark_xxh_shingles_expr("toks")))
         .select("doc_id", "shh")
     )
     if persist:
@@ -1598,7 +1655,7 @@ def _prefix_join_parts(
             "pos", "shingle"
         ),
     )
-    if persist:
+    if persist and checkpoint_prefixes:
         # Both sides of the candidate self-join (and, through it,
         # the verify stage) consume `prefixes`; left lazy, the
         # executed plan re-derives the explode→dfreq→collect_list
@@ -1800,8 +1857,11 @@ def duplicated_spans(
     100 TB posture: the gram shuffles dominate and ship
     (doc_id, pos, gram); the standard refinement at scale shuffles
     xxhash64(gram) (8 bytes, 2^-64 collision odds) or re-verifies
-    hash-bucket members — kept as strings here so the certified row
-    is collision-free by construction. The reference has no span
+    hash-bucket members — kept as strings here: the certified row is
+    collision-free by construction AND the hashed form measured
+    slower at this SF (r17 interleaved A/B, 4/5 pairs — hashing every
+    gram costs more than the shuffle-byte saving locally). The
+    reference has no span
     operator; this extends its doc-keyed dedup the way suffix-array
     dedup extends hash dedup (reference semantics anchor:
     ingestion/KafkaStreamsAggregator.java keys state by record,

@@ -275,15 +275,25 @@ def _oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     per-node UNDIRECTED degree frame the orientation (and the wedge
     census) derives from. Split out so the skew test can measure the
     oriented out-degree distribution directly."""
-    e = edges.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
-    deg = (
-        e.select(F.col("id_a").alias("n"))
-        .union(e.select(F.col("id_b").alias("n")))
+    # ONE materialization barrier, not two (r17, VERDICT r16 item 6):
+    # the old form eagerly checkpointed the distinct edge set first,
+    # then ran a second job for the degree join — two sequential job
+    # waves where one suffices. `e` stays lazy inside the oriented
+    # job (its distinct is evaluated by the probe side and the two
+    # degree build sides; at scale the identical distinct subtrees
+    # share their Exchange), and the per-node degree frame is
+    # recovered FROM the checkpointed result afterwards — every node
+    # of the edge list appears in some oriented edge carrying its
+    # degree, so distinct (n, d) endpoint pairs reproduce `deg`
+    # exactly without re-touching the input.
+    e = edges.select("id_a", "id_b").distinct()
+    deg0 = (
+        e.select(F.explode(F.array("id_a", "id_b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    da = deg.select(F.col("n").alias("id_a"), F.col("d").alias("da"))
-    db = deg.select(F.col("n").alias("id_b"), F.col("d").alias("db"))
+    da = deg0.select(F.col("n").alias("id_a"), F.col("d").alias("da"))
+    db = deg0.select(F.col("n").alias("id_b"), F.col("d").alias("db"))
     ed = e.join(da, "id_a").join(db, "id_b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
@@ -294,6 +304,22 @@ def _oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("d_src"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("d_dst"),
     ).localCheckpoint(eager=True)
+    deg = (
+        oriented.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("n"), F.col("d_src").alias("d")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("n"), F.col("d_dst").alias("d")
+                    ),
+                )
+            ).alias("nd")
+        )
+        .select("nd.n", "nd.d")
+        .distinct()
+    )
     return oriented, deg
 
 

@@ -1878,6 +1878,7 @@ def rrf_fusion(
     k_each: int = 50,
     k: int = 10,
     rrf_k: int = 60,
+    materialize: bool = True,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval via reciprocal-rank fusion
     (Cormack, Clarke & Buettcher, SIGIR'09 — public literature): fuse
@@ -1902,7 +1903,7 @@ def rrf_fusion(
 
     from kafka_streams_pipeline_spark.operators.text import bm25_topk
 
-    b = bm25_topk(docs, k=k_each).select(
+    b = bm25_topk(docs, k=k_each, materialize=materialize).select(
         F.col("doc_id").alias("b_id"), F.col("rank").alias("b_rank")
     )
     cw = Window.orderBy(F.col("cos_sim").desc(), "vec_id")

@@ -1316,6 +1316,7 @@ def bm25_topk(
     terms: tuple[str, ...] = BM25_TERMS,
     k: int = 25,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """X5 (retrieval scoring): Okapi BM25 top-k over the corpus for a
     fixed query term set (Robertson & Spärck Jones, public
@@ -1361,7 +1362,11 @@ def bm25_topk(
     # projection; left lazy it runs twice per query. Materialize the
     # narrow (doc_id, dl, tf_*) frame once — ~50 bytes/doc vs
     # re-splitting every document's text a second time.
-    base = base.localCheckpoint(eager=True)
+    # ``materialize=False`` keeps the whole plan lazy (no Spark jobs
+    # launched during DataFrame construction) for plan inspection and
+    # composition without execution.
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total"),
@@ -2549,8 +2554,15 @@ def boilerplate_scrub(
     ascending id. n_tokens is the ORIGINAL token count.
 
     Scale shape: positional n-grams explode as (doc_id, pos,
-    md5-hash) integer rows — text never leaves its partition; the
-    doc-frequency aggregate is one shuffle keyed by the 8-byte hash;
+    xxhash64) integer rows — text never leaves its partition; the
+    hash is a pure GROUPING key (no hash value survives into the
+    output, which depends only on which (doc, pos) grams are
+    frequent), so the cheap engine hash is safe here while the
+    DuckDB twin keeps md5: both classify the same grams as frequent
+    absent a collision (~n²/2⁶⁵ — the accepted exposure of every
+    hash_keys path in this repo; oracle-exact on all fixture SFs).
+    The doc-frequency aggregate is one shuffle keyed by the 8-byte
+    hash;
     the frequent-span set (boilerplate is by definition repeated, so
     this is vocabulary-sized, not corpus-sized) joins back WITHOUT a
     hint — AQE broadcasts it when small, same contract as
@@ -2582,7 +2594,7 @@ def boilerplate_scrub(
         .select(
             "doc_id",
             F.col("pg.pos").alias("pos"),
-            F.expr(_spark_hash("pg.g")).alias("ng"),
+            F.xxhash64("pg.g").alias("ng"),
         )
     )
     grams = grams.persist()
