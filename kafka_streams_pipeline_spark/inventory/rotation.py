@@ -389,10 +389,28 @@ _CERTIFIED_R15: list[str] = [
     "q_promo_share",
 ]
 
+# The NEWLY certified rows of the r16 window (CORRECTNESS_r16.json):
+# the 4 round-16 registrations + the 5 r15 on-deck continuation rows.
+# The window's other 41 green rows were RE-certifications of names
+# already in older tiers (incl. the q_streaming_acf _RECHECK) —
+# their freshness lives in the CORRECTNESS evidence rotate.py reads,
+# not in the tier lists, so they are not repeated here.
+_CERTIFIED_R16: list[str] = [
+    "q_kll_quantiles",
+    "q_streaming_kll",
+    "q_streaming_privacy",
+    "q_theil_sen_windowed",
+    "q_ccf",
+    "q_l_diversity",
+    "q_theil_sen",
+    "q_streaming_theil_sen",
+    "q_streaming_ccf",
+]
+
 DRIVER_CERTIFIED: list[str] = (
     _CERTIFIED_R5 + _CERTIFIED_R6 + _CERTIFIED_R7 + _CERTIFIED_R8
     + _CERTIFIED_R9 + _CERTIFIED_R10 + _CERTIFIED_R11 + _CERTIFIED_R12
-    + _CERTIFIED_R13 + _CERTIFIED_R14 + _CERTIFIED_R15
+    + _CERTIFIED_R13 + _CERTIFIED_R14 + _CERTIFIED_R15 + _CERTIFIED_R16
 )
 # Queries awaiting their first green driver row. Empty since round 7:
 # all queries registered before this round carry a green row.
@@ -403,37 +421,11 @@ _PENDING: list[str] = []
 # rotated out of _DEFERRED for the round-15 window (VERDICT r14
 # item 1). All 4 were oracle-verified green by the r14 judge's own
 # check_oracle.py run; this rotation converts that into driver rows.
+# The 12 round-16 _DEFERRED rows rotate forward for the round-17
+# window (each was oracle-verified green at sf0.001/sf0.01 + the
+# vanilla-TZ driver-sim before parking, NOTES_r16; re-verified in the
+# r17 full sweeps).
 _ON_DECK: list[str] = [
-    "q_ccf",
-    "q_l_diversity",
-    "q_theil_sen",
-    "q_streaming_theil_sen",
-    "q_streaming_ccf",
-]
-# Certified queries whose backing operator code changed materially
-# since their last green driver row (ADVICE r4): list them here to
-# pull them to the window front for re-certification without losing
-# their certified status bookkeeping. ADVICE r14 item 2: round 14
-# rewrote skyline banding (fixed-width -> quantile edges) and the MG
-# summary return path after their r13 certification rows, so both
-# re-certify in the r15 window against the unchanged oracles.
-# Round-16 review refactor: the six hourly-series replays now share
-# ONE chunk writer (_write_hour_chunks — byte-identical behavior,
-# re-oracle-checked at sf0.01). Of the six, q_streaming_acf is the
-# only one already driver-certified whose cert predates the change;
-# pull it forward for re-certification.
-_RECHECK: list[str] = ["q_streaming_acf"]
-# New queries deliberately parked at the BACK of the rotation for one
-# round so the current window's composition is preserved; moved to
-# _ON_DECK next round. Entries parked here must be oracle-verified
-# green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
-# before parking. The round-16 window is budgeted: 4 new
-# registrations (q_theil_sen_windowed, q_kll_quantiles,
-# q_streaming_kll, q_streaming_privacy — VERDICT r15 items 3/4/8
-# want driver rows) + 5 on-deck + 41 stalest re-certs = 50, so the
-# THREE other round-16 additions park here (each verified green at
-# sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r16).
-_DEFERRED: list[str] = [
     "q_t_closeness",
     "q_streaming_theil_sen_windowed",
     "q_leakage_safe_split",
@@ -447,6 +439,46 @@ _DEFERRED: list[str] = [
     "q_asof_tolerance",
     "q_streaming_backtest",
 ]
+# Certified queries whose backing operator code changed materially
+# since their last green driver row (ADVICE r4): list them here to
+# pull them to the window front for re-certification without losing
+# their certified status bookkeeping. ADVICE r14 item 2: round 14
+# rewrote skyline banding (fixed-width -> quantile edges) and the MG
+# summary return path after their r13 certification rows, so both
+# re-certify in the r15 window against the unchanged oracles.
+# Round-17 optimization changes: operators whose backing code changed
+# materially after their last green row (xxhash64 shingle/gram keys in
+# prefix_jaccard_join/boilerplate_scrub, the simhash64 codegen
+# aggregation, the one-barrier _oriented_edges, the fused
+# q_corpus_upsert liveness guard, the KLL qs assert, the bm25/rrf
+# materialize flags). Each re-verified oracle-exact at
+# sf0.001/0.01/0.1 this round; these convert that into driver rows.
+_RECHECK: list[str] = [
+    "q_dedup_prefix_join",
+    "q_boilerplate_scrub",
+    "q_dedup_hamming",
+    "q_triangle_count",
+    "q_local_clustering",
+    "q_corpus_upsert",
+    "q_kll_quantiles",
+    "q_streaming_kll",
+    "q_bm25",
+    "q_rrf_fusion",
+]
+# New queries deliberately parked at the BACK of the rotation for one
+# round so the current window's composition is preserved; moved to
+# _ON_DECK next round. Entries parked here must be oracle-verified
+# green at sf0.001 / sf0.01 and under the vanilla-TZ driver-sim
+# before parking. The round-16 window is budgeted: 4 new
+# registrations (q_theil_sen_windowed, q_kll_quantiles,
+# q_streaming_kll, q_streaming_privacy — VERDICT r15 items 3/4/8
+# want driver rows) + 5 on-deck + 41 stalest re-certs = 50, so the
+# THREE other round-16 additions park here (each verified green at
+# sf0.001 + sf0.01 + vanilla-TZ sim before parking, NOTES_r16).
+# Empty for round 17: no new registrations (optimization round); the
+# round-16 parkees moved to _ON_DECK above. Window budget: 12 on-deck
+# + 10 _RECHECK + 28 stalest re-certs = 50.
+_DEFERRED: list[str] = []
 
 
 def driver_order() -> list[str]:
