@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for bench queries to plans/r16/.
+"""Dump .explain("formatted") for bench queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
+(round dir from $SPARK_GRAFT_PLANS_ROUND, default r17)
 
-Writes plans/r16/<query>_<suffix>.txt for each named bench query
+Writes plans/<round>/<query>_<suffix>.txt for each named bench query
 (default: all BENCH_QUERIES) at sf0.1 — the optimization round's
 plan-shape evidence (guide §1: capture the plan before and after
 every substantive change).
@@ -26,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="kspipeline-plans")

@@ -119,6 +119,40 @@ def main() -> None:
             )
         result["mor_read_by_chain_length"] = chain
 
+        # Multi-read API composition (VERDICT r16 item 8): the
+        # pre-compaction pattern q_corpus_upsert's fused one-pass
+        # rewrite no longer exercises — three separate API reads
+        # (merged head, merged AS OF mid-chain, CDC mid→head), each
+        # resolving the same batch log through the public read
+        # functions, aggregated in one action apiece. This is the
+        # composition cost a real consumer of the three reads pays:
+        # three scans + up to two key-window shuffles.
+        from kafka_streams_pipeline_spark.sources.versioned import (
+            latest_version,
+            read_corpus_changes,
+        )
+
+        head_v = latest_version(store)
+        mid_v = head_v // 2
+        t0 = time.time()
+        comp_rows = []
+        for tag, df in (
+            ("head", read_corpus_latest(spark, store, "k")),
+            ("asof_mid", read_corpus_latest(spark, store, "k", mid_v)),
+            ("changes_mid_head", read_corpus_changes(spark, store, mid_v)),
+        ):
+            r = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("s"),
+            ).collect()[0]
+            comp_rows.append({"read": tag, "n": r["n"], "vsum": r["s"]})
+        result["api_composition"] = {
+            "head_version": head_v,
+            "asof_version": mid_v,
+            "three_read_sec": round(time.time() - t0, 3),
+            "reads": comp_rows,
+        }
+
         t0 = time.time()
         compact_corpus(spark, store, "k")
         compact_sec = round(time.time() - t0, 3)
